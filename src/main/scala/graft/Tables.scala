@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata plus deterministic
+  * interval/reads views derived from it. The testdata is TPC-H-ish
+  * (TESTDATA.md) — no genomic tables — so interval-operator inputs are
+  * derived with pure integer arithmetic that DuckDB reproduces
+  * verbatim in the oracle SQL (see [[Oracle]]): both engines compute
+  * the same rows, making the hash-compare gate meaningful.
+  *
+  * Derived interval schema matches the reference default
+  * `(contig, pos_start, pos_end)` (ranges/src/table_function.rs:36)
+  * plus a unique `id` for deterministic tie-breaks.
+  */
+object Tables {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Interval table A (the "annotation"/build side): one interval per
+    * lineitem row. 4 contigs, domain [0, 1e6), lengths 0–300 (length 0
+    * = point interval, exercised by the reference's fixtures too). */
+  def ivA(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem").selectExpr(
+      "concat('c', CAST(l_orderkey % 4 AS STRING)) AS contig",
+      "CAST((l_partkey * 48271) % 1000000 AS BIGINT) AS pos_start",
+      "CAST((l_partkey * 48271) % 1000000 + (l_linenumber - 1) * 50 AS BIGINT) AS pos_end",
+      "CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id")
+
+  /** Interval table B (the probe side): one interval per orders row. */
+  def ivB(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders").selectExpr(
+      "concat('c', CAST(o_orderkey % 4 AS STRING)) AS contig",
+      "CAST((o_custkey * 48271) % 1000000 AS BIGINT) AS pos_start",
+      "CAST((o_custkey * 48271) % 1000000 + (o_orderkey % 500) AS BIGINT) AS pos_end",
+      "CAST(o_orderkey AS BIGINT) AS id")
+
+  /** Sampled B for quadratic-oracle queries (nearest). */
+  def ivBSample(spark: SparkSession, dir: String): DataFrame =
+    ivB(spark, dir).where("id % 37 = 0")
+
+  /** Alignment-reads view for pileup (FIXTURES.md §3 contract):
+    * `(chrom, start, flags, cigar, mapping_quality)`. CIGAR is a real
+    * string the Spark side parses; the oracle recomputes the aligned
+    * length arithmetically (single-M cigars by construction). ~10% of
+    * reads carry the DUP flag (1024) and are dropped by the default
+    * 1796 filter mask (pileup/src/filter.rs:1-34). */
+  def reads(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders").selectExpr(
+      "concat('chr', CAST(o_orderkey % 4 AS STRING)) AS chrom",
+      "CAST((o_custkey * 37199) % 500000 AS INT) AS start",
+      "CAST(CASE WHEN o_orderkey % 10 = 0 THEN 1024 ELSE 0 END AS INT) AS flags",
+      "concat(CAST(50 + o_orderkey % 100 AS STRING), 'M') AS cigar",
+      "CAST(o_orderkey % 60 AS INT) AS mapping_quality")
+}
+
+/** DuckDB-dialect fragments mirroring [[Tables]] exactly. */
+object Oracle {
+  /** CTE body for interval table A (DuckDB). */
+  val a: String =
+    "a AS (SELECT concat('c', CAST(l_orderkey % 4 AS VARCHAR)) AS contig, " +
+    "CAST((l_partkey * 48271) % 1000000 AS BIGINT) AS pos_start, " +
+    "CAST((l_partkey * 48271) % 1000000 + (l_linenumber - 1) * 50 AS BIGINT) AS pos_end, " +
+    "CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id FROM lineitem)"
+
+  val b: String =
+    "b AS (SELECT concat('c', CAST(o_orderkey % 4 AS VARCHAR)) AS contig, " +
+    "CAST((o_custkey * 48271) % 1000000 AS BIGINT) AS pos_start, " +
+    "CAST((o_custkey * 48271) % 1000000 + (o_orderkey % 500) AS BIGINT) AS pos_end, " +
+    "CAST(o_orderkey AS BIGINT) AS id FROM orders)"
+
+  val bs: String = "bs AS (SELECT * FROM b WHERE id % 37 = 0)"
+
+  val reads: String =
+    "reads AS (SELECT concat('chr', CAST(o_orderkey % 4 AS VARCHAR)) AS chrom, " +
+    "CAST((o_custkey * 37199) % 500000 AS BIGINT) AS start, " +
+    "CAST(CASE WHEN o_orderkey % 10 = 0 THEN 1024 ELSE 0 END AS INT) AS flags, " +
+    "CAST(50 + o_orderkey % 100 AS BIGINT) AS rlen, " +
+    "CAST(o_orderkey % 60 AS INT) AS mapping_quality FROM orders)"
+
+  /** Gaps-and-islands merged intervals of a table `t(contig,
+    * pos_start, pos_end)` with reach `minDist`, weak convention —
+    * the SQL formulation of merge.rs:282-349. Produces
+    * `(contig, pos_start, pos_end, n_intervals)`. */
+  def mergedCte(src: String, out: String, minDist: Long = 0L): String =
+    s"""${out}_o AS (SELECT contig, pos_start AS s, pos_end AS e,
+       | CASE WHEN MAX(pos_end) OVER (PARTITION BY contig ORDER BY pos_start, pos_end
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL THEN 1
+       |  WHEN pos_start > MAX(pos_end) OVER (PARTITION BY contig ORDER BY pos_start, pos_end
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + $minDist THEN 1 ELSE 0 END AS f
+       | FROM $src),
+       |${out}_i AS (SELECT contig, s, e, SUM(f) OVER (PARTITION BY contig
+       |   ORDER BY s, e) AS g FROM ${out}_o),
+       |$out AS (SELECT contig, MIN(s) AS pos_start, MAX(e) AS pos_end,
+       |   CAST(COUNT(*) AS BIGINT) AS n_intervals FROM ${out}_i GROUP BY contig, g)"""
+      .stripMargin.replace("\n", " ")
+}

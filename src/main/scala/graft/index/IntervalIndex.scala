@@ -1,0 +1,196 @@
+package graft.index
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Per-contig interval stabbing index: intervals sorted by
+  * `(start, end, position)` plus a prefix-max-end array — the
+  * "superintervals-lite" layout from SURVEY.md §2 J7 (reference keeps
+  * several interchangeable index impls behind one `get(key,start,end,f)`
+  * dispatch, interval_join.rs:849-901; this is the sorted-arrays one).
+  *
+  * Query `[qs, qe]` (closed): all `i` with
+  * `starts(i) <= qe && ends(i) >= qs`. We binary-search the last
+  * start `<= qe`, then scan backwards, pruning with the prefix max of
+  * `ends` (if `maxEnds(i) < qs` no `j <= i` can match).
+  *
+  * Coordinates are Long (the reference's sweep path uses i64; its
+  * interval-join path narrows to i32 with an overflow error — we stay
+  * on Long everywhere, which is strictly more permissive).
+  */
+final class ContigIntervalIndex(
+    val starts: Array[Long],
+    val ends: Array[Long],
+    val maxEnds: Array[Long],
+    /** caller-supplied payload (e.g. row index into a broadcast row
+      * array), in (start, end, position) order */
+    val payload: Array[Int]) extends Serializable {
+
+  def size: Int = starts.length
+
+  /** Visit payloads of all intervals overlapping [qs, qe] (closed), in
+    * (start, end, position) order. */
+  def query(qs: Long, qe: Long)(f: Int => Unit): Unit = {
+    // NOTE: a strict-adjusted query may have qs = qe + 2 (point probe);
+    // the predicate `start <= qe && end >= qs` then selects intervals
+    // STRICTLY containing the point — do not early-return on qs > qe.
+    var i = upperBound(starts, qe) - 1
+    // collect backwards, then emit forwards for deterministic order
+    var lo = i
+    while (lo >= 0 && maxEnds(lo) >= qs) lo -= 1
+    var j = lo + 1
+    while (j <= i) {
+      if (ends(j) >= qs) f(payload(j))
+      j += 1
+    }
+  }
+
+  def countOverlaps(qs: Long, qe: Long): Long = {
+    var n = 0L
+    query(qs, qe)(_ => n += 1)
+    n
+  }
+
+  /** first index with arr(i) > key */
+  @inline private def upperBound(arr: Array[Long], key: Long): Int = {
+    var lo = 0; var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr(mid) <= key) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+}
+
+object ContigIntervalIndex {
+  /** Build from parallel arrays (not necessarily sorted). `payload(i)`
+    * is the caller's id for interval i (its "position" for
+    * tie-breaking, matching the reference's insertion-order metadata). */
+  def build(s: Array[Long], e: Array[Long], payload: Array[Int]): ContigIntervalIndex = {
+    val n = s.length
+    val order = Array.range(0, n).sortInPlaceWith { (a, b) =>
+      if (s(a) != s(b)) s(a) < s(b)
+      else if (e(a) != e(b)) e(a) < e(b)
+      else payload(a) < payload(b)
+    }
+    val ss = new Array[Long](n); val ee = new Array[Long](n)
+    val pp = new Array[Int](n); val mx = new Array[Long](n)
+    var i = 0; var running = Long.MinValue
+    while (i < n) {
+      val o = order(i)
+      ss(i) = s(o); ee(i) = e(o); pp(i) = payload(o)
+      if (ee(i) > running) running = ee(i)
+      mx(i) = running
+      i += 1
+    }
+    new ContigIntervalIndex(ss, ee, mx, pp)
+  }
+}
+
+/** Two-sorted-arrays overlap counter — the reference's
+  * `CountOverlapIndex` (interval_tree.rs:20-50):
+  * `count = #(starts <= qe) − #(ends < qs)`, each via binary search.
+  * O(log n) per probe, no enumeration. */
+final class CountOverlapIndex(
+    val sortedStarts: Array[Long],
+    val sortedEnds: Array[Long]) extends Serializable {
+
+  def count(qs: Long, qe: Long): Long =
+    // valid for strict-adjusted (possibly inverted) queries too — see
+    // ContigIntervalIndex.query
+    (upperBound(sortedStarts, qe) - lowerBound(sortedEnds, qs)).toLong
+
+  @inline private def upperBound(arr: Array[Long], key: Long): Int = {
+    var lo = 0; var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr(mid) <= key) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+  /** first index with arr(i) >= key */
+  @inline private def lowerBound(arr: Array[Long], key: Long): Int = {
+    var lo = 0; var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr(mid) < key) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+}
+
+object CountOverlapIndex {
+  def build(s: Array[Long], e: Array[Long]): CountOverlapIndex = {
+    val ss = s.clone(); val ee = e.clone()
+    java.util.Arrays.sort(ss); java.util.Arrays.sort(ee)
+    new CountOverlapIndex(ss, ee)
+  }
+}
+
+/** Coverage index: intervals merged (weak/closed convention — reference
+  * merges the left table per contig before coverage,
+  * interval_tree.rs:104-106) into disjoint sorted runs, plus prefix
+  * sums of closed-interval lengths. `coverage([qs,qe])` = number of
+  * query basepairs covered by >=1 interval, O(log n). */
+final class CoverageIndex(
+    val ms: Array[Long], // merged starts, ascending, disjoint
+    val me: Array[Long], // merged ends
+    val prefixLen: Array[Long]) extends Serializable {
+
+  def coverage(qs: Long, qe: Long): Long = {
+    if (qs > qe || ms.length == 0) return 0L
+    // first merged run with end >= qs (me is ascending since runs are disjoint)
+    val first = lowerBound(me, qs)
+    // last merged run with start <= qe
+    val last = upperBound(ms, qe) - 1
+    if (first > last) return 0L
+    var total = prefixLen(last + 1) - prefixLen(first)
+    if (qs > ms(first)) total -= (qs - ms(first))
+    if (me(last) > qe) total -= (me(last) - qe)
+    total
+  }
+
+  @inline private def upperBound(arr: Array[Long], key: Long): Int = {
+    var lo = 0; var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr(mid) <= key) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+  @inline private def lowerBound(arr: Array[Long], key: Long): Int = {
+    var lo = 0; var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr(mid) < key) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+}
+
+object CoverageIndex {
+  /** Merge (weak: `s <= curEnd` joins a run — matching the reference's
+    * complement/coverage internal merge, complement.rs:300-317) and
+    * build prefix lengths. Closed-interval length = e - s + 1. */
+  def build(s: Array[Long], e: Array[Long]): CoverageIndex = {
+    val n = s.length
+    if (n == 0) return new CoverageIndex(Array.empty, Array.empty, Array(0L))
+    val order = Array.range(0, n).sortInPlaceWith { (a, b) =>
+      if (s(a) != s(b)) s(a) < s(b) else e(a) < e(b)
+    }
+    val mss = new ArrayBuffer[Long](); val mes = new ArrayBuffer[Long]()
+    var cs = s(order(0)); var ce = e(order(0))
+    var i = 1
+    while (i < n) {
+      val o = order(i)
+      if (s(o) <= ce) { if (e(o) > ce) ce = e(o) }
+      else { mss += cs; mes += ce; cs = s(o); ce = e(o) }
+      i += 1
+    }
+    mss += cs; mes += ce
+    val k = mss.length
+    val pref = new Array[Long](k + 1)
+    i = 0
+    while (i < k) { pref(i + 1) = pref(i) + (mes(i) - mss(i) + 1); i += 1 }
+    new CoverageIndex(mss.toArray, mes.toArray, pref)
+  }
+}

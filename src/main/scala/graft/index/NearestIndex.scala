@@ -1,0 +1,129 @@
+package graft.index
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Per-contig k-nearest-interval index, mirroring the reference's
+  * `NearestIntervalIndex` semantics (nearest_index.rs):
+  *
+  *  - overlapping intervals come first, ordered by
+  *    `(start, end, position)` (nearest_index.rs:85-101);
+  *  - then non-overlapping candidates ordered by
+  *    `(distance, start, end, position)` (cmp_candidate,
+  *    nearest_index.rs:261-266), where distance is
+  *    `iv_start - query_end` / `query_start - iv_end` for intervals
+  *    right/left of the query and 0 on overlap
+  *    (candidate_distance, nearest_index.rs:252-260).
+  *
+  * Layout: by-start sorted arrays + prefix-max-end (overlap
+  * enumeration) and by-(end,start,position) sorted arrays (leftward
+  * nearest scan) — the reference's two-pointer design
+  * (nearest_index.rs:103-190).
+  */
+final class NearestIndex(
+    val byStart: ContigIntervalIndex, // payload = position (insertion order id)
+    // by (end, start, position) ascending:
+    val beEnds: Array[Long],
+    val beStarts: Array[Long],
+    val bePos: Array[Int]) extends Serializable {
+
+  def isEmpty: Boolean = byStart.size == 0
+
+  /** Up to k nearest candidates for closed query [qs,qe]; emits
+    * `(position, distance)` in reference order. `includeOverlaps=false`
+    * excludes overlapping intervals entirely
+    * (nearest_index.rs:182-184). */
+  def nearestK(qs: Long, qe: Long, k: Int, includeOverlaps: Boolean)
+      (f: (Int, Long) => Unit): Unit = {
+    if (k <= 0 || isEmpty) return
+    var emitted = 0
+    if (includeOverlaps) {
+      byStart.query(qs, qe) { p =>
+        if (emitted < k) { f(p, 0L); emitted += 1 }
+      }
+      if (emitted >= k) return
+    }
+    // Non-overlapping candidates. Left side: end < qs, dist = qs - end,
+    // enumerated by descending end. Right side: start > qe,
+    // dist = start - qe, ascending start. Groups of equal distance are
+    // taken whole, merged across sides, and sorted by (s,e,pos) so the
+    // reference's global (dist, start, end, position) order holds.
+    val n = beEnds.length
+    var li = upperBoundEnds(qs - 1) - 1 // last index with end <= qs-1
+    var ri = lowerBoundStarts(qe + 1)   // first byStart index with start >= qe+1
+    val ss = byStart.starts; val ee = byStart.ends; val pp = byStart.payload
+    val buf = new ArrayBuffer[(Long, Long, Long, Int)]() // (dist, s, e, pos)
+    var maxTaken = Long.MinValue
+    while ((buf.length < k - emitted || // need more
+            (buf.nonEmpty && nextDist(li, ri, qs, qe) == maxTaken)) &&
+           (li >= 0 || ri < n)) {
+      val ld = if (li >= 0) qs - beEnds(li) else Long.MaxValue
+      val rd = if (ri < n) ss(ri) - qe else Long.MaxValue
+      if (ld <= rd) {
+        val endVal = beEnds(li)
+        while (li >= 0 && beEnds(li) == endVal) {
+          buf += ((ld, beStarts(li), beEnds(li), bePos(li))); li -= 1
+        }
+        if (ld > maxTaken) maxTaken = ld
+      }
+      if (rd <= ld) {
+        val startVal = ss(ri)
+        while (ri < n && ss(ri) == startVal) {
+          buf += ((rd, ss(ri), ee(ri), pp(ri))); ri += 1
+        }
+        if (rd > maxTaken) maxTaken = rd
+      }
+    }
+    val sorted = buf.sortInPlaceWith { (a, b) =>
+      if (a._1 != b._1) a._1 < b._1
+      else if (a._2 != b._2) a._2 < b._2
+      else if (a._3 != b._3) a._3 < b._3
+      else a._4 < b._4
+    }
+    var i = 0
+    while (i < sorted.length && emitted < k) {
+      val c = sorted(i); f(c._4, c._1); emitted += 1; i += 1
+    }
+  }
+
+  private def nextDist(li: Int, ri: Int, qs: Long, qe: Long): Long = {
+    val ld = if (li >= 0) qs - beEnds(li) else Long.MaxValue
+    val rd = if (ri < byStart.size) byStart.starts(ri) - qe else Long.MaxValue
+    math.min(ld, rd)
+  }
+
+  /** first index in beEnds with end > key */
+  private def upperBoundEnds(key: Long): Int = {
+    var lo = 0; var hi = beEnds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (beEnds(mid) <= key) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+  /** first index in byStart.starts with start >= key */
+  private def lowerBoundStarts(key: Long): Int = {
+    val arr = byStart.starts
+    var lo = 0; var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr(mid) < key) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+}
+
+object NearestIndex {
+  def build(s: Array[Long], e: Array[Long], pos: Array[Int]): NearestIndex = {
+    val bs = ContigIntervalIndex.build(s, e, pos)
+    val n = s.length
+    val order = Array.range(0, n).sortInPlaceWith { (a, b) =>
+      if (e(a) != e(b)) e(a) < e(b)
+      else if (s(a) != s(b)) s(a) < s(b)
+      else pos(a) < pos(b)
+    }
+    val ee = new Array[Long](n); val ss = new Array[Long](n); val pp = new Array[Int](n)
+    var i = 0
+    while (i < n) { val o = order(i); ee(i) = e(o); ss(i) = s(o); pp(i) = pos(o); i += 1 }
+    new NearestIndex(bs, ee, ss, pp)
+  }
+}

@@ -1,0 +1,239 @@
+package graft.ranges
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{FilterOp, IntervalCols}
+
+/** Public interval-algebra surface — the Spark re-expression of the
+  * reference's `register_ranges_functions` UDTF family
+  * (ranges/src/table_function.rs:835-895, SURVEY.md §2.4).
+  *
+  * Sweep-style operators (merge / cluster / complement / subtract) are
+  * deliberately NOT ports of the reference's collect-then-sweep streams
+  * (merge.rs:282-349, cluster.rs, complement.rs, subtract.rs): they are
+  * window-function formulations that Catalyst plans as shuffled,
+  * spillable, partition-parallel aggregations — the reference's
+  * `ClusterIdCoordinator` cross-partition barrier (cluster.rs:305-447)
+  * falls out of a tiny per-contig offset join instead. Probe-style
+  * operators (overlap / count / coverage / nearest) use the broadcast
+  * per-contig index in [[IntervalJoin]].
+  */
+object Ranges {
+
+  /** F1 `overlap`: mode ∈ join | left | left_distinct
+    * (overlap.rs:154-226). `join` output = `left_*` ++ `right_*`. */
+  def overlap(
+      left: DataFrame, right: DataFrame,
+      lcols: IntervalCols = IntervalCols.default,
+      rcols: IntervalCols = IntervalCols.default,
+      mode: String = "join",
+      op: FilterOp = FilterOp.Weak): DataFrame = mode match {
+    case "join" => IntervalJoin.overlapPairs(left, right, lcols, rcols, op)
+    case "left" => IntervalJoin.overlapExistence(left, right, lcols, rcols, op, distinct = false)
+    case "left_distinct" => IntervalJoin.overlapExistence(left, right, lcols, rcols, op, distinct = true)
+    case other => throw new IllegalArgumentException(s"unknown overlap mode '$other'")
+  }
+
+  /** F2 `count_overlaps`: right rows + `count` = number of left
+    * intervals overlapping each (count_overlaps.rs:60-66). */
+  def countOverlaps(
+      left: DataFrame, right: DataFrame,
+      lcols: IntervalCols = IntervalCols.default,
+      rcols: IntervalCols = IntervalCols.default,
+      op: FilterOp = FilterOp.Weak): DataFrame =
+    IntervalJoin.annotateCount(left, right, lcols, rcols, op, coverage = false, "count")
+
+  /** F3 `coverage`: right rows + `coverage` = basepairs of each right
+    * interval covered by >=1 (merged) left interval. */
+  def coverage(
+      left: DataFrame, right: DataFrame,
+      lcols: IntervalCols = IntervalCols.default,
+      rcols: IntervalCols = IntervalCols.default,
+      op: FilterOp = FilterOp.Weak): DataFrame =
+    IntervalJoin.annotateCount(left, right, lcols, rcols, op, coverage = true, "coverage")
+
+  /** F4 `nearest` — see [[IntervalJoin.nearest]]. */
+  def nearest(
+      left: DataFrame, right: DataFrame,
+      lcols: IntervalCols = IntervalCols.default,
+      rcols: IntervalCols = IntervalCols.default,
+      k: Int = 1,
+      includeOverlaps: Boolean = true,
+      computeDistance: Boolean = true,
+      op: FilterOp = FilterOp.Weak,
+      tieBreakCol: Option[String] = None): DataFrame =
+    IntervalJoin.nearest(left, right, lcols, rcols, op, k, includeOverlaps,
+      computeDistance, tieBreakCol)
+
+  /** Island flag + id columns shared by merge/cluster: a new island
+    * starts where `start > prevMaxEnd + minDist` (weak) or `>=`
+    * (strict) — merge.rs:290-297. Returns df + `_gid` (1-based island
+    * id per contig). */
+  private def withIslands(
+      df: DataFrame, cols: IntervalCols, minDist: Long, op: FilterOp): DataFrame = {
+    val s = col(cols.start).cast("long")
+    val e = col(cols.end).cast("long")
+    val w = Window.partitionBy(col(cols.contig)).orderBy(s, e)
+    val prevMax = max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val boundary = prevMax + lit(minDist)
+    val isNew = if (op.isStrict) s >= boundary else s > boundary
+    val flag = when(prevMax.isNull || isNew, lit(1L)).otherwise(lit(0L))
+    // The cumulative island id uses the DEFAULT window frame (RANGE
+    // unbounded-preceding..current-row): rows tied on (start, end) are
+    // frame PEERS and all receive the same island id. A ROWS frame here
+    // would split tie groups nondeterministically (the row carrying
+    // flag=1 is an arbitrary member of its tie group, and a second sort
+    // could order the group differently).
+    df.withColumn("_flag", flag)
+      .withColumn("_gid", sum(col("_flag")).over(w))
+      .drop("_flag")
+  }
+
+  /** F5 `merge`: overlapping/near (within `minDist`) intervals per
+    * contig collapsed to `(contig, start, end, n_intervals)`
+    * (merge.rs:43-48,282-349). */
+  def merge(
+      df: DataFrame,
+      cols: IntervalCols = IntervalCols.default,
+      minDist: Long = 0L,
+      op: FilterOp = FilterOp.Weak): DataFrame =
+    withIslands(df, cols, minDist, op)
+      .groupBy(col(cols.contig), col("_gid"))
+      .agg(
+        min(col(cols.start).cast("long")).as(cols.start),
+        max(col(cols.end).cast("long")).as(cols.end),
+        count(lit(1)).as("n_intervals"))
+      .select(col(cols.contig), col(cols.start), col(cols.end), col("n_intervals"))
+
+  /** F6 `cluster`: every input row annotated with a globally
+    * consecutive 0-based `cluster` id (numbered in contig sort order —
+    * cluster.rs:305-447; 0-based per
+    * tests/integration_test.rs:2431-2441) plus `cluster_start` /
+    * `cluster_end` island bounds. The reference's cross-partition
+    * `ClusterIdCoordinator` barrier becomes a broadcast join against a
+    * tiny per-contig offset table. */
+  def cluster(
+      df: DataFrame,
+      cols: IntervalCols = IntervalCols.default,
+      minDist: Long = 0L,
+      op: FilterOp = FilterOp.Weak): DataFrame = {
+    val isl = withIslands(df, cols, minDist, op)
+    val wIsl = Window.partitionBy(col(cols.contig), col("_gid"))
+    val withBounds = isl
+      .withColumn("cluster_start", min(col(cols.start).cast("long")).over(wIsl))
+      .withColumn("cluster_end", max(col(cols.end).cast("long")).over(wIsl))
+    // per-contig island counts -> cumulative offsets in contig order
+    val counts = isl.groupBy(col(cols.contig)).agg(max(col("_gid")).as("_n"))
+    val wOff = Window.orderBy(col(cols.contig))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))
+      .select(col(cols.contig).as("_oc"), col("_off"))
+    val joined = withBounds.join(broadcast(offsets),
+      withBounds(cols.contig) === offsets("_oc"), "inner")
+    val outCols: Seq[Column] =
+      df.columns.toSeq.map(col) :+
+      (col("_off") + col("_gid") - lit(1L)).as("cluster") :+
+      col("cluster_start") :+ col("cluster_end")
+    joined.select(outCols: _*)
+  }
+
+  /** F7 `complement`: gaps not covered by the (merged) input intervals,
+    * relative to per-contig view intervals (chromsizes). Emission is
+    * cursor-style — a gap runs from the previous merged END to the next
+    * merged START (touching coordinates, complement.rs:319-355).
+    * Default view is `(0, Long.MaxValue)` for every contig present in
+    * the input (complement.rs:397-400); view contigs absent from the
+    * input emit their whole view interval (complement.rs:430-456).
+    * Output: `(contig, start, end)`. */
+  def complement(
+      df: DataFrame,
+      view: Option[DataFrame] = None,
+      cols: IntervalCols = IntervalCols.default,
+      vcols: IntervalCols = IntervalCols.default,
+      op: FilterOp = FilterOp.Weak): DataFrame = {
+    val merged = merge(df, cols, 0L, op)
+      .select(col(cols.contig).as("_mc"), col(cols.start).as("_ms"), col(cols.end).as("_me"))
+    val views = view match {
+      case Some(v) => v.select(
+        col(vcols.contig).as("_vc"),
+        col(vcols.start).cast("long").as("_vs"),
+        col(vcols.end).cast("long").as("_ve"))
+      case None => df.select(col(cols.contig).as("_vc")).distinct()
+        .withColumn("_vs", lit(0L)).withColumn("_ve", lit(Long.MaxValue))
+    }
+    // merged runs intersecting each view interval (complement.rs:330-336:
+    // keep me > vs && ms < ve), clipped to the view
+    val ov = views.join(merged,
+        views("_vc") === merged("_mc") && col("_me") > col("_vs") && col("_ms") < col("_ve"),
+        "inner")
+      .select(col("_vc"), col("_vs"), col("_ve"),
+        greatest(col("_ms"), col("_vs")).as("_cs"),
+        least(col("_me"), col("_ve")).as("_ce"))
+    val wv = Window.partitionBy(col("_vc"), col("_vs"), col("_ve")).orderBy(col("_cs"))
+    val gaps = ov
+      .withColumn("_cursor", coalesce(lag(col("_ce"), 1).over(wv), col("_vs")))
+      .where(col("_cs") > col("_cursor"))
+      .select(col("_vc").as(cols.contig), col("_cursor").as(cols.start), col("_cs").as(cols.end))
+    val trailing = ov
+      .groupBy(col("_vc"), col("_vs"), col("_ve"))
+      .agg(max(col("_ce")).as("_maxce"))
+      .where(col("_maxce") < col("_ve"))
+      .select(col("_vc").as(cols.contig), col("_maxce").as(cols.start), col("_ve").as(cols.end))
+    val untouched = views.join(merged,
+        views("_vc") === merged("_mc") && col("_me") > col("_vs") && col("_ms") < col("_ve"),
+        "left_anti")
+      .select(col("_vc").as(cols.contig), col("_vs").as(cols.start), col("_ve").as(cols.end))
+    gaps.unionByName(trailing).unionByName(untouched)
+  }
+
+  /** F8 `subtract`: basepair set difference — each left interval
+    * fragmented around overlapping right intervals, cursor-style
+    * boundaries (fragment ends at right START, resumes at right END —
+    * subtract.rs:391-442), extra left columns preserved on every
+    * fragment (subtract.rs:50-76). Rights are pre-merged per contig
+    * (equivalent to the reference's advancing-cursor over unmerged
+    * rights). `idCol` must uniquely identify left rows (used to group
+    * fragments; the reference relies on collected row order). */
+  def subtract(
+      left: DataFrame, right: DataFrame,
+      lcols: IntervalCols = IntervalCols.default,
+      rcols: IntervalCols = IntervalCols.default,
+      op: FilterOp = FilterOp.Weak,
+      idCol: String = "id"): DataFrame = {
+    val mr = merge(right, rcols, 0L, op)
+      .select(col(rcols.contig).as("_rc"),
+        col(rcols.start).cast("long").as("_rs"), col(rcols.end).cast("long").as("_re"))
+    val ls = col(lcols.start).cast("long"); val le = col(lcols.end).cast("long")
+    // overlap predicate per FilterOp (subtract.rs:400-419: weak keeps
+    // rights with re >= ls && rs <= le; strict re > ls && rs < le)
+    val pred = if (op.isStrict)
+      left(lcols.contig) === col("_rc") && col("_re") > ls && col("_rs") < le
+    else
+      left(lcols.contig) === col("_rc") && col("_re") >= ls && col("_rs") <= le
+    val ov = left.join(broadcast(mr), pred, "inner")
+    val wId = Window.partitionBy(col(lcols.contig), col(idCol)).orderBy(col("_rs"))
+    val outColsFor = (startExpr: Column, endExpr: Column) =>
+      left.columns.toSeq.map {
+        case c if c == lcols.start => startExpr.as(lcols.start)
+        case c if c == lcols.end   => endExpr.as(lcols.end)
+        case c => col(c)
+      }
+    // gap before each overlapping (merged) right: [cursor, rs]
+    val mids = ov
+      .withColumn("_cursor", greatest(coalesce(lag(col("_re"), 1).over(wId), ls), ls))
+      .where(col("_rs") > col("_cursor"))
+      .select(outColsFor(col("_cursor"), col("_rs")): _*)
+    // trailing gap: [max(re), le] when uncovered
+    val trail = ov
+      .groupBy(left.columns.map(col).toSeq: _*)
+      .agg(max(col("_re")).as("_maxre"))
+      .where(col("_maxre") < le)
+      .select(outColsFor(col("_maxre"), le): _*)
+    // left rows with no overlapping right pass through unchanged
+    val untouched = left.join(broadcast(mr), pred, "left_anti")
+      .select(outColsFor(ls, le): _*)
+    mids.unionByName(trail).unionByName(untouched)
+  }
+}

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.core.FilterOp
+import graft.ranges.Ranges
+
+/** Per-operator semantics tests on the reference's own fixture rows
+  * (FIXTURES.md §1: reads.csv / targets.csv — partial overlap,
+  * containment, adjacency, point intervals, cross-contig isolation)
+  * plus the cluster expectations pinned at
+  * reference tests/integration_test.rs:2411-2530. */
+class RangesSuite extends SparkSpec {
+  import spark.implicits._
+
+  // reference reads.csv (contig, pos_start, pos_end) + id
+  lazy val reads: DataFrame = Seq(
+    ("chr1", 150L, 250L, 0L), ("chr1", 190L, 300L, 1L), ("chr1", 300L, 501L, 2L),
+    ("chr1", 500L, 700L, 3L), ("chr1", 15000L, 15000L, 4L), ("chr1", 22000L, 22300L, 5L),
+    ("chr2", 150L, 250L, 6L), ("chr2", 190L, 300L, 7L), ("chr2", 300L, 500L, 8L),
+    ("chr2", 500L, 700L, 9L), ("chr2", 22000L, 22300L, 10L),
+  ).toDF("contig", "pos_start", "pos_end", "id")
+
+  lazy val targets: DataFrame = Seq(
+    ("chr1", 100L, 190L, 100L), ("chr1", 200L, 290L, 101L), ("chr1", 400L, 600L, 102L),
+    ("chr1", 10000L, 20000L, 103L), ("chr1", 22100L, 22100L, 104L),
+    ("chr2", 100L, 190L, 105L), ("chr2", 200L, 290L, 106L), ("chr2", 400L, 600L, 107L),
+  ).toDF("contig", "pos_start", "pos_end", "id")
+
+  // naive overlap reference: weak = closed-interval predicate
+  def naivePairs(op: FilterOp): Set[(Long, Long)] = {
+    val l = reads.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val r = targets.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    (for {
+      a <- l; b <- r
+      if a._1 == b._1
+      if (op == FilterOp.Weak && a._2 <= b._3 && a._3 >= b._2) ||
+         (op == FilterOp.Strict && a._2 < b._3 && a._3 > b._2)
+    } yield (a._4, b._4)).toSet
+  }
+
+  test("overlap join mode matches naive pairs (weak + strict)") {
+    for (op <- Seq(FilterOp.Weak, FilterOp.Strict)) {
+      val got = Ranges.overlap(reads, targets, mode = "join", op = op)
+        .select("left_id", "right_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naivePairs(op), s"op=$op")
+    }
+  }
+
+  test("overlap join output schema is left_*/right_* prefixed") {
+    val df = Ranges.overlap(reads, targets)
+    assert(df.columns.toSeq == Seq(
+      "left_contig", "left_pos_start", "left_pos_end", "left_id",
+      "right_contig", "right_pos_start", "right_pos_end", "right_id"))
+  }
+
+  test("overlap left = multiplicity, left_distinct = semi") {
+    val pairs = naivePairs(FilterOp.Weak)
+    val left = Ranges.overlap(reads, targets, mode = "left")
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(left == pairs.toSeq.map(_._1).sorted)
+    val dis = Ranges.overlap(reads, targets, mode = "left_distinct")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(dis == pairs.map(_._1))
+  }
+
+  test("count_overlaps counts left intervals per right row") {
+    val pairs = naivePairs(FilterOp.Weak)
+    val got = Ranges.countOverlaps(reads, targets)
+      .select("id", "count").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = targets.collect().map(_.getLong(3))
+      .map(tid => tid -> pairs.count(_._2 == tid).toLong).toMap
+    assert(got == want)
+  }
+
+  test("coverage sums covered basepairs over merged left intervals") {
+    // chr1 merged reads: [150,300],[300,501]->[150,501]... 150-300 &
+    // 300-501 touch (300<=300) -> [150,501] merged with [500,700] (500<=501)
+    // -> [150,700]; plus [15000,15000], [22000,22300]
+    val got = Ranges.coverage(reads, targets)
+      .select("id", "coverage").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // closed-interval coverage: t100 [100,190] vs [150,700] -> 190-150+1=41
+    assert(got(100L) == 41L)
+    assert(got(101L) == 91L)  // [200,290] fully inside -> 91
+    assert(got(102L) == 201L) // [400,600] fully inside
+    assert(got(103L) == 1L)   // [10000,20000] covers point [15000,15000]
+    assert(got(104L) == 1L)   // point target [22100,22100] inside [22000,22300]
+  }
+
+  test("merge collapses overlapping+touching runs, counts inputs") {
+    val got = Ranges.merge(reads).orderBy("contig", "pos_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("chr1", 150L, 700L, 4L), ("chr1", 15000L, 15000L, 1L), ("chr1", 22000L, 22300L, 1L),
+      ("chr2", 150L, 700L, 4L), ("chr2", 22000L, 22300L, 1L)))
+  }
+
+  test("merge minDist bridges gaps; strict does not merge touching") {
+    import spark.implicits._
+    val t = Seq(("a", 100L, 200L, 1L), ("a", 210L, 300L, 2L)).toDF("contig", "pos_start", "pos_end", "id")
+    assert(Ranges.merge(t).count() == 2)
+    val m = Ranges.merge(t, minDist = 10L).collect()
+    assert(m.length == 1 && m(0).getLong(1) == 100L && m(0).getLong(2) == 300L && m(0).getLong(3) == 2L)
+    val touch = Seq(("a", 100L, 200L, 1L), ("a", 200L, 300L, 2L)).toDF("contig", "pos_start", "pos_end", "id")
+    assert(Ranges.merge(touch).count() == 1)
+    // strict: merge only if s < curEnd -> touching [.,200],[200,.] stays split
+    assert(Ranges.merge(touch, op = FilterOp.Strict).count() == 2)
+  }
+
+  test("cluster matches reference expectations (0-based, global ids)") {
+    // reference tests/integration_test.rs:2496-2530
+    val t = Seq(
+      ("a", 100L, 200L), ("a", 150L, 250L), ("b", 100L, 200L), ("b", 300L, 400L),
+    ).toDF("contig", "pos_start", "pos_end")
+    val got = Ranges.cluster(t).orderBy("contig", "pos_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("a", 100L, 200L, 0L, 100L, 250L), ("a", 150L, 250L, 0L, 100L, 250L),
+      ("b", 100L, 200L, 1L, 100L, 200L), ("b", 300L, 400L, 2L, 300L, 400L)))
+  }
+
+  test("cluster is invariant to shuffle partition count") {
+    val t = reads
+    val a = Ranges.cluster(t).orderBy("id").collect().map(_.toSeq).toSeq
+    val p1 = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val b = Ranges.cluster(t).orderBy("id").collect().map(_.toSeq).toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", p1)
+  }
+
+  test("complement emits cursor-style gaps with default view") {
+    // reference complement.rs sweep: gaps run prev-merged-END ->
+    // next-merged-START (touching coordinates), plus [0, first) and
+    // [last, i64::MAX)
+    val t = Seq(("a", 5L, 10L, 1L), ("a", 20L, 30L, 2L)).toDF("contig", "pos_start", "pos_end", "id")
+    val got = Ranges.complement(t).orderBy("pos_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 0L, 5L), ("a", 10L, 20L), ("a", 30L, Long.MaxValue)))
+  }
+
+  test("subtract fragments left around rights, cursor-style boundaries") {
+    val l = Seq(("a", 10L, 20L, 1L), ("a", 100L, 200L, 2L), ("a", 300L, 400L, 3L))
+      .toDF("contig", "pos_start", "pos_end", "id")
+    val r = Seq(("a", 15L, 25L, 9L), ("a", 120L, 130L, 8L), ("a", 150L, 160L, 7L))
+      .toDF("contig", "pos_start", "pos_end", "id")
+    val got = Ranges.subtract(l, r).orderBy("id", "pos_start")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(got == Seq(
+      ("a", 10L, 15L, 1L),                                      // clipped at right START
+      ("a", 100L, 120L, 2L), ("a", 130L, 150L, 2L), ("a", 160L, 200L, 2L),
+      ("a", 300L, 400L, 3L)))                                   // untouched
+  }
+
+  test("nearest k=1: overlap first, then distance with deterministic ties") {
+    val l = Seq(("a", 100L, 200L, 1L), ("a", 300L, 400L, 2L), ("a", 500L, 600L, 3L))
+      .toDF("contig", "pos_start", "pos_end", "id")
+    val r = Seq(
+      ("a", 150L, 160L, 10L),  // overlaps id=1 -> dist 0
+      ("a", 240L, 260L, 11L),  // dist to id1: 240-200=40, to id2: 300-260=40 -> tie -> lower pos_start wins (id1)
+      ("a", 990L, 995L, 12L),  // nearest id3, dist 990-600=390
+    ).toDF("contig", "pos_start", "pos_end", "id")
+    val got = Ranges.nearest(l, r, tieBreakCol = Some("id"))
+      .select("right_id", "left_id", "distance").orderBy("right_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(got == Seq((10L, 1L, 0L), (11L, 1L, 40L), (12L, 3L, 390L)))
+  }
+
+  test("nearest emits NULL left columns when contig has no candidates") {
+    val l = Seq(("a", 100L, 200L, 1L)).toDF("contig", "pos_start", "pos_end", "id")
+    val r = Seq(("zz", 1L, 2L, 10L)).toDF("contig", "pos_start", "pos_end", "id")
+    val got = Ranges.nearest(l, r).collect()
+    assert(got.length == 1)
+    assert(got(0).isNullAt(0) && got(0).isNullAt(3) && got(0).isNullAt(8)) // left_contig, left_id, distance
+    assert(got(0).getLong(7) == 10L) // right_id
+  }
+
+  test("nearest k=3 ranks by (distance, start, end, id)") {
+    val l = Seq(("a", 100L, 200L, 1L), ("a", 300L, 400L, 2L), ("a", 700L, 800L, 3L))
+      .toDF("contig", "pos_start", "pos_end", "id")
+    val r = Seq(("a", 250L, 260L, 10L)).toDF("contig", "pos_start", "pos_end", "id")
+    val got = Ranges.nearest(l, r, k = 3, tieBreakCol = Some("id"))
+      .select("left_id", "distance").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    // dists: id2 300-260=40, id1 250-200=50, id3 700-260=440
+    assert(got == Seq((2L, 40L), (1L, 50L), (3L, 440L)))
+  }
+}
