@@ -40,6 +40,55 @@ object Tables {
   def ivBSample(spark: SparkSession, dir: String): DataFrame =
     ivB(spark, dir).where("id % 37 = 0")
 
+  /** Derived VCF view (FIXTURES.md §4 contract subset): SNV / insertion /
+    * deletion mix cycling by p_partkey % 3, alleles from a 4-base
+    * alphabet — every field reproducible with CASE arithmetic in the
+    * oracle. 1-based positions. */
+  def vcf(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "part").selectExpr(
+      "concat('chr', CAST(p_partkey % 2 AS STRING)) AS chrom",
+      "CAST((p_partkey * 9176) % 100000 + 1 AS BIGINT) AS start",
+      "CAST(p_partkey AS BIGINT) AS id",
+      """CASE WHEN p_partkey % 3 = 2
+           THEN concat(substring('ACGT', 1 + CAST(p_partkey % 4 AS INT), 1),
+                       substring('ACGT', 1 + CAST((p_partkey % 4 + 1 + p_partkey % 2) % 4 AS INT), 1))
+           ELSE substring('ACGT', 1 + CAST(p_partkey % 4 AS INT), 1) END AS ref""",
+      """CASE WHEN p_partkey % 3 = 1
+           THEN concat(substring('ACGT', 1 + CAST(p_partkey % 4 AS INT), 1),
+                       substring('ACGT', 1 + CAST((p_partkey % 4 + 1 + p_partkey % 2) % 4 AS INT), 1))
+           WHEN p_partkey % 3 = 2
+           THEN substring('ACGT', 1 + CAST(p_partkey % 4 AS INT), 1)
+           ELSE substring('ACGT', 1 + CAST((p_partkey % 4 + 1 + p_partkey % 2) % 4 AS INT), 1) END AS alt""")
+
+  /** Derived variation-cache view (FIXTURES.md §5 contract subset):
+    * VEP-normalized coordinates + "REF/ALT" allele strings for half the
+    * vcf rows, plus positional-shift (j%10=1) and swapped-allele
+    * (j%10=3) noise rows that must NOT match. */
+  def vepCache(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "part").where("p_partkey % 4 < 2").selectExpr(
+      "concat('chr', CAST(p_partkey % 2 AS STRING)) AS chrom",
+      """CAST((p_partkey * 9176) % 100000 + 1
+         + CASE WHEN p_partkey % 3 = 0 THEN 0 ELSE 1 END
+         + CASE WHEN p_partkey % 10 = 1 THEN 3 ELSE 0 END AS BIGINT) AS start""",
+      """CAST((p_partkey * 9176) % 100000 + 1
+         + CASE WHEN p_partkey % 3 = 2 THEN 1 ELSE 0 END
+         + CASE WHEN p_partkey % 10 = 1 THEN 3 ELSE 0 END AS BIGINT) AS end""",
+      "concat('rs', CAST(p_partkey AS STRING)) AS variation_name",
+      """CASE
+           WHEN p_partkey % 10 = 3 AND p_partkey % 3 = 0
+             THEN concat(substring('ACGT', 1 + CAST((p_partkey % 4 + 1 + p_partkey % 2) % 4 AS INT), 1), '/',
+                         substring('ACGT', 1 + CAST(p_partkey % 4 AS INT), 1))
+           WHEN p_partkey % 3 = 0
+             THEN concat(substring('ACGT', 1 + CAST(p_partkey % 4 AS INT), 1), '/',
+                         substring('ACGT', 1 + CAST((p_partkey % 4 + 1 + p_partkey % 2) % 4 AS INT), 1))
+           WHEN p_partkey % 3 = 1
+             THEN concat('-/', substring('ACGT', 1 + CAST((p_partkey % 4 + 1 + p_partkey % 2) % 4 AS INT), 1))
+           ELSE concat(substring('ACGT', 1 + CAST((p_partkey % 4 + 1 + p_partkey % 2) % 4 AS INT), 1), '/-')
+         END AS allele_string""",
+      "CAST(p_partkey % 1000 AS DOUBLE) / 1000.0 AS af",
+      """CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'benign' WHEN 1 THEN 'pathogenic'
+         WHEN 2 THEN 'uncertain' ELSE NULL END AS clin_sig""")
+
   /** Alignment-reads view for pileup (FIXTURES.md §3 contract):
     * `(chrom, start, flags, cigar, mapping_quality)`. CIGAR is a real
     * string the Spark side parses; the oracle recomputes the aligned
@@ -78,6 +127,48 @@ object Oracle {
     "CAST(CASE WHEN o_orderkey % 10 = 0 THEN 1024 ELSE 0 END AS INT) AS flags, " +
     "CAST(50 + o_orderkey % 100 AS BIGINT) AS rlen, " +
     "CAST(o_orderkey % 60 AS INT) AS mapping_quality FROM orders)"
+
+  private val b1 = "substring('ACGT', 1 + CAST(p_partkey % 4 AS INT), 1)"
+  private val b2 = "substring('ACGT', 1 + CAST((p_partkey % 4 + 1 + p_partkey % 2) % 4 AS INT), 1)"
+
+  /** DuckDB mirror of [[Tables.vcf]], with the VEP-normalized columns
+    * precomputed per variant kind (the oracle's stand-in for the
+    * vep_norm_start/end UDFs — kinds are known by construction). */
+  val vcf: String =
+    s"""v AS (SELECT concat('chr', CAST(p_partkey % 2 AS VARCHAR)) AS chrom,
+       | CAST((p_partkey * 9176) % 100000 + 1 AS BIGINT) AS start,
+       | CAST(p_partkey AS BIGINT) AS id,
+       | CASE WHEN p_partkey % 3 = 2 THEN concat($b1, $b2) ELSE $b1 END AS ref,
+       | CASE WHEN p_partkey % 3 = 1 THEN concat($b1, $b2)
+       |      WHEN p_partkey % 3 = 2 THEN $b1 ELSE $b2 END AS alt,
+       | CAST((p_partkey * 9176) % 100000 + 1
+       |   + CASE WHEN p_partkey % 3 = 0 THEN 0 ELSE 1 END AS BIGINT) AS norm_start,
+       | CAST((p_partkey * 9176) % 100000 + 1
+       |   + CASE WHEN p_partkey % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS norm_end,
+       | CASE WHEN p_partkey % 3 = 1 THEN '-' ELSE
+       |   CASE WHEN p_partkey % 3 = 2 THEN $b2 ELSE $b1 END END AS vep_ref,
+       | CASE WHEN p_partkey % 3 = 2 THEN '-' ELSE $b2 END AS vep_alt
+       | FROM part)""".stripMargin.replace("\n", " ")
+
+  /** DuckDB mirror of [[Tables.vepCache]]. */
+  val vepCache: String =
+    s"""c AS (SELECT concat('chr', CAST(p_partkey % 2 AS VARCHAR)) AS chrom,
+       | CAST((p_partkey * 9176) % 100000 + 1
+       |  + CASE WHEN p_partkey % 3 = 0 THEN 0 ELSE 1 END
+       |  + CASE WHEN p_partkey % 10 = 1 THEN 3 ELSE 0 END AS BIGINT) AS start,
+       | CAST((p_partkey * 9176) % 100000 + 1
+       |  + CASE WHEN p_partkey % 3 = 2 THEN 1 ELSE 0 END
+       |  + CASE WHEN p_partkey % 10 = 1 THEN 3 ELSE 0 END AS BIGINT) AS "end",
+       | concat('rs', CAST(p_partkey AS VARCHAR)) AS variation_name,
+       | CASE
+       |  WHEN p_partkey % 10 = 3 AND p_partkey % 3 = 0 THEN concat($b2, '/', $b1)
+       |  WHEN p_partkey % 3 = 0 THEN concat($b1, '/', $b2)
+       |  WHEN p_partkey % 3 = 1 THEN concat('-/', $b2)
+       |  ELSE concat($b2, '/-') END AS allele_string,
+       | CAST(p_partkey % 1000 AS DOUBLE) / 1000.0 AS af,
+       | CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'benign' WHEN 1 THEN 'pathogenic'
+       |  WHEN 2 THEN 'uncertain' ELSE NULL END AS clin_sig
+       | FROM part WHERE p_partkey % 4 < 2)""".stripMargin.replace("\n", " ")
 
   /** Gaps-and-islands merged intervals of a table `t(contig,
     * pos_start, pos_end)` with reach `minDist`, weak convention —

@@ -1,0 +1,75 @@
+package graft.pileup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** F9 `depth()` — depth-of-coverage from an alignment-reads table
+  * (FIXTURES.md §3 contract: chrom, start, flags, cigar,
+  * mapping_quality), re-expressed as a relational event pipeline
+  * instead of the reference's per-partition delta arrays + merge
+  * barrier (pileup/src/physical_exec.rs:82-186):
+  *
+  *   1. filter reads (SAM-flag mask + MAPQ, filter.rs:1-34);
+  *   2. CIGAR-walk each read into ±1 coverage events at segment
+  *      boundaries (M/X/= cover, D/N skip — cigar.rs:41-66);
+  *   3. partial-aggregate events per (chrom, pos) — Catalyst gives a
+  *      map-side combine, so the shuffle carries at most
+  *      #distinct-positions rows, like the reference's dense delta
+  *      arrays but distributed;
+  *   4. per-chrom prefix sum (window) → RLE blocks where coverage
+  *      changes; zero-coverage gaps skipped (coverage.rs:25-64).
+  *
+  * Scale: the shuffle key is (chrom, pos) — fully parallel; only the
+  * final prefix-sum window is per-chrom. The reference coalesces to ONE
+  * output partition (physical_exec.rs:100); a per-chrom window is
+  * strictly more parallel. For 100 TB inputs the window stage can be
+  * range-partitioned by (chrom, pos-bucket) with boundary fix-up —
+  * documented trade-off, not needed at current scales.
+  *
+  * Output (block mode): `(contig, pos_start, pos_end, coverage)` with
+  * 0-based inclusive positions; per-base mode explodes blocks into
+  * `(contig, pos, coverage)` (pileup/src/schema.rs:28-60).
+  */
+object Pileup {
+
+  /** Coverage events (chrom, pos, delta) after read filtering. */
+  private def events(reads: DataFrame, filterFlag: Int, minMapq: Int): DataFrame = {
+    val spark = reads.sparkSession
+    import spark.implicits._
+    reads
+      .where(expr(s"(flags & $filterFlag) = 0 AND mapping_quality >= $minMapq"))
+      .select($"chrom", $"start".cast("long").as("start"), $"cigar")
+      .as[(String, Long, String)]
+      .flatMap { case (chrom, start, cigar) =>
+        Cigar.coveredSegments(start, cigar).flatMap { case (s, e) =>
+          Seq((chrom, s, 1L), (chrom, e, -1L))
+        }
+      }
+      .toDF("chrom", "pos", "delta")
+  }
+
+  /** Block-mode depth. */
+  def depth(reads: DataFrame, filterFlag: Int = 1796, minMapq: Int = 0): DataFrame = {
+    val ev = events(reads, filterFlag, minMapq)
+      .groupBy(col("chrom"), col("pos"))
+      .agg(sum(col("delta")).as("delta"))
+    val w = Window.partitionBy(col("chrom")).orderBy(col("pos"))
+    ev
+      .withColumn("coverage", sum(col("delta")).over(w))
+      .withColumn("next_pos", lead(col("pos"), 1).over(w))
+      .where(col("coverage") =!= 0 && col("next_pos").isNotNull)
+      .select(
+        col("chrom").as("contig"),
+        col("pos").as("pos_start"),
+        (col("next_pos") - 1).as("pos_end"),
+        col("coverage").cast("int").as("coverage"))
+  }
+
+  /** Per-base depth: one row per covered position. */
+  def depthPerBase(reads: DataFrame, filterFlag: Int = 1796, minMapq: Int = 0): DataFrame =
+    depth(reads, filterFlag, minMapq)
+      .select(col("contig"),
+        explode(sequence(col("pos_start"), col("pos_end"))).as("pos"),
+        col("coverage"))
+}

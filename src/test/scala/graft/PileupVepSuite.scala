@@ -1,0 +1,113 @@
+package graft
+
+import graft.pileup.{Cigar, Pileup}
+import graft.vep.{Allele, Vep}
+
+class PileupVepSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("CIGAR walker: op classes and segment coalescing") {
+    // M covers; I consumes nothing (adjacent M runs coalesce); D/N split
+    assert(Cigar.coveredSegments(100, "10M") == Seq((100L, 110L)))
+    assert(Cigar.coveredSegments(100, "5M2I5M") == Seq((100L, 110L)))
+    assert(Cigar.coveredSegments(100, "5M2D3M") == Seq((100L, 105L), (107L, 110L)))
+    assert(Cigar.coveredSegments(100, "3S10M4H") == Seq((100L, 110L)))
+    assert(Cigar.coveredSegments(100, "4M100N4M") == Seq((100L, 104L), (204L, 208L)))
+    assert(Cigar.coveredSegments(100, "2=3X5M") == Seq((100L, 110L)))
+    assert(Cigar.coveredSegments(100, "5S") == Seq.empty)
+    intercept[IllegalArgumentException](Cigar.coveredSegments(0, "5Z"))
+  }
+
+  test("binary packed CIGAR decodes little-endian len<<4|op") {
+    // 5M = 5<<4|0 = 0x50 ; 2D = 2<<4|2 = 0x22 ; 3M = 3<<4|0 = 0x30
+    val packed = Array[Byte](0x50, 0, 0, 0, 0x22, 0, 0, 0, 0x30, 0, 0, 0)
+    assert(Cigar.coveredSegmentsBinary(100, packed) == Seq((100L, 105L), (107L, 110L)))
+  }
+
+  test("read filter: default mask 1796, MAPQ threshold") {
+    assert(Cigar.passes(0, 0))
+    assert(!Cigar.passes(1024, 60))  // duplicate
+    assert(!Cigar.passes(4, 60))     // unmapped
+    assert(Cigar.passes(16, 60))     // reverse strand not masked
+    assert(!Cigar.passes(0, 10, minMapq = 20))
+  }
+
+  test("depth matches a hand-computed pileup incl. overlapping reads") {
+    val reads = Seq(
+      ("c1", 100, 0, "10M", 60),     // covers [100,110)
+      ("c1", 105, 0, "10M", 60),     // covers [105,115)
+      ("c1", 200, 0, "5M5D5M", 60),  // [200,205) + [210,215)
+      ("c1", 300, 1024, "50M", 60),  // duplicate -> filtered
+    ).toDF("chrom", "start", "flags", "cigar", "mapping_quality")
+    val got = Pileup.depth(reads).orderBy("pos_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == Seq(
+      (100L, 104L, 1), (105L, 109L, 2), (110L, 114L, 1),
+      (200L, 204L, 1), (210L, 214L, 1)))
+    val perBase = Pileup.depthPerBase(reads)
+    assert(perBase.count() == 5 + 5 + 5 + 5 + 5)
+    assert(perBase.where($"pos" === 107).head().getInt(2) == 2)
+  }
+
+  test("allele trim: SNV / MNV / indel semantics") {
+    assert(Allele.vcfToVepAllele("A", "G") == ("A", "G"))
+    // MNV: prefix trimmed, NO suffix trim (same length)
+    assert(Allele.vcfToVepAllele("ACT", "AGT") == ("CT", "GT"))
+    // deletion CT>C: prefix C -> (T, -)
+    assert(Allele.vcfToVepAllele("CT", "C") == ("T", "-"))
+    // insertion C>CT
+    assert(Allele.vcfToVepAllele("C", "CT") == ("-", "T"))
+    // indel with shared suffix: GCC>GTT... lengths differ -> suffix trim
+    assert(Allele.vcfToVepAllele("GCGC", "GGC") == ("C", "-"))
+  }
+
+  test("norm coordinates follow Ensembl trim_sequences") {
+    assert(Allele.vepNormStart(100, "CT", "C") == 101)
+    assert(Allele.vepNormEnd(100, "CT", "C") == 101)
+    assert(Allele.vepNormStart(100, "C", "CT") == 101)
+    assert(Allele.vepNormEnd(100, "C", "CT") == 100) // start > end: insertion
+    assert(Allele.vepNormStart(100, "A", "G") == 100)
+    assert(Allele.vepNormEnd(100, "A", "G") == 100)
+  }
+
+  test("match_allele: direct, multi-allelic, right-first fallback") {
+    assert(Allele.matches("A", "G", "A/G"))
+    assert(Allele.matches("A", "G", "A/C/G"))       // any cache alt
+    assert(!Allele.matches("A", "G", "G/A"))        // swapped
+    assert(Allele.matches("A", "T|G", "A/G"))       // pipe multi-allelic
+    assert(Allele.matches("A", "T,G", "A/G"))       // comma multi-allelic
+    assert(Allele.matches("CT", "C", "T/-"))        // trimmed deletion
+    assert(Allele.matches("C", "CT", "-/T"))        // trimmed insertion
+    // cache stores untrimmed representation -> right-first fallback
+    // (reference allele.rs doc example GCC/GCCCAGCC vs -/GCCCA)
+    assert(Allele.matches("GCC", "GCCCAGCC", "-/CCAGC") ||
+           Allele.matches("GCC", "GCCCAGCC", "-/CAGCC"))
+    assert(!Allele.matches("A", "", "A/G"))
+  }
+
+  test("match_allele_relaxed: indel class + length compatibility") {
+    // deletion of 2bp matches any 2bp deletion representation
+    assert(Allele.matchesRelaxed("ATT", "A", "GCC/G"))
+    assert(!Allele.matchesRelaxed("ATT", "A", "GC/G"))   // 2bp vs 1bp del
+    assert(Allele.matchesRelaxed("A", "ACC", "-/GG"))    // 2bp ins vs 2bp ins
+    assert(!Allele.matchesRelaxed("A", "G", "C/T"))      // SNV not relaxed
+  }
+
+  test("lookupVariants emits NULL cache cols for cache misses") {
+    val vcf = Seq(
+      ("chr1", 100L, 1L, "A", "G"),
+      ("chr1", 200L, 2L, "CT", "C"),
+      ("chr1", 300L, 3L, "A", "C"),
+    ).toDF("chrom", "start", "id", "ref", "alt")
+    val cache = Seq(
+      ("chr1", 100L, 100L, "rs1", "A/G", 0.5),
+      ("chr1", 201L, 201L, "rs2", "T/-", 0.1),  // normalized deletion coords
+      ("chr1", 300L, 300L, "rs3", "A/G", 0.9),  // allele mismatch for id=3
+    ).toDF("chrom", "start", "end", "variation_name", "allele_string", "af")
+    val got = Vep.lookupVariants(vcf, cache).orderBy("id").collect()
+    assert(got.length == 3)
+    assert(got(0).getString(5) == "rs1")
+    assert(got(1).getString(5) == "rs2")
+    assert(got(2).isNullAt(5)) // allele_string A/G does not match A>C
+  }
+}

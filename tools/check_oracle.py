@@ -42,8 +42,8 @@ for name, sql in sorted(oracles.items()):
     if ocols != scols:
         fails.append((name, f"schema mismatch: oracle={ocols} spark={scols}"))
         continue
-    orows = sorted([tuple(canon(r[c]) for c in ocols) for r in odf.to_pylist()])
-    srows = sorted([tuple(canon(r[c]) for c in scols) for r in sdf.to_pylist()])
+    orows = sorted([tuple(canon(r[c]) for c in ocols) for r in odf.to_pylist()], key=repr)
+    srows = sorted([tuple(canon(r[c]) for c in scols) for r in sdf.to_pylist()], key=repr)
     if len(orows) != len(srows):
         fails.append((name, f"row count: oracle={len(orows)} spark={len(srows)}"))
         continue
