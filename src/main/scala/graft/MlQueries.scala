@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.ml.Similarity
+import graft.multimodal.Multimodal
+import graft.text.TextFunctions
+
+/** Training-data pipeline operators (dedup / text analysis / ANN /
+  * multimodal) gate entries over the `documents`, `embeddings` and
+  * `events` tables. */
+object MlQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** Documents plus exact duplicates of every 5th doc (id+100000) so
+    * exact-dedup has guaranteed non-trivial groups. */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    base.unionByName(base.where("doc_id % 5 = 0")
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_count" -> ((s, d) => docs(s, d).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.bpeTokenEstimate(col("text")).as("n_bpe"))),
+    "t_lang_id" -> ((s, d) => docs(s, d).select(
+      col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))),
+    "t_quality" -> ((s, d) => docs(s, d).select(
+      col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))),
+    "t_fingerprint" -> ((s, d) => docs(s, d).select(
+      col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))),
+    "d_exact_dups" -> ((s, d) =>
+      Dedup.exactDuplicates(corpus(s, d), "text", "doc_id")),
+    "d_lsh_pairs" -> ((s, d) =>
+      Dedup.lshCandidatePairs(docs(s, d), "text", "doc_id")),
+    "d_jaccard" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(docs(s, d), "text", "doc_id")
+      Dedup.ngramJaccard(docs(s, d), pairs, "text", "doc_id")
+    }),
+    "d_simhash16" -> ((s, d) => Dedup.simhash16(docs(s, d), "text", "doc_id")),
+    "ann_topk" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where("vec_id % 100 = 0"), 5)
+    }),
+    "ann_lsh_topk" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.where("vec_id % 100 = 0"), 5, planes = 8, dim = 64)
+    }),
+    "mm_features" -> ((s, d) => {
+      val assets = Tables.load(s, d, "events").selectExpr(
+        "event_id AS asset_id",
+        "CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type",
+        "CAST(props AS BINARY) AS payload")
+      Multimodal.extractFeatures(assets)
+        .select(col("asset_id"), col("media_type"), col("byte_length"), col("checksum"))
+    }),
+  )
+
+  // ---- DuckDB oracle fragments --------------------------------------
+
+  private val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val corpusCte =
+    "corp AS (SELECT doc_id, text FROM documents UNION ALL " +
+    "SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)"
+
+  /** words → 3-shingles → 8-band minhash (md5-hex min), shared by the
+    * LSH/jaccard oracles. */
+  private val shinglesCte =
+    s"""w AS (SELECT doc_id, string_split($norm, ' ') AS words FROM documents),
+       |sh AS (SELECT doc_id, array_to_string(words[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS sh
+       |  FROM w, UNNEST(generate_series(1, len(words)-2)) AS t(i) WHERE len(words) >= 3),
+       |mh AS (SELECT doc_id, b, MIN(md5(concat(CAST(b AS VARCHAR), '|', sh))) AS h
+       |  FROM sh, UNNEST(generate_series(0, 7)) AS u(b) GROUP BY doc_id, b),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id1, bb.doc_id AS id2 FROM mh a
+       |  JOIN mh bb ON a.b = bb.b AND a.h = bb.h AND a.doc_id < bb.doc_id)"""
+      .stripMargin.replace("\n", " ")
+
+  private val stop = Map(
+    "en" -> "\\b(the|and|of|to|in|is|that|it)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein)\\b",
+    "es" -> "\\b(el|la|los|de|que|y|en|un)\\b",
+    "fr" -> "\\b(le|la|les|et|est|que|dans|un)\\b")
+  private def hits(lang: String) =
+    s"CAST(len(regexp_extract_all(lower(text), '${stop(lang)}')) AS BIGINT)"
+
+  /** Quantized embeddings + integer dot/norm machinery (exact,
+    * order-independent — mirrors Similarity's fixed-point design). */
+  private val quantCte =
+    """qd AS (SELECT vec_id, list_transform(embedding,
+      |  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv FROM embeddings),
+      |norms AS (SELECT vec_id, SUM(qv[CAST(i AS INT)] * qv[CAST(i AS INT)]) AS n2
+      |  FROM qd, UNNEST(generate_series(1, 64)) AS t(i) GROUP BY vec_id)"""
+      .stripMargin.replace("\n", " ")
+
+  val oracleSql: Map[String, String] = Map(
+    "t_token_count" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, " +
+       "CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}|[^\\s\\p{L}\\p{N}]')) AS BIGINT) AS n_bpe " +
+       "FROM documents ORDER BY doc_id"),
+    "t_lang_id" ->
+      s"""SELECT doc_id, CASE
+         | WHEN ${hits("en")} >= ${hits("de")} AND ${hits("en")} >= ${hits("es")} AND ${hits("en")} >= ${hits("fr")} THEN 'en'
+         | WHEN ${hits("de")} >= ${hits("es")} AND ${hits("de")} >= ${hits("fr")} THEN 'de'
+         | WHEN ${hits("es")} >= ${hits("fr")} THEN 'es'
+         | ELSE 'fr' END AS lang_pred FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "t_quality" ->
+      s"""SELECT doc_id, round(
+         |  least(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 20.0, 1.0) * 0.3
+         |  + CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) >= 3.0
+         |     AND CAST(length(text) AS DOUBLE) / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) <= 10.0
+         |     THEN 1.0 ELSE 0.5 END * 0.2
+         |  + (1.0 - least(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+         |     / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0), 1.0)) * 0.2
+         |  + least(CAST(${hits("en")} AS DOUBLE) * 4.0
+         |     / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0), 1.0) * 0.3
+         |, 6) AS quality FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "t_fingerprint" ->
+      s"SELECT doc_id, md5($norm) AS fingerprint FROM documents ORDER BY doc_id",
+    "d_exact_dups" ->
+      s"""WITH $corpusCte,
+         |fp AS (SELECT doc_id AS id, md5($norm) AS fingerprint FROM corp)
+         |SELECT id, fingerprint,
+         | CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size,
+         | MIN(id) OVER (PARTITION BY fingerprint) AS canonical_id
+         |FROM fp QUALIFY group_size > 1 ORDER BY id""".stripMargin.replace("\n", " "),
+    "d_lsh_pairs" ->
+      s"WITH $shinglesCte SELECT id1, id2 FROM pairs ORDER BY id1, id2",
+    "d_jaccard" ->
+      s"""WITH $shinglesCte,
+         |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+         |inter AS (SELECT p.id1, p.id2, COUNT(*) AS ix FROM pairs p
+         |  JOIN shd s1 ON s1.doc_id = p.id1 JOIN shd s2 ON s2.doc_id = p.id2 AND s2.sh = s1.sh
+         |  GROUP BY p.id1, p.id2)
+         |SELECT p.id1, p.id2,
+         |  round(CAST(COALESCE(i.ix, 0) AS DOUBLE)
+         |    / CAST(c1.n + c2.n - COALESCE(i.ix, 0) AS DOUBLE), 6) AS jaccard
+         |FROM pairs p LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+         |JOIN cnt c1 ON c1.doc_id = p.id1 JOIN cnt c2 ON c2.doc_id = p.id2
+         |ORDER BY p.id1, p.id2""".stripMargin.replace("\n", " "),
+    "d_simhash16" ->
+      s"""WITH w2 AS (SELECT doc_id, $norm AS norm FROM documents),
+         |toks AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+         |  (SELECT doc_id, UNNEST(string_split(norm, ' ')) AS tok FROM w2)
+         |  WHERE tok <> '' GROUP BY doc_id, tok),
+         |bits AS (SELECT doc_id, j,
+         |  SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), CAST(j AS INT) + 1, 1)) - 1) % 2 = 1
+         |      THEN cnt ELSE -cnt END) AS vote
+         |  FROM toks, UNNEST(generate_series(0, 15)) AS t(j) GROUP BY doc_id, j)
+         |SELECT doc_id AS id,
+         |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY id""".stripMargin.replace("\n", " "),
+    "ann_topk" ->
+      s"""WITH $quantCte,
+         |dots AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |   SUM(q.qv[CAST(i AS INT)] * c.qv[CAST(i AS INT)]) AS dot
+         | FROM qd q JOIN qd c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id,
+         |   UNNEST(generate_series(1, 64)) AS t(i)
+         | GROUP BY q.vec_id, c.vec_id),
+         |sel AS (SELECT q_id, n_id, round(CAST(dot AS DOUBLE)
+         |  / sqrt(CAST(nq.n2 AS DOUBLE)) / sqrt(CAST(nc.n2 AS DOUBLE)), 9) AS cos
+         |  FROM dots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id)
+         |SELECT q_id, n_id, CAST(rn AS INT) AS rank FROM
+         | (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM sel)
+         |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+    "ann_lsh_topk" ->
+      s"""WITH $quantCte,
+         |pl AS (SELECT h, i, CAST(strpos('0123456789abcdef',
+         |   substr(md5(concat(CAST(h AS VARCHAR), '_', CAST(i AS VARCHAR))), 1, 1)) - 1 AS BIGINT) * 2 - 15 AS wv
+         | FROM UNNEST(generate_series(0, 7)) AS t1(h), UNNEST(generate_series(0, 63)) AS t2(i)),
+         |sig AS (SELECT e.vec_id, pl.h,
+         |   CASE WHEN SUM(e.qv[CAST(pl.i AS INT) + 1] * pl.wv) > 0 THEN 1 ELSE 0 END AS bit
+         | FROM qd e, pl GROUP BY e.vec_id, pl.h),
+         |sigs AS (SELECT vec_id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY h) AS s FROM sig GROUP BY vec_id),
+         |cand AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id FROM sigs q
+         |  JOIN sigs c ON q.vec_id % 100 = 0 AND q.s = c.s AND c.vec_id <> q.vec_id),
+         |dots AS (SELECT cand.q_id, cand.n_id, SUM(a.qv[CAST(i AS INT)] * b.qv[CAST(i AS INT)]) AS dot
+         | FROM cand JOIN qd a ON a.vec_id = cand.q_id JOIN qd b ON b.vec_id = cand.n_id,
+         |   UNNEST(generate_series(1, 64)) AS t(i)
+         | GROUP BY cand.q_id, cand.n_id),
+         |sel AS (SELECT q_id, n_id, round(CAST(dot AS DOUBLE)
+         |  / sqrt(CAST(nq.n2 AS DOUBLE)) / sqrt(CAST(nc.n2 AS DOUBLE)), 9) AS cos
+         |  FROM dots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id)
+         |SELECT q_id, n_id, CAST(rn AS INT) AS rank FROM
+         | (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM sel)
+         |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+    "mm_features" ->
+      ("SELECT event_id AS asset_id, CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'image' " +
+       "WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, " +
+       "CAST(octet_length(encode(props)) AS BIGINT) AS byte_length, md5(props) AS checksum " +
+       "FROM events ORDER BY asset_id"),
+  )
+}

@@ -15,8 +15,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+    // default; read it as Long (nanos since epoch) and convert
+    // explicitly where needed.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Interval table A (the "annotation"/build side): one interval per
     * lineitem row. 4 contigs, domain [0, 1e6), lengths 0–300 (length 0

@@ -1,0 +1,128 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH banding, n-gram Jaccard verification,
+  * SimHash. All distributed-first: shuffles only on hash keys (never
+  * on raw text), map-side combines everywhere, candidate generation
+  * via LSH buckets instead of all-pairs.
+  *
+  * Hashing is md5-based so results are engine-independent (the DuckDB
+  * oracle reproduces signatures exactly); min-over-hex-strings is the
+  * minhash order. For raw throughput the md5 could be swapped for
+  * xxhash64 — kept md5 for cross-engine verifiability.
+  */
+object Dedup {
+
+  /** Exact duplicates: groups of identical normalized text. Output one
+    * row per document that belongs to a duplicate group:
+    * (id, fingerprint, group_size, canonical_id = min id). */
+  def exactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val w = Window.partitionBy(col("fingerprint"))
+    df.select(col(idCol).as("id"), fp.as("fingerprint"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col("id")).over(w))
+      .where(col("group_size") > 1)
+      .select(col("id"), col("fingerprint"), col("group_size"), col("canonical_id"))
+  }
+
+  /** Word k-shingles of the normalized text, as an array column.
+    * Documents with fewer than k words yield an empty array. */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(TextFunctions.normalized(text), " ")
+    when(size(words) >= k,
+      transform(sequence(lit(1), size(words) - (k - 1)),
+        i => concat_ws(" ", slice(words, i, lit(k)))))
+      .otherwise(array())
+  }
+
+  /** MinHash signature: `bands` independent permutations, each realized
+    * as min over md5(band || '|' || shingle) hex strings. */
+  def minhashSignature(text: Column, k: Int, bands: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => array_min(transform(shingles(text, k),
+        s => md5(concat(b.cast("string"), lit("|"), s).cast("binary")))))
+
+  /** LSH candidate pairs: documents sharing any minhash band value
+    * (banding with r=1 rows/band). Output distinct (id1 < id2). */
+  def lshCandidatePairs(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, bands: Int = 8): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      posexplode(minhashSignature(col(textCol), k, bands)).as(Seq("band", "h")))
+      .where(col("h").isNotNull)
+    val a = sig.as("a"); val b = sig.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+      col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs:
+    * |A∩B| / |A∪B| over distinct k-shingles. Pure joins + aggregates —
+    * spills, scales, no driver state. */
+  def ngramJaccard(
+      df: DataFrame, pairs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("sh")).distinct()
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("s1"), col("id1") === col("s1.id"))
+      .join(sh.as("s2"), col("id2") === col("s2.id") && col("s1.sh") === col("s2.sh"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id1", "id2"), "left")
+      .join(counts.select(col("id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(counts.select(col("id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("n1") + col("n2") - coalesce(col("inter"), lit(0L))).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /** 16-bit SimHash (oracle-checkable size; [[simhash64]] is the
+    * production variant): per distinct token, md5 hex digit j's low bit
+    * votes ±count for bit j; bit set iff the vote sum is positive. */
+  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(TextFunctions.normalized(col(textCol)), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val bits = toks.select(col("id"), col("cnt"), posexplode(
+      transform(sequence(lit(0), lit(15)),
+        j => conv(substring(col("h"), 1, 16).substr(j + 1, lit(1)), 16, 10).cast("int") % 2))
+      .as(Seq("bit", "v")))
+    bits
+      .groupBy(col("id"), col("bit"))
+      .agg(sum(when(col("v") === 1, col("cnt")).otherwise(-col("cnt"))).as("vote"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** 64-bit SimHash computed from md5 bytes in Scala (library hot path;
+    * not oracle-gated — covered by unit tests + the 16-bit gate). */
+  def simhash64(tokens: Seq[String]): Long = {
+    val votes = new Array[Long](64)
+    val mdProto = java.security.MessageDigest.getInstance("MD5")
+    tokens.foreach { t =>
+      val d = mdProto.digest(t.getBytes("UTF-8"))
+      var j = 0
+      while (j < 64) {
+        val bit = (d(j / 8) >> (7 - j % 8)) & 1
+        votes(j) += (if (bit == 1) 1L else -1L)
+        j += 1
+      }
+      mdProto.reset()
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`Array[Float]`).
+  *
+  * Determinism note: dot products and norms are computed over
+  * fixed-point quantized components (`floor(x * 2^20)` as Long) —
+  * integer sums are exact and order-independent, so results are
+  * bit-identical across engines and partitionings; the final cosine is
+  * a single double expression over those exact integers. The
+  * quantization error (~1e-6 per component) is far below any
+  * meaningful similarity resolution.
+  */
+object Similarity {
+
+  private val Scale = 1048576L // 2^20
+
+  /** Quantized component array. */
+  private def quant(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * Scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(quant(a), quant(b), (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private def qnorm2(a: Column): Column =
+    aggregate(transform(quant(a), x => x * x), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic cosine similarity (see class note). */
+  def cosine(a: Column, b: Column): Column =
+    qdot(a, b).cast("double") / sqrt(qnorm2(a).cast("double")) / sqrt(qnorm2(b).cast("double"))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding itself), ranked by (cosine desc, id).
+    * The query side is broadcast; the corpus streams partition-parallel
+    * — at 100 TB this is one broadcast-nested-loop with no shuffle of
+    * the corpus, the right baseline for ANN verification. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 9).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH bucket signature: `planes` sign bits, where
+    * hyperplane h's component i is derived from md5 (deterministic,
+    * engine-independent): digit = hex(md5(h||'_'||i)) mod 16 - 7.5,
+    * realized as integer votes (2*digit - 15) to stay exact. */
+  def lshBucket(v: Column, planes: Int, dim: Int): Column = {
+    val bits = sequence(lit(0), lit(planes - 1))
+    transform(bits, h => {
+      val dot = aggregate(
+        zip_with(quant(v), sequence(lit(0), lit(dim - 1)), (x, i) => {
+          val digit = conv(substring(md5(concat(h.cast("string"), lit("_"),
+            i.cast("string")).cast("binary")), 1, 1), 16, 10).cast("long")
+          x * (digit * 2 - 15)
+        }),
+        lit(0L), (acc, x) => acc + x)
+      when(dot > 0, lit(1)).otherwise(lit(0))
+    })
+  }
+
+  /** LSH-bucketed ANN: candidates share a bucket signature; top-k by
+    * cosine within bucket. Trades recall for a corpus-sized shuffle-free
+    * probe (buckets are the shuffle key, not vectors). */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, planes: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sig = (df: DataFrame, p: String) => df.select(
+      col(idCol).as(p + "_id"), col(vecCol).as(p + "_vec"),
+      lshBucket(col(vecCol), planes, dim).as(p + "_sig"))
+    val q = sig(queries, "q"); val c = sig(corpus, "n")
+    val scored = c.join(broadcast(q),
+        col("q_sig") === col("n_sig") && col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 9).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+}

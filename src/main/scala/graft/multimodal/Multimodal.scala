@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as
+  * opaque `binary` columns with typed metadata; decode/feature steps
+  * run per-partition over batches.
+  *
+  * The actual codec step is STUBBED (this container ships no
+  * image/audio libraries): [[FakeCodec]] is a deterministic
+  * stand-in that parses our synthetic 16-byte header. Everything
+  * around it — schema contract, binary column handling, partition
+  * batching, feature schema — is real and tested, so swapping in a
+  * real decoder (JavaCV, TwelveMonkeys, javax.sound) only replaces
+  * the codec body.
+  */
+object Multimodal {
+
+  /** Feature row produced per asset. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("byte_length", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("checksum", StringType, nullable = false)))
+
+  /** STUB decoder — deterministic fake. Synthetic header layout
+    * (big-endian): bytes 0-3 width, 4-7 height, 8-15 duration_ms.
+    * A real implementation would replace only this object. */
+  object FakeCodec {
+    def decodeHeader(bytes: Array[Byte]): (Int, Int, Long) = {
+      def be32(o: Int): Int =
+        ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+      if (bytes.length < 16) (0, 0, 0L)
+      else (be32(0), be32(4), (be32(8).toLong << 32) | (be32(12).toLong & 0xffffffffL))
+    }
+  }
+
+  /** Decode + feature-extract over a binary asset table
+    * `(asset_id Long, media_type String, payload Binary)`.
+    * Runs as one mapPartitions pass — per-partition batches, no
+    * shuffle; the shape a Pandas-UDF/`mapInPandas` pipeline has in
+    * PySpark. */
+  def extractFeatures(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val ds = assets.select(col("asset_id").cast("long"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, mt, payload) =>
+        val (w, h, dur) = FakeCodec.decodeHeader(payload)
+        md.reset()
+        val sum = md.digest(payload).map("%02x".format(_)).mkString
+        (id, mt, payload.length.toLong,
+          if (mt == "image" || mt == "video") Some(w) else None,
+          if (mt == "image" || mt == "video") Some(h) else None,
+          if (mt == "audio" || mt == "video") Some(dur) else None,
+          sum)
+      }
+    }.toDF("asset_id", "media_type", "byte_length", "width", "height", "duration_ms", "checksum")
+  }
+
+  /** Frame-sample stub: pick `n` deterministic offsets in
+    * [0, duration); the real variant would decode frames at these
+    * timestamps. Demonstrates the explode-shaped plumbing. */
+  def sampleFrameOffsets(features: DataFrame, n: Int): DataFrame =
+    features.where(col("duration_ms").isNotNull && col("duration_ms") > 0)
+      .select(col("asset_id"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)),
+          i => (col("duration_ms") * i / n))).as(Seq("frame_idx", "offset_ms")))
+}

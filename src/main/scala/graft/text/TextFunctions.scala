@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID (stopword n-gram heuristic), quality scoring, token
+  * counting (whitespace + BPE-ish regex), document fingerprinting.
+  *
+  * All are pure Column expressions over `functions._` — whole-stage
+  * codegen applies, no UDFs, no shuffle; they scale embarrassingly to
+  * any corpus size and push straight down onto a parquet scan.
+  */
+object TextFunctions {
+
+  /** Whitespace-token count: number of \S+ runs. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
+
+  /** BPE-ish token estimate: letter runs, single digits, single
+    * punctuation marks — a cheap stand-in for a real BPE vocabulary
+    * that needs no model file. */
+  def bpeTokenEstimate(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\p{L}+|\\p{N}|[^\\s\\p{L}\\p{N}]"), lit(0))).cast("long")
+
+  private val stopwords: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|that|it)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein)\\b",
+    "es" -> "\\b(el|la|los|de|que|y|en|un)\\b",
+    "fr" -> "\\b(le|la|les|et|est|que|dans|un)\\b")
+
+  /** Per-language stopword hit count. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val pat = stopwords.toMap.apply(lang)
+    size(regexp_extract_all(lower(text), lit(pat), lit(0))).cast("long")
+  }
+
+  /** Language-ID heuristic: argmax of stopword hits with a fixed
+    * preference order (en > de > es > fr) on ties. */
+  def langId(text: Column): Column = {
+    val Seq(en, de, es, fr) = stopwords.map(s => stopwordHits(text, s._1))
+    when(en >= de && en >= es && en >= fr, lit("en"))
+      .when(de >= es && de >= fr, lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Composite quality score in [0,1]-ish: penalizes very short docs,
+    * extreme mean word length, punctuation-heavy and stopword-free
+    * text. Deterministic double arithmetic (single expression tree). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val chars = length(text).cast("double")
+    val punct = size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast("double")
+    val stop = stopwordHits(text, "en").cast("double")
+    val lenScore = least(toks / lit(20.0), lit(1.0))
+    val wordLen = chars / greatest(toks, lit(1.0))
+    val wordLenScore = when(wordLen >= 3.0 && wordLen <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    val punctScore = lit(1.0) - least(punct / greatest(toks, lit(1.0)), lit(1.0))
+    val stopScore = least(stop * lit(4.0) / greatest(toks, lit(1.0)), lit(1.0))
+    round((lenScore * lit(0.3) + wordLenScore * lit(0.2) +
+           punctScore * lit(0.2) + stopScore * lit(0.3)), 6)
+  }
+
+  /** Canonical whitespace-collapsed lowercase form. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Content fingerprint: md5 of the normalized text (stable across
+    * whitespace/case variation — the rolling-hash fingerprint role). */
+  def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.ml.Similarity
+import graft.multimodal.Multimodal
+import graft.text.TextFunctions
+
+class MlSuite extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docsDf = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog"),
+    (2L, "the  QUICK brown fox jumps over the lazy dog"),  // ws/case variant of 1
+    (3L, "der hund ist nicht mit der katze und der maus"),
+    (4L, "completely different content about spark engines"),
+    (5L, "tiny"),
+  ).toDF("doc_id", "text")
+
+  test("token counting and BPE estimate") {
+    val r = docsDf.select($"doc_id", TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.bpeTokenEstimate($"text").as("b")).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L)._1 == 9)
+    assert(r(5L)._1 == 1)
+    // "don't-stop 3x!" style punctuation splits in bpe mode
+    val b = Seq((1L, "ab3 c!d")).toDF("doc_id", "text")
+      .select(TextFunctions.bpeTokenEstimate($"text")).head().getLong(0)
+    assert(b == 5) // ab, 3, c, !, d
+  }
+
+  test("langId picks stopword-dominant language") {
+    val r = docsDf.select($"doc_id", TextFunctions.langId($"text")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "en")
+    assert(r(3L) == "de")
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val fps = docsDf.select(TextFunctions.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(3))
+  }
+
+  test("exact dedup groups normalized-identical docs") {
+    val got = Dedup.exactDuplicates(docsDf, "text", "doc_id")
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(got.forall(_.getLong(2) == 2L))
+    assert(got.forall(_.getLong(3) == 1L))
+  }
+
+  test("shingles + LSH: near-dups collide, unrelated don't") {
+    val pairs = Dedup.lshCandidatePairs(docsDf, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    val j = Dedup.ngramJaccard(docsDf,
+      Seq((1L, 2L)).toDF("id1", "id2"), "text", "doc_id").head()
+    assert(j.getDouble(2) == 1.0) // identical after normalization
+  }
+
+  test("simhash: identical docs equal, 64-bit variant consistent") {
+    val sh = Dedup.simhash16(docsDf, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh.values.forall(v => v >= 0 && v < 65536))
+    val s1 = Dedup.simhash64(Seq("a", "b", "a"))
+    val s2 = Dedup.simhash64(Seq("a", "a", "b"))
+    assert(s1 == s2) // order-independent
+  }
+
+  test("brute-force cosine top-k ranks an exact duplicate first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f, 0.0f)),   // nearly identical to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(top == Seq(1L, 2L, 3L))
+  }
+
+  test("multimodal: stub codec parses synthetic header; schema holds") {
+    def be(i: Int) = Array[Byte](((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
+      ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    val payload = be(640) ++ be(480) ++ be(0) ++ be(12345) ++ Array[Byte](1, 2, 3)
+    val assets = Seq((1L, "image", payload), (2L, "audio", payload))
+      .toDF("asset_id", "media_type", "payload")
+    val f = Multimodal.extractFeatures(assets).orderBy("asset_id").collect()
+    assert(f(0).getInt(3) == 640 && f(0).getInt(4) == 480)   // image: w/h
+    assert(f(0).isNullAt(5))                                  // image: no duration
+    assert(f(1).isNullAt(3) && f(1).getLong(5) == 12345L)     // audio: duration only
+    assert(f(0).getLong(2) == 19L)
+    val offs = Multimodal.sampleFrameOffsets(
+      Multimodal.extractFeatures(assets), 3).collect()
+    assert(offs.length == 3 && offs.forall(_.getLong(0) == 2L))
+  }
+}
