@@ -48,14 +48,29 @@ object Dedup {
       b => array_min(transform(shingles(text, k),
         s => md5(concat(b.cast("string"), lit("|"), s).cast("binary")))))
 
+  /** Exploded (id, shingle) rows — the shingle array is constructed
+    * ONCE per document here; band fan-out happens on the exploded rows
+    * (an inner-transform formulation re-evaluates the whole
+    * normalize+split+slice pipeline per band — 8x the work). */
+  private def explodedShingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("sh"))
+
+  /** Per-(doc, band) minhash rows. */
+  private[dedup] def minhashRows(df: DataFrame, textCol: String, idCol: String,
+      k: Int, bands: Int): DataFrame =
+    explodedShingles(df, textCol, idCol, k)
+      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sh"))
+      .groupBy(col("id"), col("band"))
+      .agg(min(md5(concat(col("band").cast("string"), lit("|"), col("sh")).cast("binary"))).as("h"))
+
   /** LSH candidate pairs: documents sharing any minhash band value
-    * (banding with r=1 rows/band). Output distinct (id1 < id2). */
+    * (banding with r=1 rows/band). Output distinct (id1 < id2).
+    * The self-join key is (band, minhash) — tiny vs the corpus; no
+    * all-pairs comparison ever materializes. */
   def lshCandidatePairs(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 3, bands: Int = 8): DataFrame = {
-    val sig = df.select(col(idCol).as("id"),
-      posexplode(minhashSignature(col(textCol), k, bands)).as(Seq("band", "h")))
-      .where(col("h").isNotNull)
+    val sig = minhashRows(df, textCol, idCol, k, bands)
     val a = sig.as("a"); val b = sig.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
       col("a.id") < col("b.id"))
@@ -69,7 +84,7 @@ object Dedup {
   def ngramJaccard(
       df: DataFrame, pairs: DataFrame, textCol: String, idCol: String,
       k: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("sh")).distinct()
+    val sh = explodedShingles(df, textCol, idCol, k).distinct()
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.as("s1"), col("id1") === col("s1.id"))

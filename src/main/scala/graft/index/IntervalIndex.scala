@@ -21,9 +21,12 @@ final class ContigIntervalIndex(
     val starts: Array[Long],
     val ends: Array[Long],
     val maxEnds: Array[Long],
-    /** caller-supplied payload (e.g. row index into a broadcast row
-      * array), in (start, end, position) order */
-    val payload: Array[Int]) extends Serializable {
+    /** caller-supplied payload (e.g. broadcast-join row index), in
+      * (start, end, rank) order */
+    val payload: Array[Int],
+    /** tie-break rank per interval, same order (the reference's
+      * insertion-order "position" metadata) */
+    val rank: Array[Long]) extends Serializable {
 
   def size: Int = starts.length
 
@@ -62,27 +65,30 @@ final class ContigIntervalIndex(
 }
 
 object ContigIntervalIndex {
-  /** Build from parallel arrays (not necessarily sorted). `payload(i)`
-    * is the caller's id for interval i (its "position" for
-    * tie-breaking, matching the reference's insertion-order metadata). */
-  def build(s: Array[Long], e: Array[Long], payload: Array[Int]): ContigIntervalIndex = {
+  def build(s: Array[Long], e: Array[Long], payload: Array[Int]): ContigIntervalIndex =
+    build(s, e, payload, payload.map(_.toLong))
+
+  /** Build from parallel arrays (not necessarily sorted). `rank(i)` is
+    * interval i's tie-break order (the reference's insertion-order
+    * metadata); `payload(i)` is the value emitted on match. */
+  def build(s: Array[Long], e: Array[Long], payload: Array[Int], rank: Array[Long]): ContigIntervalIndex = {
     val n = s.length
     val order = Array.range(0, n).sortInPlaceWith { (a, b) =>
       if (s(a) != s(b)) s(a) < s(b)
       else if (e(a) != e(b)) e(a) < e(b)
-      else payload(a) < payload(b)
+      else rank(a) < rank(b)
     }
     val ss = new Array[Long](n); val ee = new Array[Long](n)
-    val pp = new Array[Int](n); val mx = new Array[Long](n)
+    val pp = new Array[Int](n); val rr = new Array[Long](n); val mx = new Array[Long](n)
     var i = 0; var running = Long.MinValue
     while (i < n) {
       val o = order(i)
-      ss(i) = s(o); ee(i) = e(o); pp(i) = payload(o)
+      ss(i) = s(o); ee(i) = e(o); pp(i) = payload(o); rr(i) = rank(o)
       if (ee(i) > running) running = ee(i)
       mx(i) = running
       i += 1
     }
-    new ContigIntervalIndex(ss, ee, mx, pp)
+    new ContigIntervalIndex(ss, ee, mx, pp, rr)
   }
 }
 

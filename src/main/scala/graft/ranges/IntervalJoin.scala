@@ -1,37 +1,42 @@
 package graft.ranges
 
 import scala.collection.mutable
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{FilterOp, IntervalCols}
 import graft.index._
 
+/** Nearest-candidate record returned by the probe UDF. */
+case class NearestCand(lidx: Int, dist: Long)
+
 /** Broadcast interval join machinery.
   *
   * Mirrors the reference's CollectLeft interval-join design
-  * (interval_join.rs:394-413, collect_left_input at :584-668): the
-  * build side is collected, grouped by contig, indexed, and shipped to
-  * every probe task; the probe side streams partition-parallel and
-  * never materializes (Spark iterators are incremental, so the
-  * reference's low-memory batch-capping FSM is unnecessary here).
+  * (interval_join.rs:394-413): the build side's COORDINATES are
+  * collected, grouped by contig, indexed, and broadcast to every probe
+  * task; the probe side streams partition-parallel with no shuffle.
+  *
+  * Execution shape (Spark-first, unlike the reference's hand-rolled
+  * probe FSM): a scalar UDF probes the broadcast index and returns
+  * only match indices; `explode` + a broadcast hash join against the
+  * row-indexed build DataFrame assembles output rows natively in
+  * Tungsten. Full build rows never pass through the driver — only the
+  * (contig, start, end, idx) quadruple is collected
+  * (collect_left_input in the reference ships whole batches;
+  * interval_join.rs:584-668).
   *
   * Scale notes (100 TB target):
-  *  - The BUILD side must fit in driver+executor memory — identical to
-  *    the reference's CollectLeft mode and the usual shape of genomic
-  *    interval joins (small annotation/target set vs huge reads set).
-  *    Callers put the small table on the build side; the probe side is
-  *    unbounded and partition-parallel with zero shuffle.
-  *  - A per-contig index answers each probe in O(log n + hits): no
-  *    per-contig cross product (BASELINE.md bar #3).
+  *  - The build side must fit in executor memory — same constraint and
+  *    same typical shape (small annotation set vs huge reads set) as
+  *    the reference's CollectLeft mode.
+  *  - Each probe costs O(log n + hits): no per-contig cross product
+  *    (BASELINE.md bar #3).
+  *  - The probe side never shuffles; AQE/codegen apply end-to-end.
   */
 object IntervalJoin {
 
-  /** Collected + indexed build side. `rows(i)` is the full row payload
-    * for interval position i (positions are assigned in
-    * (contig-group, sortKey) order so index payload order is the
-    * deterministic tie-break order). */
   final class Build(
-      val rows: Array[Array[Any]],
       val indexes: Map[String, ContigIntervalIndex],
       val nearest: Map[String, NearestIndex],
       val counts: Map[String, CountOverlapIndex],
@@ -47,182 +52,160 @@ object IntervalJoin {
       s"column '$colName' must be integral, got ${other.getClass.getSimpleName}")
   }
 
-  /** Collect and group the build side by contig.
-    *
-    * @param tieBreakIdx optional column index used to order intervals
-    *   within a contig for deterministic tie-breaks (the reference uses
-    *   build-input arrival order, nearest_index.rs metadata; an explicit
-    *   column makes results partition-invariant).
-    * @param what which index families to build (enumeration / nearest /
-    *   count / coverage) — avoids paying for unused structures.
-    */
-  def collectBuild(
-      df: DataFrame,
-      cols: IntervalCols,
-      tieBreakIdx: Option[Int] = None,
-      enumIdx: Boolean = true,
-      nearestIdx: Boolean = false,
-      countIdx: Boolean = false,
-      covIdx: Boolean = false): Build = {
-
-    val schema = df.schema
-    val ci = schema.fieldIndex(cols.contig)
-    val si = schema.fieldIndex(cols.start)
-    val ei = schema.fieldIndex(cols.end)
-    val collected = df.collect()
-
-    // group rows by contig, ordered by (tieBreak | arrival)
-    val groups = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Array[Any]]]
-    collected.foreach { r =>
-      val key = r.get(ci).asInstanceOf[String]
-      groups.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += r.toSeq.toArray
-    }
-    tieBreakIdx.foreach { t =>
-      groups.values.foreach(_.sortInPlaceBy(a => asLong(a(t), "tieBreak")))
-    }
-
-    val allRows = mutable.ArrayBuffer.empty[Array[Any]]
-    val enums = Map.newBuilder[String, ContigIntervalIndex]
-    val nears = Map.newBuilder[String, NearestIndex]
-    val cnts = Map.newBuilder[String, CountOverlapIndex]
-    val covs = Map.newBuilder[String, CoverageIndex]
-    groups.foreach { case (contig, rows) =>
-      val n = rows.length
-      val s = new Array[Long](n); val e = new Array[Long](n); val p = new Array[Int](n)
-      var i = 0
-      while (i < n) {
-        s(i) = asLong(rows(i)(si), cols.start)
-        e(i) = asLong(rows(i)(ei), cols.end)
-        p(i) = allRows.length + i
-        i += 1
-      }
-      allRows ++= rows
-      if (enumIdx) enums += contig -> ContigIntervalIndex.build(s, e, p)
-      if (nearestIdx) nears += contig -> NearestIndex.build(s, e, p)
-      if (countIdx) cnts += contig -> CountOverlapIndex.build(s, e)
-      if (covIdx) covs += contig -> CoverageIndex.build(s, e)
-    }
-    new Build(allRows.toArray, enums.result(), nears.result(), cnts.result(), covs.result())
+  /** Deterministic dense row index (the broadcast-join key). RDD
+    * zipWithIndex is stable for a deterministic input plan, unlike
+    * monotonically_increasing_id across retries (SURVEY.md §7.4). */
+  def withRowIndex(df: DataFrame): DataFrame = {
+    val schema2 = StructType(df.schema.fields :+ StructField("_lidx", IntegerType, nullable = false))
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i.toInt) }
+    df.sparkSession.createDataFrame(rdd, schema2)
   }
 
-  private[ranges] def prefixed(schema: StructType, prefix: String, forceNullable: Boolean): Seq[StructField] =
-    schema.fields.toSeq.map(f =>
-      StructField(prefix + f.name, f.dataType, nullable = f.nullable || forceNullable))
+  /** Collect per-contig coordinate arrays.
+    * @param src  DataFrame that MUST contain `cols` (+ `_lidx` when
+    *             `withIdx`, + `tieBreakCol` when rank-ordered)
+    * @return contig -> (starts, ends, payloadIdx, rank) */
+  private def collectCoords(
+      src: DataFrame, cols: IntervalCols,
+      withIdx: Boolean, tieBreakCol: Option[String])
+      : mutable.LinkedHashMap[String, (Array[Long], Array[Long], Array[Int], Array[Long])] = {
+    val selectCols = mutable.ArrayBuffer(col(cols.contig), col(cols.start).cast("long"),
+      col(cols.end).cast("long"))
+    if (withIdx) selectCols += col("_lidx")
+    tieBreakCol.foreach(t => selectCols += col(t).cast("long"))
+    val rows = src.select(selectCols.toSeq: _*).collect()
+    val groups = mutable.LinkedHashMap.empty[String,
+      (mutable.ArrayBuffer[Long], mutable.ArrayBuffer[Long], mutable.ArrayBuffer[Int], mutable.ArrayBuffer[Long])]
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      val g = groups.getOrElseUpdate(r.getString(0),
+        (mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
+      g._1 += asLong(r.get(1), cols.start)
+      g._2 += asLong(r.get(2), cols.end)
+      g._3 += (if (withIdx) r.getInt(3) else i)
+      g._4 += (tieBreakCol match {
+        case Some(_) => asLong(r.get(if (withIdx) 4 else 3), "tieBreak")
+        case None => i.toLong
+      })
+      i += 1
+    }
+    groups.map { case (k, (s, e, p, t)) =>
+      k -> (s.toArray, e.toArray, p.toArray, t.toArray)
+    }
+  }
 
-  /** All-pairs overlap join ("join" mode of F1): output =
-    * `left_*` columns ++ `right_*` columns (overlap.rs:154-181). The
-    * build side is `left`; `right` streams. */
+  private def prefixedCols(df: DataFrame, prefix: String): Seq[Column] =
+    df.schema.fields.toSeq.filterNot(_.name == "_lidx")
+      .map(f => col(f.name).as(prefix + f.name)) :+ col("_lidx")
+
+  /** All-pairs overlap join ("join" mode of F1): `left_*` ++ `right_*`
+    * columns (overlap.rs:154-181). */
   def overlapPairs(
       left: DataFrame, right: DataFrame,
       lcols: IntervalCols, rcols: IntervalCols,
       op: FilterOp): DataFrame = {
 
     val spark = left.sparkSession
-    val build = collectBuild(left, lcols)
-    val bc = spark.sparkContext.broadcast(build)
-    val rSchema = right.schema
-    val rci = rSchema.fieldIndex(rcols.contig)
-    val rsi = rSchema.fieldIndex(rcols.start)
-    val rei = rSchema.fieldIndex(rcols.end)
-    val outSchema = StructType(
-      prefixed(left.schema, "left_", forceNullable = false) ++
-      prefixed(rSchema, "right_", forceNullable = false))
+    val leftIdx = withRowIndex(left)
+    val groups = collectCoords(leftIdx, lcols, withIdx = true, tieBreakCol = None)
+    val indexes = groups.map { case (k, (s, e, p, _)) =>
+      k -> ContigIntervalIndex.build(s, e, p)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(indexes)
     val theOp = op
 
-    val rdd = right.rdd.mapPartitions { it =>
-      val b = bc.value
-      it.flatMap { r =>
-        val idx = b.indexes.getOrElse(r.get(rci).asInstanceOf[String], null)
-        if (idx == null) Iterator.empty
-        else {
-          val (qs, qe) = theOp.adjustQuery(asLong(r.get(rsi), "start"), asLong(r.get(rei), "end"))
-          val out = mutable.ArrayBuffer.empty[Row]
-          val rvals = r.toSeq
-          idx.query(qs, qe) { p =>
-            out += Row.fromSeq(b.rows(p).toSeq ++ rvals)
-          }
-          out.iterator
-        }
+    val probe = udf { (contig: String, qs: Long, qe: Long) =>
+      val idx = bc.value.getOrElse(contig, null)
+      if (idx == null) Array.empty[Int]
+      else {
+        val (s, e) = theOp.adjustQuery(qs, qe)
+        val out = mutable.ArrayBuffer.empty[Int]
+        idx.query(s, e)(out += _)
+        out.toArray
       }
     }
-    spark.createDataFrame(rdd, outSchema)
+
+    val rightPref = right.select(
+      right.schema.fields.toSeq.map(f => col(f.name).as("right_" + f.name)): _*)
+    val matched = rightPref.withColumn("_lidx",
+      explode(probe(
+        col("right_" + rcols.contig),
+        col("right_" + rcols.start).cast("long"),
+        col("right_" + rcols.end).cast("long"))))
+    val leftPref = leftIdx.select(prefixedCols(leftIdx, "left_"): _*)
+    matched.join(broadcast(leftPref), "_lidx")
+      .select(
+        (leftPref.schema.fields.toSeq.filterNot(_.name == "_lidx").map(f => col(f.name)) ++
+         rightPref.schema.fields.toSeq.map(f => col(f.name))): _*)
   }
 
-  /** "left" / "left_distinct" modes of F1: emit each probe-side row
-    * once per overlap ("left", multiplicity join — overlap.rs:183-203)
-    * or once if any overlap exists ("left_distinct", semi-join —
-    * overlap.rs:205-226). Only a count index of the build side is
-    * broadcast — no row payloads. Here `probe` is the table whose rows
-    * are returned and `other` is the indexed side. */
+  /** "left" / "left_distinct" modes of F1 (overlap.rs:183-226): emit
+    * each probe row once per overlap (multiplicity) or once if any.
+    * Pure codegen: a count UDF + conditional sequence-explode. */
   def overlapExistence(
       probe: DataFrame, other: DataFrame,
       pcols: IntervalCols, ocols: IntervalCols,
       op: FilterOp, distinct: Boolean): DataFrame = {
 
     val spark = probe.sparkSession
-    val build = collectBuild(other, ocols, enumIdx = false, countIdx = true)
-    val bc = spark.sparkContext.broadcast(build)
-    val pSchema = probe.schema
-    val pci = pSchema.fieldIndex(pcols.contig)
-    val psi = pSchema.fieldIndex(pcols.start)
-    val pei = pSchema.fieldIndex(pcols.end)
-    val theOp = op; val isDistinct = distinct
-
-    val rdd = probe.rdd.mapPartitions { it =>
-      val b = bc.value
-      it.flatMap { r =>
-        val idx = b.counts.getOrElse(r.get(pci).asInstanceOf[String], null)
-        if (idx == null) Iterator.empty
-        else {
-          val (qs, qe) = theOp.adjustQuery(asLong(r.get(psi), "start"), asLong(r.get(pei), "end"))
-          val n = idx.count(qs, qe)
-          if (n <= 0) Iterator.empty
-          else if (isDistinct) Iterator.single(r)
-          else Iterator.fill(n.toInt)(r)
-        }
+    val groups = collectCoords(other, ocols, withIdx = false, tieBreakCol = None)
+    val counts = groups.map { case (k, (s, e, _, _)) => k -> CountOverlapIndex.build(s, e) }.toMap
+    val bc = spark.sparkContext.broadcast(counts)
+    val theOp = op
+    val cnt = udf { (contig: String, qs: Long, qe: Long) =>
+      bc.value.get(contig) match {
+        case Some(idx) => val (s, e) = theOp.adjustQuery(qs, qe); idx.count(s, e)
+        case None => 0L
       }
     }
-    spark.createDataFrame(rdd, pSchema)
+    val withN = probe.withColumn("_n", cnt(
+      col(pcols.contig), col(pcols.start).cast("long"), col(pcols.end).cast("long")))
+    val result =
+      if (distinct) withN.where(col("_n") > 0)
+      else withN.where(col("_n") > 0)
+        .withColumn("_rep", explode(sequence(lit(1L), col("_n"))))
+    result.select(probe.columns.toSeq.map(col): _*)
   }
 
-  /** F2 count_overlaps / F3 coverage: probe-side rows + one Long
-    * column. `coverage=true` sums covered basepairs over the MERGED
-    * build intervals (interval_tree.rs:104-106,145-152); else counts
-    * overlapping build intervals. */
+  /** F2 count_overlaps / F3 coverage: probe rows + one Long column,
+    * as a single codegen'd UDF projection over the broadcast index. */
   def annotateCount(
       build: DataFrame, probe: DataFrame,
       bcols: IntervalCols, pcols: IntervalCols,
       op: FilterOp, coverage: Boolean, outName: String): DataFrame = {
 
     val spark = probe.sparkSession
-    val b0 = collectBuild(build, bcols, enumIdx = false,
-      countIdx = !coverage, covIdx = coverage)
-    val bc = spark.sparkContext.broadcast(b0)
-    val pSchema = probe.schema
-    val pci = pSchema.fieldIndex(pcols.contig)
-    val psi = pSchema.fieldIndex(pcols.start)
-    val pei = pSchema.fieldIndex(pcols.end)
-    val outSchema = StructType(pSchema.fields :+ StructField(outName, LongType, nullable = false))
-    val theOp = op; val isCov = coverage
-
-    val rdd = probe.rdd.mapPartitions { it =>
-      val b = bc.value
-      it.map { r =>
-        val contig = r.get(pci).asInstanceOf[String]
-        val (qs, qe) = theOp.adjustQuery(asLong(r.get(psi), "start"), asLong(r.get(pei), "end"))
-        val v: Long =
-          if (isCov) b.cov.get(contig).map(_.coverage(qs, qe)).getOrElse(0L)
-          else b.counts.get(contig).map(_.count(qs, qe)).getOrElse(0L)
-        Row.fromSeq(r.toSeq :+ v)
+    val groups = collectCoords(build, bcols, withIdx = false, tieBreakCol = None)
+    val theOp = op
+    if (coverage) {
+      val covIdx = groups.map { case (k, (s, e, _, _)) => k -> CoverageIndex.build(s, e) }.toMap
+      val bc = spark.sparkContext.broadcast(covIdx)
+      val u = udf { (contig: String, qs: Long, qe: Long) =>
+        bc.value.get(contig) match {
+          case Some(idx) => val (s, e) = theOp.adjustQuery(qs, qe); idx.coverage(s, e)
+          case None => 0L
+        }
       }
+      probe.withColumn(outName, u(
+        col(pcols.contig), col(pcols.start).cast("long"), col(pcols.end).cast("long")))
+    } else {
+      val cntIdx = groups.map { case (k, (s, e, _, _)) => k -> CountOverlapIndex.build(s, e) }.toMap
+      val bc = spark.sparkContext.broadcast(cntIdx)
+      val u = udf { (contig: String, qs: Long, qe: Long) =>
+        bc.value.get(contig) match {
+          case Some(idx) => val (s, e) = theOp.adjustQuery(qs, qe); idx.count(s, e)
+          case None => 0L
+        }
+      }
+      probe.withColumn(outName, u(
+        col(pcols.contig), col(pcols.start).cast("long"), col(pcols.end).cast("long")))
     }
-    spark.createDataFrame(rdd, outSchema)
   }
 
-  /** F4 nearest: for each probe row, up to k nearest build intervals
-    * (overlaps first when includeOverlaps, then by distance with the
-    * reference's (distance, start, end, position) order). Emits NULL
-    * build columns when no candidate exists
+  /** F4 nearest: up to k nearest build intervals per probe row
+    * (overlaps first, then (distance, start, end, position) order —
+    * nearest_index.rs). NULL build columns when no candidate
     * (tests/integration_test.rs:1302). Output:
     * `left_*` (build) ++ `right_*` (probe) [+ distance Int64]. */
   def nearest(
@@ -232,42 +215,41 @@ object IntervalJoin {
       computeDistance: Boolean, tieBreakCol: Option[String] = None): DataFrame = {
 
     val spark = probe.sparkSession
-    val tIdx = tieBreakCol.map(build.schema.fieldIndex)
-    val b0 = collectBuild(build, bcols, tieBreakIdx = tIdx,
-      enumIdx = false, nearestIdx = true)
-    val bc = spark.sparkContext.broadcast(b0)
-    val pSchema = probe.schema
-    val pci = pSchema.fieldIndex(pcols.contig)
-    val psi = pSchema.fieldIndex(pcols.start)
-    val pei = pSchema.fieldIndex(pcols.end)
-    val nLeft = build.schema.fields.length
-    val outSchema = StructType(
-      prefixed(build.schema, "left_", forceNullable = true) ++
-      prefixed(pSchema, "right_", forceNullable = true) ++
-      (if (computeDistance) Seq(StructField("distance", LongType, nullable = true)) else Nil))
-    val theOp = op; val kk = k; val incl = includeOverlaps; val withDist = computeDistance
+    val leftIdx = withRowIndex(build)
+    val groups = collectCoords(leftIdx, bcols, withIdx = true, tieBreakCol = tieBreakCol)
+    val nearIdx = groups.map { case (c, (s, e, p, t)) =>
+      c -> NearestIndex.build(s, e, t, p)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(nearIdx)
+    val theOp = op; val kk = k; val incl = includeOverlaps
 
-    val rdd = probe.rdd.mapPartitions { it =>
-      val b = bc.value
-      val nullLeft: Seq[Any] = Seq.fill(nLeft)(null)
-      it.flatMap { r =>
-        val contig = r.get(pci).asInstanceOf[String]
-        val (qs, qe) = theOp.adjustQuery(asLong(r.get(psi), "start"), asLong(r.get(pei), "end"))
-        val rvals = r.toSeq
-        val out = mutable.ArrayBuffer.empty[Row]
-        b.nearest.get(contig).foreach { idx =>
-          idx.nearestK(qs, qe, kk, incl) { (p, d) =>
-            val base = b.rows(p).toSeq ++ rvals
-            out += Row.fromSeq(if (withDist) base :+ d else base)
-          }
-        }
-        if (out.isEmpty) {
-          val base = nullLeft ++ rvals
-          out += Row.fromSeq(if (withDist) base :+ null else base)
-        }
-        out.iterator
+    val probeUdf = udf { (contig: String, qs0: Long, qe0: Long) =>
+      val out = mutable.ArrayBuffer.empty[NearestCand]
+      bc.value.get(contig).foreach { idx =>
+        val (qs, qe) = theOp.adjustQuery(qs0, qe0)
+        idx.nearestK(qs, qe, kk, incl)((p, d) => out += NearestCand(p, d))
       }
+      if (out.isEmpty) out += NearestCand(-1, -1L)
+      out.toSeq
     }
-    spark.createDataFrame(rdd, outSchema)
+
+    val rightPref = probe.select(
+      probe.schema.fields.toSeq.map(f => col(f.name).as("right_" + f.name)): _*)
+    val exploded = rightPref.withColumn("_cand",
+      explode(probeUdf(
+        col("right_" + pcols.contig),
+        col("right_" + pcols.start).cast("long"),
+        col("right_" + pcols.end).cast("long"))))
+      .withColumn("_lidx", col("_cand.lidx"))
+      .withColumn("distance",
+        when(col("_cand.lidx") === -1, lit(null).cast("long")).otherwise(col("_cand.dist")))
+      .drop("_cand")
+    val leftPref = leftIdx.select(prefixedCols(leftIdx, "left_"): _*)
+    val joined = exploded.join(broadcast(leftPref), Seq("_lidx"), "left")
+    val outCols =
+      leftPref.schema.fields.toSeq.filterNot(_.name == "_lidx").map(f => col(f.name)) ++
+      rightPref.schema.fields.toSeq.map(f => col(f.name)) ++
+      (if (computeDistance) Seq(col("distance")) else Nil)
+    joined.select(outCols: _*)
   }
 }
