@@ -36,6 +36,8 @@ object RangesQueries {
     "f6_cluster" -> ((s, d) => Ranges.cluster(A(s, d))),
     "f7_complement" -> ((s, d) => Ranges.complement(A(s, d))),
     "f8_subtract" -> ((s, d) => Ranges.subtract(A(s, d), B(s, d))),
+    "f1_overlap_join_part" -> ((s, d) =>
+      Ranges.overlapPartitioned(A(s, d), B(s, d))),
     // transparent SQL rewrite: plain range-join SQL planned as
     // BroadcastIntervalJoinExec by the injected strategy (J1-J3)
     "j1_sql_rewrite" -> ((s, d) => {
@@ -101,6 +103,8 @@ object RangesQueries {
     "f3_coverage" ->
       s"WITH $a, $b, ${mergedCte("a", "m")} SELECT b.contig, b.pos_start, b.pos_end, b.id, CAST(COALESCE(SUM(CASE WHEN m.contig IS NULL THEN NULL ELSE LEAST(m.pos_end, b.pos_end) - GREATEST(m.pos_start, b.pos_start) + 1 END), 0) AS BIGINT) AS coverage FROM b LEFT JOIN m ON m.contig = b.contig AND m.pos_start <= b.pos_end AND m.pos_end >= b.pos_start GROUP BY b.contig, b.pos_start, b.pos_end, b.id ORDER BY b.id",
     "j1_sql_rewrite" ->
+      s"WITH $a, $b $overlapPairsSelect AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start ORDER BY left_id, right_id",
+    "f1_overlap_join_part" ->
       s"WITH $a, $b $overlapPairsSelect AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start ORDER BY left_id, right_id",
     "f4_nearest_k1" -> nearestSql(1),
     "f4_nearest_k3" -> nearestSql(3),

@@ -35,6 +35,47 @@ object Ranges {
     case other => throw new IllegalArgumentException(s"unknown overlap mode '$other'")
   }
 
+  /** Partitioned (co-shuffle) overlap join — the scale path when BOTH
+    * sides are too large to broadcast (the reference's Partitioned
+    * mode, interval_join.rs:394-413, re-expressed relationally):
+    * intervals are exploded onto a fixed-width bucket grid and joined
+    * on (contig, bucket) equality — a plain shuffled equi-join that
+    * Catalyst plans, AQE re-balances, and Tungsten codegens; the range
+    * predicate filters within buckets and a canonical-bucket condition
+    * (`floor(max(starts)/W) = bucket`) deduplicates pairs spanning
+    * several buckets. No driver collect, no broadcast, no memory cap —
+    * shuffle volume scales with `intervalLength/bucketWidth`.
+    *
+    * Output identical to `overlap(mode="join")`: `left_*` ++ `right_*`. */
+  def overlapPartitioned(
+      left: DataFrame, right: DataFrame,
+      lcols: IntervalCols = IntervalCols.default,
+      rcols: IntervalCols = IntervalCols.default,
+      op: FilterOp = FilterOp.Weak,
+      bucketWidth: Long = 5000L): DataFrame = {
+    val w = bucketWidth
+    def bucketed(df: DataFrame, cols: IntervalCols, prefix: String): DataFrame = {
+      val s = col(cols.start).cast("long"); val e = col(cols.end).cast("long")
+      df.select(df.columns.toSeq.map(c => col(c).as(prefix + c)): _*)
+        .withColumn("_bucket", explode(sequence(
+          floor(col(prefix + cols.start).cast("long") / w).cast("long"),
+          floor(col(prefix + cols.end).cast("long") / w).cast("long"))))
+    }
+    val a = bucketed(left, lcols, "left_")
+    val b = bucketed(right, rcols, "right_")
+    val ls = col("left_" + lcols.start); val le = col("left_" + lcols.end)
+    val rs = col("right_" + rcols.start); val re = col("right_" + rcols.end)
+    val range =
+      if (op.isStrict) ls < re && le > rs
+      else ls <= re && le >= rs
+    a.join(b,
+        col("left_" + lcols.contig) === col("right_" + rcols.contig) &&
+        a("_bucket") === b("_bucket") &&
+        range &&
+        floor(greatest(ls, rs).cast("long") / w).cast("long") === a("_bucket"))
+      .drop("_bucket")
+  }
+
   /** F2 `count_overlaps`: right rows + `count` = number of left
     * intervals overlapping each (count_overlaps.rs:60-66). */
   def countOverlaps(

@@ -1,0 +1,121 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.DataFrame
+import graft.core.FilterOp
+import graft.ranges.Ranges
+
+/** Randomized interval-algebra properties against naive models, plus
+  * partition-count invariance (BASELINE.md bar #2; the reference pins
+  * identical results for target_partitions in {1,4,8,16}). Fixed seed
+  * for reproducibility. */
+class PropertySuite extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+  private def randomIntervals(n: Int, contigs: Int, domain: Int, maxLen: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val s = rnd.nextInt(domain).toLong
+      ("c" + rnd.nextInt(contigs), s, s + rnd.nextInt(maxLen), i.toLong)
+    }
+    rows.toDF("contig", "pos_start", "pos_end", "id")
+  }
+
+  lazy val a: DataFrame = randomIntervals(300, 3, 5000, 200).cache()
+  lazy val b: DataFrame = randomIntervals(120, 3, 5000, 300).cache()
+
+  private def naiveMerged(rows: Seq[(String, Long, Long)]): Map[String, Seq[(Long, Long)]] =
+    rows.groupBy(_._1).map { case (c, g) =>
+      val sorted = g.map(x => (x._2, x._3)).sortBy(identity)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var cur = sorted.head
+      sorted.tail.foreach { case (s, e) =>
+        if (s <= cur._2) cur = (cur._1, math.max(cur._2, e))
+        else { out += cur; cur = (s, e) }
+      }
+      out += cur
+      c -> out.toSeq
+    }
+
+  test("property: partitioned grid-bucket join == broadcast index join") {
+    val bcast = Ranges.overlap(a, b).select("left_id", "right_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (width <- Seq(64L, 1000L, 10000L)) {
+      val part = Ranges.overlapPartitioned(a, b, bucketWidth = width)
+        .select("left_id", "right_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(part == bcast, s"bucketWidth=$width")
+    }
+  }
+
+  test("property: merge is idempotent and covers the same basepairs") {
+    val m1 = Ranges.merge(a)
+    val m2 = Ranges.merge(m1)
+    val r1 = m1.select("contig", "pos_start", "pos_end").collect().map(_.toSeq).toSet
+    val r2 = m2.select("contig", "pos_start", "pos_end").collect().map(_.toSeq).toSet
+    assert(r1 == r2)
+    val naive = naiveMerged(a.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    val got = m1.collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got == naive.view.mapValues(_.sorted).toMap)
+  }
+
+  test("property: coverage(a,b) <= closed length of b; count==0 iff coverage==0") {
+    val both = Ranges.coverage(a, Ranges.countOverlaps(a, b))
+    both.collect().foreach { r =>
+      val len = r.getLong(2) - r.getLong(1) + 1
+      val cnt = r.getLong(4); val cov = r.getLong(5)
+      assert(cov <= len)
+      assert((cnt == 0) == (cov == 0))
+    }
+  }
+
+  test("property: subtract removes exactly the covered basepairs (touching coords)") {
+    // half-open interpretation: |subtract(a,b)| + |a ∩ merged(b)| == |a|
+    val rows = a.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val mb = naiveMerged(b.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    val frag = Ranges.subtract(a, b).collect()
+      .map(r => (r.getLong(3), r.getLong(2) - r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    rows.foreach { case (c, s, e, id) =>
+      val covered = mb.getOrElse(c, Nil).map { case (ms, me) =>
+        math.max(0L, math.min(me, e) - math.max(ms, s))
+      }.sum
+      val kept = frag.getOrElse(id, 0L)
+      assert(kept + covered == e - s,
+        s"id=$id [$s,$e] covered=$covered kept=$kept")
+    }
+  }
+
+  test("property: complement ∪ merged tiles each contig's [0, MaxValue) exactly") {
+    val m = Ranges.merge(a).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val comp = Ranges.complement(a).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    (m ++ comp).groupBy(_._1).foreach { case (_, tiles) =>
+      val sorted = tiles.map(t => (t._2, t._3)).sortBy(identity).toSeq
+      assert(sorted.head._1 == 0L)
+      assert(sorted.last._2 == Long.MaxValue)
+      sorted.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 == s2, "tiles must touch exactly")
+        case _ =>
+      }
+    }
+  }
+
+  test("invariance: operator outputs identical across shuffle partition counts") {
+    def snapshot(): Seq[Seq[Seq[Any]]] = Seq(
+      Ranges.merge(a).orderBy("contig", "pos_start").collect().map(_.toSeq).toSeq,
+      Ranges.cluster(a).orderBy("id").collect().map(_.toSeq).toSeq,
+      Ranges.subtract(a, b).orderBy("id", "pos_start").collect().map(_.toSeq).toSeq,
+      Ranges.countOverlaps(a, b).orderBy("id").collect().map(_.toSeq).toSeq,
+      Ranges.overlapPartitioned(a, b).orderBy("left_id", "right_id").collect().map(_.toSeq).toSeq,
+    )
+    val base = snapshot()
+    val p0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (p <- Seq("1", "7")) {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        assert(snapshot() == base, s"partitions=$p")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", p0)
+  }
+}
