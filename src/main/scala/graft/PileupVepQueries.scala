@@ -23,6 +23,8 @@ object PileupVepQueries {
         Vep.vepNormEndUdf(col("start"), col("ref"), col("alt")).as("norm_end"))),
     "f10_lookup_variants" -> ((s, d) =>
       Vep.lookupVariants(Tables.vcf(s, d), Tables.vepCache(s, d))),
+    "f11_annotate_regions" -> ((s, d) =>
+      Vep.annotateRegions(Tables.vcf(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
   )
 
   /** Depth block CTE shared by the two pileup oracles: events → per-pos
@@ -41,7 +43,40 @@ object PileupVepQueries {
        |  CAST(cov AS INT) AS coverage FROM cum WHERE cov <> 0 AND np IS NOT NULL)"""
       .stripMargin.replace("\n", " ")
 
+  /** Region-consequence oracle: candidate transcripts within 5000,
+    * exon-existence flag, CASE term, min SO rank per variant. */
+  private val annotateRegionsSql: String = {
+    import Oracle.{vcf => vcfCte, transcripts => tCte, exons => exCte}
+    s"""WITH $vcfCte, $tCte, $exCte,
+       |cand AS (SELECT v.id AS vid, v.chrom, v.start AS vs, v."end" AS ve,
+       |  t.start AS ts, t."end" AS te, t.transcript_id, t.strand, t.biotype
+       | FROM v JOIN t ON v.chrom = t.chrom AND t.start - 5000 <= v."end" AND t."end" + 5000 >= v.start),
+       |wex AS (SELECT cand.*,
+       |  MAX(CASE WHEN ex.transcript_id IS NOT NULL THEN 1 ELSE 0 END) AS in_exon
+       | FROM cand LEFT JOIN ex ON ex.transcript_id = cand.transcript_id
+       |   AND ex.start <= cand.ve AND ex."end" >= cand.vs
+       | GROUP BY ALL),
+       |terms AS (SELECT vid, CASE
+       |  WHEN vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'protein_coding' THEN 22
+       |  WHEN vs <= te AND ve >= ts AND in_exon = 1 THEN 26
+       |  WHEN vs <= te AND ve >= ts THEN 27
+       |  WHEN (strand = 1 AND ve < ts) OR (strand = -1 AND vs > te) THEN 31
+       |  ELSE 32 END AS rank FROM wex),
+       |best AS (SELECT vid, MIN(rank) AS best, CAST(COUNT(*) AS BIGINT) AS n_transcripts
+       | FROM terms GROUP BY vid)
+       |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
+       | CASE best.best WHEN 22 THEN 'coding_sequence_variant'
+       |  WHEN 26 THEN 'non_coding_transcript_exon_variant'
+       |  WHEN 27 THEN 'intron_variant' WHEN 31 THEN 'upstream_gene_variant'
+       |  WHEN 32 THEN 'downstream_gene_variant'
+       |  ELSE 'intergenic_variant' END AS most_severe_consequence,
+       | COALESCE(best.n_transcripts, 0) AS n_transcripts
+       |FROM v LEFT JOIN best ON best.vid = v.id ORDER BY v.id"""
+      .stripMargin.replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "f11_annotate_regions" -> annotateRegionsSql,
     "f9_depth_blocks" ->
       s"WITH $blocksCte SELECT contig, pos_start, pos_end, coverage FROM blocks ORDER BY contig, pos_start",
     "f9_depth_perbase" ->
@@ -50,7 +85,7 @@ object PileupVepQueries {
       s"WITH $vcf SELECT id, vep_ref, vep_alt, norm_start, norm_end FROM v ORDER BY id",
     "f10_lookup_variants" ->
       s"""WITH $vcf, $vepCache
-         |SELECT v.chrom, v.start, v.id, v.ref, v.alt,
+         |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
          | c.variation_name AS cache_variation_name,
          | c.allele_string AS cache_allele_string,
          | c.af AS cache_af, c.clin_sig AS cache_clin_sig

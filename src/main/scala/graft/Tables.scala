@@ -53,6 +53,7 @@ object Tables {
     load(spark, dir, "part").selectExpr(
       "concat('chr', CAST(p_partkey % 2 AS STRING)) AS chrom",
       "CAST((p_partkey * 9176) % 100000 + 1 AS BIGINT) AS start",
+      "CAST((p_partkey * 9176) % 100000 + 1 + CASE WHEN p_partkey % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS `end`",
       "CAST(p_partkey AS BIGINT) AS id",
       """CASE WHEN p_partkey % 3 = 2
            THEN concat(substring('ACGT', 1 + CAST(p_partkey % 4 AS INT), 1),
@@ -93,6 +94,28 @@ object Tables {
       "CAST(p_partkey % 1000 AS DOUBLE) / 1000.0 AS af",
       """CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'benign' WHEN 1 THEN 'pathogenic'
          WHEN 2 THEN 'uncertain' ELSE NULL END AS clin_sig""")
+
+  /** Derived transcript context (FIXTURES.md §6 subset): one
+    * transcript per supplier row, strand/biotype cycling. */
+  def transcripts(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "supplier").selectExpr(
+      "concat('chr', CAST(s_suppkey % 2 AS STRING)) AS chrom",
+      "CAST((s_suppkey * 7919) % 100000 + 1 AS BIGINT) AS start",
+      "CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 AS BIGINT) AS `end`",
+      "concat('T', CAST(s_suppkey AS STRING)) AS transcript_id",
+      "CAST(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE -1 END AS INT) AS strand",
+      "CASE WHEN s_suppkey % 3 = 0 THEN 'protein_coding' ELSE 'lncRNA' END AS biotype")
+
+  /** Derived exon context: 3 evenly spaced exons per transcript. */
+  def exons(spark: SparkSession, dir: String): DataFrame =
+    transcripts(spark, dir).selectExpr(
+      "transcript_id", "start AS t_start", "`end` AS t_end",
+      "CAST((`end` - start) AS BIGINT) AS t_len")
+      .selectExpr("transcript_id", "t_start", "t_len",
+        "explode(sequence(0, 2)) AS i")
+      .selectExpr("transcript_id",
+        "CAST(t_start + i * (t_len DIV 3) AS BIGINT) AS start",
+        "CAST(t_start + i * (t_len DIV 3) + (t_len DIV 6) AS BIGINT) AS `end`")
 
   /** Alignment-reads view for pileup (FIXTURES.md §3 contract):
     * `(chrom, start, flags, cigar, mapping_quality)`. CIGAR is a real
@@ -142,6 +165,8 @@ object Oracle {
   val vcf: String =
     s"""v AS (SELECT concat('chr', CAST(p_partkey % 2 AS VARCHAR)) AS chrom,
        | CAST((p_partkey * 9176) % 100000 + 1 AS BIGINT) AS start,
+       | CAST((p_partkey * 9176) % 100000 + 1
+       |   + CASE WHEN p_partkey % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS "end",
        | CAST(p_partkey AS BIGINT) AS id,
        | CASE WHEN p_partkey % 3 = 2 THEN concat($b1, $b2) ELSE $b1 END AS ref,
        | CASE WHEN p_partkey % 3 = 1 THEN concat($b1, $b2)
@@ -154,6 +179,22 @@ object Oracle {
        |   CASE WHEN p_partkey % 3 = 2 THEN $b2 ELSE $b1 END END AS vep_ref,
        | CASE WHEN p_partkey % 3 = 2 THEN '-' ELSE $b2 END AS vep_alt
        | FROM part)""".stripMargin.replace("\n", " ")
+
+  /** DuckDB mirror of [[Tables.transcripts]] / [[Tables.exons]]. */
+  val transcripts: String =
+    """t AS (SELECT concat('chr', CAST(s_suppkey % 2 AS VARCHAR)) AS chrom,
+      | CAST((s_suppkey * 7919) % 100000 + 1 AS BIGINT) AS start,
+      | CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 AS BIGINT) AS "end",
+      | concat('T', CAST(s_suppkey AS VARCHAR)) AS transcript_id,
+      | CAST(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE -1 END AS INT) AS strand,
+      | CASE WHEN s_suppkey % 3 = 0 THEN 'protein_coding' ELSE 'lncRNA' END AS biotype
+      | FROM supplier)""".stripMargin.replace("\n", " ")
+
+  val exons: String =
+    """ex AS (SELECT transcript_id,
+      | CAST(start + i * (("end" - start) // 3) AS BIGINT) AS start,
+      | CAST(start + i * (("end" - start) // 3) + (("end" - start) // 6) AS BIGINT) AS "end"
+      | FROM t, UNNEST(generate_series(0, 2)) AS u(i))""".stripMargin.replace("\n", " ")
 
   /** DuckDB mirror of [[Tables.vepCache]]. */
   val vepCache: String =

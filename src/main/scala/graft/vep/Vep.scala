@@ -52,6 +52,88 @@ object Vep {
     cache.columns.toSeq.filterNot(c =>
       c == "chrom" || c == "start" || c == "end" || c.startsWith("source_"))
 
+  /** SO terms this slice can assign, with their severity ranks =
+    * positions in the reference's ALL_SO_TERMS ordering
+    * (so_terms.rs:58-100; smaller = more severe). The full 41-term
+    * engine (codon/protein effects, HGVS) is the phased F11 remainder
+    * (SURVEY.md §7.2 step 8). */
+  val soRank: Map[String, Int] = Map(
+    "coding_sequence_variant" -> 22,
+    "non_coding_transcript_exon_variant" -> 26,
+    "intron_variant" -> 27,
+    "upstream_gene_variant" -> 31,
+    "downstream_gene_variant" -> 32,
+    "intergenic_variant" -> 39)
+
+  /** F11 (region layer): annotate each variant with its most severe
+    * region-level consequence against transcript/exon context —
+    * the geometric subset of the reference's consequence engine
+    * (annotate_provider.rs; upstream/downstream distance default 5000,
+    * annotate_provider.rs:2399-2415):
+    *
+    *  - in an exon of an overlapping transcript:
+    *    `coding_sequence_variant` (protein_coding) /
+    *    `non_coding_transcript_exon_variant`
+    *  - in an overlapping transcript but no exon: `intron_variant`
+    *  - within `upstreamDistance` of a transcript, strand-aware:
+    *    `upstream_gene_variant` / `downstream_gene_variant`
+    *  - no transcript in range: `intergenic_variant`
+    *
+    * Relational shape: broadcast the (small) transcript/exon context,
+    * one equi-join on chrom with a distance predicate, exon existence
+    * via aggregation — every stage spills and scales; for huge
+    * contexts swap the join for Ranges.overlapPartitioned.
+    *
+    * @param transcripts (chrom, start, end, transcript_id, strand Int
+    *                    (1/-1), biotype)
+    * @param exons       (transcript_id, start, end)
+    * @return vcf columns + most_severe_consequence + n_transcripts */
+  def annotateRegions(
+      vcf: DataFrame, transcripts: DataFrame, exons: DataFrame,
+      upstreamDistance: Long = 5000L): DataFrame = {
+    val d = upstreamDistance
+    val v = vcf.select(col("chrom").as("_vc"), col("start").cast("long").as("_vs"),
+      col("end").cast("long").as("_ve"), col("id").as("_vid"))
+    val t = transcripts.select(col("chrom").as("_tc"), col("start").cast("long").as("_ts"),
+      col("end").cast("long").as("_te"), col("transcript_id").as("_tid"),
+      col("strand").as("_strand"), col("biotype").as("_bt"))
+    val cand = v.join(broadcast(t),
+      col("_vc") === col("_tc") &&
+      col("_ts") - d <= col("_ve") && col("_te") + d >= col("_vs"))
+    val ex = exons.select(col("transcript_id").as("_etid"),
+      col("start").cast("long").as("_es"), col("end").cast("long").as("_ee"))
+    val withExon = cand.join(broadcast(ex),
+        col("_tid") === col("_etid") && col("_es") <= col("_ve") && col("_ee") >= col("_vs"),
+        "left")
+      .groupBy(col("_vid"), col("_tid"), col("_vc"), col("_vs"), col("_ve"),
+        col("_ts"), col("_te"), col("_strand"), col("_bt"))
+      .agg(max(when(col("_etid").isNotNull, 1).otherwise(0)).as("_in_exon"))
+    val overlaps = col("_vs") <= col("_te") && col("_ve") >= col("_ts")
+    val upstream = (col("_strand") === 1 && col("_ve") < col("_ts")) ||
+      (col("_strand") === -1 && col("_vs") > col("_te"))
+    val term =
+      when(overlaps && col("_in_exon") === 1 && col("_bt") === "protein_coding",
+        lit("coding_sequence_variant"))
+      .when(overlaps && col("_in_exon") === 1, lit("non_coding_transcript_exon_variant"))
+      .when(overlaps, lit("intron_variant"))
+      .when(upstream, lit("upstream_gene_variant"))
+      .otherwise(lit("downstream_gene_variant"))
+    val rank = soRank.foldLeft(lit(39)) { case (acc, (name, r)) =>
+      when(term === name, lit(r)).otherwise(acc)
+    }
+    val perVariant = withExon
+      .withColumn("_rank", rank)
+      .groupBy(col("_vid"))
+      .agg(min(col("_rank")).as("_best"), count(lit(1)).as("n_transcripts"))
+    val rankToName = soRank.foldLeft(lit("intergenic_variant")) { case (acc, (name, r)) =>
+      when(col("_best") === r, lit(name)).otherwise(acc)
+    }
+    vcf.join(perVariant, vcf("id") === col("_vid"), "left")
+      .select((vcf.columns.toSeq.map(col) :+
+        coalesce(rankToName, lit("intergenic_variant")).as("most_severe_consequence") :+
+        coalesce(col("n_transcripts"), lit(0L)).as("n_transcripts")): _*)
+  }
+
   /** @param vcf    columns per FIXTURES.md §4 (chrom, start, ref, alt, …)
     * @param cache  columns per FIXTURES.md §5 (chrom, start, end,
     *               variation_name, allele_string, …)
