@@ -14,6 +14,8 @@ object PileupVepQueries {
       Pileup.depth(Tables.reads(s, d)).orderBy("contig", "pos_start")),
     "f9_depth_perbase" -> ((s, d) =>
       Pileup.depthPerBase(Tables.reads(s, d)).orderBy("contig", "pos")),
+    "f9_depth_mapq" -> ((s, d) =>
+      Pileup.depth(Tables.reads(s, d), minMapq = 30).orderBy("contig", "pos_start")),
     "f10_vep_allele" -> ((s, d) =>
       Tables.vcf(s, d).select(
         col("id"),
@@ -32,10 +34,10 @@ object PileupVepQueries {
     * SURVEY.md §2.5's event-list pipeline; the Spark side walks real
     * CIGAR strings, the oracle recomputes aligned length arithmetically
     * because the derived reads are single-M by construction). */
-  private val blocksCte: String =
+  private def blocksCte(extraPred: String = ""): String =
     s"""$reads,
-       |ev AS (SELECT chrom, start AS pos, 1 AS d FROM reads WHERE (flags & 1796) = 0
-       | UNION ALL SELECT chrom, start + rlen, -1 FROM reads WHERE (flags & 1796) = 0),
+       |ev AS (SELECT chrom, start AS pos, 1 AS d FROM reads WHERE (flags & 1796) = 0$extraPred
+       | UNION ALL SELECT chrom, start + rlen, -1 FROM reads WHERE (flags & 1796) = 0$extraPred),
        |gpos AS (SELECT chrom, pos, SUM(d) AS d FROM ev GROUP BY chrom, pos),
        |cum AS (SELECT chrom, pos, SUM(d) OVER (PARTITION BY chrom ORDER BY pos) AS cov,
        |  LEAD(pos) OVER (PARTITION BY chrom ORDER BY pos) AS np FROM gpos),
@@ -49,28 +51,47 @@ object PileupVepQueries {
     import Oracle.{vcf => vcfCte, transcripts => tCte, exons => exCte}
     s"""WITH $vcfCte, $tCte, $exCte,
        |cand AS (SELECT v.id AS vid, v.chrom, v.start AS vs, v."end" AS ve,
-       |  t.start AS ts, t."end" AS te, t.transcript_id, t.strand, t.biotype
+       |  t.start AS ts, t."end" AS te, t.transcript_id, t.strand, t.biotype,
+       |  t.cds_start AS cs, t.cds_end AS ce
        | FROM v JOIN t ON v.chrom = t.chrom AND t.start - 5000 <= v."end" AND t."end" + 5000 >= v.start),
        |wex AS (SELECT cand.*,
-       |  MAX(CASE WHEN ex.transcript_id IS NOT NULL THEN 1 ELSE 0 END) AS in_exon
+       |  MAX(CASE WHEN ex.transcript_id IS NOT NULL
+       |    AND ex.start <= cand.ve AND ex."end" >= cand.vs THEN 1 ELSE 0 END) AS in_exon,
+       |  MAX(CASE WHEN ex.transcript_id IS NOT NULL
+       |    AND NOT (ex.start <= cand.ve AND ex."end" >= cand.vs) THEN 1 ELSE 0 END) AS near_splice
        | FROM cand LEFT JOIN ex ON ex.transcript_id = cand.transcript_id
-       |   AND ex.start <= cand.ve AND ex."end" >= cand.vs
+       |   AND ex.start - 8 <= cand.ve AND ex."end" + 8 >= cand.vs
        | GROUP BY ALL),
-       |terms AS (SELECT vid, CASE
-       |  WHEN vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'protein_coding' THEN 22
-       |  WHEN vs <= te AND ve >= ts AND in_exon = 1 THEN 26
-       |  WHEN vs <= te AND ve >= ts THEN 27
-       |  WHEN (strand = 1 AND ve < ts) OR (strand = -1 AND vs > te) THEN 31
-       |  ELSE 32 END AS rank FROM wex),
-       |best AS (SELECT vid, MIN(rank) AS best, CAST(COUNT(*) AS BIGINT) AS n_transcripts
-       | FROM terms GROUP BY vid)
+       |terms AS (SELECT vid, transcript_id, CASE
+       |  WHEN vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'protein_coding' AND ve < cs
+       |   THEN (CASE WHEN strand = 1 THEN 'five_prime_UTR_variant' ELSE 'three_prime_UTR_variant' END)
+       |  WHEN vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'protein_coding' AND vs > ce
+       |   THEN (CASE WHEN strand = 1 THEN 'three_prime_UTR_variant' ELSE 'five_prime_UTR_variant' END)
+       |  WHEN vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'protein_coding' THEN 'coding_sequence_variant'
+       |  WHEN vs <= te AND ve >= ts AND in_exon = 1 THEN 'non_coding_transcript_exon_variant'
+       |  WHEN vs <= te AND ve >= ts AND near_splice = 1 THEN 'splice_region_variant'
+       |  WHEN vs <= te AND ve >= ts THEN 'intron_variant'
+       |  WHEN (strand = 1 AND ve < ts) OR (strand = -1 AND vs > te) THEN 'upstream_gene_variant'
+       |  ELSE 'downstream_gene_variant' END AS term FROM wex),
+       |ranked AS (SELECT vid, transcript_id, term, CASE term
+       |  WHEN 'splice_region_variant' THEN 15 WHEN 'coding_sequence_variant' THEN 22
+       |  WHEN 'five_prime_UTR_variant' THEN 24 WHEN 'three_prime_UTR_variant' THEN 25
+       |  WHEN 'non_coding_transcript_exon_variant' THEN 26 WHEN 'intron_variant' THEN 27
+       |  WHEN 'upstream_gene_variant' THEN 31 ELSE 32 END AS rank FROM terms),
+       |best AS (SELECT vid, MIN(rank) AS best, CAST(COUNT(*) AS BIGINT) AS n_transcripts,
+       |  string_agg(concat(transcript_id, ':', term), '|'
+       |    ORDER BY concat(transcript_id, ':', term)) AS csq
+       | FROM ranked GROUP BY vid)
        |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
-       | CASE best.best WHEN 22 THEN 'coding_sequence_variant'
+       | CASE best.best WHEN 15 THEN 'splice_region_variant'
+       |  WHEN 22 THEN 'coding_sequence_variant'
+       |  WHEN 24 THEN 'five_prime_UTR_variant' WHEN 25 THEN 'three_prime_UTR_variant'
        |  WHEN 26 THEN 'non_coding_transcript_exon_variant'
        |  WHEN 27 THEN 'intron_variant' WHEN 31 THEN 'upstream_gene_variant'
        |  WHEN 32 THEN 'downstream_gene_variant'
        |  ELSE 'intergenic_variant' END AS most_severe_consequence,
-       | COALESCE(best.n_transcripts, 0) AS n_transcripts
+       | COALESCE(best.n_transcripts, 0) AS n_transcripts,
+       | COALESCE(best.csq, '') AS csq
        |FROM v LEFT JOIN best ON best.vid = v.id ORDER BY v.id"""
       .stripMargin.replace("\n", " ")
   }
@@ -78,9 +99,11 @@ object PileupVepQueries {
   val oracleSql: Map[String, String] = Map(
     "f11_annotate_regions" -> annotateRegionsSql,
     "f9_depth_blocks" ->
-      s"WITH $blocksCte SELECT contig, pos_start, pos_end, coverage FROM blocks ORDER BY contig, pos_start",
+      s"WITH ${blocksCte()} SELECT contig, pos_start, pos_end, coverage FROM blocks ORDER BY contig, pos_start",
     "f9_depth_perbase" ->
-      s"WITH $blocksCte SELECT contig, UNNEST(generate_series(pos_start, pos_end)) AS pos, coverage FROM blocks ORDER BY contig, pos",
+      s"WITH ${blocksCte()} SELECT contig, UNNEST(generate_series(pos_start, pos_end)) AS pos, coverage FROM blocks ORDER BY contig, pos",
+    "f9_depth_mapq" ->
+      s"WITH ${blocksCte(" AND mapping_quality >= 30")} SELECT contig, pos_start, pos_end, coverage FROM blocks ORDER BY contig, pos_start",
     "f10_vep_allele" ->
       s"WITH $vcf SELECT id, vep_ref, vep_alt, norm_start, norm_end FROM v ORDER BY id",
     "f10_lookup_variants" ->

@@ -36,6 +36,13 @@ object RangesQueries {
     "f6_cluster" -> ((s, d) => Ranges.cluster(A(s, d))),
     "f7_complement" -> ((s, d) => Ranges.complement(A(s, d))),
     "f8_subtract" -> ((s, d) => Ranges.subtract(A(s, d), B(s, d))),
+    "f2_count_overlaps_strict" -> ((s, d) =>
+      Ranges.countOverlaps(A(s, d), B(s, d), op = FilterOp.Strict)),
+    "f4_nearest_nooverlap" -> ((s, d) =>
+      Ranges.nearest(A(s, d), Tables.ivBSample(s, d),
+        includeOverlaps = false, tieBreakCol = Some("id"))),
+    "f7_complement_view" -> ((s, d) =>
+      Ranges.complement(A(s, d), view = Some(Tables.chromView(s, d)))),
     "f1_overlap_join_part" -> ((s, d) =>
       Ranges.overlapPartitioned(A(s, d), B(s, d))),
     // transparent SQL rewrite: plain range-join SQL planned as
@@ -106,6 +113,39 @@ object RangesQueries {
       s"WITH $a, $b $overlapPairsSelect AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start ORDER BY left_id, right_id",
     "f1_overlap_join_part" ->
       s"WITH $a, $b $overlapPairsSelect AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start ORDER BY left_id, right_id",
+    "f2_count_overlaps_strict" ->
+      s"WITH $a, $b SELECT b.contig, b.pos_start, b.pos_end, b.id, CAST(COUNT(a.contig) AS BIGINT) AS count FROM b LEFT JOIN a ON a.contig = b.contig AND a.pos_start < b.pos_end AND a.pos_end > b.pos_start GROUP BY b.contig, b.pos_start, b.pos_end, b.id ORDER BY b.id",
+    "f4_nearest_nooverlap" ->
+      s"""WITH $a, $b, ${Oracle.bs}, cand AS (
+         | SELECT a.contig AS left_contig, a.pos_start AS left_pos_start,
+         |  a.pos_end AS left_pos_end, a.id AS left_id,
+         |  bs.contig AS right_contig, bs.pos_start AS right_pos_start,
+         |  bs.pos_end AS right_pos_end, bs.id AS right_id,
+         |  CASE WHEN bs.pos_end < a.pos_start THEN a.pos_start - bs.pos_end
+         |   WHEN a.pos_end < bs.pos_start THEN bs.pos_start - a.pos_end
+         |   ELSE 0 END AS distance
+         | FROM bs JOIN a ON a.contig = bs.contig)
+         |SELECT left_contig, left_pos_start, left_pos_end, left_id,
+         | right_contig, right_pos_start, right_pos_end, right_id, distance
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY right_id
+         |  ORDER BY distance, left_pos_start, left_pos_end, left_id) AS rn
+         |  FROM cand WHERE distance > 0)
+         |WHERE rn <= 1 ORDER BY right_id""".stripMargin.replace("\n", " "),
+    "f7_complement_view" ->
+      s"""WITH $a, ${Oracle.chromView}, ${mergedCte("a", "m")},
+         |ov AS (SELECT vw.contig, vs, ve, GREATEST(m.pos_start, vs) AS cs,
+         |  LEAST(m.pos_end, ve) AS ce FROM vw JOIN m ON m.contig = vw.contig
+         |  AND m.pos_end > vs AND m.pos_start < ve),
+         |g AS (SELECT contig, vs, ve, COALESCE(LAG(ce) OVER (PARTITION BY contig, vs, ve
+         |  ORDER BY cs), vs) AS gs, cs FROM ov)
+         |SELECT contig, gs AS pos_start, cs AS pos_end FROM g WHERE cs > gs
+         |UNION ALL
+         |SELECT contig, MAX(ce) AS pos_start, ve AS pos_end FROM ov
+         | GROUP BY contig, vs, ve HAVING MAX(ce) < ve
+         |UNION ALL
+         |SELECT vw.contig, vs AS pos_start, ve AS pos_end FROM vw WHERE NOT EXISTS
+         | (SELECT 1 FROM m WHERE m.contig = vw.contig AND m.pos_end > vs AND m.pos_start < ve)
+         |ORDER BY contig, pos_start""".stripMargin.replace("\n", " "),
     "f4_nearest_k1" -> nearestSql(1),
     "f4_nearest_k3" -> nearestSql(3),
     "f5_merge" ->

@@ -45,6 +45,15 @@ object Tables {
   def ivBSample(spark: SparkSession, dir: String): DataFrame =
     ivB(spark, dir).where("id % 37 = 0")
 
+  /** Chromsizes-style view table for complement (FIXTURES.md §2):
+    * contigs c0..c4 — c4 is absent from ivA so the view-only emission
+    * path is exercised. */
+  def chromView(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "region").selectExpr(
+      "concat('c', CAST(r_regionkey AS STRING)) AS contig",
+      "CAST(0 AS BIGINT) AS pos_start",
+      "CAST(500000 + r_regionkey * 1000 AS BIGINT) AS pos_end")
+
   /** Derived VCF view (FIXTURES.md §4 contract subset): SNV / insertion /
     * deletion mix cycling by p_partkey % 3, alleles from a 4-base
     * alphabet — every field reproducible with CASE arithmetic in the
@@ -104,7 +113,9 @@ object Tables {
       "CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 AS BIGINT) AS `end`",
       "concat('T', CAST(s_suppkey AS STRING)) AS transcript_id",
       "CAST(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE -1 END AS INT) AS strand",
-      "CASE WHEN s_suppkey % 3 = 0 THEN 'protein_coding' ELSE 'lncRNA' END AS biotype")
+      "CASE WHEN s_suppkey % 3 = 0 THEN 'protein_coding' ELSE 'lncRNA' END AS biotype",
+      "CAST((s_suppkey * 7919) % 100000 + 1 + 500 + s_suppkey % 200 AS BIGINT) AS cds_start",
+      "CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 - 500 - s_suppkey % 300 AS BIGINT) AS cds_end")
 
   /** Derived exon context: 3 evenly spaced exons per transcript. */
   def exons(spark: SparkSession, dir: String): DataFrame =
@@ -149,6 +160,10 @@ object Oracle {
 
   val bs: String = "bs AS (SELECT * FROM b WHERE id % 37 = 0)"
 
+  val chromView: String =
+    "vw AS (SELECT concat('c', CAST(r_regionkey AS VARCHAR)) AS contig, " +
+    "CAST(0 AS BIGINT) AS vs, CAST(500000 + r_regionkey * 1000 AS BIGINT) AS ve FROM region)"
+
   val reads: String =
     "reads AS (SELECT concat('chr', CAST(o_orderkey % 4 AS VARCHAR)) AS chrom, " +
     "CAST((o_custkey * 37199) % 500000 AS BIGINT) AS start, " +
@@ -187,7 +202,9 @@ object Oracle {
       | CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 AS BIGINT) AS "end",
       | concat('T', CAST(s_suppkey AS VARCHAR)) AS transcript_id,
       | CAST(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE -1 END AS INT) AS strand,
-      | CASE WHEN s_suppkey % 3 = 0 THEN 'protein_coding' ELSE 'lncRNA' END AS biotype
+      | CASE WHEN s_suppkey % 3 = 0 THEN 'protein_coding' ELSE 'lncRNA' END AS biotype,
+      | CAST((s_suppkey * 7919) % 100000 + 1 + 500 + s_suppkey % 200 AS BIGINT) AS cds_start,
+      | CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 - 500 - s_suppkey % 300 AS BIGINT) AS cds_end
       | FROM supplier)""".stripMargin.replace("\n", " ")
 
   val exons: String =

@@ -98,12 +98,23 @@ object ContigIntervalIndex {
   * O(log n) per probe, no enumeration. */
 final class CountOverlapIndex(
     val sortedStarts: Array[Long],
-    val sortedEnds: Array[Long]) extends Serializable {
+    val sortedEnds: Array[Long],
+    /** sorted positions of point intervals (start == end) — needed to
+      * correct inverted strict-adjusted queries, see [[count]] */
+    val sortedPointPos: Array[Long]) extends Serializable {
 
-  def count(qs: Long, qe: Long): Long =
-    // valid for strict-adjusted (possibly inverted) queries too — see
-    // ContigIntervalIndex.query
-    (upperBound(sortedStarts, qe) - lowerBound(sortedEnds, qs)).toLong
+  def count(qs: Long, qe: Long): Long = {
+    val base = (upperBound(sortedStarts, qe) - lowerBound(sortedEnds, qs)).toLong
+    if (qs <= qe + 1) base
+    else {
+      // Inverted strict-adjusted query (point probe): intervals lying
+      // entirely inside the open window (qe, qs) — exactly the point
+      // intervals at qe+1, since FilterOp inverts by at most 2 — are
+      // subtracted via sortedEnds without ever being counted in
+      // sortedStarts. Add them back for an exact count.
+      base + (upperBound(sortedPointPos, qs - 1) - lowerBound(sortedPointPos, qe + 1)).toLong
+    }
+  }
 
   @inline private def upperBound(arr: Array[Long], key: Long): Int = {
     var lo = 0; var hi = arr.length
@@ -128,7 +139,9 @@ object CountOverlapIndex {
   def build(s: Array[Long], e: Array[Long]): CountOverlapIndex = {
     val ss = s.clone(); val ee = e.clone()
     java.util.Arrays.sort(ss); java.util.Arrays.sort(ee)
-    new CountOverlapIndex(ss, ee)
+    val pts = s.indices.collect { case i if s(i) == e(i) => s(i) }.toArray
+    java.util.Arrays.sort(pts)
+    new CountOverlapIndex(ss, ee, pts)
   }
 }
 

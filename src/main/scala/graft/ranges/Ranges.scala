@@ -196,13 +196,19 @@ object Ranges {
       op: FilterOp = FilterOp.Weak): DataFrame = {
     val merged = merge(df, cols, 0L, op)
       .select(col(cols.contig).as("_mc"), col(cols.start).as("_ms"), col(cols.end).as("_me"))
+    val defaultViews = df.select(col(cols.contig).as("_vc")).distinct()
+      .withColumn("_vs", lit(0L)).withColumn("_ve", lit(Long.MaxValue))
     val views = view match {
-      case Some(v) => v.select(
-        col(vcols.contig).as("_vc"),
-        col(vcols.start).cast("long").as("_vs"),
-        col(vcols.end).cast("long").as("_ve"))
-      case None => df.select(col(cols.contig).as("_vc")).distinct()
-        .withColumn("_vs", lit(0L)).withColumn("_ve", lit(Long.MaxValue))
+      case Some(v) =>
+        val explicit = v.select(
+          col(vcols.contig).as("_vc"),
+          col(vcols.start).cast("long").as("_vs"),
+          col(vcols.end).cast("long").as("_ve"))
+        // input contigs with no explicit view still get the implicit
+        // (0, i64::MAX) view (complement.rs:399-400)
+        explicit.unionByName(
+          defaultViews.join(explicit.select(col("_vc")).distinct(), Seq("_vc"), "left_anti"))
+      case None => defaultViews
     }
     // merged runs intersecting each view interval (complement.rs:330-336:
     // keep me > vs && ms < ve), clipped to the view

@@ -58,7 +58,10 @@ object Vep {
     * engine (codon/protein effects, HGVS) is the phased F11 remainder
     * (SURVEY.md §7.2 step 8). */
   val soRank: Map[String, Int] = Map(
+    "splice_region_variant" -> 15,
     "coding_sequence_variant" -> 22,
+    "five_prime_UTR_variant" -> 24,
+    "three_prime_UTR_variant" -> 25,
     "non_coding_transcript_exon_variant" -> 26,
     "intron_variant" -> 27,
     "upstream_gene_variant" -> 31,
@@ -96,42 +99,60 @@ object Vep {
       col("end").cast("long").as("_ve"), col("id").as("_vid"))
     val t = transcripts.select(col("chrom").as("_tc"), col("start").cast("long").as("_ts"),
       col("end").cast("long").as("_te"), col("transcript_id").as("_tid"),
-      col("strand").as("_strand"), col("biotype").as("_bt"))
+      col("strand").as("_strand"), col("biotype").as("_bt"),
+      col("cds_start").cast("long").as("_cs"), col("cds_end").cast("long").as("_ce"))
     val cand = v.join(broadcast(t),
       col("_vc") === col("_tc") &&
       col("_ts") - d <= col("_ve") && col("_te") + d >= col("_vs"))
     val ex = exons.select(col("transcript_id").as("_etid"),
       col("start").cast("long").as("_es"), col("end").cast("long").as("_ee"))
+    val exOverlap = col("_es") <= col("_ve") && col("_ee") >= col("_vs")
+    // join widened by the 8bp splice-region reach; in-exon vs
+    // near-splice distinguished in the aggregate
     val withExon = cand.join(broadcast(ex),
-        col("_tid") === col("_etid") && col("_es") <= col("_ve") && col("_ee") >= col("_vs"),
+        col("_tid") === col("_etid") &&
+        col("_es") - 8 <= col("_ve") && col("_ee") + 8 >= col("_vs"),
         "left")
       .groupBy(col("_vid"), col("_tid"), col("_vc"), col("_vs"), col("_ve"),
-        col("_ts"), col("_te"), col("_strand"), col("_bt"))
-      .agg(max(when(col("_etid").isNotNull, 1).otherwise(0)).as("_in_exon"))
+        col("_ts"), col("_te"), col("_strand"), col("_bt"), col("_cs"), col("_ce"))
+      .agg(
+        max(when(col("_etid").isNotNull && exOverlap, 1).otherwise(0)).as("_in_exon"),
+        max(when(col("_etid").isNotNull && !exOverlap, 1).otherwise(0)).as("_near_splice"))
     val overlaps = col("_vs") <= col("_te") && col("_ve") >= col("_ts")
     val upstream = (col("_strand") === 1 && col("_ve") < col("_ts")) ||
       (col("_strand") === -1 && col("_vs") > col("_te"))
+    val inCodingExon = overlaps && col("_in_exon") === 1 && col("_bt") === "protein_coding"
     val term =
-      when(overlaps && col("_in_exon") === 1 && col("_bt") === "protein_coding",
-        lit("coding_sequence_variant"))
+      when(inCodingExon && col("_ve") < col("_cs"),
+        when(col("_strand") === 1, lit("five_prime_UTR_variant"))
+          .otherwise(lit("three_prime_UTR_variant")))
+      .when(inCodingExon && col("_vs") > col("_ce"),
+        when(col("_strand") === 1, lit("three_prime_UTR_variant"))
+          .otherwise(lit("five_prime_UTR_variant")))
+      .when(inCodingExon, lit("coding_sequence_variant"))
       .when(overlaps && col("_in_exon") === 1, lit("non_coding_transcript_exon_variant"))
+      .when(overlaps && col("_near_splice") === 1, lit("splice_region_variant"))
       .when(overlaps, lit("intron_variant"))
       .when(upstream, lit("upstream_gene_variant"))
       .otherwise(lit("downstream_gene_variant"))
     val rank = soRank.foldLeft(lit(39)) { case (acc, (name, r)) =>
-      when(term === name, lit(r)).otherwise(acc)
+      when(col("_term") === name, lit(r)).otherwise(acc)
     }
     val perVariant = withExon
+      .withColumn("_term", term)
       .withColumn("_rank", rank)
       .groupBy(col("_vid"))
-      .agg(min(col("_rank")).as("_best"), count(lit(1)).as("n_transcripts"))
+      .agg(min(col("_rank")).as("_best"), count(lit(1)).as("n_transcripts"),
+        array_join(array_sort(collect_list(
+          concat(col("_tid"), lit(":"), col("_term")))), "|").as("csq"))
     val rankToName = soRank.foldLeft(lit("intergenic_variant")) { case (acc, (name, r)) =>
       when(col("_best") === r, lit(name)).otherwise(acc)
     }
     vcf.join(perVariant, vcf("id") === col("_vid"), "left")
       .select((vcf.columns.toSeq.map(col) :+
         coalesce(rankToName, lit("intergenic_variant")).as("most_severe_consequence") :+
-        coalesce(col("n_transcripts"), lit(0L)).as("n_transcripts")): _*)
+        coalesce(col("n_transcripts"), lit(0L)).as("n_transcripts") :+
+        coalesce(col("csq"), lit("")).as("csq")): _*)
   }
 
   /** @param vcf    columns per FIXTURES.md §4 (chrom, start, ref, alt, …)

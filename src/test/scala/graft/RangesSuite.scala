@@ -73,6 +73,18 @@ class RangesSuite extends SparkSpec {
     assert(got == want)
   }
 
+  test("strict count_overlaps is exact for point probes among point intervals") {
+    import graft.index.CountOverlapIndex
+    // intervals: [5,5] point, [3,8] containing, [5,9] starting at 5
+    val idx = CountOverlapIndex.build(Array(5L, 3L, 5L), Array(5L, 8L, 9L))
+    // strict probe [5,5] -> adjusted (6,4): only [3,8] strictly contains 5
+    assert(idx.count(6L, 4L) == 1L)
+    // weak probe [5,5]: all three overlap
+    assert(idx.count(5L, 5L) == 3L)
+    // strict probe [4,4] -> adjusted (5,3): [3,8] contains 4 strictly
+    assert(idx.count(5L, 3L) == 1L)
+  }
+
   test("coverage sums covered basepairs over merged left intervals") {
     // chr1 merged reads: [150,300],[300,501]->[150,501]... 150-300 &
     // 300-501 touch (300<=300) -> [150,501] merged with [500,700] (500<=501)
