@@ -1,0 +1,72 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.SparkSession
+import graft.index.NearestIndex
+
+/** Scratch micro-benchmarks (not part of the library surface):
+  * index probe path + targeted query timings with repetition, to
+  * separate operator cost from JVM/run-to-run noise. */
+object Micro {
+  def main(args: Array[String]): Unit = {
+    val rnd = new Random(7)
+    val n = 150000
+    val s = Array.fill(n)(rnd.nextInt(1000000).toLong)
+    val e = s.map(x => x + rnd.nextInt(300))
+    val idx = NearestIndex.build(s, e, Array.range(0, n).map(_.toLong), Array.range(0, n))
+    val probes = Array.fill(4000)(rnd.nextInt(1000000).toLong)
+    var sink = 0L
+    for (warm <- 0 until 3) {
+      val t0 = System.nanoTime()
+      probes.foreach { p =>
+        idx.nearestK(p, p + rnd.nextInt(500), 1, includeOverlaps = false)((pp, d) => sink += pp + d)
+      }
+      println(s"pass $warm: ${(System.nanoTime() - t0) / 1e6} ms for 4000 probes (sink=$sink)")
+    }
+
+    if (args.contains("realprobe")) {
+      // probe the REAL derived data outside Spark to isolate index cost
+      val spark0 = SparkSession.builder().master("local[8]")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark0.sparkContext.setLogLevel("ERROR")
+      val d = args.head
+      val a = Tables.ivA(spark0, d).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val b = Tables.ivBSample(spark0, d).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val byContig = a.groupBy(_._1).map { case (c, rows) =>
+        c -> NearestIndex.build(rows.map(_._2), rows.map(_._3),
+          Array.range(0, rows.length).map(_.toLong), Array.range(0, rows.length))
+      }
+      var sink2 = 0L; var calls = 0L
+      for (pass <- 0 until 2) {
+        val t0 = System.nanoTime()
+        b.foreach { case (c, qs, qe) =>
+          byContig(c).nearestK(qs, qe, 1, includeOverlaps = false) { (p, dd) =>
+            sink2 += p + dd; calls += 1
+          }
+        }
+        println(f"realprobe pass $pass: ${(System.nanoTime() - t0) / 1e6}%.1f ms for ${b.length} probes, $calls emits (sink=$sink2)")
+      }
+      spark0.stop()
+      return
+    }
+
+    if (args.nonEmpty) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val d = args.head
+      val names = args.drop(1)
+      val qs = SparkEntry.queries
+      for (rep <- 0 until 2; nm <- names) {
+        val t0 = System.nanoTime()
+        qs(nm)(spark, d).write.format("noop").mode("overwrite").save()
+        println(f"$nm rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop()
+    }
+  }
+}

@@ -43,6 +43,15 @@ object RangesQueries {
         includeOverlaps = false, tieBreakCol = Some("id"))),
     "f7_complement_view" -> ((s, d) =>
       Ranges.complement(A(s, d), view = Some(Tables.chromView(s, d)))),
+    // 3-name override grammar (table_function.rs:67-189): same join on
+    // renamed interval columns
+    "f1_overlap_custom_cols" -> ((s, d) => {
+      import graft.core.IntervalCols
+      val a = A(s, d).withColumnRenamed("contig", "chromo")
+        .withColumnRenamed("pos_start", "s").withColumnRenamed("pos_end", "e")
+      Ranges.overlap(a, B(s, d),
+        lcols = IntervalCols("chromo", "s", "e"))
+    }),
     "f1_overlap_join_part" -> ((s, d) =>
       Ranges.overlapPartitioned(A(s, d), B(s, d))),
     // transparent SQL rewrite: plain range-join SQL planned as
@@ -113,6 +122,13 @@ object RangesQueries {
       s"WITH $a, $b $overlapPairsSelect AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start ORDER BY left_id, right_id",
     "f1_overlap_join_part" ->
       s"WITH $a, $b $overlapPairsSelect AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start ORDER BY left_id, right_id",
+    "f1_overlap_custom_cols" ->
+      s"""WITH $a, $b SELECT a.contig AS left_chromo, a.pos_start AS left_s,
+         | a.pos_end AS left_e, a.id AS left_id, b.contig AS right_contig,
+         | b.pos_start AS right_pos_start, b.pos_end AS right_pos_end, b.id AS right_id
+         |FROM a JOIN b ON a.contig = b.contig AND a.pos_start <= b.pos_end
+         | AND a.pos_end >= b.pos_start ORDER BY left_id, right_id"""
+        .stripMargin.replace("\n", " "),
     "f2_count_overlaps_strict" ->
       s"WITH $a, $b SELECT b.contig, b.pos_start, b.pos_end, b.id, CAST(COUNT(a.contig) AS BIGINT) AS count FROM b LEFT JOIN a ON a.contig = b.contig AND a.pos_start < b.pos_end AND a.pos_end > b.pos_start GROUP BY b.contig, b.pos_start, b.pos_end, b.id ORDER BY b.id",
     "f4_nearest_nooverlap" ->

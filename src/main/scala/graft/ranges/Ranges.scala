@@ -52,7 +52,11 @@ object Ranges {
       lcols: IntervalCols = IntervalCols.default,
       rcols: IntervalCols = IntervalCols.default,
       op: FilterOp = FilterOp.Weak,
-      bucketWidth: Long = 5000L): DataFrame = {
+      // Tune toward the typical interval length: too-coarse buckets
+      // turn each bucket into a cross product (W=5000 over ~150bp
+      // intervals cost 4.5x at sf0.1), too-fine buckets multiply rows
+      // by length/W.
+      bucketWidth: Long = 1000L): DataFrame = {
     val w = bucketWidth
     def bucketed(df: DataFrame, cols: IntervalCols, prefix: String): DataFrame = {
       val s = col(cols.start).cast("long"); val e = col(cols.end).cast("long")

@@ -36,6 +36,29 @@ object Vep {
   val matchAlleleRelaxedUdf = udf((ref: String, alt: String, alleleString: String) =>
     Allele.matchesRelaxed(ref, alt, alleleString))
 
+  /** S6 VCF sink: serialize an annotated variant table to VCF text
+    * lines (vcf_sink.rs:1-60 role — the reference streams batches to a
+    * file; here each partition renders independently, so
+    * `lines.write.text(path)` scales out and a single-file export is
+    * just coalesce(1)). INFO carries the annotation columns given in
+    * `infoCols` as KEY=value;... pairs, '.' for NULLs. */
+  def toVcfLines(df: DataFrame, infoCols: Seq[String]): DataFrame = {
+    val info =
+      if (infoCols.isEmpty) lit(".")
+      else concat_ws(";", infoCols.map(c =>
+        concat(lit(c.toUpperCase + "="), coalesce(col(c).cast("string"), lit(".")))): _*)
+    df.select(concat_ws("\t",
+      col("chrom"), col("start").cast("string"),
+      coalesce(col("id").cast("string"), lit(".")),
+      col("ref"), col("alt"), lit("."), lit("PASS"), info).as("line"))
+  }
+
+  /** Standard VCF header lines for [[toVcfLines]] output. */
+  def vcfHeader(infoCols: Seq[String]): Seq[String] =
+    Seq("##fileformat=VCFv4.2") ++
+    infoCols.map(c => s"""##INFO=<ID=${c.toUpperCase},Number=1,Type=String,Description="$c">""") :+
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+
   /** Register SQL-callable function names (lib.rs:91-102 equivalents). */
   def registerUdfs(spark: SparkSession): Unit = {
     spark.udf.register("vep_norm_start", vepNormStartUdf)

@@ -93,6 +93,40 @@ class PileupVepSuite extends SparkSpec {
     assert(!Allele.matchesRelaxed("A", "G", "C/T"))      // SNV not relaxed
   }
 
+  test("VCF sink renders tab-separated lines with INFO pairs") {
+    val df = Seq(("chr1", 100L, 1L, "A", "G", "rs1"), ("chr1", 200L, 2L, "C", "T", null))
+      .toDF("chrom", "start", "id", "ref", "alt", "variation_name")
+    val lines = Vep.toVcfLines(df, Seq("variation_name"))
+      .orderBy("line").collect().map(_.getString(0))
+    assert(lines(0) == "chr1\t100\t1\tA\tG\t.\tPASS\tVARIATION_NAME=rs1")
+    assert(lines(1) == "chr1\t200\t2\tC\tT\t.\tPASS\tVARIATION_NAME=.")
+    assert(Vep.vcfHeader(Seq("variation_name")).head == "##fileformat=VCFv4.2")
+  }
+
+  test("annotateRegions classifies crafted variants incl. UTR and splice") {
+    val vcf = Seq(
+      ("chr1", 1500L, 1500L, 1L, "A", "G"),   // inside exon1, before cds_start -> 5' UTR (+)
+      ("chr1", 2500L, 2500L, 2L, "A", "G"),   // inside cds, in exon2 -> coding
+      ("chr1", 2105L, 2105L, 3L, "A", "G"),   // 5bp after exon1 end -> splice_region
+      ("chr1", 2300L, 2300L, 4L, "A", "G"),   // intron (far from boundaries)
+      ("chr1", 900L, 900L, 5L, "A", "G"),     // 100bp before + strand -> upstream
+      ("chr1", 50000L, 50000L, 6L, "A", "G"), // nothing nearby -> intergenic
+    ).toDF("chrom", "start", "end", "id", "ref", "alt")
+    val t = Seq(("chr1", 1000L, 4000L, "T1", 1, "protein_coding", 2000L, 3800L))
+      .toDF("chrom", "start", "end", "transcript_id", "strand", "biotype", "cds_start", "cds_end")
+    val ex = Seq(("T1", 1000L, 2100L), ("T1", 2400L, 3000L), ("T1", 3500L, 4000L))
+      .toDF("transcript_id", "start", "end")
+    val got = Vep.annotateRegions(vcf, t, ex).orderBy("id")
+      .select("id", "most_severe_consequence").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "five_prime_UTR_variant")
+    assert(got(2L) == "coding_sequence_variant")
+    assert(got(3L) == "splice_region_variant")
+    assert(got(4L) == "intron_variant")
+    assert(got(5L) == "upstream_gene_variant")
+    assert(got(6L) == "intergenic_variant")
+  }
+
   test("lookupVariants emits NULL cache cols for cache misses") {
     val vcf = Seq(
       ("chr1", 100L, 1L, "A", "G"),
