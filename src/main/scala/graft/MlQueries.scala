@@ -73,8 +73,9 @@ object MlQueries {
     s"""w AS (SELECT doc_id, string_split($norm, ' ') AS words FROM documents),
        |sh AS (SELECT doc_id, array_to_string(words[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS sh
        |  FROM w, UNNEST(generate_series(1, len(words)-2)) AS t(i) WHERE len(words) >= 3),
-       |mh AS (SELECT doc_id, b, MIN(md5(concat(CAST(b AS VARCHAR), '|', sh))) AS h
-       |  FROM sh, UNNEST(generate_series(0, 7)) AS u(b) GROUP BY doc_id, b),
+       |sh2 AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 7)) AS BIGINT) AS hv FROM sh),
+       |mh AS (SELECT doc_id, b, MIN(((2 * b + 1) * hv + b * 7919 + 13) % 1000000007) AS h
+       |  FROM sh2, UNNEST(generate_series(0, 7)) AS u(b) GROUP BY doc_id, b),
        |pairs AS (SELECT DISTINCT a.doc_id AS id1, bb.doc_id AS id2 FROM mh a
        |  JOIN mh bb ON a.b = bb.b AND a.h = bb.h AND a.doc_id < bb.doc_id)"""
       .stripMargin.replace("\n", " ")

@@ -41,13 +41,6 @@ object Dedup {
       .otherwise(array())
   }
 
-  /** MinHash signature: `bands` independent permutations, each realized
-    * as min over md5(band || '|' || shingle) hex strings. */
-  def minhashSignature(text: Column, k: Int, bands: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => array_min(transform(shingles(text, k),
-        s => md5(concat(b.cast("string"), lit("|"), s).cast("binary")))))
-
   /** Exploded (id, shingle) rows — the shingle array is constructed
     * ONCE per document here; band fan-out happens on the exploded rows
     * (an inner-transform formulation re-evaluates the whole
@@ -55,13 +48,18 @@ object Dedup {
   private def explodedShingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
     df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("sh"))
 
-  /** Per-(doc, band) minhash rows. */
+  /** Per-(doc, band) minhash rows: ONE md5 per shingle occurrence
+    * yields a 28-bit base hash; each band applies an affine universal
+    * hash `(2b+1)*H + 7919b + 13 mod 1e9+7` (integer arithmetic both
+    * engines reproduce exactly; an md5-per-band variant costs 8x the
+    * hashing). */
   private[dedup] def minhashRows(df: DataFrame, textCol: String, idCol: String,
       k: Int, bands: Int): DataFrame =
     explodedShingles(df, textCol, idCol, k)
-      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sh"))
+      .withColumn("hv", conv(substring(md5(col("sh").cast("binary")), 1, 7), 16, 10).cast("long"))
+      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("hv"))
       .groupBy(col("id"), col("band"))
-      .agg(min(md5(concat(col("band").cast("string"), lit("|"), col("sh")).cast("binary"))).as("h"))
+      .agg(min(((col("band") * 2 + 1) * col("hv") + col("band") * 7919 + 13) % 1000000007L).as("h"))
 
   /** LSH candidate pairs: documents sharing any minhash band value
     * (banding with r=1 rows/band). Output distinct (id1 < id2).
