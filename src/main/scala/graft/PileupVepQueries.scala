@@ -49,8 +49,17 @@ object PileupVepQueries {
     * exon-existence flag, CASE term, min SO rank per variant. */
   private val annotateRegionsSql: String = {
     import Oracle.{vcf => vcfCte, transcripts => tCte, exons => exCte}
+    import graft.vep.CodonLogic
+    val (aaR, aaA) = CodonLogic.aminoAcids(CodonLogic.DuckD,
+      "chrom", "vs", "cs", "strand", "valt")
+    val aaRefSql = CodonLogic.fixDiv(CodonLogic.DuckD, aaR)
+    val aaAltSql = CodonLogic.fixDiv(CodonLogic.DuckD, aaA)
+    val snvInCds = "length(vref) = 1 AND length(valt) = 1 " +
+      "AND vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'protein_coding' " +
+      "AND vs >= cs AND ve <= ce"
     s"""WITH $vcfCte, $tCte, $exCte,
        |cand AS (SELECT v.id AS vid, v.chrom, v.start AS vs, v."end" AS ve,
+       |  v.ref AS vref, v.alt AS valt,
        |  t.start AS ts, t."end" AS te, t.transcript_id, t.strand, t.biotype,
        |  t.cds_start AS cs, t.cds_end AS ce
        | FROM v JOIN t ON v.chrom = t.chrom AND t.start - 5000 <= v."end" AND t."end" + 5000 >= v.start),
@@ -63,6 +72,10 @@ object PileupVepQueries {
        |   AND ex.start - 8 <= cand.ve AND ex."end" + 8 >= cand.vs
        | GROUP BY ALL),
        |terms AS (SELECT vid, transcript_id, CASE
+       |  WHEN $snvInCds AND ($aaAltSql) = '*' AND ($aaRefSql) <> '*' THEN 'stop_gained'
+       |  WHEN $snvInCds AND ($aaRefSql) = '*' AND ($aaAltSql) <> '*' THEN 'stop_lost'
+       |  WHEN $snvInCds AND ($aaRefSql) = ($aaAltSql) THEN 'synonymous_variant'
+       |  WHEN $snvInCds THEN 'missense_variant'
        |  WHEN vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'protein_coding' AND ve < cs
        |   THEN (CASE WHEN strand = 1 THEN 'five_prime_UTR_variant' ELSE 'three_prime_UTR_variant' END)
        |  WHEN vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'protein_coding' AND vs > ce
@@ -74,6 +87,8 @@ object PileupVepQueries {
        |  WHEN (strand = 1 AND ve < ts) OR (strand = -1 AND vs > te) THEN 'upstream_gene_variant'
        |  ELSE 'downstream_gene_variant' END AS term FROM wex),
        |ranked AS (SELECT vid, transcript_id, term, CASE term
+       |  WHEN 'stop_gained' THEN 3 WHEN 'stop_lost' THEN 5
+       |  WHEN 'missense_variant' THEN 12 WHEN 'synonymous_variant' THEN 21
        |  WHEN 'splice_region_variant' THEN 15 WHEN 'coding_sequence_variant' THEN 22
        |  WHEN 'five_prime_UTR_variant' THEN 24 WHEN 'three_prime_UTR_variant' THEN 25
        |  WHEN 'non_coding_transcript_exon_variant' THEN 26 WHEN 'intron_variant' THEN 27
@@ -83,7 +98,9 @@ object PileupVepQueries {
        |    ORDER BY concat(transcript_id, ':', term)) AS csq
        | FROM ranked GROUP BY vid)
        |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
-       | CASE best.best WHEN 15 THEN 'splice_region_variant'
+       | CASE best.best WHEN 3 THEN 'stop_gained' WHEN 5 THEN 'stop_lost'
+       |  WHEN 12 THEN 'missense_variant' WHEN 21 THEN 'synonymous_variant'
+       |  WHEN 15 THEN 'splice_region_variant'
        |  WHEN 22 THEN 'coding_sequence_variant'
        |  WHEN 24 THEN 'five_prime_UTR_variant' WHEN 25 THEN 'three_prime_UTR_variant'
        |  WHEN 26 THEN 'non_coding_transcript_exon_variant'

@@ -1,0 +1,83 @@
+package graft.vep
+
+/** Codon-level consequence machinery for SNVs in coding sequence —
+  * the first codon/protein layer of the reference's
+  * TranscriptConsequenceEngine (transcript_consequence.rs; SO terms
+  * stop_gained/stop_lost/missense/synonymous at ranks 3/5/12/21 in
+  * so_terms.rs:58-100).
+  *
+  * The reference reads genomic sequence from FASTA; this container
+  * ships none, so the reference sequence is DERIVED deterministically:
+  * `base(chrom,pos) = 'ACGT'[hexdigit(md5(chrom||':'||pos)) mod 4]`.
+  * Both engines (Spark for execution, DuckDB for the oracle) compute
+  * the identical sequence, which makes the codon pipeline — codon
+  * addressing, strand-aware reverse complement, translation, term
+  * assignment — fully verifiable even without a real genome. Swapping
+  * in FASTA-backed bases later only replaces the `seq` fragment.
+  *
+  * Simplification (documented): the CDS is treated as a contiguous
+  * genomic span (no intron-aware cDNA mapping yet — that is the next
+  * F11 phase).
+  */
+object CodonLogic {
+
+  /** Standard genetic code, DNA alphabet, '*' = stop. */
+  val codonTable: Map[String, String] = {
+    val bases = "TCAG"
+    val aas = "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"
+    (for {
+      (b1, i1) <- bases.zipWithIndex
+      (b2, i2) <- bases.zipWithIndex
+      (b3, i3) <- bases.zipWithIndex
+    } yield s"$b1$b2$b3" -> aas(i1 * 16 + i2 * 4 + i3).toString).toMap
+  }
+
+  sealed trait Dialect { def castStr: String; def hexDigit(inner: String): String }
+  case object SparkD extends Dialect {
+    val castStr = "STRING"
+    def hexDigit(inner: String): String = s"CAST(conv($inner, 16, 10) AS INT)"
+  }
+  case object DuckD extends Dialect {
+    val castStr = "VARCHAR"
+    def hexDigit(inner: String): String = s"CAST(strpos('0123456789abcdef', $inner) - 1 AS INT)"
+  }
+
+  /** Derived reference base at (chrom, pos). */
+  def seq(d: Dialect, chrom: String, pos: String): String = {
+    val digit = d.hexDigit(s"substr(md5(concat($chrom, ':', CAST($pos AS ${d.castStr}))), 1, 1)")
+    s"substr('ACGT', 1 + $digit % 4, 1)"
+  }
+
+  /** Reverse complement (both engines share reverse + translate). */
+  def rc(x: String): String = s"reverse(translate($x, 'ACGT', 'TGCA'))"
+
+  /** CASE translating a codon SQL string to an amino acid (identical
+    * text in both dialects). */
+  def aa(codonSql: String): String =
+    s"CASE $codonSql " +
+      codonTable.toSeq.sorted.map { case (c, a) => s"WHEN '$c' THEN '$a'" }.mkString(" ") +
+      " ELSE 'X' END"
+
+  /** SQL fragments for the effective (strand-aware) ref/alt amino
+    * acids of an SNV at `vs` inside a contiguous CDS starting at `cs`
+    * on `chrom` with `strand` (+1/-1) and alt allele `alt`.
+    * All argument strings are column references valid in the target
+    * query scope. */
+  def aminoAcids(d: Dialect, chrom: String, vs: String, cs: String,
+      strand: String, alt: String): (String, String) = {
+    val c0 = s"($cs + (($vs - $cs) DIV 3) * 3)"
+    val off = s"(($vs - $cs) % 3)"
+    val b = (i: Int) => seq(d, chrom, s"($c0 + $i)")
+    val refCodon = s"concat(${b(0)}, ${b(1)}, ${b(2)})"
+    val altCodon =
+      s"(CASE $off WHEN 0 THEN concat($alt, ${b(1)}, ${b(2)}) " +
+      s"WHEN 1 THEN concat(${b(0)}, $alt, ${b(2)}) " +
+      s"ELSE concat(${b(0)}, ${b(1)}, $alt) END)"
+    val eff = (c: String) => s"(CASE WHEN $strand = 1 THEN $c ELSE ${rc(c)} END)"
+    (aa(eff(refCodon)), aa(eff(altCodon)))
+  }
+
+  /** DuckDB spells integer division differently. */
+  def fixDiv(d: Dialect, sql: String): String =
+    if (d == DuckD) sql.replace(" DIV ", " // ") else sql
+}

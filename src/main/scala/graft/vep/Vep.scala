@@ -81,6 +81,10 @@ object Vep {
     * engine (codon/protein effects, HGVS) is the phased F11 remainder
     * (SURVEY.md §7.2 step 8). */
   val soRank: Map[String, Int] = Map(
+    "stop_gained" -> 3,
+    "stop_lost" -> 5,
+    "missense_variant" -> 12,
+    "synonymous_variant" -> 21,
     "splice_region_variant" -> 15,
     "coding_sequence_variant" -> 22,
     "five_prime_UTR_variant" -> 24,
@@ -119,7 +123,8 @@ object Vep {
       upstreamDistance: Long = 5000L): DataFrame = {
     val d = upstreamDistance
     val v = vcf.select(col("chrom").as("_vc"), col("start").cast("long").as("_vs"),
-      col("end").cast("long").as("_ve"), col("id").as("_vid"))
+      col("end").cast("long").as("_ve"), col("id").as("_vid"),
+      col("ref").as("_vref"), col("alt").as("_valt"))
     val t = transcripts.select(col("chrom").as("_tc"), col("start").cast("long").as("_ts"),
       col("end").cast("long").as("_te"), col("transcript_id").as("_tid"),
       col("strand").as("_strand"), col("biotype").as("_bt"),
@@ -137,7 +142,8 @@ object Vep {
         col("_es") - 8 <= col("_ve") && col("_ee") + 8 >= col("_vs"),
         "left")
       .groupBy(col("_vid"), col("_tid"), col("_vc"), col("_vs"), col("_ve"),
-        col("_ts"), col("_te"), col("_strand"), col("_bt"), col("_cs"), col("_ce"))
+        col("_ts"), col("_te"), col("_strand"), col("_bt"), col("_cs"), col("_ce"),
+        col("_vref"), col("_valt"))
       .agg(
         max(when(col("_etid").isNotNull && exOverlap, 1).otherwise(0)).as("_in_exon"),
         max(when(col("_etid").isNotNull && !exOverlap, 1).otherwise(0)).as("_near_splice"))
@@ -145,8 +151,22 @@ object Vep {
     val upstream = (col("_strand") === 1 && col("_ve") < col("_ts")) ||
       (col("_strand") === -1 && col("_vs") > col("_te"))
     val inCodingExon = overlaps && col("_in_exon") === 1 && col("_bt") === "protein_coding"
+    // codon layer: SNVs inside the CDS span get protein-level terms
+    // from the derived reference sequence (CodonLogic)
+    val snv = length(col("_vref")) === 1 && length(col("_valt")) === 1
+    val inCds = inCodingExon && col("_vs") >= col("_cs") && col("_ve") <= col("_ce")
+    val (aaRefSql, aaAltSql) = CodonLogic.aminoAcids(
+      CodonLogic.SparkD, "_vc", "_vs", "_cs", "_strand", "_valt")
+    // materialized as columns so the 64-way codon CASE is evaluated
+    // once per candidate, not re-inlined into every term branch
+    // (CollapseProject keeps non-cheap expressions separate)
+    val aaRef = col("_aaref"); val aaAlt = col("_aaalt")
     val term =
-      when(inCodingExon && col("_ve") < col("_cs"),
+      when(inCds && snv && aaAlt === "*" && aaRef =!= "*", lit("stop_gained"))
+      .when(inCds && snv && aaRef === "*" && aaAlt =!= "*", lit("stop_lost"))
+      .when(inCds && snv && aaRef === aaAlt, lit("synonymous_variant"))
+      .when(inCds && snv, lit("missense_variant"))
+      .when(inCodingExon && col("_ve") < col("_cs"),
         when(col("_strand") === 1, lit("five_prime_UTR_variant"))
           .otherwise(lit("three_prime_UTR_variant")))
       .when(inCodingExon && col("_vs") > col("_ce"),
@@ -162,6 +182,8 @@ object Vep {
       when(col("_term") === name, lit(r)).otherwise(acc)
     }
     val perVariant = withExon
+      .withColumn("_aaref", expr(aaRefSql))
+      .withColumn("_aaalt", expr(aaAltSql))
       .withColumn("_term", term)
       .withColumn("_rank", rank)
       .groupBy(col("_vid"))

@@ -120,11 +120,47 @@ class PileupVepSuite extends SparkSpec {
       .select("id", "most_severe_consequence").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) == "five_prime_UTR_variant")
-    assert(got(2L) == "coding_sequence_variant")
+    // SNV in CDS now resolves to a codon-level term
+    assert(Set("synonymous_variant", "missense_variant", "stop_gained", "stop_lost")
+      .contains(got(2L)))
     assert(got(3L) == "splice_region_variant")
     assert(got(4L) == "intron_variant")
     assert(got(5L) == "upstream_gene_variant")
     assert(got(6L) == "intergenic_variant")
+  }
+
+  test("codon layer matches a Scala-side oracle of the derived sequence") {
+    import graft.vep.CodonLogic
+    def base(chrom: String, pos: Long): Char = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$chrom:$pos".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      "ACGT".charAt(Integer.parseInt(hex.substring(0, 1), 16) % 4)
+    }
+    // transcript: chr1 [1000,4000], + strand, cds [2000,3800]
+    val positions = Seq(2500L, 2501L, 2502L, 2600L, 2750L)
+    val vcf = positions.zipWithIndex.map { case (p, i) =>
+      ("chr1", p, p, i.toLong, "A", "G")
+    }.toDF("chrom", "start", "end", "id", "ref", "alt")
+    val t = Seq(("chr1", 1000L, 4000L, "T1", 1, "protein_coding", 2000L, 3800L))
+      .toDF("chrom", "start", "end", "transcript_id", "strand", "biotype", "cds_start", "cds_end")
+    val ex = Seq(("T1", 1000L, 4000L)).toDF("transcript_id", "start", "end")
+    val got = Vep.annotateRegions(vcf, t, ex)
+      .select("id", "most_severe_consequence").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    positions.zipWithIndex.foreach { case (p, i) =>
+      val off = (p - 2000) % 3
+      val c0 = 2000 + ((p - 2000) / 3) * 3
+      val refCodon = (0 to 2).map(j => base("chr1", c0 + j)).mkString
+      val altCodon = refCodon.updated(off.toInt, 'G')
+      val (ra, aa) = (CodonLogic.codonTable(refCodon), CodonLogic.codonTable(altCodon))
+      val expected =
+        if (aa == "*" && ra != "*") "stop_gained"
+        else if (ra == "*" && aa != "*") "stop_lost"
+        else if (ra == aa) "synonymous_variant"
+        else "missense_variant"
+      assert(got(i.toLong) == expected, s"pos=$p refCodon=$refCodon altCodon=$altCodon")
+    }
   }
 
   test("lookupVariants emits NULL cache cols for cache misses") {
