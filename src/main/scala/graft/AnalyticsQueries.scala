@@ -103,6 +103,19 @@ object AnalyticsQueries {
         .where(col("rk") <= 10)
         .select(col("user_id"), col("n"), col("total_milli"), col("rk").cast("int").as("rk"))
     }),
+    // rollup (reference has no grouping sets — Spark built-in, §2.7)
+    "a_rollup" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(expr("CAST(l_quantity AS BIGINT)")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    // semi-structured props extraction (training-pipeline metadata path)
+    "a_json_extract" -> ((s, d) =>
+      Tables.load(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy(col("event_id"))),
     "a_count_distinct" -> ((s, d) =>
       Tables.load(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -168,6 +181,16 @@ object AnalyticsQueries {
          |SELECT user_id, n, CAST(total_milli AS BIGINT) AS total_milli, CAST(rk AS INT) AS rk FROM
          | (SELECT *, ROW_NUMBER() OVER (ORDER BY total_milli DESC, user_id) AS rk FROM e)
          |WHERE rk <= 10 ORDER BY rk""".stripMargin.replace("\n", " "),
+    "a_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin.replace("\n", " "),
+    "a_json_extract" ->
+      s"""SELECT event_id, json_extract_string(props, '$$.k') AS k_str,
+         | CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k_val
+         |FROM events ORDER BY event_id""".stripMargin.replace("\n", " "),
     "a_count_distinct" ->
       s"""SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
          | CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps, CAST(COUNT(*) AS BIGINT) AS n_rows

@@ -54,9 +54,9 @@ object PileupVepQueries {
       "chrom", "vs", "cs", "strand", "valt")
     val aaRefSql = CodonLogic.fixDiv(CodonLogic.DuckD, aaR)
     val aaAltSql = CodonLogic.fixDiv(CodonLogic.DuckD, aaA)
-    val snvInCds = "length(vref) = 1 AND length(valt) = 1 " +
-      "AND vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'protein_coding' " +
+    val inCdsAny = "vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'protein_coding' " +
       "AND vs >= cs AND ve <= ce"
+    val snvInCds = s"length(vref) = 1 AND length(valt) = 1 AND $inCdsAny"
     s"""WITH $vcfCte, $tCte, $exCte,
        |cand AS (SELECT v.id AS vid, v.chrom, v.start AS vs, v."end" AS ve,
        |  v.ref AS vref, v.alt AS valt,
@@ -76,6 +76,9 @@ object PileupVepQueries {
        |  WHEN $snvInCds AND ($aaRefSql) = '*' AND ($aaAltSql) <> '*' THEN 'stop_lost'
        |  WHEN $snvInCds AND ($aaRefSql) = ($aaAltSql) THEN 'synonymous_variant'
        |  WHEN $snvInCds THEN 'missense_variant'
+       |  WHEN $inCdsAny AND (length(valt) - length(vref)) % 3 <> 0 THEN 'frameshift_variant'
+       |  WHEN $inCdsAny AND length(valt) > length(vref) THEN 'inframe_insertion'
+       |  WHEN $inCdsAny AND length(valt) < length(vref) THEN 'inframe_deletion'
        |  WHEN vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'protein_coding' AND ve < cs
        |   THEN (CASE WHEN strand = 1 THEN 'five_prime_UTR_variant' ELSE 'three_prime_UTR_variant' END)
        |  WHEN vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'protein_coding' AND vs > ce
@@ -87,7 +90,8 @@ object PileupVepQueries {
        |  WHEN (strand = 1 AND ve < ts) OR (strand = -1 AND vs > te) THEN 'upstream_gene_variant'
        |  ELSE 'downstream_gene_variant' END AS term FROM wex),
        |ranked AS (SELECT vid, transcript_id, term, CASE term
-       |  WHEN 'stop_gained' THEN 3 WHEN 'stop_lost' THEN 5
+       |  WHEN 'stop_gained' THEN 3 WHEN 'frameshift_variant' THEN 4 WHEN 'stop_lost' THEN 5
+       |  WHEN 'inframe_insertion' THEN 10 WHEN 'inframe_deletion' THEN 11
        |  WHEN 'missense_variant' THEN 12 WHEN 'synonymous_variant' THEN 21
        |  WHEN 'splice_region_variant' THEN 15 WHEN 'coding_sequence_variant' THEN 22
        |  WHEN 'five_prime_UTR_variant' THEN 24 WHEN 'three_prime_UTR_variant' THEN 25
@@ -98,7 +102,9 @@ object PileupVepQueries {
        |    ORDER BY concat(transcript_id, ':', term)) AS csq
        | FROM ranked GROUP BY vid)
        |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
-       | CASE best.best WHEN 3 THEN 'stop_gained' WHEN 5 THEN 'stop_lost'
+       | CASE best.best WHEN 3 THEN 'stop_gained' WHEN 4 THEN 'frameshift_variant'
+       |  WHEN 5 THEN 'stop_lost'
+       |  WHEN 10 THEN 'inframe_insertion' WHEN 11 THEN 'inframe_deletion'
        |  WHEN 12 THEN 'missense_variant' WHEN 21 THEN 'synonymous_variant'
        |  WHEN 15 THEN 'splice_region_variant'
        |  WHEN 22 THEN 'coding_sequence_variant'

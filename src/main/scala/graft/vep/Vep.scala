@@ -82,7 +82,10 @@ object Vep {
     * (SURVEY.md §7.2 step 8). */
   val soRank: Map[String, Int] = Map(
     "stop_gained" -> 3,
+    "frameshift_variant" -> 4,
     "stop_lost" -> 5,
+    "inframe_insertion" -> 10,
+    "inframe_deletion" -> 11,
     "missense_variant" -> 12,
     "synonymous_variant" -> 21,
     "splice_region_variant" -> 15,
@@ -161,11 +164,17 @@ object Vep {
     // once per candidate, not re-inlined into every term branch
     // (CollapseProject keeps non-cheap expressions separate)
     val aaRef = col("_aaref"); val aaAlt = col("_aaalt")
+    // indel classes inside the CDS need only length arithmetic
+    // (so_terms.rs: frameshift rank 4, inframe ins/del 10/11)
+    val lenDiff = length(col("_valt")) - length(col("_vref"))
     val term =
       when(inCds && snv && aaAlt === "*" && aaRef =!= "*", lit("stop_gained"))
       .when(inCds && snv && aaRef === "*" && aaAlt =!= "*", lit("stop_lost"))
       .when(inCds && snv && aaRef === aaAlt, lit("synonymous_variant"))
       .when(inCds && snv, lit("missense_variant"))
+      .when(inCds && lenDiff % 3 =!= 0, lit("frameshift_variant"))
+      .when(inCds && lenDiff > 0, lit("inframe_insertion"))
+      .when(inCds && lenDiff < 0, lit("inframe_deletion"))
       .when(inCodingExon && col("_ve") < col("_cs"),
         when(col("_strand") === 1, lit("five_prime_UTR_variant"))
           .otherwise(lit("three_prime_UTR_variant")))
