@@ -50,10 +50,12 @@ object PileupVepQueries {
   private val annotateRegionsSql: String = {
     import Oracle.{vcf => vcfCte, transcripts => tCte, exons => exCte}
     import graft.vep.CodonLogic
-    val (aaR, aaA) = CodonLogic.aminoAcids(CodonLogic.DuckD,
+    val (refC, altC) = CodonLogic.codons(CodonLogic.DuckD,
       "chrom", "vs", "cs", "strand", "valt")
-    val aaRefSql = CodonLogic.fixDiv(CodonLogic.DuckD, aaR)
-    val aaAltSql = CodonLogic.fixDiv(CodonLogic.DuckD, aaA)
+    val refCodonSql = CodonLogic.fixDiv(CodonLogic.DuckD, refC)
+    val altCodonSql = CodonLogic.fixDiv(CodonLogic.DuckD, altC)
+    val aaRefSql = CodonLogic.aa(CodonLogic.DuckD, "refcodon")
+    val aaAltSql = CodonLogic.aa(CodonLogic.DuckD, "altcodon")
     val inCdsAny = "vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'protein_coding' " +
       "AND vs >= cs AND ve <= ce"
     val snvInCds = s"length(vref) = 1 AND length(valt) = 1 AND $inCdsAny"
@@ -71,6 +73,7 @@ object PileupVepQueries {
        | FROM cand LEFT JOIN ex ON ex.transcript_id = cand.transcript_id
        |   AND ex.start - 8 <= cand.ve AND ex."end" + 8 >= cand.vs
        | GROUP BY ALL),
+       |wex2 AS (SELECT wex.*, $refCodonSql AS refcodon, $altCodonSql AS altcodon FROM wex),
        |terms AS (SELECT vid, transcript_id, CASE
        |  WHEN $snvInCds AND ($aaAltSql) = '*' AND ($aaRefSql) <> '*' THEN 'stop_gained'
        |  WHEN $snvInCds AND ($aaRefSql) = '*' AND ($aaAltSql) <> '*' THEN 'stop_lost'
@@ -88,7 +91,7 @@ object PileupVepQueries {
        |  WHEN vs <= te AND ve >= ts AND near_splice = 1 THEN 'splice_region_variant'
        |  WHEN vs <= te AND ve >= ts THEN 'intron_variant'
        |  WHEN (strand = 1 AND ve < ts) OR (strand = -1 AND vs > te) THEN 'upstream_gene_variant'
-       |  ELSE 'downstream_gene_variant' END AS term FROM wex),
+       |  ELSE 'downstream_gene_variant' END AS term FROM wex2),
        |ranked AS (SELECT vid, transcript_id, term, CASE term
        |  WHEN 'stop_gained' THEN 3 WHEN 'frameshift_variant' THEN 4 WHEN 'stop_lost' THEN 5
        |  WHEN 'inframe_insertion' THEN 10 WHEN 'inframe_deletion' THEN 11

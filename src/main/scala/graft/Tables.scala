@@ -105,9 +105,12 @@ object Tables {
          WHEN 2 THEN 'uncertain' ELSE NULL END AS clin_sig""")
 
   /** Derived transcript context (FIXTURES.md §6 subset): one
-    * transcript per supplier row, strand/biotype cycling. */
+    * transcript per 10th supplier row (unsampled, sf0.1 yields ~675
+    * overlapping transcripts per variant — a density no genome has —
+    * and the codon layer pays 6 md5 + 2 codon CASEs per candidate),
+    * strand/biotype cycling. */
   def transcripts(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "supplier").selectExpr(
+    load(spark, dir, "supplier").where("s_suppkey % 10 = 0").selectExpr(
       "concat('chr', CAST(s_suppkey % 2 AS STRING)) AS chrom",
       "CAST((s_suppkey * 7919) % 100000 + 1 AS BIGINT) AS start",
       "CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 AS BIGINT) AS `end`",
@@ -205,7 +208,7 @@ object Oracle {
       | CASE WHEN s_suppkey % 3 = 0 THEN 'protein_coding' ELSE 'lncRNA' END AS biotype,
       | CAST((s_suppkey * 7919) % 100000 + 1 + 500 + s_suppkey % 200 AS BIGINT) AS cds_start,
       | CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 - 500 - s_suppkey % 300 AS BIGINT) AS cds_end
-      | FROM supplier)""".stripMargin.replace("\n", " ")
+      | FROM supplier WHERE s_suppkey % 10 = 0)""".stripMargin.replace("\n", " ")
 
   val exons: String =
     """ex AS (SELECT transcript_id,

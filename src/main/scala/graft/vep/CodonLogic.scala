@@ -32,15 +32,27 @@ object CodonLogic {
     } yield s"$b1$b2$b3" -> aas(i1 * 16 + i2 * 4 + i3).toString).toMap
   }
 
-  sealed trait Dialect { def castStr: String; def hexDigit(inner: String): String }
+  sealed trait Dialect {
+    def castStr: String
+    def hexDigit(inner: String): String
+    /** 1-based position of `sub` in `str`, 0 when absent. */
+    def strIndex(str: String, sub: String): String
+  }
   case object SparkD extends Dialect {
     val castStr = "STRING"
     def hexDigit(inner: String): String = s"CAST(conv($inner, 16, 10) AS INT)"
+    def strIndex(str: String, sub: String): String = s"instr($str, $sub)"
   }
   case object DuckD extends Dialect {
     val castStr = "VARCHAR"
     def hexDigit(inner: String): String = s"CAST(strpos('0123456789abcdef', $inner) - 1 AS INT)"
+    def strIndex(str: String, sub: String): String = s"strpos($str, $sub)"
   }
+
+  /** The 64 amino acids in TCAG-nested codon order (index =
+    * 16*b1 + 4*b2 + b3 with T=0 C=1 A=2 G=3). */
+  val aaString: String =
+    "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"
 
   /** Derived reference base at (chrom, pos). */
   def seq(d: Dialect, chrom: String, pos: String): String = {
@@ -51,19 +63,24 @@ object CodonLogic {
   /** Reverse complement (both engines share reverse + translate). */
   def rc(x: String): String = s"reverse(translate($x, 'ACGT', 'TGCA'))"
 
-  /** CASE translating a codon SQL string to an amino acid (identical
-    * text in both dialects). */
-  def aa(codonSql: String): String =
-    s"CASE $codonSql " +
-      codonTable.toSeq.sorted.map { case (c, a) => s"WHEN '$c' THEN '$a'" }.mkString(" ") +
-      " ELSE 'X' END"
+  /** Translate a codon SQL string to an amino acid by indexing into
+    * [[aaString]] — pure arithmetic instead of a 64-way CASE (which
+    * exceeds whole-stage-codegen limits and falls back to interpreted
+    * eval; this stays codegen'd). Dialect only differs in the
+    * substring-position function name. */
+  def aa(d: Dialect, codonSql: String): String = {
+    def pos(i: Int) = s"(${d.strIndex("'TCAG'", s"substr($codonSql, $i, 1)")} - 1)"
+    s"substr('$aaString', 1 + ${pos(1)} * 16 + ${pos(2)} * 4 + ${pos(3)}, 1)"
+  }
 
-  /** SQL fragments for the effective (strand-aware) ref/alt amino
-    * acids of an SNV at `vs` inside a contiguous CDS starting at `cs`
-    * on `chrom` with `strand` (+1/-1) and alt allele `alt`.
-    * All argument strings are column references valid in the target
-    * query scope. */
-  def aminoAcids(d: Dialect, chrom: String, vs: String, cs: String,
+  /** SQL fragments for the effective (strand-aware) ref/alt CODONS of
+    * an SNV at `vs` inside a contiguous CDS starting at `cs` on
+    * `chrom` with `strand` (+1/-1) and alt allele `alt`. Materialize
+    * these as columns, then apply [[aa]] to the column names — that
+    * keeps the md5-bearing codon expression evaluated once. All
+    * argument strings are column references valid in the target query
+    * scope. */
+  def codons(d: Dialect, chrom: String, vs: String, cs: String,
       strand: String, alt: String): (String, String) = {
     val c0 = s"($cs + (($vs - $cs) DIV 3) * 3)"
     val off = s"(($vs - $cs) % 3)"
@@ -74,7 +91,7 @@ object CodonLogic {
       s"WHEN 1 THEN concat(${b(0)}, $alt, ${b(2)}) " +
       s"ELSE concat(${b(0)}, ${b(1)}, $alt) END)"
     val eff = (c: String) => s"(CASE WHEN $strand = 1 THEN $c ELSE ${rc(c)} END)"
-    (aa(eff(refCodon)), aa(eff(altCodon)))
+    (eff(refCodon), eff(altCodon))
   }
 
   /** DuckDB spells integer division differently. */

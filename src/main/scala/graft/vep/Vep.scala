@@ -158,11 +158,12 @@ object Vep {
     // from the derived reference sequence (CodonLogic)
     val snv = length(col("_vref")) === 1 && length(col("_valt")) === 1
     val inCds = inCodingExon && col("_vs") >= col("_cs") && col("_ve") <= col("_ce")
-    val (aaRefSql, aaAltSql) = CodonLogic.aminoAcids(
+    val (refCodonSql, altCodonSql) = CodonLogic.codons(
       CodonLogic.SparkD, "_vc", "_vs", "_cs", "_strand", "_valt")
-    // materialized as columns so the 64-way codon CASE is evaluated
-    // once per candidate, not re-inlined into every term branch
-    // (CollapseProject keeps non-cheap expressions separate)
+    // codons materialized as columns so the md5-bearing expressions are
+    // evaluated once per candidate, not re-inlined into every term
+    // branch (CollapseProject keeps non-cheap projections separate);
+    // translation is then cheap index arithmetic that stays codegen'd
     val aaRef = col("_aaref"); val aaAlt = col("_aaalt")
     // indel classes inside the CDS need only length arithmetic
     // (so_terms.rs: frameshift rank 4, inframe ins/del 10/11)
@@ -191,8 +192,10 @@ object Vep {
       when(col("_term") === name, lit(r)).otherwise(acc)
     }
     val perVariant = withExon
-      .withColumn("_aaref", expr(aaRefSql))
-      .withColumn("_aaalt", expr(aaAltSql))
+      .withColumn("_refcodon", expr(refCodonSql))
+      .withColumn("_altcodon", expr(altCodonSql))
+      .withColumn("_aaref", expr(CodonLogic.aa(CodonLogic.SparkD, "_refcodon")))
+      .withColumn("_aaalt", expr(CodonLogic.aa(CodonLogic.SparkD, "_altcodon")))
       .withColumn("_term", term)
       .withColumn("_rank", rank)
       .groupBy(col("_vid"))
