@@ -24,7 +24,15 @@ object Bench {
     // warm the JVM + parquet footers once so per-query numbers measure
     // the operators, not first-touch class loading
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset for local iteration: SPARK_GRAFT_ONLY=q1,q2
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      // off-the-clock GC between queries: dropped plan references let
+      // the ContextCleaner reap prior broadcasts so query N doesn't
+      // pay query N-1's heap
+      System.gc()
       val t0 = System.nanoTime()
       val sec =
         try {

@@ -172,7 +172,18 @@ case class BroadcastIntervalJoinExec(
     val sLe = strictLe; val sGe = strictGe
     val outAttrs = output
 
-    right.execute().mapPartitions { it =>
+    // Round-robin repartition when the probe scan under-parallelizes
+    // (small parquet file -> one partition would serialize the whole
+    // probe); mirrors the reference's RoundRobinBatch repartition of
+    // the probe side (count_overlaps.rs:143-154). No-op at scale.
+    val rightRdd0 = right.execute()
+    val target = sparkContext.defaultParallelism
+    val rightRdd =
+      if (rightRdd0.getNumPartitions < target)
+        rightRdd0.map(_.copy()).repartition(target)
+      else rightRdd0
+
+    rightRdd.mapPartitions { it =>
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs.map(_.dataType).toArray)
       val leftRows = bcRows.value

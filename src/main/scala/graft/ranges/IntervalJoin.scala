@@ -61,6 +61,61 @@ object IntervalJoin {
     df.sparkSession.createDataFrame(rdd, schema2)
   }
 
+  /** Round-robin repartition of the probe side up to the session's
+    * default parallelism when the scan would otherwise
+    * under-parallelize (a few-MB parquet file reads as ONE partition
+    * under the default 128 MB maxPartitionBytes, serializing the whole
+    * probe+explode pipeline). The reference repartitions its probe side
+    * identically (count_overlaps.rs:143-154 RoundRobinBatch). At scale
+    * the probe side already carries >= parallelism partitions and this
+    * is a no-op — never a second shuffle. */
+  private def parallelizeProbe(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** CollectLeft build side in ONE scan: collect the full build rows,
+    * derive (a) per-contig coordinate arrays for the broadcast index
+    * and (b) a LocalRelation copy of the rows + dense `_lidx` that
+    * becomes the build side of the final broadcast hash join — the
+    * reference's collect_left_input ships whole batches the same way
+    * (interval_join.rs:584-668). Replaces the previous
+    * withRowIndex-then-collect-then-broadcast shape, which scanned the
+    * build side three times (zipWithIndex job, coords collect,
+    * broadcast exchange). */
+  private def collectBuild(
+      df: DataFrame, cols: IntervalCols, tieBreakCol: Option[String] = None)
+      : (mutable.LinkedHashMap[String, (Array[Long], Array[Long], Array[Int], Array[Long])], DataFrame) = {
+    val rows = df.collect()
+    val ci = df.schema.fieldIndex(cols.contig)
+    val si = df.schema.fieldIndex(cols.start)
+    val ei = df.schema.fieldIndex(cols.end)
+    val ti = tieBreakCol.map(df.schema.fieldIndex)
+    val groups = mutable.LinkedHashMap.empty[String,
+      (mutable.ArrayBuffer[Long], mutable.ArrayBuffer[Long], mutable.ArrayBuffer[Int], mutable.ArrayBuffer[Long])]
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      val g = groups.getOrElseUpdate(r.getString(ci),
+        (mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty,
+         mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
+      g._1 += asLong(r.get(si), cols.start)
+      g._2 += asLong(r.get(ei), cols.end)
+      g._3 += i
+      g._4 += (ti match { case Some(t) => asLong(r.get(t), "tieBreak"); case None => i.toLong })
+      i += 1
+    }
+    val coords = groups.map { case (k, (s, e, p, t)) =>
+      k -> (s.toArray, e.toArray, p.toArray, t.toArray)
+    }
+    val schema2 = StructType(df.schema.fields :+ StructField("_lidx", IntegerType, nullable = false))
+    val idxRows = new java.util.ArrayList[Row](rows.length)
+    i = 0
+    while (i < rows.length) { idxRows.add(Row.fromSeq(rows(i).toSeq :+ i)); i += 1 }
+    val local = df.sparkSession.createDataFrame(idxRows, schema2)
+    (coords, local)
+  }
+
   /** Collect per-contig coordinate arrays.
     * @param src  DataFrame that MUST contain `cols` (+ `_lidx` when
     *             `withIdx`, + `tieBreakCol` when rank-ordered)
@@ -107,8 +162,7 @@ object IntervalJoin {
       op: FilterOp): DataFrame = {
 
     val spark = left.sparkSession
-    val leftIdx = withRowIndex(left)
-    val groups = collectCoords(leftIdx, lcols, withIdx = true, tieBreakCol = None)
+    val (groups, leftIdx) = collectBuild(left, lcols)
     val indexes = groups.map { case (k, (s, e, p, _)) =>
       k -> ContigIntervalIndex.build(s, e, p)
     }.toMap
@@ -126,7 +180,7 @@ object IntervalJoin {
       }
     }
 
-    val rightPref = right.select(
+    val rightPref = parallelizeProbe(right).select(
       right.schema.fields.toSeq.map(f => col(f.name).as("right_" + f.name)): _*)
     val matched = rightPref.withColumn("_lidx",
       explode(probe(
@@ -159,7 +213,7 @@ object IntervalJoin {
         case None => 0L
       }
     }
-    val withN = probe.withColumn("_n", cnt(
+    val withN = parallelizeProbe(probe).withColumn("_n", cnt(
       col(pcols.contig), col(pcols.start).cast("long"), col(pcols.end).cast("long")))
     val result =
       if (distinct) withN.where(col("_n") > 0)
@@ -187,7 +241,7 @@ object IntervalJoin {
           case None => 0L
         }
       }
-      probe.withColumn(outName, u(
+      parallelizeProbe(probe).withColumn(outName, u(
         col(pcols.contig), col(pcols.start).cast("long"), col(pcols.end).cast("long")))
     } else {
       val cntIdx = groups.map { case (k, (s, e, _, _)) => k -> CountOverlapIndex.build(s, e) }.toMap
@@ -198,7 +252,7 @@ object IntervalJoin {
           case None => 0L
         }
       }
-      probe.withColumn(outName, u(
+      parallelizeProbe(probe).withColumn(outName, u(
         col(pcols.contig), col(pcols.start).cast("long"), col(pcols.end).cast("long")))
     }
   }
@@ -215,8 +269,7 @@ object IntervalJoin {
       computeDistance: Boolean, tieBreakCol: Option[String] = None): DataFrame = {
 
     val spark = probe.sparkSession
-    val leftIdx = withRowIndex(build)
-    val groups = collectCoords(leftIdx, bcols, withIdx = true, tieBreakCol = tieBreakCol)
+    val (groups, leftIdx) = collectBuild(build, bcols, tieBreakCol)
     val nearIdx = groups.map { case (c, (s, e, p, t)) =>
       c -> NearestIndex.build(s, e, t, p)
     }.toMap
@@ -233,7 +286,7 @@ object IntervalJoin {
       out.toSeq
     }
 
-    val rightPref = probe.select(
+    val rightPref = parallelizeProbe(probe).select(
       probe.schema.fields.toSeq.map(f => col(f.name).as("right_" + f.name)): _*)
     val exploded = rightPref.withColumn("_cand",
       explode(probeUdf(
