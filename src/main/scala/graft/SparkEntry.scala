@@ -16,11 +16,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RangesQueries.queries ++ PileupVepQueries.queries ++ MlQueries.queries ++
-      AnalyticsQueries.queries
+      AnalyticsQueries.queries ++ VepSpliceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RangesQueries.oracleSql ++ PileupVepQueries.oracleSql ++ MlQueries.oracleSql ++
-      AnalyticsQueries.oracleSql
+      AnalyticsQueries.oracleSql ++ VepSpliceQueries.oracleSql
 }

@@ -1,0 +1,156 @@
+package graft.vep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Intron-aware cDNA mapping + HGVS notation — the round-2 slice of
+  * the reference's TranscriptConsequenceEngine
+  * (transcript_consequence.rs:6798-7060 `TranscriptCdnaCoord` /
+  * `genomic_to_cdna`, hgvs.rs).
+  *
+  * Semantics (1-based closed genomic coordinates, exon length =
+  * end - start + 1, matching the reference's `exon_len` at
+  * transcript_consequence.rs:7024-7027):
+  *
+  *  - cDNA position of a genomic pos inside transcript t =
+  *    SUM over t's exons of a per-exon contribution:
+  *      + strand: full length if exon entirely before pos,
+  *                pos - start + 1 if exon contains pos, else 0
+  *      - strand: full length if exon entirely after pos (transcript
+  *                order is descending genomic), end - pos + 1 if
+  *                containing, else 0
+  *    For an intronic pos the same SUM yields the cDNA index of the
+  *    LAST exonic base before pos in transcript orientation — exactly
+  *    the anchor HGVS intron notation needs (c.N+k).
+  *
+  *  - CDS-relative (HGVS "c.") numbering per transcript:
+  *    coding cDNA start ccs = cdnaSum(cds anchor) (+1 if the anchor
+  *    itself is intronic: numbering starts at the first exonic coding
+  *    base), coding cDNA end cce = cdnaSum(other anchor). Anchors are
+  *    (cds_start, cds_end) on + strand and swapped on -.
+  *    cds_pos = cdna_pos - ccs + 1; protein_pos = (cds_pos-1)/3 + 1.
+  *
+  *  - HGVSc (hgvs.rs formatting rules):
+  *      coding exonic SNV      T:c.{cds_pos}{R}>{A}
+  *      5' UTR exonic          T:c.-{ccs-cdna_pos}{R}>{A}
+  *      3' UTR exonic          T:c.*{cdna_pos-cce}{R}>{A}
+  *      intronic               T:c.{fmt(prev)}+{d}{R}>{A} or
+  *                             T:c.{fmt(next)}-{d}{R}>{A}
+  *                             (nearer exon wins; tie -> '+' side)
+  *      non-coding transcript  T:n.{cdna_pos}{R}>{A} (+ intron forms)
+  *    R/A are strand-adjusted alleles (complemented on -).
+  *
+  * Everything is a join + one aggregation over exons — no per-row
+  * recursion — so the plan is a broadcast join plus a partial
+  * aggregation that scales out on the variant side.
+  */
+object Splice {
+
+  private def complement(c: Column): Column = translate(c, "ACGT", "TGCA")
+
+  /** Per-exon cDNA contribution of genomic position `pos` (see class
+    * doc). All of `pos/es/ee/strand` are columns in scope. */
+  private def contribution(pos: Column, es: Column, ee: Column, strand: Column): Column = {
+    val len = ee - es + 1
+    when(strand === 1,
+      when(ee < pos, len)
+        .when(pos.between(es, ee), pos - es + 1)
+        .otherwise(0L))
+    .otherwise(
+      when(es > pos, len)
+        .when(pos.between(es, ee), ee - pos + 1)
+        .otherwise(0L))
+  }
+
+  /** Per-transcript coding-region cDNA bounds (ccs, cce) — a tiny
+    * aggregate over exons joined to transcripts, broadcast to the
+    * variant side. Input columns: transcripts (chrom, start, end,
+    * transcript_id, strand, biotype, cds_start, cds_end), exons
+    * (transcript_id, start, end). */
+  def codingBounds(transcripts: DataFrame, exons: DataFrame): DataFrame = {
+    val t = transcripts.select(
+      col("transcript_id").as("_bt_tid"), col("strand").as("_bt_strand"),
+      col("cds_start").cast("long").as("_bt_cs"), col("cds_end").cast("long").as("_bt_ce"))
+    val ex = exons.select(col("transcript_id").as("_be_tid"),
+      col("start").cast("long").as("_be_es"), col("end").cast("long").as("_be_ee"))
+    // cds anchor in transcript orientation: first coding base is at
+    // genomic cds_start on + strand, cds_end on -
+    val anchor1 = when(col("_bt_strand") === 1, col("_bt_cs")).otherwise(col("_bt_ce"))
+    val anchor2 = when(col("_bt_strand") === 1, col("_bt_ce")).otherwise(col("_bt_cs"))
+    t.join(ex, col("_bt_tid") === col("_be_tid"))
+      .groupBy(col("_bt_tid"), col("_bt_strand"), col("_bt_cs"), col("_bt_ce"))
+      .agg(
+        sum(contribution(anchor1, col("_be_es"), col("_be_ee"), col("_bt_strand"))).as("_ccs0"),
+        max(when(anchor1.between(col("_be_es"), col("_be_ee")), 1).otherwise(0)).as("_a1_in_exon"),
+        sum(contribution(anchor2, col("_be_es"), col("_be_ee"), col("_bt_strand"))).as("_cce"))
+      .select(col("_bt_tid").as("_cb_tid"),
+        (col("_ccs0") + when(col("_a1_in_exon") === 0, 1L).otherwise(0L)).as("_ccs"),
+        col("_cce"))
+  }
+
+  /** Intron-aware cDNA/CDS/protein coordinates + HGVSc for SNVs
+    * against a transcript/exon context. One output row per
+    * (variant, overlapping transcript):
+    * (id, transcript_id, region, cdna_pos, cds_pos, protein_pos,
+    * hgvs_c). `region` ∈ exonic | intronic. */
+  def cdnaAnnotate(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
+    val v = vcf.where(length(col("ref")) === 1 && length(col("alt")) === 1)
+      .select(col("chrom").as("_vc"), col("start").cast("long").as("_vp"),
+        col("id").as("_vid"), col("ref").as("_vref"), col("alt").as("_valt"))
+    val t = transcripts.select(col("chrom").as("_tc"), col("start").cast("long").as("_ts"),
+      col("end").cast("long").as("_te"), col("transcript_id").as("_tid"),
+      col("strand").as("_strand"), col("biotype").as("_bt"))
+    val cand = v.join(broadcast(t),
+      col("_vc") === col("_tc") && col("_vp").between(col("_ts"), col("_te")))
+    val ex = exons.select(col("transcript_id").as("_etid"),
+      col("start").cast("long").as("_es"), col("end").cast("long").as("_ee"))
+    val p = col("_vp")
+    val agg = cand.join(broadcast(ex), col("_tid") === col("_etid"))
+      .groupBy(col("_vid"), col("_tid"), col("_strand"), col("_bt"),
+        col("_vref"), col("_valt"), col("_vp"))
+      .agg(
+        max(when(p.between(col("_es"), col("_ee")), 1).otherwise(0)).as("_in_exon"),
+        sum(contribution(p, col("_es"), col("_ee"), col("_strand"))).as("_cdna"),
+        // genomic distance to the nearest exonic base on each side,
+        // in TRANSCRIPT orientation: d_plus measures from the previous
+        // exon's last transcribed base, d_minus to the next one
+        max(when(col("_ee") < p, col("_ee"))).as("_prev_ee"),
+        min(when(col("_es") > p, col("_es"))).as("_next_es"))
+      .join(broadcast(codingBounds(transcripts, exons)), col("_tid") === col("_cb_tid"), "left")
+    val strandP = col("_strand") === 1
+    val dPlus = when(strandP, p - col("_prev_ee")).otherwise(col("_next_es") - p)
+    val dMinus = when(strandP, col("_next_es") - p).otherwise(p - col("_prev_ee"))
+    val coding = col("_bt") === "protein_coding"
+    val cdna = col("_cdna")
+    // cds-relative rendering of a cDNA index (UTR forms included)
+    def fmtC(x: Column): Column =
+      when(!coding, x.cast("string"))
+        .when(x < col("_ccs"), concat(lit("-"), (col("_ccs") - x).cast("string")))
+        .when(x > col("_cce"), concat(lit("*"), (x - col("_cce")).cast("string")))
+        .otherwise((x - col("_ccs") + 1).cast("string"))
+    val refAdj = when(strandP, col("_vref")).otherwise(complement(col("_vref")))
+    val altAdj = when(strandP, col("_valt")).otherwise(complement(col("_valt")))
+    val prefix = concat(col("_tid"), lit(":"), when(coding, lit("c.")).otherwise(lit("n.")))
+    val change = concat(refAdj, lit(">"), altAdj)
+    // intron side choice: nearer exonic anchor wins, tie -> '+'
+    // (donor side), missing side falls back to the other
+    val usePlus = col("_next_es").isNull ||
+      (col("_prev_ee").isNotNull && dPlus <= dMinus)
+    val hgvs =
+      when(col("_in_exon") === 1, concat(prefix, fmtC(cdna), change))
+        .otherwise(when(usePlus,
+            concat(prefix, fmtC(cdna), lit("+"), dPlus.cast("string"), change))
+          .otherwise(
+            concat(prefix, fmtC(cdna + 1), lit("-"), dMinus.cast("string"), change)))
+    val inCds = col("_in_exon") === 1 && coding &&
+      cdna >= col("_ccs") && cdna <= col("_cce")
+    val cdsPos = when(inCds, cdna - col("_ccs") + 1)
+    agg.select(
+      col("_vid").as("id"), col("_tid").as("transcript_id"),
+      when(col("_in_exon") === 1, lit("exonic")).otherwise(lit("intronic")).as("region"),
+      when(col("_in_exon") === 1, cdna).as("cdna_pos"),
+      cdsPos.as("cds_pos"),
+      when(inCds, floor((cdsPos - 1) / lit(3)) + 1).cast("long").as("protein_pos"),
+      hgvs.as("hgvs_c"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.vep.Splice
+
+/** Hand-computed expectations for the intron-aware cDNA/HGVS layer
+  * (Splice.cdnaAnnotate). Transcript layout (1-based closed):
+  *
+  *   T+ (strand +1, protein_coding): exons [100,199], [300,399],
+  *      [500,599]; CDS genomic [150, 549].
+  *   T- (strand -1, protein_coding): same exons; CDS genomic the same
+  *      span, read right-to-left.
+  *
+  * cDNA lengths: each exon 100 bases, total 300.
+  */
+class SpliceSuite extends SparkSpec {
+  import spark.implicits._
+
+  private val transcripts = Seq(
+    ("c1", 100L, 599L, "T+", 1, "protein_coding", 150L, 549L),
+    ("c1", 100L, 599L, "T-", -1, "protein_coding", 150L, 549L))
+    .toDF("chrom", "start", "end", "transcript_id", "strand", "biotype", "cds_start", "cds_end")
+
+  private val exons = Seq(
+    ("T+", 100L, 199L), ("T+", 300L, 399L), ("T+", 500L, 599L),
+    ("T-", 100L, 199L), ("T-", 300L, 399L), ("T-", 500L, 599L))
+    .toDF("transcript_id", "start", "end")
+
+  private def vcf(pos: Long, ref: String = "A", alt: String = "G") =
+    Seq(("c1", pos, pos, 1L, ref, alt)).toDF("chrom", "start", "end", "id", "ref", "alt")
+
+  private def annotate(pos: Long, ref: String = "A", alt: String = "G") =
+    Splice.cdnaAnnotate(vcf(pos, ref, alt), transcripts, exons)
+      .collect().map(r => r.getString(1) ->
+        (r.getString(2), Option(r.get(3)), Option(r.get(4)), Option(r.get(5)), r.getString(6)))
+      .toMap
+
+  test("cdna mapping: exonic positions accumulate spliced exon lengths") {
+    // pos 350 = exon2 base 51 -> cdna 100 + 51 = 151 (+ strand);
+    // ccs = cdna(150) = 51, so cds_pos = 151-51+1 = 101, protein 34
+    val m = annotate(350)
+    assert(m("T+") == (("exonic", Some(151L), Some(101L), Some(34L), "T+:c.101A>G")))
+    // cds on '-' runs from genomic 549 leftward: ccs anchor=549 ->
+    // cdna(549)=51, cds_pos = 150-51+1 = 100; protein (100-1)/3+1 = 34
+    assert(m("T-") == (("exonic", Some(150L), Some(100L), Some(34L), "T-:c.100T>C")))
+  }
+
+  test("cds numbering: 5'/3' UTR render - and * forms") {
+    // pos 120: cdna 21; + strand CDS starts at genomic 150 -> cdna 51,
+    // so 120 is 5' UTR: c.-(51-21) = c.-30
+    val m = annotate(120)
+    assert(m("T+")._5 == "T+:c.-30A>G")
+    // on '-' the same genomic pos is 3' UTR: cdna(120)=100+100+(199-120+1)=280,
+    // cce=cdna(150)=100+100+50=250 -> c.*30
+    assert(m("T-")._5 == "T-:c.*30T>C")
+  }
+
+  test("intronic positions get anchor+offset HGVS, nearer exon wins") {
+    // pos 210: prev exon end 199 (d+=11), next exon start 300 (d-=90)
+    // + strand: anchor cdna(199)=100 -> cds 100-51+1=50 -> c.50+11
+    val m = annotate(210)
+    assert(m("T+") == (("intronic", None, None, None, "T+:c.50+11A>G")))
+    // - strand: d+ = 300-210 = 90, d- = 210-199 = 11 -> minus side;
+    // anchor cdna index 201 (first base of downstream-in-transcript
+    // exon [100,199]); cds: 201-51+1 = 151 -> c.151-11, complemented
+    assert(m("T-")._5 == "T-:c.151-11T>C")
+  }
+
+  test("protein position walks codons across exon boundaries") {
+    // pos 505 (+): cdna = 200 + 6 = 206, cds = 206-51+1 = 156,
+    // protein = (156-1)/3 + 1 = 52
+    val m = annotate(505)
+    assert(m("T+")._4 == Some(52L))
+  }
+}
