@@ -13,6 +13,9 @@ object VepSpliceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f11_cdna_hgvs" -> ((s, d) =>
       Splice.cdnaAnnotate(Tables.vcf(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
+    "f11_spliced_codon" -> ((s, d) =>
+      Splice.splicedCodon(Tables.vcf(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
+    "f11_shift3" -> ((s, d) => graft.vep.Vep.shift3(Tables.vcf(s, d))),
   )
 
   /** Per-exon cDNA contribution of position `pos` (Splice.contribution
@@ -82,7 +85,106 @@ object VepSpliceQueries {
        |FROM y ORDER BY id, transcript_id""".stripMargin.replace("\n", " ")
   }
 
+  /** Spliced-codon oracle: same CTE skeleton as cdnaHgvsSql plus the
+    * exon cDNA-range window, three per-base range joins, and the
+    * shared derived-sequence/translation fragments (CodonLogic DuckD
+    * dialect — identical md5 arithmetic on both engines). */
+  private val splicedCodonSql: String = {
+    import Oracle.{vcf => vcfCte, transcripts => tCte, exons => exCte}
+    import graft.vep.{CodonLogic, Splice}
+    val D = CodonLogic.DuckD
+    def seqAdj(g: String): String =
+      s"CASE WHEN strand = 1 THEN ${CodonLogic.seq(D, "chrom", g)} " +
+      s"ELSE translate(${CodonLogic.seq(D, "chrom", g)}, 'ACGT', 'TGCA') END"
+    val anchor1 = "(CASE WHEN strand = 1 THEN cds_start ELSE cds_end END)"
+    val anchor2 = "(CASE WHEN strand = 1 THEN cds_end ELSE cds_start END)"
+    s"""WITH $vcfCte, $tCte, $exCte,
+       |snv AS (SELECT * FROM v WHERE length(ref) = 1 AND length(alt) = 1),
+       |cand AS (SELECT s.id, s.chrom, s.start AS vp, s.ref, s.alt,
+       |   t.transcript_id AS tid, t.strand, t.biotype
+       |  FROM snv s JOIN t ON s.chrom = t.chrom AND s.start BETWEEN t.start AND t."end"),
+       |agg AS (SELECT c.id, c.chrom, c.tid, c.strand, c.biotype, c.alt, c.vp,
+       |   MAX(CASE WHEN c.vp BETWEEN e.start AND e."end" THEN 1 ELSE 0 END) AS in_exon,
+       |   CAST(SUM(${contrib("c.vp")}) AS BIGINT) AS cdna
+       |  FROM cand c JOIN ex e ON c.tid = e.transcript_id
+       |  GROUP BY c.id, c.chrom, c.tid, c.strand, c.biotype, c.alt, c.vp),
+       |cb AS (SELECT t.transcript_id AS tid,
+       |   CAST(SUM(${contrib(anchor1)})
+       |     + (CASE WHEN MAX(CASE WHEN $anchor1 BETWEEN e.start AND e."end" THEN 1 ELSE 0 END) = 0
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS ccs,
+       |   CAST(SUM(${contrib(anchor2)}) AS BIGINT) AS cce
+       |  FROM t JOIN ex e ON t.transcript_id = e.transcript_id
+       |  GROUP BY t.transcript_id),
+       |coding AS (SELECT agg.*, cb.ccs, cb.cce,
+       |   cdna - ccs + 1 AS cds_pos,
+       |   ccs + ((cdna - ccs) // 3) * 3 AS codon0,
+       |   CAST((cdna - ccs) % 3 AS INT) AS coff
+       |  FROM agg JOIN cb ON agg.tid = cb.tid
+       |  WHERE in_exon = 1 AND biotype = 'protein_coding'
+       |    AND cdna BETWEEN ccs AND cce AND ccs + ((cdna - ccs) // 3) * 3 + 2 <= cce),
+       |rng AS (SELECT e.transcript_id AS rtid, e.start AS res, e."end" AS ree, t.strand AS rstrand,
+       |   CAST(COALESCE(SUM(e."end" - e.start + 1) OVER (PARTITION BY e.transcript_id
+       |     ORDER BY CASE WHEN t.strand = 1 THEN e.start ELSE -e.start END
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT) AS rcs,
+       |   CAST(COALESCE(SUM(e."end" - e.start + 1) OVER (PARTITION BY e.transcript_id
+       |     ORDER BY CASE WHEN t.strand = 1 THEN e.start ELSE -e.start END
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (e."end" - e.start + 1) AS BIGINT) AS rce
+       |  FROM ex e JOIN t ON e.transcript_id = t.transcript_id),
+       |mapped AS (SELECT coding.*,
+       |   CASE WHEN r0.rstrand = 1 THEN r0.res + (codon0 - r0.rcs) ELSE r0.ree - (codon0 - r0.rcs) END AS g0,
+       |   CASE WHEN r1.rstrand = 1 THEN r1.res + (codon0 + 1 - r1.rcs) ELSE r1.ree - (codon0 + 1 - r1.rcs) END AS g1,
+       |   CASE WHEN r2.rstrand = 1 THEN r2.res + (codon0 + 2 - r2.rcs) ELSE r2.ree - (codon0 + 2 - r2.rcs) END AS g2
+       |  FROM coding
+       |  JOIN rng r0 ON coding.tid = r0.rtid AND codon0 BETWEEN r0.rcs AND r0.rce
+       |  JOIN rng r1 ON coding.tid = r1.rtid AND codon0 + 1 BETWEEN r1.rcs AND r1.rce
+       |  JOIN rng r2 ON coding.tid = r2.rtid AND codon0 + 2 BETWEEN r2.rcs AND r2.rce),
+       |based AS (SELECT mapped.*,
+       |   ${seqAdj("g0")} AS b0, ${seqAdj("g1")} AS b1, ${seqAdj("g2")} AS b2,
+       |   CASE WHEN strand = 1 THEN alt ELSE translate(alt, 'ACGT', 'TGCA') END AS altadj
+       |  FROM mapped),
+       |codons AS (SELECT based.*, concat(b0, b1, b2) AS ref_codon,
+       |   concat(CASE WHEN coff = 0 THEN altadj ELSE b0 END,
+       |          CASE WHEN coff = 1 THEN altadj ELSE b1 END,
+       |          CASE WHEN coff = 2 THEN altadj ELSE b2 END) AS alt_codon,
+       |   CAST((cds_pos - 1) // 3 + 1 AS BIGINT) AS protein_pos
+       |  FROM based),
+       |aas AS (SELECT codons.*,
+       |   ${CodonLogic.aa(D, "ref_codon")} AS aa_ref,
+       |   ${CodonLogic.aa(D, "alt_codon")} AS aa_alt
+       |  FROM codons)
+       |SELECT id, tid AS transcript_id, cds_pos, protein_pos, ref_codon, alt_codon,
+       | aa_ref, aa_alt,
+       | CASE WHEN aa_alt = '*' AND aa_ref <> '*' THEN 'stop_gained'
+       |  WHEN aa_ref = '*' AND aa_alt <> '*' THEN 'stop_lost'
+       |  WHEN aa_ref = aa_alt THEN 'synonymous_variant'
+       |  ELSE 'missense_variant' END AS consequence,
+       | concat(tid, ':p.', ${Splice.aa3Sql(D, "aa_ref")}, CAST(protein_pos AS VARCHAR),
+       |   CASE WHEN aa_ref = aa_alt THEN '=' ELSE ${Splice.aa3Sql(D, "aa_alt")} END) AS hgvs_p
+       |FROM aas ORDER BY id, transcript_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** 3'-shift oracle: the Oracle.vcf CTE precomputes norm_start /
+    * vep_ref / vep_alt; the scan fragment is shared via
+    * Splice.shiftScanSql (DuckD dialect). */
+  private val shift3Sql: String = {
+    import graft.vep.{CodonLogic, Splice}
+    val scan = Splice.shiftScanSql(CodonLogic.DuckD, "chrom", "anchor", "allele", 16)
+    s"""WITH ${Oracle.vcf},
+       |ind AS (SELECT id, chrom, norm_start,
+       |   CASE WHEN vep_ref = '-' THEN 'ins' ELSE 'del' END AS kind,
+       |   CASE WHEN vep_ref = '-' THEN vep_alt ELSE vep_ref END AS allele,
+       |   CASE WHEN vep_ref = '-' THEN norm_start ELSE norm_start + 1 END AS anchor
+       |  FROM v WHERE length(ref) <> length(alt)),
+       |scanned AS (SELECT ind.*, $scan AS p0 FROM ind)
+       |SELECT id, chrom, norm_start, kind, allele,
+       | CAST(CASE WHEN p0 = 0 THEN 16 ELSE p0 - 1 END AS BIGINT) AS shift3,
+       | CAST(norm_start + (CASE WHEN p0 = 0 THEN 16 ELSE p0 - 1 END) AS BIGINT) AS shifted_start
+       |FROM scanned ORDER BY id""".stripMargin.replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "f11_cdna_hgvs" -> cdnaHgvsSql,
+    "f11_spliced_codon" -> splicedCodonSql,
+    "f11_shift3" -> shift3Sql,
   )
 }

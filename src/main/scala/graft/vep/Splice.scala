@@ -1,6 +1,7 @@
 package graft.vep
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Intron-aware cDNA mapping + HGVS notation — the round-2 slice of
@@ -88,12 +89,12 @@ object Splice {
         col("_cce"))
   }
 
-  /** Intron-aware cDNA/CDS/protein coordinates + HGVSc for SNVs
-    * against a transcript/exon context. One output row per
-    * (variant, overlapping transcript):
-    * (id, transcript_id, region, cdna_pos, cds_pos, protein_pos,
-    * hgvs_c). `region` ∈ exonic | intronic. */
-  def cdnaAnnotate(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
+  /** Shared per-(SNV variant, overlapping transcript) aggregate:
+    * cDNA index, exon membership, intron anchors, coding bounds.
+    * Columns: _vid _tid _strand _bt _vref _valt _vp _vc _in_exon
+    * _cdna _prev_ee _next_es _ccs _cce. */
+  private def snvTranscriptAgg(
+      vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
     val v = vcf.where(length(col("ref")) === 1 && length(col("alt")) === 1)
       .select(col("chrom").as("_vc"), col("start").cast("long").as("_vp"),
         col("id").as("_vid"), col("ref").as("_vref"), col("alt").as("_valt"))
@@ -105,9 +106,9 @@ object Splice {
     val ex = exons.select(col("transcript_id").as("_etid"),
       col("start").cast("long").as("_es"), col("end").cast("long").as("_ee"))
     val p = col("_vp")
-    val agg = cand.join(broadcast(ex), col("_tid") === col("_etid"))
+    cand.join(broadcast(ex), col("_tid") === col("_etid"))
       .groupBy(col("_vid"), col("_tid"), col("_strand"), col("_bt"),
-        col("_vref"), col("_valt"), col("_vp"))
+        col("_vref"), col("_valt"), col("_vp"), col("_vc"))
       .agg(
         max(when(p.between(col("_es"), col("_ee")), 1).otherwise(0)).as("_in_exon"),
         sum(contribution(p, col("_es"), col("_ee"), col("_strand"))).as("_cdna"),
@@ -117,6 +118,16 @@ object Splice {
         max(when(col("_ee") < p, col("_ee"))).as("_prev_ee"),
         min(when(col("_es") > p, col("_es"))).as("_next_es"))
       .join(broadcast(codingBounds(transcripts, exons)), col("_tid") === col("_cb_tid"), "left")
+  }
+
+  /** Intron-aware cDNA/CDS/protein coordinates + HGVSc for SNVs
+    * against a transcript/exon context. One output row per
+    * (variant, overlapping transcript):
+    * (id, transcript_id, region, cdna_pos, cds_pos, protein_pos,
+    * hgvs_c). `region` ∈ exonic | intronic. */
+  def cdnaAnnotate(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
+    val agg = snvTranscriptAgg(vcf, transcripts, exons)
+    val p = col("_vp")
     val strandP = col("_strand") === 1
     val dPlus = when(strandP, p - col("_prev_ee")).otherwise(col("_next_es") - p)
     val dMinus = when(strandP, col("_next_es") - p).otherwise(p - col("_prev_ee"))
@@ -152,5 +163,122 @@ object Splice {
       cdsPos.as("cds_pos"),
       when(inCds, floor((cdsPos - 1) / lit(3)) + 1).cast("long").as("protein_pos"),
       hgvs.as("hgvs_c"))
+  }
+
+  /** One-letter -> three-letter amino-acid rendering (HGVS p.
+    * notation; '*' -> Ter). Pure substring arithmetic so it stays in
+    * codegen and is mirrored verbatim by the DuckDB oracle. */
+  val aaAlpha = "ACDEFGHIKLMNPQRSTVWY*"
+  val aa3Table = "AlaCysAspGluPheGlyHisIleLysLeuMetAsnProGlnArgSerThrValTrpTyrTer"
+  def aa3Sql(d: CodonLogic.Dialect, oneLetterSql: String): String =
+    s"substr('$aa3Table', 1 + (${d.strIndex(s"'$aaAlpha'", oneLetterSql)} - 1) * 3, 3)"
+
+  /** Bounded right-scan over the derived reference sequence for
+    * 3'-shifting (the reference's shift-state ports,
+    * variant_lookup_exec.rs; Ensembl shifts indels right while the
+    * next base repeats the indel allele). Returns the 1-based index of
+    * the first position in [anchor, anchor+max) whose base differs
+    * from `allele` — 0 when all `max` positions match (callers cap the
+    * shift there). All arguments are SQL fragments valid in scope. */
+  def shiftScanSql(d: CodonLogic.Dialect, chrom: String, anchor: String,
+      allele: String, max: Int): String = {
+    val base = CodonLogic.seq(d, chrom, s"($anchor + j)")
+    d match {
+      case CodonLogic.SparkD =>
+        s"array_position(transform(sequence(0, ${max - 1}), j -> $base = $allele), false)"
+      case CodonLogic.DuckD =>
+        s"CAST(COALESCE(list_position(list_transform(generate_series(0, ${max - 1})," +
+          s" j -> $base = $allele), false), 0) AS BIGINT)"
+    }
+  }
+
+  /** Per-exon cDNA ranges for the inverse (cDNA -> genomic) mapping:
+    * (tid, es, ee, strand, cdna range [cs, ce]). Window over exons in
+    * transcript orientation — a tiny broadcastable table. */
+  private def exonCdnaRanges(transcripts: DataFrame, exons: DataFrame): DataFrame = {
+    val t = transcripts.select(col("transcript_id").as("_xt"), col("strand").as("_r_strand"))
+    val ex = exons.select(col("transcript_id").as("_r_tid"),
+      col("start").cast("long").as("_r_es"), col("end").cast("long").as("_r_ee"))
+    val len = col("_r_ee") - col("_r_es") + 1
+    val w = Window.partitionBy(col("_r_tid"))
+      .orderBy(when(col("_r_strand") === 1, col("_r_es")).otherwise(-col("_r_es")))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ex.join(t, col("_r_tid") === col("_xt"))
+      .withColumn("_cum", coalesce(sum(len).over(w), lit(0L)))
+      .select(col("_r_tid"), col("_r_es"), col("_r_ee"), col("_r_strand"),
+        (col("_cum") + 1).as("_r_cs"), (col("_cum") + len).as("_r_ce"))
+  }
+
+  /** Genomic position of cDNA index `ci` after joining exonCdnaRanges. */
+  private def cdnaToGenomic(ci: Column): Column =
+    when(col("_r_strand") === 1, col("_r_es") + (ci - col("_r_cs")))
+      .otherwise(col("_r_ee") - (ci - col("_r_cs")))
+
+  /** Spliced-codon consequence + HGVSp for coding exonic SNVs: the
+    * codon is read base-by-base through the cDNA->genomic inverse map
+    * (codons spanning exon boundaries read correctly across the
+    * splice), bases come from the derived md5 reference sequence
+    * (CodonLogic.seq), '-'-strand bases are complemented (cDNA order
+    * is already handled by the map). Output per (variant, transcript):
+    * (id, transcript_id, cds_pos, protein_pos, ref_codon, alt_codon,
+    * aa_ref, aa_alt, consequence, hgvs_p).
+    *
+    * Codons truncated by the coding end (cce-ccs+1 not a multiple of
+    * 3) are excluded — both engines apply the same guard. */
+  def splicedCodon(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
+    val agg = snvTranscriptAgg(vcf, transcripts, exons)
+    val coding = agg.where(col("_in_exon") === 1 && col("_bt") === "protein_coding" &&
+      col("_cdna") >= col("_ccs") && col("_cdna") <= col("_cce"))
+      .withColumn("_cds_pos", col("_cdna") - col("_ccs") + 1)
+      .withColumn("_codon0", col("_ccs") + floor((col("_cds_pos") - 1) / lit(3)).cast("long") * 3)
+      .withColumn("_coff", ((col("_cds_pos") - 1) % 3).cast("int"))
+      .where(col("_codon0") + 2 <= col("_cce"))
+    val ranges = exonCdnaRanges(transcripts, exons)
+    // one broadcast range-join per codon base: maps cDNA index -> genomic
+    // pos -> derived base, complemented on '-' (three tiny joins keep
+    // everything codegen'd; no explode/collect ordering to reason about)
+    val withBases = (0 to 2).foldLeft(coding) { (df, k) =>
+      val ci = col("_codon0") + k
+      val r = ranges.select(
+        col("_r_tid").as(s"_rt$k"), col("_r_es").as(s"_r_es$k"), col("_r_ee").as(s"_r_ee$k"),
+        col("_r_strand").as(s"_r_strand$k"), col("_r_cs").as(s"_r_cs$k"), col("_r_ce").as(s"_r_ce$k"))
+      df.join(broadcast(r),
+          col("_tid") === col(s"_rt$k") && ci.between(col(s"_r_cs$k"), col(s"_r_ce$k")))
+        .withColumn(s"_g$k",
+          when(col(s"_r_strand$k") === 1, col(s"_r_es$k") + (ci - col(s"_r_cs$k")))
+            .otherwise(col(s"_r_ee$k") - (ci - col(s"_r_cs$k"))))
+        .withColumn(s"_b$k", {
+          val raw = expr(CodonLogic.seq(CodonLogic.SparkD, "_vc", s"_g$k"))
+          when(col("_strand") === 1, raw).otherwise(translate(raw, "ACGT", "TGCA"))
+        })
+        .drop(s"_rt$k", s"_r_es$k", s"_r_ee$k", s"_r_strand$k", s"_r_cs$k", s"_r_ce$k")
+    }
+    val altAdj = when(col("_strand") === 1, col("_valt")).otherwise(translate(col("_valt"), "ACGT", "TGCA"))
+    val refCodon = concat(col("_b0"), col("_b1"), col("_b2"))
+    val altCodon = concat(
+      when(col("_coff") === 0, altAdj).otherwise(col("_b0")),
+      when(col("_coff") === 1, altAdj).otherwise(col("_b1")),
+      when(col("_coff") === 2, altAdj).otherwise(col("_b2")))
+    val staged = withBases
+      .withColumn("_refcodon", refCodon)
+      .withColumn("_altcodon", altCodon)
+      .withColumn("_aaref", expr(CodonLogic.aa(CodonLogic.SparkD, "_refcodon")))
+      .withColumn("_aaalt", expr(CodonLogic.aa(CodonLogic.SparkD, "_altcodon")))
+      .withColumn("_ppos", (floor((col("_cds_pos") - 1) / lit(3)) + 1).cast("long"))
+    val consequence =
+      when(col("_aaalt") === "*" && col("_aaref") =!= "*", lit("stop_gained"))
+        .when(col("_aaref") === "*" && col("_aaalt") =!= "*", lit("stop_lost"))
+        .when(col("_aaref") === col("_aaalt"), lit("synonymous_variant"))
+        .otherwise(lit("missense_variant"))
+    val hgvsP = concat(col("_tid"), lit(":p."),
+      expr(aa3Sql(CodonLogic.SparkD, "_aaref")), col("_ppos").cast("string"),
+      when(col("_aaref") === col("_aaalt"), lit("="))
+        .otherwise(expr(aa3Sql(CodonLogic.SparkD, "_aaalt"))))
+    staged.select(
+      col("_vid").as("id"), col("_tid").as("transcript_id"),
+      col("_cds_pos").as("cds_pos"), col("_ppos").as("protein_pos"),
+      col("_refcodon").as("ref_codon"), col("_altcodon").as("alt_codon"),
+      col("_aaref").as("aa_ref"), col("_aaalt").as("aa_alt"),
+      consequence.as("consequence"), hgvsP.as("hgvs_p"))
   }
 }

@@ -69,6 +69,34 @@ object Vep {
     spark.udf.register("match_allele_relaxed", matchAlleleRelaxedUdf)
   }
 
+  /** 3'-shifting of single-base indels over the derived reference
+    * sequence (SURVEY.md §2.6 — the reference ports Ensembl's
+    * shift-right-while-repeating rule into its lookup exec). An
+    * insertion shifts right while the base at the insertion point
+    * repeats the inserted base; a deletion while the base after the
+    * deleted one repeats it. The scan is bounded by `maxShift`
+    * (Splice.shiftScanSql — one codegen'd HOF expression, no UDF/loop).
+    * Output: (id, chrom, norm_start, kind ins|del, allele, shift3,
+    * shifted_start). */
+  def shift3(vcf: DataFrame, maxShift: Int = 16): DataFrame = {
+    val v = vcf.where(length(col("ref")) =!= length(col("alt")))
+      .withColumn("_ns", vepNormStartUdf(col("start").cast("long"), col("ref"), col("alt")))
+      .withColumn("_vr", vepRefUdf(col("ref"), col("alt")))
+      .withColumn("_va", vepAltUdf(col("ref"), col("alt")))
+    val isIns = col("_vr") === "-"
+    val staged = v
+      .withColumn("_allele", when(isIns, col("_va")).otherwise(col("_vr")))
+      .withColumn("_anchor", when(isIns, col("_ns")).otherwise(col("_ns") + 1))
+      .withColumn("_p0", expr(Splice.shiftScanSql(
+        CodonLogic.SparkD, "chrom", "_anchor", "_allele", maxShift)))
+    val shift = when(col("_p0") === 0, lit(maxShift.toLong)).otherwise(col("_p0") - 1)
+    staged.select(col("id"), col("chrom"), col("_ns").as("norm_start"),
+      when(isIns, lit("ins")).otherwise(lit("del")).as("kind"),
+      col("_allele").as("allele"),
+      shift.cast("long").as("shift3"),
+      (col("_ns") + shift).cast("long").as("shifted_start"))
+  }
+
   /** Default output columns: all cache columns minus the join triple
     * and `source_*` bookkeeping (vep/src/table_function.rs:82-94). */
   private def defaultCacheCols(cache: DataFrame): Seq[String] =
