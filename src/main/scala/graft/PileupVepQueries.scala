@@ -25,8 +25,30 @@ object PileupVepQueries {
         Vep.vepNormEndUdf(col("start"), col("ref"), col("alt")).as("norm_end"))),
     "f10_lookup_variants" -> ((s, d) =>
       Vep.lookupVariants(Tables.vcf(s, d), Tables.vepCache(s, d))),
+    "f10_lookup_extended" -> ((s, d) =>
+      Vep.lookupVariants(Tables.vcf(s, d), Tables.vepCache(s, d), extendedWindow = 4L)),
     "f11_annotate_regions" -> ((s, d) =>
       Vep.annotateRegions(Tables.vcf(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
+    // S6 sink + S3 source round-trip: serialize the derived VCF view to
+    // text lines, write them out, read + parse them back relationally.
+    // The oracle recomputes the same projection straight from `part` -
+    // hash equality proves the sink->file->source cycle is lossless.
+    "s6_vcf_roundtrip" -> ((s, d) => {
+      val df = Tables.vcf(s, d).withColumn("vid", col("id"))
+      val path = s"/tmp/graft_vcf_roundtrip_${math.abs(d.hashCode).toString}"
+      Vep.toVcfLines(df, Seq("vid")).coalesce(4)
+        .write.mode("overwrite").text(path)
+      val p = split(col("value"), "\t")
+      s.read.text(path)
+        .where(!col("value").startsWith("#"))
+        .select(
+          p.getItem(0).as("chrom"),
+          p.getItem(1).cast("long").as("start"),
+          p.getItem(2).cast("long").as("id"),
+          p.getItem(3).as("ref"),
+          p.getItem(4).as("alt"),
+          regexp_extract(p.getItem(7), "VID=([0-9]+)", 1).cast("long").as("vid"))
+    }),
   )
 
   /** Depth block CTE shared by the two pileup oracles: events → per-pos
@@ -144,5 +166,19 @@ object PileupVepQueries {
          |      OR split_part(c.allele_string, '/', 1) = v.ref)
          | AND split_part(c.allele_string, '/', 2) = v.vep_alt
          |ORDER BY v.id""".stripMargin.replace("\n", " "),
+    "f10_lookup_extended" ->
+      s"""WITH $vcf, $vepCache
+         |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
+         | c.variation_name AS cache_variation_name,
+         | c.allele_string AS cache_allele_string,
+         | c.af AS cache_af, c.clin_sig AS cache_clin_sig
+         |FROM v LEFT JOIN c ON v.chrom = c.chrom
+         | AND c.start <= v.norm_end + 4 AND c."end" >= v.norm_start - 4
+         | AND (split_part(c.allele_string, '/', 1) = v.vep_ref
+         |      OR split_part(c.allele_string, '/', 1) = v.ref)
+         | AND split_part(c.allele_string, '/', 2) = v.vep_alt
+         |ORDER BY v.id""".stripMargin.replace("\n", " "),
+    "s6_vcf_roundtrip" ->
+      s"WITH $vcf SELECT chrom, start, id, ref, alt, CAST(id AS BIGINT) AS vid FROM v ORDER BY id",
   )
 }

@@ -33,6 +33,10 @@ object RangesQueries {
       Ranges.nearest(A(s, d), Tables.ivBSample(s, d), k = 3, tieBreakCol = Some("id"))),
     "f5_merge" -> ((s, d) => Ranges.merge(A(s, d))),
     "f5_merge_mindist" -> ((s, d) => Ranges.merge(A(s, d), minDist = 400L)),
+    "f5_merge_strict" -> ((s, d) => Ranges.merge(A(s, d), op = FilterOp.Strict)),
+    "f8_subtract_strict" -> ((s, d) =>
+      Ranges.subtract(A(s, d), B(s, d), op = FilterOp.Strict)),
+    "f6_cluster_mindist" -> ((s, d) => Ranges.cluster(A(s, d), minDist = 300L)),
     "f6_cluster" -> ((s, d) => Ranges.cluster(A(s, d))),
     "f7_complement" -> ((s, d) => Ranges.complement(A(s, d))),
     "f8_subtract" -> ((s, d) => Ranges.subtract(A(s, d), B(s, d))),
@@ -102,6 +106,20 @@ object RangesQueries {
        |WHERE rn <= $k ORDER BY right_id, distance, left_id"""
       .stripMargin.replace("\n", " ")
 
+  private def clusterSql(minDist: Long): String =
+    s"""WITH $a, o AS (SELECT contig, pos_start, pos_end, id,
+       | CASE WHEN MAX(pos_end) OVER w IS NULL THEN 1
+       |  WHEN pos_start > MAX(pos_end) OVER w + $minDist THEN 1 ELSE 0 END AS f
+       | FROM a WINDOW w AS (PARTITION BY contig ORDER BY pos_start, pos_end
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |i AS (SELECT contig, pos_start, pos_end, id, SUM(f) OVER (PARTITION BY contig
+       |  ORDER BY pos_start, pos_end) AS g FROM o)
+       |SELECT contig, pos_start, pos_end, id,
+       | CAST(DENSE_RANK() OVER (ORDER BY contig, g) - 1 AS BIGINT) AS cluster,
+       | MIN(pos_start) OVER (PARTITION BY contig, g) AS cluster_start,
+       | MAX(pos_end) OVER (PARTITION BY contig, g) AS cluster_end
+       |FROM i ORDER BY id""".stripMargin.replace("\n", " ")
+
   val oracleSql: Map[String, String] = Map(
     "f1_overlap_join" ->
       s"WITH $a, $b $overlapPairsSelect AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start ORDER BY left_id, right_id",
@@ -168,19 +186,10 @@ object RangesQueries {
       s"WITH $a, ${mergedCte("a", "m")} SELECT contig, pos_start, pos_end, n_intervals FROM m ORDER BY contig, pos_start",
     "f5_merge_mindist" ->
       s"WITH $a, ${mergedCte("a", "m", 400L)} SELECT contig, pos_start, pos_end, n_intervals FROM m ORDER BY contig, pos_start",
-    "f6_cluster" ->
-      s"""WITH $a, o AS (SELECT contig, pos_start, pos_end, id,
-         | CASE WHEN MAX(pos_end) OVER w IS NULL THEN 1
-         |  WHEN pos_start > MAX(pos_end) OVER w THEN 1 ELSE 0 END AS f
-         | FROM a WINDOW w AS (PARTITION BY contig ORDER BY pos_start, pos_end
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-         |i AS (SELECT contig, pos_start, pos_end, id, SUM(f) OVER (PARTITION BY contig
-         |  ORDER BY pos_start, pos_end) AS g FROM o)
-         |SELECT contig, pos_start, pos_end, id,
-         | CAST(DENSE_RANK() OVER (ORDER BY contig, g) - 1 AS BIGINT) AS cluster,
-         | MIN(pos_start) OVER (PARTITION BY contig, g) AS cluster_start,
-         | MAX(pos_end) OVER (PARTITION BY contig, g) AS cluster_end
-         |FROM i ORDER BY id""".stripMargin.replace("\n", " "),
+    "f5_merge_strict" ->
+      s"WITH $a, ${mergedCte("a", "m", 0L, strict = true)} SELECT contig, pos_start, pos_end, n_intervals FROM m ORDER BY contig, pos_start",
+    "f6_cluster" -> clusterSql(0L),
+    "f6_cluster_mindist" -> clusterSql(300L),
     "f7_complement" ->
       s"""WITH $a, ${mergedCte("a", "m")},
          |g AS (SELECT contig, COALESCE(LAG(pos_end) OVER (PARTITION BY contig
@@ -190,21 +199,29 @@ object RangesQueries {
          |SELECT contig, MAX(pos_end) AS pos_start,
          | 9223372036854775807 AS pos_end FROM m GROUP BY contig
          |ORDER BY contig, pos_start""".stripMargin.replace("\n", " "),
-    "f8_subtract" ->
-      s"""WITH $a, $b, ${mergedCte("b", "mb")},
-         |ov AS (SELECT a.contig, a.pos_start, a.pos_end, a.id,
-         |  mb.pos_start AS rs, mb.pos_end AS re FROM a JOIN mb
-         |  ON a.contig = mb.contig AND mb.pos_end >= a.pos_start AND mb.pos_start <= a.pos_end),
-         |mids AS (SELECT contig, GREATEST(COALESCE(LAG(re) OVER (PARTITION BY id
-         |  ORDER BY rs), pos_start), pos_start) AS cs, rs, pos_start, pos_end, id FROM ov)
-         |SELECT contig, cs AS pos_start, rs AS pos_end, id FROM mids WHERE rs > cs
-         |UNION ALL
-         |SELECT contig, MAX(re) AS pos_start, pos_end, id FROM ov
-         | GROUP BY contig, pos_start, pos_end, id HAVING MAX(re) < pos_end
-         |UNION ALL
-         |SELECT contig, pos_start, pos_end, id FROM a WHERE NOT EXISTS
-         | (SELECT 1 FROM mb WHERE mb.contig = a.contig AND mb.pos_end >= a.pos_start
-         |  AND mb.pos_start <= a.pos_end)
-         |ORDER BY id, pos_start""".stripMargin.replace("\n", " "),
+    "f8_subtract" -> subtractSql(strict = false),
+    "f8_subtract_strict" -> subtractSql(strict = true),
   )
+
+  /** Shared subtract oracle; strict flips the overlap comparators AND
+    * the right-side pre-merge convention (Ranges.subtract merges the
+    * rights with the same op). */
+  private def subtractSql(strict: Boolean): String = {
+    val (ge, le_) = if (strict) (">", "<") else (">=", "<=")
+    s"""WITH $a, $b, ${mergedCte("b", "mb", 0L, strict)},
+       |ov AS (SELECT a.contig, a.pos_start, a.pos_end, a.id,
+       |  mb.pos_start AS rs, mb.pos_end AS re FROM a JOIN mb
+       |  ON a.contig = mb.contig AND mb.pos_end $ge a.pos_start AND mb.pos_start $le_ a.pos_end),
+       |mids AS (SELECT contig, GREATEST(COALESCE(LAG(re) OVER (PARTITION BY id
+       |  ORDER BY rs), pos_start), pos_start) AS cs, rs, pos_start, pos_end, id FROM ov)
+       |SELECT contig, cs AS pos_start, rs AS pos_end, id FROM mids WHERE rs > cs
+       |UNION ALL
+       |SELECT contig, MAX(re) AS pos_start, pos_end, id FROM ov
+       | GROUP BY contig, pos_start, pos_end, id HAVING MAX(re) < pos_end
+       |UNION ALL
+       |SELECT contig, pos_start, pos_end, id FROM a WHERE NOT EXISTS
+       | (SELECT 1 FROM mb WHERE mb.contig = a.contig AND mb.pos_end $ge a.pos_start
+       |  AND mb.pos_start $le_ a.pos_end)
+       |ORDER BY id, pos_start""".stripMargin.replace("\n", " ")
+  }
 }

@@ -240,11 +240,12 @@ object Oracle {
     * pos_start, pos_end)` with reach `minDist`, weak convention —
     * the SQL formulation of merge.rs:282-349. Produces
     * `(contig, pos_start, pos_end, n_intervals)`. */
-  def mergedCte(src: String, out: String, minDist: Long = 0L): String =
+  def mergedCte(src: String, out: String, minDist: Long = 0L, strict: Boolean = false): String = {
+    val cmp = if (strict) ">=" else ">"
     s"""${out}_o AS (SELECT contig, pos_start AS s, pos_end AS e,
        | CASE WHEN MAX(pos_end) OVER (PARTITION BY contig ORDER BY pos_start, pos_end
        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL THEN 1
-       |  WHEN pos_start > MAX(pos_end) OVER (PARTITION BY contig ORDER BY pos_start, pos_end
+       |  WHEN pos_start $cmp MAX(pos_end) OVER (PARTITION BY contig ORDER BY pos_start, pos_end
        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + $minDist THEN 1 ELSE 0 END AS f
        | FROM $src),
        |${out}_i AS (SELECT contig, s, e, SUM(f) OVER (PARTITION BY contig
@@ -252,4 +253,5 @@ object Oracle {
        |$out AS (SELECT contig, MIN(s) AS pos_start, MAX(e) AS pos_end,
        |   CAST(COUNT(*) AS BIGINT) AS n_intervals FROM ${out}_i GROUP BY contig, g)"""
       .stripMargin.replace("\n", " ")
+  }
 }

@@ -249,7 +249,8 @@ object Vep {
   def lookupVariants(
       vcf: DataFrame, cache: DataFrame,
       columns: Seq[String] = Nil,
-      relaxed: Boolean = false): DataFrame = {
+      relaxed: Boolean = false,
+      extendedWindow: Long = 0L): DataFrame = {
     val outCols = if (columns.nonEmpty) columns else defaultCacheCols(cache)
     val matcher = if (relaxed) matchAlleleRelaxedUdf else matchAlleleUdf
     val v = vcf
@@ -259,14 +260,44 @@ object Vep {
       (Seq(col("chrom").as("_c_chrom"), col("start").cast("long").as("_c_start"),
            col("end").cast("long").as("_c_end"), col("allele_string").as("_c_allele_string")) ++
        outCols.map(n => col(n).as(s"_c_out_$n"))): _*)
-    val joined = v.join(c,
-      v("chrom") === c("_c_chrom") &&
-      col("_norm_start") === col("_c_start") &&
-      col("_norm_end") === col("_c_end") &&
-      matcher(v("ref"), v("alt"), col("_c_allele_string")),
-      "left")
     val out: Seq[Column] =
       vcf.columns.toSeq.map(col) ++ outCols.map(n => col(s"_c_out_$n").as(s"cache_$n"))
-    joined.select(out: _*)
+    if (extendedWindow <= 0) {
+      val joined = v.join(c,
+        v("chrom") === c("_c_chrom") &&
+        col("_norm_start") === col("_c_start") &&
+        col("_norm_end") === col("_c_end") &&
+        matcher(v("ref"), v("alt"), col("_c_allele_string")),
+        "left")
+      joined.select(out: _*)
+    } else {
+      // extended_probes mode (J6 reusing J1's partitioned shape): the
+      // probe interval widens by the window, the join runs on
+      // (chrom, fixed-width bucket) equality - a plain shuffled
+      // equi-join at any scale, never a per-chrom cross product - with
+      // the range predicate in-bucket and a canonical-bucket condition
+      // deduplicating spans. LEFT semantics restored by an anti-join
+      // union (unmatched VCF rows keep NULL cache columns).
+      val bw = 64L
+      val vb = v
+        .withColumn("_lo", col("_norm_start") - extendedWindow)
+        .withColumn("_hi", col("_norm_end") + extendedWindow)
+        .withColumn("_bkt", explode(sequence(
+          floor(col("_lo") / bw).cast("long"), floor(col("_hi") / bw).cast("long"))))
+      val cb = c.withColumn("_cbkt", explode(sequence(
+        floor(col("_c_start") / bw).cast("long"), floor(col("_c_end") / bw).cast("long"))))
+      val matched = vb.join(cb,
+          vb("chrom") === cb("_c_chrom") && col("_bkt") === col("_cbkt") &&
+          col("_c_start") <= col("_hi") && col("_c_end") >= col("_lo") &&
+          floor(greatest(col("_lo"), col("_c_start")) / bw).cast("long") === col("_bkt") &&
+          matcher(vb("ref"), vb("alt"), col("_c_allele_string")))
+      val unmatched = v
+        .join(matched.select(vb("id").as("_mid")).distinct(),
+          v("id") === col("_mid"), "left_anti")
+      val nulls = outCols.foldLeft(unmatched) { (df, n) =>
+        df.withColumn(s"_c_out_$n", lit(null).cast(c.schema(s"_c_out_$n").dataType))
+      }
+      matched.select(out: _*).unionByName(nulls.select(out: _*))
+    }
   }
 }
