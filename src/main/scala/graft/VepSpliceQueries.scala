@@ -16,6 +16,8 @@ object VepSpliceQueries {
     "f11_spliced_codon" -> ((s, d) =>
       Splice.splicedCodon(Tables.vcf(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
     "f11_shift3" -> ((s, d) => graft.vep.Vep.shift3(Tables.vcf(s, d))),
+    "f11_csq" -> ((s, d) =>
+      Splice.csqAssemble(Tables.vcf(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
   )
 
   /** Per-exon cDNA contribution of position `pos` (Splice.contribution
@@ -182,9 +184,44 @@ object VepSpliceQueries {
        |FROM scanned ORDER BY id""".stripMargin.replace("\n", " ")
   }
 
+  /** CSQ-assembly oracle: composes the two layer oracles as nested-WITH
+    * subqueries (DuckDB allows WITH inside a derived table) and mirrors
+    * Splice.csqAssemble's term/rank/entry logic. */
+  private val csqSql: String = {
+    import graft.vep.Vep
+    val rankCase = "CASE term " + Vep.soRank.map { case (n, r) => s"WHEN '$n' THEN $r" }
+      .mkString(" ") + " ELSE 39 END"
+    val nameCase = "CASE MIN(rank) " + Vep.soRank.map { case (n, r) => s"WHEN $r THEN '$n'" }
+      .mkString(" ") + " ELSE 'intergenic_variant' END"
+    s"""WITH cdna AS (SELECT * FROM ($cdnaHgvsSql) AS c1),
+       |codon AS (SELECT id, transcript_id, consequence, hgvs_p FROM ($splicedCodonSql) AS c2),
+       |j AS (SELECT cdna.id, cdna.transcript_id, cdna.region, cdna.cdna_pos,
+       |   cdna.cds_pos, cdna.protein_pos, cdna.hgvs_c, codon.consequence, codon.hgvs_p
+       |  FROM cdna LEFT JOIN codon
+       |   ON cdna.id = codon.id AND cdna.transcript_id = codon.transcript_id),
+       |terms AS (SELECT j.*, CASE
+       |   WHEN region = 'intronic' THEN 'intron_variant'
+       |   WHEN strpos(hgvs_c, ':n.') > 0 THEN 'non_coding_transcript_exon_variant'
+       |   WHEN strpos(hgvs_c, ':c.-') > 0 THEN 'five_prime_UTR_variant'
+       |   WHEN strpos(hgvs_c, ':c.*') > 0 THEN 'three_prime_UTR_variant'
+       |   ELSE COALESCE(consequence, 'coding_sequence_variant') END AS term FROM j),
+       |entries AS (SELECT id, term, $rankCase AS rank,
+       |   concat(transcript_id, '|', term, '|',
+       |     COALESCE(CAST(cdna_pos AS VARCHAR), ''), '|',
+       |     COALESCE(CAST(cds_pos AS VARCHAR), ''), '|',
+       |     COALESCE(CAST(protein_pos AS VARCHAR), ''), '|',
+       |     COALESCE(hgvs_c, ''), '|', COALESCE(hgvs_p, '')) AS entry
+       |  FROM terms)
+       |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts,
+       | $nameCase AS most_severe_consequence,
+       | string_agg(entry, ',' ORDER BY entry) AS csq
+       |FROM entries GROUP BY id ORDER BY id""".stripMargin.replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "f11_cdna_hgvs" -> cdnaHgvsSql,
     "f11_spliced_codon" -> splicedCodonSql,
     "f11_shift3" -> shift3Sql,
+    "f11_csq" -> csqSql,
   )
 }

@@ -281,4 +281,44 @@ object Splice {
       col("_aaref").as("aa_ref"), col("_aaalt").as("aa_alt"),
       consequence.as("consequence"), hgvsP.as("hgvs_p"))
   }
+
+  /** CSQ output assembly (annotate_provider.rs:795-1000 role): fuse
+    * the cDNA/HGVSc layer with the spliced-codon layer into one
+    * pipe-delimited entry per (variant, transcript) —
+    * Feature|Consequence|cDNA_position|CDS_position|Protein_position|
+    * HGVSc|HGVSp ('' for absent fields) — aggregated per variant into
+    * a deterministic comma-joined CSQ string plus
+    * most_severe_consequence by SO rank (so_terms.rs ordering via
+    * Vep.soRank). Only transcripts overlapping the variant contribute
+    * (up/downstream and intergenic classification stays in
+    * Vep.annotateRegions). */
+  def csqAssemble(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
+    val cdna = cdnaAnnotate(vcf, transcripts, exons)
+    val codon = splicedCodon(vcf, transcripts, exons)
+      .select(col("id"), col("transcript_id"), col("consequence"), col("hgvs_p"))
+    val j = cdna.join(codon, Seq("id", "transcript_id"), "left")
+    val term = when(col("region") === "intronic", lit("intron_variant"))
+      .when(instr(col("hgvs_c"), ":n.") > 0, lit("non_coding_transcript_exon_variant"))
+      .when(instr(col("hgvs_c"), ":c.-") > 0, lit("five_prime_UTR_variant"))
+      .when(instr(col("hgvs_c"), ":c.*") > 0, lit("three_prime_UTR_variant"))
+      .otherwise(coalesce(col("consequence"), lit("coding_sequence_variant")))
+    def f(c: Column) = coalesce(c.cast("string"), lit(""))
+    val staged = j.withColumn("_term", term)
+    val entry = concat_ws("|", col("transcript_id"), col("_term"),
+      f(col("cdna_pos")), f(col("cds_pos")), f(col("protein_pos")),
+      f(col("hgvs_c")), f(col("hgvs_p")))
+    val rank = Vep.soRank.foldLeft(lit(39)) { case (acc, (n, r)) =>
+      when(col("_term") === n, lit(r)).otherwise(acc)
+    }
+    val grouped = staged
+      .withColumn("_rank", rank).withColumn("_entry", entry)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_transcripts"), min(col("_rank")).as("_best"),
+        array_join(array_sort(collect_list(col("_entry"))), ",").as("csq"))
+    val rankToName = Vep.soRank.foldLeft(lit("intergenic_variant")) { case (acc, (n, r)) =>
+      when(col("_best") === r, lit(n)).otherwise(acc)
+    }
+    grouped.select(col("id"), col("n_transcripts"),
+      rankToName.as("most_severe_consequence"), col("csq"))
+  }
 }
