@@ -46,7 +46,8 @@ object Dedup {
     * (an inner-transform formulation re-evaluates the whole
     * normalize+split+slice pipeline per band — 8x the work). */
   private def explodedShingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("sh"))
+    graft.core.Parallelism.ensure(df)
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("sh"))
 
   /** Per-(doc, band) minhash rows: ONE md5 per shingle occurrence
     * yields a 28-bit base hash; each band applies an affine universal
@@ -102,7 +103,7 @@ object Dedup {
     * production variant): per distinct token, md5 hex digit j's low bit
     * votes ±count for bit j; bit set iff the vote sum is positive. */
   def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+    val toks = graft.core.Parallelism.ensure(df).select(col(idCol).as("id"),
         explode(split(TextFunctions.normalized(col(textCol)), " ")).as("tok"))
       .where(col("tok") =!= "")
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("cnt"))

@@ -43,7 +43,8 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val c = graft.core.Parallelism.ensure(corpus)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
@@ -80,7 +81,8 @@ object Similarity {
     val sig = (df: DataFrame, p: String) => df.select(
       col(idCol).as(p + "_id"), col(vecCol).as(p + "_vec"),
       lshBucket(col(vecCol), planes, dim).as(p + "_sig"))
-    val q = sig(queries, "q"); val c = sig(corpus, "n")
+    val q = sig(queries, "q")
+    val c = sig(graft.core.Parallelism.ensure(corpus), "n")
     val scored = c.join(broadcast(q),
         col("q_sig") === col("n_sig") && col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),

@@ -49,7 +49,8 @@ object Multimodal {
   def extractFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    val ds = assets.select(col("asset_id").cast("long"), col("media_type"), col("payload"))
+    val ds = graft.core.Parallelism.ensure(assets)
+      .select(col("asset_id").cast("long"), col("media_type"), col("payload"))
       .as[(Long, String, Array[Byte])]
     ds.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")

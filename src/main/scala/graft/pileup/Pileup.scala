@@ -37,7 +37,7 @@ object Pileup {
   private def events(reads: DataFrame, filterFlag: Int, minMapq: Int): DataFrame = {
     val spark = reads.sparkSession
     import spark.implicits._
-    reads
+    graft.core.Parallelism.ensure(reads)
       .where(expr(s"(flags & $filterFlag) = 0 AND mapping_quality >= $minMapq"))
       .select($"chrom", $"start".cast("long").as("start"), $"cigar")
       .as[(String, Long, String)]

@@ -69,10 +69,8 @@ object IntervalJoin {
     * identically (count_overlaps.rs:143-154 RoundRobinBatch). At scale
     * the probe side already carries >= parallelism partitions and this
     * is a no-op — never a second shuffle. */
-  private def parallelizeProbe(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def parallelizeProbe(df: DataFrame): DataFrame =
+    graft.core.Parallelism.ensure(df)
 
   /** CollectLeft build side in ONE scan: collect the full build rows,
     * derive (a) per-contig coordinate arrays for the broadcast index
@@ -109,10 +107,17 @@ object IntervalJoin {
       k -> (s.toArray, e.toArray, p.toArray, t.toArray)
     }
     val schema2 = StructType(df.schema.fields :+ StructField("_lidx", IntegerType, nullable = false))
-    val idxRows = new java.util.ArrayList[Row](rows.length)
+    val idxRows = new Array[Row](rows.length)
     i = 0
-    while (i < rows.length) { idxRows.add(Row.fromSeq(rows(i).toSeq :+ i)); i += 1 }
-    val local = df.sparkSession.createDataFrame(idxRows, schema2)
+    while (i < rows.length) { idxRows(i) = Row.fromSeq(rows(i).toSeq :+ i); i += 1 }
+    // RDD-backed, NOT a LocalRelation: LocalTableScanExec keeps its rows
+    // as a plan-node field, and the whole plan serializes into every
+    // task closure of the probe stage (observed 1.3 MiB/task at sf0.1).
+    // A ParallelCollectionRDD ships the rows once, into the broadcast
+    // exchange's own collect job.
+    val slices = math.max(1, math.min(df.sparkSession.sparkContext.defaultParallelism, rows.length / 10000))
+    val local = df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(idxRows.toIndexedSeq, slices), schema2)
     (coords, local)
   }
 

@@ -60,7 +60,8 @@ object Ranges {
     val w = bucketWidth
     def bucketed(df: DataFrame, cols: IntervalCols, prefix: String): DataFrame = {
       val s = col(cols.start).cast("long"); val e = col(cols.end).cast("long")
-      df.select(df.columns.toSeq.map(c => col(c).as(prefix + c)): _*)
+      graft.core.Parallelism.ensure(df)
+        .select(df.columns.toSeq.map(c => col(c).as(prefix + c)): _*)
         .withColumn("_bucket", explode(sequence(
           floor(col(prefix + cols.start).cast("long") / w).cast("long"),
           floor(col(prefix + cols.end).cast("long") / w).cast("long"))))
