@@ -33,6 +33,20 @@ object PileupVepQueries {
     // text lines, write them out, read + parse them back relationally.
     // The oracle recomputes the same projection straight from `part` -
     // hash equality proves the sink->file->source cycle is lossless.
+    // S3 VCF source: same written lines, but read back through the
+    // DataSource V2 reader (graft.sources.VcfDataSource) instead of
+    // spark.read.text + manual split - one partition per file,
+    // chrom-equality pushdown available (exercised in SourcesSuite).
+    "s3_vcf_dsv2" -> ((s, d) => {
+      val df = Tables.vcf(s, d).withColumn("vid", col("id"))
+      val path = s"/tmp/graft_vcf_dsv2_${math.abs(d.hashCode).toString}"
+      Vep.toVcfLines(df, Seq("vid")).coalesce(4)
+        .write.mode("overwrite").text(path)
+      s.read.format("graft.sources.VcfDataSource").option("path", path).load()
+        .select(col("chrom"), col("start"),
+          col("id").cast("long").as("id"), col("ref"), col("alt"),
+          regexp_extract(col("info"), "VID=([0-9]+)", 1).cast("long").as("vid"))
+    }),
     "s6_vcf_roundtrip" -> ((s, d) => {
       val df = Tables.vcf(s, d).withColumn("vid", col("id"))
       val path = s"/tmp/graft_vcf_roundtrip_${math.abs(d.hashCode).toString}"
@@ -179,6 +193,8 @@ object PileupVepQueries {
          | AND split_part(c.allele_string, '/', 2) = v.vep_alt
          |ORDER BY v.id""".stripMargin.replace("\n", " "),
     "s6_vcf_roundtrip" ->
+      s"WITH $vcf SELECT chrom, start, id, ref, alt, CAST(id AS BIGINT) AS vid FROM v ORDER BY id",
+    "s3_vcf_dsv2" ->
       s"WITH $vcf SELECT chrom, start, id, ref, alt, CAST(id AS BIGINT) AS vid FROM v ORDER BY id",
   )
 }

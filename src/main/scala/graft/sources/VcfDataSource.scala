@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for VCF text (SURVEY.md §2 S3 — the
+  * reference wraps an external `VcfTableProvider`; this is the
+  * Spark-native equivalent for the text layout `Vep.toVcfLines`
+  * writes: CHROM POS ID REF ALT QUAL FILTER INFO, tab-separated,
+  * `#`-prefixed headers skipped).
+  *
+  * Usage: `spark.read.format("graft.sources.VcfDataSource")
+  * .option("path", dir).load()`.
+  *
+  * Scale shape: one input partition per file (a directory written by a
+  * 1000-task job reads back 1000-way parallel); `chrom = 'x'`
+  * equality filters push into the reader (rows for other contigs are
+  * dropped at the line scanner, before row materialization — the
+  * analogue of the reference's contig-scoped tabix seeks,
+  * lookup_provider.rs:166-173). All other predicates stay in Spark.
+  */
+class VcfDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = VcfDataSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new VcfTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object VcfDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("chrom", StringType),
+    StructField("start", LongType),
+    StructField("id", StringType),
+    StructField("ref", StringType),
+    StructField("alt", StringType),
+    StructField("qual", StringType),
+    StructField("filter", StringType),
+    StructField("info", StringType)))
+}
+
+class VcfTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"vcf($path)"
+  override def schema(): StructType = VcfDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VcfScanBuilder(if (path != null) path else options.get("path"))
+}
+
+class VcfScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilters {
+  private var chromFilter: Option[String] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("chrom", v: String) => true
+      case _ => false
+    }
+    accepted.collectFirst { case EqualTo(_, v: String) => v }.foreach(c => chromFilter = Some(c))
+    pushed = accepted
+    rejected // residual filters Spark must still apply
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new VcfScan(path, chromFilter)
+}
+
+class VcfScan(path: String, chromFilter: Option[String]) extends Scan with Batch {
+  override def readSchema(): StructType = VcfDataSource.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"VcfScan($path${chromFilter.map(c => s", chrom=$c").getOrElse("")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val stat = fs.globStatus(new Path(path, "*"))
+    val files =
+      if (stat != null && stat.nonEmpty) stat.toSeq
+      else Seq(fs.getFileStatus(new Path(path)))
+    files.filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(s => VcfInputPartition(s.getPath.toString): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VcfReaderFactory(chromFilter)
+}
+
+case class VcfInputPartition(file: String) extends InputPartition
+
+class VcfReaderFactory(chromFilter: Option[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[VcfInputPartition].file
+    new PartitionReader[InternalRow] {
+      private val fs = FileSystem.get(new java.net.URI(file), new Configuration())
+      private val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))
+      private var row: InternalRow = _
+
+      override def next(): Boolean = {
+        var line = in.readLine()
+        while (line != null) {
+          if (!line.startsWith("#")) {
+            val p = line.split("\t", -1)
+            if (p.length >= 8 && chromFilter.forall(_ == p(0))) {
+              row = InternalRow(
+                UTF8String.fromString(p(0)), p(1).toLong, UTF8String.fromString(p(2)),
+                UTF8String.fromString(p(3)), UTF8String.fromString(p(4)),
+                UTF8String.fromString(p(5)), UTF8String.fromString(p(6)),
+                UTF8String.fromString(p(7)))
+              return true
+            }
+          }
+          line = in.readLine()
+        }
+        false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = in.close()
+    }
+  }
+}

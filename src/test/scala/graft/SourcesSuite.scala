@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.vep.Vep
+
+/** DataSource V2 VCF reader: schema, parallel file partitions, and
+  * chrom-equality pushdown into the line scanner. */
+class SourcesSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def writeVcf(path: String): Unit = {
+    val df = Seq(
+      ("chr0", 100L, 100L, 1L, "A", "G"),
+      ("chr1", 200L, 200L, 2L, "C", "T"),
+      ("chr0", 300L, 300L, 3L, "G", "GA"))
+      .toDF("chrom", "start", "end", "id", "ref", "alt")
+      .withColumn("vid", col("id"))
+    Vep.toVcfLines(df, Seq("vid")).repartition(2)
+      .write.mode("overwrite").text(path)
+  }
+
+  test("DSv2 VCF source reads written lines with the declared schema") {
+    val path = "/tmp/graft_test_vcf_dsv2"
+    writeVcf(path)
+    val back = spark.read.format("graft.sources.VcfDataSource")
+      .option("path", path).load()
+    assert(back.columns.toSeq ==
+      Seq("chrom", "start", "id", "ref", "alt", "qual", "filter", "info"))
+    assert(back.count() == 3)
+    val r = back.where($"id" === "3").collect().head
+    assert(r.getString(0) == "chr0" && r.getLong(1) == 300L &&
+      r.getString(4) == "GA" && r.getString(7) == "VID=3")
+  }
+
+  test("chrom equality pushes into the reader (PushedFilters visible)") {
+    val path = "/tmp/graft_test_vcf_dsv2"
+    writeVcf(path)
+    val filtered = spark.read.format("graft.sources.VcfDataSource")
+      .option("path", path).load()
+      .where($"chrom" === "chr0")
+    assert(filtered.count() == 2)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("chrom=chr0") || scan.contains("EqualTo(chrom,chr0)"),
+      s"pushdown not visible in plan:\n$scan")
+  }
+}
