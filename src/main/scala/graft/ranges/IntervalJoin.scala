@@ -172,18 +172,13 @@ object IntervalJoin {
       k -> ContigIntervalIndex.build(s, e, p)
     }.toMap
     val bc = spark.sparkContext.broadcast(indexes)
-    val theOp = op
 
-    val probe = udf { (contig: String, qs: Long, qe: Long) =>
-      val idx = bc.value.getOrElse(contig, null)
-      if (idx == null) Array.empty[Int]
-      else {
-        val (s, e) = theOp.adjustQuery(qs, qe)
-        val out = mutable.ArrayBuffer.empty[Int]
-        idx.query(s, e)(out += _)
-        out.toArray
-      }
-    }
+    // native codegen expression, not a Scala UDF (graft.plans.IntervalProbe)
+    import org.apache.spark.sql.GraftColumnBridge
+    def probe(c: Column, s: Column, e: Column): Column =
+      GraftColumnBridge.column(graft.plans.IntervalProbe(
+        GraftColumnBridge.expression(c), GraftColumnBridge.expression(s),
+        GraftColumnBridge.expression(e), bc, op))
 
     val rightPref = parallelizeProbe(right).select(
       right.schema.fields.toSeq.map(f => col(f.name).as("right_" + f.name)): _*)
