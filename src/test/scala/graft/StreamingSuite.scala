@@ -2,11 +2,56 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, IntervalStreams}
 import graft.streaming.EventStreams.Event
+
+case class Iv(contig: String, pos_start: Long, pos_end: Long, id: Long)
 
 class StreamingSuite extends SparkSpec {
   import spark.implicits._
+
+  test("streaming interval annotation matches the batch count operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val statics = Seq(
+      Iv("c1", 100, 200, 1), Iv("c1", 150, 250, 2), Iv("c2", 10, 20, 3))
+      .toDF("contig", "pos_start", "pos_end", "id")
+    val input = MemoryStream[Iv]
+    val annotated = IntervalStreams.countOverlaps(input.toDF(), statics)
+    assert(annotated.isStreaming, "must stay a streaming plan")
+    val q = annotated.writeStream.format("memory").queryName("ann")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Iv("c1", 180, 190, 100), // overlaps both c1 intervals
+        Iv("c1", 240, 260, 101), // overlaps the second only
+        Iv("c1", 300, 310, 102), // none
+        Iv("c2", 5, 10, 103),    // touches [10,20] -> weak overlap
+        Iv("c3", 1, 2, 104))     // unknown contig
+      q.processAllAvailable()
+      val got = spark.table("ann").collect()
+        .map(r => r.getLong(3) -> r.getLong(4)).toMap
+      assert(got == Map(100L -> 2L, 101L -> 1L, 102L -> 0L, 103L -> 1L, 104L -> 0L))
+      // batch operator agrees on the same rows
+      val batch = graft.ranges.Ranges.countOverlaps(
+          statics, Seq(Iv("c1", 180, 190, 100), Iv("c1", 240, 260, 101)).toDF(
+            "contig", "pos_start", "pos_end", "id"))
+        .collect().map(r => r.getLong(3) -> r.getLong(4)).toMap
+      assert(batch == Map(100L -> 2L, 101L -> 1L))
+    } finally q.stop()
+  }
+
+  test("streaming semi-join filter keeps only overlapping rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val statics = Seq(Iv("c1", 100, 200, 1)).toDF("contig", "pos_start", "pos_end", "id")
+    val input = MemoryStream[Iv]
+    val q = IntervalStreams.filterOverlapping(input.toDF(), statics)
+      .writeStream.format("memory").queryName("semi").outputMode("append").start()
+    try {
+      input.addData(Iv("c1", 150, 160, 1), Iv("c1", 500, 600, 2))
+      q.processAllAvailable()
+      assert(spark.table("semi").collect().map(_.getLong(3)).toSeq == Seq(1L))
+    } finally q.stop()
+  }
 
   // offset from epoch: an event at exactly ts=0 sits on the initial
   // watermark and is discarded as late
