@@ -33,6 +33,22 @@ object PileupVepQueries {
     // text lines, write them out, read + parse them back relationally.
     // The oracle recomputes the same projection straight from `part` -
     // hash equality proves the sink->file->source cycle is lossless.
+    // S4 KV-cache replacement: the variation cache written in
+    // point-lookup layout (chrom-partitioned, start-sorted parquet),
+    // then batch-probed with the sampled VCF's normalized positions.
+    // Oracle joins the same derived tables directly - hash equality
+    // proves the layout round-trip; pruning evidence in SourcesSuite.
+    "s4_kv_lookup" -> ((s, d) => {
+      import graft.sources.PositionCache
+      val path = s"/tmp/graft_kvcache_${math.abs(d.hashCode).toString}"
+      PositionCache.write(Tables.vepCache(s, d), path)
+      val keys = Tables.vcf(s, d).where("id % 50 = 0").select(
+        col("chrom"),
+        Vep.vepNormStartUdf(col("start").cast("long"), col("ref"), col("alt")).as("start"))
+      PositionCache.lookupBatch(PositionCache.open(s, path), keys)
+        .select(col("chrom"), col("start"), col("end"), col("variation_name"),
+          col("allele_string"), col("af"), col("clin_sig"))
+    }),
     // S3 VCF source: same written lines, but read back through the
     // DataSource V2 reader (graft.sources.VcfDataSource) instead of
     // spark.read.text + manual split - one partition per file,
@@ -196,5 +212,12 @@ object PileupVepQueries {
       s"WITH $vcf SELECT chrom, start, id, ref, alt, CAST(id AS BIGINT) AS vid FROM v ORDER BY id",
     "s3_vcf_dsv2" ->
       s"WITH $vcf SELECT chrom, start, id, ref, alt, CAST(id AS BIGINT) AS vid FROM v ORDER BY id",
+    "s4_kv_lookup" ->
+      s"""WITH $vcf, $vepCache,
+         |k AS (SELECT DISTINCT chrom, norm_start FROM v WHERE id % 50 = 0)
+         |SELECT c.chrom, c.start, c."end" AS "end", c.variation_name,
+         | c.allele_string, c.af, c.clin_sig
+         |FROM c JOIN k ON c.chrom = k.chrom AND c.start = k.norm_start
+         |ORDER BY c.chrom, c.start, c.variation_name""".stripMargin.replace("\n", " "),
   )
 }

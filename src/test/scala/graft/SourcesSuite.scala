@@ -32,6 +32,24 @@ class SourcesSuite extends SparkSpec {
       r.getString(4) == "GA" && r.getString(7) == "VID=3")
   }
 
+  test("position-cache point lookup prunes partitions and pushes start") {
+    import graft.sources.PositionCache
+    val cache = Seq(
+      ("chr0", 100L, 100L, "rs1", "A/G", 0.5),
+      ("chr0", 200L, 200L, "rs2", "C/T", 0.1),
+      ("chr1", 100L, 100L, "rs3", "G/A", 0.9))
+      .toDF("chrom", "start", "end", "variation_name", "allele_string", "af")
+    val path = "/tmp/graft_test_kvcache"
+    PositionCache.write(cache, path)
+    val hit = PositionCache.lookup(PositionCache.open(spark, path), "chr0", 200L)
+    assert(hit.collect().map(_.getAs[String]("variation_name")).toSeq == Seq("rs2"))
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("chr0"),
+      s"partition pruning missing:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(start,200)"),
+      s"start pushdown missing:\n$plan")
+  }
+
   test("chrom equality pushes into the reader (PushedFilters visible)") {
     val path = "/tmp/graft_test_vcf_dsv2"
     writeVcf(path)
