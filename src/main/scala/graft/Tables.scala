@@ -131,6 +131,32 @@ object Tables {
         "CAST(t_start + i * (t_len DIV 3) AS BIGINT) AS start",
         "CAST(t_start + i * (t_len DIV 3) + (t_len DIV 6) AS BIGINT) AS `end`")
 
+  /** Derived regulatory-feature context (partitioned_cache.rs:24-31
+    * `regulatory` table role): one feature per 20th customer row,
+    * type cycling promoter/enhancer/CTCF_binding_site. */
+  def regulatory(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer").where("c_custkey % 20 = 0").selectExpr(
+      "concat('chr', CAST(c_custkey % 2 AS STRING)) AS chrom",
+      "CAST((c_custkey * 6151) % 100000 + 1 AS BIGINT) AS start",
+      "CAST((c_custkey * 6151) % 100000 + 1 + 200 + c_custkey % 800 AS BIGINT) AS `end`",
+      "concat('R', CAST(c_custkey AS STRING)) AS feature_id",
+      """CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'promoter'
+         WHEN 1 THEN 'enhancer' ELSE 'CTCF_binding_site' END AS feature_type""")
+
+  /** Derived SIFT score context (translation_sift role): one row per
+    * (transcript, protein position 1..50, alternate amino acid);
+    * score = md5-derived 2-digit fraction — identical arithmetic in
+    * the DuckDB oracle. */
+  def siftContext(spark: SparkSession, dir: String): DataFrame =
+    transcripts(spark, dir).selectExpr(
+        "transcript_id", "explode(sequence(1, 50)) AS protein_pos")
+      .selectExpr("transcript_id", "protein_pos",
+        "explode(split('A C D E F G H I K L M N P Q R S T V W Y *', ' ')) AS aa")
+      .selectExpr("transcript_id", "protein_pos", "aa",
+        """CAST(CAST(conv(substr(md5(concat(transcript_id, ':',
+           CAST(protein_pos AS STRING), ':', aa)), 1, 2), 16, 10) AS INT) % 100 AS DOUBLE)
+           / 100.0 AS sift_score""")
+
   /** Alignment-reads view for pileup (FIXTURES.md §3 contract):
     * `(chrom, start, flags, cigar, mapping_quality)`. CIGAR is a real
     * string the Spark side parses; the oracle recomputes the aligned
@@ -235,6 +261,28 @@ object Oracle {
        | CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'benign' WHEN 1 THEN 'pathogenic'
        |  WHEN 2 THEN 'uncertain' ELSE NULL END AS clin_sig
        | FROM part WHERE p_partkey % 4 < 2)""".stripMargin.replace("\n", " ")
+
+  /** DuckDB mirror of [[Tables.regulatory]]. */
+  val regulatory: String =
+    """rg AS (SELECT concat('chr', CAST(c_custkey % 2 AS VARCHAR)) AS chrom,
+      | CAST((c_custkey * 6151) % 100000 + 1 AS BIGINT) AS start,
+      | CAST((c_custkey * 6151) % 100000 + 1 + 200 + c_custkey % 800 AS BIGINT) AS "end",
+      | concat('R', CAST(c_custkey AS VARCHAR)) AS feature_id,
+      | CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'promoter'
+      |  WHEN 1 THEN 'enhancer' ELSE 'CTCF_binding_site' END AS feature_type
+      | FROM customer WHERE c_custkey % 20 = 0)""".stripMargin.replace("\n", " ")
+
+  /** DuckDB mirror of [[Tables.siftContext]] (requires the `t` CTE in
+    * scope). Two hex digits of the md5 give the 0..255 base value. */
+  val siftCtx: String =
+    """sift AS (SELECT transcript_id, protein_pos, aa,
+      | CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      |   + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 100 AS DOUBLE) / 100.0 AS sift_score
+      | FROM (SELECT transcript_id, u.protein_pos, a.aa,
+      |   md5(concat(transcript_id, ':', CAST(u.protein_pos AS VARCHAR), ':', a.aa)) AS h
+      |  FROM t, UNNEST(generate_series(1, 50)) AS u(protein_pos),
+      |   UNNEST(string_split('A C D E F G H I K L M N P Q R S T V W Y *', ' ')) AS a(aa)))"""
+      .stripMargin.replace("\n", " ")
 
   /** Gaps-and-islands merged intervals of a table `t(contig,
     * pos_start, pos_end)` with reach `minDist`, weak convention —

@@ -18,6 +18,51 @@ object VepSpliceQueries {
     "f11_shift3" -> ((s, d) => graft.vep.Vep.shift3(Tables.vcf(s, d))),
     "f11_csq" -> ((s, d) =>
       Splice.csqAssemble(Tables.vcf(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
+    "f11_regulatory" -> ((s, d) =>
+      graft.vep.Vep.annotateRegulatory(Tables.vcf(s, d), Tables.regulatory(s, d))),
+    // gap=50 rather than the 1 Mb-analog default: the derived misses
+    // are dense enough that a large reach degenerates to one interval
+    // per chrom, which would gate nothing
+    "f11_miss_worklist" -> ((s, d) =>
+      graft.vep.Vep.missWorklist(Tables.vcf(s, d), Tables.vepCache(s, d), gap = 50L)),
+    // SIFT score lookup (stage 5): the spliced-codon output joins the
+    // derived translation_sift context on (transcript, protein pos,
+    // alternate residue); deleterious below the 0.05 threshold.
+    "f11_sift" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val codon = Splice.splicedCodon(
+        Tables.vcf(s, d), Tables.transcripts(s, d), Tables.exons(s, d))
+      val ctx = Tables.siftContext(s, d).select(
+        col("transcript_id").as("_s_tid"), col("protein_pos").as("_s_pp"),
+        col("aa"), col("sift_score"))
+      codon.join(broadcast(ctx),
+          codon("transcript_id") === col("_s_tid") &&
+          codon("protein_pos") === col("_s_pp") &&
+          codon("aa_alt") === col("aa"))
+        .select(codon("id"), codon("transcript_id"), codon("protein_pos"),
+          codon("aa_alt"), col("sift_score"),
+          when(col("sift_score") < 0.05, lit("deleterious"))
+            .otherwise(lit("tolerated")).as("sift_prediction"))
+    }),
+    // MAX_AF assembly (stage 6, annotate_provider.rs:795-1000 role):
+    // population AFs derived from the matched cache row, max + argmax.
+    "f11_maxaf" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val looked = graft.vep.Vep.lookupVariants(Tables.vcf(s, d), Tables.vepCache(s, d))
+        .where(col("cache_variation_name").isNotNull)
+      val pk = substring(col("cache_variation_name"), 3, 18).cast("long")
+      val afr = (pk * 131 % 1000).cast("double") / 1000.0
+      val eur = (pk * 257 % 1000).cast("double") / 1000.0
+      val eas = (pk * 389 % 1000).cast("double") / 1000.0
+      val mx = greatest(col("cache_af"), afr, eur, eas)
+      looked.select(col("id"), col("cache_af").as("af"),
+        afr.as("af_afr"), eur.as("af_eur"), eas.as("af_eas"),
+        mx.as("max_af"),
+        when(mx === col("cache_af"), lit("all"))
+          .when(mx === afr, lit("afr"))
+          .when(mx === eur, lit("eur"))
+          .otherwise(lit("eas")).as("max_af_pop"))
+    }),
   )
 
   /** Per-exon cDNA contribution of position `pos` (Splice.contribution
@@ -218,10 +263,67 @@ object VepSpliceQueries {
        |FROM entries GROUP BY id ORDER BY id""".stripMargin.replace("\n", " ")
   }
 
+  private val regulatorySql: String =
+    s"""WITH ${Oracle.vcf}, ${Oracle.regulatory}
+       |SELECT v.id, rg.feature_id, rg.feature_type,
+       | 'regulatory_region_variant' AS consequence
+       |FROM v JOIN rg ON v.chrom = rg.chrom
+       | AND v.start <= rg."end" AND v."end" >= rg.start
+       |ORDER BY v.id, rg.feature_id""".stripMargin.replace("\n", " ")
+
+  /** Miss worklist: anti-join on the exact lookup condition (mirrors
+    * f10_lookup_variants) then the merge sweep with a 1000bp reach. */
+  private val missWorklistSql: String =
+    s"""WITH ${Oracle.vcf}, ${Oracle.vepCache},
+       |miss AS (SELECT v.chrom AS contig, v.norm_start AS pos_start,
+       |   v.norm_start AS pos_end FROM v WHERE NOT EXISTS
+       |  (SELECT 1 FROM c WHERE v.chrom = c.chrom
+       |    AND v.norm_start = c.start AND v.norm_end = c."end"
+       |    AND (split_part(c.allele_string, '/', 1) = v.vep_ref
+       |         OR split_part(c.allele_string, '/', 1) = v.ref)
+       |    AND split_part(c.allele_string, '/', 2) = v.vep_alt)),
+       |${Oracle.mergedCte("miss", "mw", 50L)}
+       |SELECT contig, pos_start, pos_end, n_intervals FROM mw
+       |ORDER BY contig, pos_start""".stripMargin.replace("\n", " ")
+
+  private val siftSql: String =
+    s"""WITH ${Oracle.transcripts}, ${Oracle.siftCtx},
+       |codon AS (SELECT id, transcript_id, protein_pos, aa_alt FROM ($splicedCodonSql) q)
+       |SELECT codon.id, codon.transcript_id, codon.protein_pos, codon.aa_alt,
+       | sift.sift_score,
+       | CASE WHEN sift.sift_score < 0.05 THEN 'deleterious' ELSE 'tolerated' END AS sift_prediction
+       |FROM codon JOIN sift ON codon.transcript_id = sift.transcript_id
+       | AND codon.protein_pos = sift.protein_pos AND codon.aa_alt = sift.aa
+       |ORDER BY codon.id, codon.transcript_id""".stripMargin.replace("\n", " ")
+
+  private val maxAfSql: String =
+    s"""WITH ${Oracle.vcf}, ${Oracle.vepCache},
+       |m AS (SELECT v.id, c.af, CAST(substr(c.variation_name, 3) AS BIGINT) AS pk
+       |  FROM v JOIN c ON v.chrom = c.chrom
+       |   AND v.norm_start = c.start AND v.norm_end = c."end"
+       |   AND (split_part(c.allele_string, '/', 1) = v.vep_ref
+       |        OR split_part(c.allele_string, '/', 1) = v.ref)
+       |   AND split_part(c.allele_string, '/', 2) = v.vep_alt),
+       |x AS (SELECT id, af,
+       |   CAST(pk * 131 % 1000 AS DOUBLE) / 1000.0 AS af_afr,
+       |   CAST(pk * 257 % 1000 AS DOUBLE) / 1000.0 AS af_eur,
+       |   CAST(pk * 389 % 1000 AS DOUBLE) / 1000.0 AS af_eas FROM m)
+       |SELECT id, af, af_afr, af_eur, af_eas,
+       | GREATEST(af, af_afr, af_eur, af_eas) AS max_af,
+       | CASE WHEN GREATEST(af, af_afr, af_eur, af_eas) = af THEN 'all'
+       |  WHEN GREATEST(af, af_afr, af_eur, af_eas) = af_afr THEN 'afr'
+       |  WHEN GREATEST(af, af_afr, af_eur, af_eas) = af_eur THEN 'eur'
+       |  ELSE 'eas' END AS max_af_pop
+       |FROM x ORDER BY id""".stripMargin.replace("\n", " ")
+
   val oracleSql: Map[String, String] = Map(
     "f11_cdna_hgvs" -> cdnaHgvsSql,
     "f11_spliced_codon" -> splicedCodonSql,
     "f11_shift3" -> shift3Sql,
     "f11_csq" -> csqSql,
+    "f11_regulatory" -> regulatorySql,
+    "f11_miss_worklist" -> missWorklistSql,
+    "f11_sift" -> siftSql,
+    "f11_maxaf" -> maxAfSql,
   )
 }

@@ -97,6 +97,34 @@ object Vep {
       (col("_ns") + shift).cast("long").as("shifted_start"))
   }
 
+  /** Regulatory-feature overlap annotation (context table 4 of
+    * partitioned_cache.rs:24-31; regulatory_region_variant at SO rank
+    * 36). Broadcast the (small) feature table, one overlap join. */
+  def annotateRegulatory(vcf: DataFrame, regulatory: DataFrame): DataFrame = {
+    val v = vcf.select(col("chrom").as("_vc"), col("start").cast("long").as("_vs"),
+      col("end").cast("long").as("_ve"), col("id"))
+    val r = regulatory.select(col("chrom").as("_rc"), col("start").cast("long").as("_rs"),
+      col("end").cast("long").as("_re"), col("feature_id"), col("feature_type"))
+    v.join(broadcast(r),
+        col("_vc") === col("_rc") && col("_vs") <= col("_re") && col("_ve") >= col("_rs"))
+      .select(col("id"), col("feature_id"), col("feature_type"),
+        lit("regulatory_region_variant").as("consequence"))
+  }
+
+  /** Cache-miss worklist (miss_worklist.rs:8-31): variants the
+    * known-variant lookup did NOT match, coalesced into per-chrom
+    * intervals whenever misses sit within `gap` of each other — a
+    * direct reuse of the F5 merge sweep, so the worklist computation
+    * shuffles only on contig and scales like merge. Output:
+    * (contig, pos_start, pos_end, n_intervals). */
+  def missWorklist(vcf: DataFrame, cache: DataFrame, gap: Long = 1000L): DataFrame = {
+    val looked = lookupVariants(vcf, cache, columns = Seq("variation_name"))
+    val miss = looked.where(col("cache_variation_name").isNull)
+      .withColumn("_np", vepNormStartUdf(col("start").cast("long"), col("ref"), col("alt")))
+      .select(col("chrom").as("contig"), col("_np").as("pos_start"), col("_np").as("pos_end"))
+    graft.ranges.Ranges.merge(miss, minDist = gap)
+  }
+
   /** Default output columns: all cache columns minus the join triple
     * and `source_*` bookkeeping (vep/src/table_function.rs:82-94). */
   private def defaultCacheCols(cache: DataFrame): Seq[String] =
