@@ -16,6 +16,20 @@ object PileupVepQueries {
       Pileup.depthPerBase(Tables.reads(s, d)).orderBy("contig", "pos")),
     "f9_depth_mapq" -> ((s, d) =>
       Pileup.depth(Tables.reads(s, d), minMapq = 30).orderBy("contig", "pos_start")),
+    // S2 binary-CIGAR contract end-to-end: repack the text CIGARs into
+    // the BAM binary layout (LE u32 = len<<4|op); the depth operator
+    // detects the binary column and must produce the identical blocks
+    // (oracle = the f9_depth_blocks SQL).
+    "f9_depth_binary" -> ((s, d) => {
+      val pack = udf { (len: Int) =>
+        val v = len << 4 // op M = 0
+        Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+          ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      }
+      val binReads = Tables.reads(s, d).withColumn("cigar",
+        pack(expr("CAST(substring(cigar, 1, length(cigar) - 1) AS INT)")))
+      Pileup.depth(binReads).orderBy("contig", "pos_start")
+    }),
     "f10_vep_allele" -> ((s, d) =>
       Tables.vcf(s, d).select(
         col("id"),
@@ -177,6 +191,8 @@ object PileupVepQueries {
   val oracleSql: Map[String, String] = Map(
     "f11_annotate_regions" -> annotateRegionsSql,
     "f9_depth_blocks" ->
+      s"WITH ${blocksCte()} SELECT contig, pos_start, pos_end, coverage FROM blocks ORDER BY contig, pos_start",
+    "f9_depth_binary" ->
       s"WITH ${blocksCte()} SELECT contig, pos_start, pos_end, coverage FROM blocks ORDER BY contig, pos_start",
     "f9_depth_perbase" ->
       s"WITH ${blocksCte()} SELECT contig, UNNEST(generate_series(pos_start, pos_end)) AS pos, coverage FROM blocks ORDER BY contig, pos",

@@ -2,6 +2,18 @@ package graft.index
 
 import scala.collection.mutable.ArrayBuffer
 
+/** One stabbing-query dispatch over interchangeable index layouts —
+  * the reference keeps 7 algorithms behind a single
+  * `get(key,start,end,f)` (interval_join.rs:849-901, selected via
+  * `SET bio.interval_join_algorithm`); here the algorithm is chosen
+  * per session with `spark.graft.intervalJoin.algorithm`
+  * (see [[IntervalIndexFactory]]). */
+trait IntervalStabber extends Serializable {
+  /** Visit payloads of all intervals overlapping [qs, qe] (closed),
+    * in deterministic (start, end, rank) order. */
+  def query(qs: Long, qe: Long)(f: Int => Unit): Unit
+}
+
 /** Per-contig interval stabbing index: intervals sorted by
   * `(start, end, position)` plus a prefix-max-end array — the
   * "superintervals-lite" layout from SURVEY.md §2 J7 (reference keeps
@@ -26,7 +38,7 @@ final class ContigIntervalIndex(
     val payload: Array[Int],
     /** tie-break rank per interval, same order (the reference's
       * insertion-order "position" metadata) */
-    val rank: Array[Long]) extends Serializable {
+    val rank: Array[Long]) extends IntervalStabber {
 
   def size: Int = starts.length
 
@@ -90,6 +102,41 @@ object ContigIntervalIndex {
     }
     new ContigIntervalIndex(ss, ee, mx, pp, rr)
   }
+}
+
+/** Naive linear-scan stabber over the same sorted layout — the
+  * testing/verification fallback (the reference ships rust-bio's
+  * plain IntervalTree for the same purpose). Same deterministic
+  * emission order as [[ContigIntervalIndex]]; O(n) per probe. */
+final class LinearIntervalIndex(
+    val starts: Array[Long], val ends: Array[Long],
+    val payload: Array[Int]) extends IntervalStabber {
+  def query(qs: Long, qe: Long)(f: Int => Unit): Unit = {
+    var i = 0
+    while (i < starts.length) {
+      if (starts(i) <= qe && ends(i) >= qs) f(payload(i))
+      i += 1
+    }
+  }
+}
+
+/** J3 algorithm selection: one factory keyed by the session config
+  * `spark.graft.intervalJoin.algorithm` —
+  * `superintervals` (default, sorted arrays + prefix-max-end) or
+  * `linear` (naive scan, for verification). */
+object IntervalIndexFactory {
+  val ConfKey = "spark.graft.intervalJoin.algorithm"
+
+  def build(algo: String, s: Array[Long], e: Array[Long], payload: Array[Int]): IntervalStabber =
+    algo match {
+      case "linear" =>
+        // reuse the canonical sort so emission order matches
+        val c = ContigIntervalIndex.build(s, e, payload)
+        new LinearIntervalIndex(c.starts, c.ends, c.payload)
+      case "superintervals" | "" => ContigIntervalIndex.build(s, e, payload)
+      case other => throw new IllegalArgumentException(
+        s"unknown interval-join algorithm '$other' (superintervals | linear)")
+    }
 }
 
 /** Two-sorted-arrays overlap counter — the reference's

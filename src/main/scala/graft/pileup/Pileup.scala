@@ -33,19 +33,32 @@ import org.apache.spark.sql.functions._
   */
 object Pileup {
 
-  /** Coverage events (chrom, pos, delta) after read filtering. */
+  /** Coverage events (chrom, pos, delta) after read filtering. The
+    * CIGAR column may be text ("50M2D8M") or the BAM-packed binary
+    * layout (LE u32 = len<<4 | op) — detected from the schema, the
+    * same dual contract the reference's BAM provider exposes
+    * (pileup/src/events.rs:42-55). */
   private def events(reads: DataFrame, filterFlag: Int, minMapq: Int): DataFrame = {
     val spark = reads.sparkSession
     import spark.implicits._
-    graft.core.Parallelism.ensure(reads)
+    val filtered = graft.core.Parallelism.ensure(reads)
       .where(expr(s"(flags & $filterFlag) = 0 AND mapping_quality >= $minMapq"))
-      .select($"chrom", $"start".cast("long").as("start"), $"cigar")
-      .as[(String, Long, String)]
-      .flatMap { case (chrom, start, cigar) =>
-        Cigar.coveredSegments(start, cigar).flatMap { case (s, e) =>
-          Seq((chrom, s, 1L), (chrom, e, -1L))
-        }
-      }
+    val isBinary =
+      reads.schema("cigar").dataType == org.apache.spark.sql.types.BinaryType
+    val segs =
+      if (isBinary)
+        filtered.select($"chrom", $"start".cast("long").as("start"), $"cigar")
+          .as[(String, Long, Array[Byte])]
+          .flatMap { case (chrom, start, cigar) =>
+            Cigar.coveredSegmentsBinary(start, cigar).map { case (s, e) => (chrom, s, e) }
+          }
+      else
+        filtered.select($"chrom", $"start".cast("long").as("start"), $"cigar")
+          .as[(String, Long, String)]
+          .flatMap { case (chrom, start, cigar) =>
+            Cigar.coveredSegments(start, cigar).map { case (s, e) => (chrom, s, e) }
+          }
+    segs.flatMap { case (chrom, s, e) => Seq((chrom, s, 1L), (chrom, e, -1L)) }
       .toDF("chrom", "pos", "delta")
   }
 

@@ -100,6 +100,8 @@ object IntervalJoinStrategy extends SparkStrategy with PredicateHelper {
         case Some(x) =>
           val exec = BroadcastIntervalJoinExec(
             x.contigs, x.lStart, x.lEnd, x.rStart, x.rEnd, x.strictLe, x.strictGe,
+            SparkSession.active.conf.get(
+              graft.index.IntervalIndexFactory.ConfKey, "superintervals"),
             planLater(l), planLater(r))
           val withResidual =
             if (x.residual.isEmpty) exec
@@ -124,6 +126,7 @@ case class BroadcastIntervalJoinExec(
     lStart: Expression, lEnd: Expression,
     rStart: Expression, rEnd: Expression,
     strictLe: Boolean, strictGe: Boolean,
+    algorithm: String,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -160,8 +163,9 @@ case class BroadcastIntervalJoinExec(
       g._1 += asLong(ls.eval(row)); g._2 += asLong(le.eval(row)); g._3 += i
       i += 1
     }
-    val indexes: Map[UTF8String, ContigIntervalIndex] = groups.map {
-      case (k, (s, e, p)) => k -> ContigIntervalIndex.build(s.toArray, e.toArray, p.toArray)
+    val indexes: Map[UTF8String, graft.index.IntervalStabber] = groups.map {
+      case (k, (s, e, p)) =>
+        k -> graft.index.IntervalIndexFactory.build(algorithm, s.toArray, e.toArray, p.toArray)
     }.toMap
 
     val bcRows = sparkContext.broadcast(rows)

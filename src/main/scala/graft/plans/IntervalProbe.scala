@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
 import graft.core.FilterOp
-import graft.index.ContigIntervalIndex
+import graft.index.IntervalStabber
 
 /** Native Catalyst expression for the broadcast-index interval probe —
   * the codegen tier of the extension ladder (a `doGenCode` Expression
@@ -25,7 +25,7 @@ import graft.index.ContigIntervalIndex
   * (physical_planner/intervals.rs:63-124). */
 case class IntervalProbe(
     contig: Expression, start: Expression, end: Expression,
-    bc: Broadcast[Map[String, ContigIntervalIndex]],
+    bc: Broadcast[Map[String, IntervalStabber]],
     op: FilterOp) extends TernaryExpression {
 
   override def first: Expression = contig

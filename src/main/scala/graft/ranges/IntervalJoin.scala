@@ -168,8 +168,9 @@ object IntervalJoin {
 
     val spark = left.sparkSession
     val (groups, leftIdx) = collectBuild(left, lcols)
-    val indexes = groups.map { case (k, (s, e, p, _)) =>
-      k -> ContigIntervalIndex.build(s, e, p)
+    val algo = spark.conf.get(IntervalIndexFactory.ConfKey, "superintervals")
+    val indexes: Map[String, IntervalStabber] = groups.map { case (k, (s, e, p, _)) =>
+      k -> IntervalIndexFactory.build(algo, s, e, p)
     }.toMap
     val bc = spark.sparkContext.broadcast(indexes)
 

@@ -47,6 +47,20 @@ class RangesSuite extends SparkSpec {
     }
   }
 
+  test("J3 algorithm selection: linear index agrees with superintervals") {
+    import graft.index.IntervalIndexFactory
+    try {
+      spark.conf.set(IntervalIndexFactory.ConfKey, "linear")
+      val got = Ranges.overlap(reads, targets, mode = "join")
+        .select("left_id", "right_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naivePairs(FilterOp.Weak))
+    } finally spark.conf.unset(IntervalIndexFactory.ConfKey)
+    intercept[IllegalArgumentException] {
+      IntervalIndexFactory.build("coitrees", Array(1L), Array(2L), Array(0))
+    }
+  }
+
   test("overlap join output schema is left_*/right_* prefixed") {
     val df = Ranges.overlap(reads, targets)
     assert(df.columns.toSeq == Seq(
