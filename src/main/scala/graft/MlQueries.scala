@@ -42,6 +42,9 @@ object MlQueries {
       Dedup.ngramJaccard(docs(s, d), pairs, "text", "doc_id")
     }),
     "d_simhash16" -> ((s, d) => Dedup.simhash16(docs(s, d), "text", "doc_id")),
+    "d_embed_dups" -> ((s, d) =>
+      Similarity.nearDuplicatePairs(
+        Tables.load(s, d, "embeddings"), threshold = 0.3, planes = 8, dim = 64)),
     "ann_topk" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.where("vec_id % 100 = 0"), 5)
@@ -168,6 +171,25 @@ object MlQueries {
          |SELECT q_id, n_id, CAST(rn AS INT) AS rank FROM
          | (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM sel)
          |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+    "d_embed_dups" ->
+      s"""WITH $quantCte,
+         |pl AS (SELECT h, i, CAST(strpos('0123456789abcdef',
+         |   substr(md5(concat(CAST(h AS VARCHAR), '_', CAST(i AS VARCHAR))), 1, 1)) - 1 AS BIGINT) * 2 - 15 AS wv
+         | FROM UNNEST(generate_series(0, 7)) AS t1(h), UNNEST(generate_series(0, 63)) AS t2(i)),
+         |sig AS (SELECT e.vec_id, pl.h,
+         |   CASE WHEN SUM(e.qv[CAST(pl.i AS INT) + 1] * pl.wv) > 0 THEN 1 ELSE 0 END AS bit
+         | FROM qd e, pl GROUP BY e.vec_id, pl.h),
+         |sigs AS (SELECT vec_id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY h) AS s FROM sig GROUP BY vec_id),
+         |cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2 FROM sigs a
+         |  JOIN sigs b ON a.s = b.s AND a.vec_id < b.vec_id),
+         |dots AS (SELECT cand.id1, cand.id2, SUM(x.qv[CAST(i AS INT)] * y.qv[CAST(i AS INT)]) AS dot
+         | FROM cand JOIN qd x ON x.vec_id = cand.id1 JOIN qd y ON y.vec_id = cand.id2,
+         |   UNNEST(generate_series(1, 64)) AS t(i)
+         | GROUP BY cand.id1, cand.id2),
+         |sel AS (SELECT id1, id2, round(CAST(dot AS DOUBLE)
+         |  / sqrt(CAST(n1.n2 AS DOUBLE)) / sqrt(CAST(n2_.n2 AS DOUBLE)), 9) AS cos
+         |  FROM dots JOIN norms n1 ON n1.vec_id = id1 JOIN norms n2_ ON n2_.vec_id = id2)
+         |SELECT id1, id2, cos FROM sel WHERE cos >= 0.3 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
     "ann_lsh_topk" ->
       s"""WITH $quantCte,
          |pl AS (SELECT h, i, CAST(strpos('0123456789abcdef',

@@ -75,6 +75,26 @@ object Similarity {
   /** LSH-bucketed ANN: candidates share a bucket signature; top-k by
     * cosine within bucket. Trades recall for a corpus-sized shuffle-free
     * probe (buckets are the shuffle key, not vectors). */
+  /** Embedding-cosine near-duplicate pairs: candidates collide in an
+    * LSH hyperplane bucket (high-cosine vectors agree on all sign
+    * bits with high probability), then the exact cosine filters at
+    * `threshold`. Output (id1 < id2, cos) — the embedding member of
+    * the dedup family; shuffle key is the bucket signature, never the
+    * vectors, so candidate generation scales like a hash join. */
+  def nearDuplicatePairs(
+      corpus: DataFrame, threshold: Double, planes: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = graft.core.Parallelism.ensure(corpus)
+    val sig = (p: String) => base.select(
+      col(idCol).as(p + "_id"), col(vecCol).as(p + "_vec"),
+      lshBucket(col(vecCol), planes, dim).as(p + "_sig"))
+    sig("a").join(sig("b"),
+        col("a_sig") === col("b_sig") && col("a_id") < col("b_id"))
+      .select(col("a_id").as("id1"), col("b_id").as("id2"),
+        round(cosine(col("a_vec"), col("b_vec")), 9).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, planes: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
