@@ -22,7 +22,10 @@ object Explain {
     val all = SparkEntry.queries
     Seq("f1_overlap_join", "f1_overlap_join_part", "j1_sql_rewrite",
         "f2_count_overlaps", "f5_merge", "f9_depth_blocks",
-        "f10_lookup_variants", "d_lsh_pairs", "ann_topk", "a_q3_top_orders")
+        "f10_lookup_variants", "f10_lookup_extended", "f11_cdna_hgvs",
+        "f11_spliced_codon", "f11_csq", "f11_miss_worklist",
+        "s4_kv_lookup", "d_lsh_pairs", "d_embed_dups", "ann_topk",
+        "a_q3_top_orders")
       .foreach(n => dump(n, all(n)))
     spark.stop()
   }
