@@ -109,6 +109,26 @@ object AnalyticsQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), sum(expr("CAST(l_quantity AS BIGINT)")).as("qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "a_cube" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(expr("CAST(l_quantity AS BIGINT)")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    // skew-aware two-phase aggregation: 90% of rows share one hot key;
+    // salting by a row-derived shard spreads the partial aggregation,
+    // the final phase folds the 16 shards — same result as a plain
+    // groupBy (the oracle), but no single-reducer hotspot at scale.
+    "a_salted_agg" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders").selectExpr(
+        "CASE WHEN o_orderkey % 10 < 9 THEN 'hot' ELSE concat('c', CAST(o_orderkey % 100 AS STRING)) END AS k",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        "CAST(o_orderkey % 16 AS INT) AS salt")
+      o.groupBy(col("k"), col("salt"))
+        .agg(count(lit(1)).as("_pn"), sum(col("cents")).as("_ps"))
+        .groupBy(col("k"))
+        .agg(sum(col("_pn")).cast("long").as("n"), sum(col("_ps")).cast("long").as("total_cents"))
+        .orderBy(col("k"))
+    }),
     // semi-structured props extraction (training-pipeline metadata path)
     "a_json_extract" -> ((s, d) =>
       Tables.load(s, d, "events").select(
@@ -187,6 +207,18 @@ object AnalyticsQueries {
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
         .stripMargin.replace("\n", " "),
+    "a_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin.replace("\n", " "),
+    "a_salted_agg" ->
+      s"""SELECT CASE WHEN o_orderkey % 10 < 9 THEN 'hot'
+         |  ELSE concat('c', CAST(o_orderkey % 100 AS VARCHAR)) END AS k,
+         | CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+         |FROM orders GROUP BY 1 ORDER BY k""".stripMargin.replace("\n", " "),
     "a_json_extract" ->
       s"""SELECT event_id, json_extract_string(props, '$$.k') AS k_str,
          | CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k_val

@@ -58,6 +58,10 @@ object RangesQueries {
     }),
     "f1_overlap_join_part" -> ((s, d) =>
       Ranges.overlapPartitioned(A(s, d), B(s, d))),
+    "f2_count_part" -> ((s, d) =>
+      Ranges.countOverlapsPartitioned(A(s, d), B(s, d))),
+    "f3_coverage_part" -> ((s, d) =>
+      Ranges.coveragePartitioned(A(s, d), B(s, d))),
     // transparent SQL rewrite: plain range-join SQL planned as
     // BroadcastIntervalJoinExec by the injected strategy (J1-J3)
     "j1_sql_rewrite" -> ((s, d) => {
@@ -131,6 +135,10 @@ object RangesQueries {
       s"WITH $a, $b SELECT contig, pos_start, pos_end, id FROM a WHERE EXISTS (SELECT 1 FROM b WHERE a.contig = b.contig AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start) ORDER BY id",
     "f2_count_overlaps" ->
       s"WITH $a, $b SELECT b.contig, b.pos_start, b.pos_end, b.id, CAST(COUNT(a.contig) AS BIGINT) AS count FROM b LEFT JOIN a ON a.contig = b.contig AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start GROUP BY b.contig, b.pos_start, b.pos_end, b.id ORDER BY b.id",
+    "f2_count_part" ->
+      s"WITH $a, $b SELECT b.contig, b.pos_start, b.pos_end, b.id, CAST(COUNT(a.contig) AS BIGINT) AS count FROM b LEFT JOIN a ON a.contig = b.contig AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start GROUP BY b.contig, b.pos_start, b.pos_end, b.id ORDER BY b.id",
+    "f3_coverage_part" ->
+      s"WITH $a, $b, ${mergedCte("a", "m")} SELECT b.contig, b.pos_start, b.pos_end, b.id, CAST(COALESCE(SUM(CASE WHEN m.contig IS NULL THEN NULL ELSE LEAST(m.pos_end, b.pos_end) - GREATEST(m.pos_start, b.pos_start) + 1 END), 0) AS BIGINT) AS coverage FROM b LEFT JOIN m ON m.contig = b.contig AND m.pos_start <= b.pos_end AND m.pos_end >= b.pos_start GROUP BY b.contig, b.pos_start, b.pos_end, b.id ORDER BY b.id",
     // NB: CASE guard — DuckDB's LEAST/GREATEST ignore NULLs, so an
     // unmatched LEFT JOIN row would otherwise contribute the probe's
     // full length instead of NULL.

@@ -81,6 +81,47 @@ object Ranges {
       .drop("_bucket")
   }
 
+  /** Partitioned F2: per-right-row overlap counts via the grid-bucket
+    * co-shuffle join — the scale path when the LEFT side is too large
+    * to broadcast-index (the broadcast variant's CollectLeft memory
+    * contract). Unmatched right rows keep count 0 via the left-restore
+    * join. `idCol` must uniquely identify right rows. */
+  def countOverlapsPartitioned(
+      left: DataFrame, right: DataFrame,
+      lcols: IntervalCols = IntervalCols.default,
+      rcols: IntervalCols = IntervalCols.default,
+      op: FilterOp = FilterOp.Weak,
+      bucketWidth: Long = 1000L,
+      idCol: String = "id"): DataFrame = {
+    val pairs = overlapPartitioned(left, right, lcols, rcols, op, bucketWidth)
+    val counts = pairs.groupBy(col("right_" + idCol))
+      .agg(count(lit(1)).as("_n"))
+    right.join(counts, right(idCol) === counts("right_" + idCol), "left")
+      .select(right.columns.toSeq.map(col) :+
+        coalesce(col("_n"), lit(0L)).as("count"): _*)
+  }
+
+  /** Partitioned F3: per-right-row covered basepairs. Left intervals
+    * merge per contig first (same convention as the broadcast
+    * variant), then the grid-bucket join + a clipped-length sum. */
+  def coveragePartitioned(
+      left: DataFrame, right: DataFrame,
+      lcols: IntervalCols = IntervalCols.default,
+      rcols: IntervalCols = IntervalCols.default,
+      bucketWidth: Long = 1000L,
+      idCol: String = "id"): DataFrame = {
+    val merged = merge(left, lcols, 0L, FilterOp.Weak)
+      .select(col(lcols.contig), col(lcols.start), col(lcols.end))
+    val pairs = overlapPartitioned(merged, right, lcols, rcols, FilterOp.Weak, bucketWidth)
+    val clip = least(col("left_" + lcols.end), col("right_" + rcols.end)) -
+      greatest(col("left_" + lcols.start), col("right_" + rcols.start)) + 1
+    val sums = pairs.groupBy(col("right_" + idCol))
+      .agg(sum(clip).as("_cov"))
+    right.join(sums, right(idCol) === sums("right_" + idCol), "left")
+      .select(right.columns.toSeq.map(col) :+
+        coalesce(col("_cov"), lit(0L)).as("coverage"): _*)
+  }
+
   /** F2 `count_overlaps`: right rows + `count` = number of left
     * intervals overlapping each (count_overlaps.rs:60-66). */
   def countOverlaps(
