@@ -48,6 +48,19 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("property: partitioned count/coverage == broadcast variants") {
+    val cntB = Ranges.countOverlaps(a, b).select("id", "count")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cntP = Ranges.countOverlapsPartitioned(a, b).select("id", "count")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cntP == cntB)
+    val covB = Ranges.coverage(a, b).select("id", "coverage")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val covP = Ranges.coveragePartitioned(a, b).select("id", "coverage")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(covP == covB)
+  }
+
   test("property: merge is idempotent and covers the same basepairs") {
     val m1 = Ranges.merge(a)
     val m2 = Ranges.merge(m1)
