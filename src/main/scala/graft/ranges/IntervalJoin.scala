@@ -61,6 +61,18 @@ object IntervalJoin {
     df.sparkSession.createDataFrame(rdd, schema2)
   }
 
+  /** Driver-side per-contig index builds run concurrently (a genome
+    * has ~25 contigs; each build is an independent sort). */
+  private def parBuild[B](groups: Iterable[(String, (Array[Long], Array[Long], Array[Int], Array[Long]))])(
+      f: ((Array[Long], Array[Long], Array[Int], Array[Long])) => B): Map[String, B] = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.sequence(groups.map { case (k, v) => Future(k -> f(v)) }),
+      10.minutes).toMap
+  }
+
   /** Round-robin repartition of the probe side up to the session's
     * default parallelism when the scan would otherwise
     * under-parallelize (a few-MB parquet file reads as ONE partition
@@ -169,9 +181,8 @@ object IntervalJoin {
     val spark = left.sparkSession
     val (groups, leftIdx) = collectBuild(left, lcols)
     val algo = spark.conf.get(IntervalIndexFactory.ConfKey, "superintervals")
-    val indexes: Map[String, IntervalStabber] = groups.map { case (k, (s, e, p, _)) =>
-      k -> IntervalIndexFactory.build(algo, s, e, p)
-    }.toMap
+    val indexes: Map[String, IntervalStabber] =
+      parBuild(groups) { case (s, e, p, _) => IntervalIndexFactory.build(algo, s, e, p) }
     val bc = spark.sparkContext.broadcast(indexes)
 
     // native codegen expression, not a Scala UDF (graft.plans.IntervalProbe)
@@ -271,9 +282,8 @@ object IntervalJoin {
 
     val spark = probe.sparkSession
     val (groups, leftIdx) = collectBuild(build, bcols, tieBreakCol)
-    val nearIdx = groups.map { case (c, (s, e, p, t)) =>
-      c -> NearestIndex.build(s, e, t, p)
-    }.toMap
+    val nearIdx: Map[String, NearestIndex] =
+      parBuild(groups) { case (s, e, p, t) => NearestIndex.build(s, e, t, p) }
     val bc = spark.sparkContext.broadcast(nearIdx)
     val theOp = op; val kk = k; val incl = includeOverlaps
 
