@@ -44,6 +44,13 @@ class RangesSuite extends SparkSpec {
         .select("left_id", "right_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == naivePairs(op), s"op=$op")
+      // the expression+explode formulation stays available and agrees
+      val viaExpr = graft.ranges.IntervalJoin.overlapPairs(
+          reads, targets, graft.core.IntervalCols.default,
+          graft.core.IntervalCols.default, op)
+        .select("left_id", "right_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaExpr == naivePairs(op), s"expr path op=$op")
     }
   }
 
