@@ -18,6 +18,8 @@ object VepSpliceQueries {
     "f11_shift3" -> ((s, d) => graft.vep.Vep.shift3(Tables.vcf(s, d))),
     "f11_csq" -> ((s, d) =>
       Splice.csqAssemble(Tables.vcf(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
+    "f11_indel_hgvs" -> ((s, d) =>
+      Splice.indelHgvs(Tables.vcf(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
     "f11_regulatory" -> ((s, d) =>
       graft.vep.Vep.annotateRegulatory(Tables.vcf(s, d), Tables.regulatory(s, d))),
     // gap=50 rather than the 1 Mb-analog default: the derived misses
@@ -263,6 +265,54 @@ object VepSpliceQueries {
        |FROM entries GROUP BY id ORDER BY id""".stripMargin.replace("\n", " ")
   }
 
+  /** Indel-HGVS oracle: mirrors Splice.indelHgvs (v CTE precomputes
+    * norm_start/vep_ref/vep_alt). */
+  private val indelHgvsSql: String = {
+    import Oracle.{vcf => vcfCte, transcripts => tCte, exons => exCte}
+    val anchor1 = "(CASE WHEN strand = 1 THEN cds_start ELSE cds_end END)"
+    val anchor2 = "(CASE WHEN strand = 1 THEN cds_end ELSE cds_start END)"
+    def fmtC(x: String): String =
+      s"""CASE WHEN biotype <> 'protein_coding' THEN CAST($x AS VARCHAR)
+         | WHEN $x < ccs THEN concat('-', CAST(ccs - $x AS VARCHAR))
+         | WHEN $x > cce THEN concat('*', CAST($x - cce AS VARCHAR))
+         | ELSE CAST($x - ccs + 1 AS VARCHAR) END""".stripMargin.replace("\n", " ")
+    s"""WITH $vcfCte, $tCte, $exCte,
+       |ind AS (SELECT id, chrom,
+       |   CASE WHEN vep_ref = '-' THEN 'ins' ELSE 'del' END AS kind,
+       |   CASE WHEN vep_ref = '-' THEN vep_alt ELSE vep_ref END AS allele,
+       |   CASE WHEN vep_ref = '-' THEN norm_start - 1 ELSE norm_start END AS p0,
+       |   norm_start AS p1
+       |  FROM v WHERE length(ref) <> length(alt)),
+       |cand AS (SELECT i.*, t.transcript_id AS tid, t.strand, t.biotype
+       |  FROM ind i JOIN t ON i.chrom = t.chrom
+       |   AND i.p0 BETWEEN t.start AND t."end" AND i.p1 BETWEEN t.start AND t."end"),
+       |agg AS (SELECT c.id, c.tid, c.strand, c.biotype, c.kind, c.allele, c.p0, c.p1,
+       |   MAX(CASE WHEN c.p0 BETWEEN e.start AND e."end" THEN 1 ELSE 0 END) AS in0,
+       |   MAX(CASE WHEN c.p1 BETWEEN e.start AND e."end" THEN 1 ELSE 0 END) AS in1,
+       |   CAST(SUM(${contrib("c.p0")}) AS BIGINT) AS cdna0,
+       |   CAST(SUM(${contrib("c.p1")}) AS BIGINT) AS cdna1
+       |  FROM cand c JOIN ex e ON c.tid = e.transcript_id
+       |  GROUP BY c.id, c.tid, c.strand, c.biotype, c.kind, c.allele, c.p0, c.p1),
+       |cb AS (SELECT t.transcript_id AS tid,
+       |   CAST(SUM(${contrib(anchor1)})
+       |     + (CASE WHEN MAX(CASE WHEN $anchor1 BETWEEN e.start AND e."end" THEN 1 ELSE 0 END) = 0
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS ccs,
+       |   CAST(SUM(${contrib(anchor2)}) AS BIGINT) AS cce
+       |  FROM t JOIN ex e ON t.transcript_id = e.transcript_id
+       |  GROUP BY t.transcript_id),
+       |x AS (SELECT agg.*, cb.ccs, cb.cce,
+       |   CASE WHEN kind = 'del' THEN cdna0
+       |    WHEN strand = 1 THEN cdna0 ELSE cdna1 END AS anchor,
+       |   CASE WHEN strand = 1 THEN allele ELSE translate(allele, 'ACGT', 'TGCA') END AS alleleadj,
+       |   concat(agg.tid, ':', CASE WHEN biotype = 'protein_coding' THEN 'c.' ELSE 'n.' END) AS pfx
+       |  FROM agg JOIN cb ON agg.tid = cb.tid WHERE in0 = 1 AND in1 = 1)
+       |SELECT id, tid AS transcript_id, kind, anchor AS cdna_pos,
+       | CASE WHEN kind = 'del' THEN concat(pfx, ${fmtC("anchor")}, 'del', alleleadj)
+       |  ELSE concat(pfx, ${fmtC("anchor")}, '_', ${fmtC("(anchor + 1)")}, 'ins', alleleadj)
+       | END AS hgvs_c
+       |FROM x ORDER BY id, transcript_id""".stripMargin.replace("\n", " ")
+  }
+
   private val regulatorySql: String =
     s"""WITH ${Oracle.vcf}, ${Oracle.regulatory}
        |SELECT v.id, rg.feature_id, rg.feature_type,
@@ -321,6 +371,7 @@ object VepSpliceQueries {
     "f11_spliced_codon" -> splicedCodonSql,
     "f11_shift3" -> shift3Sql,
     "f11_csq" -> csqSql,
+    "f11_indel_hgvs" -> indelHgvsSql,
     "f11_regulatory" -> regulatorySql,
     "f11_miss_worklist" -> missWorklistSql,
     "f11_sift" -> siftSql,

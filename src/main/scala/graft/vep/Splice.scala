@@ -282,6 +282,72 @@ object Splice {
       consequence.as("consequence"), hgvsP.as("hgvs_p"))
   }
 
+  /** HGVS notation for single-base indels (hgvs.rs del/ins rules) —
+    * exonic sites only, coordinates already VEP-normalized
+    * (3'-agnostic here; pair with [[Vep.shift3]] for shifted input):
+    *
+    *   deletion   T:c.{pos}del{X}        X = deleted base, strand-adj
+    *   insertion  T:c.{n}_{n+1}ins{X}    n = cDNA index of the
+    *              transcript-orientation-earlier base flanking the
+    *              insertion gap (genomic norm_start-1 on '+',
+    *              norm_start on '-')
+    *
+    * Output per (variant, overlapping transcript with the site in an
+    * exon): (id, transcript_id, kind ins|del, cdna_pos, hgvs_c). */
+  def indelHgvs(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
+    val isIns = Vep.vepRefUdf(col("ref"), col("alt")) === "-"
+    val v = vcf.where(length(col("ref")) =!= length(col("alt")))
+      .withColumn("_ns", Vep.vepNormStartUdf(col("start").cast("long"), col("ref"), col("alt")))
+      .withColumn("_kind", when(isIns, lit("ins")).otherwise(lit("del")))
+      .withColumn("_allele",
+        when(isIns, Vep.vepAltUdf(col("ref"), col("alt")))
+          .otherwise(Vep.vepRefUdf(col("ref"), col("alt"))))
+      // two probe points: deletion needs only p0; insertion needs the
+      // gap's two flanking bases (strand picks the earlier one)
+      .withColumn("_p0", when(isIns, col("_ns") - 1).otherwise(col("_ns")))
+      .withColumn("_p1", col("_ns"))
+      .select(col("chrom").as("_vc"), col("id").as("_vid"),
+        col("_kind"), col("_allele"), col("_p0"), col("_p1"))
+    val t = transcripts.select(col("chrom").as("_tc"), col("start").cast("long").as("_ts"),
+      col("end").cast("long").as("_te"), col("transcript_id").as("_tid"),
+      col("strand").as("_strand"), col("biotype").as("_bt"))
+    val cand = v.join(broadcast(t),
+      col("_vc") === col("_tc") &&
+        col("_p0").between(col("_ts"), col("_te")) &&
+        col("_p1").between(col("_ts"), col("_te")))
+    val ex = exons.select(col("transcript_id").as("_etid"),
+      col("start").cast("long").as("_es"), col("end").cast("long").as("_ee"))
+    val agg = cand.join(broadcast(ex), col("_tid") === col("_etid"))
+      .groupBy(col("_vid"), col("_tid"), col("_strand"), col("_bt"),
+        col("_kind"), col("_allele"), col("_p0"), col("_p1"))
+      .agg(
+        max(when(col("_p0").between(col("_es"), col("_ee")), 1).otherwise(0)).as("_in0"),
+        max(when(col("_p1").between(col("_es"), col("_ee")), 1).otherwise(0)).as("_in1"),
+        sum(contribution(col("_p0"), col("_es"), col("_ee"), col("_strand"))).as("_cdna0"),
+        sum(contribution(col("_p1"), col("_es"), col("_ee"), col("_strand"))).as("_cdna1"))
+      .join(broadcast(codingBounds(transcripts, exons)), col("_tid") === col("_cb_tid"), "left")
+    val coding = col("_bt") === "protein_coding"
+    def fmtC(x: Column): Column =
+      when(!coding, x.cast("string"))
+        .when(x < col("_ccs"), concat(lit("-"), (col("_ccs") - x).cast("string")))
+        .when(x > col("_cce"), concat(lit("*"), (x - col("_cce")).cast("string")))
+        .otherwise((x - col("_ccs") + 1).cast("string"))
+    val strandP = col("_strand") === 1
+    val alleleAdj = when(strandP, col("_allele")).otherwise(translate(col("_allele"), "ACGT", "TGCA"))
+    val prefix = concat(col("_tid"), lit(":"), when(coding, lit("c.")).otherwise(lit("n.")))
+    // anchor cDNA index: deletion = the deleted base; insertion = the
+    // transcript-orientation-earlier flank (p0 on '+', p1 on '-')
+    val anchor = when(col("_kind") === "del", col("_cdna0"))
+      .otherwise(when(strandP, col("_cdna0")).otherwise(col("_cdna1")))
+    val hgvs = when(col("_kind") === "del",
+        concat(prefix, fmtC(anchor), lit("del"), alleleAdj))
+      .otherwise(
+        concat(prefix, fmtC(anchor), lit("_"), fmtC(anchor + 1), lit("ins"), alleleAdj))
+    agg.where(col("_in0") === 1 && col("_in1") === 1)
+      .select(col("_vid").as("id"), col("_tid").as("transcript_id"),
+        col("_kind").as("kind"), anchor.as("cdna_pos"), hgvs.as("hgvs_c"))
+  }
+
   /** CSQ output assembly (annotate_provider.rs:795-1000 role): fuse
     * the cDNA/HGVSc layer with the spliced-codon layer into one
     * pipe-delimited entry per (variant, transcript) —
