@@ -42,6 +42,7 @@ object MlQueries {
       Dedup.ngramJaccard(docs(s, d), pairs, "text", "doc_id")
     }),
     "d_simhash16" -> ((s, d) => Dedup.simhash16(docs(s, d), "text", "doc_id")),
+    "d_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d), "text", "doc_id")),
     "d_embed_dups" -> ((s, d) =>
       Similarity.nearDuplicatePairs(
         Tables.load(s, d, "embeddings"), threshold = 0.3, planes = 8, dim = 64)),
@@ -91,6 +92,21 @@ object MlQueries {
   private def hits(lang: String) =
     s"CAST(len(regexp_extract_all(lower(text), '${stop(lang)}')) AS BIGINT)"
 
+  /** 16-bit simhash signatures `sg(id, simhash)` — shared by the
+    * simhash16 / simhash-pairs oracles. */
+  private val simhashCte =
+    s"""w2 AS (SELECT doc_id, $norm AS norm FROM documents),
+       |toks AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+       |  (SELECT doc_id, UNNEST(string_split(norm, ' ')) AS tok FROM w2)
+       |  WHERE tok <> '' GROUP BY doc_id, tok),
+       |bits AS (SELECT doc_id, j,
+       |  SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), CAST(j AS INT) + 1, 1)) - 1) % 2 = 1
+       |      THEN cnt ELSE -cnt END) AS vote
+       |  FROM toks, UNNEST(generate_series(0, 15)) AS t(j) GROUP BY doc_id, j),
+       |sg AS (SELECT doc_id AS id,
+       |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+
   /** Quantized embeddings + integer dot/norm machinery (exact,
     * order-independent — mirrors Similarity's fixed-point design). */
   private val quantCte =
@@ -135,7 +151,8 @@ object MlQueries {
       s"WITH $shinglesCte SELECT id1, id2 FROM pairs ORDER BY id1, id2",
     "d_jaccard" ->
       s"""WITH $shinglesCte,
-         |shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |shd AS (SELECT DISTINCT doc_id,
+         |  CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS sh FROM sh),
          |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
          |inter AS (SELECT p.id1, p.id2, COUNT(*) AS ix FROM pairs p
          |  JOIN shd s1 ON s1.doc_id = p.id1 JOIN shd s2 ON s2.doc_id = p.id2 AND s2.sh = s1.sh
@@ -147,17 +164,16 @@ object MlQueries {
          |JOIN cnt c1 ON c1.doc_id = p.id1 JOIN cnt c2 ON c2.doc_id = p.id2
          |ORDER BY p.id1, p.id2""".stripMargin.replace("\n", " "),
     "d_simhash16" ->
-      s"""WITH w2 AS (SELECT doc_id, $norm AS norm FROM documents),
-         |toks AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM
-         |  (SELECT doc_id, UNNEST(string_split(norm, ' ')) AS tok FROM w2)
-         |  WHERE tok <> '' GROUP BY doc_id, tok),
-         |bits AS (SELECT doc_id, j,
-         |  SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), CAST(j AS INT) + 1, 1)) - 1) % 2 = 1
-         |      THEN cnt ELSE -cnt END) AS vote
-         |  FROM toks, UNNEST(generate_series(0, 15)) AS t(j) GROUP BY doc_id, j)
-         |SELECT doc_id AS id,
-         |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id ORDER BY id""".stripMargin.replace("\n", " "),
+      s"WITH $simhashCte SELECT id, simhash FROM sg ORDER BY id",
+    "d_simhash_pairs" ->
+      s"""WITH $simhashCte,
+         |bd AS (SELECT id, simhash, b, (simhash >> (CAST(b AS INT) * 4)) & 15 AS ck
+         |  FROM sg, UNNEST(generate_series(0, 3)) AS t(b))
+         |SELECT DISTINCT a.id AS id1, bb.id AS id2,
+         |  CAST(bit_count(xor(a.simhash, bb.simhash)) AS INT) AS hamming
+         |FROM bd a JOIN bd bb ON a.b = bb.b AND a.ck = bb.ck AND a.id < bb.id
+         |WHERE bit_count(xor(a.simhash, bb.simhash)) <= 3
+         |ORDER BY id1, id2""".stripMargin.replace("\n", " "),
     "ann_topk" ->
       s"""WITH $quantCte,
          |dots AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,

@@ -80,6 +80,38 @@ object RangesQueries {
         "strategy did not fire")
       df
     }),
+    // EXISTS / NOT EXISTS range-join SQL shapes planned as existence
+    // probes (the reference generates RIGHT SEMI SQL for
+    // overlap 'left_distinct' — overlap.rs:205-226 — and its exec
+    // fast-paths RightSemi/RightAnti, interval_join.rs:1014-1024;
+    // Spark's subquery rewrite produces the mirrored LeftSemi/LeftAnti
+    // with the big side probing the indexed subquery side)
+    "j1_sql_semi" -> ((s, d) => {
+      graft.plans.Graft.enable(s)
+      A(s, d).createOrReplaceTempView("graft_iv_a")
+      B(s, d).createOrReplaceTempView("graft_iv_b")
+      val df = s.sql(
+        """SELECT a.contig, a.pos_start, a.pos_end, a.id FROM graft_iv_a a
+          |WHERE EXISTS (SELECT 1 FROM graft_iv_b b
+          | WHERE a.contig = b.contig AND a.pos_start <= b.pos_end
+          |   AND a.pos_end >= b.pos_start)""".stripMargin)
+      assert(df.queryExecution.executedPlan.toString.contains("BroadcastIntervalJoin"),
+        "strategy did not fire for the semi shape")
+      df
+    }),
+    "j1_sql_anti" -> ((s, d) => {
+      graft.plans.Graft.enable(s)
+      A(s, d).createOrReplaceTempView("graft_iv_a")
+      B(s, d).createOrReplaceTempView("graft_iv_b")
+      val df = s.sql(
+        """SELECT a.contig, a.pos_start, a.pos_end, a.id FROM graft_iv_a a
+          |WHERE NOT EXISTS (SELECT 1 FROM graft_iv_b b
+          | WHERE a.contig = b.contig AND a.pos_start <= b.pos_end
+          |   AND a.pos_end >= b.pos_start)""".stripMargin)
+      assert(df.queryExecution.executedPlan.toString.contains("BroadcastIntervalJoin"),
+        "strategy did not fire for the anti shape")
+      df
+    }),
   )
 
   private val overlapPairsSelect =
@@ -133,6 +165,10 @@ object RangesQueries {
       s"WITH $a, $b SELECT a.contig, a.pos_start, a.pos_end, a.id FROM a JOIN b ON a.contig = b.contig AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start ORDER BY a.id",
     "f1_overlap_left_distinct" ->
       s"WITH $a, $b SELECT contig, pos_start, pos_end, id FROM a WHERE EXISTS (SELECT 1 FROM b WHERE a.contig = b.contig AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start) ORDER BY id",
+    "j1_sql_semi" ->
+      s"WITH $a, $b SELECT contig, pos_start, pos_end, id FROM a WHERE EXISTS (SELECT 1 FROM b WHERE a.contig = b.contig AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start) ORDER BY id",
+    "j1_sql_anti" ->
+      s"WITH $a, $b SELECT contig, pos_start, pos_end, id FROM a WHERE NOT EXISTS (SELECT 1 FROM b WHERE a.contig = b.contig AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start) ORDER BY id",
     "f2_count_overlaps" ->
       s"WITH $a, $b SELECT b.contig, b.pos_start, b.pos_end, b.id, CAST(COUNT(a.contig) AS BIGINT) AS count FROM b LEFT JOIN a ON a.contig = b.contig AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start GROUP BY b.contig, b.pos_start, b.pos_end, b.id ORDER BY b.id",
     "f2_count_part" ->
@@ -213,23 +249,26 @@ object RangesQueries {
 
   /** Shared subtract oracle; strict flips the overlap comparators AND
     * the right-side pre-merge convention (Ranges.subtract merges the
-    * rights with the same op). */
+    * rights with the same op). Per-left-ROW semantics (subtract.rs
+    * fragments every input row independently): a synthetic row key
+    * keeps duplicate left rows producing one fragment set each. */
   private def subtractSql(strict: Boolean): String = {
     val (ge, le_) = if (strict) (">", "<") else (">=", "<=")
     s"""WITH $a, $b, ${mergedCte("b", "mb", 0L, strict)},
-       |ov AS (SELECT a.contig, a.pos_start, a.pos_end, a.id,
-       |  mb.pos_start AS rs, mb.pos_end AS re FROM a JOIN mb
-       |  ON a.contig = mb.contig AND mb.pos_end $ge a.pos_start AND mb.pos_start $le_ a.pos_end),
-       |mids AS (SELECT contig, GREATEST(COALESCE(LAG(re) OVER (PARTITION BY id
+       |ar AS (SELECT a.*, row_number() OVER () AS rk FROM a),
+       |ov AS (SELECT ar.contig, ar.pos_start, ar.pos_end, ar.id, ar.rk,
+       |  mb.pos_start AS rs, mb.pos_end AS re FROM ar JOIN mb
+       |  ON ar.contig = mb.contig AND mb.pos_end $ge ar.pos_start AND mb.pos_start $le_ ar.pos_end),
+       |mids AS (SELECT contig, GREATEST(COALESCE(LAG(re) OVER (PARTITION BY rk
        |  ORDER BY rs), pos_start), pos_start) AS cs, rs, pos_start, pos_end, id FROM ov)
        |SELECT contig, cs AS pos_start, rs AS pos_end, id FROM mids WHERE rs > cs
        |UNION ALL
        |SELECT contig, MAX(re) AS pos_start, pos_end, id FROM ov
-       | GROUP BY contig, pos_start, pos_end, id HAVING MAX(re) < pos_end
+       | GROUP BY contig, pos_start, pos_end, id, rk HAVING MAX(re) < pos_end
        |UNION ALL
-       |SELECT contig, pos_start, pos_end, id FROM a WHERE NOT EXISTS
-       | (SELECT 1 FROM mb WHERE mb.contig = a.contig AND mb.pos_end $ge a.pos_start
-       |  AND mb.pos_start $le_ a.pos_end)
+       |SELECT contig, pos_start, pos_end, id FROM ar WHERE NOT EXISTS
+       | (SELECT 1 FROM mb WHERE mb.contig = ar.contig AND mb.pos_end $ge ar.pos_start
+       |  AND mb.pos_start $le_ ar.pos_end)
        |ORDER BY id, pos_start""".stripMargin.replace("\n", " ")
   }
 }

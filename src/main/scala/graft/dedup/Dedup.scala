@@ -77,13 +77,20 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs:
+  /** n-gram Jaccard similarity for candidate pairs:
     * |A∩B| / |A∪B| over distinct k-shingles. Pure joins + aggregates —
-    * spills, scales, no driver state. */
+    * spills, scales, no driver state. Shingles are reduced to 60-bit
+    * md5-prefix keys AT THE SCAN so the intersection joins shuffle
+    * 8-byte longs, never raw shingle text (a 100-word document's
+    * shingle text is ~20x its size; the hash collision odds at 2^60
+    * are negligible and the set algebra is unchanged). */
   def ngramJaccard(
       df: DataFrame, pairs: DataFrame, textCol: String, idCol: String,
       k: Int = 3): DataFrame = {
-    val sh = explodedShingles(df, textCol, idCol, k).distinct()
+    val sh = explodedShingles(df, textCol, idCol, k)
+      .select(col("id"),
+        conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10).cast("long").as("sh"))
+      .distinct()
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.as("s1"), col("id1") === col("s1.id"))
@@ -117,6 +124,35 @@ object Dedup {
       .agg(sum(when(col("v") === 1, col("cnt")).otherwise(-col("cnt"))).as("vote"))
       .groupBy(col("id"))
       .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: banded Hamming-neighbor join over
+    * the 16-bit signatures. Each signature splits into 4 disjoint
+    * 4-bit chunks; documents sharing any (chunk index, chunk value)
+    * become candidates (pigeonhole: pairs within Hamming distance 3
+    * differ in at most 3 chunks, so at least one chunk matches —
+    * recall is exact for `maxHamming <= 3`). Exact Hamming distance
+    * filters candidates. The join key is (band, nibble) — tiny vs the
+    * corpus, never all-pairs. Output: (id1, id2, hamming), id1 < id2. */
+  def simhashPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 bands of 4 bits guarantee full recall only for maxHamming <= 3, got $maxHamming")
+    val sig = simhash16(df, textCol, idCol)
+    val banded = sig.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("ck", expr("(simhash >> (band * 4)) & 15"))
+    val a = banded.select(col("id").as("id1"), col("simhash").as("_s1"),
+      col("band"), col("ck"))
+    val b = banded.select(col("id").as("id2"), col("simhash").as("_s2"),
+      col("band").as("_band2"), col("ck").as("_ck2"))
+    a.join(b, col("band") === col("_band2") && col("ck") === col("_ck2") &&
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("CAST(bit_count(_s1 ^ _s2) AS INT)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** 64-bit SimHash computed from md5 bytes in Scala (library hot path;

@@ -139,6 +139,14 @@ object IntervalIndexFactory {
     }
 }
 
+/** A per-contig index answering a stabbing query with one Long —
+  * the shared contract of [[CountOverlapIndex]] (overlap count) and
+  * [[CoverageIndex]] (covered basepairs), letting one codegen probe
+  * expression (graft.plans.ScalarIndexProbe) serve both. */
+trait ScalarIndex extends Serializable {
+  def valueOf(qs: Long, qe: Long): Long
+}
+
 /** Two-sorted-arrays overlap counter — the reference's
   * `CountOverlapIndex` (interval_tree.rs:20-50):
   * `count = #(starts <= qe) − #(ends < qs)`, each via binary search.
@@ -148,7 +156,9 @@ final class CountOverlapIndex(
     val sortedEnds: Array[Long],
     /** sorted positions of point intervals (start == end) — needed to
       * correct inverted strict-adjusted queries, see [[count]] */
-    val sortedPointPos: Array[Long]) extends Serializable {
+    val sortedPointPos: Array[Long]) extends ScalarIndex {
+
+  def valueOf(qs: Long, qe: Long): Long = count(qs, qe)
 
   def count(qs: Long, qe: Long): Long = {
     val base = (upperBound(sortedStarts, qe) - lowerBound(sortedEnds, qs)).toLong
@@ -200,7 +210,36 @@ object CountOverlapIndex {
 final class CoverageIndex(
     val ms: Array[Long], // merged starts, ascending, disjoint
     val me: Array[Long], // merged ends
-    val prefixLen: Array[Long]) extends Serializable {
+    val prefixLen: Array[Long]) extends ScalarIndex {
+
+  def valueOf(qs: Long, qe: Long): Long = coverage(qs, qe)
+
+  /** F8 subtract kernel: fragments of `[ls, le]` left uncovered by the
+    * merged runs, cursor-style boundaries (a fragment ENDS at a run
+    * start and RESUMES at a run end — subtract.rs:391-442). Candidate
+    * runs are selected with the op's overlap predicate (weak
+    * `me >= ls && ms <= le`, strict `me > ls && ms < le`); the rights
+    * must be pre-merged with the MATCHING convention
+    * ([[CoverageIndex.build]]'s `strictMerge` for strict ops):
+    * op-consistent merging yields the same fragment geometry as the
+    * reference's advancing-cursor over unmerged rights.
+    * Emits nothing when the interval is fully covered; emits
+    * `(ls, le)` itself when no run overlaps. */
+  def gaps(ls: Long, le: Long, strict: Boolean)(f: (Long, Long) => Unit): Unit = {
+    if (ms.length == 0) { f(ls, le); return }
+    // run range [first, last] satisfying the op's overlap predicate
+    val first = if (strict) upperBound(me, ls) else lowerBound(me, ls)
+    val last = (if (strict) lowerBound(ms, le) else upperBound(ms, le)) - 1
+    if (first > last) { f(ls, le); return }
+    var cursor = ls
+    var i = first
+    while (i <= last) {
+      if (ms(i) > cursor) f(cursor, ms(i))
+      if (me(i) > cursor) cursor = me(i)
+      i += 1
+    }
+    if (cursor < le) f(cursor, le)
+  }
 
   def coverage(qs: Long, qe: Long): Long = {
     if (qs > qe || ms.length == 0) return 0L
@@ -234,10 +273,15 @@ final class CoverageIndex(
 }
 
 object CoverageIndex {
-  /** Merge (weak: `s <= curEnd` joins a run — matching the reference's
-    * complement/coverage internal merge, complement.rs:300-317) and
-    * build prefix lengths. Closed-interval length = e - s + 1. */
-  def build(s: Array[Long], e: Array[Long]): CoverageIndex = {
+  /** Merge (weak default: `s <= curEnd` joins a run — matching the
+    * reference's complement/coverage internal merge,
+    * complement.rs:300-317) and build prefix lengths. Closed-interval
+    * length = e - s + 1. `strictMerge` keeps TOUCHING runs separate
+    * (`s < curEnd` required to join) — the convention strict subtract
+    * needs: a touching pair merged weakly would qualify as a strict
+    * overlap candidate that neither member is, swallowing point
+    * fragments at the shared boundary. */
+  def build(s: Array[Long], e: Array[Long], strictMerge: Boolean = false): CoverageIndex = {
     val n = s.length
     if (n == 0) return new CoverageIndex(Array.empty, Array.empty, Array(0L))
     val order = Array.range(0, n).sortInPlaceWith { (a, b) =>
@@ -248,7 +292,8 @@ object CoverageIndex {
     var i = 1
     while (i < n) {
       val o = order(i)
-      if (s(o) <= ce) { if (e(o) > ce) ce = e(o) }
+      val joins = if (strictMerge) s(o) < ce else s(o) <= ce
+      if (joins) { if (e(o) > ce) ce = e(o) }
       else { mss += cs; mes += ce; cs = s(o); ce = e(o) }
       i += 1
     }

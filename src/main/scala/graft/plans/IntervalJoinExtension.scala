@@ -5,12 +5,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
-import org.apache.spark.sql.execution.{BinaryExecNode, FilterExec, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.index.ContigIntervalIndex
 
 /** Transparent interval-join rewrite (SURVEY.md §2 J1-J3/J5, §3.1):
   * an ordinary SQL join whose condition is
@@ -26,10 +25,19 @@ import graft.index.ContigIntervalIndex
   * one index bucket (the reference's NestedLoopJoin fallback,
   * bio_physical_planner.rs:125-146).
   *
+  * Supported join types mirror the reference's Inner/Right/RightSemi/
+  * RightAnti set (interval_join.rs:1014-1024) in Spark's left-handed
+  * naming: Inner (either side buildable — the smaller side is indexed),
+  * RightOuter (build left), LeftOuter / LeftSemi / LeftAnti (build
+  * right, probe the big left side). Extra conjuncts the extractor can't
+  * fold into the interval bounds are evaluated per candidate pair
+  * INSIDE the join (a post-join FilterExec would corrupt outer/semi
+  * semantics by filtering null-extended rows).
+  *
   * Unlike the reference (which REMOVES DataFusion's join_selection
   * rule, session_context.rs:29-31), this is a plain extra Strategy:
-  * when it declines (non-Inner join, shape mismatch, oversized build
-  * side) Spark's stock planning proceeds untouched.
+  * when it declines (shape mismatch, oversized build side) Spark's
+  * stock planning proceeds untouched.
   */
 object IntervalJoinStrategy extends SparkStrategy with PredicateHelper {
 
@@ -93,43 +101,60 @@ object IntervalJoinStrategy extends SparkStrategy with PredicateHelper {
   }
 
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case j @ Join(l, r, Inner, Some(_), _)
-        if SparkSession.active.conf.get("spark.graft.intervalJoin.enabled", "true") == "true"
-          && j.left.stats.sizeInBytes <= maxBuildBytes =>
-      extract(j) match {
-        case Some(x) =>
-          val exec = BroadcastIntervalJoinExec(
+    case j @ Join(l, r, jt, Some(_), _)
+        if SparkSession.active.conf.get("spark.graft.intervalJoin.enabled", "true") == "true" =>
+      def fits(p: LogicalPlan) = p.stats.sizeInBytes <= maxBuildBytes
+      // Which side to collect+index: Inner takes whichever fits (left
+      // preferred); the one-sided types are pinned to the preserved /
+      // probed orientation.
+      val buildLeft: Option[Boolean] = jt match {
+        case Inner if fits(l) => Some(true)
+        case Inner if fits(r) => Some(false)
+        case RightOuter if fits(l) => Some(true)
+        case LeftOuter | LeftSemi | LeftAnti if fits(r) => Some(false)
+        case _ => None
+      }
+      (buildLeft, extract(j)) match {
+        case (Some(bl), Some(x)) =>
+          BroadcastIntervalJoinExec(
             x.contigs, x.lStart, x.lEnd, x.rStart, x.rEnd, x.strictLe, x.strictGe,
+            x.residual.reduceOption(And),
             SparkSession.active.conf.get(
               graft.index.IntervalIndexFactory.ConfKey, "superintervals"),
-            planLater(l), planLater(r))
-          val withResidual =
-            if (x.residual.isEmpty) exec
-            else FilterExec(x.residual.reduce(And), exec)
-          withResidual :: Nil
-        case None => Nil
+            jt, bl, planLater(l), planLater(r)) :: Nil
+        case _ => Nil
       }
     case _ => Nil
   }
 }
 
-/** CollectLeft broadcast interval join: the left child is collected,
+/** CollectLeft broadcast interval join: the build child is collected,
   * indexed per contig (sorted starts + prefix-max-end,
   * graft.index.ContigIntervalIndex), broadcast, and probed
-  * partition-parallel from the right child — an index probe per row,
+  * partition-parallel from the other child — an index probe per row,
   * never a per-contig cross product. Matches the reference's
   * IntervalJoinExec CollectLeft mode (interval_join.rs:394-413) in
   * Spark's physical-operator idiom (BinaryExecNode + UnsafeProjection
-  * output). */
+  * output), with the reference's probe-existence fast path for
+  * semi/anti shapes (interval_join.rs:1014-1024). */
 case class BroadcastIntervalJoinExec(
     contigs: Option[(Expression, Expression)],
     lStart: Expression, lEnd: Expression,
     rStart: Expression, rEnd: Expression,
     strictLe: Boolean, strictGe: Boolean,
+    residual: Option[Expression],
     algorithm: String,
+    joinType: JoinType,
+    buildLeft: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = joinType match {
+    case Inner => left.output ++ right.output
+    case RightOuter => left.output.map(_.withNullability(true)) ++ right.output
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case LeftSemi | LeftAnti => left.output
+    case t => throw new IllegalArgumentException(s"unsupported interval join type $t")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
@@ -144,23 +169,27 @@ case class BroadcastIntervalJoinExec(
   }
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val lc = contigs.map(c => BindReferences.bindReference(c._1, left.output))
-    val ls = BindReferences.bindReference(lStart, left.output)
-    val le = BindReferences.bindReference(lEnd, left.output)
-    val rows = left.executeCollect()
+    val (buildPlan, probePlan) = if (buildLeft) (left, right) else (right, left)
+    val (bStartE, bEndE) = if (buildLeft) (lStart, lEnd) else (rStart, rEnd)
+    val (pStartE, pEndE) = if (buildLeft) (rStart, rEnd) else (lStart, lEnd)
+    val bc0 = contigs.map(c => BindReferences.bindReference(
+      if (buildLeft) c._1 else c._2, buildPlan.output))
+    val bs = BindReferences.bindReference(bStartE, buildPlan.output)
+    val be = BindReferences.bindReference(bEndE, buildPlan.output)
+    val rows = buildPlan.executeCollect()
 
     val groups = mutable.HashMap.empty[UTF8String,
       (mutable.ArrayBuffer[Long], mutable.ArrayBuffer[Long], mutable.ArrayBuffer[Int])]
     var i = 0
     while (i < rows.length) {
       val row = rows(i)
-      val key = lc match {
+      val key = bc0 match {
         case Some(b) => b.eval(row).asInstanceOf[UTF8String].copy()
         case None => UTF8String.EMPTY_UTF8
       }
       val g = groups.getOrElseUpdate(key,
         (mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
-      g._1 += asLong(ls.eval(row)); g._2 += asLong(le.eval(row)); g._3 += i
+      g._1 += asLong(bs.eval(row)); g._2 += asLong(be.eval(row)); g._3 += i
       i += 1
     }
     val indexes: Map[UTF8String, graft.index.IntervalStabber] = groups.map {
@@ -170,43 +199,71 @@ case class BroadcastIntervalJoinExec(
 
     val bcRows = sparkContext.broadcast(rows)
     val bcIdx = sparkContext.broadcast(indexes)
-    val rc = contigs.map(c => BindReferences.bindReference(c._2, right.output))
-    val rs = BindReferences.bindReference(rStart, right.output)
-    val re = BindReferences.bindReference(rEnd, right.output)
-    val sLe = strictLe; val sGe = strictGe
+    val pc = contigs.map(c => BindReferences.bindReference(
+      if (buildLeft) c._2 else c._1, probePlan.output))
+    val ps = BindReferences.bindReference(pStartE, probePlan.output)
+    val pe = BindReferences.bindReference(pEndE, probePlan.output)
+    // Strict comparators fold into the probe bounds (the reference's
+    // minus_one rewrite). The le conjunct is lStart <= rEnd, the ge
+    // conjunct lEnd >= rStart — which strictness widens which probe
+    // bound flips with the build side.
+    val addQs = if (buildLeft) (if (strictGe) 1L else 0L) else (if (strictLe) 1L else 0L)
+    val subQe = if (buildLeft) (if (strictLe) 1L else 0L) else (if (strictGe) 1L else 0L)
+    val jt = joinType
+    val bLeft = buildLeft
+    val joinedAttrs = left.output ++ right.output
+    val residualExpr = residual
     val outAttrs = output
+    val buildArity = buildPlan.output.size
 
     // Round-robin repartition when the probe scan under-parallelizes
     // (small parquet file -> one partition would serialize the whole
     // probe); mirrors the reference's RoundRobinBatch repartition of
     // the probe side (count_overlaps.rs:143-154). No-op at scale.
-    val rightRdd0 = right.execute()
+    val probeRdd0 = probePlan.execute()
     val target = sparkContext.defaultParallelism
-    val rightRdd =
-      if (rightRdd0.getNumPartitions < target)
-        rightRdd0.map(_.copy()).repartition(target)
-      else rightRdd0
+    val probeRdd =
+      if (probeRdd0.getNumPartitions < target)
+        probeRdd0.map(_.copy()).repartition(target)
+      else probeRdd0
 
-    rightRdd.mapPartitions { it =>
+    probeRdd.mapPartitionsWithIndex { (pidx, it) =>
       val joined = new JoinedRow
+      val pred = residualExpr.map { e =>
+        val p = Predicate.create(e, joinedAttrs); p.initialize(pidx); p
+      }
+      val nullBuild = new GenericInternalRow(buildArity)
       val proj = UnsafeProjection.create(outAttrs.map(_.dataType).toArray)
-      val leftRows = bcRows.value
+      val buildRows = bcRows.value
       val idxMap = bcIdx.value
-      it.flatMap { rrow =>
-        val key = rc match {
-          case Some(b) => b.eval(rrow).asInstanceOf[UTF8String]
+      @inline def pair(buildRow: InternalRow, probeRow: InternalRow): JoinedRow =
+        if (bLeft) joined(buildRow, probeRow) else joined(probeRow, buildRow)
+      it.flatMap { prow =>
+        val key = pc match {
+          case Some(b) => b.eval(prow).asInstanceOf[UTF8String]
           case None => UTF8String.EMPTY_UTF8
         }
-        idxMap.get(key) match {
-          case None => Iterator.empty
-          case Some(idx) =>
-            // predicate: l.start <= qe && l.end >= qs (strict ops fold
-            // into the bounds — the reference's minus_one rewrite)
-            val qe = asLong(re.eval(rrow)) - (if (sLe) 1L else 0L)
-            val qs = asLong(rs.eval(rrow)) + (if (sGe) 1L else 0L)
-            val hits = mutable.ArrayBuffer.empty[Int]
-            idx.query(qs, qe)(hits += _)
-            hits.iterator.map { p => proj(joined(leftRows(p), rrow)) }
+        val hits = mutable.ArrayBuffer.empty[Int]
+        idxMap.get(key).foreach { idx =>
+          val qs = asLong(ps.eval(prow)) + addQs
+          val qe = asLong(pe.eval(prow)) - subQe
+          pred match {
+            case Some(p) =>
+              idx.query(qs, qe)(h => if (p.eval(pair(buildRows(h), prow))) hits += h)
+            case None => idx.query(qs, qe)(hits += _)
+          }
+        }
+        jt match {
+          case Inner =>
+            hits.iterator.map(h => proj(pair(buildRows(h), prow)))
+          case RightOuter | LeftOuter =>
+            if (hits.isEmpty) Iterator.single(proj(pair(nullBuild, prow)))
+            else hits.iterator.map(h => proj(pair(buildRows(h), prow)))
+          case LeftSemi =>
+            if (hits.nonEmpty) Iterator.single(proj(prow)) else Iterator.empty
+          case LeftAnti =>
+            if (hits.isEmpty) Iterator.single(proj(prow)) else Iterator.empty
+          case t => throw new IllegalArgumentException(s"unsupported interval join type $t")
         }
       }
     }

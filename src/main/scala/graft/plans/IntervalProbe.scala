@@ -32,7 +32,11 @@ case class IntervalProbe(
   override def second: Expression = start
   override def third: Expression = end
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullable: Boolean = false
+  // Children may come from nullable schemas (e.g. the VCF reader); the
+  // TernaryExpression null contract then yields NULL, which a
+  // downstream explode treats as no match. Claiming nullable=false
+  // here would make the codegen skip the child null checks and NPE.
+  override def nullable: Boolean = children.exists(_.nullable)
   override def prettyName: String = "graft_interval_probe"
 
   private lazy val empty = UnsafeArrayData.fromPrimitiveArray(Array.empty[Int])

@@ -7,9 +7,6 @@ import org.apache.spark.sql.types._
 import graft.core.{FilterOp, IntervalCols}
 import graft.index._
 
-/** Nearest-candidate record returned by the probe UDF. */
-case class NearestCand(lidx: Int, dist: Long)
-
 /** Broadcast interval join machinery.
   *
   * Mirrors the reference's CollectLeft interval-join design
@@ -125,11 +122,22 @@ object IntervalJoin {
     // RDD-backed, NOT a LocalRelation: LocalTableScanExec keeps its rows
     // as a plan-node field, and the whole plan serializes into every
     // task closure of the probe stage (observed 1.3 MiB/task at sf0.1).
-    // A ParallelCollectionRDD ships the rows once, into the broadcast
-    // exchange's own collect job.
-    val slices = math.max(1, math.min(df.sparkSession.sparkContext.defaultParallelism, rows.length / 10000))
-    val local = df.sparkSession.createDataFrame(
-      df.sparkSession.sparkContext.parallelize(idxRows.toIndexedSeq, slices), schema2)
+    // The rows travel in a Broadcast (torrent blocks, shipped once per
+    // executor); the RDD's task closures carry only slice bounds — a
+    // plain sc.parallelize(rows) would re-ship row data inside every
+    // ParallelCollectionRDD task binary ("task of very large size"
+    // warnings at sf0.1).
+    val sc = df.sparkSession.sparkContext
+    val bcAll = sc.broadcast(idxRows)
+    val slices = math.max(1, math.min(sc.defaultParallelism, rows.length / 10000))
+    val rdd = sc.parallelize(0 until slices, slices).mapPartitions { it =>
+      it.flatMap { s =>
+        val all = bcAll.value
+        val per = (all.length + slices - 1) / slices
+        all.iterator.slice(s * per, math.min(all.length, (s + 1) * per))
+      }
+    }
+    val local = df.sparkSession.createDataFrame(rdd, schema2)
     (coords, local)
   }
 
@@ -206,9 +214,21 @@ object IntervalJoin {
          rightPref.schema.fields.toSeq.map(f => col(f.name))): _*)
   }
 
+  /** Column wrapping a [[graft.plans.ScalarIndexProbe]] codegen
+    * expression (shared by count/coverage/existence probes). */
+  private def scalarProbe(
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, ScalarIndex]],
+      op: FilterOp, c: Column, s: Column, e: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.ScalarIndexProbe(
+      GraftColumnBridge.expression(c), GraftColumnBridge.expression(s),
+      GraftColumnBridge.expression(e), bc, op))
+  }
+
   /** "left" / "left_distinct" modes of F1 (overlap.rs:183-226): emit
     * each probe row once per overlap (multiplicity) or once if any.
-    * Pure codegen: a count UDF + conditional sequence-explode. */
+    * Pure codegen: a count-probe expression + conditional
+    * sequence-explode. */
   def overlapExistence(
       probe: DataFrame, other: DataFrame,
       pcols: IntervalCols, ocols: IntervalCols,
@@ -216,16 +236,10 @@ object IntervalJoin {
 
     val spark = probe.sparkSession
     val groups = collectCoords(other, ocols, withIdx = false, tieBreakCol = None)
-    val counts = groups.map { case (k, (s, e, _, _)) => k -> CountOverlapIndex.build(s, e) }.toMap
+    val counts: Map[String, ScalarIndex] =
+      groups.map { case (k, (s, e, _, _)) => k -> CountOverlapIndex.build(s, e) }.toMap
     val bc = spark.sparkContext.broadcast(counts)
-    val theOp = op
-    val cnt = udf { (contig: String, qs: Long, qe: Long) =>
-      bc.value.get(contig) match {
-        case Some(idx) => val (s, e) = theOp.adjustQuery(qs, qe); idx.count(s, e)
-        case None => 0L
-      }
-    }
-    val withN = parallelizeProbe(probe).withColumn("_n", cnt(
+    val withN = parallelizeProbe(probe).withColumn("_n", scalarProbe(bc, op,
       col(pcols.contig), col(pcols.start).cast("long"), col(pcols.end).cast("long")))
     val result =
       if (distinct) withN.where(col("_n") > 0)
@@ -235,7 +249,7 @@ object IntervalJoin {
   }
 
   /** F2 count_overlaps / F3 coverage: probe rows + one Long column,
-    * as a single codegen'd UDF projection over the broadcast index. */
+    * via a single codegen probe expression over the broadcast index. */
   def annotateCount(
       build: DataFrame, probe: DataFrame,
       bcols: IntervalCols, pcols: IntervalCols,
@@ -243,30 +257,41 @@ object IntervalJoin {
 
     val spark = probe.sparkSession
     val groups = collectCoords(build, bcols, withIdx = false, tieBreakCol = None)
-    val theOp = op
-    if (coverage) {
-      val covIdx = groups.map { case (k, (s, e, _, _)) => k -> CoverageIndex.build(s, e) }.toMap
-      val bc = spark.sparkContext.broadcast(covIdx)
-      val u = udf { (contig: String, qs: Long, qe: Long) =>
-        bc.value.get(contig) match {
-          case Some(idx) => val (s, e) = theOp.adjustQuery(qs, qe); idx.coverage(s, e)
-          case None => 0L
-        }
-      }
-      parallelizeProbe(probe).withColumn(outName, u(
-        col(pcols.contig), col(pcols.start).cast("long"), col(pcols.end).cast("long")))
-    } else {
-      val cntIdx = groups.map { case (k, (s, e, _, _)) => k -> CountOverlapIndex.build(s, e) }.toMap
-      val bc = spark.sparkContext.broadcast(cntIdx)
-      val u = udf { (contig: String, qs: Long, qe: Long) =>
-        bc.value.get(contig) match {
-          case Some(idx) => val (s, e) = theOp.adjustQuery(qs, qe); idx.count(s, e)
-          case None => 0L
-        }
-      }
-      parallelizeProbe(probe).withColumn(outName, u(
-        col(pcols.contig), col(pcols.start).cast("long"), col(pcols.end).cast("long")))
-    }
+    val indexes: Map[String, ScalarIndex] =
+      if (coverage) groups.map { case (k, (s, e, _, _)) => k -> CoverageIndex.build(s, e) }.toMap
+      else groups.map { case (k, (s, e, _, _)) => k -> CountOverlapIndex.build(s, e) }.toMap
+    val bc = spark.sparkContext.broadcast(indexes)
+    parallelizeProbe(probe).withColumn(outName, scalarProbe(bc, op,
+      col(pcols.contig), col(pcols.start).cast("long"), col(pcols.end).cast("long")))
+  }
+
+  /** F8 subtract kernel: explode each probe row into its uncovered
+    * fragments against the broadcast merged-run index (one map-side
+    * codegen pass, graft.plans.SubtractProbe — see
+    * [[graft.index.CoverageIndex.gaps]]). Returns the probe columns
+    * with `startName`/`endName` replaced by the fragment bounds. */
+  def subtractFragments(
+      probe: DataFrame, other: DataFrame,
+      pcols: IntervalCols, ocols: IntervalCols,
+      op: FilterOp): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val spark = probe.sparkSession
+    val groups = collectCoords(other, ocols, withIdx = false, tieBreakCol = None)
+    val runs = groups.map { case (k, (s, e, _, _)) =>
+      k -> CoverageIndex.build(s, e, strictMerge = op.isStrict) }.toMap
+    val bc = spark.sparkContext.broadcast(runs)
+    def probeCol(c: Column, s: Column, e: Column): Column =
+      GraftColumnBridge.column(graft.plans.SubtractProbe(
+        GraftColumnBridge.expression(c), GraftColumnBridge.expression(s),
+        GraftColumnBridge.expression(e), bc, op))
+    val fragged = parallelizeProbe(probe).withColumn("_frag",
+      explode(probeCol(col(pcols.contig),
+        col(pcols.start).cast("long"), col(pcols.end).cast("long"))))
+    fragged.select(probe.columns.toSeq.map {
+      case c if c == pcols.start => col("_frag.fs").as(pcols.start)
+      case c if c == pcols.end   => col("_frag.fe").as(pcols.end)
+      case c => col(c)
+    }: _*)
   }
 
   /** F4 nearest: up to k nearest build intervals per probe row
@@ -285,22 +310,20 @@ object IntervalJoin {
     val nearIdx: Map[String, NearestIndex] =
       parBuild(groups) { case (s, e, p, t) => NearestIndex.build(s, e, t, p) }
     val bc = spark.sparkContext.broadcast(nearIdx)
-    val theOp = op; val kk = k; val incl = includeOverlaps
 
-    val probeUdf = udf { (contig: String, qs0: Long, qe0: Long) =>
-      val out = mutable.ArrayBuffer.empty[NearestCand]
-      bc.value.get(contig).foreach { idx =>
-        val (qs, qe) = theOp.adjustQuery(qs0, qe0)
-        idx.nearestK(qs, qe, kk, incl)((p, d) => out += NearestCand(p, d))
-      }
-      if (out.isEmpty) out += NearestCand(-1, -1L)
-      out.toSeq
-    }
+    // codegen expression, not a boxed Seq[case class] UDF: the probe
+    // result lands in a GenericArrayData of two-field rows with no
+    // CatalystTypeConverters round-trip (graft.plans.NearestProbe)
+    import org.apache.spark.sql.GraftColumnBridge
+    def probeCol(c: Column, s: Column, e: Column): Column =
+      GraftColumnBridge.column(graft.plans.NearestProbe(
+        GraftColumnBridge.expression(c), GraftColumnBridge.expression(s),
+        GraftColumnBridge.expression(e), bc, op, k, includeOverlaps))
 
     val rightPref = parallelizeProbe(probe).select(
       probe.schema.fields.toSeq.map(f => col(f.name).as("right_" + f.name)): _*)
     val exploded = rightPref.withColumn("_cand",
-      explode(probeUdf(
+      explode(probeCol(
         col("right_" + pcols.contig),
         col("right_" + pcols.start).cast("long"),
         col("right_" + pcols.end).cast("long"))))

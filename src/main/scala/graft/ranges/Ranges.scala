@@ -125,23 +125,46 @@ object Ranges {
         coalesce(col("_n"), lit(0L)).as("count"): _*)
   }
 
-  /** Partitioned F3: per-right-row covered basepairs. Left intervals
-    * merge per contig first (same convention as the broadcast
-    * variant), then the grid-bucket join + a clipped-length sum. */
+  /** Partitioned F3: per-right-row covered basepairs, the co-shuffle
+    * scale path. Left intervals merge per contig first (same
+    * convention as the broadcast variant); then BOTH sides explode
+    * onto the bucket grid as bucket-CLIPPED fragments
+    * `[max(s, b*W), min(e, (b+1)*W - 1)]` — each base of the domain
+    * belongs to exactly one bucket, so summing the clipped-fragment
+    * intersection lengths per right id IS the coverage, with no
+    * canonical-bucket dedup predicate and no duplicated full-width
+    * rows (a merged run spanning the domain previously rode whole
+    * into every one of its ~span/W buckets and cross-matched there;
+    * the clipped fragment is at most W wide). */
   def coveragePartitioned(
       left: DataFrame, right: DataFrame,
       lcols: IntervalCols = IntervalCols.default,
       rcols: IntervalCols = IntervalCols.default,
       bucketWidth: Long = 1000L,
       idCol: String = "id"): DataFrame = {
+    val w = bucketWidth
+    // bucket-clipped fragments: (contig, bucket, clipped start/end [+ id])
+    def clipped(df: DataFrame, cols: IntervalCols, prefix: String, extra: Seq[Column]): DataFrame = {
+      val s = col(cols.start).cast("long"); val e = col(cols.end).cast("long")
+      df.select(Seq(col(cols.contig).as(prefix + "c"), s.as(prefix + "s0"), e.as(prefix + "e0")) ++ extra: _*)
+        .withColumn(prefix + "b",
+          explode(sequence(floor(col(prefix + "s0") / w).cast("long"),
+            floor(col(prefix + "e0") / w).cast("long"))))
+        .withColumn(prefix + "s", greatest(col(prefix + "s0"), col(prefix + "b") * w))
+        .withColumn(prefix + "e", least(col(prefix + "e0"), (col(prefix + "b") + 1) * w - 1))
+        .drop(prefix + "s0", prefix + "e0")
+    }
     val merged = merge(left, lcols, 0L, FilterOp.Weak)
       .select(col(lcols.contig), col(lcols.start), col(lcols.end))
-    val pairs = overlapPartitioned(merged, right, lcols, rcols, FilterOp.Weak, bucketWidth)
-    val clip = least(col("left_" + lcols.end), col("right_" + rcols.end)) -
-      greatest(col("left_" + lcols.start), col("right_" + rcols.start)) + 1
-    val sums = pairs.groupBy(col("right_" + idCol))
-      .agg(sum(clip).as("_cov"))
-    right.join(sums, right(idCol) === sums("right_" + idCol), "left")
+    val a = clipped(merged, lcols, "_l", Nil)
+    val rb = clipped(graft.core.Parallelism.ensure(right), rcols, "_r",
+      Seq(col(idCol).as("_rid")))
+    val clip = least(col("_le"), col("_re")) - greatest(col("_ls"), col("_rs")) + 1
+    val sums = a.join(rb,
+        col("_lc") === col("_rc") && col("_lb") === col("_rb") &&
+        col("_ls") <= col("_re") && col("_le") >= col("_rs"))
+      .groupBy(col("_rid")).agg(sum(clip).as("_cov"))
+    right.join(sums, right(idCol) === sums("_rid"), "left")
       .select(right.columns.toSeq.map(col) :+
         coalesce(col("_cov"), lit(0L)).as("coverage"): _*)
   }
@@ -310,47 +333,15 @@ object Ranges {
     * boundaries (fragment ends at right START, resumes at right END —
     * subtract.rs:391-442), extra left columns preserved on every
     * fragment (subtract.rs:50-76). Rights are pre-merged per contig
-    * (equivalent to the reference's advancing-cursor over unmerged
-    * rights). `idCol` must uniquely identify left rows (used to group
-    * fragments; the reference relies on collected row order). */
+    * into the broadcast run index (equivalent to the reference's
+    * advancing-cursor over unmerged rights); each left row is
+    * fragmented by ONE index probe in a map-side codegen pass
+    * ([[IntervalJoin.subtractFragments]]) — no contig-keyed join, no
+    * window, no per-contig cross product (BASELINE.md bar #3). */
   def subtract(
       left: DataFrame, right: DataFrame,
       lcols: IntervalCols = IntervalCols.default,
       rcols: IntervalCols = IntervalCols.default,
-      op: FilterOp = FilterOp.Weak,
-      idCol: String = "id"): DataFrame = {
-    val mr = merge(right, rcols, 0L, op)
-      .select(col(rcols.contig).as("_rc"),
-        col(rcols.start).cast("long").as("_rs"), col(rcols.end).cast("long").as("_re"))
-    val ls = col(lcols.start).cast("long"); val le = col(lcols.end).cast("long")
-    // overlap predicate per FilterOp (subtract.rs:400-419: weak keeps
-    // rights with re >= ls && rs <= le; strict re > ls && rs < le)
-    val pred = if (op.isStrict)
-      left(lcols.contig) === col("_rc") && col("_re") > ls && col("_rs") < le
-    else
-      left(lcols.contig) === col("_rc") && col("_re") >= ls && col("_rs") <= le
-    val ov = left.join(broadcast(mr), pred, "inner")
-    val wId = Window.partitionBy(col(lcols.contig), col(idCol)).orderBy(col("_rs"))
-    val outColsFor = (startExpr: Column, endExpr: Column) =>
-      left.columns.toSeq.map {
-        case c if c == lcols.start => startExpr.as(lcols.start)
-        case c if c == lcols.end   => endExpr.as(lcols.end)
-        case c => col(c)
-      }
-    // gap before each overlapping (merged) right: [cursor, rs]
-    val mids = ov
-      .withColumn("_cursor", greatest(coalesce(lag(col("_re"), 1).over(wId), ls), ls))
-      .where(col("_rs") > col("_cursor"))
-      .select(outColsFor(col("_cursor"), col("_rs")): _*)
-    // trailing gap: [max(re), le] when uncovered
-    val trail = ov
-      .groupBy(left.columns.map(col).toSeq: _*)
-      .agg(max(col("_re")).as("_maxre"))
-      .where(col("_maxre") < le)
-      .select(outColsFor(col("_maxre"), le): _*)
-    // left rows with no overlapping right pass through unchanged
-    val untouched = left.join(broadcast(mr), pred, "left_anti")
-      .select(outColsFor(ls, le): _*)
-    mids.unionByName(trail).unionByName(untouched)
-  }
+      op: FilterOp = FilterOp.Weak): DataFrame =
+    IntervalJoin.subtractFragments(left, right, lcols, rcols, op)
 }

@@ -101,8 +101,11 @@ object Splice {
     val t = transcripts.select(col("chrom").as("_tc"), col("start").cast("long").as("_ts"),
       col("end").cast("long").as("_te"), col("transcript_id").as("_tid"),
       col("strand").as("_strand"), col("biotype").as("_bt"))
-    val cand = v.join(broadcast(t),
-      col("_vc") === col("_tc") && col("_vp").between(col("_ts"), col("_te")))
+    // transcripts on the LEFT = build side of the interval strategy's
+    // index probe (a contig-keyed hash join cross-products per contig)
+    graft.plans.Graft.enable(vcf.sparkSession)
+    val cand = t.join(v,
+      col("_tc") === col("_vc") && col("_vp").between(col("_ts"), col("_te")))
     val ex = exons.select(col("transcript_id").as("_etid"),
       col("start").cast("long").as("_es"), col("end").cast("long").as("_ee"))
     val p = col("_vp")
@@ -311,8 +314,11 @@ object Splice {
     val t = transcripts.select(col("chrom").as("_tc"), col("start").cast("long").as("_ts"),
       col("end").cast("long").as("_te"), col("transcript_id").as("_tid"),
       col("strand").as("_strand"), col("biotype").as("_bt"))
-    val cand = v.join(broadcast(t),
-      col("_vc") === col("_tc") &&
+    // strategy-planned index probe; the _p1 bounds the extractor can't
+    // fold into the probe interval ride as the join's residual filter
+    graft.plans.Graft.enable(vcf.sparkSession)
+    val cand = t.join(v,
+      col("_tc") === col("_vc") &&
         col("_p0").between(col("_ts"), col("_te")) &&
         col("_p1").between(col("_ts"), col("_te")))
     val ex = exons.select(col("transcript_id").as("_etid"),

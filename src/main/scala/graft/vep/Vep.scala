@@ -99,14 +99,19 @@ object Vep {
 
   /** Regulatory-feature overlap annotation (context table 4 of
     * partitioned_cache.rs:24-31; regulatory_region_variant at SO rank
-    * 36). Broadcast the (small) feature table, one overlap join. */
+    * 36). The feature table sits on the BUILD side of the interval
+    * strategy's index probe (features, like transcripts, grow to ~10^5
+    * per chromosome in a real genome — a contig-keyed hash join would
+    * cross-product per contig; the index probe stays O(log n + hits)
+    * per variant, the fix BASELINE.md bar #3 demands). */
   def annotateRegulatory(vcf: DataFrame, regulatory: DataFrame): DataFrame = {
+    graft.plans.Graft.enable(vcf.sparkSession)
     val v = vcf.select(col("chrom").as("_vc"), col("start").cast("long").as("_vs"),
       col("end").cast("long").as("_ve"), col("id"))
     val r = regulatory.select(col("chrom").as("_rc"), col("start").cast("long").as("_rs"),
       col("end").cast("long").as("_re"), col("feature_id"), col("feature_type"))
-    v.join(broadcast(r),
-        col("_vc") === col("_rc") && col("_vs") <= col("_re") && col("_ve") >= col("_rs"))
+    r.join(v,
+        col("_rc") === col("_vc") && col("_rs") <= col("_ve") && col("_re") >= col("_vs"))
       .select(col("id"), col("feature_id"), col("feature_type"),
         lit("regulatory_region_variant").as("consequence"))
   }
@@ -181,6 +186,7 @@ object Vep {
       vcf: DataFrame, transcripts: DataFrame, exons: DataFrame,
       upstreamDistance: Long = 5000L): DataFrame = {
     val d = upstreamDistance
+    graft.plans.Graft.enable(vcf.sparkSession)
     val v = vcf.select(col("chrom").as("_vc"), col("start").cast("long").as("_vs"),
       col("end").cast("long").as("_ve"), col("id").as("_vid"),
       col("ref").as("_vref"), col("alt").as("_valt"))
@@ -188,8 +194,12 @@ object Vep {
       col("end").cast("long").as("_te"), col("transcript_id").as("_tid"),
       col("strand").as("_strand"), col("biotype").as("_bt"),
       col("cds_start").cast("long").as("_cs"), col("cds_end").cast("long").as("_ce"))
-    val cand = v.join(broadcast(t),
-      col("_vc") === col("_tc") &&
+    // transcripts (small side, LEFT) become the strategy's broadcast
+    // per-contig index, widened by the up/downstream reach; variants
+    // probe it — never a contig-keyed hash join (= per-contig cross
+    // product at genome-scale context density, BASELINE.md bar #3)
+    val cand = t.join(v,
+      col("_tc") === col("_vc") &&
       col("_ts") - d <= col("_ve") && col("_te") + d >= col("_vs"))
     val ex = exons.select(col("transcript_id").as("_etid"),
       col("start").cast("long").as("_es"), col("end").cast("long").as("_ee"))
