@@ -43,6 +43,10 @@ object PileupVepQueries {
       Vep.lookupVariants(Tables.vcf(s, d), Tables.vepCache(s, d), extendedWindow = 4L)),
     "f11_annotate_regions" -> ((s, d) =>
       Vep.annotateRegions(Tables.vcf(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
+    // transcript-class probe fixture: protein_altering (in-CDS MNV),
+    // mature_miRNA, NMD / non-coding companions all fire by design
+    "f11_term_probes" -> ((s, d) =>
+      Vep.annotateRegions(Tables.termProbes(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
     // S6 sink + S3 source round-trip: serialize the derived VCF view to
     // text lines, write them out, read + parse them back relationally.
     // The oracle recomputes the same projection straight from `part` -
@@ -112,9 +116,12 @@ object PileupVepQueries {
       .stripMargin.replace("\n", " ")
 
   /** Region-consequence oracle: candidate transcripts within 5000,
-    * exon-existence flag, CASE term, min SO rank per variant. */
-  private val annotateRegionsSql: String = {
-    import Oracle.{vcf => vcfCte, transcripts => tCte, exons => exCte}
+    * exon-existence flag, CASE term, min SO rank per variant.
+    * `variantCte`/`variantName` pick the probing variant view (the
+    * derived vcf, or the transcript-class probe fixture — the latter's
+    * CTE references `t`, so transcripts/exons come first). */
+  private def annotateRegionsSqlFor(variantCte: String, variantName: String): String = {
+    import Oracle.{transcripts => tCte, exons => exCte}
     import graft.vep.CodonLogic
     val (refC, altC) = CodonLogic.codons(CodonLogic.DuckD,
       "chrom", "vs", "cs", "strand", "valt")
@@ -122,15 +129,21 @@ object PileupVepQueries {
     val altCodonSql = CodonLogic.fixDiv(CodonLogic.DuckD, altC)
     val aaRefSql = CodonLogic.aa(CodonLogic.DuckD, "refcodon")
     val aaAltSql = CodonLogic.aa(CodonLogic.DuckD, "altcodon")
-    val inCdsAny = "vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'protein_coding' " +
+    val inCdsAny = "vs <= te AND ve >= ts AND in_exon = 1 AND biotype IN ('protein_coding', 'nonsense_mediated_decay') " +
       "AND vs >= cs AND ve <= ce"
     val snvInCds = s"length(vref) = 1 AND length(valt) = 1 AND $inCdsAny"
-    s"""WITH $vcfCte, $tCte, $exCte,
+    // rank/name CASEs generated from the full 41-term table so the
+    // oracle can never drift from Vep.soRank
+    val termRankCase = "CASE term " + graft.vep.Vep.allSoTerms.zipWithIndex
+      .map { case (n, r) => s"WHEN '$n' THEN $r" }.mkString(" ") + " ELSE 39 END"
+    val bestNameCase = "CASE best.best " + graft.vep.Vep.allSoTerms.zipWithIndex
+      .map { case (n, r) => s"WHEN $r THEN '$n'" }.mkString(" ") + " END"
+    s"""WITH $tCte, $exCte, $variantCte,
        |cand AS (SELECT v.id AS vid, v.chrom, v.start AS vs, v."end" AS ve,
        |  v.ref AS vref, v.alt AS valt,
        |  t.start AS ts, t."end" AS te, t.transcript_id, t.strand, t.biotype,
        |  t.cds_start AS cs, t.cds_end AS ce
-       | FROM v JOIN t ON v.chrom = t.chrom AND t.start - 5000 <= v."end" AND t."end" + 5000 >= v.start),
+       | FROM $variantName v JOIN t ON v.chrom = t.chrom AND t.start - 5000 <= v."end" AND t."end" + 5000 >= v.start),
        |wex AS (SELECT cand.*,
        |  MAX(CASE WHEN ex.transcript_id IS NOT NULL
        |    AND ex.start <= cand.ve AND ex."end" >= cand.vs THEN 1 ELSE 0 END) AS in_exon,
@@ -139,8 +152,10 @@ object PileupVepQueries {
        | FROM cand LEFT JOIN ex ON ex.transcript_id = cand.transcript_id
        |   AND ex.start - 8 <= cand.ve AND ex."end" + 8 >= cand.vs
        | GROUP BY ALL),
-       |wex2 AS (SELECT wex.*, $refCodonSql AS refcodon, $altCodonSql AS altcodon FROM wex),
-       |terms AS (SELECT vid, transcript_id, CASE
+       |wex2 AS (SELECT wex.*, $refCodonSql AS refcodon, $altCodonSql AS altcodon,
+       |  ts + (te - ts) // 3 AS mir_s, ts + (te - ts) // 2 AS mir_e FROM wex),
+       |terms AS (SELECT vid, transcript_id, biotype, in_exon,
+       |  (vs <= te AND ve >= ts) AS ovl, CASE
        |  WHEN $snvInCds AND ($aaAltSql) = '*' AND ($aaRefSql) <> '*' THEN 'stop_gained'
        |  WHEN $snvInCds AND ($aaRefSql) = '*' AND ($aaAltSql) <> '*' THEN 'stop_lost'
        |  WHEN $snvInCds AND ($aaRefSql) = ($aaAltSql) THEN 'synonymous_variant'
@@ -148,48 +163,45 @@ object PileupVepQueries {
        |  WHEN $inCdsAny AND (length(valt) - length(vref)) % 3 <> 0 THEN 'frameshift_variant'
        |  WHEN $inCdsAny AND length(valt) > length(vref) THEN 'inframe_insertion'
        |  WHEN $inCdsAny AND length(valt) < length(vref) THEN 'inframe_deletion'
-       |  WHEN vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'protein_coding' AND ve < cs
-       |   THEN (CASE WHEN strand = 1 THEN 'five_prime_UTR_variant' ELSE 'three_prime_UTR_variant' END)
-       |  WHEN vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'protein_coding' AND vs > ce
-       |   THEN (CASE WHEN strand = 1 THEN 'three_prime_UTR_variant' ELSE 'five_prime_UTR_variant' END)
-       |  WHEN vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'protein_coding' THEN 'coding_sequence_variant'
+       |  WHEN $inCdsAny THEN 'protein_altering_variant'
+       |  WHEN vs <= te AND ve >= ts AND in_exon = 1 AND biotype IN ('protein_coding', 'nonsense_mediated_decay') AND ve < cs
+       |   THEN (CASE WHEN strand = 1 THEN '5_prime_UTR_variant' ELSE '3_prime_UTR_variant' END)
+       |  WHEN vs <= te AND ve >= ts AND in_exon = 1 AND biotype IN ('protein_coding', 'nonsense_mediated_decay') AND vs > ce
+       |   THEN (CASE WHEN strand = 1 THEN '3_prime_UTR_variant' ELSE '5_prime_UTR_variant' END)
+       |  WHEN vs <= te AND ve >= ts AND in_exon = 1 AND biotype IN ('protein_coding', 'nonsense_mediated_decay') THEN 'coding_sequence_variant'
+       |  WHEN vs <= te AND ve >= ts AND in_exon = 1 AND biotype = 'miRNA'
+       |   AND vs <= mir_e AND ve >= mir_s THEN 'mature_miRNA_variant'
        |  WHEN vs <= te AND ve >= ts AND in_exon = 1 THEN 'non_coding_transcript_exon_variant'
        |  WHEN vs <= te AND ve >= ts AND near_splice = 1 THEN 'splice_region_variant'
        |  WHEN vs <= te AND ve >= ts THEN 'intron_variant'
        |  WHEN (strand = 1 AND ve < ts) OR (strand = -1 AND vs > te) THEN 'upstream_gene_variant'
        |  ELSE 'downstream_gene_variant' END AS term FROM wex2),
-       |ranked AS (SELECT vid, transcript_id, term, CASE term
-       |  WHEN 'stop_gained' THEN 3 WHEN 'frameshift_variant' THEN 4 WHEN 'stop_lost' THEN 5
-       |  WHEN 'inframe_insertion' THEN 10 WHEN 'inframe_deletion' THEN 11
-       |  WHEN 'missense_variant' THEN 12 WHEN 'synonymous_variant' THEN 21
-       |  WHEN 'splice_region_variant' THEN 15 WHEN 'coding_sequence_variant' THEN 22
-       |  WHEN 'five_prime_UTR_variant' THEN 24 WHEN 'three_prime_UTR_variant' THEN 25
-       |  WHEN 'non_coding_transcript_exon_variant' THEN 26 WHEN 'intron_variant' THEN 27
-       |  WHEN 'upstream_gene_variant' THEN 31 ELSE 32 END AS rank FROM terms),
+       |ranked AS (SELECT vid, transcript_id,
+       |  concat(term,
+       |   CASE WHEN biotype = 'nonsense_mediated_decay' AND ovl
+       |    THEN '&NMD_transcript_variant' ELSE '' END,
+       |   CASE WHEN biotype NOT IN ('protein_coding', 'nonsense_mediated_decay')
+       |     AND ovl AND in_exon = 0
+       |    THEN '&non_coding_transcript_variant' ELSE '' END) AS terms_str,
+       |  LEAST($termRankCase,
+       |   CASE WHEN biotype = 'nonsense_mediated_decay' AND ovl THEN 28 END,
+       |   CASE WHEN biotype NOT IN ('protein_coding', 'nonsense_mediated_decay')
+       |     AND ovl AND in_exon = 0 THEN 29 END) AS rank FROM terms),
        |best AS (SELECT vid, MIN(rank) AS best, CAST(COUNT(*) AS BIGINT) AS n_transcripts,
-       |  string_agg(concat(transcript_id, ':', term), '|'
-       |    ORDER BY concat(transcript_id, ':', term)) AS csq
+       |  string_agg(concat(transcript_id, ':', terms_str), '|'
+       |    ORDER BY concat(transcript_id, ':', terms_str)) AS csq
        | FROM ranked GROUP BY vid)
        |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
-       | CASE best.best WHEN 3 THEN 'stop_gained' WHEN 4 THEN 'frameshift_variant'
-       |  WHEN 5 THEN 'stop_lost'
-       |  WHEN 10 THEN 'inframe_insertion' WHEN 11 THEN 'inframe_deletion'
-       |  WHEN 12 THEN 'missense_variant' WHEN 21 THEN 'synonymous_variant'
-       |  WHEN 15 THEN 'splice_region_variant'
-       |  WHEN 22 THEN 'coding_sequence_variant'
-       |  WHEN 24 THEN 'five_prime_UTR_variant' WHEN 25 THEN 'three_prime_UTR_variant'
-       |  WHEN 26 THEN 'non_coding_transcript_exon_variant'
-       |  WHEN 27 THEN 'intron_variant' WHEN 31 THEN 'upstream_gene_variant'
-       |  WHEN 32 THEN 'downstream_gene_variant'
-       |  ELSE 'intergenic_variant' END AS most_severe_consequence,
+       | COALESCE($bestNameCase, 'intergenic_variant') AS most_severe_consequence,
        | COALESCE(best.n_transcripts, 0) AS n_transcripts,
        | COALESCE(best.csq, '') AS csq
-       |FROM v LEFT JOIN best ON best.vid = v.id ORDER BY v.id"""
+       |FROM $variantName v LEFT JOIN best ON best.vid = v.id ORDER BY v.id"""
       .stripMargin.replace("\n", " ")
   }
 
   val oracleSql: Map[String, String] = Map(
-    "f11_annotate_regions" -> annotateRegionsSql,
+    "f11_annotate_regions" -> annotateRegionsSqlFor(Oracle.vcf, "v"),
+    "f11_term_probes" -> annotateRegionsSqlFor(Oracle.termProbes, "tp"),
     "f9_depth_blocks" ->
       s"WITH ${blocksCte()} SELECT contig, pos_start, pos_end, coverage FROM blocks ORDER BY contig, pos_start",
     "f9_depth_binary" ->

@@ -116,7 +116,10 @@ object Tables {
       "CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 AS BIGINT) AS `end`",
       "concat('T', CAST(s_suppkey AS STRING)) AS transcript_id",
       "CAST(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE -1 END AS INT) AS strand",
-      "CASE WHEN s_suppkey % 3 = 0 THEN 'protein_coding' ELSE 'lncRNA' END AS biotype",
+      """CASE WHEN s_suppkey % 3 = 0 THEN 'protein_coding'
+         WHEN s_suppkey % 7 = 1 THEN 'nonsense_mediated_decay'
+         WHEN s_suppkey % 7 = 5 THEN 'miRNA'
+         ELSE 'lncRNA' END AS biotype""",
       "CAST((s_suppkey * 7919) % 100000 + 1 + 500 + s_suppkey % 200 AS BIGINT) AS cds_start",
       "CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 - 500 - s_suppkey % 300 AS BIGINT) AS cds_end")
 
@@ -130,6 +133,55 @@ object Tables {
       .selectExpr("transcript_id",
         "CAST(t_start + i * (t_len DIV 3) AS BIGINT) AS start",
         "CAST(t_start + i * (t_len DIV 3) + (t_len DIV 6) AS BIGINT) AS `end`")
+
+  /** Dense splice-window probe variants: for every exon boundary, one
+    * variant at each offset in [-18, 18], cycling SNV / insertion /
+    * deletion — by construction hits every splice-site window
+    * (donor/acceptor ±2, 5th base, donor region, polypyrimidine tract,
+    * splice region) on both strands and in both of the reference's
+    * coordinate models. `id` need not be unique (the splice gate
+    * deduplicates (id, transcript, term) identically on both engines). */
+  def spliceProbes(spark: SparkSession, dir: String): DataFrame =
+    exons(spark, dir).selectExpr(
+        "CAST(substring(transcript_id, 2) AS BIGINT) AS sk", "start", "`end`")
+      .selectExpr("sk", "explode(array(start, `end`)) AS anchor")
+      .selectExpr("concat('chr', CAST(sk % 2 AS STRING)) AS chrom",
+        "anchor", "explode(sequence(-18, 18)) AS k")
+      .selectExpr("chrom", "CAST(anchor + k AS BIGINT) AS p",
+        "CAST((anchor + k) % 3 AS INT) AS kind")
+      .selectExpr("chrom", "p AS start",
+        "CAST(CASE WHEN kind = 2 THEN p + 1 ELSE p END AS BIGINT) AS `end`",
+        "CAST(p * 100 + kind AS BIGINT) AS id",
+        "CASE WHEN kind = 0 THEN 'A' WHEN kind = 1 THEN 'A' ELSE 'AC' END AS ref",
+        "CASE WHEN kind = 0 THEN 'C' WHEN kind = 1 THEN 'AC' ELSE 'A' END AS alt")
+
+  /** Transcript-class probe variants: per transcript one MNV and one
+    * SNV just inside exon 1 (= the derived mature-miRNA span of miRNA
+    * transcripts, and inside the CDS for most coding ones) — exercises
+    * protein_altering_variant (in-CDS length-preserving MNV),
+    * mature_miRNA_variant, NMD / non-coding companion terms. */
+  def termProbes(spark: SparkSession, dir: String): DataFrame =
+    transcripts(spark, dir).selectExpr(
+        "chrom", "start AS ts", "`end` - start AS len", "strand",
+        "cds_start AS cs", "cds_end AS ce",
+        "CAST(substring(transcript_id, 2) AS BIGINT) AS sk")
+      .selectExpr("chrom", "ts + (len DIV 3) AS e1", "len", "sk", "strand", "cs", "ce",
+        "explode(sequence(0, 3)) AS kind")
+      // kinds 0/1: MNV + SNV in exon 1 (mature-miRNA span, usually CDS);
+      // kind 2: SNV at the first exonic base in transcript orientation
+      // past the (typically intronic) CDS anchor = cds position 1
+      // (start_lost / start_retained); kind 3: SNV at the stop-side
+      // anchor (truncated codons → incomplete_terminal_codon_variant)
+      .selectExpr("chrom", "sk", "kind",
+        """CAST(CASE WHEN kind <= 1 THEN e1 + 5 + kind * 2
+           WHEN kind = 2 THEN (CASE WHEN strand = 1 THEN e1
+             ELSE e1 + (len DIV 3) + (len DIV 6) END)
+           ELSE (CASE WHEN strand = 1 THEN ce ELSE cs END) END AS BIGINT) AS start""")
+      .selectExpr("chrom", "start",
+        "CAST(start + CASE WHEN kind = 0 THEN 1 ELSE 0 END AS BIGINT) AS `end`",
+        "CAST(sk * 10 + kind AS BIGINT) AS id",
+        "CASE WHEN kind = 0 THEN 'AC' ELSE 'A' END AS ref",
+        "CASE WHEN kind = 0 THEN 'CA' ELSE 'C' END AS alt")
 
   /** Derived regulatory-feature context (partitioned_cache.rs:24-31
     * `regulatory` table role): one feature per 20th customer row,
@@ -231,7 +283,10 @@ object Oracle {
       | CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 AS BIGINT) AS "end",
       | concat('T', CAST(s_suppkey AS VARCHAR)) AS transcript_id,
       | CAST(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE -1 END AS INT) AS strand,
-      | CASE WHEN s_suppkey % 3 = 0 THEN 'protein_coding' ELSE 'lncRNA' END AS biotype,
+      | CASE WHEN s_suppkey % 3 = 0 THEN 'protein_coding'
+      |  WHEN s_suppkey % 7 = 1 THEN 'nonsense_mediated_decay'
+      |  WHEN s_suppkey % 7 = 5 THEN 'miRNA'
+      |  ELSE 'lncRNA' END AS biotype,
       | CAST((s_suppkey * 7919) % 100000 + 1 + 500 + s_suppkey % 200 AS BIGINT) AS cds_start,
       | CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 - 500 - s_suppkey % 300 AS BIGINT) AS cds_end
       | FROM supplier WHERE s_suppkey % 10 = 0)""".stripMargin.replace("\n", " ")
@@ -241,6 +296,45 @@ object Oracle {
       | CAST(start + i * (("end" - start) // 3) AS BIGINT) AS start,
       | CAST(start + i * (("end" - start) // 3) + (("end" - start) // 6) AS BIGINT) AS "end"
       | FROM t, UNNEST(generate_series(0, 2)) AS u(i))""".stripMargin.replace("\n", " ")
+
+  /** DuckDB mirror of [[Tables.spliceProbes]] (requires `ex` in
+    * scope), VEP-normalized columns precomputed per variant kind:
+    * SNV A>C norm (p,p); insertion A>AC trims to -/C with the VEP
+    * inverted coords (p+1, p); deletion AC>A trims to C/- at
+    * (p+1, p+1). */
+  val spliceProbes: String =
+    """sp AS (SELECT concat('chr', CAST(CAST(substr(transcript_id, 2) AS BIGINT) % 2 AS VARCHAR)) AS chrom,
+      | CAST(anchor + k AS BIGINT) AS start,
+      | CAST(CASE WHEN (anchor + k) % 3 = 2 THEN anchor + k + 1 ELSE anchor + k END AS BIGINT) AS "end",
+      | CAST((anchor + k) * 100 + (anchor + k) % 3 AS BIGINT) AS id,
+      | CASE WHEN (anchor + k) % 3 = 2 THEN 'AC' ELSE 'A' END AS ref,
+      | CASE WHEN (anchor + k) % 3 = 0 THEN 'C'
+      |      WHEN (anchor + k) % 3 = 1 THEN 'AC' ELSE 'A' END AS alt,
+      | CAST(CASE WHEN (anchor + k) % 3 = 0 THEN anchor + k ELSE anchor + k + 1 END AS BIGINT) AS norm_start,
+      | CAST(CASE WHEN (anchor + k) % 3 = 0 THEN anchor + k
+      |      WHEN (anchor + k) % 3 = 1 THEN anchor + k ELSE anchor + k + 1 END AS BIGINT) AS norm_end,
+      | CASE WHEN (anchor + k) % 3 = 0 THEN 'A'
+      |      WHEN (anchor + k) % 3 = 1 THEN '-' ELSE 'C' END AS vep_ref,
+      | CASE WHEN (anchor + k) % 3 = 0 THEN 'C'
+      |      WHEN (anchor + k) % 3 = 1 THEN 'C' ELSE '-' END AS vep_alt
+      | FROM (SELECT transcript_id, UNNEST([start, "end"]) AS anchor FROM ex) u,
+      |  UNNEST(generate_series(-18, 18)) AS o(k))"""
+      .stripMargin.replace("\n", " ")
+
+  /** DuckDB mirror of [[Tables.termProbes]] (requires `t` in scope). */
+  val termProbes: String =
+    """tp0 AS (SELECT t.chrom, kind,
+      | CAST(CASE WHEN kind <= 1 THEN t.start + (("end" - t.start) // 3) + 5 + kind * 2
+      |  WHEN kind = 2 THEN (CASE WHEN strand = 1 THEN t.start + (("end" - t.start) // 3)
+      |    ELSE t.start + 2 * (("end" - t.start) // 3) + (("end" - t.start) // 6) END)
+      |  ELSE (CASE WHEN strand = 1 THEN cds_end ELSE cds_start END) END AS BIGINT) AS start,
+      | CAST(CAST(substr(transcript_id, 2) AS BIGINT) * 10 + kind AS BIGINT) AS id
+      | FROM t, UNNEST(generate_series(0, 3)) AS g(kind)),
+      |tp AS (SELECT chrom, start,
+      | CAST(start + CASE WHEN kind = 0 THEN 1 ELSE 0 END AS BIGINT) AS "end", id,
+      | CASE WHEN kind = 0 THEN 'AC' ELSE 'A' END AS ref,
+      | CASE WHEN kind = 0 THEN 'CA' ELSE 'C' END AS alt FROM tp0)"""
+      .stripMargin.replace("\n", " ")
 
   /** DuckDB mirror of [[Tables.vepCache]]. */
   val vepCache: String =

@@ -46,6 +46,19 @@ object VepSpliceQueries {
           when(col("sift_score") < 0.05, lit("deleterious"))
             .otherwise(lit("tolerated")).as("sift_prediction"))
     }),
+    // codon-layer probes at CDS anchors: start_lost / start_retained /
+    // incomplete_terminal_codon_variant fire by construction
+    "f11_codon_probes" -> ((s, d) =>
+      Splice.splicedCodon(Tables.termProbes(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
+    // Splice-site terms (transcript_consequence.rs:2670-2955): all six
+    // splice SO terms over derived introns, both strands, range-overlap
+    // and insertion-point models.
+    "f11_splice_site" -> ((s, d) =>
+      Splice.spliceTerms(Tables.vcf(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
+    // same operator over the dense exon-boundary probe fixture — every
+    // splice window fires on both strands in both coordinate models
+    "f11_splice_probes" -> ((s, d) =>
+      Splice.spliceTerms(Tables.spliceProbes(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
     // MAX_AF assembly (stage 6, annotate_provider.rs:795-1000 role):
     // population AFs derived from the matched cache row, max + argmax.
     "f11_maxaf" -> ((s, d) => {
@@ -85,7 +98,7 @@ object VepSpliceQueries {
     val anchor2 = "(CASE WHEN strand = 1 THEN cds_end ELSE cds_start END)"
     // cds-relative rendering of a cDNA index x (fmtC in Splice)
     def fmtC(x: String): String =
-      s"""CASE WHEN biotype <> 'protein_coding' THEN CAST($x AS VARCHAR)
+      s"""CASE WHEN biotype NOT IN ('protein_coding', 'nonsense_mediated_decay') THEN CAST($x AS VARCHAR)
          | WHEN $x < ccs THEN concat('-', CAST(ccs - $x AS VARCHAR))
          | WHEN $x > cce THEN concat('*', CAST($x - cce AS VARCHAR))
          | ELSE CAST($x - ccs + 1 AS VARCHAR) END""".stripMargin.replace("\n", " ")
@@ -113,11 +126,11 @@ object VepSpliceQueries {
        |   CASE WHEN strand = 1 THEN next_es - vp ELSE vp - prev_ee END AS dminus,
        |   CASE WHEN strand = 1 THEN ref ELSE translate(ref, 'ACGT', 'TGCA') END AS refadj,
        |   CASE WHEN strand = 1 THEN alt ELSE translate(alt, 'ACGT', 'TGCA') END AS altadj,
-       |   (in_exon = 1 AND biotype = 'protein_coding'
+       |   (in_exon = 1 AND biotype IN ('protein_coding', 'nonsense_mediated_decay')
        |     AND cdna >= cb.ccs AND cdna <= cb.cce) AS incds
        |  FROM agg JOIN cb ON agg.tid = cb.tid),
        |y AS (SELECT x.*,
-       |   concat(tid, ':', CASE WHEN biotype = 'protein_coding' THEN 'c.' ELSE 'n.' END) AS pfx,
+       |   concat(tid, ':', CASE WHEN biotype IN ('protein_coding', 'nonsense_mediated_decay') THEN 'c.' ELSE 'n.' END) AS pfx,
        |   concat(refadj, '>', altadj) AS chg,
        |   (next_es IS NULL OR (prev_ee IS NOT NULL AND dplus <= dminus)) AS useplus,
        |   CASE WHEN incds THEN cdna - ccs + 1 END AS cds_pos
@@ -138,8 +151,8 @@ object VepSpliceQueries {
     * exon cDNA-range window, three per-base range joins, and the
     * shared derived-sequence/translation fragments (CodonLogic DuckD
     * dialect — identical md5 arithmetic on both engines). */
-  private val splicedCodonSql: String = {
-    import Oracle.{vcf => vcfCte, transcripts => tCte, exons => exCte}
+  private def splicedCodonSqlFor(variantCte: String, variantName: String): String = {
+    import Oracle.{transcripts => tCte, exons => exCte}
     import graft.vep.{CodonLogic, Splice}
     val D = CodonLogic.DuckD
     def seqAdj(g: String): String =
@@ -147,8 +160,8 @@ object VepSpliceQueries {
       s"ELSE translate(${CodonLogic.seq(D, "chrom", g)}, 'ACGT', 'TGCA') END"
     val anchor1 = "(CASE WHEN strand = 1 THEN cds_start ELSE cds_end END)"
     val anchor2 = "(CASE WHEN strand = 1 THEN cds_end ELSE cds_start END)"
-    s"""WITH $vcfCte, $tCte, $exCte,
-       |snv AS (SELECT * FROM v WHERE length(ref) = 1 AND length(alt) = 1),
+    s"""WITH $tCte, $exCte, $variantCte,
+       |snv AS (SELECT * FROM $variantName WHERE length(ref) = 1 AND length(alt) = 1),
        |cand AS (SELECT s.id, s.chrom, s.start AS vp, s.ref, s.alt,
        |   t.transcript_id AS tid, t.strand, t.biotype
        |  FROM snv s JOIN t ON s.chrom = t.chrom AND s.start BETWEEN t.start AND t."end"),
@@ -164,13 +177,14 @@ object VepSpliceQueries {
        |   CAST(SUM(${contrib(anchor2)}) AS BIGINT) AS cce
        |  FROM t JOIN ex e ON t.transcript_id = e.transcript_id
        |  GROUP BY t.transcript_id),
-       |coding AS (SELECT agg.*, cb.ccs, cb.cce,
+       |codingall AS (SELECT agg.*, cb.ccs, cb.cce,
        |   cdna - ccs + 1 AS cds_pos,
        |   ccs + ((cdna - ccs) // 3) * 3 AS codon0,
        |   CAST((cdna - ccs) % 3 AS INT) AS coff
        |  FROM agg JOIN cb ON agg.tid = cb.tid
-       |  WHERE in_exon = 1 AND biotype = 'protein_coding'
-       |    AND cdna BETWEEN ccs AND cce AND ccs + ((cdna - ccs) // 3) * 3 + 2 <= cce),
+       |  WHERE in_exon = 1 AND biotype IN ('protein_coding', 'nonsense_mediated_decay')
+       |    AND cdna BETWEEN ccs AND cce),
+       |coding AS (SELECT * FROM codingall WHERE codon0 + 2 <= cce),
        |rng AS (SELECT e.transcript_id AS rtid, e.start AS res, e."end" AS ree, t.strand AS rstrand,
        |   CAST(COALESCE(SUM(e."end" - e.start + 1) OVER (PARTITION BY e.transcript_id
        |     ORDER BY CASE WHEN t.strand = 1 THEN e.start ELSE -e.start END
@@ -205,12 +219,26 @@ object VepSpliceQueries {
        | aa_ref, aa_alt,
        | CASE WHEN aa_alt = '*' AND aa_ref <> '*' THEN 'stop_gained'
        |  WHEN aa_ref = '*' AND aa_alt <> '*' THEN 'stop_lost'
+       |  WHEN aa_ref = '*' AND aa_alt = '*' THEN 'stop_retained_variant'
+       |  WHEN protein_pos = 1 AND aa_ref <> aa_alt THEN 'start_lost'
+       |  WHEN protein_pos = 1 THEN 'start_retained_variant'
        |  WHEN aa_ref = aa_alt THEN 'synonymous_variant'
        |  ELSE 'missense_variant' END AS consequence,
        | concat(tid, ':p.', ${Splice.aa3Sql(D, "aa_ref")}, CAST(protein_pos AS VARCHAR),
        |   CASE WHEN aa_ref = aa_alt THEN '=' ELSE ${Splice.aa3Sql(D, "aa_alt")} END) AS hgvs_p
-       |FROM aas ORDER BY id, transcript_id""".stripMargin.replace("\n", " ")
+       |FROM aas
+       |UNION ALL
+       |SELECT id, tid AS transcript_id, cds_pos,
+       | CAST((cds_pos - 1) // 3 + 1 AS BIGINT) AS protein_pos,
+       | CAST(NULL AS VARCHAR) AS ref_codon, CAST(NULL AS VARCHAR) AS alt_codon,
+       | CAST(NULL AS VARCHAR) AS aa_ref, CAST(NULL AS VARCHAR) AS aa_alt,
+       | 'incomplete_terminal_codon_variant' AS consequence,
+       | CAST(NULL AS VARCHAR) AS hgvs_p
+       |FROM codingall WHERE codon0 + 2 > cce
+       |ORDER BY id, transcript_id""".stripMargin.replace("\n", " ")
   }
+
+  private val splicedCodonSql: String = splicedCodonSqlFor(Oracle.vcf, "v")
 
   /** 3'-shift oracle: the Oracle.vcf CTE precomputes norm_start /
     * vep_ref / vep_alt; the scan fragment is shared via
@@ -249,8 +277,8 @@ object VepSpliceQueries {
        |terms AS (SELECT j.*, CASE
        |   WHEN region = 'intronic' THEN 'intron_variant'
        |   WHEN strpos(hgvs_c, ':n.') > 0 THEN 'non_coding_transcript_exon_variant'
-       |   WHEN strpos(hgvs_c, ':c.-') > 0 THEN 'five_prime_UTR_variant'
-       |   WHEN strpos(hgvs_c, ':c.*') > 0 THEN 'three_prime_UTR_variant'
+       |   WHEN strpos(hgvs_c, ':c.-') > 0 THEN '5_prime_UTR_variant'
+       |   WHEN strpos(hgvs_c, ':c.*') > 0 THEN '3_prime_UTR_variant'
        |   ELSE COALESCE(consequence, 'coding_sequence_variant') END AS term FROM j),
        |entries AS (SELECT id, term, $rankCase AS rank,
        |   concat(transcript_id, '|', term, '|',
@@ -272,7 +300,7 @@ object VepSpliceQueries {
     val anchor1 = "(CASE WHEN strand = 1 THEN cds_start ELSE cds_end END)"
     val anchor2 = "(CASE WHEN strand = 1 THEN cds_end ELSE cds_start END)"
     def fmtC(x: String): String =
-      s"""CASE WHEN biotype <> 'protein_coding' THEN CAST($x AS VARCHAR)
+      s"""CASE WHEN biotype NOT IN ('protein_coding', 'nonsense_mediated_decay') THEN CAST($x AS VARCHAR)
          | WHEN $x < ccs THEN concat('-', CAST(ccs - $x AS VARCHAR))
          | WHEN $x > cce THEN concat('*', CAST($x - cce AS VARCHAR))
          | ELSE CAST($x - ccs + 1 AS VARCHAR) END""".stripMargin.replace("\n", " ")
@@ -304,13 +332,69 @@ object VepSpliceQueries {
        |   CASE WHEN kind = 'del' THEN cdna0
        |    WHEN strand = 1 THEN cdna0 ELSE cdna1 END AS anchor,
        |   CASE WHEN strand = 1 THEN allele ELSE translate(allele, 'ACGT', 'TGCA') END AS alleleadj,
-       |   concat(agg.tid, ':', CASE WHEN biotype = 'protein_coding' THEN 'c.' ELSE 'n.' END) AS pfx
+       |   concat(agg.tid, ':', CASE WHEN biotype IN ('protein_coding', 'nonsense_mediated_decay') THEN 'c.' ELSE 'n.' END) AS pfx
        |  FROM agg JOIN cb ON agg.tid = cb.tid WHERE in0 = 1 AND in1 = 1)
        |SELECT id, tid AS transcript_id, kind, anchor AS cdna_pos,
        | CASE WHEN kind = 'del' THEN concat(pfx, ${fmtC("anchor")}, 'del', alleleadj)
        |  ELSE concat(pfx, ${fmtC("anchor")}, '_', ${fmtC("(anchor + 1)")}, 'ins', alleleadj)
        | END AS hgvs_c
        |FROM x ORDER BY id, transcript_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** Splice-term oracle: mirrors Splice.spliceTerms window-for-window
+    * (ov = range-overlap model, ip = insertion-point model; strand CASE
+    * swaps donor/acceptor ends exactly as the Spark expressions do).
+    * `variantCte`/`variantName` select which derived variant view
+    * probes (the real vcf or the dense exon-boundary probe fixture). */
+  private def spliceTermsSql(variantCte: String, variantName: String): String = {
+    import Oracle.{transcripts => tCte, exons => exCte}
+    def ov(x: String, y: String) = s"(NOT isins AND vs <= $y AND ve >= $x)"
+    def ip(x: String, y: String) = s"(isins AND vs BETWEEN $x AND $y)"
+    val within = "(NOT isins AND vs >= ist AND ve <= ien)"
+    val donor = s"""CASE WHEN strand = 1
+      THEN ${ov("ist", "ist + 1")} OR ${ip("ist + 1", "ist + 1")}
+      ELSE ${ov("ien - 1", "ien")} OR ${ip("ien", "ien")} END"""
+    val donor5 = s"""CASE WHEN strand = 1 THEN ${ov("ist + 4", "ist + 4")}
+      ELSE ${ov("ien - 4", "ien - 4")} END"""
+    val dregion = s"""CASE WHEN strand = 1
+      THEN ${ov("ist + 2", "ist + 5")} OR ${ip("ist + 3", "ist + 5")}
+      ELSE ${ov("ien - 5", "ien - 2")} OR ${ip("ien - 4", "ien - 2")} END"""
+    val acceptor = s"""CASE WHEN strand = 1
+      THEN ${ov("ien - 1", "ien")} OR ${ip("ien", "ien")}
+      ELSE ${ov("ist", "ist + 1")} OR ${ip("ist + 1", "ist + 1")} END"""
+    val ppt = s"""CASE WHEN strand = 1
+      THEN ($within AND ${ov("ien - 16", "ien - 2")}) OR ${ip("ien - 16", "ien - 1")}
+      ELSE ($within AND ${ov("ist + 2", "ist + 16")}) OR ${ip("ist + 2", "ist + 17")} END"""
+    val sregion = Seq(
+      ov("ist + 2", "ist + 7"), ov("ien - 7", "ien - 2"),
+      ov("ist - 3", "ist - 1"), ov("ien + 1", "ien + 3"),
+      ip("ist + 3", "ist + 7"), ip("ien - 6", "ien - 2"),
+      ip("ist - 2", "ist - 1"), ip("ien + 2", "ien + 3"),
+      "(isins AND (vs = ist OR vs = ien + 1 OR vs = ist + 2 OR vs = ien - 1))")
+      .mkString(" OR ")
+    val unions = Seq(
+      "splice_acceptor_variant" -> acceptor,
+      "splice_donor_variant" -> donor,
+      "splice_donor_5th_base_variant" -> donor5,
+      "splice_region_variant" -> sregion,
+      "splice_donor_region_variant" -> dregion,
+      "splice_polypyrimidine_tract_variant" -> ppt)
+      .map { case (n, c) => s"SELECT id, tid, '$n' AS consequence FROM j WHERE $c" }
+      .mkString(" UNION ALL ")
+    s"""WITH $tCte, $exCte, $variantCte,
+       |iv AS (SELECT id, chrom, norm_start AS vs, norm_end AS ve,
+       |   (vep_ref = '-') AS isins,
+       |   LEAST(norm_start, norm_end) AS lo, GREATEST(norm_start, norm_end) AS hi FROM $variantName),
+       |i0 AS (SELECT transcript_id AS itid, "end" + 1 AS ist,
+       |   LEAD(start) OVER (PARTITION BY transcript_id ORDER BY start) - 1 AS ien FROM ex),
+       |intr AS (SELECT itid, ist, ien FROM i0 WHERE ien IS NOT NULL AND ien >= ist),
+       |cand AS (SELECT iv.id, iv.vs, iv.ve, iv.isins, iv.lo, iv.hi,
+       |   t.transcript_id AS tid, t.strand
+       |  FROM iv JOIN t ON iv.chrom = t.chrom AND t.start <= iv.hi AND t."end" >= iv.lo),
+       |j AS (SELECT cand.*, intr.ist, intr.ien FROM cand JOIN intr ON cand.tid = intr.itid
+       |  AND cand.lo <= intr.ien + 3 AND cand.hi >= intr.ist - 3)
+       |SELECT DISTINCT id, tid AS transcript_id, consequence FROM ($unions) u
+       |ORDER BY id, transcript_id, consequence""".stripMargin.replace("\n", " ")
   }
 
   private val regulatorySql: String =
@@ -372,6 +456,9 @@ object VepSpliceQueries {
     "f11_shift3" -> shift3Sql,
     "f11_csq" -> csqSql,
     "f11_indel_hgvs" -> indelHgvsSql,
+    "f11_codon_probes" -> splicedCodonSqlFor(Oracle.termProbes, "tp"),
+    "f11_splice_site" -> spliceTermsSql(Oracle.vcf, "v"),
+    "f11_splice_probes" -> spliceTermsSql(Oracle.spliceProbes, "sp"),
     "f11_regulatory" -> regulatorySql,
     "f11_miss_worklist" -> missWorklistSql,
     "f11_sift" -> siftSql,

@@ -49,6 +49,14 @@ object Splice {
 
   private def complement(c: Column): Column = translate(c, "ACGT", "TGCA")
 
+  /** Coding-class biotypes (the complement of the reference's
+    * `is_non_coding_biotype`, transcript_consequence.rs:3020-3037,
+    * restricted to the biotypes the derived fixtures produce): these
+    * transcripts get c. numbering, codon terms and CDS logic; NMD
+    * transcripts additionally carry `NMD_transcript_variant`. */
+  def isCodingBt(bt: Column): Column =
+    bt.isin("protein_coding", "nonsense_mediated_decay")
+
   /** Per-exon cDNA contribution of genomic position `pos` (see class
     * doc). All of `pos/es/ee/strand` are columns in scope. */
   private def contribution(pos: Column, es: Column, ee: Column, strand: Column): Column = {
@@ -134,7 +142,7 @@ object Splice {
     val strandP = col("_strand") === 1
     val dPlus = when(strandP, p - col("_prev_ee")).otherwise(col("_next_es") - p)
     val dMinus = when(strandP, col("_next_es") - p).otherwise(p - col("_prev_ee"))
-    val coding = col("_bt") === "protein_coding"
+    val coding = isCodingBt(col("_bt"))
     val cdna = col("_cdna")
     // cds-relative rendering of a cDNA index (UTR forms included)
     def fmtC(x: Column): Column =
@@ -230,12 +238,12 @@ object Splice {
     * 3) are excluded — both engines apply the same guard. */
   def splicedCodon(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
     val agg = snvTranscriptAgg(vcf, transcripts, exons)
-    val coding = agg.where(col("_in_exon") === 1 && col("_bt") === "protein_coding" &&
+    val codingAll = agg.where(col("_in_exon") === 1 && isCodingBt(col("_bt")) &&
       col("_cdna") >= col("_ccs") && col("_cdna") <= col("_cce"))
       .withColumn("_cds_pos", col("_cdna") - col("_ccs") + 1)
       .withColumn("_codon0", col("_ccs") + floor((col("_cds_pos") - 1) / lit(3)).cast("long") * 3)
       .withColumn("_coff", ((col("_cds_pos") - 1) % 3).cast("int"))
-      .where(col("_codon0") + 2 <= col("_cce"))
+    val coding = codingAll.where(col("_codon0") + 2 <= col("_cce"))
     val ranges = exonCdnaRanges(transcripts, exons)
     // one broadcast range-join per codon base: maps cDNA index -> genomic
     // pos -> derived base, complemented on '-' (three tiny joins keep
@@ -268,21 +276,43 @@ object Splice {
       .withColumn("_aaref", expr(CodonLogic.aa(CodonLogic.SparkD, "_refcodon")))
       .withColumn("_aaalt", expr(CodonLogic.aa(CodonLogic.SparkD, "_altcodon")))
       .withColumn("_ppos", (floor((col("_cds_pos") - 1) / lit(3)) + 1).cast("long"))
+    // codon-position terms beyond the base four: stop_retained (both
+    // residues '*'), start_lost / start_retained at protein position 1
+    // (VEP's peptide-level start checks,
+    // transcript_consequence.rs:2138-2180 — the derived genome has no
+    // guaranteed ATG, so "start codon altered" reduces to "first-codon
+    // residue changed")
     val consequence =
       when(col("_aaalt") === "*" && col("_aaref") =!= "*", lit("stop_gained"))
         .when(col("_aaref") === "*" && col("_aaalt") =!= "*", lit("stop_lost"))
+        .when(col("_aaref") === "*" && col("_aaalt") === "*", lit("stop_retained_variant"))
+        .when(col("_ppos") === 1 && col("_aaref") =!= col("_aaalt"), lit("start_lost"))
+        .when(col("_ppos") === 1, lit("start_retained_variant"))
         .when(col("_aaref") === col("_aaalt"), lit("synonymous_variant"))
         .otherwise(lit("missense_variant"))
     val hgvsP = concat(col("_tid"), lit(":p."),
       expr(aa3Sql(CodonLogic.SparkD, "_aaref")), col("_ppos").cast("string"),
       when(col("_aaref") === col("_aaalt"), lit("="))
         .otherwise(expr(aa3Sql(CodonLogic.SparkD, "_aaalt"))))
-    staged.select(
+    val full = staged.select(
       col("_vid").as("id"), col("_tid").as("transcript_id"),
       col("_cds_pos").as("cds_pos"), col("_ppos").as("protein_pos"),
       col("_refcodon").as("ref_codon"), col("_altcodon").as("alt_codon"),
       col("_aaref").as("aa_ref"), col("_aaalt").as("aa_alt"),
       consequence.as("consequence"), hgvsP.as("hgvs_p"))
+    // codons truncated by the coding end: VEP's partial_codon predicate
+    // (transcript_consequence.rs:1939-1976) — no translatable codon, so
+    // the sequence columns stay NULL
+    val nullStr = lit(null).cast("string")
+    val truncated = codingAll.where(col("_codon0") + 2 > col("_cce"))
+      .select(col("_vid").as("id"), col("_tid").as("transcript_id"),
+        col("_cds_pos").as("cds_pos"),
+        (floor((col("_cds_pos") - 1) / lit(3)) + 1).cast("long").as("protein_pos"),
+        nullStr.as("ref_codon"), nullStr.as("alt_codon"),
+        nullStr.as("aa_ref"), nullStr.as("aa_alt"),
+        lit("incomplete_terminal_codon_variant").as("consequence"),
+        nullStr.as("hgvs_p"))
+    full.unionByName(truncated)
   }
 
   /** HGVS notation for single-base indels (hgvs.rs del/ins rules) —
@@ -332,7 +362,7 @@ object Splice {
         sum(contribution(col("_p0"), col("_es"), col("_ee"), col("_strand"))).as("_cdna0"),
         sum(contribution(col("_p1"), col("_es"), col("_ee"), col("_strand"))).as("_cdna1"))
       .join(broadcast(codingBounds(transcripts, exons)), col("_tid") === col("_cb_tid"), "left")
-    val coding = col("_bt") === "protein_coding"
+    val coding = isCodingBt(col("_bt"))
     def fmtC(x: Column): Column =
       when(!coding, x.cast("string"))
         .when(x < col("_ccs"), concat(lit("-"), (col("_ccs") - x).cast("string")))
@@ -354,6 +384,105 @@ object Splice {
         col("_kind").as("kind"), anchor.as("cdna_pos"), hgvs.as("hgvs_c"))
   }
 
+  /** Introns per transcript from consecutive exons in genomic order:
+    * `[prev exon end + 1, next exon start - 1]`. Touching/overlapping
+    * exons yield no intron. Output: (_i_tid, _is, _ie). */
+  def introns(exons: DataFrame): DataFrame = {
+    val ex = exons.select(col("transcript_id").as("_i_tid"),
+      col("start").cast("long").as("_i_es"), col("end").cast("long").as("_i_ee"))
+    val w = Window.partitionBy(col("_i_tid")).orderBy(col("_i_es"))
+    ex.withColumn("_nx", lead(col("_i_es"), 1).over(w))
+      .where(col("_nx").isNotNull && col("_nx") > col("_i_ee") + 1)
+      .select(col("_i_tid"), (col("_i_ee") + 1).as("_is"), (col("_nx") - 1).as("_ie"))
+  }
+
+  /** Splice-site consequence terms — the reference's per-intron splice
+    * machinery (transcript_consequence.rs:2670-2955
+    * `add_splice_for_intron_{positive,negative}`, itself a port of
+    * Ensembl `_intron_effects`/`_intron_overlap`). Every positional
+    * window is reproduced exactly, per strand and per variant class:
+    *
+    * range-overlap model (SNV/MNV/deletion, VEP-normalized `[vs,ve]`),
+    * '+' strand (donor at intron start `is`, acceptor at intron end
+    * `ie`; mirror `is<->ie` and window signs on '-'):
+    *   splice_donor_variant                [is, is+1]
+    *   splice_donor_5th_base_variant       [is+4, is+4]
+    *   splice_donor_region_variant         [is+2, is+5]
+    *   splice_acceptor_variant             [ie-1, ie]
+    *   splice_polypyrimidine_tract_variant [ie-16, ie-2], only when the
+    *     variant lies fully inside the intron (VEP keeps PPT intronic)
+    *   splice_region_variant  intronic [is+2,is+7] ∪ [ie-7,ie-2],
+    *                          exonic   [is-3,is-1] ∪ [ie+1,ie+3]
+    *     (strand-independent in VEP, checked on both ends both strands)
+    *
+    * insertion model (P = normalized insertion point, `overlap(P, P-1,
+    * X, Y) => P ∈ [X+1, Y]` — transcript_consequence.rs:2678-2683):
+    *   donor P == is+1 | acceptor P == ie | 5th-base impossible |
+    *   donor region P ∈ [is+3, is+5] | PPT P ∈ [ie-16, ie-1] |
+    *   splice_region P ∈ [is+3,is+7] ∪ [ie-6,ie-2] ∪ [is-2,is-1] ∪
+    *   [ie+2,ie+3] or P ∈ {is, ie+1, is+2, ie-1} (the explicit
+    *   boundary checks of `_intron_overlap`); mirrored on '-'.
+    *
+    * Output: one row per (variant, transcript, term), deduplicated
+    * across introns. Candidate generation runs through the interval
+    * strategy (transcripts = build side), introns broadcast per
+    * transcript — no per-contig cross product. */
+  def spliceTerms(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
+    graft.plans.Graft.enable(vcf.sparkSession)
+    val v = vcf
+      .withColumn("_vs", Vep.vepNormStartUdf(col("start").cast("long"), col("ref"), col("alt")))
+      .withColumn("_ve", Vep.vepNormEndUdf(col("start").cast("long"), col("ref"), col("alt")))
+      .withColumn("_isins", Vep.vepRefUdf(col("ref"), col("alt")) === "-")
+      .select(col("chrom").as("_vc"), col("id").as("_vid"),
+        col("_vs"), col("_ve"), col("_isins"),
+        least(col("_vs"), col("_ve")).as("_lo"),
+        greatest(col("_vs"), col("_ve")).as("_hi"))
+    val t = transcripts.select(col("chrom").as("_tc"),
+      col("start").cast("long").as("_ts"), col("end").cast("long").as("_te"),
+      col("transcript_id").as("_tid"), col("strand").as("_strand"))
+    val cand = t.join(v,
+      col("_tc") === col("_vc") && col("_ts") <= col("_hi") && col("_te") >= col("_lo"))
+    val joined = cand.join(broadcast(introns(exons)),
+      col("_tid") === col("_i_tid") &&
+        col("_lo") <= col("_ie") + 3 && col("_hi") >= col("_is") - 3)
+    val is_ = col("_is"); val ie_ = col("_ie")
+    val plus = col("_strand") === 1
+    val p = col("_vs") // insertion point (norm start; ins has vs = ve+1)
+    def ov(x: Column, y: Column) = !col("_isins") && col("_vs") <= y && col("_ve") >= x
+    def ip(x: Column, y: Column) = col("_isins") && p.between(x, y)
+    val donor = when(plus, ov(is_, is_ + 1) || ip(is_ + 1, is_ + 1))
+      .otherwise(ov(ie_ - 1, ie_) || ip(ie_, ie_))
+    val donor5 = when(plus, ov(is_ + 4, is_ + 4)).otherwise(ov(ie_ - 4, ie_ - 4))
+    val donorRegion = when(plus, ov(is_ + 2, is_ + 5) || ip(is_ + 3, is_ + 5))
+      .otherwise(ov(ie_ - 5, ie_ - 2) || ip(ie_ - 4, ie_ - 2))
+    val acceptor = when(plus, ov(ie_ - 1, ie_) || ip(ie_, ie_))
+      .otherwise(ov(is_, is_ + 1) || ip(is_ + 1, is_ + 1))
+    val withinIntron = !col("_isins") && col("_vs") >= is_ && col("_ve") <= ie_
+    val ppt = when(plus,
+        (withinIntron && ov(ie_ - 16, ie_ - 2)) || ip(ie_ - 16, ie_ - 1))
+      .otherwise(
+        (withinIntron && ov(is_ + 2, is_ + 16)) || ip(is_ + 2, is_ + 17))
+    val spliceRegion =
+      ov(is_ + 2, is_ + 7) || ov(ie_ - 7, ie_ - 2) ||
+      ov(is_ - 3, is_ - 1) || ov(ie_ + 1, ie_ + 3) ||
+      ip(is_ + 3, is_ + 7) || ip(ie_ - 6, ie_ - 2) ||
+      ip(is_ - 2, is_ - 1) || ip(ie_ + 2, ie_ + 3) ||
+      (col("_isins") &&
+        (p === is_ || p === ie_ + 1 || p === is_ + 2 || p === ie_ - 1))
+    val entries = Seq(
+      "splice_acceptor_variant" -> acceptor,
+      "splice_donor_variant" -> donor,
+      "splice_donor_5th_base_variant" -> donor5,
+      "splice_region_variant" -> spliceRegion,
+      "splice_donor_region_variant" -> donorRegion,
+      "splice_polypyrimidine_tract_variant" -> ppt)
+    joined
+      .select(col("_vid").as("id"), col("_tid").as("transcript_id"),
+        explode(array(entries.map { case (n, c) => when(c, lit(n)) }: _*)).as("consequence"))
+      .where(col("consequence").isNotNull)
+      .distinct()
+  }
+
   /** CSQ output assembly (annotate_provider.rs:795-1000 role): fuse
     * the cDNA/HGVSc layer with the spliced-codon layer into one
     * pipe-delimited entry per (variant, transcript) —
@@ -371,8 +500,8 @@ object Splice {
     val j = cdna.join(codon, Seq("id", "transcript_id"), "left")
     val term = when(col("region") === "intronic", lit("intron_variant"))
       .when(instr(col("hgvs_c"), ":n.") > 0, lit("non_coding_transcript_exon_variant"))
-      .when(instr(col("hgvs_c"), ":c.-") > 0, lit("five_prime_UTR_variant"))
-      .when(instr(col("hgvs_c"), ":c.*") > 0, lit("three_prime_UTR_variant"))
+      .when(instr(col("hgvs_c"), ":c.-") > 0, lit("5_prime_UTR_variant"))
+      .when(instr(col("hgvs_c"), ":c.*") > 0, lit("3_prime_UTR_variant"))
       .otherwise(coalesce(col("consequence"), lit("coding_sequence_variant")))
     def f(c: Column) = coalesce(c.cast("string"), lit(""))
     val staged = j.withColumn("_term", term)

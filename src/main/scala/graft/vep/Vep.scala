@@ -136,28 +136,31 @@ object Vep {
     cache.columns.toSeq.filterNot(c =>
       c == "chrom" || c == "start" || c == "end" || c.startsWith("source_"))
 
-  /** SO terms this slice can assign, with their severity ranks =
-    * positions in the reference's ALL_SO_TERMS ordering
-    * (so_terms.rs:58-100; smaller = more severe). The full 41-term
-    * engine (codon/protein effects, HGVS) is the phased F11 remainder
-    * (SURVEY.md §7.2 step 8). */
-  val soRank: Map[String, Int] = Map(
-    "stop_gained" -> 3,
-    "frameshift_variant" -> 4,
-    "stop_lost" -> 5,
-    "inframe_insertion" -> 10,
-    "inframe_deletion" -> 11,
-    "missense_variant" -> 12,
-    "synonymous_variant" -> 21,
-    "splice_region_variant" -> 15,
-    "coding_sequence_variant" -> 22,
-    "five_prime_UTR_variant" -> 24,
-    "three_prime_UTR_variant" -> 25,
-    "non_coding_transcript_exon_variant" -> 26,
-    "intron_variant" -> 27,
-    "upstream_gene_variant" -> 31,
-    "downstream_gene_variant" -> 32,
-    "intergenic_variant" -> 39)
+  /** The reference's complete SO consequence vocabulary in severity
+    * order (so_terms.rs:58-100 ALL_SO_TERMS; index = severity rank,
+    * smaller = more severe). Term strings match so_terms.rs `as_str`
+    * exactly (including `5_prime_UTR_variant` / `NMD_transcript_variant`
+    * capitalization). */
+  val allSoTerms: Seq[String] = Seq(
+    "transcript_ablation", "splice_acceptor_variant", "splice_donor_variant",
+    "stop_gained", "frameshift_variant", "stop_lost", "start_lost",
+    "transcript_amplification", "feature_elongation", "feature_truncation",
+    "inframe_insertion", "inframe_deletion", "missense_variant",
+    "protein_altering_variant", "splice_donor_5th_base_variant",
+    "splice_region_variant", "splice_donor_region_variant",
+    "splice_polypyrimidine_tract_variant", "incomplete_terminal_codon_variant",
+    "start_retained_variant", "stop_retained_variant", "synonymous_variant",
+    "coding_sequence_variant", "mature_miRNA_variant", "5_prime_UTR_variant",
+    "3_prime_UTR_variant", "non_coding_transcript_exon_variant",
+    "intron_variant", "NMD_transcript_variant", "non_coding_transcript_variant",
+    "coding_transcript_variant", "upstream_gene_variant",
+    "downstream_gene_variant", "TFBS_ablation", "TFBS_amplification",
+    "TF_binding_site_variant", "regulatory_region_ablation",
+    "regulatory_region_amplification", "regulatory_region_variant",
+    "intergenic_variant", "sequence_variant")
+
+  /** severity rank per term (position in [[allSoTerms]]). */
+  val soRank: Map[String, Int] = allSoTerms.zipWithIndex.toMap
 
   /** F11 (region layer): annotate each variant with its most severe
     * region-level consequence against transcript/exon context —
@@ -219,7 +222,7 @@ object Vep {
     val overlaps = col("_vs") <= col("_te") && col("_ve") >= col("_ts")
     val upstream = (col("_strand") === 1 && col("_ve") < col("_ts")) ||
       (col("_strand") === -1 && col("_vs") > col("_te"))
-    val inCodingExon = overlaps && col("_in_exon") === 1 && col("_bt") === "protein_coding"
+    val inCodingExon = overlaps && col("_in_exon") === 1 && Splice.isCodingBt(col("_bt"))
     // codon layer: SNVs inside the CDS span get protein-level terms
     // from the derived reference sequence (CodonLogic)
     val snv = length(col("_vref")) === 1 && length(col("_valt")) === 1
@@ -234,6 +237,12 @@ object Vep {
     // indel classes inside the CDS need only length arithmetic
     // (so_terms.rs: frameshift rank 4, inframe ins/del 10/11)
     val lenDiff = length(col("_valt")) - length(col("_vref"))
+    // mature miRNA region for biotype=miRNA: derived middle sub-span
+    // [ts + span/3, ts + span/2] (stands in for the cache's
+    // mature_mirna_regions attribute, annotate_provider.rs:2683)
+    val mStart = expr("_ts + (_te - _ts) DIV 3")
+    val mEnd = expr("_ts + (_te - _ts) DIV 2")
+    val matureOv = col("_vs") <= mEnd && col("_ve") >= mStart
     val term =
       when(inCds && snv && aaAlt === "*" && aaRef =!= "*", lit("stop_gained"))
       .when(inCds && snv && aaRef === "*" && aaAlt =!= "*", lit("stop_lost"))
@@ -242,13 +251,21 @@ object Vep {
       .when(inCds && lenDiff % 3 =!= 0, lit("frameshift_variant"))
       .when(inCds && lenDiff > 0, lit("inframe_insertion"))
       .when(inCds && lenDiff < 0, lit("inframe_deletion"))
+      // remaining in-CDS class = length-preserving MNV — the
+      // reference's protein_altering_variant catch-all
+      // (transcript_consequence.rs:2030-2087)
+      .when(inCds, lit("protein_altering_variant"))
       .when(inCodingExon && col("_ve") < col("_cs"),
-        when(col("_strand") === 1, lit("five_prime_UTR_variant"))
-          .otherwise(lit("three_prime_UTR_variant")))
+        when(col("_strand") === 1, lit("5_prime_UTR_variant"))
+          .otherwise(lit("3_prime_UTR_variant")))
       .when(inCodingExon && col("_vs") > col("_ce"),
-        when(col("_strand") === 1, lit("three_prime_UTR_variant"))
-          .otherwise(lit("five_prime_UTR_variant")))
+        when(col("_strand") === 1, lit("3_prime_UTR_variant"))
+          .otherwise(lit("5_prime_UTR_variant")))
       .when(inCodingExon, lit("coding_sequence_variant"))
+      // miRNA exonic + in the mature region suppresses nc-exon
+      // (transcript_consequence.rs:1219-1231)
+      .when(overlaps && col("_in_exon") === 1 && col("_bt") === "miRNA" && matureOv,
+        lit("mature_miRNA_variant"))
       .when(overlaps && col("_in_exon") === 1, lit("non_coding_transcript_exon_variant"))
       .when(overlaps && col("_near_splice") === 1, lit("splice_region_variant"))
       .when(overlaps, lit("intron_variant"))
@@ -257,6 +274,22 @@ object Vep {
     val rank = soRank.foldLeft(lit(39)) { case (acc, (name, r)) =>
       when(col("_term") === name, lit(r)).otherwise(acc)
     }
+    // transcript-class companion terms, '&'-joined into the entry
+    // (VEP's multi-term Consequence convention):
+    // NMD_transcript_variant rides on every overlap of an NMD
+    // transcript (transcript_consequence.rs:1337-1339);
+    // non_coding_transcript_variant when a non-coding transcript is
+    // hit outside its exons (:1340-1350 — suppressed by nc-exon /
+    // mature-miRNA, which require in_exon)
+    val nmd = col("_bt") === "nonsense_mediated_decay" && overlaps
+    val ncTranscript = !Splice.isCodingBt(col("_bt")) && overlaps &&
+      col("_in_exon") === 0
+    val termsStr = concat(col("_term"),
+      when(nmd, lit("&NMD_transcript_variant")).otherwise(lit("")),
+      when(ncTranscript, lit("&non_coding_transcript_variant")).otherwise(lit("")))
+    val fullRank = least(col("_rank"),
+      when(nmd, lit(soRank("NMD_transcript_variant"))),
+      when(ncTranscript, lit(soRank("non_coding_transcript_variant"))))
     val perVariant = withExon
       .withColumn("_refcodon", expr(refCodonSql))
       .withColumn("_altcodon", expr(altCodonSql))
@@ -265,9 +298,9 @@ object Vep {
       .withColumn("_term", term)
       .withColumn("_rank", rank)
       .groupBy(col("_vid"))
-      .agg(min(col("_rank")).as("_best"), count(lit(1)).as("n_transcripts"),
+      .agg(min(fullRank).as("_best"), count(lit(1)).as("n_transcripts"),
         array_join(array_sort(collect_list(
-          concat(col("_tid"), lit(":"), col("_term")))), "|").as("csq"))
+          concat(col("_tid"), lit(":"), termsStr))), "|").as("csq"))
     val rankToName = soRank.foldLeft(lit("intergenic_variant")) { case (acc, (name, r)) =>
       when(col("_best") === r, lit(name)).otherwise(acc)
     }

@@ -119,7 +119,7 @@ class PileupVepSuite extends SparkSpec {
     val got = Vep.annotateRegions(vcf, t, ex).orderBy("id")
       .select("id", "most_severe_consequence").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(got(1L) == "five_prime_UTR_variant")
+    assert(got(1L) == "5_prime_UTR_variant")
     // SNV in CDS now resolves to a codon-level term
     assert(Set("synonymous_variant", "missense_variant", "stop_gained", "stop_lost")
       .contains(got(2L)))
