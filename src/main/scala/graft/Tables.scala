@@ -166,22 +166,34 @@ object Tables {
         "cds_start AS cs", "cds_end AS ce",
         "CAST(substring(transcript_id, 2) AS BIGINT) AS sk")
       .selectExpr("chrom", "ts + (len DIV 3) AS e1", "len", "sk", "strand", "cs", "ce",
-        "explode(sequence(0, 3)) AS kind")
+        "explode(sequence(0, 6)) AS kind")
       // kinds 0/1: MNV + SNV in exon 1 (mature-miRNA span, usually CDS);
       // kind 2: SNV at the first exonic base in transcript orientation
       // past the (typically intronic) CDS anchor = cds position 1
       // (start_lost / start_retained); kind 3: SNV at the stop-side
-      // anchor (truncated codons → incomplete_terminal_codon_variant)
+      // anchor (truncated codons → incomplete_terminal_codon_variant);
+      // kinds 4/5/6 (HGVS probes): multi-base deletion, multi-base
+      // insertion, and a duplication — the inserted allele is BY
+      // CONSTRUCTION the two derived-genome bases 5' of the insertion
+      // point, so indelHgvs's dup detection must fire
       .selectExpr("chrom", "sk", "kind",
         """CAST(CASE WHEN kind <= 1 THEN e1 + 5 + kind * 2
            WHEN kind = 2 THEN (CASE WHEN strand = 1 THEN e1
              ELSE e1 + (len DIV 3) + (len DIV 6) END)
-           ELSE (CASE WHEN strand = 1 THEN ce ELSE cs END) END AS BIGINT) AS start""")
+           WHEN kind = 3 THEN (CASE WHEN strand = 1 THEN ce ELSE cs END)
+           ELSE e1 + 11 END AS BIGINT) AS start""")
       .selectExpr("chrom", "start",
-        "CAST(start + CASE WHEN kind = 0 THEN 1 ELSE 0 END AS BIGINT) AS `end`",
+        """CAST(start + CASE WHEN kind = 0 THEN 1 WHEN kind = 4 THEN 2
+           ELSE 0 END AS BIGINT) AS `end`""",
         "CAST(sk * 10 + kind AS BIGINT) AS id",
-        "CASE WHEN kind = 0 THEN 'AC' ELSE 'A' END AS ref",
-        "CASE WHEN kind = 0 THEN 'CA' ELSE 'C' END AS alt")
+        """CASE WHEN kind = 0 THEN 'AC' WHEN kind = 4 THEN 'ACG'
+           ELSE 'A' END AS ref""",
+        s"""CASE WHEN kind = 0 THEN 'CA' WHEN kind = 4 THEN 'A'
+           WHEN kind = 5 THEN 'ACG'
+           WHEN kind = 6 THEN concat('A',
+             ${graft.vep.CodonLogic.seq(graft.vep.CodonLogic.SparkD, "chrom", "(start - 1)")},
+             ${graft.vep.CodonLogic.seq(graft.vep.CodonLogic.SparkD, "chrom", "start")})
+           ELSE 'C' END AS alt""")
 
   /** Derived regulatory-feature context (partitioned_cache.rs:24-31
     * `regulatory` table role): one feature per 20th customer row,
@@ -323,17 +335,33 @@ object Oracle {
 
   /** DuckDB mirror of [[Tables.termProbes]] (requires `t` in scope). */
   val termProbes: String =
-    """tp0 AS (SELECT t.chrom, kind,
+    s"""tp0 AS (SELECT t.chrom, kind,
       | CAST(CASE WHEN kind <= 1 THEN t.start + (("end" - t.start) // 3) + 5 + kind * 2
       |  WHEN kind = 2 THEN (CASE WHEN strand = 1 THEN t.start + (("end" - t.start) // 3)
       |    ELSE t.start + 2 * (("end" - t.start) // 3) + (("end" - t.start) // 6) END)
-      |  ELSE (CASE WHEN strand = 1 THEN cds_end ELSE cds_start END) END AS BIGINT) AS start,
+      |  WHEN kind = 3 THEN (CASE WHEN strand = 1 THEN cds_end ELSE cds_start END)
+      |  ELSE t.start + (("end" - t.start) // 3) + 11 END AS BIGINT) AS start,
       | CAST(CAST(substr(transcript_id, 2) AS BIGINT) * 10 + kind AS BIGINT) AS id
-      | FROM t, UNNEST(generate_series(0, 3)) AS g(kind)),
+      | FROM t, UNNEST(generate_series(0, 6)) AS g(kind)),
       |tp AS (SELECT chrom, start,
-      | CAST(start + CASE WHEN kind = 0 THEN 1 ELSE 0 END AS BIGINT) AS "end", id,
-      | CASE WHEN kind = 0 THEN 'AC' ELSE 'A' END AS ref,
-      | CASE WHEN kind = 0 THEN 'CA' ELSE 'C' END AS alt FROM tp0)"""
+      | CAST(start + CASE WHEN kind = 0 THEN 1 WHEN kind = 4 THEN 2 ELSE 0 END AS BIGINT) AS "end", id,
+      | CASE WHEN kind = 0 THEN 'AC' WHEN kind = 4 THEN 'ACG' ELSE 'A' END AS ref,
+      | CASE WHEN kind = 0 THEN 'CA' WHEN kind = 4 THEN 'A'
+      |  WHEN kind = 5 THEN 'ACG'
+      |  WHEN kind = 6 THEN concat('A',
+      |   ${graft.vep.CodonLogic.seq(graft.vep.CodonLogic.DuckD, "chrom", "(start - 1)")},
+      |   ${graft.vep.CodonLogic.seq(graft.vep.CodonLogic.DuckD, "chrom", "start")})
+      |  ELSE 'C' END AS alt,
+      | CAST(start + CASE WHEN kind IN (4, 5, 6) THEN 1 ELSE 0 END AS BIGINT) AS norm_start,
+      | CAST(start + CASE WHEN kind = 0 THEN 1 WHEN kind = 4 THEN 2
+      |  ELSE 0 END AS BIGINT) AS norm_end,
+      | CASE WHEN kind = 0 THEN 'AC' WHEN kind = 4 THEN 'CG'
+      |  WHEN kind IN (5, 6) THEN '-' ELSE 'A' END AS vep_ref,
+      | CASE WHEN kind = 0 THEN 'CA' WHEN kind = 4 THEN '-' WHEN kind = 5 THEN 'CG'
+      |  WHEN kind = 6 THEN concat(
+      |   ${graft.vep.CodonLogic.seq(graft.vep.CodonLogic.DuckD, "chrom", "(start - 1)")},
+      |   ${graft.vep.CodonLogic.seq(graft.vep.CodonLogic.DuckD, "chrom", "start")})
+      |  ELSE 'C' END AS vep_alt FROM tp0)"""
       .stripMargin.replace("\n", " ")
 
   /** DuckDB mirror of [[Tables.vepCache]]. */

@@ -20,6 +20,10 @@ object VepSpliceQueries {
       Splice.csqAssemble(Tables.vcf(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
     "f11_indel_hgvs" -> ((s, d) =>
       Splice.indelHgvs(Tables.vcf(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
+    // HGVS probe fixture: multi-base del/ins, delins (MNV), and a
+    // constructed duplication — every notation branch fires
+    "f11_indel_probes" -> ((s, d) =>
+      Splice.indelHgvs(Tables.termProbes(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
     "f11_regulatory" -> ((s, d) =>
       graft.vep.Vep.annotateRegulatory(Tables.vcf(s, d), Tables.regulatory(s, d))),
     // gap=50 rather than the 1 Mb-analog default: the derived misses
@@ -293,10 +297,13 @@ object VepSpliceQueries {
        |FROM entries GROUP BY id ORDER BY id""".stripMargin.replace("\n", " ")
   }
 
-  /** Indel-HGVS oracle: mirrors Splice.indelHgvs (v CTE precomputes
-    * norm_start/vep_ref/vep_alt). */
-  private val indelHgvsSql: String = {
-    import Oracle.{vcf => vcfCte, transcripts => tCte, exons => exCte}
+  /** Indel-HGVS oracle: mirrors the rewritten Splice.indelHgvs
+    * (del/ins/delins/dup forms, 3'-shift feed, derived-genome dup
+    * context) over the given variant view. */
+  private def indelHgvsSqlFor(variantCte: String, variantName: String): String = {
+    import Oracle.{transcripts => tCte, exons => exCte}
+    import graft.vep.CodonLogic
+    val D = CodonLogic.DuckD
     val anchor1 = "(CASE WHEN strand = 1 THEN cds_start ELSE cds_end END)"
     val anchor2 = "(CASE WHEN strand = 1 THEN cds_end ELSE cds_start END)"
     def fmtC(x: String): String =
@@ -304,23 +311,46 @@ object VepSpliceQueries {
          | WHEN $x < ccs THEN concat('-', CAST(ccs - $x AS VARCHAR))
          | WHEN $x > cce THEN concat('*', CAST($x - cce AS VARCHAR))
          | ELSE CAST($x - ccs + 1 AS VARCHAR) END""".stripMargin.replace("\n", " ")
-    s"""WITH $vcfCte, $tCte, $exCte,
-       |ind AS (SELECT id, chrom,
-       |   CASE WHEN vep_ref = '-' THEN 'ins' ELSE 'del' END AS kind,
+    val scan = Splice.shiftScanSql(D, "chrom", "anchor", "allele", 16)
+    val ctxBase = CodonLogic.seq(D, "chrom", "j")
+    val coords = s"""CASE WHEN lo = hi THEN ${fmtC("lo")}
+       ELSE concat(${fmtC("lo")}, '_', ${fmtC("hi")}) END"""
+    s"""WITH $tCte, $exCte, $variantCte,
+       |ind0 AS (SELECT id, chrom, vep_ref, vep_alt,
+       |   norm_start AS ns, norm_end AS ne,
        |   CASE WHEN vep_ref = '-' THEN vep_alt ELSE vep_ref END AS allele,
-       |   CASE WHEN vep_ref = '-' THEN norm_start - 1 ELSE norm_start END AS p0,
-       |   norm_start AS p1
-       |  FROM v WHERE length(ref) <> length(alt)),
+       |   CASE WHEN vep_ref = '-' THEN norm_start ELSE norm_start + 1 END AS anchor
+       |  FROM $variantName WHERE NOT (length(ref) = 1 AND length(alt) = 1)),
+       |ind1 AS (SELECT ind0.*,
+       |   CASE WHEN (vep_ref = '-' OR vep_alt = '-') AND length(allele) = 1
+       |    THEN $scan ELSE 1 END AS scan FROM ind0),
+       |ind2 AS (SELECT ind1.*,
+       |   CAST(CASE WHEN scan = 0 THEN 16 ELSE scan - 1 END AS BIGINT) AS sh,
+       |   CAST(length(vep_alt) AS BIGINT) AS k FROM ind1),
+       |ind3 AS (SELECT ind2.*, ns + sh AS nss, ne + sh AS nse,
+       |   array_to_string(list_transform(generate_series(ns + sh - k, ns + sh - 1),
+       |     j -> $ctxBase), '') AS ctx FROM ind2),
+       |ind AS (SELECT id, chrom, vep_alt AS va,
+       |   CASE WHEN vep_ref = '-' AND ctx = vep_alt THEN 'dup'
+       |    WHEN vep_ref = '-' THEN 'ins'
+       |    WHEN vep_alt = '-' THEN 'del' ELSE 'delins' END AS kind,
+       |   CASE WHEN vep_ref = '-' AND ctx = vep_alt THEN nss - k
+       |    WHEN vep_ref = '-' THEN nss - 1
+       |    WHEN vep_alt = '-' THEN nss ELSE ns END AS p0,
+       |   CASE WHEN vep_ref = '-' AND ctx = vep_alt THEN nss - 1
+       |    WHEN vep_ref = '-' THEN nss
+       |    WHEN vep_alt = '-' THEN nse ELSE ne END AS p1
+       |  FROM ind3),
        |cand AS (SELECT i.*, t.transcript_id AS tid, t.strand, t.biotype
        |  FROM ind i JOIN t ON i.chrom = t.chrom
        |   AND i.p0 BETWEEN t.start AND t."end" AND i.p1 BETWEEN t.start AND t."end"),
-       |agg AS (SELECT c.id, c.tid, c.strand, c.biotype, c.kind, c.allele, c.p0, c.p1,
+       |agg AS (SELECT c.id, c.tid, c.strand, c.biotype, c.kind, c.va, c.p0, c.p1,
        |   MAX(CASE WHEN c.p0 BETWEEN e.start AND e."end" THEN 1 ELSE 0 END) AS in0,
        |   MAX(CASE WHEN c.p1 BETWEEN e.start AND e."end" THEN 1 ELSE 0 END) AS in1,
        |   CAST(SUM(${contrib("c.p0")}) AS BIGINT) AS cdna0,
        |   CAST(SUM(${contrib("c.p1")}) AS BIGINT) AS cdna1
        |  FROM cand c JOIN ex e ON c.tid = e.transcript_id
-       |  GROUP BY c.id, c.tid, c.strand, c.biotype, c.kind, c.allele, c.p0, c.p1),
+       |  GROUP BY c.id, c.tid, c.strand, c.biotype, c.kind, c.va, c.p0, c.p1),
        |cb AS (SELECT t.transcript_id AS tid,
        |   CAST(SUM(${contrib(anchor1)})
        |     + (CASE WHEN MAX(CASE WHEN $anchor1 BETWEEN e.start AND e."end" THEN 1 ELSE 0 END) = 0
@@ -329,15 +359,13 @@ object VepSpliceQueries {
        |  FROM t JOIN ex e ON t.transcript_id = e.transcript_id
        |  GROUP BY t.transcript_id),
        |x AS (SELECT agg.*, cb.ccs, cb.cce,
-       |   CASE WHEN kind = 'del' THEN cdna0
-       |    WHEN strand = 1 THEN cdna0 ELSE cdna1 END AS anchor,
-       |   CASE WHEN strand = 1 THEN allele ELSE translate(allele, 'ACGT', 'TGCA') END AS alleleadj,
+       |   LEAST(cdna0, cdna1) AS lo, GREATEST(cdna0, cdna1) AS hi,
+       |   CASE WHEN strand = 1 THEN va ELSE reverse(translate(va, 'ACGT', 'TGCA')) END AS altadj,
        |   concat(agg.tid, ':', CASE WHEN biotype IN ('protein_coding', 'nonsense_mediated_decay') THEN 'c.' ELSE 'n.' END) AS pfx
        |  FROM agg JOIN cb ON agg.tid = cb.tid WHERE in0 = 1 AND in1 = 1)
-       |SELECT id, tid AS transcript_id, kind, anchor AS cdna_pos,
-       | CASE WHEN kind = 'del' THEN concat(pfx, ${fmtC("anchor")}, 'del', alleleadj)
-       |  ELSE concat(pfx, ${fmtC("anchor")}, '_', ${fmtC("(anchor + 1)")}, 'ins', alleleadj)
-       | END AS hgvs_c
+       |SELECT id, tid AS transcript_id, kind, lo AS cdna_pos,
+       | CASE WHEN kind IN ('del', 'dup') THEN concat(pfx, $coords, kind)
+       |  ELSE concat(pfx, $coords, kind, altadj) END AS hgvs_c
        |FROM x ORDER BY id, transcript_id""".stripMargin.replace("\n", " ")
   }
 
@@ -455,7 +483,8 @@ object VepSpliceQueries {
     "f11_spliced_codon" -> splicedCodonSql,
     "f11_shift3" -> shift3Sql,
     "f11_csq" -> csqSql,
-    "f11_indel_hgvs" -> indelHgvsSql,
+    "f11_indel_hgvs" -> indelHgvsSqlFor(Oracle.vcf, "v"),
+    "f11_indel_probes" -> indelHgvsSqlFor(Oracle.termProbes, "tp"),
     "f11_codon_probes" -> splicedCodonSqlFor(Oracle.termProbes, "tp"),
     "f11_splice_site" -> spliceTermsSql(Oracle.vcf, "v"),
     "f11_splice_probes" -> spliceTermsSql(Oracle.spliceProbes, "sp"),

@@ -315,38 +315,70 @@ object Splice {
     full.unionByName(truncated)
   }
 
-  /** HGVS notation for single-base indels (hgvs.rs del/ins rules) —
-    * exonic sites only, coordinates already VEP-normalized
-    * (3'-agnostic here; pair with [[Vep.shift3]] for shifted input):
+  /** HGVS notation for exonic non-SNV events — the hgvs.rs /
+    * `format_hgvs_string` small-variant forms (hgvs.rs:1163-1192,
+    * itself Ensembl `Sequence::format_hgvs_string`):
     *
-    *   deletion   T:c.{pos}del{X}        X = deleted base, strand-adj
-    *   insertion  T:c.{n}_{n+1}ins{X}    n = cDNA index of the
-    *              transcript-orientation-earlier base flanking the
-    *              insertion gap (genomic norm_start-1 on '+',
-    *              norm_start on '-')
+    *   deletion   T:c.{lo}del / T:c.{lo}_{hi}del    (no sequence suffix)
+    *   insertion  T:c.{n}_{n+1}ins{SEQ}
+    *   delins     T:c.{lo}[_{hi}]delins{SEQ}        (MNVs, replacements)
+    *   dup        T:c.{lo}[_{hi}]dup — an insertion whose allele equals
+    *              the derived-genome bases immediately 5' of the
+    *              (shifted) insertion point (hgvs.rs:987-1016
+    *              apply_shifted_insertion_duplication, 5'-context arm)
     *
-    * Output per (variant, overlapping transcript with the site in an
-    * exon): (id, transcript_id, kind ins|del, cdna_pos, hgvs_c). */
-  def indelHgvs(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
-    val isIns = Vep.vepRefUdf(col("ref"), col("alt")) === "-"
-    val v = vcf.where(length(col("ref")) =!= length(col("alt")))
+    * Single-base ins/del alleles are 3'-SHIFTED first (the Vep.shift3
+    * scan — the reference shifts before rendering, hgvs.rs:185-248);
+    * multi-base alleles render unshifted. `lo`/`hi` are the
+    * transcript-orientation cDNA indexes of the affected range (del),
+    * its 5' context (dup), the flanking pair (ins), or the replaced
+    * range (delins); SEQ is reverse-complemented on '-'. Exonic sites
+    * only (both anchor points inside exons). Output per
+    * (variant, transcript): (id, transcript_id, kind, cdna_pos, hgvs_c)
+    * with cdna_pos = lo. */
+  def indelHgvs(
+      vcf: DataFrame, transcripts: DataFrame, exons: DataFrame,
+      maxShift: Int = 16): DataFrame = {
+    graft.plans.Graft.enable(vcf.sparkSession)
+    val D = CodonLogic.SparkD
+    val isIns = col("_vr") === "-"
+    val isDel = col("_va") === "-"
+    val v0 = vcf.where(!(length(col("ref")) === 1 && length(col("alt")) === 1))
+      .withColumn("_vr", Vep.vepRefUdf(col("ref"), col("alt")))
+      .withColumn("_va", Vep.vepAltUdf(col("ref"), col("alt")))
       .withColumn("_ns", Vep.vepNormStartUdf(col("start").cast("long"), col("ref"), col("alt")))
-      .withColumn("_kind", when(isIns, lit("ins")).otherwise(lit("del")))
-      .withColumn("_allele",
-        when(isIns, Vep.vepAltUdf(col("ref"), col("alt")))
-          .otherwise(Vep.vepRefUdf(col("ref"), col("alt"))))
-      // two probe points: deletion needs only p0; insertion needs the
-      // gap's two flanking bases (strand picks the earlier one)
-      .withColumn("_p0", when(isIns, col("_ns") - 1).otherwise(col("_ns")))
-      .withColumn("_p1", col("_ns"))
+      .withColumn("_ne", Vep.vepNormEndUdf(col("start").cast("long"), col("ref"), col("alt")))
+      .withColumn("_allele", when(isIns, col("_va")).otherwise(col("_vr")))
+      .withColumn("_anchor", when(isIns, col("_ns")).otherwise(col("_ns") + 1))
+      .withColumn("_scan", when((isIns || isDel) && length(col("_allele")) === 1,
+        expr(shiftScanSql(D, "chrom", "_anchor", "_allele", maxShift))).otherwise(lit(1L)))
+    val shift = when(col("_scan") === 0, lit(maxShift.toLong)).otherwise(col("_scan") - 1)
+    val v1 = v0.withColumn("_sh", shift)
+      .withColumn("_nss", col("_ns") + col("_sh"))
+      .withColumn("_nse", col("_ne") + col("_sh"))
+      .withColumn("_k", length(col("_va")).cast("long"))
+      // 5' dup context: derived genome bases [nss-k, nss-1]
+      .withColumn("_ctx", expr("array_join(transform(sequence(_nss - _k, _nss - 1), j -> " +
+        CodonLogic.seq(D, "chrom", "j") + "), '')"))
+    val isDup = isIns && col("_ctx") === col("_va")
+    val kind = when(isDup, lit("dup")).when(isIns, lit("ins"))
+      .when(isDel, lit("del")).otherwise(lit("delins"))
+    val p0 = when(isDup, col("_nss") - col("_k"))
+      .when(isIns, col("_nss") - 1)
+      .when(isDel, col("_nss"))
+      .otherwise(col("_ns"))
+    val p1 = when(isDup, col("_nss") - 1)
+      .when(isIns, col("_nss"))
+      .when(isDel, col("_nse"))
+      .otherwise(col("_ne"))
+    val v = v1.withColumn("_kind", kind).withColumn("_p0", p0).withColumn("_p1", p1)
       .select(col("chrom").as("_vc"), col("id").as("_vid"),
-        col("_kind"), col("_allele"), col("_p0"), col("_p1"))
+        col("_kind"), col("_va"), col("_p0"), col("_p1"))
     val t = transcripts.select(col("chrom").as("_tc"), col("start").cast("long").as("_ts"),
       col("end").cast("long").as("_te"), col("transcript_id").as("_tid"),
       col("strand").as("_strand"), col("biotype").as("_bt"))
     // strategy-planned index probe; the _p1 bounds the extractor can't
     // fold into the probe interval ride as the join's residual filter
-    graft.plans.Graft.enable(vcf.sparkSession)
     val cand = t.join(v,
       col("_tc") === col("_vc") &&
         col("_p0").between(col("_ts"), col("_te")) &&
@@ -355,7 +387,7 @@ object Splice {
       col("start").cast("long").as("_es"), col("end").cast("long").as("_ee"))
     val agg = cand.join(broadcast(ex), col("_tid") === col("_etid"))
       .groupBy(col("_vid"), col("_tid"), col("_strand"), col("_bt"),
-        col("_kind"), col("_allele"), col("_p0"), col("_p1"))
+        col("_kind"), col("_va"), col("_p0"), col("_p1"))
       .agg(
         max(when(col("_p0").between(col("_es"), col("_ee")), 1).otherwise(0)).as("_in0"),
         max(when(col("_p1").between(col("_es"), col("_ee")), 1).otherwise(0)).as("_in1"),
@@ -369,19 +401,19 @@ object Splice {
         .when(x > col("_cce"), concat(lit("*"), (x - col("_cce")).cast("string")))
         .otherwise((x - col("_ccs") + 1).cast("string"))
     val strandP = col("_strand") === 1
-    val alleleAdj = when(strandP, col("_allele")).otherwise(translate(col("_allele"), "ACGT", "TGCA"))
+    val lo = least(col("_cdna0"), col("_cdna1"))
+    val hi = greatest(col("_cdna0"), col("_cdna1"))
+    val coords = when(lo === hi, fmtC(lo))
+      .otherwise(concat(fmtC(lo), lit("_"), fmtC(hi)))
+    val altAdj = when(strandP, col("_va"))
+      .otherwise(reverse(translate(col("_va"), "ACGT", "TGCA")))
     val prefix = concat(col("_tid"), lit(":"), when(coding, lit("c.")).otherwise(lit("n.")))
-    // anchor cDNA index: deletion = the deleted base; insertion = the
-    // transcript-orientation-earlier flank (p0 on '+', p1 on '-')
-    val anchor = when(col("_kind") === "del", col("_cdna0"))
-      .otherwise(when(strandP, col("_cdna0")).otherwise(col("_cdna1")))
-    val hgvs = when(col("_kind") === "del",
-        concat(prefix, fmtC(anchor), lit("del"), alleleAdj))
-      .otherwise(
-        concat(prefix, fmtC(anchor), lit("_"), fmtC(anchor + 1), lit("ins"), alleleAdj))
+    val hgvs = when(col("_kind") === "del" || col("_kind") === "dup",
+        concat(prefix, coords, col("_kind")))
+      .otherwise(concat(prefix, coords, col("_kind"), altAdj))
     agg.where(col("_in0") === 1 && col("_in1") === 1)
       .select(col("_vid").as("id"), col("_tid").as("transcript_id"),
-        col("_kind").as("kind"), anchor.as("cdna_pos"), hgvs.as("hgvs_c"))
+        col("_kind").as("kind"), lo.as("cdna_pos"), hgvs.as("hgvs_c"))
   }
 
   /** Introns per transcript from consecutive exons in genomic order:
