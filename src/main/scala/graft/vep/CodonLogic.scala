@@ -60,6 +60,32 @@ object CodonLogic {
     s"substr('ACGT', 1 + $digit % 4, 1)"
   }
 
+  /** JVM-side evaluation of [[seq]] — bit-identical to the SQL
+    * fragment on both engines (same md5-hex first digit mod 4). Used
+    * by bounded per-row scans (3'-shift, dup context) that are
+    * imperative loops in the reference too; expressing them as Spark
+    * HOF expression trees made the plan ~300 KB per probe column and
+    * pinned their interpreted evaluation into single-partition scan
+    * stages (round-3 bench). */
+  def baseAt(chrom: String, pos: Long): Char = {
+    val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(chrom + ":" + pos)
+    val c = h.charAt(0)
+    val digit = if (c <= '9') c - '0' else c - 'a' + 10
+    "ACGT".charAt(digit % 4)
+  }
+
+  /** JVM-side 3'-shift scan, mirroring [[Splice.shiftScanSql]]:
+    * 1-based index of the first position in [anchor, anchor+max) whose
+    * derived base differs from `allele`, 0 when all match. */
+  def shiftScan(chrom: String, anchor: Long, allele: Char, max: Int): Long = {
+    var j = 0
+    while (j < max) {
+      if (baseAt(chrom, anchor + j) != allele) return j + 1L
+      j += 1
+    }
+    0L
+  }
+
   /** Reverse complement (both engines share reverse + translate). */
   def rc(x: String): String = s"reverse(translate($x, 'ACGT', 'TGCA'))"
 

@@ -136,8 +136,14 @@ object Splice {
     * (variant, overlapping transcript):
     * (id, transcript_id, region, cdna_pos, cds_pos, protein_pos,
     * hgvs_c). `region` ∈ exonic | intronic. */
-  def cdnaAnnotate(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
-    val agg = snvTranscriptAgg(vcf, transcripts, exons)
+  def cdnaAnnotate(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame =
+    cdnaAnnotateFrom(snvTranscriptAgg(vcf, transcripts, exons))
+
+  /** [[cdnaAnnotate]] body over a prebuilt [[snvTranscriptAgg]] — lets
+    * [[csqAssemble]] share ONE cached aggregate between the cDNA and
+    * codon layers instead of running the candidate join + exon
+    * aggregation twice. */
+  private def cdnaAnnotateFrom(agg: DataFrame): DataFrame = {
     val p = col("_vp")
     val strandP = col("_strand") === 1
     val dPlus = when(strandP, p - col("_prev_ee")).otherwise(col("_next_es") - p)
@@ -236,8 +242,12 @@ object Splice {
     *
     * Codons truncated by the coding end (cce-ccs+1 not a multiple of
     * 3) are excluded — both engines apply the same guard. */
-  def splicedCodon(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
-    val agg = snvTranscriptAgg(vcf, transcripts, exons)
+  def splicedCodon(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame =
+    splicedCodonFrom(snvTranscriptAgg(vcf, transcripts, exons), transcripts, exons)
+
+  /** [[splicedCodon]] body over a prebuilt [[snvTranscriptAgg]]. */
+  private def splicedCodonFrom(
+      agg: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
     val codingAll = agg.where(col("_in_exon") === 1 && isCodingBt(col("_bt")) &&
       col("_cdna") >= col("_ccs") && col("_cdna") <= col("_cce"))
       .withColumn("_cds_pos", col("_cdna") - col("_ccs") + 1)
@@ -336,44 +346,53 @@ object Splice {
     * only (both anchor points inside exons). Output per
     * (variant, transcript): (id, transcript_id, kind, cdna_pos, hgvs_c)
     * with cdna_pos = lo. */
+  /** Per-variant indel classification: VEP-normalize, 3'-shift single
+    * base ins/del over the derived genome, detect duplications from the
+    * 5' context, and emit the affected genomic range (p0, p1) for each
+    * HGVS form. One bounded imperative scan per row — exactly the
+    * reference's shift-state machine (hgvs.rs:185-248, 987-1016) — as a
+    * single typed Scala UDF. Round 3 expressed the same logic as
+    * chained higher-order-function expression trees (16 md5 terms per
+    * scan): HOFs don't codegen, the ~300 KB trees dominated task
+    * (de)serialization, and their interpreted evaluation pinned the
+    * whole variant side into one-task scan stages (f11_indel_hgvs 28 s
+    * at sf0.1, grossly sublinear in rows). The UDF runs the identical
+    * arithmetic at JVM speed with a plan a few hundred bytes wide. */
+  private def indelCoordsUdf(maxShift: Int) = udf {
+    (chrom: String, ref: String, alt: String, start: Long) =>
+      val (vr, va) = Allele.vcfToVepAllele(ref, alt)
+      val ns = Allele.vepNormStart(start, ref, alt)
+      val ne = Allele.vepNormEnd(start, ref, alt)
+      val isIns = vr == "-"
+      val isDel = va == "-"
+      val allele = if (isIns) va else vr
+      val anchor = if (isIns) ns else ns + 1
+      val scan =
+        if ((isIns || isDel) && allele.length == 1)
+          CodonLogic.shiftScan(chrom, anchor, allele.charAt(0), maxShift)
+        else 1L
+      val sh = if (scan == 0) maxShift.toLong else scan - 1
+      val nss = ns + sh
+      val nse = ne + sh
+      val k = va.length.toLong
+      val ctx = (nss - k to nss - 1).map(CodonLogic.baseAt(chrom, _)).mkString
+      if (isIns && ctx == va) ("dup", va, nss - k, nss - 1)
+      else if (isIns) ("ins", va, nss - 1, nss)
+      else if (isDel) ("del", va, nss, nse)
+      else ("delins", va, ns, ne)
+  }.asNonNullable()
+
   def indelHgvs(
       vcf: DataFrame, transcripts: DataFrame, exons: DataFrame,
       maxShift: Int = 16): DataFrame = {
     graft.plans.Graft.enable(vcf.sparkSession)
-    val D = CodonLogic.SparkD
-    val isIns = col("_vr") === "-"
-    val isDel = col("_va") === "-"
-    val v0 = vcf.where(!(length(col("ref")) === 1 && length(col("alt")) === 1))
-      .withColumn("_vr", Vep.vepRefUdf(col("ref"), col("alt")))
-      .withColumn("_va", Vep.vepAltUdf(col("ref"), col("alt")))
-      .withColumn("_ns", Vep.vepNormStartUdf(col("start").cast("long"), col("ref"), col("alt")))
-      .withColumn("_ne", Vep.vepNormEndUdf(col("start").cast("long"), col("ref"), col("alt")))
-      .withColumn("_allele", when(isIns, col("_va")).otherwise(col("_vr")))
-      .withColumn("_anchor", when(isIns, col("_ns")).otherwise(col("_ns") + 1))
-      .withColumn("_scan", when((isIns || isDel) && length(col("_allele")) === 1,
-        expr(shiftScanSql(D, "chrom", "_anchor", "_allele", maxShift))).otherwise(lit(1L)))
-    val shift = when(col("_scan") === 0, lit(maxShift.toLong)).otherwise(col("_scan") - 1)
-    val v1 = v0.withColumn("_sh", shift)
-      .withColumn("_nss", col("_ns") + col("_sh"))
-      .withColumn("_nse", col("_ne") + col("_sh"))
-      .withColumn("_k", length(col("_va")).cast("long"))
-      // 5' dup context: derived genome bases [nss-k, nss-1]
-      .withColumn("_ctx", expr("array_join(transform(sequence(_nss - _k, _nss - 1), j -> " +
-        CodonLogic.seq(D, "chrom", "j") + "), '')"))
-    val isDup = isIns && col("_ctx") === col("_va")
-    val kind = when(isDup, lit("dup")).when(isIns, lit("ins"))
-      .when(isDel, lit("del")).otherwise(lit("delins"))
-    val p0 = when(isDup, col("_nss") - col("_k"))
-      .when(isIns, col("_nss") - 1)
-      .when(isDel, col("_nss"))
-      .otherwise(col("_ns"))
-    val p1 = when(isDup, col("_nss") - 1)
-      .when(isIns, col("_nss"))
-      .when(isDel, col("_nse"))
-      .otherwise(col("_ne"))
-    val v = v1.withColumn("_kind", kind).withColumn("_p0", p0).withColumn("_p1", p1)
+    val v = graft.core.Parallelism.ensure(
+        vcf.where(!(length(col("ref")) === 1 && length(col("alt")) === 1)))
+      .withColumn("_ic", indelCoordsUdf(maxShift)(
+        col("chrom"), col("ref"), col("alt"), col("start").cast("long")))
       .select(col("chrom").as("_vc"), col("id").as("_vid"),
-        col("_kind"), col("_va"), col("_p0"), col("_p1"))
+        col("_ic._1").as("_kind"), col("_ic._2").as("_va"),
+        col("_ic._3").as("_p0"), col("_ic._4").as("_p1"))
     val t = transcripts.select(col("chrom").as("_tc"), col("start").cast("long").as("_ts"),
       col("end").cast("long").as("_te"), col("transcript_id").as("_tid"),
       col("strand").as("_strand"), col("biotype").as("_bt"))
@@ -526,8 +545,15 @@ object Splice {
     * (up/downstream and intergenic classification stays in
     * Vep.annotateRegions). */
   def csqAssemble(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
-    val cdna = cdnaAnnotate(vcf, transcripts, exons)
-    val codon = splicedCodon(vcf, transcripts, exons)
+    // ONE candidate join + exon aggregation feeds both layers: the
+    // cached plan stops the cDNA and codon branches from each paying
+    // the interval probe, the exon aggregation and the codingBounds
+    // broadcast (round-3 bench: f11_csq ran the whole sub-pipeline
+    // twice). The aggregate is a few narrow columns per
+    // (variant × overlapping transcript) — small relative to input.
+    val agg = snvTranscriptAgg(vcf, transcripts, exons).persist()
+    val cdna = cdnaAnnotateFrom(agg)
+    val codon = splicedCodonFrom(agg, transcripts, exons)
       .select(col("id"), col("transcript_id"), col("consequence"), col("hgvs_p"))
     val j = cdna.join(codon, Seq("id", "transcript_id"), "left")
     val term = when(col("region") === "intronic", lit("intron_variant"))

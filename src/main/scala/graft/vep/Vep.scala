@@ -24,17 +24,27 @@ import org.apache.spark.sql.functions._
 object Vep {
 
   /** Spark UDF handles (plain Scala UDFs — same extension point the
-    * reference uses, allele.rs create_udf). */
+    * reference uses, allele.rs create_udf). All are `asNonNullable`:
+    * they never return null, and advertising that matters — a nullable
+    * UDF output used in a join condition makes
+    * InferFiltersFromConstraints add `isnotnull(derivedCol)` probes
+    * whose pushdown SUBSTITUTES the full derived expression tree
+    * (md5 shift scans, dup-context windows) into a Filter below the
+    * repartition, re-evaluating it per raw row in the single-partition
+    * scan stage (round-3: 8-10 s single-task stages in
+    * f11_indel_hgvs / f11_csq). */
   val vepNormStartUdf = udf((pos: Long, ref: String, alt: String) =>
-    Allele.vepNormStart(pos, ref, alt))
+    Allele.vepNormStart(pos, ref, alt)).asNonNullable()
   val vepNormEndUdf = udf((pos: Long, ref: String, alt: String) =>
-    Allele.vepNormEnd(pos, ref, alt))
-  val vepRefUdf = udf((ref: String, alt: String) => Allele.vcfToVepAllele(ref, alt)._1)
-  val vepAltUdf = udf((ref: String, alt: String) => Allele.vcfToVepAllele(ref, alt)._2)
+    Allele.vepNormEnd(pos, ref, alt)).asNonNullable()
+  val vepRefUdf = udf((ref: String, alt: String) =>
+    Allele.vcfToVepAllele(ref, alt)._1).asNonNullable()
+  val vepAltUdf = udf((ref: String, alt: String) =>
+    Allele.vcfToVepAllele(ref, alt)._2).asNonNullable()
   val matchAlleleUdf = udf((ref: String, alt: String, alleleString: String) =>
-    Allele.matches(ref, alt, alleleString))
+    Allele.matches(ref, alt, alleleString)).asNonNullable()
   val matchAlleleRelaxedUdf = udf((ref: String, alt: String, alleleString: String) =>
-    Allele.matchesRelaxed(ref, alt, alleleString))
+    Allele.matchesRelaxed(ref, alt, alleleString)).asNonNullable()
 
   /** S6 VCF sink: serialize an annotated variant table to VCF text
     * lines (vcf_sink.rs:1-60 role — the reference streams batches to a
