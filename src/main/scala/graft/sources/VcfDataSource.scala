@@ -62,26 +62,49 @@ class VcfScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilt
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition {
-      case EqualTo("chrom", v: String) => true
-      case _ => false
-    }
-    accepted.collectFirst { case EqualTo(_, v: String) => v }.foreach(c => chromFilter = Some(c))
-    pushed = accepted
-    rejected // residual filters Spark must still apply
+    // Enforce exactly ONE chrom equality at the line scanner and claim
+    // only that one as pushed; every other filter — including a second,
+    // possibly conflicting chrom equality — stays in the residual so
+    // Spark re-applies it (round-2/3 ADVICE: claiming all chrom
+    // equalities pushed while enforcing only the first returned chr0
+    // rows for `chrom='chr0' AND chrom='chr1'`).
+    val first = filters.collectFirst { case f @ EqualTo("chrom", _: String) => f }
+    first.foreach { case EqualTo(_, v: String) => chromFilter = Some(v) }
+    pushed = first.toArray
+    filters.filterNot(f => first.contains(f)) // residual Spark must still apply
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan = new VcfScan(path, chromFilter)
 }
 
+/** Java-serializable Hadoop `Configuration` carrier (the `Writable`
+  * round-trip Spark's own util uses) so executors read with the
+  * SESSION conf — `spark.hadoop.*` credentials, S3/HDFS endpoints —
+  * not a default-constructed one. */
+class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 class VcfScan(path: String, chromFilter: Option[String]) extends Scan with Batch {
+  // resolved at planning time on the driver, where the session is live
+  private val hadoopConf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
   override def readSchema(): StructType = VcfDataSource.schema
   override def toBatch: Batch = this
   override def description(): String =
     s"VcfScan($path${chromFilter.map(c => s", chrom=$c").getOrElse("")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val fs = FileSystem.get(new java.net.URI(path), hadoopConf.value)
     val stat = fs.globStatus(new Path(path, "*"))
     val files =
       if (stat != null && stat.nonEmpty) stat.toSeq
@@ -90,16 +113,17 @@ class VcfScan(path: String, chromFilter: Option[String]) extends Scan with Batch
       .map(s => VcfInputPartition(s.getPath.toString): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new VcfReaderFactory(chromFilter)
+    new VcfReaderFactory(chromFilter, hadoopConf)
 }
 
 case class VcfInputPartition(file: String) extends InputPartition
 
-class VcfReaderFactory(chromFilter: Option[String]) extends PartitionReaderFactory {
+class VcfReaderFactory(chromFilter: Option[String], hadoopConf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[VcfInputPartition].file
     new PartitionReader[InternalRow] {
-      private val fs = FileSystem.get(new java.net.URI(file), new Configuration())
+      private val fs = FileSystem.get(new java.net.URI(file), hadoopConf.value)
       private val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))
       private var row: InternalRow = _

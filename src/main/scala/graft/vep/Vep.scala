@@ -360,7 +360,15 @@ object Vep {
       // deduplicating spans. LEFT semantics restored by an anti-join
       // union (unmatched VCF rows keep NULL cache columns).
       val bw = 64L
-      val vb = v
+      // internal per-row id for the LEFT-restore anti-join: the
+      // caller's `id` column may be duplicated or null (round-2/3
+      // ADVICE — duplicate ids dropped unmatched twins), so key the
+      // restore on a synthesized id. Both branches of the DAG
+      // re-evaluate this projection; the ids agree because it sits
+      // directly above the deterministic source with no shuffle (and
+      // so no AQE re-coalesce) below the id assignment.
+      val vr = v.withColumn("_rowid", monotonically_increasing_id())
+      val vb = vr
         .withColumn("_lo", col("_norm_start") - extendedWindow)
         .withColumn("_hi", col("_norm_end") + extendedWindow)
         .withColumn("_bkt", explode(sequence(
@@ -372,9 +380,9 @@ object Vep {
           col("_c_start") <= col("_hi") && col("_c_end") >= col("_lo") &&
           floor(greatest(col("_lo"), col("_c_start")) / bw).cast("long") === col("_bkt") &&
           matcher(vb("ref"), vb("alt"), col("_c_allele_string")))
-      val unmatched = v
-        .join(matched.select(vb("id").as("_mid")).distinct(),
-          v("id") === col("_mid"), "left_anti")
+      val unmatched = vr
+        .join(matched.select(vb("_rowid").as("_mid")).distinct(),
+          col("_rowid") === col("_mid"), "left_anti")
       val nulls = outCols.foldLeft(unmatched) { (df, n) =>
         df.withColumn(s"_c_out_$n", lit(null).cast(c.schema(s"_c_out_$n").dataType))
       }

@@ -180,4 +180,25 @@ class PileupVepSuite extends SparkSpec {
     assert(got(1).getString(5) == "rs2")
     assert(got(2).isNullAt(5)) // allele_string A/G does not match A>C
   }
+
+  test("lookupVariants extendedWindow keeps unmatched duplicate-id rows") {
+    // two rows share id=7; only the chr1 one matches the widened cache
+    // window — the LEFT-restore must still emit the chr2 twin with NULL
+    // cache columns (round-2/3 ADVICE: the restore was keyed on the
+    // caller's id and dropped it)
+    val vcf = Seq(
+      ("chr1", 100L, Some(7L), "A", "G"),
+      ("chr2", 100L, Some(7L), "A", "G"),
+      ("chr1", 500L, Option.empty[Long], "A", "G"),
+    ).toDF("chrom", "start", "id", "ref", "alt")
+    val cache = Seq(
+      ("chr1", 105L, 105L, "rs1", "A/G", 0.5),
+    ).toDF("chrom", "start", "end", "variation_name", "allele_string", "af")
+    val got = Vep.lookupVariants(vcf, cache, extendedWindow = 10L)
+      .orderBy("chrom", "start").collect()
+    assert(got.length == 3)
+    assert(got(0).getString(5) == "rs1")  // chr1:100 matched in-window
+    assert(got(1).isNullAt(5))            // chr1:500 null id, no match
+    assert(got(2).isNullAt(5))            // chr2:100 duplicate id, no match
+  }
 }

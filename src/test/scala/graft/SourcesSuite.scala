@@ -61,4 +61,26 @@ class SourcesSuite extends SparkSpec {
     assert(scan.contains("chrom=chr0") || scan.contains("EqualTo(chrom,chr0)"),
       s"pushdown not visible in plan:\n$scan")
   }
+
+  test("two conflicting chrom equalities return zero rows") {
+    // only ONE chrom equality may be claimed as pushed; the second must
+    // survive as a residual filter Spark re-applies, or this query
+    // wrongly returns the chr0 rows (round-2/3 ADVICE)
+    val path = "/tmp/graft_test_vcf_dsv2"
+    writeVcf(path)
+    val df = spark.read.format("graft.sources.VcfDataSource")
+      .option("path", path).load()
+      .where($"chrom" === "chr0" && $"chrom" === "chr1")
+    assert(df.count() == 0)
+
+    // contract-level check (the optimizer can fold the conflicting
+    // conjunction before pushdown): of N chrom equalities exactly one
+    // is claimed pushed, the rest come back as residual
+    import org.apache.spark.sql.sources.EqualTo
+    val builder = new graft.sources.VcfScanBuilder(path)
+    val residual = builder.pushFilters(
+      Array(EqualTo("chrom", "chr0"), EqualTo("chrom", "chr1")))
+    assert(builder.pushedFilters().toSeq == Seq(EqualTo("chrom", "chr0")))
+    assert(residual.toSeq == Seq(EqualTo("chrom", "chr1")))
+  }
 }

@@ -71,4 +71,93 @@ class SpliceSuite extends SparkSpec {
     val m = annotate(505)
     assert(m("T+")._4 == Some(52L))
   }
+
+  // ---- splice-window boundaries (Splice.spliceTerms) ----
+  // Intron 1 of both transcripts spans [200, 299]. '+' strand reads
+  // donor at the intron start, acceptor at the end; '-' mirrors.
+
+  private def spliceAt(pos: Long, ref: String = "A", alt: String = "G") =
+    Splice.spliceTerms(vcf(pos, ref, alt), transcripts, exons)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+
+  test("splice windows: donor/acceptor SNV at intron start, per strand") {
+    val m = spliceAt(200)
+    assert(m("T+") == Set("splice_donor_variant"))
+    assert(m("T-") == Set("splice_acceptor_variant"))
+  }
+
+  test("splice windows: 5th base / donor region / PPT at is+4") {
+    val m = spliceAt(204)
+    assert(m("T+") == Set("splice_donor_5th_base_variant",
+      "splice_donor_region_variant", "splice_region_variant"))
+    // '-' strand: 204 sits in the acceptor-side polypyrimidine tract
+    // [is+2, is+16] and the strand-independent splice region [is+2, is+7]
+    assert(m("T-") == Set("splice_polypyrimidine_tract_variant",
+      "splice_region_variant"))
+  }
+
+  test("splice windows: exonic splice region at the last exon base") {
+    val m = spliceAt(199)
+    assert(m("T+") == Set("splice_region_variant"))
+    assert(m("T-") == Set("splice_region_variant"))
+  }
+
+  test("splice windows: insertion-point model at P = is+1") {
+    // VCF A>AG at 200 is a VEP insertion with insertion point P = 201
+    val m = spliceAt(200, "A", "AG")
+    assert(m("T+") == Set("splice_donor_variant"))
+    assert(m("T-") == Set("splice_acceptor_variant"))
+  }
+
+  test("splice windows: deletion reaching the acceptor dinucleotide") {
+    // VCF AC>A at 297 deletes genomic base 298 = acceptor window [298,299]
+    val m = spliceAt(297, "AC", "A")
+    assert(m("T+") == Set("splice_acceptor_variant"))
+  }
+
+  // ---- dup-vs-ins detection (Splice.indelHgvs) ----
+
+  private def indel(pos: Long, ref: String, alt: String) =
+    Splice.indelHgvs(
+      Seq(("c1", pos, pos, 1L, ref, alt)).toDF("chrom", "start", "end", "id", "ref", "alt"),
+      transcripts, exons)
+      .collect().map(r => r.getString(1) -> (r.getString(2), r.getString(4))).toMap
+
+  test("indel kinds: insertion equal to its 5' context is a dup") {
+    import graft.vep.CodonLogic.baseAt
+    // p chosen so the derived genome breaks the repeat right after the
+    // insertion point: baseAt(p) != baseAt(p+1) -> no 3'-shift, and an
+    // inserted allele equal to baseAt(p) duplicates its 5' context
+    val p = (150L to 190L).find(q => baseAt("c1", q) != baseAt("c1", q + 1)).get
+    val x = baseAt("c1", p).toString
+    val m = indel(p, "A", "A" + x)
+    assert(m("T+")._1 == "dup", s"expected dup at $p ins $x: $m")
+    assert(m("T+")._2.endsWith("dup") && !m("T+")._2.contains("ins"))
+  }
+
+  test("indel kinds: insertion not matching its context stays ins") {
+    import graft.vep.CodonLogic.baseAt
+    val p = (150L to 190L).find(q => baseAt("c1", q) != baseAt("c1", q + 1)).get
+    // allele differing from both flanking bases: no shift, no dup
+    val x = "ACGT".find(c => c != baseAt("c1", p) && c != baseAt("c1", p + 1)).get.toString
+    val m = indel(p, "A", "A" + x)
+    assert(m("T+")._1 == "ins", s"expected ins at $p ins $x: $m")
+    assert(m("T+")._2.contains("ins" + x) || m("T+")._2.contains("ins"))
+  }
+
+  test("indel kinds: 3'-shift carries the dup context with it") {
+    import graft.vep.CodonLogic.baseAt
+    // insertion point repeats the allele once then breaks: the allele
+    // shifts right one base and the dup check reads the SHIFTED context
+    val pOpt = (150L to 190L).find { q =>
+      baseAt("c1", q + 1) == baseAt("c1", q) && baseAt("c1", q + 2) != baseAt("c1", q)
+    }
+    assume(pOpt.nonEmpty)
+    val p = pOpt.get
+    val x = baseAt("c1", p).toString // == baseAt(p+1)
+    val m = indel(p, "A", "A" + x)
+    // after shifting past the repeat at p+1, 5' context = baseAt(p+1) = x
+    assert(m("T+")._1 == "dup", s"expected shifted dup at $p ins $x: $m")
+  }
 }
