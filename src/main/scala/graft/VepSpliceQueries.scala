@@ -63,6 +63,12 @@ object VepSpliceQueries {
     // splice window fires on both strands in both coordinate models
     "f11_splice_probes" -> ((s, d) =>
       Splice.spliceTerms(Tables.spliceProbes(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
+    // The integrated end-to-end operator (annotate_table_function.rs
+    // role): lookup + cDNA/codon + indel + splice (fused into CSQ and
+    // most_severe ranking) + up/downstream + SIFT + MAX_AF in one call.
+    "f11_annotate_e2e" -> ((s, d) =>
+      graft.vep.Annotate.annotate(Tables.vcf(s, d), Tables.vepCache(s, d),
+        Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d))),
     // MAX_AF assembly (stage 6, annotate_provider.rs:795-1000 role):
     // population AFs derived from the matched cache row, max + argmax.
     "f11_maxaf" -> ((s, d) => {
@@ -478,7 +484,135 @@ object VepSpliceQueries {
        |  ELSE 'eas' END AS max_af_pop
        |FROM x ORDER BY id""".stripMargin.replace("\n", " ")
 
+  /** End-to-end oracle: composes the layer oracles (cDNA, spliced
+    * codon, indel HGVS, splice terms — each a nested subquery with its
+    * own WITH scope) plus DuckDB mirrors of the Annotate-only logic:
+    * indel region terms, up/downstream candidates, NMD/non-coding
+    * companions, '&'-fusion in SO severity order (the shared
+    * Annotate.termStrSql/bestRankSql fragments), lookup + MAX_AF. */
+  private val annotateE2eSql: String = {
+    import graft.vep.{Annotate, CodonLogic, Vep}
+    val D = CodonLogic.DuckD
+    val nameCase = "CASE g.best " + Vep.soRank.map { case (n, r) => s"WHEN $r THEN '$n'" }
+      .mkString(" ") + " ELSE 'intergenic_variant' END"
+    val coding = "biotype IN ('protein_coding', 'nonsense_mediated_decay')"
+    s"""WITH ${Oracle.transcripts}, ${Oracle.exons}, ${Oracle.vcf}, ${Oracle.vepCache}, ${Oracle.siftCtx},
+       |cdna AS (SELECT * FROM ($cdnaHgvsSql) q1),
+       |codon AS (SELECT id, transcript_id, consequence, protein_pos, aa_alt, hgvs_p
+       |  FROM ($splicedCodonSql) q2),
+       |csx AS (SELECT codon.id, codon.transcript_id, codon.consequence, codon.hgvs_p,
+       |   CASE WHEN s.sift_score IS NULL THEN NULL
+       |    WHEN s.sift_score < 0.05 THEN 'deleterious' ELSE 'tolerated' END AS sift_pred
+       |  FROM codon LEFT JOIN sift s ON codon.transcript_id = s.transcript_id
+       |   AND codon.protein_pos = s.protein_pos AND codon.aa_alt = s.aa),
+       |snv AS (SELECT cdna.id, cdna.transcript_id,
+       |   CASE WHEN cdna.region = 'intronic' THEN 'intron_variant'
+       |    WHEN strpos(cdna.hgvs_c, ':n.') > 0 AND t.biotype = 'miRNA'
+       |      AND v.start <= t.start + (t."end" - t.start) // 2
+       |      AND v.start >= t.start + (t."end" - t.start) // 3 THEN 'mature_miRNA_variant'
+       |    WHEN strpos(cdna.hgvs_c, ':n.') > 0 THEN 'non_coding_transcript_exon_variant'
+       |    WHEN strpos(cdna.hgvs_c, ':c.-') > 0 THEN '5_prime_UTR_variant'
+       |    WHEN strpos(cdna.hgvs_c, ':c.*') > 0 THEN '3_prime_UTR_variant'
+       |    ELSE COALESCE(csx.consequence, 'coding_sequence_variant') END AS term,
+       |   (t.biotype = 'nonsense_mediated_decay') AS nmd,
+       |   (cdna.region = 'intronic' AND strpos(cdna.hgvs_c, ':n.') > 0) AS nc,
+       |   cdna.cdna_pos, cdna.cds_pos, cdna.protein_pos, cdna.hgvs_c, csx.hgvs_p, csx.sift_pred
+       |  FROM cdna LEFT JOIN csx ON cdna.id = csx.id AND cdna.transcript_id = csx.transcript_id
+       |   JOIN t ON cdna.transcript_id = t.transcript_id
+       |   JOIN v ON cdna.id = v.id),
+       |iv AS (SELECT * FROM v WHERE NOT (length(ref) = 1 AND length(alt) = 1)),
+       |icand AS (SELECT iv.id, iv.start AS vs, iv."end" AS ve,
+       |   CAST(length(iv.alt) - length(iv.ref) AS BIGINT) AS ld,
+       |   t.transcript_id AS tid, t.strand, t.biotype, t.cds_start AS tcs, t.cds_end AS tce,
+       |   t.start AS ts, t."end" AS te
+       |  FROM iv JOIN t ON iv.chrom = t.chrom AND t.start <= iv."end" AND t."end" >= iv.start),
+       |igeo AS (SELECT id, vs, ve, ld, tid, strand, biotype, tcs, tce, ts, te,
+       |   MAX(CASE WHEN vs <= e."end" AND ve >= e.start THEN 1 ELSE 0 END) AS inex
+       |  FROM icand JOIN ex e ON icand.tid = e.transcript_id
+       |  GROUP BY id, vs, ve, ld, tid, strand, biotype, tcs, tce, ts, te),
+       |iterm AS (SELECT id, tid AS transcript_id,
+       |   CASE WHEN inex = 1 AND $coding AND vs >= tcs AND ve <= tce AND ld % 3 <> 0
+       |     THEN 'frameshift_variant'
+       |    WHEN inex = 1 AND $coding AND vs >= tcs AND ve <= tce AND ld > 0
+       |     THEN 'inframe_insertion'
+       |    WHEN inex = 1 AND $coding AND vs >= tcs AND ve <= tce AND ld < 0
+       |     THEN 'inframe_deletion'
+       |    WHEN inex = 1 AND $coding AND vs >= tcs AND ve <= tce
+       |     THEN 'protein_altering_variant'
+       |    WHEN inex = 1 AND $coding AND ve < tcs THEN
+       |     (CASE WHEN strand = 1 THEN '5_prime_UTR_variant' ELSE '3_prime_UTR_variant' END)
+       |    WHEN inex = 1 AND $coding AND vs > tce THEN
+       |     (CASE WHEN strand = 1 THEN '3_prime_UTR_variant' ELSE '5_prime_UTR_variant' END)
+       |    WHEN inex = 1 AND $coding THEN 'coding_sequence_variant'
+       |    WHEN inex = 1 AND biotype = 'miRNA'
+       |      AND vs <= ts + (te - ts) // 2 AND ve >= ts + (te - ts) // 3
+       |     THEN 'mature_miRNA_variant'
+       |    WHEN inex = 1 THEN 'non_coding_transcript_exon_variant'
+       |    ELSE 'intron_variant' END AS term,
+       |   (biotype = 'nonsense_mediated_decay') AS nmd,
+       |   (NOT $coding AND inex = 0) AS nc
+       |  FROM igeo),
+       |ihx AS (SELECT id, transcript_id, cdna_pos, hgvs_c
+       |  FROM (${indelHgvsSqlFor(Oracle.vcf, "v")}) q3),
+       |ind AS (SELECT iterm.id, iterm.transcript_id, iterm.term, iterm.nmd, iterm.nc,
+       |   ihx.cdna_pos, CAST(NULL AS BIGINT) AS cds_pos, CAST(NULL AS BIGINT) AS protein_pos,
+       |   ihx.hgvs_c, CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred
+       |  FROM iterm LEFT JOIN ihx ON iterm.id = ihx.id
+       |   AND iterm.transcript_id = ihx.transcript_id),
+       |bse AS (SELECT * FROM snv UNION ALL SELECT * FROM ind),
+       |sp AS (SELECT id, transcript_id, list(DISTINCT consequence) AS sterms
+       |  FROM (${spliceTermsSql(Oracle.vcf, "v")}) q4 GROUP BY id, transcript_id),
+       |fused AS (SELECT COALESCE(b.id, s.id) AS id,
+       |   COALESCE(b.transcript_id, s.transcript_id) AS transcript_id,
+       |   list_concat(list_filter([b.term,
+       |     CASE WHEN b.nmd THEN 'NMD_transcript_variant' END,
+       |     CASE WHEN b.nc THEN 'non_coding_transcript_variant' END], x -> x IS NOT NULL),
+       |    COALESCE(s.sterms, CAST([] AS VARCHAR[]))) AS terms,
+       |   b.cdna_pos, b.cds_pos, b.protein_pos, b.hgvs_c, b.hgvs_p, b.sift_pred
+       |  FROM bse b FULL OUTER JOIN sp s
+       |   ON b.id = s.id AND b.transcript_id = s.transcript_id),
+       |ud AS (SELECT v.id, t.transcript_id,
+       |   [CASE WHEN (t.strand = 1 AND v."end" < t.start) OR (t.strand = -1 AND v.start > t."end")
+       |     THEN 'upstream_gene_variant' ELSE 'downstream_gene_variant' END] AS terms,
+       |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
+       |   CAST(NULL AS BIGINT) AS protein_pos, CAST(NULL AS VARCHAR) AS hgvs_c,
+       |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred
+       |  FROM v JOIN t ON v.chrom = t.chrom
+       |   AND t.start - 5000 <= v."end" AND t."end" + 5000 >= v.start
+       |   AND NOT (v.start <= t."end" AND v."end" >= t.start)),
+       |allent AS (SELECT * FROM fused UNION ALL SELECT * FROM ud),
+       |rend AS (SELECT id, transcript_id, cdna_pos, cds_pos, protein_pos,
+       |   hgvs_c, hgvs_p, sift_pred,
+       |   ${Annotate.termStrSql(D, "terms")} AS termstr,
+       |   ${Annotate.bestRankSql(D, "terms")} AS best FROM allent),
+       |ent AS (SELECT id, best, concat(transcript_id, '|', termstr, '|',
+       |   COALESCE(CAST(cdna_pos AS VARCHAR), ''), '|',
+       |   COALESCE(CAST(cds_pos AS VARCHAR), ''), '|',
+       |   COALESCE(CAST(protein_pos AS VARCHAR), ''), '|',
+       |   COALESCE(hgvs_c, ''), '|', COALESCE(hgvs_p, ''), '|',
+       |   COALESCE(sift_pred, '')) AS entry FROM rend),
+       |grp AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts, MIN(best) AS best,
+       |   string_agg(entry, ',' ORDER BY entry) AS csq FROM ent GROUP BY id),
+       |lk AS (SELECT v.id, c.variation_name, c.af,
+       |   CASE WHEN c.variation_name IS NULL THEN NULL ELSE GREATEST(c.af,
+       |    CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 131 % 1000 AS DOUBLE) / 1000.0,
+       |    CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 257 % 1000 AS DOUBLE) / 1000.0,
+       |    CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 389 % 1000 AS DOUBLE) / 1000.0)
+       |   END AS max_af
+       |  FROM v LEFT JOIN c ON v.chrom = c.chrom
+       |   AND v.norm_start = c.start AND v.norm_end = c."end"
+       |   AND (split_part(c.allele_string, '/', 1) = v.vep_ref
+       |        OR split_part(c.allele_string, '/', 1) = v.ref)
+       |   AND split_part(c.allele_string, '/', 2) = v.vep_alt)
+       |SELECT lk.id, lk.variation_name, lk.af, lk.max_af,
+       | $nameCase AS most_severe_consequence,
+       | COALESCE(g.n_transcripts, CAST(0 AS BIGINT)) AS n_transcripts,
+       | COALESCE(g.csq, '') AS csq
+       |FROM lk LEFT JOIN grp g ON lk.id = g.id ORDER BY lk.id""".stripMargin.replace("\n", " ")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "f11_annotate_e2e" -> annotateE2eSql,
     "f11_cdna_hgvs" -> cdnaHgvsSql,
     "f11_spliced_codon" -> splicedCodonSql,
     "f11_shift3" -> shift3Sql,

@@ -101,7 +101,7 @@ object Splice {
     * cDNA index, exon membership, intron anchors, coding bounds.
     * Columns: _vid _tid _strand _bt _vref _valt _vp _vc _in_exon
     * _cdna _prev_ee _next_es _ccs _cce. */
-  private def snvTranscriptAgg(
+  private[vep] def snvTranscriptAgg(
       vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
     val v = vcf.where(length(col("ref")) === 1 && length(col("alt")) === 1)
       .select(col("chrom").as("_vc"), col("start").cast("long").as("_vp"),
@@ -143,7 +143,7 @@ object Splice {
     * [[csqAssemble]] share ONE cached aggregate between the cDNA and
     * codon layers instead of running the candidate join + exon
     * aggregation twice. */
-  private def cdnaAnnotateFrom(agg: DataFrame): DataFrame = {
+  private[vep] def cdnaAnnotateFrom(agg: DataFrame): DataFrame = {
     val p = col("_vp")
     val strandP = col("_strand") === 1
     val dPlus = when(strandP, p - col("_prev_ee")).otherwise(col("_next_es") - p)
@@ -246,7 +246,7 @@ object Splice {
     splicedCodonFrom(snvTranscriptAgg(vcf, transcripts, exons), transcripts, exons)
 
   /** [[splicedCodon]] body over a prebuilt [[snvTranscriptAgg]]. */
-  private def splicedCodonFrom(
+  private[vep] def splicedCodonFrom(
       agg: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
     val codingAll = agg.where(col("_in_exon") === 1 && isCodingBt(col("_bt")) &&
       col("_cdna") >= col("_ccs") && col("_cdna") <= col("_cce"))
