@@ -195,6 +195,32 @@ object Tables {
              ${graft.vep.CodonLogic.seq(graft.vep.CodonLogic.SparkD, "chrom", "start")})
            ELSE 'C' END AS alt""")
 
+  /** Protein-HGVS probe variants: per transcript, at CDS offsets
+    * chosen per strand so alignment is BY CONSTRUCTION —
+    * kind 0: codon-aligned 3-base deletion (protein del form),
+    * kind 1: codon-boundary 3-base insertion (protein ins form; when
+    *   the derived context happens to equal the allele it reclassifies
+    *   as an aligned dup — also a covered form),
+    * kind 2: 2-base deletion (frameshift fsTer),
+    * kind 3: 1-base insertion (3'-shifted frameshift; ext/Ter branches
+    *   fire whenever the derived reference residue is a stop). */
+  def hgvspProbes(spark: SparkSession, dir: String): DataFrame =
+    transcripts(spark, dir).selectExpr(
+        "chrom", "strand", "cds_start AS cs", "cds_end AS ce",
+        "CAST(substring(transcript_id, 2) AS BIGINT) AS sk")
+      .selectExpr("chrom", "strand", "cs", "ce", "sk", "explode(sequence(0, 3)) AS kind")
+      .selectExpr("chrom", "sk", "kind",
+        """CAST(CASE
+           WHEN kind = 0 THEN (CASE WHEN strand = 1 THEN cs + 8 ELSE ce - 12 END)
+           WHEN kind = 1 THEN (CASE WHEN strand = 1 THEN cs + 8 ELSE ce - 9 END)
+           WHEN kind = 2 THEN (CASE WHEN strand = 1 THEN cs + 20 ELSE ce - 26 END)
+           ELSE (CASE WHEN strand = 1 THEN cs + 20 ELSE ce - 24 END) END AS BIGINT) AS start""")
+      .selectExpr("chrom", "start",
+        "CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 ELSE 0 END AS BIGINT) AS `end`",
+        "CAST(sk * 10 + kind AS BIGINT) AS id",
+        "CASE WHEN kind = 0 THEN 'ACGT' WHEN kind = 2 THEN 'ACG' ELSE 'A' END AS ref",
+        "CASE WHEN kind = 1 THEN 'ACGT' WHEN kind = 3 THEN 'AC' ELSE 'A' END AS alt")
+
   /** Derived regulatory-feature context (partitioned_cache.rs:24-31
     * `regulatory` table role): one feature per 20th customer row,
     * type cycling promoter/enhancer/CTCF_binding_site. */
@@ -383,6 +409,32 @@ object Oracle {
        | CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'benign' WHEN 1 THEN 'pathogenic'
        |  WHEN 2 THEN 'uncertain' ELSE NULL END AS clin_sig
        | FROM part WHERE p_partkey % 4 < 2)""".stripMargin.replace("\n", " ")
+
+  /** DuckDB mirror of [[Tables.hgvspProbes]] (requires `t` in scope),
+    * VEP-normalized columns precomputed per kind: 'ACGT'>'A' trims to
+    * CGT/- at [p+1, p+3]; 'A'>'ACGT' to -/CGT at (p+1, p);
+    * 'ACG'>'A' to CG/- at [p+1, p+2]; 'A'>'AC' to -/C at (p+1, p). */
+  val hgvspProbes: String =
+    """hp0 AS (SELECT t.chrom, t.strand, t.cds_start AS cs, t.cds_end AS ce,
+      | CAST(substr(transcript_id, 2) AS BIGINT) AS sk, kind
+      | FROM t, UNNEST(generate_series(0, 3)) AS g(kind)),
+      |hp1 AS (SELECT chrom, sk, kind,
+      | CAST(CASE
+      |  WHEN kind = 0 THEN (CASE WHEN strand = 1 THEN cs + 8 ELSE ce - 12 END)
+      |  WHEN kind = 1 THEN (CASE WHEN strand = 1 THEN cs + 8 ELSE ce - 9 END)
+      |  WHEN kind = 2 THEN (CASE WHEN strand = 1 THEN cs + 20 ELSE ce - 26 END)
+      |  ELSE (CASE WHEN strand = 1 THEN cs + 20 ELSE ce - 24 END) END AS BIGINT) AS start
+      | FROM hp0),
+      |hp AS (SELECT chrom, start,
+      | CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 ELSE 0 END AS BIGINT) AS "end",
+      | CAST(sk * 10 + kind AS BIGINT) AS id,
+      | CASE WHEN kind = 0 THEN 'ACGT' WHEN kind = 2 THEN 'ACG' ELSE 'A' END AS ref,
+      | CASE WHEN kind = 1 THEN 'ACGT' WHEN kind = 3 THEN 'AC' ELSE 'A' END AS alt,
+      | CAST(start + 1 AS BIGINT) AS norm_start,
+      | CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 ELSE 0 END AS BIGINT) AS norm_end,
+      | CASE WHEN kind = 0 THEN 'CGT' WHEN kind = 2 THEN 'CG' ELSE '-' END AS vep_ref,
+      | CASE WHEN kind = 1 THEN 'CGT' WHEN kind = 3 THEN 'C' ELSE '-' END AS vep_alt
+      | FROM hp1)""".stripMargin.replace("\n", " ")
 
   /** DuckDB mirror of [[Tables.regulatory]]. */
   val regulatory: String =

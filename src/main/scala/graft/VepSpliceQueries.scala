@@ -69,6 +69,12 @@ object VepSpliceQueries {
     "f11_annotate_e2e" -> ((s, d) =>
       graft.vep.Annotate.annotate(Tables.vcf(s, d), Tables.vepCache(s, d),
         Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d))),
+    // Protein-level indel HGVS (hgvs.rs protein arm): frameshift
+    // fsTer{N}, stop-extension extTer{N}, and codon-aligned protein
+    // del/ins/dup over the dedicated alignment probe fixture, both
+    // strands by construction.
+    "f11_hgvsp_indel" -> ((s, d) =>
+      graft.vep.Hgvsp.hgvspIndel(Tables.hgvspProbes(s, d), Tables.transcripts(s, d))),
     // MAX_AF assembly (stage 6, annotate_provider.rs:795-1000 role):
     // population AFs derived from the matched cache row, max + argmax.
     "f11_maxaf" -> ((s, d) => {
@@ -611,8 +617,15 @@ object VepSpliceQueries {
        |FROM lk LEFT JOIN grp g ON lk.id = g.id ORDER BY lk.id""".stripMargin.replace("\n", " ")
   }
 
+  private val hgvspIndelSql: String = {
+    // Hgvsp.oracleSql opens with its own WITH for the variant view;
+    // prepend the transcript CTE it requires via the variantCte slot.
+    graft.vep.Hgvsp.oracleSql(s"${Oracle.transcripts}, ${Oracle.hgvspProbes}", "hp")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "f11_annotate_e2e" -> annotateE2eSql,
+    "f11_hgvsp_indel" -> hgvspIndelSql,
     "f11_cdna_hgvs" -> cdnaHgvsSql,
     "f11_spliced_codon" -> splicedCodonSql,
     "f11_shift3" -> shift3Sql,

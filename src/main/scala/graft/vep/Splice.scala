@@ -358,7 +358,7 @@ object Splice {
     * whole variant side into one-task scan stages (f11_indel_hgvs 28 s
     * at sf0.1, grossly sublinear in rows). The UDF runs the identical
     * arithmetic at JVM speed with a plan a few hundred bytes wide. */
-  private def indelCoordsUdf(maxShift: Int) = udf {
+  private[vep] def indelCoordsUdf(maxShift: Int) = udf {
     (chrom: String, ref: String, alt: String, start: Long) =>
       val (vr, va) = Allele.vcfToVepAllele(ref, alt)
       val ns = Allele.vepNormStart(start, ref, alt)
