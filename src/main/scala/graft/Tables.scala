@@ -247,6 +247,32 @@ object Tables {
            CAST(protein_pos AS STRING), ':', aa)), 1, 2), 16, 10) AS INT) % 100 AS DOUBLE)
            / 100.0 AS sift_score""")
 
+  /** Derived PolyPhen score context (translation_polyphen role —
+    * partitioned_cache.rs lists SIFT and PolyPhen translation tables
+    * symmetrically): same shape as [[siftContext]] with a 'pp:' salt
+    * so the two score surfaces differ. */
+  def polyphenContext(spark: SparkSession, dir: String): DataFrame =
+    transcripts(spark, dir).selectExpr(
+        "transcript_id", "explode(sequence(1, 50)) AS protein_pos")
+      .selectExpr("transcript_id", "protein_pos",
+        "explode(split('A C D E F G H I K L M N P Q R S T V W Y *', ' ')) AS aa")
+      .selectExpr("transcript_id", "protein_pos", "aa",
+        """CAST(CAST(conv(substr(md5(concat('pp:', transcript_id, ':',
+           CAST(protein_pos AS STRING), ':', aa)), 1, 2), 16, 10) AS INT) % 100 AS DOUBLE)
+           / 100.0 AS polyphen_score""")
+
+  /** Derived transcription-factor motif context (partitioned_cache.rs
+    * `motif` table role): short features (9-20 bp), one per 15th
+    * customer row, TF name cycling. */
+  def motifs(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer").where("c_custkey % 15 = 0").selectExpr(
+      "concat('chr', CAST(c_custkey % 2 AS STRING)) AS chrom",
+      "CAST((c_custkey * 4691) % 100000 + 1 AS BIGINT) AS start",
+      "CAST((c_custkey * 4691) % 100000 + 1 + 8 + c_custkey % 12 AS BIGINT) AS `end`",
+      "concat('M', CAST(c_custkey AS STRING)) AS motif_id",
+      """CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'CTCF' WHEN 1 THEN 'GATA1'
+         WHEN 2 THEN 'TP53' ELSE 'MYC' END AS tf_name""")
+
   /** Alignment-reads view for pileup (FIXTURES.md §3 contract):
     * `(chrom, start, flags, cigar, mapping_quality)`. CIGAR is a real
     * string the Spark side parses; the oracle recomputes the aligned
@@ -457,6 +483,27 @@ object Oracle {
       |  FROM t, UNNEST(generate_series(1, 50)) AS u(protein_pos),
       |   UNNEST(string_split('A C D E F G H I K L M N P Q R S T V W Y *', ' ')) AS a(aa)))"""
       .stripMargin.replace("\n", " ")
+
+  /** DuckDB mirror of [[Tables.polyphenContext]] (requires `t`). */
+  val polyphenCtx: String =
+    """pp AS (SELECT transcript_id, protein_pos, aa,
+      | CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      |   + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 100 AS DOUBLE) / 100.0 AS polyphen_score
+      | FROM (SELECT transcript_id, u.protein_pos, a.aa,
+      |   md5(concat('pp:', transcript_id, ':', CAST(u.protein_pos AS VARCHAR), ':', a.aa)) AS h
+      |  FROM t, UNNEST(generate_series(1, 50)) AS u(protein_pos),
+      |   UNNEST(string_split('A C D E F G H I K L M N P Q R S T V W Y *', ' ')) AS a(aa)))"""
+      .stripMargin.replace("\n", " ")
+
+  /** DuckDB mirror of [[Tables.motifs]]. */
+  val motifs: String =
+    """mt AS (SELECT concat('chr', CAST(c_custkey % 2 AS VARCHAR)) AS chrom,
+      | CAST((c_custkey * 4691) % 100000 + 1 AS BIGINT) AS start,
+      | CAST((c_custkey * 4691) % 100000 + 1 + 8 + c_custkey % 12 AS BIGINT) AS "end",
+      | concat('M', CAST(c_custkey AS VARCHAR)) AS motif_id,
+      | CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'CTCF' WHEN 1 THEN 'GATA1'
+      |  WHEN 2 THEN 'TP53' ELSE 'MYC' END AS tf_name
+      | FROM customer WHERE c_custkey % 15 = 0)""".stripMargin.replace("\n", " ")
 
   /** Gaps-and-islands merged intervals of a table `t(contig,
     * pos_start, pos_end)` with reach `minDist`, weak convention —

@@ -69,6 +69,30 @@ object VepSpliceQueries {
     "f11_annotate_e2e" -> ((s, d) =>
       graft.vep.Annotate.annotate(Tables.vcf(s, d), Tables.vepCache(s, d),
         Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d))),
+    // PolyPhen lookup beside SIFT (partitioned_cache.rs carries both
+    // translation tables symmetrically); VEP's two-threshold
+    // prediction bands.
+    "f11_polyphen" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val codon = Splice.splicedCodon(
+        Tables.vcf(s, d), Tables.transcripts(s, d), Tables.exons(s, d))
+      val ctx = Tables.polyphenContext(s, d).select(
+        col("transcript_id").as("_p_tid"), col("protein_pos").as("_p_pp"),
+        col("aa"), col("polyphen_score"))
+      codon.join(broadcast(ctx),
+          codon("transcript_id") === col("_p_tid") &&
+          codon("protein_pos") === col("_p_pp") &&
+          codon("aa_alt") === col("aa"))
+        .select(codon("id"), codon("transcript_id"), codon("protein_pos"),
+          codon("aa_alt"), col("polyphen_score"),
+          when(col("polyphen_score") > 0.908, lit("probably_damaging"))
+            .when(col("polyphen_score") > 0.446, lit("possibly_damaging"))
+            .otherwise(lit("benign")).as("polyphen_prediction"))
+    }),
+    // TF motif context: TF_binding_site_variant emission with VEP's
+    // motif position / high-information fields.
+    "f11_motif" -> ((s, d) =>
+      graft.vep.Vep.annotateMotif(Tables.vcf(s, d), Tables.motifs(s, d))),
     // Protein-level indel HGVS (hgvs.rs protein arm): frameshift
     // fsTer{N}, stop-extension extTer{N}, and codon-aligned protein
     // del/ins/dup over the dedicated alignment probe fixture, both
@@ -617,6 +641,29 @@ object VepSpliceQueries {
        |FROM lk LEFT JOIN grp g ON lk.id = g.id ORDER BY lk.id""".stripMargin.replace("\n", " ")
   }
 
+  private val polyphenSql: String =
+    s"""WITH ${Oracle.transcripts}, ${Oracle.polyphenCtx},
+       |codon AS (SELECT id, transcript_id, protein_pos, aa_alt FROM ($splicedCodonSql) q)
+       |SELECT codon.id, codon.transcript_id, codon.protein_pos, codon.aa_alt,
+       | pp.polyphen_score,
+       | CASE WHEN pp.polyphen_score > 0.908 THEN 'probably_damaging'
+       |  WHEN pp.polyphen_score > 0.446 THEN 'possibly_damaging'
+       |  ELSE 'benign' END AS polyphen_prediction
+       |FROM codon JOIN pp ON codon.transcript_id = pp.transcript_id
+       | AND codon.protein_pos = pp.protein_pos AND codon.aa_alt = pp.aa
+       |ORDER BY codon.id, codon.transcript_id""".stripMargin.replace("\n", " ")
+
+  private val motifSql: String =
+    s"""WITH ${Oracle.vcf}, ${Oracle.motifs}
+       |SELECT v.id, mt.motif_id, mt.tf_name,
+       | GREATEST(v.start, mt.start) - mt.start + 1 AS motif_pos,
+       | CASE WHEN GREATEST(v.start, mt.start) - mt.start + 1 <= 3
+       |  THEN 'Y' ELSE 'N' END AS high_inf_pos,
+       | 'TF_binding_site_variant' AS consequence
+       |FROM v JOIN mt ON v.chrom = mt.chrom
+       | AND mt.start <= v."end" AND mt."end" >= v.start
+       |ORDER BY v.id, mt.motif_id""".stripMargin.replace("\n", " ")
+
   private val hgvspIndelSql: String = {
     // Hgvsp.oracleSql opens with its own WITH for the variant view;
     // prepend the transcript CTE it requires via the variantCte slot.
@@ -626,6 +673,8 @@ object VepSpliceQueries {
   val oracleSql: Map[String, String] = Map(
     "f11_annotate_e2e" -> annotateE2eSql,
     "f11_hgvsp_indel" -> hgvspIndelSql,
+    "f11_polyphen" -> polyphenSql,
+    "f11_motif" -> motifSql,
     "f11_cdna_hgvs" -> cdnaHgvsSql,
     "f11_spliced_codon" -> splicedCodonSql,
     "f11_shift3" -> shift3Sql,

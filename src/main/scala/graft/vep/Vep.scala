@@ -126,6 +126,30 @@ object Vep {
         lit("regulatory_region_variant").as("consequence"))
   }
 
+  /** TF-motif overlap annotation (the `motif` context table of
+    * partitioned_cache.rs:24-31; TF_binding_site_variant at SO rank
+    * 35). Same probe shape as [[annotateRegulatory]] — motifs build
+    * the broadcast index, variants probe. Adds the VEP-style motif
+    * fields: MOTIF_POS (1-based offset of the variant within the
+    * motif, clamped at the motif start) and HIGH_INF_POS ('Y' when the
+    * variant hits the first three bases — the stand-in for the
+    * position-weight-matrix high-information flag the real cache
+    * carries). */
+  def annotateMotif(vcf: DataFrame, motifs: DataFrame): DataFrame = {
+    graft.plans.Graft.enable(vcf.sparkSession)
+    val v = vcf.select(col("chrom").as("_mvc"), col("start").cast("long").as("_mvs"),
+      col("end").cast("long").as("_mve"), col("id"))
+    val m = motifs.select(col("chrom").as("_mc"), col("start").cast("long").as("_ms"),
+      col("end").cast("long").as("_me"), col("motif_id"), col("tf_name"))
+    val motifPos = greatest(col("_mvs"), col("_ms")) - col("_ms") + 1
+    m.join(v,
+        col("_mc") === col("_mvc") && col("_ms") <= col("_mve") && col("_me") >= col("_mvs"))
+      .select(col("id"), col("motif_id"), col("tf_name"),
+        motifPos.as("motif_pos"),
+        when(motifPos <= 3, lit("Y")).otherwise(lit("N")).as("high_inf_pos"),
+        lit("TF_binding_site_variant").as("consequence"))
+  }
+
   /** Cache-miss worklist (miss_worklist.rs:8-31): variants the
     * known-variant lookup did NOT match, coalesced into per-chrom
     * intervals whenever misses sit within `gap` of each other — a
