@@ -69,6 +69,11 @@ object VepSpliceQueries {
     "f11_annotate_e2e" -> ((s, d) =>
       graft.vep.Annotate.annotate(Tables.vcf(s, d), Tables.vepCache(s, d),
         Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d))),
+    // Typed per-transcript List<T> output columns beside the CSQ
+    // string (annotate_provider.rs:2282-2296, arrow_roundtrip_golden).
+    "f11_typed_columns" -> ((s, d) =>
+      graft.vep.Annotate.annotateTyped(Tables.vcf(s, d), Tables.vepCache(s, d),
+        Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d))),
     // PolyPhen lookup beside SIFT (partitioned_cache.rs carries both
     // translation tables symmetrically); VEP's two-threshold
     // prediction bands.
@@ -520,11 +525,12 @@ object VepSpliceQueries {
     * indel region terms, up/downstream candidates, NMD/non-coding
     * companions, '&'-fusion in SO severity order (the shared
     * Annotate.termStrSql/bestRankSql fragments), lookup + MAX_AF. */
-  private val annotateE2eSql: String = {
-    import graft.vep.{Annotate, CodonLogic, Vep}
+  /** Shared CTE chain of the e2e oracles — everything through the
+    * per-entry rendering (`ent`) and the lookup (`lk`); the two gated
+    * queries differ only in the per-variant aggregation tail. */
+  private lazy val e2eCtes: String = {
+    import graft.vep.{Annotate, CodonLogic}
     val D = CodonLogic.DuckD
-    val nameCase = "CASE g.best " + Vep.soRank.map { case (n, r) => s"WHEN $r THEN '$n'" }
-      .mkString(" ") + " ELSE 'intergenic_variant' END"
     val coding = "biotype IN ('protein_coding', 'nonsense_mediated_decay')"
     s"""WITH ${Oracle.transcripts}, ${Oracle.exons}, ${Oracle.vcf}, ${Oracle.vepCache}, ${Oracle.siftCtx},
        |cdna AS (SELECT * FROM ($cdnaHgvsSql) q1),
@@ -615,14 +621,13 @@ object VepSpliceQueries {
        |   hgvs_c, hgvs_p, sift_pred,
        |   ${Annotate.termStrSql(D, "terms")} AS termstr,
        |   ${Annotate.bestRankSql(D, "terms")} AS best FROM allent),
-       |ent AS (SELECT id, best, concat(transcript_id, '|', termstr, '|',
+       |ent AS (SELECT id, best, transcript_id, termstr, hgvs_c, hgvs_p, sift_pred,
+       |   concat(transcript_id, '|', termstr, '|',
        |   COALESCE(CAST(cdna_pos AS VARCHAR), ''), '|',
        |   COALESCE(CAST(cds_pos AS VARCHAR), ''), '|',
        |   COALESCE(CAST(protein_pos AS VARCHAR), ''), '|',
        |   COALESCE(hgvs_c, ''), '|', COALESCE(hgvs_p, ''), '|',
        |   COALESCE(sift_pred, '')) AS entry FROM rend),
-       |grp AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts, MIN(best) AS best,
-       |   string_agg(entry, ',' ORDER BY entry) AS csq FROM ent GROUP BY id),
        |lk AS (SELECT v.id, c.variation_name, c.af,
        |   CASE WHEN c.variation_name IS NULL THEN NULL ELSE GREATEST(c.af,
        |    CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 131 % 1000 AS DOUBLE) / 1000.0,
@@ -633,13 +638,46 @@ object VepSpliceQueries {
        |   AND v.norm_start = c.start AND v.norm_end = c."end"
        |   AND (split_part(c.allele_string, '/', 1) = v.vep_ref
        |        OR split_part(c.allele_string, '/', 1) = v.ref)
-       |   AND split_part(c.allele_string, '/', 2) = v.vep_alt)
+       |   AND split_part(c.allele_string, '/', 2) = v.vep_alt)""".stripMargin.replace("\n", " ")
+  }
+
+  private def e2eNameCase: String = {
+    import graft.vep.Vep
+    "CASE g.best " + Vep.soRank.map { case (n, r) => s"WHEN $r THEN '$n'" }
+      .mkString(" ") + " ELSE 'intergenic_variant' END"
+  }
+
+  private val annotateE2eSql: String =
+    s"""$e2eCtes,
+       |grp AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts, MIN(best) AS best,
+       |   string_agg(entry, ',' ORDER BY entry) AS csq FROM ent GROUP BY id)
        |SELECT lk.id, lk.variation_name, lk.af, lk.max_af,
-       | $nameCase AS most_severe_consequence,
+       | $e2eNameCase AS most_severe_consequence,
        | COALESCE(g.n_transcripts, CAST(0 AS BIGINT)) AS n_transcripts,
        | COALESCE(g.csq, '') AS csq
        |FROM lk LEFT JOIN grp g ON lk.id = g.id ORDER BY lk.id""".stripMargin.replace("\n", " ")
-  }
+
+  /** Typed List<T> columns variant of the e2e oracle: parallel arrays
+    * in the entry-string sort order (list(... ORDER BY entry) mirrors
+    * Spark's struct-sorted collect). */
+  private val typedColumnsSql: String =
+    s"""$e2eCtes,
+       |grp AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts, MIN(best) AS best,
+       |   list(transcript_id ORDER BY entry) AS transcript_ids,
+       |   list(termstr ORDER BY entry) AS consequences,
+       |   list(COALESCE(hgvs_c, '') ORDER BY entry) AS hgvs_c,
+       |   list(COALESCE(hgvs_p, '') ORDER BY entry) AS hgvs_p,
+       |   list(COALESCE(sift_pred, '') ORDER BY entry) AS sift
+       |  FROM ent GROUP BY id)
+       |SELECT lk.id, lk.variation_name, lk.af, lk.max_af,
+       | $e2eNameCase AS most_severe_consequence,
+       | COALESCE(g.n_transcripts, CAST(0 AS BIGINT)) AS n_transcripts,
+       | COALESCE(g.transcript_ids, CAST([] AS VARCHAR[])) AS transcript_ids,
+       | COALESCE(g.consequences, CAST([] AS VARCHAR[])) AS consequences,
+       | COALESCE(g.hgvs_c, CAST([] AS VARCHAR[])) AS hgvs_c,
+       | COALESCE(g.hgvs_p, CAST([] AS VARCHAR[])) AS hgvs_p,
+       | COALESCE(g.sift, CAST([] AS VARCHAR[])) AS sift
+       |FROM lk LEFT JOIN grp g ON lk.id = g.id ORDER BY lk.id""".stripMargin.replace("\n", " ")
 
   private val polyphenSql: String =
     s"""WITH ${Oracle.transcripts}, ${Oracle.polyphenCtx},
@@ -672,6 +710,7 @@ object VepSpliceQueries {
 
   val oracleSql: Map[String, String] = Map(
     "f11_annotate_e2e" -> annotateE2eSql,
+    "f11_typed_columns" -> typedColumnsSql,
     "f11_hgvsp_indel" -> hgvspIndelSql,
     "f11_polyphen" -> polyphenSql,
     "f11_motif" -> motifSql,

@@ -78,6 +78,80 @@ object Annotate {
       vcf: DataFrame, cache: DataFrame, transcripts: DataFrame,
       exons: DataFrame, sift: DataFrame,
       upstreamDistance: Long = 5000L): DataFrame = {
+    val entries = entriesDf(vcf, transcripts, exons, sift, upstreamDistance)
+    val grouped = entries.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
+        array_join(array_sort(collect_list(col("_entry"))), ",").as("csq"))
+    lookupJoin(vcf, cache, grouped)
+      .select(col("id"), col("variation_name"), col("af"), col("max_af"),
+        col("most_severe_consequence"),
+        coalesce(col("n_transcripts"), lit(0L)).as("n_transcripts"),
+        coalesce(col("csq"), lit("")).as("csq"))
+  }
+
+  /** [[annotate]] with TYPED per-transcript array columns instead of
+    * the single CSQ string (annotate_provider.rs:2282-2296 List<T>
+    * output columns, arrow_roundtrip_golden.rs): parallel arrays
+    * ordered by the entry's deterministic sort key, one element per
+    * (variant, transcript) entry — Feature ids, '&'-fused consequence
+    * strings, HGVSc/HGVSp, SIFT ('' where absent). */
+  def annotateTyped(
+      vcf: DataFrame, cache: DataFrame, transcripts: DataFrame,
+      exons: DataFrame, sift: DataFrame,
+      upstreamDistance: Long = 5000L): DataFrame = {
+    val entries = entriesDf(vcf, transcripts, exons, sift, upstreamDistance)
+    val grouped = entries.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
+        // struct sort key = the unique entry string, so the parallel
+        // arrays share one deterministic order on both engines
+        array_sort(collect_list(struct(
+          col("_entry").as("e"), col("transcript_id").as("t"),
+          col("_termstr").as("c"), f(col("hgvs_c")).as("hc"),
+          f(col("hgvs_p")).as("hp"), f(col("_sift")).as("s")))).as("_ents"))
+      .select(col("id"), col("n_transcripts"), col("_vbest"),
+        expr("transform(_ents, x -> x.t)").as("transcript_ids"),
+        expr("transform(_ents, x -> x.c)").as("consequences"),
+        expr("transform(_ents, x -> x.hc)").as("hgvs_c"),
+        expr("transform(_ents, x -> x.hp)").as("hgvs_p"),
+        expr("transform(_ents, x -> x.s)").as("sift"))
+    val emptyArr = expr("CAST(array() AS ARRAY<STRING>)")
+    lookupJoin(vcf, cache, grouped)
+      .select(col("id"), col("variation_name"), col("af"), col("max_af"),
+        col("most_severe_consequence"),
+        coalesce(col("n_transcripts"), lit(0L)).as("n_transcripts"),
+        coalesce(col("transcript_ids"), emptyArr).as("transcript_ids"),
+        coalesce(col("consequences"), emptyArr).as("consequences"),
+        coalesce(col("hgvs_c"), emptyArr).as("hgvs_c"),
+        coalesce(col("hgvs_p"), emptyArr).as("hgvs_p"),
+        coalesce(col("sift"), emptyArr).as("sift"))
+  }
+
+  /** Shared variant-level tail: known-variant lookup + MAX_AF + rank
+    * name resolution, LEFT-joined onto the per-variant aggregate. */
+  private def lookupJoin(vcf: DataFrame, cache: DataFrame, grouped: DataFrame): DataFrame = {
+    val looked = Vep.lookupVariants(vcf, cache, columns = Seq("variation_name", "af"))
+      .select(col("id"), col("cache_variation_name").as("variation_name"),
+        col("cache_af").as("af"))
+    val pk = substring(col("variation_name"), 3, 18).cast("long")
+    val maxAf = greatest(col("af"),
+      (pk * 131 % 1000).cast("double") / 1000.0,
+      (pk * 257 % 1000).cast("double") / 1000.0,
+      (pk * 389 % 1000).cast("double") / 1000.0)
+    val rankToName = Vep.soRank.foldLeft(lit("intergenic_variant")) { case (acc, (n, r)) =>
+      when(col("_vbest") === r, lit(n)).otherwise(acc)
+    }
+    looked.join(grouped, Seq("id"), "left")
+      .withColumn("max_af", maxAf)
+      .withColumn("most_severe_consequence", rankToName)
+  }
+
+  /** One row per (variant, transcript) entry with its fused term set
+    * rendered, severity rank, and entry string — the shared middle of
+    * [[annotate]]/[[annotateTyped]]. */
+  private def entriesDf(
+      vcf: DataFrame, transcripts: DataFrame,
+      exons: DataFrame, sift: DataFrame,
+      upstreamDistance: Long): DataFrame = {
     graft.plans.Graft.enable(vcf.sparkSession)
     val tMeta = transcripts.select(
       col("transcript_id"), col("biotype").as("_a_bt"),
@@ -215,33 +289,12 @@ object Annotate {
         nullL.as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
         nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"))
 
-    // ---- per-entry rendering + per-variant aggregation ----
-    val entries = fused.unionByName(updown)
+    // ---- per-entry rendering ----
+    fused.unionByName(updown)
       .withColumn("_termstr", expr(termStrSql(CodonLogic.SparkD, "_terms")))
       .withColumn("_best", expr(bestRankSql(CodonLogic.SparkD, "_terms")))
       .withColumn("_entry", concat_ws("|", col("transcript_id"), col("_termstr"),
         f(col("_cdna")), f(col("_cds")), f(col("_pp")),
         f(col("hgvs_c")), f(col("hgvs_p")), f(col("_sift"))))
-    val grouped = entries.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
-        array_join(array_sort(collect_list(col("_entry"))), ",").as("csq"))
-
-    // ---- known-variant lookup + MAX_AF ----
-    val looked = Vep.lookupVariants(vcf, cache, columns = Seq("variation_name", "af"))
-      .select(col("id"), col("cache_variation_name").as("variation_name"),
-        col("cache_af").as("af"))
-    val pk = substring(col("variation_name"), 3, 18).cast("long")
-    val maxAf = greatest(col("af"),
-      (pk * 131 % 1000).cast("double") / 1000.0,
-      (pk * 257 % 1000).cast("double") / 1000.0,
-      (pk * 389 % 1000).cast("double") / 1000.0)
-    val rankToName = Vep.soRank.foldLeft(lit("intergenic_variant")) { case (acc, (n, r)) =>
-      when(col("_vbest") === r, lit(n)).otherwise(acc)
-    }
-    looked.join(grouped, Seq("id"), "left")
-      .select(col("id"), col("variation_name"), col("af"), maxAf.as("max_af"),
-        rankToName.as("most_severe_consequence"),
-        coalesce(col("n_transcripts"), lit(0L)).as("n_transcripts"),
-        coalesce(col("csq"), lit("")).as("csq"))
   }
 }
