@@ -273,6 +273,22 @@ object Tables {
       """CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'CTCF' WHEN 1 THEN 'GATA1'
          WHEN 2 THEN 'TP53' ELSE 'MYC' END AS tf_name""")
 
+  /** Derived structural-variant probes: symbolic alleles <DEL>/<DUP>/
+    * <INS> with an END-derived span (200-8200 bp; <INS> is a point).
+    * Spans are sized against the transcript lengths (2000-5000) so
+    * full-coverage and partial-overlap classes both occur. */
+  def svProbes(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "part").where("p_partkey % 10 = 0").selectExpr(
+      "concat('chr', CAST(p_partkey % 2 AS STRING)) AS chrom",
+      "CAST((p_partkey * 3571) % 100000 + 1 AS BIGINT) AS start",
+      """CAST((p_partkey * 3571) % 100000 + 1
+         + CASE WHEN p_partkey % 3 = 2 THEN 0
+           ELSE 200 + (p_partkey * 7) % 8000 END AS BIGINT) AS `end`""",
+      "CAST(p_partkey AS BIGINT) AS id",
+      "'N' AS ref",
+      """CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN '<DEL>'
+         WHEN 1 THEN '<DUP>' ELSE '<INS>' END AS alt""")
+
   /** Alignment-reads view for pileup (FIXTURES.md §3 contract):
     * `(chrom, start, flags, cigar, mapping_quality)`. CIGAR is a real
     * string the Spark side parses; the oracle recomputes the aligned
@@ -461,6 +477,19 @@ object Oracle {
       | CASE WHEN kind = 0 THEN 'CGT' WHEN kind = 2 THEN 'CG' ELSE '-' END AS vep_ref,
       | CASE WHEN kind = 1 THEN 'CGT' WHEN kind = 3 THEN 'C' ELSE '-' END AS vep_alt
       | FROM hp1)""".stripMargin.replace("\n", " ")
+
+  /** DuckDB mirror of [[Tables.svProbes]]. */
+  val svProbes: String =
+    """sv AS (SELECT concat('chr', CAST(p_partkey % 2 AS VARCHAR)) AS chrom,
+      | CAST((p_partkey * 3571) % 100000 + 1 AS BIGINT) AS start,
+      | CAST((p_partkey * 3571) % 100000 + 1
+      |  + CASE WHEN p_partkey % 3 = 2 THEN 0
+      |    ELSE 200 + (p_partkey * 7) % 8000 END AS BIGINT) AS "end",
+      | CAST(p_partkey AS BIGINT) AS id,
+      | 'N' AS ref,
+      | CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN '<DEL>'
+      |  WHEN 1 THEN '<DUP>' ELSE '<INS>' END AS alt
+      | FROM part WHERE p_partkey % 10 = 0)""".stripMargin.replace("\n", " ")
 
   /** DuckDB mirror of [[Tables.regulatory]]. */
   val regulatory: String =

@@ -98,6 +98,12 @@ object VepSpliceQueries {
     // motif position / high-information fields.
     "f11_motif" -> ((s, d) =>
       graft.vep.Vep.annotateMotif(Tables.vcf(s, d), Tables.motifs(s, d))),
+    // SV symbolic-allele consequences: the ablation/amplification/
+    // truncation/elongation family over transcripts, TF motifs and
+    // regulatory features — completes the 41-term vocabulary emission.
+    "f11_sv_consequence" -> ((s, d) =>
+      graft.vep.Vep.annotateSv(Tables.svProbes(s, d), Tables.transcripts(s, d),
+        Tables.motifs(s, d), Tables.regulatory(s, d))),
     // Protein-level indel HGVS (hgvs.rs protein arm): frameshift
     // fsTer{N}, stop-extension extTer{N}, and codon-aligned protein
     // del/ins/dup over the dedicated alignment probe fixture, both
@@ -702,6 +708,31 @@ object VepSpliceQueries {
        | AND mt.start <= v."end" AND mt."end" >= v.start
        |ORDER BY v.id, mt.motif_id""".stripMargin.replace("\n", " ")
 
+  private val svConsequenceSql: String = {
+    def block(featCte: String, fidCol: String, ftype: String,
+        abl: String, amp: String, delP: String, dupP: String, insT: String): String =
+      s"""SELECT sv.id, f.$fidCol AS feature_id, '$ftype' AS feature_type,
+         | CASE WHEN sv.alt = '<DEL>' AND sv.start <= f.start AND sv."end" >= f."end" THEN '$abl'
+         |  WHEN sv.alt = '<DUP>' AND sv.start <= f.start AND sv."end" >= f."end" THEN '$amp'
+         |  WHEN sv.alt = '<DEL>' THEN '$delP'
+         |  WHEN sv.alt = '<DUP>' THEN '$dupP'
+         |  ELSE '$insT' END AS consequence
+         |FROM sv JOIN $featCte f ON sv.chrom = f.chrom
+         | AND f.start <= sv."end" AND f."end" >= sv.start""".stripMargin.replace("\n", " ")
+    s"""WITH ${Oracle.transcripts}, ${Oracle.motifs}, ${Oracle.regulatory}, ${Oracle.svProbes}
+       |${block("t", "transcript_id", "transcript", "transcript_ablation",
+         "transcript_amplification", "feature_truncation", "feature_elongation",
+         "feature_elongation")}
+       |UNION ALL
+       |${block("mt", "motif_id", "motif", "TFBS_ablation", "TFBS_amplification",
+         "TF_binding_site_variant", "TF_binding_site_variant", "TF_binding_site_variant")}
+       |UNION ALL
+       |${block("rg", "feature_id", "regulatory", "regulatory_region_ablation",
+         "regulatory_region_amplification", "regulatory_region_variant",
+         "regulatory_region_variant", "regulatory_region_variant")}
+       |ORDER BY id, feature_type, feature_id""".stripMargin.replace("\n", " ")
+  }
+
   private val hgvspIndelSql: String = {
     // Hgvsp.oracleSql opens with its own WITH for the variant view;
     // prepend the transcript CTE it requires via the variantCte slot.
@@ -714,6 +745,7 @@ object VepSpliceQueries {
     "f11_hgvsp_indel" -> hgvspIndelSql,
     "f11_polyphen" -> polyphenSql,
     "f11_motif" -> motifSql,
+    "f11_sv_consequence" -> svConsequenceSql,
     "f11_cdna_hgvs" -> cdnaHgvsSql,
     "f11_spliced_codon" -> splicedCodonSql,
     "f11_shift3" -> shift3Sql,

@@ -150,6 +150,56 @@ object Vep {
         lit("TF_binding_site_variant").as("consequence"))
   }
 
+  /** Structural-variant consequence classification for symbolic
+    * alleles (<DEL>/<DUP>/<INS>) — the SV arm of the reference's
+    * consequence engine that completes the 41-term vocabulary
+    * ([[allSoTerms]] ranks 0/7/8/9 and 33/34/36/37, previously
+    * unreachable; transcript_consequence.rs SV branches):
+    *
+    *   feature fully inside a <DEL>  → {transcript,TFBS,
+    *     regulatory_region}_ablation
+    *   feature fully inside a <DUP>  → ..._amplification
+    *   partial <DEL> on a transcript → feature_truncation
+    *   partial <DUP> / <INS> on a transcript → feature_elongation
+    *   partial SV on a motif / regulatory feature → the plain
+    *     TF_binding_site_variant / regulatory_region_variant
+    *
+    * Three feature classes probe one broadcast index each (features =
+    * build side); output one row per (sv, overlapped feature):
+    * (id, feature_id, feature_type, consequence). */
+  def annotateSv(
+      sv: DataFrame, transcripts: DataFrame,
+      motifs: DataFrame, regulatory: DataFrame): DataFrame = {
+    graft.plans.Graft.enable(sv.sparkSession)
+    val v = sv.select(col("chrom").as("_sc"), col("start").cast("long").as("_ss"),
+      col("end").cast("long").as("_se"), col("id"), col("alt").as("_salt"))
+    def classify(features: DataFrame, fid: String, ftype: String,
+        ablation: String, amplification: String,
+        delPartial: String, dupPartial: String, insTerm: String): DataFrame = {
+      val f = features.select(col("chrom").as("_fc"),
+        col("start").cast("long").as("_fs"), col("end").cast("long").as("_fe"),
+        col(fid).as("feature_id"))
+      val full = col("_ss") <= col("_fs") && col("_se") >= col("_fe")
+      f.join(v,
+          col("_fc") === col("_sc") && col("_fs") <= col("_se") && col("_fe") >= col("_ss"))
+        .select(col("id"), col("feature_id"), lit(ftype).as("feature_type"),
+          when(col("_salt") === "<DEL>" && full, lit(ablation))
+            .when(col("_salt") === "<DUP>" && full, lit(amplification))
+            .when(col("_salt") === "<DEL>", lit(delPartial))
+            .when(col("_salt") === "<DUP>", lit(dupPartial))
+            .otherwise(lit(insTerm)).as("consequence"))
+    }
+    classify(transcripts, "transcript_id", "transcript",
+        "transcript_ablation", "transcript_amplification",
+        "feature_truncation", "feature_elongation", "feature_elongation")
+      .unionByName(classify(motifs, "motif_id", "motif",
+        "TFBS_ablation", "TFBS_amplification",
+        "TF_binding_site_variant", "TF_binding_site_variant", "TF_binding_site_variant"))
+      .unionByName(classify(regulatory, "feature_id", "regulatory",
+        "regulatory_region_ablation", "regulatory_region_amplification",
+        "regulatory_region_variant", "regulatory_region_variant", "regulatory_region_variant"))
+  }
+
   /** Cache-miss worklist (miss_worklist.rs:8-31): variants the
     * known-variant lookup did NOT match, coalesced into per-chrom
     * intervals whenever misses sit within `gap` of each other — a
