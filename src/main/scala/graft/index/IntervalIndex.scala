@@ -120,9 +120,71 @@ final class LinearIntervalIndex(
   }
 }
 
+/** Eytzinger-layout stabber: the canonical sorted-arrays layout of
+  * [[ContigIntervalIndex]], but the upper-bound search over `starts`
+  * walks a BFS-ordered (eytzinger) copy — one branchless comparison
+  * per level with the next cache line prefetchable, the layout the
+  * reference offers as its cache-friendly algorithm alternative
+  * (interval_join.rs:849-901 keeps 7 such impls behind one dispatch).
+  * Emission order and results are identical to superintervals; only
+  * the search memory-access pattern differs. */
+final class EytzingerIntervalIndex(
+    val starts: Array[Long], val ends: Array[Long], val maxEnds: Array[Long],
+    val payload: Array[Int],
+    /** 1-based BFS-ordered copy of `starts` */
+    val eyt: Array[Long],
+    /** sorted-array position of each eytzinger slot */
+    val eytPos: Array[Int]) extends IntervalStabber {
+
+  private val n = starts.length
+
+  /** first sorted index with starts(i) > key, via branchless
+    * eytzinger descent: each level appends a comparison bit (1 = went
+    * right, node value <= key); the predecessor is the node of the
+    * LAST right turn, recovered by shifting past the trailing left
+    * turns and that right turn (k >> (ntz(k) + 1)). k = 0 means no
+    * element <= key. */
+  @inline private def upperBound(key: Long): Int = {
+    var k = 1
+    while (k <= n) k = 2 * k + (if (eyt(k) <= key) 1 else 0)
+    k >>= (Integer.numberOfTrailingZeros(k) + 1)
+    if (k == 0) 0 else eytPos(k) + 1
+  }
+
+  def query(qs: Long, qe: Long)(f: Int => Unit): Unit = {
+    val i = upperBound(qe) - 1
+    var lo = i
+    while (lo >= 0 && maxEnds(lo) >= qs) lo -= 1
+    var j = lo + 1
+    while (j <= i) {
+      if (ends(j) >= qs) f(payload(j))
+      j += 1
+    }
+  }
+}
+
+object EytzingerIntervalIndex {
+  def build(s: Array[Long], e: Array[Long], payload: Array[Int]): EytzingerIntervalIndex = {
+    val c = ContigIntervalIndex.build(s, e, payload)
+    val n = c.starts.length
+    val eyt = new Array[Long](n + 1)
+    val pos = new Array[Int](n + 1)
+    // in-order fill of the BFS tree yields the sorted sequence
+    var next = 0
+    def fill(k: Int): Unit = if (k <= n) {
+      fill(2 * k)
+      eyt(k) = c.starts(next); pos(k) = next; next += 1
+      fill(2 * k + 1)
+    }
+    fill(1)
+    new EytzingerIntervalIndex(c.starts, c.ends, c.maxEnds, c.payload, eyt, pos)
+  }
+}
+
 /** J3 algorithm selection: one factory keyed by the session config
   * `spark.graft.intervalJoin.algorithm` —
-  * `superintervals` (default, sorted arrays + prefix-max-end) or
+  * `superintervals` (default, sorted arrays + prefix-max-end),
+  * `eytzinger` (same layout, branchless BFS-ordered search), or
   * `linear` (naive scan, for verification). */
 object IntervalIndexFactory {
   val ConfKey = "spark.graft.intervalJoin.algorithm"
@@ -133,9 +195,10 @@ object IntervalIndexFactory {
         // reuse the canonical sort so emission order matches
         val c = ContigIntervalIndex.build(s, e, payload)
         new LinearIntervalIndex(c.starts, c.ends, c.payload)
+      case "eytzinger" => EytzingerIntervalIndex.build(s, e, payload)
       case "superintervals" | "" => ContigIntervalIndex.build(s, e, payload)
       case other => throw new IllegalArgumentException(
-        s"unknown interval-join algorithm '$other' (superintervals | linear)")
+        s"unknown interval-join algorithm '$other' (superintervals | eytzinger | linear)")
     }
 }
 

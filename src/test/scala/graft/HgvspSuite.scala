@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.vep.{CodonLogic, Hgvsp, Splice}
+
+/** Hand-computed expectations for the protein-level indel HGVS
+  * renderer (Hgvsp.proteinForm) over the derived genome — contiguous
+  * CDS [1000, 1999] on chrom c1, both strands. */
+class HgvspSuite extends AnyFunSuite {
+
+  private val chrom = "c1"
+  private val cs = 1000L
+  private val ce = 1999L
+
+  private def comp(c: Char): Char = "TGCA"("ACGT".indexOf(c))
+
+  private def orig(idx: Long, strand: Int): Char =
+    if (strand == 1) CodonLogic.baseAt(chrom, cs + idx)
+    else comp(CodonLogic.baseAt(chrom, ce - idx))
+
+  private def aaAt(c0: Long, strand: Int): String = {
+    val codon = (0 to 2).map(j => orig(3 * c0 + j, strand)).mkString
+    CodonLogic.codonTable(codon)
+  }
+
+  private def aa3(aa: String): String = {
+    val i = Splice.aaAlpha.indexOf(aa.charAt(0))
+    Splice.aa3Table.substring(i * 3, i * 3 + 3)
+  }
+
+  test("aligned 3-base deletion renders p.{Aaa}{pos}del on + strand") {
+    // deleted genomic [cs+9, cs+11] = cds offsets 9-11 = codon 3 (pos 4)
+    val got = Hgvsp.proteinForm(chrom, 1, cs, ce, "del", "XXX", cs + 9, cs + 11)
+    assert(got == s"${aa3(aaAt(3, 1))}4del")
+  }
+
+  test("aligned 3-base deletion renders the mirrored codon on - strand") {
+    // '-' strand: e = ce - p1 = 9 -> same codon 3 in transcript order
+    val got = Hgvsp.proteinForm(chrom, -1, cs, ce, "del", "XXX", ce - 11, ce - 9)
+    assert(got == s"${aa3(aaAt(3, -1))}4del")
+  }
+
+  test("aligned 6-base deletion renders the range del form") {
+    // codons 3 and 4 removed -> p.{Aaa}4_{Bbb}5del
+    val got = Hgvsp.proteinForm(chrom, 1, cs, ce, "del", "X", cs + 9, cs + 14)
+    assert(got == s"${aa3(aaAt(3, 1))}4_${aa3(aaAt(4, 1))}5del")
+  }
+
+  test("codon-boundary insertion renders p.{Aaa}{m}_{Bbb}{m+1}ins{Seq}") {
+    // insertion between cds offsets 8 and 9 = between residues 3 and 4;
+    // inserted ACG translates to Thr
+    val got = Hgvsp.proteinForm(chrom, 1, cs, ce, "ins", "ACG", cs + 8, cs + 9)
+    assert(got == s"${aa3(aaAt(2, 1))}3_${aa3(aaAt(3, 1))}4insThr")
+  }
+
+  test("frameshifting deletion renders fsTer/Ter at the right residue") {
+    // 2-base deletion at codon 4 start (cds offsets 9-10): pos 4
+    val got = Hgvsp.proteinForm(chrom, 1, cs, ce, "del", "XX", cs + 9, cs + 10)
+    assert(got != null)
+    val ref = aaAt(3, 1)
+    if (ref == "*") assert(got.startsWith("Ter4"))
+    else {
+      assert(got.startsWith(s"${aa3(ref)}4"))
+      assert(got.contains("fsTer") || got.endsWith("Ter"))
+    }
+  }
+
+  test("frameshift at a stop codon renders the extTer extension form") {
+    // find a + strand codon whose reference residue is a stop and
+    // whose post-insertion first codon is not
+    val c0opt = (0L until 300L).find { c0 =>
+      aaAt(c0, 1) == "*" && {
+        val newCodon = "" + orig(3 * c0, 1) + 'C' + orig(3 * c0 + 1, 1)
+        CodonLogic.codonTable(newCodon) != "*"
+      }
+    }
+    assume(c0opt.nonEmpty)
+    val c0 = c0opt.get
+    // 1-base 'C' insertion after cds offset 3*c0 (inside the stop codon)
+    val got = Hgvsp.proteinForm(chrom, 1, cs, ce, "ins", "C", cs + 3 * c0, cs + 3 * c0 + 1)
+    val newAA = CodonLogic.codonTable("" + orig(3 * c0, 1) + 'C' + orig(3 * c0 + 1, 1))
+    assert(got != null && got.startsWith(s"Ter${c0 + 1}${aa3(newAA)}extTer"), s"got=$got")
+  }
+
+  test("events outside the CDS and delins render no protein form") {
+    assert(Hgvsp.proteinForm(chrom, 1, cs, ce, "del", "XX", cs - 1, cs + 1) == null)
+    assert(Hgvsp.proteinForm(chrom, 1, cs, ce, "ins", "C", ce, ce + 1) == null)
+    assert(Hgvsp.proteinForm(chrom, 1, cs, ce, "dup", "C", ce - 1, ce) == null)
+    assert(Hgvsp.proteinForm(chrom, 1, cs, ce, "delins", "AC", cs + 9, cs + 10) == null)
+  }
+
+  test("non-aligned inframe insertion renders no protein form") {
+    // 3-base insertion NOT at a codon boundary: (e+1) % 3 != 0
+    assert(Hgvsp.proteinForm(chrom, 1, cs, ce, "ins", "ACG", cs + 9, cs + 10) == null)
+  }
+}

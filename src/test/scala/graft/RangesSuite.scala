@@ -68,6 +68,35 @@ class RangesSuite extends SparkSpec {
     }
   }
 
+  test("J3 eytzinger index: emission parity with superintervals on random data") {
+    import graft.index.IntervalIndexFactory
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(0, 1, 7, 100, 1023)) {
+      val s = Array.fill(n)(rnd.nextLong(1000))
+      val e = s.map(x => x + rnd.nextLong(50))
+      val p = Array.range(0, n)
+      val a = IntervalIndexFactory.build("superintervals", s, e, p)
+      val b = IntervalIndexFactory.build("eytzinger", s, e, p)
+      for (_ <- 0 until 200) {
+        val qs = rnd.nextLong(1100) - 50
+        val qe = qs + rnd.nextLong(80)
+        val ra = scala.collection.mutable.ArrayBuffer[Int]()
+        val rb = scala.collection.mutable.ArrayBuffer[Int]()
+        a.query(qs, qe)(ra += _)
+        b.query(qs, qe)(rb += _)
+        assert(ra == rb, s"n=$n query=[$qs,$qe]")
+      }
+    }
+    // end-to-end through the interval strategy
+    try {
+      spark.conf.set(IntervalIndexFactory.ConfKey, "eytzinger")
+      val got = Ranges.overlap(reads, targets, mode = "join")
+        .select("left_id", "right_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == naivePairs(FilterOp.Weak))
+    } finally spark.conf.unset(IntervalIndexFactory.ConfKey)
+  }
+
   test("overlap join output schema is left_*/right_* prefixed") {
     val df = Ranges.overlap(reads, targets)
     assert(df.columns.toSeq == Seq(
