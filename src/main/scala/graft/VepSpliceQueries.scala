@@ -68,12 +68,14 @@ object VepSpliceQueries {
     // most_severe ranking) + up/downstream + SIFT + MAX_AF in one call.
     "f11_annotate_e2e" -> ((s, d) =>
       graft.vep.Annotate.annotate(Tables.vcf(s, d), Tables.vepCache(s, d),
-        Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d))),
+        Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
+        Tables.polyphenContext(s, d))),
     // Typed per-transcript List<T> output columns beside the CSQ
     // string (annotate_provider.rs:2282-2296, arrow_roundtrip_golden).
     "f11_typed_columns" -> ((s, d) =>
       graft.vep.Annotate.annotateTyped(Tables.vcf(s, d), Tables.vepCache(s, d),
-        Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d))),
+        Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
+        Tables.polyphenContext(s, d))),
     // PolyPhen lookup beside SIFT (partitioned_cache.rs carries both
     // translation tables symmetrically); VEP's two-threshold
     // prediction bands.
@@ -538,15 +540,21 @@ object VepSpliceQueries {
     import graft.vep.{Annotate, CodonLogic}
     val D = CodonLogic.DuckD
     val coding = "biotype IN ('protein_coding', 'nonsense_mediated_decay')"
-    s"""WITH ${Oracle.transcripts}, ${Oracle.exons}, ${Oracle.vcf}, ${Oracle.vepCache}, ${Oracle.siftCtx},
+    s"""WITH ${Oracle.transcripts}, ${Oracle.exons}, ${Oracle.vcf}, ${Oracle.vepCache}, ${Oracle.siftCtx}, ${Oracle.polyphenCtx},
        |cdna AS (SELECT * FROM ($cdnaHgvsSql) q1),
        |codon AS (SELECT id, transcript_id, consequence, protein_pos, aa_alt, hgvs_p
        |  FROM ($splicedCodonSql) q2),
        |csx AS (SELECT codon.id, codon.transcript_id, codon.consequence, codon.hgvs_p,
        |   CASE WHEN s.sift_score IS NULL THEN NULL
-       |    WHEN s.sift_score < 0.05 THEN 'deleterious' ELSE 'tolerated' END AS sift_pred
+       |    WHEN s.sift_score < 0.05 THEN 'deleterious' ELSE 'tolerated' END AS sift_pred,
+       |   CASE WHEN q.polyphen_score IS NULL THEN NULL
+       |    WHEN q.polyphen_score > 0.908 THEN 'probably_damaging'
+       |    WHEN q.polyphen_score > 0.446 THEN 'possibly_damaging'
+       |    ELSE 'benign' END AS polyphen_pred
        |  FROM codon LEFT JOIN sift s ON codon.transcript_id = s.transcript_id
-       |   AND codon.protein_pos = s.protein_pos AND codon.aa_alt = s.aa),
+       |   AND codon.protein_pos = s.protein_pos AND codon.aa_alt = s.aa
+       |   LEFT JOIN pp q ON codon.transcript_id = q.transcript_id
+       |   AND codon.protein_pos = q.protein_pos AND codon.aa_alt = q.aa),
        |snv AS (SELECT cdna.id, cdna.transcript_id,
        |   CASE WHEN cdna.region = 'intronic' THEN 'intron_variant'
        |    WHEN strpos(cdna.hgvs_c, ':n.') > 0 AND t.biotype = 'miRNA'
@@ -558,7 +566,8 @@ object VepSpliceQueries {
        |    ELSE COALESCE(csx.consequence, 'coding_sequence_variant') END AS term,
        |   (t.biotype = 'nonsense_mediated_decay') AS nmd,
        |   (cdna.region = 'intronic' AND strpos(cdna.hgvs_c, ':n.') > 0) AS nc,
-       |   cdna.cdna_pos, cdna.cds_pos, cdna.protein_pos, cdna.hgvs_c, csx.hgvs_p, csx.sift_pred
+       |   cdna.cdna_pos, cdna.cds_pos, cdna.protein_pos, cdna.hgvs_c, csx.hgvs_p,
+       |   csx.sift_pred, csx.polyphen_pred
        |  FROM cdna LEFT JOIN csx ON cdna.id = csx.id AND cdna.transcript_id = csx.transcript_id
        |   JOIN t ON cdna.transcript_id = t.transcript_id
        |   JOIN v ON cdna.id = v.id),
@@ -598,7 +607,8 @@ object VepSpliceQueries {
        |  FROM (${indelHgvsSqlFor(Oracle.vcf, "v")}) q3),
        |ind AS (SELECT iterm.id, iterm.transcript_id, iterm.term, iterm.nmd, iterm.nc,
        |   ihx.cdna_pos, CAST(NULL AS BIGINT) AS cds_pos, CAST(NULL AS BIGINT) AS protein_pos,
-       |   ihx.hgvs_c, CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred
+       |   ihx.hgvs_c, CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
+       |   CAST(NULL AS VARCHAR) AS polyphen_pred
        |  FROM iterm LEFT JOIN ihx ON iterm.id = ihx.id
        |   AND iterm.transcript_id = ihx.transcript_id),
        |bse AS (SELECT * FROM snv UNION ALL SELECT * FROM ind),
@@ -610,7 +620,8 @@ object VepSpliceQueries {
        |     CASE WHEN b.nmd THEN 'NMD_transcript_variant' END,
        |     CASE WHEN b.nc THEN 'non_coding_transcript_variant' END], x -> x IS NOT NULL),
        |    COALESCE(s.sterms, CAST([] AS VARCHAR[]))) AS terms,
-       |   b.cdna_pos, b.cds_pos, b.protein_pos, b.hgvs_c, b.hgvs_p, b.sift_pred
+       |   b.cdna_pos, b.cds_pos, b.protein_pos, b.hgvs_c, b.hgvs_p, b.sift_pred,
+       |   b.polyphen_pred
        |  FROM bse b FULL OUTER JOIN sp s
        |   ON b.id = s.id AND b.transcript_id = s.transcript_id),
        |ud AS (SELECT v.id, t.transcript_id,
@@ -618,22 +629,24 @@ object VepSpliceQueries {
        |     THEN 'upstream_gene_variant' ELSE 'downstream_gene_variant' END] AS terms,
        |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
        |   CAST(NULL AS BIGINT) AS protein_pos, CAST(NULL AS VARCHAR) AS hgvs_c,
-       |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred
+       |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
+       |   CAST(NULL AS VARCHAR) AS polyphen_pred
        |  FROM v JOIN t ON v.chrom = t.chrom
        |   AND t.start - 5000 <= v."end" AND t."end" + 5000 >= v.start
        |   AND NOT (v.start <= t."end" AND v."end" >= t.start)),
        |allent AS (SELECT * FROM fused UNION ALL SELECT * FROM ud),
        |rend AS (SELECT id, transcript_id, cdna_pos, cds_pos, protein_pos,
-       |   hgvs_c, hgvs_p, sift_pred,
+       |   hgvs_c, hgvs_p, sift_pred, polyphen_pred,
        |   ${Annotate.termStrSql(D, "terms")} AS termstr,
        |   ${Annotate.bestRankSql(D, "terms")} AS best FROM allent),
        |ent AS (SELECT id, best, transcript_id, termstr, hgvs_c, hgvs_p, sift_pred,
+       |   polyphen_pred,
        |   concat(transcript_id, '|', termstr, '|',
        |   COALESCE(CAST(cdna_pos AS VARCHAR), ''), '|',
        |   COALESCE(CAST(cds_pos AS VARCHAR), ''), '|',
        |   COALESCE(CAST(protein_pos AS VARCHAR), ''), '|',
        |   COALESCE(hgvs_c, ''), '|', COALESCE(hgvs_p, ''), '|',
-       |   COALESCE(sift_pred, '')) AS entry FROM rend),
+       |   COALESCE(sift_pred, ''), '|', COALESCE(polyphen_pred, '')) AS entry FROM rend),
        |lk AS (SELECT v.id, c.variation_name, c.af,
        |   CASE WHEN c.variation_name IS NULL THEN NULL ELSE GREATEST(c.af,
        |    CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 131 % 1000 AS DOUBLE) / 1000.0,
@@ -673,7 +686,8 @@ object VepSpliceQueries {
        |   list(termstr ORDER BY entry) AS consequences,
        |   list(COALESCE(hgvs_c, '') ORDER BY entry) AS hgvs_c,
        |   list(COALESCE(hgvs_p, '') ORDER BY entry) AS hgvs_p,
-       |   list(COALESCE(sift_pred, '') ORDER BY entry) AS sift
+       |   list(COALESCE(sift_pred, '') ORDER BY entry) AS sift,
+       |   list(COALESCE(polyphen_pred, '') ORDER BY entry) AS polyphen
        |  FROM ent GROUP BY id)
        |SELECT lk.id, lk.variation_name, lk.af, lk.max_af,
        | $e2eNameCase AS most_severe_consequence,
@@ -682,7 +696,8 @@ object VepSpliceQueries {
        | COALESCE(g.consequences, CAST([] AS VARCHAR[])) AS consequences,
        | COALESCE(g.hgvs_c, CAST([] AS VARCHAR[])) AS hgvs_c,
        | COALESCE(g.hgvs_p, CAST([] AS VARCHAR[])) AS hgvs_p,
-       | COALESCE(g.sift, CAST([] AS VARCHAR[])) AS sift
+       | COALESCE(g.sift, CAST([] AS VARCHAR[])) AS sift,
+       | COALESCE(g.polyphen, CAST([] AS VARCHAR[])) AS polyphen
        |FROM lk LEFT JOIN grp g ON lk.id = g.id ORDER BY lk.id""".stripMargin.replace("\n", " ")
 
   private val polyphenSql: String =

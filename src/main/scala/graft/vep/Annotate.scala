@@ -76,9 +76,9 @@ object Annotate {
     * (transcript_id,protein_pos,aa,sift_score). */
   def annotate(
       vcf: DataFrame, cache: DataFrame, transcripts: DataFrame,
-      exons: DataFrame, sift: DataFrame,
+      exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       upstreamDistance: Long = 5000L): DataFrame = {
-    val entries = entriesDf(vcf, transcripts, exons, sift, upstreamDistance)
+    val entries = entriesDf(vcf, transcripts, exons, sift, polyphen, upstreamDistance)
     val grouped = entries.groupBy(col("id"))
       .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
         array_join(array_sort(collect_list(col("_entry"))), ",").as("csq"))
@@ -97,9 +97,9 @@ object Annotate {
     * strings, HGVSc/HGVSp, SIFT ('' where absent). */
   def annotateTyped(
       vcf: DataFrame, cache: DataFrame, transcripts: DataFrame,
-      exons: DataFrame, sift: DataFrame,
+      exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       upstreamDistance: Long = 5000L): DataFrame = {
-    val entries = entriesDf(vcf, transcripts, exons, sift, upstreamDistance)
+    val entries = entriesDf(vcf, transcripts, exons, sift, polyphen, upstreamDistance)
     val grouped = entries.groupBy(col("id"))
       .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
         // struct sort key = the unique entry string, so the parallel
@@ -107,13 +107,15 @@ object Annotate {
         array_sort(collect_list(struct(
           col("_entry").as("e"), col("transcript_id").as("t"),
           col("_termstr").as("c"), f(col("hgvs_c")).as("hc"),
-          f(col("hgvs_p")).as("hp"), f(col("_sift")).as("s")))).as("_ents"))
+          f(col("hgvs_p")).as("hp"), f(col("_sift")).as("s"),
+          f(col("_polyphen")).as("q")))).as("_ents"))
       .select(col("id"), col("n_transcripts"), col("_vbest"),
         expr("transform(_ents, x -> x.t)").as("transcript_ids"),
         expr("transform(_ents, x -> x.c)").as("consequences"),
         expr("transform(_ents, x -> x.hc)").as("hgvs_c"),
         expr("transform(_ents, x -> x.hp)").as("hgvs_p"),
-        expr("transform(_ents, x -> x.s)").as("sift"))
+        expr("transform(_ents, x -> x.s)").as("sift"),
+        expr("transform(_ents, x -> x.q)").as("polyphen"))
     val emptyArr = expr("CAST(array() AS ARRAY<STRING>)")
     lookupJoin(vcf, cache, grouped)
       .select(col("id"), col("variation_name"), col("af"), col("max_af"),
@@ -123,7 +125,8 @@ object Annotate {
         coalesce(col("consequences"), emptyArr).as("consequences"),
         coalesce(col("hgvs_c"), emptyArr).as("hgvs_c"),
         coalesce(col("hgvs_p"), emptyArr).as("hgvs_p"),
-        coalesce(col("sift"), emptyArr).as("sift"))
+        coalesce(col("sift"), emptyArr).as("sift"),
+        coalesce(col("polyphen"), emptyArr).as("polyphen"))
   }
 
   /** Shared variant-level tail: known-variant lookup + MAX_AF + rank
@@ -150,7 +153,7 @@ object Annotate {
     * [[annotate]]/[[annotateTyped]]. */
   private def entriesDf(
       vcf: DataFrame, transcripts: DataFrame,
-      exons: DataFrame, sift: DataFrame,
+      exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       upstreamDistance: Long): DataFrame = {
     graft.plans.Graft.enable(vcf.sparkSession)
     val tMeta = transcripts.select(
@@ -163,14 +166,24 @@ object Annotate {
     val codon = Splice.splicedCodonFrom(agg, transcripts, exons)
     val siftCtx = sift.select(col("transcript_id").as("_s_tid"),
       col("protein_pos").as("_s_pp"), col("aa").as("_s_aa"), col("sift_score"))
+    val ppCtx = polyphen.select(col("transcript_id").as("_q_tid"),
+      col("protein_pos").as("_q_pp"), col("aa").as("_q_aa"), col("polyphen_score"))
     val codonSift = codon.join(broadcast(siftCtx),
         codon("transcript_id") === col("_s_tid") &&
         codon("protein_pos") === col("_s_pp") && codon("aa_alt") === col("_s_aa"),
         "left")
+      .join(broadcast(ppCtx),
+        codon("transcript_id") === col("_q_tid") &&
+        codon("protein_pos") === col("_q_pp") && codon("aa_alt") === col("_q_aa"),
+        "left")
       .select(codon("id"), codon("transcript_id"), col("consequence"), col("hgvs_p"),
         when(col("sift_score").isNull, lit(null).cast("string"))
           .when(col("sift_score") < 0.05, lit("deleterious"))
-          .otherwise(lit("tolerated")).as("_sift"))
+          .otherwise(lit("tolerated")).as("_sift"),
+        when(col("polyphen_score").isNull, lit(null).cast("string"))
+          .when(col("polyphen_score") > 0.908, lit("probably_damaging"))
+          .when(col("polyphen_score") > 0.446, lit("possibly_damaging"))
+          .otherwise(lit("benign")).as("_polyphen"))
     val vPos = vcf.select(col("id"), col("start").cast("long").as("_a_vs"))
     // mature-miRNA span: derived middle sub-span of the transcript
     // (same stand-in Vep.annotateRegions documents)
@@ -194,7 +207,7 @@ object Annotate {
         (col("region") === "intronic" && instr(col("hgvs_c"), ":n.") > 0).as("_nc"),
         col("cdna_pos").cast("long").as("_cdna"), col("cds_pos").cast("long").as("_cds"),
         col("protein_pos").cast("long").as("_pp"),
-        col("hgvs_c"), col("hgvs_p"), col("_sift"))
+        col("hgvs_c"), col("hgvs_p"), col("_sift"), col("_polyphen"))
 
     // ---- indel entries: region-term geometry + HGVS forms ----
     val iv = vcf.where(!(length(col("ref")) === 1 && length(col("alt")) === 1))
@@ -253,7 +266,8 @@ object Annotate {
       .join(ih, Seq("id", "transcript_id"), "left")
       .select(col("id"), col("transcript_id"), col("_term"), col("_nmd"), col("_nc"),
         col("_ih_cdna").as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
-        col("_ih_hgvs").as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"))
+        col("_ih_hgvs").as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
+        nullS.as("_polyphen"))
 
     // ---- splice fusion: all six splice terms per (variant, transcript) ----
     val splice = Splice.spliceTerms(vcf, transcripts, exons)
@@ -268,7 +282,8 @@ object Annotate {
           x => x.isNotNull),
         coalesce(col("_sterms"), expr("CAST(array() AS ARRAY<STRING>)"))))
       .select(col("id"), col("transcript_id"), col("_terms"),
-        col("_cdna"), col("_cds"), col("_pp"), col("hgvs_c"), col("hgvs_p"), col("_sift"))
+        col("_cdna"), col("_cds"), col("_pp"), col("hgvs_c"), col("hgvs_p"),
+        col("_sift"), col("_polyphen"))
 
     // ---- up/downstream entries (non-overlapping candidates in reach) ----
     val ut = transcripts.select(col("chrom").as("_u_tc"),
@@ -287,7 +302,8 @@ object Annotate {
           lit("upstream_gene_variant")).otherwise(lit("downstream_gene_variant")))
           .as("_terms"),
         nullL.as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
-        nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"))
+        nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
+        nullS.as("_polyphen"))
 
     // ---- per-entry rendering ----
     fused.unionByName(updown)
@@ -295,6 +311,6 @@ object Annotate {
       .withColumn("_best", expr(bestRankSql(CodonLogic.SparkD, "_terms")))
       .withColumn("_entry", concat_ws("|", col("transcript_id"), col("_termstr"),
         f(col("_cdna")), f(col("_cds")), f(col("_pp")),
-        f(col("hgvs_c")), f(col("hgvs_p")), f(col("_sift"))))
+        f(col("hgvs_c")), f(col("hgvs_p")), f(col("_sift")), f(col("_polyphen"))))
   }
 }
