@@ -50,6 +50,11 @@ object MlQueries {
       val emb = Tables.load(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.where("vec_id % 100 = 0"), 5)
     }),
+    "ann_ivf_topk" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.where("vec_id % 100 = 0"), 5,
+        centEvery = 40, nprobe = 3)
+    }),
     "ann_lsh_topk" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.where("vec_id % 100 = 0"), 5, planes = 8, dim = 64)
@@ -206,6 +211,38 @@ object MlQueries {
          |  / sqrt(CAST(n1.n2 AS DOUBLE)) / sqrt(CAST(n2_.n2 AS DOUBLE)), 9) AS cos
          |  FROM dots JOIN norms n1 ON n1.vec_id = id1 JOIN norms n2_ ON n2_.vec_id = id2)
          |SELECT id1, id2, cos FROM sel WHERE cos >= 0.3 ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+    "ann_ivf_topk" ->
+      s"""WITH $quantCte,
+         |cent AS (SELECT vec_id AS c_id FROM qd WHERE vec_id % 40 = 1),
+         |adots AS (SELECT n.vec_id AS n_id, cent.c_id,
+         |   SUM(n.qv[CAST(i AS INT)] * cq.qv[CAST(i AS INT)]) AS dot
+         | FROM qd n, cent JOIN qd cq ON cq.vec_id = cent.c_id,
+         |   UNNEST(generate_series(1, 64)) AS t(i)
+         | GROUP BY n.vec_id, cent.c_id),
+         |asim AS (SELECT n_id, c_id, round(CAST(dot AS DOUBLE)
+         |  / sqrt(CAST(nn.n2 AS DOUBLE)) / sqrt(CAST(nc.n2 AS DOUBLE)), 9) AS sim
+         |  FROM adots JOIN norms nn ON nn.vec_id = n_id JOIN norms nc ON nc.vec_id = c_id),
+         |inv AS (SELECT n_id, c_id AS cell FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY sim DESC, c_id) AS r FROM asim)
+         |  WHERE r = 1),
+         |probes AS (SELECT q_id, cell FROM
+         |  (SELECT n_id AS q_id, c_id AS cell,
+         |    ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY sim DESC, c_id) AS r FROM asim
+         |   WHERE n_id % 100 = 0)
+         |  WHERE r <= 3),
+         |cand AS (SELECT p.q_id, inv.n_id FROM probes p JOIN inv ON inv.cell = p.cell
+         |  WHERE p.q_id <> inv.n_id),
+         |dots AS (SELECT cand.q_id, cand.n_id,
+         |   SUM(a.qv[CAST(i AS INT)] * b.qv[CAST(i AS INT)]) AS dot
+         | FROM cand JOIN qd a ON a.vec_id = cand.q_id JOIN qd b ON b.vec_id = cand.n_id,
+         |   UNNEST(generate_series(1, 64)) AS t(i)
+         | GROUP BY cand.q_id, cand.n_id),
+         |sel AS (SELECT q_id, n_id, round(CAST(dot AS DOUBLE)
+         |  / sqrt(CAST(nq.n2 AS DOUBLE)) / sqrt(CAST(nc.n2 AS DOUBLE)), 9) AS cos
+         |  FROM dots JOIN norms nq ON nq.vec_id = q_id JOIN norms nc ON nc.vec_id = n_id)
+         |SELECT q_id, n_id, CAST(rn AS INT) AS rank FROM
+         | (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM sel)
+         |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
     "ann_lsh_topk" ->
       s"""WITH $quantCte,
          |pl AS (SELECT h, i, CAST(strpos('0123456789abcdef',

@@ -95,6 +95,51 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (every
+    * `centEvery`-th corpus vector is a centroid — the derandomized
+    * stand-in for k-means centroids, which both engines can reproduce
+    * exactly) partitions the corpus into inverted lists by nearest
+    * centroid; a query probes its `nprobe` nearest cells and ranks
+    * exactly within them. The recall knob is `nprobe` — the
+    * recall-controlled scale path the LSH variant lacks.
+    *
+    * Scale shape: the centroid table is tiny and broadcast twice
+    * (corpus assignment + query routing) — both map-only over the big
+    * side; the candidate join keys on the cell id, so the corpus
+    * shuffles once on a low-cardinality-but-balanced key and the
+    * probe set is broadcast. No all-pairs stage anywhere. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      centEvery: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = corpus.where(col(idCol) % centEvery === 1)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val c = graft.core.Parallelism.ensure(corpus)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val wA = Window.partitionBy(col("n_id"))
+      .orderBy(col("_sim").desc, col("c_id"))
+    val inverted = c.crossJoin(broadcast(cent))
+      .select(col("n_id"), col("n_vec"), col("c_id"),
+        round(cosine(col("n_vec"), col("c_vec")), 9).as("_sim"))
+      .withColumn("_r", row_number().over(wA)).where(col("_r") === 1)
+      .select(col("n_id"), col("n_vec"), col("c_id").as("_cell"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val wQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("_qsim").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("q_vec"), col("c_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 9).as("_qsim"))
+      .withColumn("_r", row_number().over(wQ)).where(col("_r") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("c_id").as("_cell"))
+    val scored = inverted.join(broadcast(probes), Seq("_cell"))
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 9).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, planes: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
