@@ -43,6 +43,10 @@ object MlQueries {
     }),
     "d_simhash16" -> ((s, d) => Dedup.simhash16(docs(s, d), "text", "doc_id")),
     "d_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d), "text", "doc_id")),
+    "d_dup_clusters" -> ((s, d) =>
+      graft.dedup.Dedup.duplicateClusters(Similarity.nearDuplicatePairs(
+        Tables.load(s, d, "embeddings"), threshold = 0.3, planes = 8, dim = 64)
+        .select("id1", "id2"))),
     "d_embed_dups" -> ((s, d) =>
       Similarity.nearDuplicatePairs(
         Tables.load(s, d, "embeddings"), threshold = 0.3, planes = 8, dim = 64)),
@@ -192,6 +196,32 @@ object MlQueries {
          |SELECT q_id, n_id, CAST(rn AS INT) AS rank FROM
          | (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM sel)
          |WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " "),
+    "d_dup_clusters" ->
+      s"""WITH RECURSIVE $quantCte,
+         |pl AS (SELECT h, i, CAST(strpos('0123456789abcdef',
+         |   substr(md5(concat(CAST(h AS VARCHAR), '_', CAST(i AS VARCHAR))), 1, 1)) - 1 AS BIGINT) * 2 - 15 AS wv
+         | FROM UNNEST(generate_series(0, 7)) AS t1(h), UNNEST(generate_series(0, 63)) AS t2(i)),
+         |sig AS (SELECT e.vec_id, pl.h,
+         |   CASE WHEN SUM(e.qv[CAST(pl.i AS INT) + 1] * pl.wv) > 0 THEN 1 ELSE 0 END AS bit
+         | FROM qd e, pl GROUP BY e.vec_id, pl.h),
+         |sigs AS (SELECT vec_id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY h) AS s FROM sig GROUP BY vec_id),
+         |cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2 FROM sigs a
+         |  JOIN sigs b ON a.s = b.s AND a.vec_id < b.vec_id),
+         |dots AS (SELECT cand.id1, cand.id2, SUM(x.qv[CAST(i AS INT)] * y.qv[CAST(i AS INT)]) AS dot
+         | FROM cand JOIN qd x ON x.vec_id = cand.id1 JOIN qd y ON y.vec_id = cand.id2,
+         |   UNNEST(generate_series(1, 64)) AS t(i)
+         | GROUP BY cand.id1, cand.id2),
+         |pairs AS (SELECT id1, id2 FROM (SELECT id1, id2, round(CAST(dot AS DOUBLE)
+         |  / sqrt(CAST(n1.n2 AS DOUBLE)) / sqrt(CAST(n2_.n2 AS DOUBLE)), 9) AS cos
+         |  FROM dots JOIN norms n1 ON n1.vec_id = id1 JOIN norms n2_ ON n2_.vec_id = id2)
+         |  WHERE cos >= 0.3),
+         |e AS (SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |cc AS (SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.a, cc.lbl FROM cc JOIN e ON cc.id = e.b)
+         |SELECT id, CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM cc GROUP BY id
+         |ORDER BY id""".stripMargin.replace("\n", " "),
     "d_embed_dups" ->
       s"""WITH $quantCte,
          |pl AS (SELECT h, i, CAST(strpos('0123456789abcdef',

@@ -175,4 +175,44 @@ object Dedup {
     while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
     sig
   }
+
+  /** Connected-component cluster assignment over a near-duplicate
+    * pair set — the step a training-data pipeline runs after candidate
+    * verification to pick one representative per duplicate group
+    * (cluster id = smallest member id, the usual keep-lowest policy).
+    *
+    * Alternating min-label propagation: each iteration joins the
+    * (symmetric) edge list against the current labels and takes the
+    * neighborhood minimum, converging in O(component diameter)
+    * rounds — near-dup clusters are shallow, so the driver loop runs
+    * a handful of shuffles keyed on the vertex id and the only
+    * driver-side values are the convergence counts. Deterministic:
+    * the fixpoint is the component-minimum id regardless of iteration
+    * order. Output: (id, cluster_id) for every vertex in `pairs`.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val edges = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
+      .unionByName(pairs.select(col("id2").cast("long").as("a"), col("id1").cast("long").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val prop = edges.join(labels.withColumnRenamed("id", "_nid"), col("b") === col("_nid"))
+        .groupBy(col("a")).agg(min(col("lbl")).as("_nlbl"))
+      val next = labels.join(prop, labels("id") === prop("a"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("_nlbl"), col("lbl"))).as("lbl"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("lbl", "_olbl"), Seq("id"))
+        .where(col("lbl") =!= col("_olbl")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
 }

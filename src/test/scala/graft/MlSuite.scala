@@ -97,4 +97,16 @@ class MlSuite extends SparkSpec {
       Multimodal.extractFeatures(assets), 3).collect()
     assert(offs.length == 3 && offs.forall(_.getLong(0) == 2L))
   }
+
+  test("duplicate clusters: min-label propagation finds components") {
+    import graft.dedup.Dedup
+    // chain 1-2-3-4 (diameter forces >1 iteration), pair 10-11,
+    // triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id1", "id2")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
 }
