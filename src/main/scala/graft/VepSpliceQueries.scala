@@ -69,13 +69,13 @@ object VepSpliceQueries {
     "f11_annotate_e2e" -> ((s, d) =>
       graft.vep.Annotate.annotate(Tables.vcf(s, d), Tables.vepCache(s, d),
         Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
-        Tables.polyphenContext(s, d))),
+        Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d))),
     // Typed per-transcript List<T> output columns beside the CSQ
     // string (annotate_provider.rs:2282-2296, arrow_roundtrip_golden).
     "f11_typed_columns" -> ((s, d) =>
       graft.vep.Annotate.annotateTyped(Tables.vcf(s, d), Tables.vepCache(s, d),
         Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
-        Tables.polyphenContext(s, d))),
+        Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d))),
     // PolyPhen lookup beside SIFT (partitioned_cache.rs carries both
     // translation tables symmetrically); VEP's two-threshold
     // prediction bands.
@@ -540,7 +540,7 @@ object VepSpliceQueries {
     import graft.vep.{Annotate, CodonLogic}
     val D = CodonLogic.DuckD
     val coding = "biotype IN ('protein_coding', 'nonsense_mediated_decay')"
-    s"""WITH ${Oracle.transcripts}, ${Oracle.exons}, ${Oracle.vcf}, ${Oracle.vepCache}, ${Oracle.siftCtx}, ${Oracle.polyphenCtx},
+    s"""WITH ${Oracle.transcripts}, ${Oracle.exons}, ${Oracle.vcf}, ${Oracle.vepCache}, ${Oracle.siftCtx}, ${Oracle.polyphenCtx}, ${Oracle.regulatory}, ${Oracle.motifs},
        |cdna AS (SELECT * FROM ($cdnaHgvsSql) q1),
        |codon AS (SELECT id, transcript_id, consequence, protein_pos, aa_alt, hgvs_p
        |  FROM ($splicedCodonSql) q2),
@@ -605,12 +605,16 @@ object VepSpliceQueries {
        |  FROM igeo),
        |ihx AS (SELECT id, transcript_id, cdna_pos, hgvs_c
        |  FROM (${indelHgvsSqlFor(Oracle.vcf, "v")}) q3),
+       |ihp AS (SELECT id, transcript_id, hgvs_p AS hp9
+       |  FROM (${graft.vep.Hgvsp.oracleSql(s"${Oracle.transcripts}, ${Oracle.vcf}", "v")}) q9),
        |ind AS (SELECT iterm.id, iterm.transcript_id, iterm.term, iterm.nmd, iterm.nc,
        |   ihx.cdna_pos, CAST(NULL AS BIGINT) AS cds_pos, CAST(NULL AS BIGINT) AS protein_pos,
-       |   ihx.hgvs_c, CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
+       |   ihx.hgvs_c, ihp.hp9 AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
        |   CAST(NULL AS VARCHAR) AS polyphen_pred
        |  FROM iterm LEFT JOIN ihx ON iterm.id = ihx.id
-       |   AND iterm.transcript_id = ihx.transcript_id),
+       |   AND iterm.transcript_id = ihx.transcript_id
+       |   LEFT JOIN ihp ON iterm.id = ihp.id
+       |   AND iterm.transcript_id = ihp.transcript_id),
        |bse AS (SELECT * FROM snv UNION ALL SELECT * FROM ind),
        |sp AS (SELECT id, transcript_id, list(DISTINCT consequence) AS sterms
        |  FROM (${spliceTermsSql(Oracle.vcf, "v")}) q4 GROUP BY id, transcript_id),
@@ -634,7 +638,24 @@ object VepSpliceQueries {
        |  FROM v JOIN t ON v.chrom = t.chrom
        |   AND t.start - 5000 <= v."end" AND t."end" + 5000 >= v.start
        |   AND NOT (v.start <= t."end" AND v."end" >= t.start)),
-       |allent AS (SELECT * FROM fused UNION ALL SELECT * FROM ud),
+       |rge AS (SELECT v.id, rg.feature_id AS transcript_id,
+       |   ['regulatory_region_variant'] AS terms,
+       |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
+       |   CAST(NULL AS BIGINT) AS protein_pos, CAST(NULL AS VARCHAR) AS hgvs_c,
+       |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
+       |   CAST(NULL AS VARCHAR) AS polyphen_pred
+       |  FROM v JOIN rg ON v.chrom = rg.chrom
+       |   AND rg.start <= v."end" AND rg."end" >= v.start),
+       |mte AS (SELECT v.id, mt.motif_id AS transcript_id,
+       |   ['TF_binding_site_variant'] AS terms,
+       |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
+       |   CAST(NULL AS BIGINT) AS protein_pos, CAST(NULL AS VARCHAR) AS hgvs_c,
+       |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
+       |   CAST(NULL AS VARCHAR) AS polyphen_pred
+       |  FROM v JOIN mt ON v.chrom = mt.chrom
+       |   AND mt.start <= v."end" AND mt."end" >= v.start),
+       |allent AS (SELECT * FROM fused UNION ALL SELECT * FROM ud
+       |  UNION ALL SELECT * FROM rge UNION ALL SELECT * FROM mte),
        |rend AS (SELECT id, transcript_id, cdna_pos, cds_pos, protein_pos,
        |   hgvs_c, hgvs_p, sift_pred, polyphen_pred,
        |   ${Annotate.termStrSql(D, "terms")} AS termstr,

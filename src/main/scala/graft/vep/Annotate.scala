@@ -77,8 +77,10 @@ object Annotate {
   def annotate(
       vcf: DataFrame, cache: DataFrame, transcripts: DataFrame,
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
+      regulatory: DataFrame, motifs: DataFrame,
       upstreamDistance: Long = 5000L): DataFrame = {
-    val entries = entriesDf(vcf, transcripts, exons, sift, polyphen, upstreamDistance)
+    val entries = entriesDf(vcf, transcripts, exons, sift, polyphen,
+      regulatory, motifs, upstreamDistance)
     val grouped = entries.groupBy(col("id"))
       .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
         array_join(array_sort(collect_list(col("_entry"))), ",").as("csq"))
@@ -98,8 +100,10 @@ object Annotate {
   def annotateTyped(
       vcf: DataFrame, cache: DataFrame, transcripts: DataFrame,
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
+      regulatory: DataFrame, motifs: DataFrame,
       upstreamDistance: Long = 5000L): DataFrame = {
-    val entries = entriesDf(vcf, transcripts, exons, sift, polyphen, upstreamDistance)
+    val entries = entriesDf(vcf, transcripts, exons, sift, polyphen,
+      regulatory, motifs, upstreamDistance)
     val grouped = entries.groupBy(col("id"))
       .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
         // struct sort key = the unique entry string, so the parallel
@@ -154,6 +158,7 @@ object Annotate {
   private def entriesDf(
       vcf: DataFrame, transcripts: DataFrame,
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
+      regulatory: DataFrame, motifs: DataFrame,
       upstreamDistance: Long): DataFrame = {
     graft.plans.Graft.enable(vcf.sparkSession)
     val tMeta = transcripts.select(
@@ -256,6 +261,9 @@ object Annotate {
     val ih = Splice.indelHgvs(vcf, transcripts, exons)
       .select(col("id"), col("transcript_id"),
         col("cdna_pos").as("_ih_cdna"), col("hgvs_c").as("_ih_hgvs"))
+    // protein forms for the same indels (fsTer/extTer/aligned del-ins-dup)
+    val ihp = Hgvsp.hgvspIndel(vcf, transcripts)
+      .select(col("id"), col("transcript_id"), col("hgvs_p").as("_hp9"))
     val nullS = lit(null).cast("string"); val nullL = lit(null).cast("long")
     val indelEntries = igeo
       .select(col("_i_vid").as("id"), col("_i_tid").as("transcript_id"),
@@ -264,9 +272,10 @@ object Annotate {
         (!iCoding && col("_i_inex") === 0).as("_nc"),
         col("_i_inex"))
       .join(ih, Seq("id", "transcript_id"), "left")
+      .join(ihp, Seq("id", "transcript_id"), "left")
       .select(col("id"), col("transcript_id"), col("_term"), col("_nmd"), col("_nc"),
         col("_ih_cdna").as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
-        col("_ih_hgvs").as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
+        col("_ih_hgvs").as("hgvs_c"), col("_hp9").as("hgvs_p"), nullS.as("_sift"),
         nullS.as("_polyphen"))
 
     // ---- splice fusion: all six splice terms per (variant, transcript) ----
@@ -305,8 +314,28 @@ object Annotate {
         nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
         nullS.as("_polyphen"))
 
+    // ---- regulatory / TF-motif feature entries (VEP emits these as
+    // their own CSQ Feature rows; they join most_severe ranking) ----
+    val fv = vcf.select(col("chrom").as("_f_vc"), col("start").cast("long").as("_f_vs"),
+      col("end").cast("long").as("_f_ve"), col("id").as("_f_vid"))
+    def featureEntries(features: DataFrame, fid: String, term: String): DataFrame = {
+      val ff = features.select(col("chrom").as("_f_fc"),
+        col("start").cast("long").as("_f_fs"), col("end").cast("long").as("_f_fe"),
+        col(fid).as("_f_id"))
+      ff.join(fv,
+          col("_f_fc") === col("_f_vc") &&
+            col("_f_fs") <= col("_f_ve") && col("_f_fe") >= col("_f_vs"))
+        .select(col("_f_vid").as("id"), col("_f_id").as("transcript_id"),
+          array(lit(term)).as("_terms"),
+          nullL.as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
+          nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
+          nullS.as("_polyphen"))
+    }
+    val regEntries = featureEntries(regulatory, "feature_id", "regulatory_region_variant")
+    val motEntries = featureEntries(motifs, "motif_id", "TF_binding_site_variant")
+
     // ---- per-entry rendering ----
-    fused.unionByName(updown)
+    fused.unionByName(updown).unionByName(regEntries).unionByName(motEntries)
       .withColumn("_termstr", expr(termStrSql(CodonLogic.SparkD, "_terms")))
       .withColumn("_best", expr(bestRankSql(CodonLogic.SparkD, "_terms")))
       .withColumn("_entry", concat_ws("|", col("transcript_id"), col("_termstr"),
