@@ -203,23 +203,27 @@ object Tables {
     *   as an aligned dup — also a covered form),
     * kind 2: 2-base deletion (frameshift fsTer),
     * kind 3: 1-base insertion (3'-shifted frameshift; ext/Ter branches
-    *   fire whenever the derived reference residue is a stop). */
+    *   fire whenever the derived reference residue is a stop),
+    * kind 4: MNV 'AC'>'CA' (length-preserving delins; the strand
+    *   placement makes it single-codon on '+' and codon-spanning on
+    *   '-', so both protein delins render forms fire). */
   def hgvspProbes(spark: SparkSession, dir: String): DataFrame =
     transcripts(spark, dir).selectExpr(
         "chrom", "strand", "cds_start AS cs", "cds_end AS ce",
         "CAST(substring(transcript_id, 2) AS BIGINT) AS sk")
-      .selectExpr("chrom", "strand", "cs", "ce", "sk", "explode(sequence(0, 3)) AS kind")
+      .selectExpr("chrom", "strand", "cs", "ce", "sk", "explode(sequence(0, 4)) AS kind")
       .selectExpr("chrom", "sk", "kind",
         """CAST(CASE
            WHEN kind = 0 THEN (CASE WHEN strand = 1 THEN cs + 8 ELSE ce - 12 END)
            WHEN kind = 1 THEN (CASE WHEN strand = 1 THEN cs + 8 ELSE ce - 9 END)
            WHEN kind = 2 THEN (CASE WHEN strand = 1 THEN cs + 20 ELSE ce - 26 END)
+           WHEN kind = 4 THEN (CASE WHEN strand = 1 THEN cs + 30 ELSE ce - 33 END)
            ELSE (CASE WHEN strand = 1 THEN cs + 20 ELSE ce - 24 END) END AS BIGINT) AS start""")
       .selectExpr("chrom", "start",
-        "CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 ELSE 0 END AS BIGINT) AS `end`",
+        "CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 WHEN kind = 4 THEN 1 ELSE 0 END AS BIGINT) AS `end`",
         "CAST(sk * 10 + kind AS BIGINT) AS id",
-        "CASE WHEN kind = 0 THEN 'ACGT' WHEN kind = 2 THEN 'ACG' ELSE 'A' END AS ref",
-        "CASE WHEN kind = 1 THEN 'ACGT' WHEN kind = 3 THEN 'AC' ELSE 'A' END AS alt")
+        "CASE WHEN kind = 0 THEN 'ACGT' WHEN kind = 2 THEN 'ACG' WHEN kind = 4 THEN 'AC' ELSE 'A' END AS ref",
+        "CASE WHEN kind = 1 THEN 'ACGT' WHEN kind = 3 THEN 'AC' WHEN kind = 4 THEN 'CA' ELSE 'A' END AS alt")
 
   /** Derived regulatory-feature context (partitioned_cache.rs:24-31
     * `regulatory` table role): one feature per 20th customer row,
@@ -459,23 +463,24 @@ object Oracle {
   val hgvspProbes: String =
     """hp0 AS (SELECT t.chrom, t.strand, t.cds_start AS cs, t.cds_end AS ce,
       | CAST(substr(transcript_id, 2) AS BIGINT) AS sk, kind
-      | FROM t, UNNEST(generate_series(0, 3)) AS g(kind)),
+      | FROM t, UNNEST(generate_series(0, 4)) AS g(kind)),
       |hp1 AS (SELECT chrom, sk, kind,
       | CAST(CASE
       |  WHEN kind = 0 THEN (CASE WHEN strand = 1 THEN cs + 8 ELSE ce - 12 END)
       |  WHEN kind = 1 THEN (CASE WHEN strand = 1 THEN cs + 8 ELSE ce - 9 END)
       |  WHEN kind = 2 THEN (CASE WHEN strand = 1 THEN cs + 20 ELSE ce - 26 END)
+      |  WHEN kind = 4 THEN (CASE WHEN strand = 1 THEN cs + 30 ELSE ce - 33 END)
       |  ELSE (CASE WHEN strand = 1 THEN cs + 20 ELSE ce - 24 END) END AS BIGINT) AS start
       | FROM hp0),
       |hp AS (SELECT chrom, start,
-      | CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 ELSE 0 END AS BIGINT) AS "end",
+      | CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 WHEN kind = 4 THEN 1 ELSE 0 END AS BIGINT) AS "end",
       | CAST(sk * 10 + kind AS BIGINT) AS id,
-      | CASE WHEN kind = 0 THEN 'ACGT' WHEN kind = 2 THEN 'ACG' ELSE 'A' END AS ref,
-      | CASE WHEN kind = 1 THEN 'ACGT' WHEN kind = 3 THEN 'AC' ELSE 'A' END AS alt,
-      | CAST(start + 1 AS BIGINT) AS norm_start,
-      | CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 ELSE 0 END AS BIGINT) AS norm_end,
-      | CASE WHEN kind = 0 THEN 'CGT' WHEN kind = 2 THEN 'CG' ELSE '-' END AS vep_ref,
-      | CASE WHEN kind = 1 THEN 'CGT' WHEN kind = 3 THEN 'C' ELSE '-' END AS vep_alt
+      | CASE WHEN kind = 0 THEN 'ACGT' WHEN kind = 2 THEN 'ACG' WHEN kind = 4 THEN 'AC' ELSE 'A' END AS ref,
+      | CASE WHEN kind = 1 THEN 'ACGT' WHEN kind = 3 THEN 'AC' WHEN kind = 4 THEN 'CA' ELSE 'A' END AS alt,
+      | CAST(start + CASE WHEN kind = 4 THEN 0 ELSE 1 END AS BIGINT) AS norm_start,
+      | CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 WHEN kind = 4 THEN 1 ELSE 0 END AS BIGINT) AS norm_end,
+      | CASE WHEN kind = 0 THEN 'CGT' WHEN kind = 2 THEN 'CG' WHEN kind = 4 THEN 'AC' ELSE '-' END AS vep_ref,
+      | CASE WHEN kind = 1 THEN 'CGT' WHEN kind = 3 THEN 'C' WHEN kind = 4 THEN 'CA' ELSE '-' END AS vep_alt
       | FROM hp1)""".stripMargin.replace("\n", " ")
 
   /** DuckDB mirror of [[Tables.svProbes]]. */

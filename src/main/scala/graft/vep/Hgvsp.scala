@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   *               translation continues N codons to a new stop)
   *   inframe     p.{Aaa}{p}del / p.{Aaa}{p}_{Bbb}{q}del,
   *               p.{Aaa}{m}_{Bbb}{m+1}ins{Seq}, p.{Aaa}{m}dup /
-  *               p.{Aaa}{p}_{Bbb}{m}dup — codon-ALIGNED events only;
-  *               non-aligned inframe events and delins render NULL
-  *               (documented remaining gap)
+  *               p.{Aaa}{p}_{Bbb}{m}dup — codon-ALIGNED del/ins/dup
+  *               only (non-aligned ones render NULL, documented gap)
+  *   delins      p.{Aaa}{p}[_{Bbb}{q}]delins{Seq} — inframe
+  *               replacements at any alignment, incl. MNVs; a
+  *               frameshifting delins takes the fsTer/extTer arm
   *
   * Model (documented simplification, same one the original codon layer
   * used): the CDS is a CONTIGUOUS genomic span [cds_start, cds_end]
@@ -54,30 +56,36 @@ object Hgvsp {
   def proteinForm(chrom: String, strand: Int, cs: Long, ce: Long,
       kind: String, va: String, p0: Long, p1: Long): String = {
     val inCds = kind match {
-      case "del" | "ins" => cs <= p0 && p1 <= ce
-      case "dup"         => cs <= p1 && p1 + 1 <= ce
-      case _             => false // delins protein forms not implemented
+      case "del" | "ins" | "delins" => cs <= p0 && p1 <= ce
+      case "dup"                    => cs <= p1 && p1 + 1 <= ce
+      case _                        => false
     }
     if (!inCds) return null
-    val bigK = if (kind == "del") p1 - p0 + 1 else 0L
+    val bigK = if (kind == "del" || kind == "delins") p1 - p0 + 1 else 0L
     val k = if (kind == "del") 0L else va.length.toLong
-    val ld = if (kind == "del") -bigK else k
+    val ld = kind match {
+      case "del" => -bigK; case "delins" => k - bigK; case _ => k
+    }
     val a = if (strand == 1) va else va.reverse.map(comp)
     val e: Long = kind match {
-      case "del" | "ins" => if (strand == 1) p0 - cs else ce - p1
-      case "dup"         => if (strand == 1) p1 - cs else ce - p1 - 1
+      case "del" | "ins" | "delins" => if (strand == 1) p0 - cs else ce - p1
+      case "dup"                    => if (strand == 1) p1 - cs else ce - p1 - 1
     }
     def orig(i: Long): Char =
       if (strand == 1) CodonLogic.baseAt(chrom, cs + i)
       else comp(CodonLogic.baseAt(chrom, ce - i))
-    def nb(i: Long): Char =
-      if (kind == "del") { if (i < e) orig(i) else orig(i + bigK) }
-      else {
+    def nb(i: Long): Char = kind match {
+      case "del" => if (i < e) orig(i) else orig(i + bigK)
+      case "delins" =>
+        if (i < e) orig(i)
+        else if (i <= e + k - 1) a.charAt((i - e).toInt)
+        else orig(i - k + bigK)
+      case _ =>
         if (i <= e) orig(i)
         else if (i <= e + k) a.charAt((i - e - 1).toInt)
         else orig(i - k)
-      }
-    val c0 = if (kind == "del") e / 3 else (e + 1) / 3
+    }
+    val c0 = if (kind == "del" || kind == "delins") e / 3 else (e + 1) / 3
     val pos = c0 + 1
     def origCodon(codon0: Long): String = (0 to 2).map(j => orig(3 * codon0 + j)).mkString
     val refAA = aaOf(origCodon(c0))
@@ -107,7 +115,18 @@ object Hgvsp {
         val aaF = aa3(aaOf(origCodon(first - 1)))
         if (n == 1) s"$aaF${m}dup"
         else s"$aaF${first}_${aa3(aaOf(origCodon(m - 1)))}${m}dup"
-      case _ => null
+      case "delins" =>
+        // inframe replacement (incl. length-preserving MNVs): affected
+        // residues = codons touching [e, e+K-1]; new residues =
+        // translation of the replaced new-sequence codon span
+        val lastOld = (e + bigK - 1) / 3
+        val lastNew = (e + k - 1) / 3
+        val newAAs = (c0 to lastNew)
+          .map(c => aaOf((0 to 2).map(j => nb(3 * c + j)).mkString))
+          .map(aa3).mkString
+        if (lastOld == c0) s"${aa3(refAA)}${pos}delins$newAAs"
+        else s"${aa3(refAA)}${pos}_${aa3(aaOf(origCodon(lastOld)))}${lastOld + 1}delins$newAAs"
+      case _ => null // non-aligned inframe del/ins/dup remain future work
     }
   }
 
@@ -159,6 +178,9 @@ object Hgvsp {
       s"ELSE translate(${CodonLogic.seq(D, "chrom", s"(ce - ($i))")}, 'ACGT', 'TGCA') END)"
     def nb(i: String): String =
       s"(CASE WHEN kind = 'del' THEN (CASE WHEN ($i) < e THEN ${orig(i)} ELSE ${orig(s"($i) + bigk")} END) " +
+      s"WHEN kind = 'delins' THEN (CASE WHEN ($i) < e THEN ${orig(i)} " +
+      s"WHEN ($i) <= e + k - 1 THEN substr(a, CAST(($i) - e + 1 AS INT), 1) " +
+      s"ELSE ${orig(s"($i) - k + bigk")} END) " +
       s"ELSE (CASE WHEN ($i) <= e THEN ${orig(i)} " +
       s"WHEN ($i) <= e + k THEN substr(a, CAST(($i) - e AS INT), 1) " +
       s"ELSE ${orig(s"($i) - k")} END) END)"
@@ -197,19 +219,21 @@ object Hgvsp {
        |   AND t.start <= i.p1 AND t."end" >= i.p0
        |  WHERE t.biotype IN ('protein_coding', 'nonsense_mediated_decay')),
        |hst1 AS (SELECT hcand.*,
-       |   CASE WHEN kind = 'del' THEN p1 - p0 + 1 ELSE 0 END AS bigk,
+       |   CASE WHEN kind IN ('del', 'delins') THEN p1 - p0 + 1 ELSE 0 END AS bigk,
        |   CASE WHEN kind = 'del' THEN 0 ELSE length(va) END AS k,
-       |   CASE WHEN kind = 'del' THEN -(p1 - p0 + 1) ELSE length(va) END AS ld,
+       |   CASE WHEN kind = 'del' THEN -(p1 - p0 + 1)
+       |    WHEN kind = 'delins' THEN length(va) - (p1 - p0 + 1)
+       |    ELSE length(va) END AS ld,
        |   CASE WHEN strand = 1 THEN va ELSE reverse(translate(va, 'ACGT', 'TGCA')) END AS a,
        |   CASE WHEN kind = 'dup' THEN (CASE WHEN strand = 1 THEN p1 - cs ELSE ce - p1 - 1 END)
        |    ELSE (CASE WHEN strand = 1 THEN p0 - cs ELSE ce - p1 END) END AS e,
        |   CASE WHEN kind = 'dup' THEN (cs <= p1 AND p1 + 1 <= ce)
-       |    WHEN kind IN ('del', 'ins') THEN (cs <= p0 AND p1 <= ce)
+       |    WHEN kind IN ('del', 'ins', 'delins') THEN (cs <= p0 AND p1 <= ce)
        |    ELSE FALSE END AS incds
        |  FROM hcand),
        |hst2 AS (SELECT hst1.*,
-       |   CASE WHEN kind = 'del' THEN e // 3 ELSE (e + 1) // 3 END AS c0
-       |  FROM hst1 WHERE incds AND kind <> 'delins'),
+       |   CASE WHEN kind IN ('del', 'delins') THEN e // 3 ELSE (e + 1) // 3 END AS c0
+       |  FROM hst1 WHERE incds),
        |hst3 AS (SELECT hst2.*, c0 + 1 AS pos,
        |   ${CodonLogic.aa(D, origCodon("c0"))} AS refaa,
        |   list_transform(generate_series(0, ${maxScanCodons - 1}),
@@ -247,6 +271,18 @@ object Hgvsp {
        |        CAST((e + 1) // 3 - k // 3 + 1 AS VARCHAR), '_',
        |        ${aa3(CodonLogic.aa(D, origCodon("(e + 1) // 3 - 1")))},
        |        CAST((e + 1) // 3 AS VARCHAR), 'dup') END
+       |    WHEN kind = 'delins' THEN
+       |     CASE WHEN (e + bigk - 1) // 3 = c0 THEN
+       |       concat(${aa3("refaa")}, CAST(pos AS VARCHAR), 'delins',
+       |         array_to_string(list_transform(
+       |           newaas[1:CAST((e + k - 1) // 3 - c0 + 1 AS INT)],
+       |           x -> ${aa3("x")}), ''))
+       |      ELSE concat(${aa3("refaa")}, CAST(pos AS VARCHAR), '_',
+       |        ${aa3(CodonLogic.aa(D, origCodon("(e + bigk - 1) // 3")))},
+       |        CAST((e + bigk - 1) // 3 + 1 AS VARCHAR), 'delins',
+       |        array_to_string(list_transform(
+       |          newaas[1:CAST((e + k - 1) // 3 - c0 + 1 AS INT)],
+       |          x -> ${aa3("x")}), '')) END
        |    ELSE NULL END AS form
        |  FROM hst5)
        |SELECT id, tid AS transcript_id, kind,

@@ -82,11 +82,26 @@ class HgvspSuite extends AnyFunSuite {
     assert(got != null && got.startsWith(s"Ter${c0 + 1}${aa3(newAA)}extTer"), s"got=$got")
   }
 
-  test("events outside the CDS and delins render no protein form") {
+  test("events outside the CDS render no protein form") {
     assert(Hgvsp.proteinForm(chrom, 1, cs, ce, "del", "XX", cs - 1, cs + 1) == null)
     assert(Hgvsp.proteinForm(chrom, 1, cs, ce, "ins", "C", ce, ce + 1) == null)
     assert(Hgvsp.proteinForm(chrom, 1, cs, ce, "dup", "C", ce - 1, ce) == null)
-    assert(Hgvsp.proteinForm(chrom, 1, cs, ce, "delins", "AC", cs + 9, cs + 10) == null)
+    assert(Hgvsp.proteinForm(chrom, 1, cs, ce, "delins", "AC", cs - 1, cs) == null)
+  }
+
+  test("length-preserving delins renders single-codon and range forms") {
+    // MNV replacing cds offsets 9-10 (codon 4 only): new codon =
+    // A, C, orig(11)
+    val single = Hgvsp.proteinForm(chrom, 1, cs, ce, "delins", "AC", cs + 9, cs + 10)
+    val newAA = CodonLogic.codonTable("AC" + orig(11, 1))
+    assert(single == s"${aa3(aaAt(3, 1))}4delins${aa3(newAA)}", s"got=$single")
+    // MNV replacing cds offsets 11-12 spans codons 4 and 5 -> range
+    // form with two new residues
+    val range = Hgvsp.proteinForm(chrom, 1, cs, ce, "delins", "GT", cs + 11, cs + 12)
+    val n1 = CodonLogic.codonTable("" + orig(9, 1) + orig(10, 1) + 'G')
+    val n2 = CodonLogic.codonTable("T" + orig(13, 1) + orig(14, 1))
+    assert(range == s"${aa3(aaAt(3, 1))}4_${aa3(aaAt(4, 1))}5delins${aa3(n1)}${aa3(n2)}",
+      s"got=$range")
   }
 
   test("non-aligned inframe insertion renders no protein form") {
