@@ -660,14 +660,19 @@ object VepSpliceQueries {
        |   hgvs_c, hgvs_p, sift_pred, polyphen_pred,
        |   ${Annotate.termStrSql(D, "terms")} AS termstr,
        |   ${Annotate.bestRankSql(D, "terms")} AS best FROM allent),
-       |ent AS (SELECT id, best, transcript_id, termstr, hgvs_c, hgvs_p, sift_pred,
-       |   polyphen_pred,
-       |   concat(transcript_id, '|', termstr, '|',
-       |   COALESCE(CAST(cdna_pos AS VARCHAR), ''), '|',
-       |   COALESCE(CAST(cds_pos AS VARCHAR), ''), '|',
-       |   COALESCE(CAST(protein_pos AS VARCHAR), ''), '|',
-       |   COALESCE(hgvs_c, ''), '|', COALESCE(hgvs_p, ''), '|',
-       |   COALESCE(sift_pred, ''), '|', COALESCE(polyphen_pred, '')) AS entry FROM rend),
+       |ent AS (SELECT rend.id, rend.best, rend.transcript_id, rend.termstr,
+       |   rend.hgvs_c, rend.hgvs_p, rend.sift_pred, rend.polyphen_pred,
+       |   ${graft.vep.Annotate.impactSql("rend.best")} AS impact,
+       |   concat(rend.transcript_id, '|', rend.termstr, '|',
+       |   COALESCE(CAST(rend.cdna_pos AS VARCHAR), ''), '|',
+       |   COALESCE(CAST(rend.cds_pos AS VARCHAR), ''), '|',
+       |   COALESCE(CAST(rend.protein_pos AS VARCHAR), ''), '|',
+       |   COALESCE(rend.hgvs_c, ''), '|', COALESCE(rend.hgvs_p, ''), '|',
+       |   COALESCE(rend.sift_pred, ''), '|', COALESCE(rend.polyphen_pred, ''), '|',
+       |   ${graft.vep.Annotate.impactSql("rend.best")}, '|',
+       |   COALESCE(t.biotype, ''), '|',
+       |   COALESCE(CAST(t.strand AS VARCHAR), '')) AS entry
+       |  FROM rend LEFT JOIN t ON rend.transcript_id = t.transcript_id),
        |lk AS (SELECT v.id, c.variation_name, c.af,
        |   CASE WHEN c.variation_name IS NULL THEN NULL ELSE GREATEST(c.af,
        |    CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 131 % 1000 AS DOUBLE) / 1000.0,
@@ -708,7 +713,8 @@ object VepSpliceQueries {
        |   list(COALESCE(hgvs_c, '') ORDER BY entry) AS hgvs_c,
        |   list(COALESCE(hgvs_p, '') ORDER BY entry) AS hgvs_p,
        |   list(COALESCE(sift_pred, '') ORDER BY entry) AS sift,
-       |   list(COALESCE(polyphen_pred, '') ORDER BY entry) AS polyphen
+       |   list(COALESCE(polyphen_pred, '') ORDER BY entry) AS polyphen,
+       |   list(impact ORDER BY entry) AS impact
        |  FROM ent GROUP BY id)
        |SELECT lk.id, lk.variation_name, lk.af, lk.max_af,
        | $e2eNameCase AS most_severe_consequence,
@@ -718,7 +724,8 @@ object VepSpliceQueries {
        | COALESCE(g.hgvs_c, CAST([] AS VARCHAR[])) AS hgvs_c,
        | COALESCE(g.hgvs_p, CAST([] AS VARCHAR[])) AS hgvs_p,
        | COALESCE(g.sift, CAST([] AS VARCHAR[])) AS sift,
-       | COALESCE(g.polyphen, CAST([] AS VARCHAR[])) AS polyphen
+       | COALESCE(g.polyphen, CAST([] AS VARCHAR[])) AS polyphen,
+       | COALESCE(g.impact, CAST([] AS VARCHAR[])) AS impact
        |FROM lk LEFT JOIN grp g ON lk.id = g.id ORDER BY lk.id""".stripMargin.replace("\n", " ")
 
   private val polyphenSql: String =

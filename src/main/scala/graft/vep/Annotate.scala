@@ -66,6 +66,14 @@ object Annotate {
       s"list_min(list_transform($arr, x -> CAST(${rankCaseSql("x")} AS INT)))"
   }
 
+  /** VEP impact class from the entry's best severity rank: ranks 0-9
+    * (transcript_ablation..feature_truncation) HIGH, 10-13 (inframe
+    * indels, missense, protein_altering) MODERATE, 14-21 (splice
+    * periphery, retained/synonymous) LOW, else MODIFIER. */
+  def impactSql(best: String): String =
+    s"CASE WHEN $best <= 9 THEN 'HIGH' WHEN $best <= 13 THEN 'MODERATE' " +
+    s"WHEN $best <= 21 THEN 'LOW' ELSE 'MODIFIER' END"
+
   private def f(c: Column): Column = coalesce(c.cast("string"), lit(""))
 
   /** See object doc. Inputs follow the fixture contracts
@@ -112,14 +120,15 @@ object Annotate {
           col("_entry").as("e"), col("transcript_id").as("t"),
           col("_termstr").as("c"), f(col("hgvs_c")).as("hc"),
           f(col("hgvs_p")).as("hp"), f(col("_sift")).as("s"),
-          f(col("_polyphen")).as("q")))).as("_ents"))
+          f(col("_polyphen")).as("q"), col("_impact").as("im")))).as("_ents"))
       .select(col("id"), col("n_transcripts"), col("_vbest"),
         expr("transform(_ents, x -> x.t)").as("transcript_ids"),
         expr("transform(_ents, x -> x.c)").as("consequences"),
         expr("transform(_ents, x -> x.hc)").as("hgvs_c"),
         expr("transform(_ents, x -> x.hp)").as("hgvs_p"),
         expr("transform(_ents, x -> x.s)").as("sift"),
-        expr("transform(_ents, x -> x.q)").as("polyphen"))
+        expr("transform(_ents, x -> x.q)").as("polyphen"),
+        expr("transform(_ents, x -> x.im)").as("impact"))
     val emptyArr = expr("CAST(array() AS ARRAY<STRING>)")
     lookupJoin(vcf, cache, grouped)
       .select(col("id"), col("variation_name"), col("af"), col("max_af"),
@@ -130,7 +139,8 @@ object Annotate {
         coalesce(col("hgvs_c"), emptyArr).as("hgvs_c"),
         coalesce(col("hgvs_p"), emptyArr).as("hgvs_p"),
         coalesce(col("sift"), emptyArr).as("sift"),
-        coalesce(col("polyphen"), emptyArr).as("polyphen"))
+        coalesce(col("polyphen"), emptyArr).as("polyphen"),
+        coalesce(col("impact"), emptyArr).as("impact"))
   }
 
   /** Shared variant-level tail: known-variant lookup + MAX_AF + rank
@@ -334,12 +344,21 @@ object Annotate {
     val regEntries = featureEntries(regulatory, "feature_id", "regulatory_region_variant")
     val motEntries = featureEntries(motifs, "motif_id", "TF_binding_site_variant")
 
-    // ---- per-entry rendering ----
+    // ---- per-entry rendering (12-field VEP-style entries:
+    // Feature|Consequence|cDNA|CDS|Protein|HGVSc|HGVSp|SIFT|PolyPhen|
+    // IMPACT|BIOTYPE|STRAND; BIOTYPE/STRAND resolve through one
+    // broadcast transcript-attribute join, '' for non-transcript
+    // features) ----
+    val tAttr = transcripts.select(col("transcript_id"),
+      col("biotype").as("_e_bt"), col("strand").cast("string").as("_e_strand"))
     fused.unionByName(updown).unionByName(regEntries).unionByName(motEntries)
+      .join(broadcast(tAttr), Seq("transcript_id"), "left")
       .withColumn("_termstr", expr(termStrSql(CodonLogic.SparkD, "_terms")))
       .withColumn("_best", expr(bestRankSql(CodonLogic.SparkD, "_terms")))
+      .withColumn("_impact", expr(impactSql("_best")))
       .withColumn("_entry", concat_ws("|", col("transcript_id"), col("_termstr"),
         f(col("_cdna")), f(col("_cds")), f(col("_pp")),
-        f(col("hgvs_c")), f(col("hgvs_p")), f(col("_sift")), f(col("_polyphen"))))
+        f(col("hgvs_c")), f(col("hgvs_p")), f(col("_sift")), f(col("_polyphen")),
+        col("_impact"), f(col("_e_bt")), f(col("_e_strand"))))
   }
 }
