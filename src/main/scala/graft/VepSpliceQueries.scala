@@ -674,6 +674,9 @@ object VepSpliceQueries {
        |   COALESCE(CAST(t.strand AS VARCHAR), '')) AS entry
        |  FROM rend LEFT JOIN t ON rend.transcript_id = t.transcript_id),
        |lk AS (SELECT v.id, c.variation_name, c.af,
+       |   CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 131 % 1000 AS DOUBLE) / 1000.0 AS af_afr,
+       |   CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 257 % 1000 AS DOUBLE) / 1000.0 AS af_eur,
+       |   CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 389 % 1000 AS DOUBLE) / 1000.0 AS af_eas,
        |   CASE WHEN c.variation_name IS NULL THEN NULL ELSE GREATEST(c.af,
        |    CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 131 % 1000 AS DOUBLE) / 1000.0,
        |    CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 257 % 1000 AS DOUBLE) / 1000.0,
@@ -696,7 +699,8 @@ object VepSpliceQueries {
     s"""$e2eCtes,
        |grp AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts, MIN(best) AS best,
        |   string_agg(entry, ',' ORDER BY entry) AS csq FROM ent GROUP BY id)
-       |SELECT lk.id, lk.variation_name, lk.af, lk.max_af,
+       |SELECT lk.id, lk.variation_name, lk.af,
+       | lk.af_afr, lk.af_eur, lk.af_eas, lk.max_af,
        | $e2eNameCase AS most_severe_consequence,
        | COALESCE(g.n_transcripts, CAST(0 AS BIGINT)) AS n_transcripts,
        | COALESCE(g.csq, '') AS csq
@@ -716,7 +720,8 @@ object VepSpliceQueries {
        |   list(COALESCE(polyphen_pred, '') ORDER BY entry) AS polyphen,
        |   list(impact ORDER BY entry) AS impact
        |  FROM ent GROUP BY id)
-       |SELECT lk.id, lk.variation_name, lk.af, lk.max_af,
+       |SELECT lk.id, lk.variation_name, lk.af,
+       | lk.af_afr, lk.af_eur, lk.af_eas, lk.max_af,
        | $e2eNameCase AS most_severe_consequence,
        | COALESCE(g.n_transcripts, CAST(0 AS BIGINT)) AS n_transcripts,
        | COALESCE(g.transcript_ids, CAST([] AS VARCHAR[])) AS transcript_ids,

@@ -93,7 +93,8 @@ object Annotate {
       .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
         array_join(array_sort(collect_list(col("_entry"))), ",").as("csq"))
     lookupJoin(vcf, cache, grouped)
-      .select(col("id"), col("variation_name"), col("af"), col("max_af"),
+      .select(col("id"), col("variation_name"), col("af"),
+        col("af_afr"), col("af_eur"), col("af_eas"), col("max_af"),
         col("most_severe_consequence"),
         coalesce(col("n_transcripts"), lit(0L)).as("n_transcripts"),
         coalesce(col("csq"), lit("")).as("csq"))
@@ -131,7 +132,8 @@ object Annotate {
         expr("transform(_ents, x -> x.im)").as("impact"))
     val emptyArr = expr("CAST(array() AS ARRAY<STRING>)")
     lookupJoin(vcf, cache, grouped)
-      .select(col("id"), col("variation_name"), col("af"), col("max_af"),
+      .select(col("id"), col("variation_name"), col("af"),
+        col("af_afr"), col("af_eur"), col("af_eas"), col("max_af"),
         col("most_severe_consequence"),
         coalesce(col("n_transcripts"), lit(0L)).as("n_transcripts"),
         coalesce(col("transcript_ids"), emptyArr).as("transcript_ids"),
@@ -149,15 +151,20 @@ object Annotate {
     val looked = Vep.lookupVariants(vcf, cache, columns = Seq("variation_name", "af"))
       .select(col("id"), col("cache_variation_name").as("variation_name"),
         col("cache_af").as("af"))
+    // population AF family (the reference's --af_* flag columns,
+    // derived from the matched cache row like f11_maxaf)
     val pk = substring(col("variation_name"), 3, 18).cast("long")
-    val maxAf = greatest(col("af"),
-      (pk * 131 % 1000).cast("double") / 1000.0,
-      (pk * 257 % 1000).cast("double") / 1000.0,
-      (pk * 389 % 1000).cast("double") / 1000.0)
+    val afAfr = (pk * 131 % 1000).cast("double") / 1000.0
+    val afEur = (pk * 257 % 1000).cast("double") / 1000.0
+    val afEas = (pk * 389 % 1000).cast("double") / 1000.0
+    val maxAf = greatest(col("af"), afAfr, afEur, afEas)
     val rankToName = Vep.soRank.foldLeft(lit("intergenic_variant")) { case (acc, (n, r)) =>
       when(col("_vbest") === r, lit(n)).otherwise(acc)
     }
     looked.join(grouped, Seq("id"), "left")
+      .withColumn("af_afr", afAfr)
+      .withColumn("af_eur", afEur)
+      .withColumn("af_eas", afEas)
       .withColumn("max_af", maxAf)
       .withColumn("most_severe_consequence", rankToName)
   }
