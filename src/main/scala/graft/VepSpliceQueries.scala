@@ -542,9 +542,13 @@ object VepSpliceQueries {
     val coding = "biotype IN ('protein_coding', 'nonsense_mediated_decay')"
     s"""WITH ${Oracle.transcripts}, ${Oracle.exons}, ${Oracle.vcf}, ${Oracle.vepCache}, ${Oracle.siftCtx}, ${Oracle.polyphenCtx}, ${Oracle.regulatory}, ${Oracle.motifs},
        |cdna AS (SELECT * FROM ($cdnaHgvsSql) q1),
-       |codon AS (SELECT id, transcript_id, consequence, protein_pos, aa_alt, hgvs_p
+       |codon AS (SELECT id, transcript_id, consequence, protein_pos,
+       |   aa_ref, aa_alt, ref_codon, alt_codon, hgvs_p
        |  FROM ($splicedCodonSql) q2),
        |csx AS (SELECT codon.id, codon.transcript_id, codon.consequence, codon.hgvs_p,
+       |   CASE WHEN codon.aa_ref = codon.aa_alt THEN codon.aa_ref
+       |    ELSE concat(codon.aa_ref, '/', codon.aa_alt) END AS aas,
+       |   concat(codon.ref_codon, '/', codon.alt_codon) AS cod,
        |   CASE WHEN s.sift_score IS NULL THEN NULL
        |    WHEN s.sift_score < 0.05 THEN 'deleterious' ELSE 'tolerated' END AS sift_pred,
        |   CASE WHEN q.polyphen_score IS NULL THEN NULL
@@ -567,7 +571,8 @@ object VepSpliceQueries {
        |   (t.biotype = 'nonsense_mediated_decay') AS nmd,
        |   (cdna.region = 'intronic' AND strpos(cdna.hgvs_c, ':n.') > 0) AS nc,
        |   cdna.cdna_pos, cdna.cds_pos, cdna.protein_pos, cdna.hgvs_c, csx.hgvs_p,
-       |   csx.sift_pred, csx.polyphen_pred
+       |   csx.sift_pred, csx.polyphen_pred, csx.aas, csx.cod,
+       |   CAST(NULL AS BIGINT) AS dist
        |  FROM cdna LEFT JOIN csx ON cdna.id = csx.id AND cdna.transcript_id = csx.transcript_id
        |   JOIN t ON cdna.transcript_id = t.transcript_id
        |   JOIN v ON cdna.id = v.id),
@@ -610,7 +615,9 @@ object VepSpliceQueries {
        |ind AS (SELECT iterm.id, iterm.transcript_id, iterm.term, iterm.nmd, iterm.nc,
        |   ihx.cdna_pos, CAST(NULL AS BIGINT) AS cds_pos, CAST(NULL AS BIGINT) AS protein_pos,
        |   ihx.hgvs_c, ihp.hp9 AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
-       |   CAST(NULL AS VARCHAR) AS polyphen_pred
+       |   CAST(NULL AS VARCHAR) AS polyphen_pred,
+       |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
+       |   CAST(NULL AS BIGINT) AS dist
        |  FROM iterm LEFT JOIN ihx ON iterm.id = ihx.id
        |   AND iterm.transcript_id = ihx.transcript_id
        |   LEFT JOIN ihp ON iterm.id = ihp.id
@@ -625,7 +632,7 @@ object VepSpliceQueries {
        |     CASE WHEN b.nc THEN 'non_coding_transcript_variant' END], x -> x IS NOT NULL),
        |    COALESCE(s.sterms, CAST([] AS VARCHAR[]))) AS terms,
        |   b.cdna_pos, b.cds_pos, b.protein_pos, b.hgvs_c, b.hgvs_p, b.sift_pred,
-       |   b.polyphen_pred
+       |   b.polyphen_pred, b.aas, b.cod, b.dist
        |  FROM bse b FULL OUTER JOIN sp s
        |   ON b.id = s.id AND b.transcript_id = s.transcript_id),
        |ud AS (SELECT v.id, t.transcript_id,
@@ -634,7 +641,9 @@ object VepSpliceQueries {
        |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
        |   CAST(NULL AS BIGINT) AS protein_pos, CAST(NULL AS VARCHAR) AS hgvs_c,
        |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
-       |   CAST(NULL AS VARCHAR) AS polyphen_pred
+       |   CAST(NULL AS VARCHAR) AS polyphen_pred,
+       |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
+       |   GREATEST(t.start - v."end", v.start - t."end") AS dist
        |  FROM v JOIN t ON v.chrom = t.chrom
        |   AND t.start - 5000 <= v."end" AND t."end" + 5000 >= v.start
        |   AND NOT (v.start <= t."end" AND v."end" >= t.start)),
@@ -643,7 +652,9 @@ object VepSpliceQueries {
        |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
        |   CAST(NULL AS BIGINT) AS protein_pos, CAST(NULL AS VARCHAR) AS hgvs_c,
        |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
-       |   CAST(NULL AS VARCHAR) AS polyphen_pred
+       |   CAST(NULL AS VARCHAR) AS polyphen_pred,
+       |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
+       |   CAST(NULL AS BIGINT) AS dist
        |  FROM v JOIN rg ON v.chrom = rg.chrom
        |   AND rg.start <= v."end" AND rg."end" >= v.start),
        |mte AS (SELECT v.id, mt.motif_id AS transcript_id,
@@ -651,13 +662,15 @@ object VepSpliceQueries {
        |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
        |   CAST(NULL AS BIGINT) AS protein_pos, CAST(NULL AS VARCHAR) AS hgvs_c,
        |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
-       |   CAST(NULL AS VARCHAR) AS polyphen_pred
+       |   CAST(NULL AS VARCHAR) AS polyphen_pred,
+       |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
+       |   CAST(NULL AS BIGINT) AS dist
        |  FROM v JOIN mt ON v.chrom = mt.chrom
        |   AND mt.start <= v."end" AND mt."end" >= v.start),
        |allent AS (SELECT * FROM fused UNION ALL SELECT * FROM ud
        |  UNION ALL SELECT * FROM rge UNION ALL SELECT * FROM mte),
        |rend AS (SELECT id, transcript_id, cdna_pos, cds_pos, protein_pos,
-       |   hgvs_c, hgvs_p, sift_pred, polyphen_pred,
+       |   hgvs_c, hgvs_p, sift_pred, polyphen_pred, aas, cod, dist,
        |   ${Annotate.termStrSql(D, "terms")} AS termstr,
        |   ${Annotate.bestRankSql(D, "terms")} AS best FROM allent),
        |ent AS (SELECT rend.id, rend.best, rend.transcript_id, rend.termstr,
@@ -671,8 +684,15 @@ object VepSpliceQueries {
        |   COALESCE(rend.sift_pred, ''), '|', COALESCE(rend.polyphen_pred, ''), '|',
        |   ${graft.vep.Annotate.impactSql("rend.best")}, '|',
        |   COALESCE(t.biotype, ''), '|',
-       |   COALESCE(CAST(t.strand AS VARCHAR), '')) AS entry
-       |  FROM rend LEFT JOIN t ON rend.transcript_id = t.transcript_id),
+       |   COALESCE(CAST(t.strand AS VARCHAR), ''), '|',
+       |   CASE WHEN length(v.ref) = 1 AND length(v.alt) = 1 THEN 'SNV'
+       |    WHEN length(v.ref) = length(v.alt) THEN 'substitution'
+       |    WHEN length(v.alt) > length(v.ref) THEN 'insertion'
+       |    ELSE 'deletion' END, '|',
+       |   COALESCE(CAST(rend.dist AS VARCHAR), ''), '|',
+       |   COALESCE(rend.aas, ''), '|', COALESCE(rend.cod, '')) AS entry
+       |  FROM rend LEFT JOIN t ON rend.transcript_id = t.transcript_id
+       |   JOIN v ON rend.id = v.id),
        |lk AS (SELECT v.id, c.variation_name, c.af,
        |   CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 131 % 1000 AS DOUBLE) / 1000.0 AS af_afr,
        |   CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 257 % 1000 AS DOUBLE) / 1000.0 AS af_eur,

@@ -199,6 +199,9 @@ object Annotate {
         codon("protein_pos") === col("_q_pp") && codon("aa_alt") === col("_q_aa"),
         "left")
       .select(codon("id"), codon("transcript_id"), col("consequence"), col("hgvs_p"),
+        when(col("aa_ref") === col("aa_alt"), col("aa_ref"))
+          .otherwise(concat_ws("/", col("aa_ref"), col("aa_alt"))).as("_aas"),
+        concat_ws("/", col("ref_codon"), col("alt_codon")).as("_cod"),
         when(col("sift_score").isNull, lit(null).cast("string"))
           .when(col("sift_score") < 0.05, lit("deleterious"))
           .otherwise(lit("tolerated")).as("_sift"),
@@ -229,7 +232,8 @@ object Annotate {
         (col("region") === "intronic" && instr(col("hgvs_c"), ":n.") > 0).as("_nc"),
         col("cdna_pos").cast("long").as("_cdna"), col("cds_pos").cast("long").as("_cds"),
         col("protein_pos").cast("long").as("_pp"),
-        col("hgvs_c"), col("hgvs_p"), col("_sift"), col("_polyphen"))
+        col("hgvs_c"), col("hgvs_p"), col("_sift"), col("_polyphen"),
+        col("_aas"), col("_cod"), lit(null).cast("long").as("_dist"))
 
     // ---- indel entries: region-term geometry + HGVS forms ----
     val iv = vcf.where(!(length(col("ref")) === 1 && length(col("alt")) === 1))
@@ -293,7 +297,7 @@ object Annotate {
       .select(col("id"), col("transcript_id"), col("_term"), col("_nmd"), col("_nc"),
         col("_ih_cdna").as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
         col("_ih_hgvs").as("hgvs_c"), col("_hp9").as("hgvs_p"), nullS.as("_sift"),
-        nullS.as("_polyphen"))
+        nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"), nullL.as("_dist"))
 
     // ---- splice fusion: all six splice terms per (variant, transcript) ----
     val splice = Splice.spliceTerms(vcf, transcripts, exons)
@@ -309,7 +313,7 @@ object Annotate {
         coalesce(col("_sterms"), expr("CAST(array() AS ARRAY<STRING>)"))))
       .select(col("id"), col("transcript_id"), col("_terms"),
         col("_cdna"), col("_cds"), col("_pp"), col("hgvs_c"), col("hgvs_p"),
-        col("_sift"), col("_polyphen"))
+        col("_sift"), col("_polyphen"), col("_aas"), col("_cod"), col("_dist"))
 
     // ---- up/downstream entries (non-overlapping candidates in reach) ----
     val ut = transcripts.select(col("chrom").as("_u_tc"),
@@ -329,7 +333,8 @@ object Annotate {
           .as("_terms"),
         nullL.as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
         nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
-        nullS.as("_polyphen"))
+        nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"),
+        greatest(col("_u_ts") - col("_u_ve"), col("_u_vs") - col("_u_te")).as("_dist"))
 
     // ---- regulatory / TF-motif feature entries (VEP emits these as
     // their own CSQ Feature rows; they join most_severe ranking) ----
@@ -346,7 +351,7 @@ object Annotate {
           array(lit(term)).as("_terms"),
           nullL.as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
           nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
-          nullS.as("_polyphen"))
+          nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"), nullL.as("_dist"))
     }
     val regEntries = featureEntries(regulatory, "feature_id", "regulatory_region_variant")
     val motEntries = featureEntries(motifs, "motif_id", "TF_binding_site_variant")
@@ -358,14 +363,22 @@ object Annotate {
     // features) ----
     val tAttr = transcripts.select(col("transcript_id"),
       col("biotype").as("_e_bt"), col("strand").cast("string").as("_e_strand"))
+    // VEP's VARIANT_CLASS, resolved per variant and repeated per entry
+    val vClass = vcf.select(col("id"),
+      when(length(col("ref")) === 1 && length(col("alt")) === 1, lit("SNV"))
+        .when(length(col("ref")) === length(col("alt")), lit("substitution"))
+        .when(length(col("alt")) > length(col("ref")), lit("insertion"))
+        .otherwise(lit("deletion")).as("_vclass"))
     fused.unionByName(updown).unionByName(regEntries).unionByName(motEntries)
       .join(broadcast(tAttr), Seq("transcript_id"), "left")
+      .join(vClass, Seq("id"))
       .withColumn("_termstr", expr(termStrSql(CodonLogic.SparkD, "_terms")))
       .withColumn("_best", expr(bestRankSql(CodonLogic.SparkD, "_terms")))
       .withColumn("_impact", expr(impactSql("_best")))
       .withColumn("_entry", concat_ws("|", col("transcript_id"), col("_termstr"),
         f(col("_cdna")), f(col("_cds")), f(col("_pp")),
         f(col("hgvs_c")), f(col("hgvs_p")), f(col("_sift")), f(col("_polyphen")),
-        col("_impact"), f(col("_e_bt")), f(col("_e_strand"))))
+        col("_impact"), f(col("_e_bt")), f(col("_e_strand")),
+        col("_vclass"), f(col("_dist")), f(col("_aas")), f(col("_cod"))))
   }
 }
