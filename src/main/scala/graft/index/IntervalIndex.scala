@@ -181,10 +181,54 @@ object EytzingerIntervalIndex {
   }
 }
 
+/** Lapper-layout stabber (the rust-lapper / nim-lapper algorithm
+  * family several of the reference's index impls derive from):
+  * intervals sorted by start, the query backs off by the MAXIMUM
+  * interval length to find the scan window's left edge, then scans
+  * forward while `start <= qe`. Degrades when one huge interval
+  * inflates the back-off (the known lapper weakness the prefix-max-end
+  * layout fixes) but is branch-simple and append-friendly. Emission
+  * order matches the canonical sorted order. */
+final class LapperIntervalIndex(
+    val starts: Array[Long], val ends: Array[Long],
+    val payload: Array[Int], val maxLen: Long) extends IntervalStabber {
+  def query(qs: Long, qe: Long)(f: Int => Unit): Unit = {
+    var j = lowerBound(starts, qs - maxLen)
+    while (j < starts.length && starts(j) <= qe) {
+      if (ends(j) >= qs) f(payload(j))
+      j += 1
+    }
+  }
+  /** first index with arr(i) >= key */
+  @inline private def lowerBound(arr: Array[Long], key: Long): Int = {
+    var lo = 0; var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr(mid) < key) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+}
+
+object LapperIntervalIndex {
+  def build(s: Array[Long], e: Array[Long], payload: Array[Int]): LapperIntervalIndex = {
+    val c = ContigIntervalIndex.build(s, e, payload)
+    var ml = 0L
+    var i = 0
+    while (i < c.starts.length) {
+      val len = c.ends(i) - c.starts(i)
+      if (len > ml) ml = len
+      i += 1
+    }
+    new LapperIntervalIndex(c.starts, c.ends, c.payload, ml)
+  }
+}
+
 /** J3 algorithm selection: one factory keyed by the session config
   * `spark.graft.intervalJoin.algorithm` —
   * `superintervals` (default, sorted arrays + prefix-max-end),
-  * `eytzinger` (same layout, branchless BFS-ordered search), or
+  * `eytzinger` (same layout, branchless BFS-ordered search),
+  * `lapper` (start-sorted + max-length back-off), or
   * `linear` (naive scan, for verification). */
 object IntervalIndexFactory {
   val ConfKey = "spark.graft.intervalJoin.algorithm"
@@ -196,9 +240,10 @@ object IntervalIndexFactory {
         val c = ContigIntervalIndex.build(s, e, payload)
         new LinearIntervalIndex(c.starts, c.ends, c.payload)
       case "eytzinger" => EytzingerIntervalIndex.build(s, e, payload)
+      case "lapper" => LapperIntervalIndex.build(s, e, payload)
       case "superintervals" | "" => ContigIntervalIndex.build(s, e, payload)
       case other => throw new IllegalArgumentException(
-        s"unknown interval-join algorithm '$other' (superintervals | eytzinger | linear)")
+        s"unknown interval-join algorithm '$other' (superintervals | eytzinger | lapper | linear)")
     }
 }
 

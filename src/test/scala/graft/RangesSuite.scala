@@ -68,15 +68,15 @@ class RangesSuite extends SparkSpec {
     }
   }
 
-  test("J3 eytzinger index: emission parity with superintervals on random data") {
+  test("J3 eytzinger/lapper indexes: emission parity with superintervals") {
     import graft.index.IntervalIndexFactory
     val rnd = new scala.util.Random(42)
-    for (n <- Seq(0, 1, 7, 100, 1023)) {
+    for (n <- Seq(0, 1, 7, 100, 1023); algo <- Seq("eytzinger", "lapper")) {
       val s = Array.fill(n)(rnd.nextLong(1000))
       val e = s.map(x => x + rnd.nextLong(50))
       val p = Array.range(0, n)
       val a = IntervalIndexFactory.build("superintervals", s, e, p)
-      val b = IntervalIndexFactory.build("eytzinger", s, e, p)
+      val b = IntervalIndexFactory.build(algo, s, e, p)
       for (_ <- 0 until 200) {
         val qs = rnd.nextLong(1100) - 50
         val qe = qs + rnd.nextLong(80)
@@ -84,7 +84,7 @@ class RangesSuite extends SparkSpec {
         val rb = scala.collection.mutable.ArrayBuffer[Int]()
         a.query(qs, qe)(ra += _)
         b.query(qs, qe)(rb += _)
-        assert(ra == rb, s"n=$n query=[$qs,$qe]")
+        assert(ra == rb, s"algo=$algo n=$n query=[$qs,$qe]")
       }
     }
     // end-to-end through the interval strategy
