@@ -190,7 +190,7 @@ object Dedup {
     * the fixpoint is the component-minimum id regardless of iteration
     * order. Output: (id, cluster_id) for every vertex in `pairs`.
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 7): DataFrame = {
     import org.apache.spark.sql.functions._
     val edges = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
       .unionByName(pairs.select(col("id2").cast("long").as("a"), col("id1").cast("long").as("b")))
@@ -198,19 +198,26 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).persist()
     var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val prop = edges.join(labels.withColumnRenamed("id", "_nid"), col("b") === col("_nid"))
-        .groupBy(col("a")).agg(min(col("lbl")).as("_nlbl"))
-      val next = labels.join(prop, labels("id") === prop("a"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("_nlbl"), col("lbl"))).as("lbl"))
-        .persist()
-      changed = next.join(labels.withColumnRenamed("lbl", "_olbl"), Seq("id"))
+    var round = 0
+    // THREE propagation hops compose lazily between materializations:
+    // the convergence check (the per-round fixed-cost Spark job) runs
+    // once per 3 hops, so shallow components converge in one or two
+    // materialized rounds instead of paying scheduler latency per hop
+    while (changed > 0 && round < maxRounds) {
+      var next = labels
+      for (_ <- 0 until 3) {
+        val prop = edges.join(next.withColumnRenamed("id", "_nid"), col("b") === col("_nid"))
+          .groupBy(col("a")).agg(min(col("lbl")).as("_nlbl"))
+        next = next.join(prop, next("id") === prop("a"), "left")
+          .select(next("id"),
+            least(next("lbl"), coalesce(col("_nlbl"), next("lbl"))).as("lbl"))
+      }
+      val mat = next.persist()
+      changed = mat.join(labels.withColumnRenamed("lbl", "_olbl"), Seq("id"))
         .where(col("lbl") =!= col("_olbl")).count()
       labels.unpersist()
-      labels = next
-      iter += 1
+      labels = mat
+      round += 1
     }
     edges.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_id"))
