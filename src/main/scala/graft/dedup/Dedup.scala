@@ -195,8 +195,16 @@ object Dedup {
     val edges = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
       .unionByName(pairs.select(col("id2").cast("long").as("a"), col("id1").cast("long").as("b")))
       .persist()
+    // localCheckpoint (eager) both caches the label table AND
+    // truncates its LOGICAL plan — a plain persist keeps the full
+    // lineage, and since every hop references `next` on both join
+    // sides the un-truncated plan grows 8x per round (2^3 subtree
+    // copies), blowing up Catalyst canonicalization after a few
+    // rounds. With the lineage cut, each round's plan is constant
+    // size. On a real cluster swap localCheckpoint for reliable
+    // checkpointing if executor loss during the loop matters.
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
     var changed = 1L
     var round = 0
     // THREE propagation hops compose lazily between materializations:
@@ -212,10 +220,9 @@ object Dedup {
           .select(next("id"),
             least(next("lbl"), coalesce(col("_nlbl"), next("lbl"))).as("lbl"))
       }
-      val mat = next.persist()
+      val mat = next.localCheckpoint(true)
       changed = mat.join(labels.withColumnRenamed("lbl", "_olbl"), Seq("id"))
         .where(col("lbl") =!= col("_olbl")).count()
-      labels.unpersist()
       labels = mat
       round += 1
     }

@@ -131,4 +131,29 @@ class PropertySuite extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", p0)
   }
+
+  test("invariance: dup clustering across partition counts") {
+    val pairs = {
+      val r = new Random(7)
+      (0 until 60).map(_ => { val x = r.nextInt(40); (x.toLong, (x + 1 + r.nextInt(5)).toLong) })
+        .distinct.toDF("id1", "id2")
+    }
+    def clusters(): Seq[Seq[Any]] =
+      graft.dedup.Dedup.duplicateClusters(pairs)
+        .orderBy("id").collect().map(_.toSeq).toSeq
+    val base = clusters()
+    val p0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (p <- Seq("1", "7")) {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        assert(clusters() == base, s"clusters partitions=$p")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", p0)
+  }
+
+  // NOTE: the integrated annotate pipeline's invariance is covered by
+  // the driver gate itself (Verify runs at a different shuffle-
+  // partition count than Bench and both hash-match the same oracle);
+  // re-running the full fused plan three times inside the unit suite
+  // proved too heavy for local[4].
 }
