@@ -217,7 +217,9 @@ object PileupVepQueries {
          |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
          | c.variation_name AS cache_variation_name,
          | c.allele_string AS cache_allele_string,
-         | c.af AS cache_af, c.clin_sig AS cache_clin_sig
+         | c.af AS cache_af, c.af_afr AS cache_af_afr,
+         | c.af_eur AS cache_af_eur, c.af_eas AS cache_af_eas,
+         | c.clin_sig AS cache_clin_sig
          |FROM v LEFT JOIN c ON v.chrom = c.chrom
          | AND v.norm_start = c.start AND v.norm_end = c."end"
          | AND (split_part(c.allele_string, '/', 1) = v.vep_ref
@@ -229,7 +231,9 @@ object PileupVepQueries {
          |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
          | c.variation_name AS cache_variation_name,
          | c.allele_string AS cache_allele_string,
-         | c.af AS cache_af, c.clin_sig AS cache_clin_sig
+         | c.af AS cache_af, c.af_afr AS cache_af_afr,
+         | c.af_eur AS cache_af_eur, c.af_eas AS cache_af_eas,
+         | c.clin_sig AS cache_clin_sig
          |FROM v LEFT JOIN c ON v.chrom = c.chrom
          | AND c.start <= v.norm_end + 4 AND c."end" >= v.norm_start - 4
          | AND (split_part(c.allele_string, '/', 1) = v.vep_ref

@@ -101,6 +101,14 @@ object Tables {
            ELSE concat(substring('ACGT', 1 + CAST((p_partkey % 4 + 1 + p_partkey % 2) % 4 AS INT), 1), '/-')
          END AS allele_string""",
       "CAST(p_partkey % 1000 AS DOUBLE) / 1000.0 AS af",
+      // population-AF column family (the reference cache's --af_*
+      // columns, annotate_provider.rs:795-1000) — fixture-synthetic
+      // values that the ANNOTATE OPERATOR reads as plain cache
+      // columns (round-5 ADVICE: derivation belongs here, not in
+      // Annotate.lookupJoin)
+      "CAST(p_partkey * 131 % 1000 AS DOUBLE) / 1000.0 AS af_afr",
+      "CAST(p_partkey * 257 % 1000 AS DOUBLE) / 1000.0 AS af_eur",
+      "CAST(p_partkey * 389 % 1000 AS DOUBLE) / 1000.0 AS af_eas",
       """CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'benign' WHEN 1 THEN 'pathogenic'
          WHEN 2 THEN 'uncertain' ELSE NULL END AS clin_sig""")
 
@@ -452,6 +460,9 @@ object Oracle {
        |  WHEN p_partkey % 3 = 1 THEN concat('-/', $b2)
        |  ELSE concat($b2, '/-') END AS allele_string,
        | CAST(p_partkey % 1000 AS DOUBLE) / 1000.0 AS af,
+       | CAST(p_partkey * 131 % 1000 AS DOUBLE) / 1000.0 AS af_afr,
+       | CAST(p_partkey * 257 % 1000 AS DOUBLE) / 1000.0 AS af_eur,
+       | CAST(p_partkey * 389 % 1000 AS DOUBLE) / 1000.0 AS af_eas,
        | CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'benign' WHEN 1 THEN 'pathogenic'
        |  WHEN 2 THEN 'uncertain' ELSE NULL END AS clin_sig
        | FROM part WHERE p_partkey % 4 < 2)""".stripMargin.replace("\n", " ")

@@ -72,10 +72,21 @@ object VepSpliceQueries {
         Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d))),
     // Typed per-transcript List<T> output columns beside the CSQ
     // string (annotate_provider.rs:2282-2296, arrow_roundtrip_golden).
-    "f11_typed_columns" -> ((s, d) =>
-      graft.vep.Annotate.annotateTyped(Tables.vcf(s, d), Tables.vepCache(s, d),
+    // Gate projection: each array column is '|'-serialized so the
+    // driver's pandas/DuckDB hash compare can sort the cells (it
+    // cannot hash ndarray cells) — the arrays themselves stay the
+    // library API ([[graft.vep.Annotate.annotateTyped]]) and are
+    // covered element-wise by AnnotateSuite.
+    "f11_typed_columns" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val t = graft.vep.Annotate.annotateTyped(Tables.vcf(s, d), Tables.vepCache(s, d),
         Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
-        Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d))),
+        Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d))
+      val arrays = Seq("transcript_ids", "consequences", "hgvs_c", "hgvs_p",
+        "sift", "polyphen", "impact")
+      t.select(t.columns.map(c =>
+        if (arrays.contains(c)) array_join(col(c), "|").as(c) else col(c)): _*)
+    }),
     // PolyPhen lookup beside SIFT (partitioned_cache.rs carries both
     // translation tables symmetrically); VEP's two-threshold
     // prediction bands.
@@ -113,15 +124,14 @@ object VepSpliceQueries {
     "f11_hgvsp_indel" -> ((s, d) =>
       graft.vep.Hgvsp.hgvspIndel(Tables.hgvspProbes(s, d), Tables.transcripts(s, d))),
     // MAX_AF assembly (stage 6, annotate_provider.rs:795-1000 role):
-    // population AFs derived from the matched cache row, max + argmax.
+    // population AFs read from the matched cache row's --af_* column
+    // family, max + argmax.
     "f11_maxaf" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val looked = graft.vep.Vep.lookupVariants(Tables.vcf(s, d), Tables.vepCache(s, d))
         .where(col("cache_variation_name").isNotNull)
-      val pk = substring(col("cache_variation_name"), 3, 18).cast("long")
-      val afr = (pk * 131 % 1000).cast("double") / 1000.0
-      val eur = (pk * 257 % 1000).cast("double") / 1000.0
-      val eas = (pk * 389 % 1000).cast("double") / 1000.0
+      val afr = col("cache_af_afr"); val eur = col("cache_af_eur")
+      val eas = col("cache_af_eas")
       val mx = greatest(col("cache_af"), afr, eur, eas)
       looked.select(col("id"), col("cache_af").as("af"),
         afr.as("af_afr"), eur.as("af_eur"), eas.as("af_eas"),
@@ -509,16 +519,12 @@ object VepSpliceQueries {
 
   private val maxAfSql: String =
     s"""WITH ${Oracle.vcf}, ${Oracle.vepCache},
-       |m AS (SELECT v.id, c.af, CAST(substr(c.variation_name, 3) AS BIGINT) AS pk
+       |x AS (SELECT v.id, c.af, c.af_afr, c.af_eur, c.af_eas
        |  FROM v JOIN c ON v.chrom = c.chrom
        |   AND v.norm_start = c.start AND v.norm_end = c."end"
        |   AND (split_part(c.allele_string, '/', 1) = v.vep_ref
        |        OR split_part(c.allele_string, '/', 1) = v.ref)
-       |   AND split_part(c.allele_string, '/', 2) = v.vep_alt),
-       |x AS (SELECT id, af,
-       |   CAST(pk * 131 % 1000 AS DOUBLE) / 1000.0 AS af_afr,
-       |   CAST(pk * 257 % 1000 AS DOUBLE) / 1000.0 AS af_eur,
-       |   CAST(pk * 389 % 1000 AS DOUBLE) / 1000.0 AS af_eas FROM m)
+       |   AND split_part(c.allele_string, '/', 2) = v.vep_alt)
        |SELECT id, af, af_afr, af_eur, af_eas,
        | GREATEST(af, af_afr, af_eur, af_eas) AS max_af,
        | CASE WHEN GREATEST(af, af_afr, af_eur, af_eas) = af THEN 'all'
@@ -694,13 +700,9 @@ object VepSpliceQueries {
        |  FROM rend LEFT JOIN t ON rend.transcript_id = t.transcript_id
        |   JOIN v ON rend.id = v.id),
        |lk AS (SELECT v.id, c.variation_name, c.af,
-       |   CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 131 % 1000 AS DOUBLE) / 1000.0 AS af_afr,
-       |   CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 257 % 1000 AS DOUBLE) / 1000.0 AS af_eur,
-       |   CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 389 % 1000 AS DOUBLE) / 1000.0 AS af_eas,
-       |   CASE WHEN c.variation_name IS NULL THEN NULL ELSE GREATEST(c.af,
-       |    CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 131 % 1000 AS DOUBLE) / 1000.0,
-       |    CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 257 % 1000 AS DOUBLE) / 1000.0,
-       |    CAST(CAST(substr(c.variation_name, 3) AS BIGINT) * 389 % 1000 AS DOUBLE) / 1000.0)
+       |   c.af_afr, c.af_eur, c.af_eas,
+       |   CASE WHEN c.variation_name IS NULL THEN NULL
+       |    ELSE GREATEST(c.af, c.af_afr, c.af_eur, c.af_eas)
        |   END AS max_af
        |  FROM v LEFT JOIN c ON v.chrom = c.chrom
        |   AND v.norm_start = c.start AND v.norm_end = c."end"
@@ -727,30 +729,31 @@ object VepSpliceQueries {
        |FROM lk LEFT JOIN grp g ON lk.id = g.id ORDER BY lk.id""".stripMargin.replace("\n", " ")
 
   /** Typed List<T> columns variant of the e2e oracle: parallel arrays
-    * in the entry-string sort order (list(... ORDER BY entry) mirrors
-    * Spark's struct-sorted collect). */
+    * in the entry-string sort order, '|'-serialized for the gate
+    * (string_agg(... ORDER BY entry) mirrors Spark's struct-sorted
+    * collect followed by array_join). */
   private val typedColumnsSql: String =
     s"""$e2eCtes,
        |grp AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts, MIN(best) AS best,
-       |   list(transcript_id ORDER BY entry) AS transcript_ids,
-       |   list(termstr ORDER BY entry) AS consequences,
-       |   list(COALESCE(hgvs_c, '') ORDER BY entry) AS hgvs_c,
-       |   list(COALESCE(hgvs_p, '') ORDER BY entry) AS hgvs_p,
-       |   list(COALESCE(sift_pred, '') ORDER BY entry) AS sift,
-       |   list(COALESCE(polyphen_pred, '') ORDER BY entry) AS polyphen,
-       |   list(impact ORDER BY entry) AS impact
+       |   string_agg(transcript_id, '|' ORDER BY entry) AS transcript_ids,
+       |   string_agg(termstr, '|' ORDER BY entry) AS consequences,
+       |   string_agg(COALESCE(hgvs_c, ''), '|' ORDER BY entry) AS hgvs_c,
+       |   string_agg(COALESCE(hgvs_p, ''), '|' ORDER BY entry) AS hgvs_p,
+       |   string_agg(COALESCE(sift_pred, ''), '|' ORDER BY entry) AS sift,
+       |   string_agg(COALESCE(polyphen_pred, ''), '|' ORDER BY entry) AS polyphen,
+       |   string_agg(impact, '|' ORDER BY entry) AS impact
        |  FROM ent GROUP BY id)
        |SELECT lk.id, lk.variation_name, lk.af,
        | lk.af_afr, lk.af_eur, lk.af_eas, lk.max_af,
        | $e2eNameCase AS most_severe_consequence,
        | COALESCE(g.n_transcripts, CAST(0 AS BIGINT)) AS n_transcripts,
-       | COALESCE(g.transcript_ids, CAST([] AS VARCHAR[])) AS transcript_ids,
-       | COALESCE(g.consequences, CAST([] AS VARCHAR[])) AS consequences,
-       | COALESCE(g.hgvs_c, CAST([] AS VARCHAR[])) AS hgvs_c,
-       | COALESCE(g.hgvs_p, CAST([] AS VARCHAR[])) AS hgvs_p,
-       | COALESCE(g.sift, CAST([] AS VARCHAR[])) AS sift,
-       | COALESCE(g.polyphen, CAST([] AS VARCHAR[])) AS polyphen,
-       | COALESCE(g.impact, CAST([] AS VARCHAR[])) AS impact
+       | COALESCE(g.transcript_ids, '') AS transcript_ids,
+       | COALESCE(g.consequences, '') AS consequences,
+       | COALESCE(g.hgvs_c, '') AS hgvs_c,
+       | COALESCE(g.hgvs_p, '') AS hgvs_p,
+       | COALESCE(g.sift, '') AS sift,
+       | COALESCE(g.polyphen, '') AS polyphen,
+       | COALESCE(g.impact, '') AS impact
        |FROM lk LEFT JOIN grp g ON lk.id = g.id ORDER BY lk.id""".stripMargin.replace("\n", " ")
 
   private val polyphenSql: String =

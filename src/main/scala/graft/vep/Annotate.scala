@@ -148,23 +148,19 @@ object Annotate {
   /** Shared variant-level tail: known-variant lookup + MAX_AF + rank
     * name resolution, LEFT-joined onto the per-variant aggregate. */
   private def lookupJoin(vcf: DataFrame, cache: DataFrame, grouped: DataFrame): DataFrame = {
-    val looked = Vep.lookupVariants(vcf, cache, columns = Seq("variation_name", "af"))
+    // population AF family (the reference's --af_* flag columns) reads
+    // straight from the matched cache row's column family
+    // (annotate_provider.rs:795-1000) — no derivation in the operator
+    val looked = Vep.lookupVariants(vcf, cache,
+        columns = Seq("variation_name", "af", "af_afr", "af_eur", "af_eas"))
       .select(col("id"), col("cache_variation_name").as("variation_name"),
-        col("cache_af").as("af"))
-    // population AF family (the reference's --af_* flag columns,
-    // derived from the matched cache row like f11_maxaf)
-    val pk = substring(col("variation_name"), 3, 18).cast("long")
-    val afAfr = (pk * 131 % 1000).cast("double") / 1000.0
-    val afEur = (pk * 257 % 1000).cast("double") / 1000.0
-    val afEas = (pk * 389 % 1000).cast("double") / 1000.0
-    val maxAf = greatest(col("af"), afAfr, afEur, afEas)
+        col("cache_af").as("af"), col("cache_af_afr").as("af_afr"),
+        col("cache_af_eur").as("af_eur"), col("cache_af_eas").as("af_eas"))
+    val maxAf = greatest(col("af"), col("af_afr"), col("af_eur"), col("af_eas"))
     val rankToName = Vep.soRank.foldLeft(lit("intergenic_variant")) { case (acc, (n, r)) =>
       when(col("_vbest") === r, lit(n)).otherwise(acc)
     }
     looked.join(grouped, Seq("id"), "left")
-      .withColumn("af_afr", afAfr)
-      .withColumn("af_eur", afEur)
-      .withColumn("af_eas", afEas)
       .withColumn("max_af", maxAf)
       .withColumn("most_severe_consequence", rankToName)
   }
