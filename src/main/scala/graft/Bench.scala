@@ -29,9 +29,13 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      // off-the-clock GC between queries: dropped plan references let
-      // the ContextCleaner reap prior broadcasts so query N doesn't
-      // pay query N-1's heap
+      // off-the-clock cleanup between queries: release any blocks the
+      // previous query materialized (Materialize RDDs, caches), then
+      // GC so the ContextCleaner reaps prior broadcasts — query N
+      // must not pay query N-1's heap (round-6 drift: late-running
+      // queries 1.4-1.6x slower from accumulated resident blocks)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
       val t0 = System.nanoTime()
       val sec =

@@ -75,8 +75,10 @@ object VepSpliceQueries {
     // Gate projection: each array column is '|'-serialized so the
     // driver's pandas/DuckDB hash compare can sort the cells (it
     // cannot hash ndarray cells) — the arrays themselves stay the
-    // library API ([[graft.vep.Annotate.annotateTyped]]) and are
-    // covered element-wise by AnnotateSuite.
+    // library API ([[graft.vep.Annotate.annotateTyped]]); AnnotateSuite
+    // cross-checks them element-wise against the CSQ entry fields, so
+    // a delimiter collision in this projection cannot mask an
+    // element-boundary difference.
     "f11_typed_columns" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val t = graft.vep.Annotate.annotateTyped(Tables.vcf(s, d), Tables.vepCache(s, d),
@@ -123,6 +125,12 @@ object VepSpliceQueries {
     // strands by construction.
     "f11_hgvsp_indel" -> ((s, d) =>
       graft.vep.Hgvsp.hgvspIndel(Tables.hgvspProbes(s, d), Tables.transcripts(s, d))),
+    // Colocated-variant side output (variant_lookup_exec.rs:519-537
+    // ColocatedSink): cache entries at the variant's normalized
+    // position whose alleles do NOT match — the fixture's
+    // swapped-allele noise rows land here by construction.
+    "f11_colocated" -> ((s, d) =>
+      graft.vep.Annotate.colocated(Tables.vcf(s, d), Tables.vepCache(s, d))),
     // MAX_AF assembly (stage 6, annotate_provider.rs:795-1000 role):
     // population AFs read from the matched cache row's --af_* column
     // family, max + argmax.
@@ -517,6 +525,19 @@ object VepSpliceQueries {
        | AND codon.protein_pos = sift.protein_pos AND codon.aa_alt = sift.aa
        |ORDER BY codon.id, codon.transcript_id""".stripMargin.replace("\n", " ")
 
+  /** Colocated oracle: the lookup equi-join with the allele-match
+    * predicate negated (same matcher mirror as missWorklistSql). */
+  private val colocatedSql: String =
+    s"""WITH ${Oracle.vcf}, ${Oracle.vepCache}
+       |SELECT v.id, c.variation_name AS colocated_name,
+       | c.allele_string AS colocated_allele_string, c.af AS colocated_af
+       |FROM v JOIN c ON v.chrom = c.chrom
+       | AND v.norm_start = c.start AND v.norm_end = c."end"
+       | AND NOT ((split_part(c.allele_string, '/', 1) = v.vep_ref
+       |           OR split_part(c.allele_string, '/', 1) = v.ref)
+       |          AND split_part(c.allele_string, '/', 2) = v.vep_alt)
+       |ORDER BY v.id, colocated_name""".stripMargin.replace("\n", " ")
+
   private val maxAfSql: String =
     s"""WITH ${Oracle.vcf}, ${Oracle.vepCache},
        |x AS (SELECT v.id, c.af, c.af_afr, c.af_eur, c.af_eas
@@ -830,5 +851,6 @@ object VepSpliceQueries {
     "f11_miss_worklist" -> missWorklistSql,
     "f11_sift" -> siftSql,
     "f11_maxaf" -> maxAfSql,
+    "f11_colocated" -> colocatedSql,
   )
 }

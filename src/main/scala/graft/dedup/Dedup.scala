@@ -190,28 +190,42 @@ object Dedup {
     * the fixpoint is the component-minimum id regardless of iteration
     * order. Output: (id, cluster_id) for every vertex in `pairs`.
     */
-  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 7): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     import org.apache.spark.sql.functions._
     val edges = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
       .unionByName(pairs.select(col("id2").cast("long").as("a"), col("id1").cast("long").as("b")))
       .persist()
-    // localCheckpoint (eager) both caches the label table AND
-    // truncates its LOGICAL plan — a plain persist keeps the full
-    // lineage, and since every hop references `next` on both join
-    // sides the un-truncated plan grows 8x per round (2^3 subtree
-    // copies), blowing up Catalyst canonicalization after a few
-    // rounds. With the lineage cut, each round's plan is constant
-    // size. On a real cluster swap localCheckpoint for reliable
-    // checkpointing if executor loss during the loop matters.
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(true)
+    // Materialize.handle both caches the label table AND truncates its
+    // LOGICAL plan — a plain persist keeps the full lineage, and since
+    // every hop references `next` on both join sides the un-truncated
+    // plan grows 8x per round (2^3 subtree copies), blowing up Catalyst
+    // canonicalization after a few rounds. With the lineage cut, each
+    // round's plan is constant size, and the returned RDD handle lets
+    // the loop RELEASE the superseded generation (round 6 accumulated
+    // one resident localCheckpoint per round for the whole session).
+    // On a real cluster swap this for reliable checkpointing if
+    // executor loss during the loop matters.
+    var (labels, labelsRdd) = graft.core.Materialize.handle(
+      edges.select(col("a").as("id")).distinct().withColumn("lbl", col("id")))
     var changed = 1L
     var round = 0
     // THREE propagation hops compose lazily between materializations:
     // the convergence check (the per-round fixed-cost Spark job) runs
     // once per 3 hops, so shallow components converge in one or two
-    // materialized rounds instead of paying scheduler latency per hop
-    while (changed > 0 && round < maxRounds) {
+    // materialized rounds instead of paying scheduler latency per hop.
+    // The loop runs to CONVERGENCE (changed == 0) — min-label
+    // propagation always reaches the component-minimum fixpoint in
+    // O(diameter) hops — and `maxRounds` is only a runaway guard that
+    // fails loudly instead of silently returning non-converged labels
+    // that would diverge from the recursive-CTE oracle.
+    while (changed > 0) {
+      if (round >= maxRounds) {
+        edges.unpersist(); labelsRdd.unpersist(false)
+        throw new IllegalStateException(
+          s"duplicateClusters did not converge in $maxRounds rounds " +
+          s"(${3 * maxRounds} hops) — component diameter exceeds the guard; " +
+          "raise maxRounds")
+      }
       var next = labels
       for (_ <- 0 until 3) {
         val prop = edges.join(next.withColumnRenamed("id", "_nid"), col("b") === col("_nid"))
@@ -220,10 +234,12 @@ object Dedup {
           .select(next("id"),
             least(next("lbl"), coalesce(col("_nlbl"), next("lbl"))).as("lbl"))
       }
-      val mat = next.localCheckpoint(true)
+      val (mat, matRdd) = graft.core.Materialize.handle(next)
       changed = mat.join(labels.withColumnRenamed("lbl", "_olbl"), Seq("id"))
         .where(col("lbl") =!= col("_olbl")).count()
+      labelsRdd.unpersist(false)
       labels = mat
+      labelsRdd = matRdd
       round += 1
     }
     edges.unpersist()

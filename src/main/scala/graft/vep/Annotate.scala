@@ -145,6 +145,35 @@ object Annotate {
         coalesce(col("impact"), emptyArr).as("impact"))
   }
 
+  /** Colocated-variant side output (variant_lookup_exec.rs:519-537
+    * `ColocatedSink`): cache entries sharing the variant's NORMALIZED
+    * position — same chrom + VEP-normalized coordinates — whose allele
+    * string does NOT match the variant's alleles (known variation at
+    * the same site with different alleles). The reference collects
+    * these into a side sink during the lookup probe; relationally it
+    * is the lookup equi-join with the allele matcher NEGATED, so it
+    * shuffles on the same (chrom, norm coords) keys and scales exactly
+    * like J6. Output: one row per (variant, colocated cache entry). */
+  def colocated(vcf: DataFrame, cache: DataFrame): DataFrame = {
+    val v = vcf
+      .withColumn("_norm_start",
+        Vep.vepNormStartUdf(col("start").cast("long"), col("ref"), col("alt")))
+      .withColumn("_norm_end",
+        Vep.vepNormEndUdf(col("start").cast("long"), col("ref"), col("alt")))
+    val c = cache.select(col("chrom").as("_c_chrom"),
+      col("start").cast("long").as("_c_start"), col("end").cast("long").as("_c_end"),
+      col("allele_string").as("_c_as"), col("variation_name").as("_c_vn"),
+      col("af").as("_c_af"))
+    v.join(c,
+        v("chrom") === col("_c_chrom") &&
+        col("_norm_start") === col("_c_start") &&
+        col("_norm_end") === col("_c_end") &&
+        !Vep.matchAlleleUdf(v("ref"), v("alt"), col("_c_as")))
+      .select(v("id"), col("_c_vn").as("colocated_name"),
+        col("_c_as").as("colocated_allele_string"),
+        col("_c_af").as("colocated_af"))
+  }
+
   /** Shared variant-level tail: known-variant lookup + MAX_AF + rank
     * name resolution, LEFT-joined onto the per-variant aggregate. */
   private def lookupJoin(vcf: DataFrame, cache: DataFrame, grouped: DataFrame): DataFrame = {
@@ -179,7 +208,12 @@ object Annotate {
       col("start").cast("long").as("_a_ts"), col("end").cast("long").as("_a_te"))
 
     // ---- SNV entries: shared aggregate -> cDNA + codon layers ----
-    val agg = Splice.snvTranscriptAgg(vcf, transcripts, exons).persist()
+    // eagerly materialized (small: one row per variant×overlapping
+    // transcript) so the candidate probe + exon aggregation run ONCE
+    // for both layers, with blocks released when the caller drops the
+    // result — a Dataset.persist here leaked across the whole session
+    // (round-6 bench drift)
+    val agg = graft.core.Materialize(Splice.snvTranscriptAgg(vcf, transcripts, exons))
     val cdna = Splice.cdnaAnnotateFrom(agg)
     val codon = Splice.splicedCodonFrom(agg, transcripts, exons)
     val siftCtx = sift.select(col("transcript_id").as("_s_tid"),

@@ -546,12 +546,14 @@ object Splice {
     * Vep.annotateRegions). */
   def csqAssemble(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
     // ONE candidate join + exon aggregation feeds both layers: the
-    // cached plan stops the cDNA and codon branches from each paying
-    // the interval probe, the exon aggregation and the codingBounds
-    // broadcast (round-3 bench: f11_csq ran the whole sub-pipeline
-    // twice). The aggregate is a few narrow columns per
-    // (variant × overlapping transcript) — small relative to input.
-    val agg = snvTranscriptAgg(vcf, transcripts, exons).persist()
+    // materialized plan stops the cDNA and codon branches from each
+    // paying the interval probe, the exon aggregation and the
+    // codingBounds broadcast (round-3 bench: f11_csq ran the whole
+    // sub-pipeline twice). The aggregate is a few narrow columns per
+    // (variant × overlapping transcript) — small relative to input —
+    // and Materialize releases the blocks once the result is dropped
+    // (a Dataset.persist leaked them for the session).
+    val agg = graft.core.Materialize(snvTranscriptAgg(vcf, transcripts, exons))
     val cdna = cdnaAnnotateFrom(agg)
     val codon = splicedCodonFrom(agg, transcripts, exons)
       .select(col("id"), col("transcript_id"), col("consequence"), col("hgvs_p"))

@@ -438,10 +438,23 @@ object Vep {
       // caller's `id` column may be duplicated or null (round-2/3
       // ADVICE — duplicate ids dropped unmatched twins), so key the
       // restore on a synthesized id. Both branches of the DAG
-      // re-evaluate this projection; the ids agree because it sits
-      // directly above the deterministic source with no shuffle (and
-      // so no AQE re-coalesce) below the id assignment.
-      val vr = v.withColumn("_rowid", monotonically_increasing_id())
+      // re-evaluate this projection, so the id MUST be deterministic:
+      // monotonically_increasing_id (rounds 4-6) depends on partition
+      // layout and could disagree between the branches under task
+      // retries/speculation or an upstream exchange, silently dropping
+      // or duplicating restored rows. row_number over a deterministic
+      // window is stable across re-executions — the ordering key is
+      // EVERY input column, so ties are bit-identical rows, for which
+      // any tie order yields the same multiset output. Partitioned by
+      // (chrom, 1Mb tile of the normalized start) so no single
+      // partition sorts the whole table at scale; the tile joins the
+      // row number in a struct to keep ids globally unique.
+      val tile = floor(col("_norm_start") / 1000000L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(v("chrom"), tile)
+        .orderBy(v.columns.map(col).toSeq: _*)
+      val vr = v.withColumn("_rowid",
+        struct(v("chrom"), tile.as("_tile"), row_number().over(w).as("_rn")))
       val vb = vr
         .withColumn("_lo", col("_norm_start") - extendedWindow)
         .withColumn("_hi", col("_norm_end") + extendedWindow)

@@ -109,4 +109,23 @@ class MlSuite extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("duplicate clusters: deep path component converges exactly") {
+    import graft.dedup.Dedup
+    // path graph 1-2-...-31: diameter 30 > the 21 hops the round-6
+    // cap allowed — the loop must iterate to convergence (round-6
+    // defect: it exited silently at the cap with changed > 0)
+    val pairs = (1L until 31L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.duplicateClusters(pairs).collect()
+    assert(got.length == 31 && got.forall(_.getLong(1) == 1L))
+  }
+
+  test("duplicate clusters: runaway guard fails loudly") {
+    import graft.dedup.Dedup
+    val pairs = (1L until 31L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(pairs, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

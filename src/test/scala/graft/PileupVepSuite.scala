@@ -2,6 +2,7 @@ package graft
 
 import graft.pileup.{Cigar, Pileup}
 import graft.vep.{Allele, Vep}
+import org.apache.spark.sql.functions.col
 
 class PileupVepSuite extends SparkSpec {
   import spark.implicits._
@@ -200,5 +201,39 @@ class PileupVepSuite extends SparkSpec {
     assert(got(0).getString(5) == "rs1")  // chr1:100 matched in-window
     assert(got(1).isNullAt(5))            // chr1:500 null id, no match
     assert(got(2).isNullAt(5))            // chr2:100 duplicate id, no match
+  }
+
+  test("lookupVariants extendedWindow output is stable across plans") {
+    // round-6 ADVICE: the LEFT-restore rowid was
+    // monotonically_increasing_id, whose value depends on partition
+    // layout — with an upstream exchange the matched and anti branches
+    // could disagree, dropping/duplicating rows. The deterministic
+    // row_number id must give an identical multiset under varied
+    // shuffle-partition counts and a shuffled input plan.
+    val vcf = Seq(
+      ("chr1", 100L, Some(7L), "A", "G"),
+      ("chr2", 100L, Some(7L), "A", "G"),
+      ("chr1", 100L, Some(7L), "A", "G"),  // exact duplicate row
+      ("chr1", 500L, Option.empty[Long], "A", "G"),
+      ("chr1", 512L, Some(9L), "A", "G"),
+    ).toDF("chrom", "start", "id", "ref", "alt")
+    val cache = Seq(
+      ("chr1", 105L, 105L, "rs1", "A/G", 0.5),
+      ("chr1", 505L, 505L, "rs5", "A/G", 0.6),
+    ).toDF("chrom", "start", "end", "variation_name", "allele_string", "af")
+    def run(parts: Int, shuffleInput: Boolean): Seq[String] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try {
+        val in = if (shuffleInput) vcf.repartition(parts, col("start")) else vcf
+        Vep.lookupVariants(in, cache, extendedWindow = 10L)
+          .collect().map(_.mkString("|")).sorted.toSeq
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val base = run(4, shuffleInput = false)
+    assert(base.length == 5)
+    assert(run(1, shuffleInput = true) == base)
+    assert(run(7, shuffleInput = true) == base)
+    assert(run(4, shuffleInput = true) == base)
   }
 }
