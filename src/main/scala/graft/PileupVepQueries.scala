@@ -218,7 +218,9 @@ object PileupVepQueries {
          | c.variation_name AS cache_variation_name,
          | c.allele_string AS cache_allele_string,
          | c.af AS cache_af, c.af_afr AS cache_af_afr,
-         | c.af_eur AS cache_af_eur, c.af_eas AS cache_af_eas,
+         | c.af_amr AS cache_af_amr, c.af_eas AS cache_af_eas,
+         | c.af_eur AS cache_af_eur, c.af_sas AS cache_af_sas,
+         | c.af_gnomad AS cache_af_gnomad,
          | c.clin_sig AS cache_clin_sig
          |FROM v LEFT JOIN c ON v.chrom = c.chrom
          | AND v.norm_start = c.start AND v.norm_end = c."end"
@@ -232,7 +234,9 @@ object PileupVepQueries {
          | c.variation_name AS cache_variation_name,
          | c.allele_string AS cache_allele_string,
          | c.af AS cache_af, c.af_afr AS cache_af_afr,
-         | c.af_eur AS cache_af_eur, c.af_eas AS cache_af_eas,
+         | c.af_amr AS cache_af_amr, c.af_eas AS cache_af_eas,
+         | c.af_eur AS cache_af_eur, c.af_sas AS cache_af_sas,
+         | c.af_gnomad AS cache_af_gnomad,
          | c.clin_sig AS cache_clin_sig
          |FROM v LEFT JOIN c ON v.chrom = c.chrom
          | AND c.start <= v.norm_end + 4 AND c."end" >= v.norm_start - 4

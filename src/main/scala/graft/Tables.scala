@@ -105,10 +105,16 @@ object Tables {
       // columns, annotate_provider.rs:795-1000) — fixture-synthetic
       // values that the ANNOTATE OPERATOR reads as plain cache
       // columns (round-5 ADVICE: derivation belongs here, not in
-      // Annotate.lookupJoin)
-      "CAST(p_partkey * 131 % 1000 AS DOUBLE) / 1000.0 AS af_afr",
-      "CAST(p_partkey * 257 % 1000 AS DOUBLE) / 1000.0 AS af_eur",
-      "CAST(p_partkey * 389 % 1000 AS DOUBLE) / 1000.0 AS af_eas",
+      // Annotate.lookupJoin). The key is widened to BIGINT BEFORE the
+      // multiply (round-6 ADVICE: a 32-bit p_partkey would overflow
+      // differently in Spark [silent wrap] vs DuckDB [error] at large
+      // scale factors).
+      "CAST(CAST(p_partkey AS BIGINT) * 131 % 1000 AS DOUBLE) / 1000.0 AS af_afr",
+      "CAST(CAST(p_partkey AS BIGINT) * 499 % 1000 AS DOUBLE) / 1000.0 AS af_amr",
+      "CAST(CAST(p_partkey AS BIGINT) * 389 % 1000 AS DOUBLE) / 1000.0 AS af_eas",
+      "CAST(CAST(p_partkey AS BIGINT) * 257 % 1000 AS DOUBLE) / 1000.0 AS af_eur",
+      "CAST(CAST(p_partkey AS BIGINT) * 601 % 1000 AS DOUBLE) / 1000.0 AS af_sas",
+      "CAST(CAST(p_partkey AS BIGINT) * 709 % 1000 AS DOUBLE) / 1000.0 AS af_gnomad",
       """CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'benign' WHEN 1 THEN 'pathogenic'
          WHEN 2 THEN 'uncertain' ELSE NULL END AS clin_sig""")
 
@@ -116,7 +122,12 @@ object Tables {
     * transcript per 10th supplier row (unsampled, sf0.1 yields ~675
     * overlapping transcripts per variant — a density no genome has —
     * and the codon layer pays 6 md5 + 2 codon CASEs per candidate),
-    * strand/biotype cycling. */
+    * strand/biotype cycling. Gene attributes for the --everything CSQ
+    * family: transcripts group into genes of three consecutive rows
+    * (gene key = suppkey rounded down to a multiple of 30), exactly
+    * one of which is CANONICAL; FLAGS carries the cache-sourced
+    * incomplete-CDS markers (cds_start_NF/cds_end_NF) the way the
+    * real VEP cache stores them as transcript attributes. */
   def transcripts(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "supplier").where("s_suppkey % 10 = 0").selectExpr(
       "concat('chr', CAST(s_suppkey % 2 AS STRING)) AS chrom",
@@ -129,7 +140,12 @@ object Tables {
          WHEN s_suppkey % 7 = 5 THEN 'miRNA'
          ELSE 'lncRNA' END AS biotype""",
       "CAST((s_suppkey * 7919) % 100000 + 1 + 500 + s_suppkey % 200 AS BIGINT) AS cds_start",
-      "CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 - 500 - s_suppkey % 300 AS BIGINT) AS cds_end")
+      "CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 - 500 - s_suppkey % 300 AS BIGINT) AS cds_end",
+      "concat('G', CAST(s_suppkey - s_suppkey % 30 AS STRING)) AS gene_id",
+      "concat('SYM', CAST(s_suppkey - s_suppkey % 30 AS STRING)) AS symbol",
+      "CASE WHEN s_suppkey % 30 = 0 THEN 'YES' ELSE '' END AS canonical",
+      """CASE WHEN s_suppkey % 11 = 2 THEN 'cds_end_NF'
+         WHEN s_suppkey % 13 = 3 THEN 'cds_start_NF' ELSE '' END AS flags""")
 
   /** Derived exon context: 3 evenly spaced exons per transcript. */
   def exons(spark: SparkSession, dir: String): DataFrame =
@@ -380,7 +396,12 @@ object Oracle {
       |  WHEN s_suppkey % 7 = 5 THEN 'miRNA'
       |  ELSE 'lncRNA' END AS biotype,
       | CAST((s_suppkey * 7919) % 100000 + 1 + 500 + s_suppkey % 200 AS BIGINT) AS cds_start,
-      | CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 - 500 - s_suppkey % 300 AS BIGINT) AS cds_end
+      | CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 - 500 - s_suppkey % 300 AS BIGINT) AS cds_end,
+      | concat('G', CAST(s_suppkey - s_suppkey % 30 AS VARCHAR)) AS gene_id,
+      | concat('SYM', CAST(s_suppkey - s_suppkey % 30 AS VARCHAR)) AS symbol,
+      | CASE WHEN s_suppkey % 30 = 0 THEN 'YES' ELSE '' END AS canonical,
+      | CASE WHEN s_suppkey % 11 = 2 THEN 'cds_end_NF'
+      |  WHEN s_suppkey % 13 = 3 THEN 'cds_start_NF' ELSE '' END AS flags
       | FROM supplier WHERE s_suppkey % 10 = 0)""".stripMargin.replace("\n", " ")
 
   val exons: String =
@@ -460,9 +481,12 @@ object Oracle {
        |  WHEN p_partkey % 3 = 1 THEN concat('-/', $b2)
        |  ELSE concat($b2, '/-') END AS allele_string,
        | CAST(p_partkey % 1000 AS DOUBLE) / 1000.0 AS af,
-       | CAST(p_partkey * 131 % 1000 AS DOUBLE) / 1000.0 AS af_afr,
-       | CAST(p_partkey * 257 % 1000 AS DOUBLE) / 1000.0 AS af_eur,
-       | CAST(p_partkey * 389 % 1000 AS DOUBLE) / 1000.0 AS af_eas,
+       | CAST(CAST(p_partkey AS BIGINT) * 131 % 1000 AS DOUBLE) / 1000.0 AS af_afr,
+       | CAST(CAST(p_partkey AS BIGINT) * 499 % 1000 AS DOUBLE) / 1000.0 AS af_amr,
+       | CAST(CAST(p_partkey AS BIGINT) * 389 % 1000 AS DOUBLE) / 1000.0 AS af_eas,
+       | CAST(CAST(p_partkey AS BIGINT) * 257 % 1000 AS DOUBLE) / 1000.0 AS af_eur,
+       | CAST(CAST(p_partkey AS BIGINT) * 601 % 1000 AS DOUBLE) / 1000.0 AS af_sas,
+       | CAST(CAST(p_partkey AS BIGINT) * 709 % 1000 AS DOUBLE) / 1000.0 AS af_gnomad,
        | CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'benign' WHEN 1 THEN 'pathogenic'
        |  WHEN 2 THEN 'uncertain' ELSE NULL END AS clin_sig
        | FROM part WHERE p_partkey % 4 < 2)""".stripMargin.replace("\n", " ")

@@ -133,21 +133,22 @@ object VepSpliceQueries {
       graft.vep.Annotate.colocated(Tables.vcf(s, d), Tables.vepCache(s, d))),
     // MAX_AF assembly (stage 6, annotate_provider.rs:795-1000 role):
     // population AFs read from the matched cache row's --af_* column
-    // family, max + argmax.
+    // family, max + argmax. MAX_AF spans POPULATION columns only — the
+    // reference's AF_COLUMNS has max_af_pop=None for the global "AF"
+    // (round-6 ADVICE parity fix).
     "f11_maxaf" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val looked = graft.vep.Vep.lookupVariants(Tables.vcf(s, d), Tables.vepCache(s, d))
         .where(col("cache_variation_name").isNotNull)
-      val afr = col("cache_af_afr"); val eur = col("cache_af_eur")
-      val eas = col("cache_af_eas")
-      val mx = greatest(col("cache_af"), afr, eur, eas)
-      looked.select(col("id"), col("cache_af").as("af"),
-        afr.as("af_afr"), eur.as("af_eur"), eas.as("af_eas"),
-        mx.as("max_af"),
-        when(mx === col("cache_af"), lit("all"))
-          .when(mx === afr, lit("afr"))
-          .when(mx === eur, lit("eur"))
-          .otherwise(lit("eas")).as("max_af_pop"))
+      val pops = Seq("afr", "amr", "eas", "eur", "sas", "gnomad")
+        .map(p => p -> col(s"cache_af_$p"))
+      val mx = greatest(pops.map(_._2): _*)
+      looked.select(Seq(col("id"), col("cache_af").as("af")) ++
+        pops.map { case (p, c) => c.as(s"af_$p") } ++
+        Seq(mx.as("max_af"),
+          pops.init.reverse.foldLeft(lit(pops.last._1): org.apache.spark.sql.Column) {
+            case (acc, (p, c)) => when(mx === c, lit(p)).otherwise(acc)
+          }.as("max_af_pop")): _*)
     }),
   )
 
@@ -182,7 +183,9 @@ object VepSpliceQueries {
        |   MAX(CASE WHEN c.vp BETWEEN e.start AND e."end" THEN 1 ELSE 0 END) AS in_exon,
        |   CAST(SUM(${contrib("c.vp")}) AS BIGINT) AS cdna,
        |   MAX(CASE WHEN e."end" < c.vp THEN e."end" END) AS prev_ee,
-       |   MIN(CASE WHEN e.start > c.vp THEN e.start END) AS next_es
+       |   MIN(CASE WHEN e.start > c.vp THEN e.start END) AS next_es,
+       |   CAST(SUM(CASE WHEN e."end" < c.vp THEN 1 ELSE 0 END) AS BIGINT) AS nprev,
+       |   CAST(COUNT(*) AS BIGINT) AS nex
        |  FROM cand c JOIN ex e ON c.tid = e.transcript_id
        |  GROUP BY c.id, c.tid, c.strand, c.biotype, c.ref, c.alt, c.vp),
        |cb AS (SELECT t.transcript_id AS tid,
@@ -214,9 +217,21 @@ object VepSpliceQueries {
        | CASE WHEN in_exon = 1 THEN concat(pfx, ${fmtC("cdna")}, chg)
        |  WHEN useplus THEN concat(pfx, ${fmtC("cdna")}, '+', CAST(dplus AS VARCHAR), chg)
        |  ELSE concat(pfx, ${fmtC("(cdna + 1)")}, '-', CAST(dminus AS VARCHAR), chg)
-       | END AS hgvs_c
+       | END AS hgvs_c,
+       | $exonRankSql, $intronRankSql
        |FROM y ORDER BY id, transcript_id""".stripMargin.replace("\n", " ")
   }
+
+  /** DuckDB mirrors of Splice.exonRank / Splice.intronRank over an
+    * in-scope row with (in_exon, strand, nprev, nex). */
+  private def exonRankSql: String =
+    """CASE WHEN in_exon = 1 THEN concat(
+      | CAST(CASE WHEN strand = 1 THEN nprev + 1 ELSE nex - nprev END AS VARCHAR),
+      | '/', CAST(nex AS VARCHAR)) END AS exon""".stripMargin.replace("\n", " ")
+  private def intronRankSql: String =
+    """CASE WHEN in_exon = 0 THEN concat(
+      | CAST(CASE WHEN strand = 1 THEN nprev ELSE nex - nprev END AS VARCHAR),
+      | '/', CAST(nex - 1 AS VARCHAR)) END AS intron""".stripMargin.replace("\n", " ")
 
   /** Spliced-codon oracle: same CTE skeleton as cdnaHgvsSql plus the
     * exon cDNA-range window, three per-base range joins, and the
@@ -538,21 +553,26 @@ object VepSpliceQueries {
        |          AND split_part(c.allele_string, '/', 2) = v.vep_alt)
        |ORDER BY v.id, colocated_name""".stripMargin.replace("\n", " ")
 
-  private val maxAfSql: String =
+  private val maxAfSql: String = {
+    val g = "GREATEST(af_afr, af_amr, af_eas, af_eur, af_sas, af_gnomad)"
     s"""WITH ${Oracle.vcf}, ${Oracle.vepCache},
-       |x AS (SELECT v.id, c.af, c.af_afr, c.af_eur, c.af_eas
+       |x AS (SELECT v.id, c.af, c.af_afr, c.af_amr, c.af_eas, c.af_eur,
+       |   c.af_sas, c.af_gnomad
        |  FROM v JOIN c ON v.chrom = c.chrom
        |   AND v.norm_start = c.start AND v.norm_end = c."end"
        |   AND (split_part(c.allele_string, '/', 1) = v.vep_ref
        |        OR split_part(c.allele_string, '/', 1) = v.ref)
        |   AND split_part(c.allele_string, '/', 2) = v.vep_alt)
-       |SELECT id, af, af_afr, af_eur, af_eas,
-       | GREATEST(af, af_afr, af_eur, af_eas) AS max_af,
-       | CASE WHEN GREATEST(af, af_afr, af_eur, af_eas) = af THEN 'all'
-       |  WHEN GREATEST(af, af_afr, af_eur, af_eas) = af_afr THEN 'afr'
-       |  WHEN GREATEST(af, af_afr, af_eur, af_eas) = af_eur THEN 'eur'
-       |  ELSE 'eas' END AS max_af_pop
+       |SELECT id, af, af_afr, af_amr, af_eas, af_eur, af_sas, af_gnomad,
+       | $g AS max_af,
+       | CASE WHEN $g = af_afr THEN 'afr'
+       |  WHEN $g = af_amr THEN 'amr'
+       |  WHEN $g = af_eas THEN 'eas'
+       |  WHEN $g = af_eur THEN 'eur'
+       |  WHEN $g = af_sas THEN 'sas'
+       |  ELSE 'gnomad' END AS max_af_pop
        |FROM x ORDER BY id""".stripMargin.replace("\n", " ")
+  }
 
   /** End-to-end oracle: composes the layer oracles (cDNA, spliced
     * codon, indel HGVS, splice terms — each a nested subquery with its
@@ -599,7 +619,7 @@ object VepSpliceQueries {
        |   (cdna.region = 'intronic' AND strpos(cdna.hgvs_c, ':n.') > 0) AS nc,
        |   cdna.cdna_pos, cdna.cds_pos, cdna.protein_pos, cdna.hgvs_c, csx.hgvs_p,
        |   csx.sift_pred, csx.polyphen_pred, csx.aas, csx.cod,
-       |   CAST(NULL AS BIGINT) AS dist
+       |   CAST(NULL AS BIGINT) AS dist, cdna.exon, cdna.intron
        |  FROM cdna LEFT JOIN csx ON cdna.id = csx.id AND cdna.transcript_id = csx.transcript_id
        |   JOIN t ON cdna.transcript_id = t.transcript_id
        |   JOIN v ON cdna.id = v.id),
@@ -610,7 +630,9 @@ object VepSpliceQueries {
        |   t.start AS ts, t."end" AS te
        |  FROM iv JOIN t ON iv.chrom = t.chrom AND t.start <= iv."end" AND t."end" >= iv.start),
        |igeo AS (SELECT id, vs, ve, ld, tid, strand, biotype, tcs, tce, ts, te,
-       |   MAX(CASE WHEN vs <= e."end" AND ve >= e.start THEN 1 ELSE 0 END) AS inex
+       |   MAX(CASE WHEN vs <= e."end" AND ve >= e.start THEN 1 ELSE 0 END) AS inex,
+       |   CAST(SUM(CASE WHEN e."end" < vs THEN 1 ELSE 0 END) AS BIGINT) AS nprev,
+       |   CAST(COUNT(*) AS BIGINT) AS nex
        |  FROM icand JOIN ex e ON icand.tid = e.transcript_id
        |  GROUP BY id, vs, ve, ld, tid, strand, biotype, tcs, tce, ts, te),
        |iterm AS (SELECT id, tid AS transcript_id,
@@ -633,7 +655,13 @@ object VepSpliceQueries {
        |    WHEN inex = 1 THEN 'non_coding_transcript_exon_variant'
        |    ELSE 'intron_variant' END AS term,
        |   (biotype = 'nonsense_mediated_decay') AS nmd,
-       |   (NOT $coding AND inex = 0) AS nc
+       |   (NOT $coding AND inex = 0) AS nc,
+       |   CASE WHEN inex = 1 THEN concat(
+       |     CAST(CASE WHEN strand = 1 THEN nprev + 1 ELSE nex - nprev END AS VARCHAR),
+       |     '/', CAST(nex AS VARCHAR)) END AS exon,
+       |   CASE WHEN inex = 0 THEN concat(
+       |     CAST(CASE WHEN strand = 1 THEN nprev ELSE nex - nprev END AS VARCHAR),
+       |     '/', CAST(nex - 1 AS VARCHAR)) END AS intron
        |  FROM igeo),
        |ihx AS (SELECT id, transcript_id, cdna_pos, hgvs_c
        |  FROM (${indelHgvsSqlFor(Oracle.vcf, "v")}) q3),
@@ -644,7 +672,7 @@ object VepSpliceQueries {
        |   ihx.hgvs_c, ihp.hp9 AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
        |   CAST(NULL AS VARCHAR) AS polyphen_pred,
        |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
-       |   CAST(NULL AS BIGINT) AS dist
+       |   CAST(NULL AS BIGINT) AS dist, iterm.exon, iterm.intron
        |  FROM iterm LEFT JOIN ihx ON iterm.id = ihx.id
        |   AND iterm.transcript_id = ihx.transcript_id
        |   LEFT JOIN ihp ON iterm.id = ihp.id
@@ -659,7 +687,9 @@ object VepSpliceQueries {
        |     CASE WHEN b.nc THEN 'non_coding_transcript_variant' END], x -> x IS NOT NULL),
        |    COALESCE(s.sterms, CAST([] AS VARCHAR[]))) AS terms,
        |   b.cdna_pos, b.cds_pos, b.protein_pos, b.hgvs_c, b.hgvs_p, b.sift_pred,
-       |   b.polyphen_pred, b.aas, b.cod, b.dist
+       |   b.polyphen_pred, b.aas, b.cod, b.dist, b.exon, b.intron,
+       |   'Transcript' AS ftype, CAST(NULL AS VARCHAR) AS mname,
+       |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf
        |  FROM bse b FULL OUTER JOIN sp s
        |   ON b.id = s.id AND b.transcript_id = s.transcript_id),
        |ud AS (SELECT v.id, t.transcript_id,
@@ -670,7 +700,10 @@ object VepSpliceQueries {
        |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
        |   CAST(NULL AS VARCHAR) AS polyphen_pred,
        |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
-       |   GREATEST(t.start - v."end", v.start - t."end") AS dist
+       |   GREATEST(t.start - v."end", v.start - t."end") AS dist,
+       |   CAST(NULL AS VARCHAR) AS exon, CAST(NULL AS VARCHAR) AS intron,
+       |   'Transcript' AS ftype, CAST(NULL AS VARCHAR) AS mname,
+       |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf
        |  FROM v JOIN t ON v.chrom = t.chrom
        |   AND t.start - 5000 <= v."end" AND t."end" + 5000 >= v.start
        |   AND NOT (v.start <= t."end" AND v."end" >= t.start)),
@@ -681,7 +714,10 @@ object VepSpliceQueries {
        |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
        |   CAST(NULL AS VARCHAR) AS polyphen_pred,
        |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
-       |   CAST(NULL AS BIGINT) AS dist
+       |   CAST(NULL AS BIGINT) AS dist,
+       |   CAST(NULL AS VARCHAR) AS exon, CAST(NULL AS VARCHAR) AS intron,
+       |   'RegulatoryFeature' AS ftype, CAST(NULL AS VARCHAR) AS mname,
+       |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf
        |  FROM v JOIN rg ON v.chrom = rg.chrom
        |   AND rg.start <= v."end" AND rg."end" >= v.start),
        |mte AS (SELECT v.id, mt.motif_id AS transcript_id,
@@ -691,13 +727,27 @@ object VepSpliceQueries {
        |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
        |   CAST(NULL AS VARCHAR) AS polyphen_pred,
        |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
-       |   CAST(NULL AS BIGINT) AS dist
+       |   CAST(NULL AS BIGINT) AS dist,
+       |   CAST(NULL AS VARCHAR) AS exon, CAST(NULL AS VARCHAR) AS intron,
+       |   'MotifFeature' AS ftype, mt.tf_name AS mname,
+       |   GREATEST(v.start, mt.start) - mt.start + 1 AS mpos,
+       |   CASE WHEN GREATEST(v.start, mt.start) - mt.start + 1 <= 3
+       |    THEN 'Y' ELSE 'N' END AS minf
        |  FROM v JOIN mt ON v.chrom = mt.chrom
        |   AND mt.start <= v."end" AND mt."end" >= v.start),
        |allent AS (SELECT * FROM fused UNION ALL SELECT * FROM ud
        |  UNION ALL SELECT * FROM rge UNION ALL SELECT * FROM mte),
+       |exv AS (SELECT v.id,
+       |   string_agg(c.variation_name, '&' ORDER BY c.variation_name) AS exvar
+       |  FROM v JOIN c ON v.chrom = c.chrom
+       |   AND v.norm_start = c.start AND v.norm_end = c."end"
+       |   AND (split_part(c.allele_string, '/', 1) = v.vep_ref
+       |        OR split_part(c.allele_string, '/', 1) = v.ref)
+       |   AND split_part(c.allele_string, '/', 2) = v.vep_alt
+       |  GROUP BY v.id),
        |rend AS (SELECT id, transcript_id, cdna_pos, cds_pos, protein_pos,
        |   hgvs_c, hgvs_p, sift_pred, polyphen_pred, aas, cod, dist,
+       |   exon, intron, ftype, mname, mpos, minf,
        |   ${Annotate.termStrSql(D, "terms")} AS termstr,
        |   ${Annotate.bestRankSql(D, "terms")} AS best FROM allent),
        |ent AS (SELECT rend.id, rend.best, rend.transcript_id, rend.termstr,
@@ -717,13 +767,22 @@ object VepSpliceQueries {
        |    WHEN length(v.alt) > length(v.ref) THEN 'insertion'
        |    ELSE 'deletion' END, '|',
        |   COALESCE(CAST(rend.dist AS VARCHAR), ''), '|',
-       |   COALESCE(rend.aas, ''), '|', COALESCE(rend.cod, '')) AS entry
+       |   COALESCE(rend.aas, ''), '|', COALESCE(rend.cod, ''), '|',
+       |   COALESCE(v.vep_alt, ''), '|', rend.ftype, '|',
+       |   COALESCE(t.gene_id, ''), '|', COALESCE(t.symbol, ''), '|',
+       |   COALESCE(t.canonical, ''), '|', COALESCE(t.flags, ''), '|',
+       |   COALESCE(rend.exon, ''), '|', COALESCE(rend.intron, ''), '|',
+       |   COALESCE(exv.exvar, ''), '|',
+       |   COALESCE(rend.mname, ''), '|',
+       |   COALESCE(CAST(rend.mpos AS VARCHAR), ''), '|',
+       |   COALESCE(rend.minf, '')) AS entry
        |  FROM rend LEFT JOIN t ON rend.transcript_id = t.transcript_id
-       |   JOIN v ON rend.id = v.id),
+       |   JOIN v ON rend.id = v.id
+       |   LEFT JOIN exv ON rend.id = exv.id),
        |lk AS (SELECT v.id, c.variation_name, c.af,
-       |   c.af_afr, c.af_eur, c.af_eas,
+       |   c.af_afr, c.af_amr, c.af_eas, c.af_eur, c.af_sas, c.af_gnomad,
        |   CASE WHEN c.variation_name IS NULL THEN NULL
-       |    ELSE GREATEST(c.af, c.af_afr, c.af_eur, c.af_eas)
+       |    ELSE GREATEST(c.af_afr, c.af_amr, c.af_eas, c.af_eur, c.af_sas, c.af_gnomad)
        |   END AS max_af
        |  FROM v LEFT JOIN c ON v.chrom = c.chrom
        |   AND v.norm_start = c.start AND v.norm_end = c."end"
@@ -743,7 +802,7 @@ object VepSpliceQueries {
        |grp AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts, MIN(best) AS best,
        |   string_agg(entry, ',' ORDER BY entry) AS csq FROM ent GROUP BY id)
        |SELECT lk.id, lk.variation_name, lk.af,
-       | lk.af_afr, lk.af_eur, lk.af_eas, lk.max_af,
+       | lk.af_afr, lk.af_amr, lk.af_eas, lk.af_eur, lk.af_sas, lk.af_gnomad, lk.max_af,
        | $e2eNameCase AS most_severe_consequence,
        | COALESCE(g.n_transcripts, CAST(0 AS BIGINT)) AS n_transcripts,
        | COALESCE(g.csq, '') AS csq
@@ -765,7 +824,7 @@ object VepSpliceQueries {
        |   string_agg(impact, '|' ORDER BY entry) AS impact
        |  FROM ent GROUP BY id)
        |SELECT lk.id, lk.variation_name, lk.af,
-       | lk.af_afr, lk.af_eur, lk.af_eas, lk.max_af,
+       | lk.af_afr, lk.af_amr, lk.af_eas, lk.af_eur, lk.af_sas, lk.af_gnomad, lk.max_af,
        | $e2eNameCase AS most_severe_consequence,
        | COALESCE(g.n_transcripts, CAST(0 AS BIGINT)) AS n_transcripts,
        | COALESCE(g.transcript_ids, '') AS transcript_ids,

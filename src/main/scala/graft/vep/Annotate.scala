@@ -22,12 +22,14 @@ import org.apache.spark.sql.functions._
   *   up/downstream candidates   → distance-window entries
   *
   * Output: one row per input variant —
-  * (id, variation_name, af, max_af, most_severe_consequence,
-  * n_transcripts, csq) where csq is a deterministic comma-joined list
-  * of per-transcript entries
-  * `Feature|Consequence|cDNA_position|CDS_position|Protein_position|
-  * HGVSc|HGVSp|SIFT` with Consequence the '&'-join of ALL terms for
-  * that (variant, transcript) in SO severity order.
+  * (id, variation_name, af, af_* family, max_af,
+  * most_severe_consequence, n_transcripts, csq) where csq is a
+  * deterministic comma-joined list of 28-field per-feature entries
+  * (see the rendering comment in [[entriesDf]] for the field list —
+  * the --everything column family: gene/SYMBOL/CANONICAL/FLAGS,
+  * EXON/INTRON ranks, Existing_variation, motif fields, Allele,
+  * Feature_type, ...) with Consequence the '&'-join of ALL terms for
+  * that (variant, feature) in SO severity order.
   *
   * Scale shape: every candidate generator runs through the interval
   * strategy's broadcast index probes (transcripts on the build side);
@@ -78,23 +80,26 @@ object Annotate {
 
   /** See object doc. Inputs follow the fixture contracts
     * (FIXTURES.md §4-§6): vcf (chrom,start,end,id,ref,alt), cache
-    * (chrom,start,end,variation_name,allele_string,af,...),
+    * (chrom,start,end,variation_name,allele_string,af,af_*...),
     * transcripts (chrom,start,end,transcript_id,strand,biotype,
-    * cds_start,cds_end), exons (transcript_id,start,end), sift
+    * cds_start,cds_end,gene_id,symbol,canonical,flags), exons
+    * (transcript_id,start,end), sift
     * (transcript_id,protein_pos,aa,sift_score). */
   def annotate(
       vcf: DataFrame, cache: DataFrame, transcripts: DataFrame,
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       regulatory: DataFrame, motifs: DataFrame,
       upstreamDistance: Long = 5000L): DataFrame = {
-    val entries = entriesDf(vcf, transcripts, exons, sift, polyphen,
-      regulatory, motifs, upstreamDistance)
+    val looked = lookedDf(vcf, cache)
+    val entries = entriesDf(vcf, existingVar(looked), transcripts, exons,
+      sift, polyphen, regulatory, motifs, upstreamDistance)
     val grouped = entries.groupBy(col("id"))
       .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
         array_join(array_sort(collect_list(col("_entry"))), ",").as("csq"))
-    lookupJoin(vcf, cache, grouped)
+    lookupJoin(looked, grouped)
       .select(col("id"), col("variation_name"), col("af"),
-        col("af_afr"), col("af_eur"), col("af_eas"), col("max_af"),
+        col("af_afr"), col("af_amr"), col("af_eas"), col("af_eur"),
+        col("af_sas"), col("af_gnomad"), col("max_af"),
         col("most_severe_consequence"),
         coalesce(col("n_transcripts"), lit(0L)).as("n_transcripts"),
         coalesce(col("csq"), lit("")).as("csq"))
@@ -111,8 +116,9 @@ object Annotate {
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       regulatory: DataFrame, motifs: DataFrame,
       upstreamDistance: Long = 5000L): DataFrame = {
-    val entries = entriesDf(vcf, transcripts, exons, sift, polyphen,
-      regulatory, motifs, upstreamDistance)
+    val looked = lookedDf(vcf, cache)
+    val entries = entriesDf(vcf, existingVar(looked), transcripts, exons,
+      sift, polyphen, regulatory, motifs, upstreamDistance)
     val grouped = entries.groupBy(col("id"))
       .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
         // struct sort key = the unique entry string, so the parallel
@@ -131,9 +137,10 @@ object Annotate {
         expr("transform(_ents, x -> x.q)").as("polyphen"),
         expr("transform(_ents, x -> x.im)").as("impact"))
     val emptyArr = expr("CAST(array() AS ARRAY<STRING>)")
-    lookupJoin(vcf, cache, grouped)
+    lookupJoin(looked, grouped)
       .select(col("id"), col("variation_name"), col("af"),
-        col("af_afr"), col("af_eur"), col("af_eas"), col("max_af"),
+        col("af_afr"), col("af_amr"), col("af_eas"), col("af_eur"),
+        col("af_sas"), col("af_gnomad"), col("max_af"),
         col("most_severe_consequence"),
         coalesce(col("n_transcripts"), lit(0L)).as("n_transcripts"),
         coalesce(col("transcript_ids"), emptyArr).as("transcript_ids"),
@@ -174,18 +181,38 @@ object Annotate {
         col("_c_af").as("colocated_af"))
   }
 
-  /** Shared variant-level tail: known-variant lookup + MAX_AF + rank
-    * name resolution, LEFT-joined onto the per-variant aggregate. */
-  private def lookupJoin(vcf: DataFrame, cache: DataFrame, grouped: DataFrame): DataFrame = {
-    // population AF family (the reference's --af_* flag columns) reads
-    // straight from the matched cache row's column family
-    // (annotate_provider.rs:795-1000) — no derivation in the operator
-    val looked = Vep.lookupVariants(vcf, cache,
-        columns = Seq("variation_name", "af", "af_afr", "af_eur", "af_eas"))
-      .select(col("id"), col("cache_variation_name").as("variation_name"),
-        col("cache_af").as("af"), col("cache_af_afr").as("af_afr"),
-        col("cache_af_eur").as("af_eur"), col("cache_af_eas").as("af_eas"))
-    val maxAf = greatest(col("af"), col("af_afr"), col("af_eur"), col("af_eas"))
+  /** Per-variant known-variant lookup, eagerly materialized ONCE so
+    * both consumers — the per-entry `Existing_variation` rendering and
+    * the variant-level output tail — share a single probe of the
+    * cache. The population AF family (the reference's --af_* flag
+    * columns) reads straight from the matched cache row's column
+    * family (annotate_provider.rs:795-1000) — no derivation here. */
+  private def lookedDf(vcf: DataFrame, cache: DataFrame): DataFrame =
+    graft.core.Materialize(
+      Vep.lookupVariants(vcf, cache,
+          columns = Seq("variation_name", "af", "af_afr", "af_amr",
+            "af_eas", "af_eur", "af_sas", "af_gnomad"))
+        .select(col("id"), col("cache_variation_name").as("variation_name"),
+          col("cache_af").as("af"), col("cache_af_afr").as("af_afr"),
+          col("cache_af_amr").as("af_amr"), col("cache_af_eas").as("af_eas"),
+          col("cache_af_eur").as("af_eur"), col("cache_af_sas").as("af_sas"),
+          col("cache_af_gnomad").as("af_gnomad")))
+
+  /** Per-variant `Existing_variation` value: the '&'-joined sorted
+    * names of every matching cache entry (VEP renders multiple known
+    * variations per site this way). One row per matched variant. */
+  private def existingVar(looked: DataFrame): DataFrame =
+    looked.where(col("variation_name").isNotNull)
+      .groupBy(col("id"))
+      .agg(array_join(array_sort(collect_list(col("variation_name"))), "&").as("_exvar"))
+
+  /** Shared variant-level tail: MAX_AF + rank name resolution,
+    * LEFT-joined onto the per-variant aggregate. MAX_AF spans the
+    * POPULATION columns only — the reference excludes the global AF
+    * (annotate_provider.rs AF_COLUMNS: max_af_pop is None for "AF"). */
+  private def lookupJoin(looked: DataFrame, grouped: DataFrame): DataFrame = {
+    val maxAf = greatest(col("af_afr"), col("af_amr"), col("af_eas"),
+      col("af_eur"), col("af_sas"), col("af_gnomad"))
     val rankToName = Vep.soRank.foldLeft(lit("intergenic_variant")) { case (acc, (n, r)) =>
       when(col("_vbest") === r, lit(n)).otherwise(acc)
     }
@@ -196,9 +223,10 @@ object Annotate {
 
   /** One row per (variant, transcript) entry with its fused term set
     * rendered, severity rank, and entry string — the shared middle of
-    * [[annotate]]/[[annotateTyped]]. */
+    * [[annotate]]/[[annotateTyped]]. `existing` is the per-variant
+    * (id, _exvar) Existing_variation dimension from [[existingVar]]. */
   private def entriesDf(
-      vcf: DataFrame, transcripts: DataFrame,
+      vcf: DataFrame, existing: DataFrame, transcripts: DataFrame,
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       regulatory: DataFrame, motifs: DataFrame,
       upstreamDistance: Long): DataFrame = {
@@ -263,7 +291,8 @@ object Annotate {
         col("cdna_pos").cast("long").as("_cdna"), col("cds_pos").cast("long").as("_cds"),
         col("protein_pos").cast("long").as("_pp"),
         col("hgvs_c"), col("hgvs_p"), col("_sift"), col("_polyphen"),
-        col("_aas"), col("_cod"), lit(null).cast("long").as("_dist"))
+        col("_aas"), col("_cod"), lit(null).cast("long").as("_dist"),
+        col("exon").as("_exon"), col("intron").as("_intron"))
 
     // ---- indel entries: region-term geometry + HGVS forms ----
     val iv = vcf.where(!(length(col("ref")) === 1 && length(col("alt")) === 1))
@@ -286,7 +315,12 @@ object Annotate {
         col("_i_vs"), col("_i_ve"), col("_i_cs"), col("_i_ce"),
         col("_i_ts"), col("_i_te"), col("_i_ld"))
       .agg(max(when(col("_i_vs") <= col("_i_ee") && col("_i_ve") >= col("_i_es"), 1)
-        .otherwise(0)).as("_i_inex"))
+        .otherwise(0)).as("_i_inex"),
+        // EXON/INTRON rank inputs keyed on the event start (same
+        // convention as the SNV layer: exons entirely before the
+        // position, per-transcript exon count)
+        sum(when(col("_i_ee") < col("_i_vs"), 1).otherwise(0)).as("_i_nprev"),
+        count(lit(1)).as("_i_nex"))
     val iCoding = Splice.isCodingBt(col("_i_bt"))
     val inCodingExon = col("_i_inex") === 1 && iCoding
     val inCds = inCodingExon &&
@@ -321,13 +355,18 @@ object Annotate {
         iTerm.as("_term"),
         (col("_i_bt") === "nonsense_mediated_decay").as("_nmd"),
         (!iCoding && col("_i_inex") === 0).as("_nc"),
-        col("_i_inex"))
+        col("_i_inex"),
+        Splice.exonRank(col("_i_inex") === 1, col("_i_strand"),
+          col("_i_nprev"), col("_i_nex")).as("_exon"),
+        Splice.intronRank(col("_i_inex") === 1, col("_i_strand"),
+          col("_i_nprev"), col("_i_nex")).as("_intron"))
       .join(ih, Seq("id", "transcript_id"), "left")
       .join(ihp, Seq("id", "transcript_id"), "left")
       .select(col("id"), col("transcript_id"), col("_term"), col("_nmd"), col("_nc"),
         col("_ih_cdna").as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
         col("_ih_hgvs").as("hgvs_c"), col("_hp9").as("hgvs_p"), nullS.as("_sift"),
-        nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"), nullL.as("_dist"))
+        nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"), nullL.as("_dist"),
+        col("_exon"), col("_intron"))
 
     // ---- splice fusion: all six splice terms per (variant, transcript) ----
     val splice = Splice.spliceTerms(vcf, transcripts, exons)
@@ -343,7 +382,13 @@ object Annotate {
         coalesce(col("_sterms"), expr("CAST(array() AS ARRAY<STRING>)"))))
       .select(col("id"), col("transcript_id"), col("_terms"),
         col("_cdna"), col("_cds"), col("_pp"), col("hgvs_c"), col("hgvs_p"),
-        col("_sift"), col("_polyphen"), col("_aas"), col("_cod"), col("_dist"))
+        col("_sift"), col("_polyphen"), col("_aas"), col("_cod"), col("_dist"),
+        // constant (not from the base side): splice-only rows of the
+        // full-outer join are still transcript entries
+        lit("Transcript").as("_ftype"), col("_exon"), col("_intron"),
+        lit(null).cast("string").as("_mname"),
+        lit(null).cast("long").as("_mpos"),
+        lit(null).cast("string").as("_minf"))
 
     // ---- up/downstream entries (non-overlapping candidates in reach) ----
     val ut = transcripts.select(col("chrom").as("_u_tc"),
@@ -364,16 +409,25 @@ object Annotate {
         nullL.as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
         nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
         nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"),
-        greatest(col("_u_ts") - col("_u_ve"), col("_u_vs") - col("_u_te")).as("_dist"))
+        greatest(col("_u_ts") - col("_u_ve"), col("_u_vs") - col("_u_te")).as("_dist"),
+        lit("Transcript").as("_ftype"), nullS.as("_exon"), nullS.as("_intron"),
+        nullS.as("_mname"), nullL.as("_mpos"), nullS.as("_minf"))
 
     // ---- regulatory / TF-motif feature entries (VEP emits these as
     // their own CSQ Feature rows; they join most_severe ranking) ----
     val fv = vcf.select(col("chrom").as("_f_vc"), col("start").cast("long").as("_f_vs"),
       col("end").cast("long").as("_f_ve"), col("id").as("_f_vid"))
-    def featureEntries(features: DataFrame, fid: String, term: String): DataFrame = {
-      val ff = features.select(col("chrom").as("_f_fc"),
-        col("start").cast("long").as("_f_fs"), col("end").cast("long").as("_f_fe"),
-        col(fid).as("_f_id"))
+    def featureEntries(features: DataFrame, fid: String, term: String,
+        ftype: String, motif: Boolean): DataFrame = {
+      val ff = features.select(
+        (Seq(col("chrom").as("_f_fc"), col("start").cast("long").as("_f_fs"),
+          col("end").cast("long").as("_f_fe"), col(fid).as("_f_id")) ++
+         (if (motif) Seq(col("tf_name").as("_f_tf")) else Nil)): _*)
+      // VEP's motif CSQ fields: MOTIF_POS = 1-based offset of the
+      // variant within the motif (clamped at the motif start),
+      // HIGH_INF_POS = 'Y' on the first three bases (the stand-in for
+      // the PWM high-information flag — Vep.annotateMotif convention)
+      val mPos = greatest(col("_f_vs"), col("_f_fs")) - col("_f_fs") + 1
       ff.join(fv,
           col("_f_fc") === col("_f_vc") &&
             col("_f_fs") <= col("_f_ve") && col("_f_fe") >= col("_f_vs"))
@@ -381,27 +435,43 @@ object Annotate {
           array(lit(term)).as("_terms"),
           nullL.as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
           nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
-          nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"), nullL.as("_dist"))
+          nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"), nullL.as("_dist"),
+          lit(ftype).as("_ftype"), nullS.as("_exon"), nullS.as("_intron"),
+          (if (motif) col("_f_tf") else nullS).as("_mname"),
+          (if (motif) mPos else nullL).as("_mpos"),
+          (if (motif) when(mPos <= 3, lit("Y")).otherwise(lit("N")) else nullS).as("_minf"))
     }
-    val regEntries = featureEntries(regulatory, "feature_id", "regulatory_region_variant")
-    val motEntries = featureEntries(motifs, "motif_id", "TF_binding_site_variant")
+    val regEntries = featureEntries(regulatory, "feature_id",
+      "regulatory_region_variant", "RegulatoryFeature", motif = false)
+    val motEntries = featureEntries(motifs, "motif_id",
+      "TF_binding_site_variant", "MotifFeature", motif = true)
 
-    // ---- per-entry rendering (12-field VEP-style entries:
-    // Feature|Consequence|cDNA|CDS|Protein|HGVSc|HGVSp|SIFT|PolyPhen|
-    // IMPACT|BIOTYPE|STRAND; BIOTYPE/STRAND resolve through one
-    // broadcast transcript-attribute join, '' for non-transcript
-    // features) ----
+    // ---- per-entry rendering: 28-field VEP-style entries toward the
+    // --everything CSQ width (annotate_provider.rs:795-1000,2270-2306)
+    //   Feature|Consequence|cDNA_position|CDS_position|
+    //   Protein_position|HGVSc|HGVSp|SIFT|PolyPhen|IMPACT|BIOTYPE|
+    //   STRAND|VARIANT_CLASS|DISTANCE|Amino_acids|Codons|Allele|
+    //   Feature_type|Gene|SYMBOL|CANONICAL|FLAGS|EXON|INTRON|
+    //   Existing_variation|MOTIF_NAME|MOTIF_POS|HIGH_INF_POS
+    // Gene attributes resolve through one broadcast
+    // transcript-attribute join ('' for non-transcript features);
+    // Allele/VARIANT_CLASS are per-variant dims; Existing_variation is
+    // the shared lookup's '&'-fused name list. ----
     val tAttr = transcripts.select(col("transcript_id"),
-      col("biotype").as("_e_bt"), col("strand").cast("string").as("_e_strand"))
-    // VEP's VARIANT_CLASS, resolved per variant and repeated per entry
+      col("biotype").as("_e_bt"), col("strand").cast("string").as("_e_strand"),
+      col("gene_id").as("_e_gene"), col("symbol").as("_e_sym"),
+      col("canonical").as("_e_canon"), col("flags").as("_e_flags"))
+    // VEP's VARIANT_CLASS and (first) output Allele, per variant
     val vClass = vcf.select(col("id"),
       when(length(col("ref")) === 1 && length(col("alt")) === 1, lit("SNV"))
         .when(length(col("ref")) === length(col("alt")), lit("substitution"))
         .when(length(col("alt")) > length(col("ref")), lit("insertion"))
-        .otherwise(lit("deletion")).as("_vclass"))
+        .otherwise(lit("deletion")).as("_vclass"),
+      Vep.vepAltUdf(col("ref"), col("alt")).as("_vallele"))
     fused.unionByName(updown).unionByName(regEntries).unionByName(motEntries)
       .join(broadcast(tAttr), Seq("transcript_id"), "left")
       .join(vClass, Seq("id"))
+      .join(existing, Seq("id"), "left")
       .withColumn("_termstr", expr(termStrSql(CodonLogic.SparkD, "_terms")))
       .withColumn("_best", expr(bestRankSql(CodonLogic.SparkD, "_terms")))
       .withColumn("_impact", expr(impactSql("_best")))
@@ -409,6 +479,10 @@ object Annotate {
         f(col("_cdna")), f(col("_cds")), f(col("_pp")),
         f(col("hgvs_c")), f(col("hgvs_p")), f(col("_sift")), f(col("_polyphen")),
         col("_impact"), f(col("_e_bt")), f(col("_e_strand")),
-        col("_vclass"), f(col("_dist")), f(col("_aas")), f(col("_cod"))))
+        col("_vclass"), f(col("_dist")), f(col("_aas")), f(col("_cod")),
+        f(col("_vallele")), col("_ftype"),
+        f(col("_e_gene")), f(col("_e_sym")), f(col("_e_canon")), f(col("_e_flags")),
+        f(col("_exon")), f(col("_intron")), f(col("_exvar")),
+        f(col("_mname")), f(col("_mpos")), f(col("_minf"))))
   }
 }

@@ -127,7 +127,13 @@ object Splice {
         // in TRANSCRIPT orientation: d_plus measures from the previous
         // exon's last transcribed base, d_minus to the next one
         max(when(col("_ee") < p, col("_ee"))).as("_prev_ee"),
-        min(when(col("_es") > p, col("_es"))).as("_next_es"))
+        min(when(col("_es") > p, col("_es"))).as("_next_es"),
+        // exon/intron rank inputs (VEP's EXON/INTRON CSQ numbering):
+        // count of exons entirely before the position in GENOMIC order
+        // plus the per-transcript exon count; the strand flip to
+        // transcript orientation happens at render time
+        sum(when(col("_ee") < p, 1).otherwise(0)).as("_nprev"),
+        count(lit(1)).as("_nex"))
       .join(broadcast(codingBounds(transcripts, exons)), col("_tid") === col("_cb_tid"), "left")
   }
 
@@ -179,8 +185,27 @@ object Splice {
       when(col("_in_exon") === 1, cdna).as("cdna_pos"),
       cdsPos.as("cds_pos"),
       when(inCds, floor((cdsPos - 1) / lit(3)) + 1).cast("long").as("protein_pos"),
-      hgvs.as("hgvs_c"))
+      hgvs.as("hgvs_c"),
+      exonRank(col("_in_exon") === 1, col("_strand"), col("_nprev"), col("_nex")).as("exon"),
+      intronRank(col("_in_exon") === 1, col("_strand"), col("_nprev"), col("_nex")).as("intron"))
   }
+
+  /** VEP's EXON CSQ field ("rank/total" in TRANSCRIPT orientation) for
+    * an exonic position: the containing exon's 1-based rank — on '+'
+    * one past the number of exons entirely before the position, on '-'
+    * counted from the genomic end. NULL for intronic positions. */
+  private[vep] def exonRank(inExon: Column, strand: Column, nprev: Column, nex: Column): Column =
+    when(inExon, concat(
+      when(strand === 1, nprev + 1).otherwise(nex - nprev).cast("string"),
+      lit("/"), nex.cast("string")))
+
+  /** VEP's INTRON CSQ field ("rank/total" with total = exon count - 1)
+    * for an intronic position; the genomic intron index is exactly the
+    * count of exons ending before the position. NULL when exonic. */
+  private[vep] def intronRank(inExon: Column, strand: Column, nprev: Column, nex: Column): Column =
+    when(!inExon, concat(
+      when(strand === 1, nprev).otherwise(nex - nprev).cast("string"),
+      lit("/"), (nex - 1).cast("string")))
 
   /** One-letter -> three-letter amino-acid rendering (HGVS p.
     * notation; '*' -> Ter). Pure substring arithmetic so it stays in
