@@ -294,11 +294,29 @@ object Annotate {
         col("_aas"), col("_cod"), lit(null).cast("long").as("_dist"),
         col("exon").as("_exon"), col("intron").as("_intron"))
 
-    // ---- indel entries: region-term geometry + HGVS forms ----
-    val iv = vcf.where(!(length(col("ref")) === 1 && length(col("alt")) === 1))
+    // ---- indel entries: region-term geometry + HGVS forms, FUSED ----
+    // One candidate probe + one exon aggregation serves all three
+    // indel layers (region geometry, HGVSc rendering, protein HGVS):
+    // running [[Splice.indelHgvs]] and [[Hgvsp.hgvspIndel]] as
+    // separate operators here cost two extra interval probes, a
+    // second exon aggregation, a second codingBounds broadcast and
+    // two (id, transcript_id) joins per run — pure stage-count
+    // overhead, since all three consume the same (indel variant ×
+    // overlapping transcript) candidates. The standalone operators
+    // remain the public per-layer surface (and their own gates);
+    // their rendering logic is reproduced 1:1 below on the shared
+    // aggregate. Only geometry-overlapping pairs emit entries (pairs
+    // reachable solely through the 3'-shifted coordinates were
+    // dropped by the igeo-driven left joins before, and still are).
+    val iv = graft.core.Parallelism.ensure(
+        vcf.where(!(length(col("ref")) === 1 && length(col("alt")) === 1)))
+      .withColumn("_ic", Splice.indelCoordsUdf(16)(
+        col("chrom"), col("ref"), col("alt"), col("start").cast("long")))
       .select(col("chrom").as("_i_vc"), col("start").cast("long").as("_i_vs"),
         col("end").cast("long").as("_i_ve"), col("id").as("_i_vid"),
-        (length(col("alt")) - length(col("ref"))).cast("long").as("_i_ld"))
+        (length(col("alt")) - length(col("ref"))).cast("long").as("_i_ld"),
+        col("_ic._1").as("_i_kind"), col("_ic._2").as("_i_va"),
+        col("_ic._3").as("_i_p0"), col("_ic._4").as("_i_p1"))
     val it = transcripts.select(col("chrom").as("_i_tc"),
       col("start").cast("long").as("_i_ts"), col("end").cast("long").as("_i_te"),
       col("transcript_id").as("_i_tid"), col("strand").as("_i_strand"),
@@ -313,14 +331,23 @@ object Annotate {
     val igeo = icand.join(broadcast(iex), col("_i_tid") === col("_i_etid"))
       .groupBy(col("_i_vid"), col("_i_tid"), col("_i_strand"), col("_i_bt"),
         col("_i_vs"), col("_i_ve"), col("_i_cs"), col("_i_ce"),
-        col("_i_ts"), col("_i_te"), col("_i_ld"))
+        col("_i_ts"), col("_i_te"), col("_i_ld"),
+        col("_i_vc"), col("_i_kind"), col("_i_va"), col("_i_p0"), col("_i_p1"))
       .agg(max(when(col("_i_vs") <= col("_i_ee") && col("_i_ve") >= col("_i_es"), 1)
         .otherwise(0)).as("_i_inex"),
         // EXON/INTRON rank inputs keyed on the event start (same
         // convention as the SNV layer: exons entirely before the
         // position, per-transcript exon count)
         sum(when(col("_i_ee") < col("_i_vs"), 1).otherwise(0)).as("_i_nprev"),
-        count(lit(1)).as("_i_nex"))
+        count(lit(1)).as("_i_nex"),
+        // indelHgvs inputs: exon membership + cDNA index of the
+        // shifted event anchors (Splice.indelCoordsUdf contract)
+        max(when(col("_i_p0").between(col("_i_es"), col("_i_ee")), 1).otherwise(0)).as("_in0"),
+        max(when(col("_i_p1").between(col("_i_es"), col("_i_ee")), 1).otherwise(0)).as("_in1"),
+        sum(Splice.contribution(col("_i_p0"), col("_i_es"), col("_i_ee"), col("_i_strand"))).as("_cdna0"),
+        sum(Splice.contribution(col("_i_p1"), col("_i_es"), col("_i_ee"), col("_i_strand"))).as("_cdna1"))
+      .join(broadcast(Splice.codingBounds(transcripts, exons)),
+        col("_i_tid") === col("_cb_tid"), "left")
     val iCoding = Splice.isCodingBt(col("_i_bt"))
     val inCodingExon = col("_i_inex") === 1 && iCoding
     val inCds = inCodingExon &&
@@ -343,33 +370,55 @@ object Annotate {
           col("_i_vs") <= imEnd && col("_i_ve") >= imStart, lit("mature_miRNA_variant"))
         .when(col("_i_inex") === 1, lit("non_coding_transcript_exon_variant"))
         .otherwise(lit("intron_variant"))
-    val ih = Splice.indelHgvs(vcf, transcripts, exons)
-      .select(col("id"), col("transcript_id"),
-        col("cdna_pos").as("_ih_cdna"), col("hgvs_c").as("_ih_hgvs"))
-    // protein forms for the same indels (fsTer/extTer/aligned del-ins-dup)
-    val ihp = Hgvsp.hgvspIndel(vcf, transcripts)
-      .select(col("id"), col("transcript_id"), col("hgvs_p").as("_hp9"))
+    // HGVSc rendering on the fused aggregate — 1:1 with
+    // Splice.indelHgvs's formatting over its own aggregate: valid only
+    // when both shifted anchors lie inside this transcript AND inside
+    // exons (the standalone operator's candidate condition + its
+    // _in0/_in1 filter); NULL otherwise, exactly like the left join it
+    // replaces.
+    val hok = col("_i_p0") >= col("_i_ts") && col("_i_p1") <= col("_i_te") &&
+      col("_in0") === 1 && col("_in1") === 1
+    def ifmtC(x: Column): Column =
+      when(!iCoding, x.cast("string"))
+        .when(x < col("_ccs"), concat(lit("-"), (col("_ccs") - x).cast("string")))
+        .when(x > col("_cce"), concat(lit("*"), (x - col("_cce")).cast("string")))
+        .otherwise((x - col("_ccs") + 1).cast("string"))
+    val ilo = least(col("_cdna0"), col("_cdna1"))
+    val ihi = greatest(col("_cdna0"), col("_cdna1"))
+    val icoords = when(ilo === ihi, ifmtC(ilo))
+      .otherwise(concat(ifmtC(ilo), lit("_"), ifmtC(ihi)))
+    val ialtAdj = when(col("_i_strand") === 1, col("_i_va"))
+      .otherwise(reverse(translate(col("_i_va"), "ACGT", "TGCA")))
+    val iprefix = concat(col("_i_tid"), lit(":"),
+      when(iCoding, lit("c.")).otherwise(lit("n.")))
+    val ihgvsC = when(col("_i_kind") === "del" || col("_i_kind") === "dup",
+        concat(iprefix, icoords, col("_i_kind")))
+      .otherwise(concat(iprefix, icoords, col("_i_kind"), ialtAdj))
+    // protein forms (fsTer/extTer/aligned del-ins-dup) — 1:1 with
+    // Hgvsp.hgvspIndel: coding transcripts whose span overlaps the
+    // shifted event; the renderer returns NULL where no form applies
+    // (concat propagates it, like the left join it replaces)
+    val pok = iCoding &&
+      col("_i_ts") <= col("_i_p1") && col("_i_te") >= col("_i_p0")
+    val ihgvsP = when(pok, concat(col("_i_tid"), lit(":p."),
+      Hgvsp.formUdf(col("_i_vc"), col("_i_strand"), col("_i_cs"), col("_i_ce"),
+        col("_i_kind"), col("_i_va"), col("_i_p0"), col("_i_p1"))))
     val nullS = lit(null).cast("string"); val nullL = lit(null).cast("long")
     val indelEntries = igeo
       .select(col("_i_vid").as("id"), col("_i_tid").as("transcript_id"),
         iTerm.as("_term"),
         (col("_i_bt") === "nonsense_mediated_decay").as("_nmd"),
         (!iCoding && col("_i_inex") === 0).as("_nc"),
-        col("_i_inex"),
+        when(hok, ilo).as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
+        when(hok, ihgvsC).as("hgvs_c"), ihgvsP.as("hgvs_p"), nullS.as("_sift"),
+        nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"), nullL.as("_dist"),
         Splice.exonRank(col("_i_inex") === 1, col("_i_strand"),
           col("_i_nprev"), col("_i_nex")).as("_exon"),
         Splice.intronRank(col("_i_inex") === 1, col("_i_strand"),
           col("_i_nprev"), col("_i_nex")).as("_intron"))
-      .join(ih, Seq("id", "transcript_id"), "left")
-      .join(ihp, Seq("id", "transcript_id"), "left")
-      .select(col("id"), col("transcript_id"), col("_term"), col("_nmd"), col("_nc"),
-        col("_ih_cdna").as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
-        col("_ih_hgvs").as("hgvs_c"), col("_hp9").as("hgvs_p"), nullS.as("_sift"),
-        nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"), nullL.as("_dist"),
-        col("_exon"), col("_intron"))
 
     // ---- splice fusion: all six splice terms per (variant, transcript) ----
-    val splice = Splice.spliceTerms(vcf, transcripts, exons)
+    val splice = Splice.spliceTermsRaw(vcf, transcripts, exons)
       .groupBy(col("id"), col("transcript_id"))
       .agg(collect_set(col("consequence")).as("_sterms"))
     val base = snvEntries.unionByName(indelEntries)

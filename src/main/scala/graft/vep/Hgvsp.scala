@@ -130,7 +130,7 @@ object Hgvsp {
     }
   }
 
-  private val formUdf = udf(proteinForm _)
+  private[vep] val formUdf = udf(proteinForm _)
 
   /** Operator: per (indel variant, overlapping coding transcript) one
     * protein HGVS row. Transcripts sit on the build side of the

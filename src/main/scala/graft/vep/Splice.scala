@@ -59,7 +59,7 @@ object Splice {
 
   /** Per-exon cDNA contribution of genomic position `pos` (see class
     * doc). All of `pos/es/ee/strand` are columns in scope. */
-  private def contribution(pos: Column, es: Column, ee: Column, strand: Column): Column = {
+  private[vep] def contribution(pos: Column, es: Column, ee: Column, strand: Column): Column = {
     val len = ee - es + 1
     when(strand === 1,
       when(ee < pos, len)
@@ -103,9 +103,24 @@ object Splice {
     * _cdna _prev_ee _next_es _ccs _cce. */
   private[vep] def snvTranscriptAgg(
       vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
+    // Derived-genome memoization (per-position sequence dedup): every
+    // base of a codon that does NOT span an exon boundary lies within
+    // ±2 of the variant position, so the 5-base window is computed
+    // ONCE per SNV on the variant side (5 md5 per variant, BEFORE the
+    // transcript probe) and rides the aggregate to every candidate
+    // pair; only spliced codon bases (outside the window after the
+    // cDNA->genomic map) fall back to the inline md5 expression in
+    // [[splicedCodonFrom]]. At 100 TB the window is computed in the
+    // probe-side scan once per variant instead of 3 md5 per
+    // (variant × overlapping transcript) pair in the codon stage.
+    val winExprs = (-2 to 2).map { o =>
+      expr(CodonLogic.seq(CodonLogic.SparkD, "chrom",
+        s"(CAST(start AS BIGINT) + ($o))"))
+    }
     val v = vcf.where(length(col("ref")) === 1 && length(col("alt")) === 1)
       .select(col("chrom").as("_vc"), col("start").cast("long").as("_vp"),
-        col("id").as("_vid"), col("ref").as("_vref"), col("alt").as("_valt"))
+        col("id").as("_vid"), col("ref").as("_vref"), col("alt").as("_valt"),
+        array(winExprs: _*).as("_wb"))
     val t = transcripts.select(col("chrom").as("_tc"), col("start").cast("long").as("_ts"),
       col("end").cast("long").as("_te"), col("transcript_id").as("_tid"),
       col("strand").as("_strand"), col("biotype").as("_bt"))
@@ -133,7 +148,9 @@ object Splice {
         // plus the per-transcript exon count; the strand flip to
         // transcript orientation happens at render time
         sum(when(col("_ee") < p, 1).otherwise(0)).as("_nprev"),
-        count(lit(1)).as("_nex"))
+        count(lit(1)).as("_nex"),
+        // constant within the group (derived from the _vc/_vp keys)
+        first(col("_wb")).as("_wb"))
       .join(broadcast(codingBounds(transcripts, exons)), col("_tid") === col("_cb_tid"), "left")
   }
 
@@ -279,25 +296,46 @@ object Splice {
       .withColumn("_codon0", col("_ccs") + floor((col("_cds_pos") - 1) / lit(3)).cast("long") * 3)
       .withColumn("_coff", ((col("_cds_pos") - 1) % 3).cast("int"))
     val coding = codingAll.where(col("_codon0") + 2 <= col("_cce"))
+    // ONE broadcast range-join maps all three codon bases cDNA ->
+    // genomic: the probe keys on the segment containing _codon0, and
+    // the two lookahead segments (window lead over the per-transcript
+    // ranges) cover codon bases that spill past an exon boundary — a
+    // codon's 3 bases span at most 3 segments, so two leads always
+    // suffice. (Three separate per-base joins cost two extra broadcast
+    // builds + query stages per run — pure scheduling overhead at any
+    // scale, since the per-base join keys are identical.)
     val ranges = exonCdnaRanges(transcripts, exons)
-    // one broadcast range-join per codon base: maps cDNA index -> genomic
-    // pos -> derived base, complemented on '-' (three tiny joins keep
-    // everything codegen'd; no explode/collect ordering to reason about)
-    val withBases = (0 to 2).foldLeft(coding) { (df, k) =>
-      val ci = col("_codon0") + k
-      val r = ranges.select(
-        col("_r_tid").as(s"_rt$k"), col("_r_es").as(s"_r_es$k"), col("_r_ee").as(s"_r_ee$k"),
-        col("_r_strand").as(s"_r_strand$k"), col("_r_cs").as(s"_r_cs$k"), col("_r_ce").as(s"_r_ce$k"))
-      df.join(broadcast(r),
-          col("_tid") === col(s"_rt$k") && ci.between(col(s"_r_cs$k"), col(s"_r_ce$k")))
-        .withColumn(s"_g$k",
-          when(col(s"_r_strand$k") === 1, col(s"_r_es$k") + (ci - col(s"_r_cs$k")))
-            .otherwise(col(s"_r_ee$k") - (ci - col(s"_r_cs$k"))))
+    val w = Window.partitionBy(col("_r_tid")).orderBy(col("_r_cs"))
+    val r = ranges
+      .withColumn("_n1_es", lead(col("_r_es"), 1).over(w))
+      .withColumn("_n1_ee", lead(col("_r_ee"), 1).over(w))
+      .withColumn("_n1_cs", lead(col("_r_cs"), 1).over(w))
+      .withColumn("_n1_ce", lead(col("_r_ce"), 1).over(w))
+      .withColumn("_n2_es", lead(col("_r_es"), 2).over(w))
+      .withColumn("_n2_ee", lead(col("_r_ee"), 2).over(w))
+      .withColumn("_n2_cs", lead(col("_r_cs"), 2).over(w))
+      .drop("_r_strand")
+    val joined = coding.join(broadcast(r),
+      col("_tid") === col("_r_tid") &&
+        col("_codon0").between(col("_r_cs"), col("_r_ce")))
+    // genomic position of cDNA index ci through whichever segment holds
+    // it (strand is the transcript's own _strand; all segments share it)
+    def gOf(ci: Column): Column = {
+      def m(es: Column, ee: Column, cs: Column): Column =
+        when(col("_strand") === 1, es + (ci - cs)).otherwise(ee - (ci - cs))
+      when(ci <= col("_r_ce"), m(col("_r_es"), col("_r_ee"), col("_r_cs")))
+        .when(ci <= col("_n1_ce"), m(col("_n1_es"), col("_n1_ee"), col("_n1_cs")))
+        .otherwise(m(col("_n2_es"), col("_n2_ee"), col("_n2_cs")))
+    }
+    val withBases = (0 to 2).foldLeft(joined) { (df, k) =>
+      df.withColumn(s"_g$k", gOf(col("_codon0") + k))
         .withColumn(s"_b$k", {
-          val raw = expr(CodonLogic.seq(CodonLogic.SparkD, "_vc", s"_g$k"))
+          val g = col(s"_g$k")
+          val raw = when(g.between(col("_vp") - 2, col("_vp") + 2),
+              element_at(col("_wb"), (g - col("_vp") + 3).cast("int")))
+            .otherwise(expr(CodonLogic.seq(CodonLogic.SparkD, "_vc", s"_g$k")))
           when(col("_strand") === 1, raw).otherwise(translate(raw, "ACGT", "TGCA"))
         })
-        .drop(s"_rt$k", s"_r_es$k", s"_r_ee$k", s"_r_strand$k", s"_r_cs$k", s"_r_ce$k")
     }
     val altAdj = when(col("_strand") === 1, col("_valt")).otherwise(translate(col("_valt"), "ACGT", "TGCA"))
     val refCodon = concat(col("_b0"), col("_b1"), col("_b2"))
@@ -503,7 +541,16 @@ object Splice {
     * across introns. Candidate generation runs through the interval
     * strategy (transcripts = build side), introns broadcast per
     * transcript — no per-contig cross product. */
-  def spliceTerms(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
+  def spliceTerms(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame =
+    spliceTermsRaw(vcf, transcripts, exons).distinct()
+
+  /** [[spliceTerms]] WITHOUT the final distinct — for consumers that
+    * immediately re-aggregate with a deduping collector (collect_set
+    * in [[Annotate]]'s fusion), where the distinct's extra shuffle
+    * buys nothing. May emit the same (id, transcript, term) from
+    * multiple introns. */
+  private[vep] def spliceTermsRaw(
+      vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
     graft.plans.Graft.enable(vcf.sparkSession)
     val v = vcf
       .withColumn("_vs", Vep.vepNormStartUdf(col("start").cast("long"), col("ref"), col("alt")))
@@ -556,7 +603,7 @@ object Splice {
       .select(col("_vid").as("id"), col("_tid").as("transcript_id"),
         explode(array(entries.map { case (n, c) => when(c, lit(n)) }: _*)).as("consequence"))
       .where(col("consequence").isNotNull)
-      .distinct()
+
   }
 
   /** CSQ output assembly (annotate_provider.rs:795-1000 role): fuse
