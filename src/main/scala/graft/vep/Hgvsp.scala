@@ -11,13 +11,21 @@ import org.apache.spark.sql.functions._
   *               the first frameshifted codon is itself a stop)
   *   extension   p.Ter{pos}{Bbb}extTer{N}    (stop codon disrupted,
   *               translation continues N codons to a new stop)
-  *   inframe     p.{Aaa}{p}del / p.{Aaa}{p}_{Bbb}{q}del,
-  *               p.{Aaa}{m}_{Bbb}{m+1}ins{Seq}, p.{Aaa}{m}dup /
-  *               p.{Aaa}{p}_{Bbb}{m}dup — codon-ALIGNED del/ins/dup
-  *               only (non-aligned ones render NULL, documented gap)
-  *   delins      p.{Aaa}{p}[_{Bbb}{q}]delins{Seq} — inframe
-  *               replacements at any alignment, incl. MNVs; a
-  *               frameshifting delins takes the fsTer/extTer arm
+  *   inframe     the reference's full PEPTIDE model (hgvs.rs
+  *               format_hgvsp/clip_protein_alleles/protein_event_type,
+  *               themselves Ensembl TranscriptVariationAllele): the
+  *               affected ref and new codon spans are translated at
+  *               ANY alignment, shared flanking residues are clipped,
+  *               the event reclassified from the clipped peptides
+  *               (p.{A}{p}= / p.{A}{p}{B} substitution / ins / del /
+  *               delins), pure peptide ins/del are 3'-shifted
+  *               (capped at [[maxPeptideShift]] — exact on the
+  *               uniform-random derived genome), and insertions equal
+  *               to the preceding residues render as dup. Not
+  *               implemented from the reference's model: the
+  *               stop_lost extTer arm for non-frameshift events and
+  *               the start_lost p.{A}1? form (rare on the fixture;
+  *               the frameshift arm's extTer is implemented)
   *
   * Model (documented simplification, same one the original codon layer
   * used): the CDS is a CONTIGUOUS genomic span [cds_start, cds_end]
@@ -35,6 +43,9 @@ import org.apache.spark.sql.functions._
 object Hgvsp {
 
   val maxScanCodons = 32
+
+  /** Cap on the peptide-level 3'-shift scan (see the inframe arm). */
+  val maxPeptideShift = 8
 
   private val aa3Map: Map[String, String] =
     Splice.aaAlpha.zipWithIndex.map { case (c, i) =>
@@ -99,34 +110,96 @@ object Hgvsp {
         s"Ter$pos${aa3(newAA)}extTer${if (lp >= 2) (lp - 1).toString else "?"}"
       else if (newAA == "*") s"${aa3(refAA)}${pos}Ter"
       else s"${aa3(refAA)}$pos${aa3(newAA)}fsTer${if (lp >= 2) lp.toString else "?"}"
-    } else kind match {
-      case "del" if e % 3 == 0 && bigK % 3 == 0 =>
-        val n = bigK / 3
-        if (n == 1) s"${aa3(refAA)}${pos}del"
-        else s"${aa3(refAA)}${pos}_${aa3(aaOf(origCodon(c0 + n - 1)))}${pos + n - 1}del"
-      case "ins" if (e + 1) % 3 == 0 && k % 3 == 0 =>
-        val m = (e + 1) / 3 // 1-based residue before the insertion
-        val ins = a.grouped(3).map(aaOf).map(aa3).mkString
-        s"${aa3(aaOf(origCodon(m - 1)))}${m}_${aa3(aaOf(origCodon(m)))}${m + 1}ins$ins"
-      case "dup" if (e + 1) % 3 == 0 && k % 3 == 0 =>
-        val m = (e + 1) / 3
-        val n = k / 3
-        val first = m - n + 1
-        val aaF = aa3(aaOf(origCodon(first - 1)))
-        if (n == 1) s"$aaF${m}dup"
-        else s"$aaF${first}_${aa3(aaOf(origCodon(m - 1)))}${m}dup"
-      case "delins" =>
-        // inframe replacement (incl. length-preserving MNVs): affected
-        // residues = codons touching [e, e+K-1]; new residues =
-        // translation of the replaced new-sequence codon span
-        val lastOld = (e + bigK - 1) / 3
-        val lastNew = (e + k - 1) / 3
-        val newAAs = (c0 to lastNew)
-          .map(c => aaOf((0 to 2).map(j => nb(3 * c + j)).mkString))
-          .map(aa3).mkString
-        if (lastOld == c0) s"${aa3(refAA)}${pos}delins$newAAs"
-        else s"${aa3(refAA)}${pos}_${aa3(aaOf(origCodon(lastOld)))}${lastOld + 1}delins$newAAs"
-      case _ => null // non-aligned inframe del/ins/dup remain future work
+    } else {
+      // ---- inframe events at ANY alignment: the reference's peptide
+      // model (hgvs.rs format_hgvsp / clip_protein_alleles /
+      // protein_event_type / shift_peptides_post_var /
+      // check_for_peptide_duplication, themselves Ensembl
+      // TranscriptVariationAllele). Translate the affected ref and new
+      // codon spans, clip shared flanking residues, re-classify from
+      // the clipped peptides, 3'-shift pure peptide ins/del, detect
+      // peptide duplications against the upstream translation. DNA
+      // 'dup' is an insertion at the peptide level — duplication is
+      // re-detected on peptides, as the reference does.
+      val isIns = kind == "ins" || kind == "dup"
+      val boundary = isIns && (e + 1) % 3 == 0
+      val cStart = if (boundary) (e + 1) / 3 else e / 3
+      val refLen = if (kind == "del" || kind == "delins")
+        (e + bigK - 1) / 3 - cStart + 1
+      else if (boundary) 0L else 1L
+      val altLen = refLen + ld / 3
+      def aaAt(c: Long): Char = aaOf(origCodon(c)).charAt(0)
+      def newAaAt(c: Long): Char =
+        aaOf((0 to 2).map(j => nb(3 * c + j)).mkString).charAt(0)
+      val refP0 = (0L until refLen).map(i => aaAt(cStart + i)).mkString
+      val altP0 = (0L until altLen).map(i => newAaAt(cStart + i)).mkString
+      // residues fully inside the contiguous CDS, for bounding the
+      // peptide 3'-shift (the reference bounds it by the translation)
+      val nCod = (ce - cs + 1) / 3
+      if (refP0 == altP0)
+        s"${refP0.map(ch => aa3(ch.toString)).mkString}${cStart + 1}="
+      else {
+        var refP = refP0; var altP = altP0
+        var s = cStart + 1; var en = cStart + refLen
+        while (refP.nonEmpty && altP.nonEmpty && refP.head == altP.head) {
+          refP = refP.tail; altP = altP.tail; s += 1
+        }
+        while (refP.nonEmpty && altP.nonEmpty && refP.last == altP.last) {
+          refP = refP.init; altP = altP.init; en -= 1
+        }
+        val kind2 =
+          if (refP.isEmpty && altP.nonEmpty) "ins"
+          else if (altP.isEmpty) "del"
+          else if (refP.length == 1 && altP.length == 1) ">"
+          else "delins"
+        // peptide 3'-shift (shift first, then the dup check — the
+        // reference's documented order), bounded by the CDS-interior
+        // translation; the reference bounds only by translation
+        // length, but on the derived (uniform-random) genome a run of
+        // 8 identical residues has probability ~20^-8, so the shared
+        // cap is exact in practice and keeps the DuckDB mirror's scan
+        // list small
+        if (kind2 == "ins" || kind2 == "del") {
+          var seq = if (kind2 == "ins") altP else refP
+          val L = seq.length
+          val en0 = en
+          if (L > 0 && nCod - en0 >= L) {
+            var sh = 0
+            while (sh < maxPeptideShift && en0 + sh < nCod &&
+                seq.head == aaAt(en0 + sh)) {
+              seq = seq.tail + seq.head; s += 1; en += 1; sh += 1
+            }
+          }
+          if (kind2 == "ins") altP = seq else refP = seq
+        }
+        def pep3(p: String): String = p.map(ch => aa3(ch.toString)).mkString
+        // ins/delins render the alt truncated at its first stop
+        def altRender(p: String): String = {
+          val i = p.indexOf('*')
+          pep3(if (i >= 0) p.substring(0, i + 1) else p)
+        }
+        kind2 match {
+          case "ins" =>
+            val aLen = altP.length.toLong
+            val dupStart = s - aLen
+            val isDup = dupStart >= 1 &&
+              (0L until aLen).forall(i => aaAt(dupStart - 1 + i) == altP(i.toInt))
+            if (isDup) {
+              if (aLen == 1) s"${aa3(altP)}${s - 1}dup"
+              else s"${aa3(altP.head.toString)}${dupStart}_${aa3(altP.last.toString)}${s - 1}dup"
+            } else {
+              val m = math.min(s, en) // = en: s == en + 1 for pure ins
+              s"${aa3(aaAt(m - 1).toString)}${m}_${aa3(aaAt(m).toString)}${m + 1}ins${altRender(altP)}"
+            }
+          case "del" =>
+            if (refP.length == 1) s"${aa3(refP)}${s}del"
+            else s"${aa3(refP.head.toString)}${s}_${aa3(refP.last.toString)}${en}del"
+          case ">" => s"${aa3(refP)}$s${aa3(altP)}"
+          case _ => // delins
+            if (s == en) s"${aa3(refP.head.toString)}${s}delins${altRender(altP)}"
+            else s"${aa3(refP.head.toString)}${s}_${aa3(refP.last.toString)}${en}delins${altRender(altP)}"
+        }
+      }
     }
   }
 
@@ -234,15 +307,16 @@ object Hgvsp {
        |hst2 AS (SELECT hst1.*,
        |   CASE WHEN kind IN ('del', 'delins') THEN e // 3 ELSE (e + 1) // 3 END AS c0
        |  FROM hst1 WHERE incds),
-       |hst3 AS (SELECT hst2.*, c0 + 1 AS pos,
+       |hst3 AS MATERIALIZED (SELECT hst2.*, c0 + 1 AS pos,
        |   ${CodonLogic.aa(D, origCodon("c0"))} AS refaa,
        |   list_transform(generate_series(0, ${maxScanCodons - 1}),
        |     c -> concat(${nb("3*(c0 + c)")}, ${nb("3*(c0 + c) + 1")}, ${nb("3*(c0 + c) + 2")})) AS ncodons
        |  FROM hst2),
-       |hst4 AS (SELECT hst3.*,
+       |hst4 AS MATERIALIZED (SELECT hst3.*,
        |   list_transform(ncodons, cd -> ${CodonLogic.aa(D, "cd")}) AS newaas FROM hst3),
-       |hst5 AS (SELECT hst4.*, newaas[1] AS newaa,
+       |hst5 AS MATERIALIZED (SELECT hst4.*, newaas[1] AS newaa,
        |   COALESCE(list_position(newaas, '*'), 0) AS lp FROM hst4),
+       |${inframeSql(D)}
        |hform AS (SELECT id, tid, kind,
        |   CASE WHEN ld % 3 <> 0 THEN
        |     CASE WHEN refaa = '*' AND newaa <> '*' THEN
@@ -251,43 +325,134 @@ object Hgvsp {
        |      WHEN newaa = '*' THEN concat(${aa3("refaa")}, CAST(pos AS VARCHAR), 'Ter')
        |      ELSE concat(${aa3("refaa")}, CAST(pos AS VARCHAR), ${aa3("newaa")}, 'fsTer',
        |         CASE WHEN lp >= 2 THEN CAST(lp AS VARCHAR) ELSE '?' END) END
-       |    WHEN kind = 'del' AND e % 3 = 0 AND bigk % 3 = 0 THEN
-       |     CASE WHEN bigk = 3 THEN concat(${aa3("refaa")}, CAST(pos AS VARCHAR), 'del')
-       |      ELSE concat(${aa3("refaa")}, CAST(pos AS VARCHAR), '_',
-       |        ${aa3(CodonLogic.aa(D, origCodon("c0 + bigk // 3 - 1")))},
-       |        CAST(pos + bigk // 3 - 1 AS VARCHAR), 'del') END
-       |    WHEN kind = 'ins' AND (e + 1) % 3 = 0 AND k % 3 = 0 THEN
-       |     concat(${aa3(CodonLogic.aa(D, origCodon("(e + 1) // 3 - 1")))},
-       |       CAST((e + 1) // 3 AS VARCHAR), '_',
-       |       ${aa3(CodonLogic.aa(D, origCodon("(e + 1) // 3")))},
-       |       CAST((e + 1) // 3 + 1 AS VARCHAR), 'ins',
-       |       array_to_string(list_transform(generate_series(1, CAST(k // 3 AS INT)),
-       |         g -> ${aa3(CodonLogic.aa(D, "substr(a, CAST(3*g - 2 AS INT), 3)"))}), ''))
-       |    WHEN kind = 'dup' AND (e + 1) % 3 = 0 AND k % 3 = 0 THEN
-       |     CASE WHEN k = 3 THEN
-       |       concat(${aa3(CodonLogic.aa(D, origCodon("(e + 1) // 3 - 1")))},
-       |         CAST((e + 1) // 3 AS VARCHAR), 'dup')
-       |      ELSE concat(${aa3(CodonLogic.aa(D, origCodon("(e + 1) // 3 - k // 3")))},
-       |        CAST((e + 1) // 3 - k // 3 + 1 AS VARCHAR), '_',
-       |        ${aa3(CodonLogic.aa(D, origCodon("(e + 1) // 3 - 1")))},
-       |        CAST((e + 1) // 3 AS VARCHAR), 'dup') END
-       |    WHEN kind = 'delins' THEN
-       |     CASE WHEN (e + bigk - 1) // 3 = c0 THEN
-       |       concat(${aa3("refaa")}, CAST(pos AS VARCHAR), 'delins',
-       |         array_to_string(list_transform(
-       |           newaas[1:CAST((e + k - 1) // 3 - c0 + 1 AS INT)],
-       |           x -> ${aa3("x")}), ''))
-       |      ELSE concat(${aa3("refaa")}, CAST(pos AS VARCHAR), '_',
-       |        ${aa3(CodonLogic.aa(D, origCodon("(e + bigk - 1) // 3")))},
-       |        CAST((e + bigk - 1) // 3 + 1 AS VARCHAR), 'delins',
-       |        array_to_string(list_transform(
-       |          newaas[1:CAST((e + k - 1) // 3 - c0 + 1 AS INT)],
-       |          x -> ${aa3("x")}), '')) END
-       |    ELSE NULL END AS form
-       |  FROM hst5)
+       |    ${inframeRenderSql(D)}
+       |    END AS form
+       |  FROM pep13)
        |SELECT id, tid AS transcript_id, kind,
        | concat(tid, ':p.', form) AS hgvs_p
        |FROM hform WHERE form IS NOT NULL
        |ORDER BY id, transcript_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB mirror of the inframe peptide model: the pep* CTE chain
+    * from hst5 — affected ref/new peptide construction, flank
+    * clipping, event-type reclassification, bounded peptide 3'-shift,
+    * peptide duplication detection. Trailing comma included so the
+    * caller can splice it before `hform`. */
+  private def inframeSql(D: CodonLogic.Dialect): String = {
+    def orig(i: String): String =
+      s"(CASE WHEN strand = 1 THEN ${CodonLogic.seq(D, "chrom", s"(cs + ($i))")} " +
+      s"ELSE translate(${CodonLogic.seq(D, "chrom", s"(ce - ($i))")}, 'ACGT', 'TGCA') END)"
+    def origCodon(c: String): String =
+      s"concat(${orig(s"3*($c)")}, ${orig(s"3*($c) + 1")}, ${orig(s"3*($c) + 2")})"
+    def aaC(c: String): String = CodonLogic.aa(D, origCodon(c))
+    s"""pep1 AS MATERIALIZED (SELECT hst5.*,
+       |   CASE WHEN kind IN ('del', 'delins') THEN (e + bigk - 1) // 3 - c0 + 1
+       |    WHEN (e + 1) % 3 = 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS reflen,
+       |   (ce - cs + 1) // 3 AS ncod FROM hst5),
+       |pep2 AS MATERIALIZED (SELECT pep1.*, reflen + ld // 3 AS altlen FROM pep1),
+       |pep3 AS MATERIALIZED (SELECT pep2.*,
+       |   CASE WHEN ld % 3 = 0 THEN COALESCE(array_to_string(list_transform(
+       |     generate_series(0, CAST(reflen - 1 AS INT)), i -> ${aaC("c0 + i")}), ''), '')
+       |    ELSE '' END AS refp,
+       |   CASE WHEN ld % 3 = 0 THEN
+       |     COALESCE(array_to_string(newaas[1:CAST(altlen AS INT)], ''), '')
+       |    ELSE '' END AS altp FROM pep2),
+       |pep4 AS MATERIALIZED (SELECT pep3.*, CAST(length(refp) AS BIGINT) AS lr,
+       |   CAST(length(altp) AS BIGINT) AS la, (refp = altp) AS peq FROM pep3),
+       |pep5 AS MATERIALIZED (SELECT pep4.*,
+       |   CASE WHEN peq THEN CAST(0 AS BIGINT)
+       |    WHEN list_position(list_transform(
+       |      generate_series(1, CAST(least(lr, la) AS INT)),
+       |      i -> substr(refp, i, 1) = substr(altp, i, 1)), false) = 0
+       |    THEN least(lr, la)
+       |    ELSE list_position(list_transform(
+       |      generate_series(1, CAST(least(lr, la) AS INT)),
+       |      i -> substr(refp, i, 1) = substr(altp, i, 1)), false) - 1
+       |   END AS plen FROM pep4),
+       |pep6 AS MATERIALIZED (SELECT pep5.*, substr(refp, CAST(plen + 1 AS INT)) AS refp1,
+       |   substr(altp, CAST(plen + 1 AS INT)) AS altp1,
+       |   c0 + 1 + plen AS s1, c0 + reflen AS en1 FROM pep5),
+       |pep7 AS MATERIALIZED (SELECT pep6.*, CAST(length(refp1) AS BIGINT) AS lr1,
+       |   CAST(length(altp1) AS BIGINT) AS la1 FROM pep6),
+       |pep8 AS MATERIALIZED (SELECT pep7.*,
+       |   CASE WHEN peq THEN CAST(0 AS BIGINT)
+       |    WHEN list_position(list_transform(
+       |      generate_series(1, CAST(least(lr1, la1) AS INT)),
+       |      i -> substr(refp1, CAST(lr1 - i + 1 AS INT), 1)
+       |         = substr(altp1, CAST(la1 - i + 1 AS INT), 1)), false) = 0
+       |    THEN least(lr1, la1)
+       |    ELSE list_position(list_transform(
+       |      generate_series(1, CAST(least(lr1, la1) AS INT)),
+       |      i -> substr(refp1, CAST(lr1 - i + 1 AS INT), 1)
+       |         = substr(altp1, CAST(la1 - i + 1 AS INT), 1)), false) - 1
+       |   END AS slen FROM pep7),
+       |pep9 AS MATERIALIZED (SELECT pep8.*, substr(refp1, 1, CAST(lr1 - slen AS INT)) AS refp2,
+       |   substr(altp1, 1, CAST(la1 - slen AS INT)) AS altp2,
+       |   en1 - slen AS en2 FROM pep8),
+       |pep10 AS MATERIALIZED (SELECT pep9.*,
+       |   CASE WHEN refp2 = '' AND altp2 <> '' THEN 'ins' WHEN altp2 = '' THEN 'del'
+       |    WHEN length(refp2) = 1 AND length(altp2) = 1 THEN 'sub'
+       |    ELSE 'delins' END AS kind2,
+       |   CASE WHEN refp2 = '' AND altp2 <> '' THEN altp2
+       |    WHEN altp2 = '' THEN refp2 ELSE '' END AS sq FROM pep9),
+       |pep11 AS MATERIALIZED (SELECT pep10.*, CAST(length(sq) AS BIGINT) AS sl,
+       |   CASE WHEN ld % 3 = 0 AND NOT peq AND kind2 IN ('ins', 'del')
+       |     AND length(sq) > 0 AND ncod - en2 >= length(sq)
+       |    THEN (CASE WHEN list_position(list_transform(
+       |      generate_series(0, CAST(least($maxPeptideShift, ncod - en2) - 1 AS INT)),
+       |      j -> substr(sq, CAST((j % length(sq)) + 1 AS INT), 1) = ${aaC("en2 + j")}),
+       |      false) = 0 THEN least($maxPeptideShift, ncod - en2)
+       |     ELSE list_position(list_transform(
+       |      generate_series(0, CAST(least($maxPeptideShift, ncod - en2) - 1 AS INT)),
+       |      j -> substr(sq, CAST((j % length(sq)) + 1 AS INT), 1) = ${aaC("en2 + j")}),
+       |      false) - 1 END)
+       |    ELSE CAST(0 AS BIGINT) END AS d FROM pep10),
+       |pep12 AS MATERIALIZED (SELECT pep11.*, s1 + d AS s3, en2 + d AS en3,
+       |   CASE WHEN sl > 0 THEN concat(substr(sq, CAST((d % sl) + 1 AS INT)),
+       |     substr(sq, 1, CAST(d % sl AS INT))) ELSE sq END AS sq3 FROM pep11),
+       |pep13 AS MATERIALIZED (SELECT pep12.*,
+       |   CASE WHEN ld % 3 = 0 AND kind2 = 'ins' AND s3 - sl >= 1 THEN
+       |     COALESCE(list_position(list_transform(generate_series(1, CAST(sl AS INT)),
+       |       i -> substr(sq3, i, 1) = ${aaC("s3 - sl + i - 2")}), false), 0) = 0
+       |    ELSE FALSE END AS isdup FROM pep12),""".stripMargin.replace("\n", " ")
+  }
+
+  /** The inframe render arms of the oracle's `form` CASE (everything
+    * after the frameshift arm), over pep13's columns. */
+  private def inframeRenderSql(D: CodonLogic.Dialect): String = {
+    def orig(i: String): String =
+      s"(CASE WHEN strand = 1 THEN ${CodonLogic.seq(D, "chrom", s"(cs + ($i))")} " +
+      s"ELSE translate(${CodonLogic.seq(D, "chrom", s"(ce - ($i))")}, 'ACGT', 'TGCA') END)"
+    def origCodon(c: String): String =
+      s"concat(${orig(s"3*($c)")}, ${orig(s"3*($c) + 1")}, ${orig(s"3*($c) + 2")})"
+    def aaC(c: String): String = CodonLogic.aa(D, origCodon(c))
+    def aa3(x: String): String = Splice.aa3Sql(D, x)
+    // three-letter expansion of a peptide string expression
+    def p3(p: String): String =
+      s"array_to_string(list_transform(generate_series(1, CAST(length($p) AS INT)), " +
+      s"i -> ${aa3(s"substr($p, i, 1)")}), '')"
+    // ins/delins alt rendering truncates at the first stop (inclusive)
+    def trunc(p: String): String =
+      s"(CASE WHEN strpos($p, '*') > 0 THEN substr($p, 1, CAST(strpos($p, '*') AS INT)) ELSE $p END)"
+    s"""WHEN peq THEN concat(${p3("refp")}, CAST(c0 + 1 AS VARCHAR), '=')
+       |WHEN kind2 = 'ins' AND isdup THEN
+       | CASE WHEN sl = 1 THEN concat(${aa3("sq3")}, CAST(s3 - 1 AS VARCHAR), 'dup')
+       |  ELSE concat(${aa3("substr(sq3, 1, 1)")}, CAST(s3 - sl AS VARCHAR), '_',
+       |   ${aa3(s"substr(sq3, CAST(sl AS INT), 1)")}, CAST(s3 - 1 AS VARCHAR), 'dup') END
+       |WHEN kind2 = 'ins' THEN
+       | concat(${aa3(aaC("en3 - 1"))}, CAST(en3 AS VARCHAR), '_',
+       |  ${aa3(aaC("en3"))}, CAST(en3 + 1 AS VARCHAR), 'ins', ${p3(trunc("sq3"))})
+       |WHEN kind2 = 'del' THEN
+       | CASE WHEN sl = 1 THEN concat(${aa3("sq3")}, CAST(s3 AS VARCHAR), 'del')
+       |  ELSE concat(${aa3("substr(sq3, 1, 1)")}, CAST(s3 AS VARCHAR), '_',
+       |   ${aa3(s"substr(sq3, CAST(sl AS INT), 1)")}, CAST(en3 AS VARCHAR), 'del') END
+       |WHEN kind2 = 'sub' THEN concat(${aa3("refp2")}, CAST(s1 AS VARCHAR), ${aa3("altp2")})
+       |ELSE
+       | CASE WHEN s1 = en2 THEN concat(${aa3("substr(refp2, 1, 1)")},
+       |   CAST(s1 AS VARCHAR), 'delins', ${p3(trunc("altp2"))})
+       |  ELSE concat(${aa3("substr(refp2, 1, 1)")}, CAST(s1 AS VARCHAR), '_',
+       |   ${aa3("substr(refp2, CAST(length(refp2) AS INT), 1)")}, CAST(en2 AS VARCHAR),
+       |   'delins', ${p3(trunc("altp2"))}) END""".stripMargin.replace("\n", " ")
   }
 }

@@ -89,23 +89,51 @@ class HgvspSuite extends AnyFunSuite {
     assert(Hgvsp.proteinForm(chrom, 1, cs, ce, "delins", "AC", cs - 1, cs) == null)
   }
 
-  test("length-preserving delins renders single-codon and range forms") {
-    // MNV replacing cds offsets 9-10 (codon 4 only): new codon =
-    // A, C, orig(11)
+  test("length-preserving MNVs reclassify from the clipped peptides") {
+    // MNV replacing cds offsets 9-10 (codon 4 only): one residue
+    // replaced -> peptide-level SUBSTITUTION p.{Aaa}4{Bbb} (the
+    // reference's protein_event_type '>' arm), not delins
     val single = Hgvsp.proteinForm(chrom, 1, cs, ce, "delins", "AC", cs + 9, cs + 10)
     val newAA = CodonLogic.codonTable("AC" + orig(11, 1))
-    assert(single == s"${aa3(aaAt(3, 1))}4delins${aa3(newAA)}", s"got=$single")
-    // MNV replacing cds offsets 11-12 spans codons 4 and 5 -> range
-    // form with two new residues
+    assume(newAA != aaAt(3, 1))
+    assert(single == s"${aa3(aaAt(3, 1))}4${aa3(newAA)}", s"got=$single")
+    // MNV replacing cds offsets 11-12 spans codons 4 and 5; the new
+    // residue 5 equals the old one (both Ter on this derived genome),
+    // so clip_protein_alleles trims the shared suffix and the clipped
+    // peptides are single residues -> substitution again
     val range = Hgvsp.proteinForm(chrom, 1, cs, ce, "delins", "GT", cs + 11, cs + 12)
     val n1 = CodonLogic.codonTable("" + orig(9, 1) + orig(10, 1) + 'G')
     val n2 = CodonLogic.codonTable("T" + orig(13, 1) + orig(14, 1))
-    assert(range == s"${aa3(aaAt(3, 1))}4_${aa3(aaAt(4, 1))}5delins${aa3(n1)}${aa3(n2)}",
-      s"got=$range")
+    assume(n2 == aaAt(4, 1) && n1 != aaAt(3, 1))
+    assert(range == s"${aa3(aaAt(3, 1))}4${aa3(n1)}", s"got=$range")
   }
 
-  test("non-aligned inframe insertion renders no protein form") {
-    // 3-base insertion NOT at a codon boundary: (e+1) % 3 != 0
-    assert(Hgvsp.proteinForm(chrom, 1, cs, ce, "ins", "ACG", cs + 9, cs + 10) == null)
+  test("non-aligned inframe insertion renders the peptide delins form") {
+    // 3-base insertion mid-codon ((e+1) % 3 != 0): splits residue 4,
+    // producing two new residues -> p.{Aaa}4delins{XxxYyy}
+    val got = Hgvsp.proteinForm(chrom, 1, cs, ce, "ins", "ACG", cs + 9, cs + 10)
+    val n1 = CodonLogic.codonTable("" + orig(9, 1) + "AC")
+    val n2 = CodonLogic.codonTable("G" + orig(10, 1) + orig(11, 1))
+    assume(n1 != aaAt(3, 1) && n2 != aaAt(3, 1))
+    assert(got == s"${aa3(aaAt(3, 1))}4delins${aa3(n1)}${aa3(n2)}", s"got=$got")
+  }
+
+  test("insertion equal to the preceding residue renders the peptide dup") {
+    // codon 3 ('CAA' -> Gln on this derived genome) re-inserted at the
+    // following codon boundary: the peptide dup check fires
+    val insAA = aaAt(2, 1)
+    val codon = (0 to 2).map(j => orig(6 + j, 1)).mkString
+    val got = Hgvsp.proteinForm(chrom, 1, cs, ce, "ins", codon, cs + 8, cs + 9)
+    assume(insAA != aaAt(3, 1)) // no peptide 3'-shift interference
+    assert(got == s"${aa3(insAA)}3dup", s"got=$got")
+  }
+
+  test("peptide deletion 3'-shifts across an identical following residue") {
+    // residues 23 and 24 are identical on this derived genome; deleting
+    // codon 22 (0-based) must shift the rendered deletion to residue 24
+    // (Ensembl _check_peptides_post_var / 3' shift)
+    assume(aaAt(22, 1) == aaAt(23, 1) && aaAt(22, 1) != aaAt(24, 1))
+    val got = Hgvsp.proteinForm(chrom, 1, cs, ce, "del", "X", cs + 66, cs + 68)
+    assert(got == s"${aa3(aaAt(22, 1))}24del", s"got=$got")
   }
 }
