@@ -231,18 +231,25 @@ object Tables {
     * kind 4: MNV 'AC'>'CA' (length-preserving delins; the strand
     *   placement makes it single-codon on '+' and codon-spanning on
     *   '-', so both protein delins render forms fire). */
+  /** Five indel/MNV probes per transcript anchored inside the MIDDLE
+    * exon ∩ CDS (the spliced protein model only renders events whose
+    * shifted anchors are exonic and coding; a ≥60-base window also
+    * keeps the 16-base DNA 3'-shift inside the exon). Codon phase at
+    * the anchor varies per transcript, exercising the peptide model's
+    * aligned AND non-aligned arms on both strands. */
   def hgvspProbes(spark: SparkSession, dir: String): DataFrame =
     transcripts(spark, dir).selectExpr(
-        "chrom", "strand", "cds_start AS cs", "cds_end AS ce",
+        "chrom", "start AS ts", "`end` AS te",
+        "cds_start AS cs", "cds_end AS ce",
         "CAST(substring(transcript_id, 2) AS BIGINT) AS sk")
-      .selectExpr("chrom", "strand", "cs", "ce", "sk", "explode(sequence(0, 4)) AS kind")
+      .selectExpr("chrom", "sk",
+        "greatest(ts + (te - ts) DIV 3, cs) AS b",
+        "least(ts + (te - ts) DIV 3 + (te - ts) DIV 6, ce) AS h")
+      .where("h - b >= 60")
+      .selectExpr("chrom", "sk", "b", "explode(sequence(0, 4)) AS kind")
       .selectExpr("chrom", "sk", "kind",
-        """CAST(CASE
-           WHEN kind = 0 THEN (CASE WHEN strand = 1 THEN cs + 8 ELSE ce - 12 END)
-           WHEN kind = 1 THEN (CASE WHEN strand = 1 THEN cs + 8 ELSE ce - 9 END)
-           WHEN kind = 2 THEN (CASE WHEN strand = 1 THEN cs + 20 ELSE ce - 26 END)
-           WHEN kind = 4 THEN (CASE WHEN strand = 1 THEN cs + 30 ELSE ce - 33 END)
-           ELSE (CASE WHEN strand = 1 THEN cs + 20 ELSE ce - 24 END) END AS BIGINT) AS start""")
+        """CAST(CASE WHEN kind IN (0, 1) THEN b + 8
+           WHEN kind = 4 THEN b + 30 ELSE b + 20 END AS BIGINT) AS start""")
       .selectExpr("chrom", "start",
         "CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 WHEN kind = 4 THEN 1 ELSE 0 END AS BIGINT) AS `end`",
         "CAST(sk * 10 + kind AS BIGINT) AS id",
@@ -496,16 +503,17 @@ object Oracle {
     * CGT/- at [p+1, p+3]; 'A'>'ACGT' to -/CGT at (p+1, p);
     * 'ACG'>'A' to CG/- at [p+1, p+2]; 'A'>'AC' to -/C at (p+1, p). */
   val hgvspProbes: String =
-    """hp0 AS (SELECT t.chrom, t.strand, t.cds_start AS cs, t.cds_end AS ce,
+    """hp0 AS (SELECT t.chrom,
+      | greatest(t.start + (t."end" - t.start) // 3, t.cds_start) AS b,
+      | least(t.start + (t."end" - t.start) // 3 + (t."end" - t.start) // 6,
+      |   t.cds_end) AS h,
       | CAST(substr(transcript_id, 2) AS BIGINT) AS sk, kind
-      | FROM t, UNNEST(generate_series(0, 4)) AS g(kind)),
+      | FROM t, UNNEST(generate_series(0, 4)) AS g(kind)
+      | WHERE least(t.start + (t."end" - t.start) // 3 + (t."end" - t.start) // 6,
+      |   t.cds_end) - greatest(t.start + (t."end" - t.start) // 3, t.cds_start) >= 60),
       |hp1 AS (SELECT chrom, sk, kind,
-      | CAST(CASE
-      |  WHEN kind = 0 THEN (CASE WHEN strand = 1 THEN cs + 8 ELSE ce - 12 END)
-      |  WHEN kind = 1 THEN (CASE WHEN strand = 1 THEN cs + 8 ELSE ce - 9 END)
-      |  WHEN kind = 2 THEN (CASE WHEN strand = 1 THEN cs + 20 ELSE ce - 26 END)
-      |  WHEN kind = 4 THEN (CASE WHEN strand = 1 THEN cs + 30 ELSE ce - 33 END)
-      |  ELSE (CASE WHEN strand = 1 THEN cs + 20 ELSE ce - 24 END) END AS BIGINT) AS start
+      | CAST(CASE WHEN kind IN (0, 1) THEN b + 8
+      |  WHEN kind = 4 THEN b + 30 ELSE b + 20 END AS BIGINT) AS start
       | FROM hp0),
       |hp AS (SELECT chrom, start,
       | CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 WHEN kind = 4 THEN 1 ELSE 0 END AS BIGINT) AS "end",

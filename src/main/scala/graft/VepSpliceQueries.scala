@@ -124,7 +124,7 @@ object VepSpliceQueries {
     // del/ins/dup over the dedicated alignment probe fixture, both
     // strands by construction.
     "f11_hgvsp_indel" -> ((s, d) =>
-      graft.vep.Hgvsp.hgvspIndel(Tables.hgvspProbes(s, d), Tables.transcripts(s, d))),
+      graft.vep.Hgvsp.hgvspIndel(Tables.hgvspProbes(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
     // Colocated-variant side output (variant_lookup_exec.rs:519-537
     // ColocatedSink): cache entries at the variant's normalized
     // position whose alleles do NOT match — the fixture's

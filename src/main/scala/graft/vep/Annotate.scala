@@ -348,6 +348,8 @@ object Annotate {
         sum(Splice.contribution(col("_i_p1"), col("_i_es"), col("_i_ee"), col("_i_strand"))).as("_cdna1"))
       .join(broadcast(Splice.codingBounds(transcripts, exons)),
         col("_i_tid") === col("_cb_tid"), "left")
+      .join(broadcast(Hgvsp.exonArrays(transcripts, exons)),
+        col("_i_tid") === col("_xa_tid"), "left")
     val iCoding = Splice.isCodingBt(col("_i_bt"))
     val inCodingExon = col("_i_inex") === 1 && iCoding
     val inCds = inCodingExon &&
@@ -401,8 +403,9 @@ object Annotate {
     val pok = iCoding &&
       col("_i_ts") <= col("_i_p1") && col("_i_te") >= col("_i_p0")
     val ihgvsP = when(pok, concat(col("_i_tid"), lit(":p."),
-      Hgvsp.formUdf(col("_i_vc"), col("_i_strand"), col("_i_cs"), col("_i_ce"),
-        col("_i_kind"), col("_i_va"), col("_i_p0"), col("_i_p1"))))
+      Hgvsp.formUdf(col("_i_vc"), col("_i_strand"), col("_xa_es"), col("_xa_ee"),
+        col("_ccs"), col("_cce"), col("_i_kind"), col("_i_va"),
+        col("_i_p0"), col("_i_p1"))))
     val nullS = lit(null).cast("string"); val nullL = lit(null).cast("long")
     val indelEntries = igeo
       .select(col("_i_vid").as("id"), col("_i_tid").as("transcript_id"),

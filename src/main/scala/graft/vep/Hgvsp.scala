@@ -59,32 +59,91 @@ object Hgvsp {
   private def aaOf(codon: String): String = CodonLogic.codonTable.getOrElse(codon, "X")
   private def aa3(aa: String): String = aa3Map.getOrElse(aa, "Xaa")
 
-  /** Core protein-form renderer. Returns the suffix after "T:p." or
-    * null when no protein form applies. All positions 1-based genomic;
-    * (kind, va, p0, p1) follow [[Splice.indelCoordsUdf]]'s contract
-    * (p0/p1 = deleted range | insertion flanks | duplicated context).
-    */
-  def proteinForm(chrom: String, strand: Int, cs: Long, ce: Long,
+  /** Core protein-form renderer over the SPLICED cDNA model. The
+    * transcript's exons arrive as parallel genomic-range arrays in
+    * TRANSCRIPT order (ascending genomic start on '+', descending on
+    * '-'); `ccs`/`cce` are the coding cDNA bounds (1-based cDNA
+    * indexes, [[Splice.codingBounds]]). Every sequence read maps a
+    * cDNA index to its genomic position through the exon structure, so
+    * codons read correctly across splice junctions — the reference's
+    * hgvs.rs protein arm reads the spliced translation the same way.
+    * Reads past the transcript's last exonic base return 'N' (unknown
+    * residue 'X'/'Xaa', stop scans report '?') — the reference runs
+    * out of mRNA at the same point.
+    *
+    * Returns the suffix after "T:p." or null when no protein form
+    * applies: event anchors intronic, insertion point spanning an
+    * intron, or the event outside the coding cDNA range. (kind, va,
+    * p0, p1) follow [[Splice.indelCoordsUdf]]'s contract (p0/p1 =
+    * deleted range | insertion flanks | duplicated context). */
+  def proteinForm(chrom: String, strand: Int,
+      exES: Seq[Long], exEE: Seq[Long], ccs: Long, cce: Long,
       kind: String, va: String, p0: Long, p1: Long): String = {
+    if (exES == null || exEE == null) return null
+    val n = exES.length
+    if (n == 0 || ccs < 1 || cce < ccs) return null
+    // cDNA-range start of each segment (1-based), in transcript order
+    val segCs = new Array[Long](n)
+    var acc = 1L
+    var j = 0
+    while (j < n) { segCs(j) = acc; acc += exEE(j) - exES(j) + 1; j += 1 }
+    val totalCdna = acc - 1
+    // genomic (exonic) position -> 1-based cDNA index; -1 if intronic
+    def cd(p: Long): Long = {
+      var i = 0
+      while (i < n) {
+        if (p >= exES(i) && p <= exEE(i))
+          return if (strand == 1) segCs(i) + (p - exES(i))
+          else segCs(i) + (exEE(i) - p)
+        i += 1
+      }
+      -1L
+    }
+    // derived base at cDNA index ci (transcript-oriented; complemented
+    // on '-'); 'N' past the transcript end
+    def baseAtCdna(ci: Long): Char = {
+      if (ci < 1 || ci > totalCdna) return 'N'
+      var i = 0
+      while (i < n) {
+        if (ci >= segCs(i) && ci <= segCs(i) + (exEE(i) - exES(i))) {
+          val g = if (strand == 1) exES(i) + (ci - segCs(i))
+            else exEE(i) - (ci - segCs(i))
+          val b = CodonLogic.baseAt(chrom, g)
+          return if (strand == 1) b else comp(b)
+        }
+        i += 1
+      }
+      'N'
+    }
+    val ncc = cce - ccs + 1 // coding cDNA length
+    val k = if (kind == "del") 0L else va.length.toLong
+    // event anchors in CODING cDNA offsets (0-based from ccs)
+    val (e, bigK) = kind match {
+      case "del" | "delins" =>
+        val c0 = cd(p0); val c1 = cd(p1)
+        if (c0 < 0 || c1 < 0) return null
+        val lo = math.min(c0, c1); val hi = math.max(c0, c1)
+        (lo - ccs, hi - lo + 1)
+      case "ins" =>
+        val c0 = cd(p0); val c1 = cd(p1)
+        if (c0 < 0 || c1 < 0 || math.max(c0, c1) != math.min(c0, c1) + 1) return null
+        (math.min(c0, c1) - ccs, 0L)
+      case "dup" =>
+        val c0 = cd(p1); val c1 = cd(p1 + 1)
+        if (c0 < 0 || c1 < 0 || math.max(c0, c1) != math.min(c0, c1) + 1) return null
+        (math.min(c0, c1) - ccs, 0L)
+      case _ => return null
+    }
     val inCds = kind match {
-      case "del" | "ins" | "delins" => cs <= p0 && p1 <= ce
-      case "dup"                    => cs <= p1 && p1 + 1 <= ce
-      case _                        => false
+      case "del" | "delins" => e >= 0 && e + bigK - 1 <= ncc - 1
+      case _                => e >= 0 && e + 1 <= ncc - 1
     }
     if (!inCds) return null
-    val bigK = if (kind == "del" || kind == "delins") p1 - p0 + 1 else 0L
-    val k = if (kind == "del") 0L else va.length.toLong
     val ld = kind match {
       case "del" => -bigK; case "delins" => k - bigK; case _ => k
     }
     val a = if (strand == 1) va else va.reverse.map(comp)
-    val e: Long = kind match {
-      case "del" | "ins" | "delins" => if (strand == 1) p0 - cs else ce - p1
-      case "dup"                    => if (strand == 1) p1 - cs else ce - p1 - 1
-    }
-    def orig(i: Long): Char =
-      if (strand == 1) CodonLogic.baseAt(chrom, cs + i)
-      else comp(CodonLogic.baseAt(chrom, ce - i))
+    def orig(i: Long): Char = baseAtCdna(ccs + i)
     def nb(i: Long): Char = kind match {
       case "del" => if (i < e) orig(i) else orig(i + bigK)
       case "delins" =>
@@ -135,7 +194,7 @@ object Hgvsp {
       val altP0 = (0L until altLen).map(i => newAaAt(cStart + i)).mkString
       // residues fully inside the contiguous CDS, for bounding the
       // peptide 3'-shift (the reference bounds it by the translation)
-      val nCod = (ce - cs + 1) / 3
+      val nCod = ncc / 3
       if (refP0 == altP0)
         s"${refP0.map(ch => aa3(ch.toString)).mkString}${cStart + 1}="
       else {
@@ -205,12 +264,33 @@ object Hgvsp {
 
   private[vep] val formUdf = udf(proteinForm _)
 
+  /** Per-transcript exon genomic ranges as parallel array columns in
+    * TRANSCRIPT order (ascending genomic start on '+', descending on
+    * '-') — the broadcastable spliced-read context for
+    * [[proteinForm]]. Output: (_xa_tid, _xa_es, _xa_ee). */
+  def exonArrays(transcripts: DataFrame, exons: DataFrame): DataFrame = {
+    val t = transcripts.select(col("transcript_id").as("_xa_tid"),
+      col("strand").as("_xa_strand"))
+    val ex = exons.select(col("transcript_id").as("_xa_etid"),
+      col("start").cast("long").as("_xa_s"), col("end").cast("long").as("_xa_e"))
+    ex.join(t, col("_xa_etid") === col("_xa_tid"))
+      .groupBy(col("_xa_tid"))
+      .agg(sort_array(collect_list(struct(
+        when(col("_xa_strand") === 1, col("_xa_s")).otherwise(-col("_xa_s")).as("k"),
+        col("_xa_s").as("es"), col("_xa_e").as("ee")))).as("_xa_sorted"))
+      .select(col("_xa_tid"),
+        expr("transform(_xa_sorted, x -> x.es)").as("_xa_es"),
+        expr("transform(_xa_sorted, x -> x.ee)").as("_xa_ee"))
+  }
+
   /** Operator: per (indel variant, overlapping coding transcript) one
     * protein HGVS row. Transcripts sit on the build side of the
-    * interval strategy's broadcast index probe; the UDF is per
-    * candidate row, map-only. Output: (id, transcript_id, kind,
+    * interval strategy's broadcast index probe; the exon arrays and
+    * coding bounds ride two tiny broadcast dimension joins; the UDF is
+    * per candidate row, map-only. Output: (id, transcript_id, kind,
     * hgvs_p); rows with no applicable protein form are dropped. */
-  def hgvspIndel(vcf: DataFrame, transcripts: DataFrame, maxShift: Int = 16): DataFrame = {
+  def hgvspIndel(vcf: DataFrame, transcripts: DataFrame, exons: DataFrame,
+      maxShift: Int = 16): DataFrame = {
     graft.plans.Graft.enable(vcf.sparkSession)
     val v = graft.core.Parallelism.ensure(
         vcf.where(!(length(col("ref")) === 1 && length(col("alt")) === 1)))
@@ -222,33 +302,66 @@ object Hgvsp {
     val t = transcripts.select(col("chrom").as("_htc"),
       col("start").cast("long").as("_hts"), col("end").cast("long").as("_hte"),
       col("transcript_id").as("_htid"), col("strand").as("_hstrand"),
-      col("biotype").as("_hbt"),
-      col("cds_start").cast("long").as("_hcs"), col("cds_end").cast("long").as("_hce"))
+      col("biotype").as("_hbt"))
     val cand = t.join(v,
         col("_htc") === col("_hc") &&
           col("_hts") <= col("_p1") && col("_hte") >= col("_p0"))
       .where(Splice.isCodingBt(col("_hbt")))
     cand
+      .join(broadcast(exonArrays(transcripts, exons)), col("_htid") === col("_xa_tid"))
+      .join(broadcast(Splice.codingBounds(transcripts, exons)), col("_htid") === col("_cb_tid"))
       .withColumn("_form", formUdf(col("_hc"), col("_hstrand"),
-        col("_hcs"), col("_hce"), col("_kind"), col("_va"), col("_p0"), col("_p1")))
+        col("_xa_es"), col("_xa_ee"), col("_ccs"), col("_cce"),
+        col("_kind"), col("_va"), col("_p0"), col("_p1")))
       .where(col("_form").isNotNull)
       .select(col("_hid").as("id"), col("_htid").as("transcript_id"),
         col("_kind").as("kind"),
         concat(col("_htid"), lit(":p."), col("_form")).as("hgvs_p"))
   }
 
+  // ---- spliced-read SQL macros (columns chrom, strand, xes, xee,
+  // xcs, xtot, ccs in scope). gb(ci): derived base at cDNA index ci
+  // through the exon segment containing it; 'N' past the transcript.
+  private def gbSql(D: CodonLogic.Dialect, ci: String): String = {
+    val idx = "list_position(list_transform(generate_series(1, CAST(length(xes) AS INT)), " +
+      s"j -> ($ci) BETWEEN xcs[j] AND xcs[j] + (xee[j] - xes[j])), true)"
+    s"(CASE WHEN ($ci) < 1 OR ($ci) > xtot THEN 'N' " +
+    s"WHEN strand = 1 THEN ${CodonLogic.seq(D, "chrom", s"(xes[$idx] + (($ci) - xcs[$idx]))")} " +
+    s"ELSE translate(${CodonLogic.seq(D, "chrom", s"(xee[$idx] - (($ci) - xcs[$idx]))")}, 'ACGT', 'TGCA') END)"
+  }
+  /** orig(i): spliced derived base at 0-based CODING cDNA offset i. */
+  private def sOrig(D: CodonLogic.Dialect, i: String): String =
+    gbSql(D, s"(ccs + ($i))")
+  private def sOrigCodon(D: CodonLogic.Dialect, c: String): String =
+    s"concat(${sOrig(D, s"3*($c)")}, ${sOrig(D, s"3*($c) + 1")}, ${sOrig(D, s"3*($c) + 2")})"
+  /** aa over a codon that may contain 'N' (past-transcript read):
+    * 'X', matching the JVM side's unknown-codon residue. */
+  private def aaN(D: CodonLogic.Dialect, codon: String): String =
+    s"(CASE WHEN strpos($codon, 'N') > 0 THEN 'X' ELSE ${CodonLogic.aa(D, codon)} END)"
+  /** aa3 tolerant of the 'X' unknown residue -> 'Xaa'. */
+  private def aa3X(D: CodonLogic.Dialect, x: String): String =
+    s"(CASE WHEN ($x) = 'X' THEN 'Xaa' ELSE ${Splice.aa3Sql(D, x)} END)"
+  /** genomic exonic position -> 1-based cDNA index; NULL if intronic. */
+  private def cdSql(D: CodonLogic.Dialect, p: String): String = {
+    val idx = "list_position(list_transform(generate_series(1, CAST(length(xes) AS INT)), " +
+      s"j -> ($p) BETWEEN xes[j] AND xee[j]), true)"
+    s"(CASE WHEN $idx = 0 THEN NULL " +
+    s"WHEN strand = 1 THEN xcs[$idx] + (($p) - xes[$idx]) " +
+    s"ELSE xcs[$idx] + (xee[$idx] - ($p)) END)"
+  }
+
   /** DuckDB mirror of [[hgvspIndel]] over a variant CTE that carries
     * precomputed (chrom, start, ref, alt, id, norm_start, norm_end,
     * vep_ref, vep_alt) — the same convention the other oracle views
-    * use. Requires the `t` transcript CTE in scope. */
+    * use. Requires the `t` transcript CTE in scope; derives its own
+    * `ex` exon CTE and the spliced-read context (exon genomic/cDNA
+    * range lists per transcript, coding cDNA bounds). */
   def oracleSql(variantCte: String, variantName: String): String = {
     val D = CodonLogic.DuckD
     val scan = Splice.shiftScanSql(D, "chrom", "anchor", "allele", 16)
     val ctxBase = CodonLogic.seq(D, "chrom", "j")
-    // orig(i): derived base at cds offset i in transcript orientation
-    def orig(i: String): String =
-      s"(CASE WHEN strand = 1 THEN ${CodonLogic.seq(D, "chrom", s"(cs + ($i))")} " +
-      s"ELSE translate(${CodonLogic.seq(D, "chrom", s"(ce - ($i))")}, 'ACGT', 'TGCA') END)"
+    def orig(i: String): String = sOrig(D, i)
+    def aa3(x: String): String = aa3X(D, x)
     def nb(i: String): String =
       s"(CASE WHEN kind = 'del' THEN (CASE WHEN ($i) < e THEN ${orig(i)} ELSE ${orig(s"($i) + bigk")} END) " +
       s"WHEN kind = 'delins' THEN (CASE WHEN ($i) < e THEN ${orig(i)} " +
@@ -257,10 +370,14 @@ object Hgvsp {
       s"ELSE (CASE WHEN ($i) <= e THEN ${orig(i)} " +
       s"WHEN ($i) <= e + k THEN substr(a, CAST(($i) - e AS INT), 1) " +
       s"ELSE ${orig(s"($i) - k")} END) END)"
-    def origCodon(c: String): String =
-      s"concat(${orig(s"3*($c)")}, ${orig(s"3*($c) + 1")}, ${orig(s"3*($c) + 2")})"
-    def aa3(x: String): String = Splice.aa3Sql(D, x)
-    s"""WITH $variantCte,
+    val contrib1 = "CASE WHEN strand = 1 THEN " +
+      "CASE WHEN e.\"end\" < ANCH THEN e.\"end\" - e.start + 1 " +
+      "WHEN ANCH BETWEEN e.start AND e.\"end\" THEN ANCH - e.start + 1 ELSE 0 END " +
+      "ELSE CASE WHEN e.start > ANCH THEN e.\"end\" - e.start + 1 " +
+      "WHEN ANCH BETWEEN e.start AND e.\"end\" THEN e.\"end\" - ANCH + 1 ELSE 0 END END"
+    val anchor1 = "(CASE WHEN strand = 1 THEN cds_start ELSE cds_end END)"
+    val anchor2 = "(CASE WHEN strand = 1 THEN cds_end ELSE cds_start END)"
+    s"""WITH $variantCte, ${graft.Oracle.exons},
        |hind0 AS (SELECT id, chrom, vep_ref, vep_alt,
        |   norm_start AS ns, norm_end AS ne,
        |   CASE WHEN vep_ref = '-' THEN vep_alt ELSE vep_ref END AS allele,
@@ -286,34 +403,70 @@ object Hgvsp {
        |    WHEN vep_ref = '-' THEN nss
        |    WHEN vep_alt = '-' THEN nse ELSE ne END AS p1
        |  FROM hind3),
+       |xcb AS MATERIALIZED (SELECT t.transcript_id AS cb_tid,
+       |   CAST(SUM(${contrib1.replace("ANCH", anchor1)})
+       |     + (CASE WHEN MAX(CASE WHEN $anchor1 BETWEEN e.start AND e."end" THEN 1 ELSE 0 END) = 0
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS ccs,
+       |   CAST(SUM(${contrib1.replace("ANCH", anchor2)}) AS BIGINT) AS cce
+       |  FROM t JOIN ex e ON t.transcript_id = e.transcript_id
+       |  GROUP BY t.transcript_id),
+       |xr AS MATERIALIZED (SELECT t.transcript_id AS x_tid,
+       |   list(e.start ORDER BY CASE WHEN t.strand = 1 THEN e.start ELSE -e.start END) AS xes,
+       |   list(e."end" ORDER BY CASE WHEN t.strand = 1 THEN e.start ELSE -e.start END) AS xee
+       |  FROM t JOIN ex e ON t.transcript_id = e.transcript_id
+       |  GROUP BY t.transcript_id),
+       |xr2 AS MATERIALIZED (SELECT x_tid, xes, xee,
+       |   list_transform(generate_series(1, CAST(length(xes) AS INT)), j ->
+       |     1 + COALESCE(list_sum(list_transform(generate_series(1, j - 1),
+       |       i -> xee[i] - xes[i] + 1)), 0)) AS xcs,
+       |   COALESCE(list_sum(list_transform(generate_series(1, CAST(length(xes) AS INT)),
+       |     i -> xee[i] - xes[i] + 1)), 0) AS xtot
+       |  FROM xr),
        |hcand AS (SELECT i.id, i.chrom, i.va, i.kind, i.p0, i.p1,
-       |   t.transcript_id AS tid, t.strand, t.cds_start AS cs, t.cds_end AS ce
+       |   t.transcript_id AS tid, t.strand,
+       |   x.xes, x.xee, x.xcs, x.xtot, b.ccs, b.cce
        |  FROM hind i JOIN t ON i.chrom = t.chrom
        |   AND t.start <= i.p1 AND t."end" >= i.p0
+       |   JOIN xr2 x ON x.x_tid = t.transcript_id
+       |   JOIN xcb b ON b.cb_tid = t.transcript_id
        |  WHERE t.biotype IN ('protein_coding', 'nonsense_mediated_decay')),
-       |hst1 AS (SELECT hcand.*,
-       |   CASE WHEN kind IN ('del', 'delins') THEN p1 - p0 + 1 ELSE 0 END AS bigk,
-       |   CASE WHEN kind = 'del' THEN 0 ELSE length(va) END AS k,
-       |   CASE WHEN kind = 'del' THEN -(p1 - p0 + 1)
-       |    WHEN kind = 'delins' THEN length(va) - (p1 - p0 + 1)
-       |    ELSE length(va) END AS ld,
+       |hc2 AS MATERIALIZED (SELECT hcand.*,
+       |   ${cdSql(D, "p0")} AS cdp0, ${cdSql(D, "p1")} AS cdp1,
+       |   ${cdSql(D, "p1 + 1")} AS cdp1n FROM hcand),
+       |hst1 AS MATERIALIZED (SELECT hc2.*,
+       |   CASE WHEN kind IN ('del', 'delins')
+       |     THEN greatest(cdp0, cdp1) - least(cdp0, cdp1) + 1
+       |    ELSE CAST(0 AS BIGINT) END AS bigk,
+       |   CASE WHEN kind = 'del' THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(length(va) AS BIGINT) END AS k,
        |   CASE WHEN strand = 1 THEN va ELSE reverse(translate(va, 'ACGT', 'TGCA')) END AS a,
-       |   CASE WHEN kind = 'dup' THEN (CASE WHEN strand = 1 THEN p1 - cs ELSE ce - p1 - 1 END)
-       |    ELSE (CASE WHEN strand = 1 THEN p0 - cs ELSE ce - p1 END) END AS e,
-       |   CASE WHEN kind = 'dup' THEN (cs <= p1 AND p1 + 1 <= ce)
-       |    WHEN kind IN ('del', 'ins', 'delins') THEN (cs <= p0 AND p1 <= ce)
-       |    ELSE FALSE END AS incds
-       |  FROM hcand),
-       |hst2 AS (SELECT hst1.*,
+       |   CASE WHEN kind IN ('del', 'delins', 'ins') THEN least(cdp0, cdp1) - ccs
+       |    ELSE least(cdp1, cdp1n) - ccs END AS e,
+       |   cce - ccs + 1 AS ncc,
+       |   CASE WHEN kind IN ('del', 'delins')
+       |     THEN cdp0 IS NOT NULL AND cdp1 IS NOT NULL
+       |    WHEN kind = 'ins' THEN cdp0 IS NOT NULL AND cdp1 IS NOT NULL
+       |     AND greatest(cdp0, cdp1) = least(cdp0, cdp1) + 1
+       |    ELSE cdp1 IS NOT NULL AND cdp1n IS NOT NULL
+       |     AND greatest(cdp1, cdp1n) = least(cdp1, cdp1n) + 1 END AS anchored
+       |  FROM hc2),
+       |hst1b AS (SELECT hst1.*,
+       |   CASE WHEN kind = 'del' THEN -bigk
+       |    WHEN kind = 'delins' THEN k - bigk ELSE k END AS ld,
+       |   (anchored AND (CASE WHEN kind IN ('del', 'delins')
+       |     THEN e >= 0 AND e + bigk - 1 <= ncc - 1
+       |    ELSE e >= 0 AND e + 1 <= ncc - 1 END)) AS incds
+       |  FROM hst1),
+       |hst2 AS (SELECT hst1b.*,
        |   CASE WHEN kind IN ('del', 'delins') THEN e // 3 ELSE (e + 1) // 3 END AS c0
-       |  FROM hst1 WHERE incds),
+       |  FROM hst1b WHERE incds),
        |hst3 AS MATERIALIZED (SELECT hst2.*, c0 + 1 AS pos,
-       |   ${CodonLogic.aa(D, origCodon("c0"))} AS refaa,
+       |   ${aaN(D, sOrigCodon(D, "c0"))} AS refaa,
        |   list_transform(generate_series(0, ${maxScanCodons - 1}),
        |     c -> concat(${nb("3*(c0 + c)")}, ${nb("3*(c0 + c) + 1")}, ${nb("3*(c0 + c) + 2")})) AS ncodons
        |  FROM hst2),
        |hst4 AS MATERIALIZED (SELECT hst3.*,
-       |   list_transform(ncodons, cd -> ${CodonLogic.aa(D, "cd")}) AS newaas FROM hst3),
+       |   list_transform(ncodons, cd -> ${aaN(D, "cd")}) AS newaas FROM hst3),
        |hst5 AS MATERIALIZED (SELECT hst4.*, newaas[1] AS newaa,
        |   COALESCE(list_position(newaas, '*'), 0) AS lp FROM hst4),
        |${inframeSql(D)}
@@ -340,16 +493,11 @@ object Hgvsp {
     * peptide duplication detection. Trailing comma included so the
     * caller can splice it before `hform`. */
   private def inframeSql(D: CodonLogic.Dialect): String = {
-    def orig(i: String): String =
-      s"(CASE WHEN strand = 1 THEN ${CodonLogic.seq(D, "chrom", s"(cs + ($i))")} " +
-      s"ELSE translate(${CodonLogic.seq(D, "chrom", s"(ce - ($i))")}, 'ACGT', 'TGCA') END)"
-    def origCodon(c: String): String =
-      s"concat(${orig(s"3*($c)")}, ${orig(s"3*($c) + 1")}, ${orig(s"3*($c) + 2")})"
-    def aaC(c: String): String = CodonLogic.aa(D, origCodon(c))
+    def aaC(c: String): String = aaN(D, sOrigCodon(D, c))
     s"""pep1 AS MATERIALIZED (SELECT hst5.*,
        |   CASE WHEN kind IN ('del', 'delins') THEN (e + bigk - 1) // 3 - c0 + 1
        |    WHEN (e + 1) % 3 = 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS reflen,
-       |   (ce - cs + 1) // 3 AS ncod FROM hst5),
+       |   ncc // 3 AS ncod FROM hst5),
        |pep2 AS MATERIALIZED (SELECT pep1.*, reflen + ld // 3 AS altlen FROM pep1),
        |pep3 AS MATERIALIZED (SELECT pep2.*,
        |   CASE WHEN ld % 3 = 0 THEN COALESCE(array_to_string(list_transform(
@@ -421,13 +569,8 @@ object Hgvsp {
   /** The inframe render arms of the oracle's `form` CASE (everything
     * after the frameshift arm), over pep13's columns. */
   private def inframeRenderSql(D: CodonLogic.Dialect): String = {
-    def orig(i: String): String =
-      s"(CASE WHEN strand = 1 THEN ${CodonLogic.seq(D, "chrom", s"(cs + ($i))")} " +
-      s"ELSE translate(${CodonLogic.seq(D, "chrom", s"(ce - ($i))")}, 'ACGT', 'TGCA') END)"
-    def origCodon(c: String): String =
-      s"concat(${orig(s"3*($c)")}, ${orig(s"3*($c) + 1")}, ${orig(s"3*($c) + 2")})"
-    def aaC(c: String): String = CodonLogic.aa(D, origCodon(c))
-    def aa3(x: String): String = Splice.aa3Sql(D, x)
+    def aaC(c: String): String = aaN(D, sOrigCodon(D, c))
+    def aa3(x: String): String = aa3X(D, x)
     // three-letter expansion of a peptide string expression
     def p3(p: String): String =
       s"array_to_string(list_transform(generate_series(1, CAST(length($p) AS INT)), " +

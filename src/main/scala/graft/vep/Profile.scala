@@ -45,7 +45,7 @@ object Profile {
     time("codon")(Splice.splicedCodon(vcf, tr, ex))
     time("splice_terms")(Splice.spliceTerms(vcf, tr, ex))
     time("indel_hgvs")(Splice.indelHgvs(vcf, tr, ex))
-    time("hgvsp_indel")(Hgvsp.hgvspIndel(vcf, tr))
+    time("hgvsp_indel")(Hgvsp.hgvspIndel(vcf, tr, ex))
     time("lookup")(Vep.lookupVariants(vcf, cache))
     time("csq_assemble")(Splice.csqAssemble(vcf, tr, ex))
     time("e2e_full")(Annotate.annotate(vcf, cache, tr, ex, sift, pp, reg, mot))

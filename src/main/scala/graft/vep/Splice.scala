@@ -412,7 +412,23 @@ object Splice {
   /** Per-variant indel classification: VEP-normalize, 3'-shift single
     * base ins/del over the derived genome, detect duplications from the
     * 5' context, and emit the affected genomic range (p0, p1) for each
-    * HGVS form. One bounded imperative scan per row — exactly the
+    * HGVS form.
+    *
+    * DOCUMENTED DIVERGENCE (round-5 ADVICE): the shift scans in
+    * GENOMIC FORWARD direction for every transcript, because this
+    * classification is per-VARIANT (computed once, before the
+    * transcript probe). The reference shifts per-transcript in
+    * TRANSCRIPT 3' direction, so on '-'-strand transcripts it walks
+    * genomically LEFT — in a repeat run, the two conventions can land
+    * the event on different anchors, changing the rendered cDNA/
+    * protein coordinates for '-'-strand features only. Making the
+    * scan strand-aware would move it inside the (variant × transcript)
+    * candidate join — per-pair md5 scans on the probe hot path — for
+    * a divergence that only materializes inside mononucleotide
+    * repeats; the engine and its oracle share the forward convention,
+    * so the gate pins the chosen semantics.
+    *
+    * One bounded imperative scan per row — exactly the
     * reference's shift-state machine (hgvs.rs:185-248, 987-1016) — as a
     * single typed Scala UDF. Round 3 expressed the same logic as
     * chained higher-order-function expression trees (16 md5 terms per

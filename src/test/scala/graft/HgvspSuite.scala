@@ -30,32 +30,32 @@ class HgvspSuite extends AnyFunSuite {
 
   test("aligned 3-base deletion renders p.{Aaa}{pos}del on + strand") {
     // deleted genomic [cs+9, cs+11] = cds offsets 9-11 = codon 3 (pos 4)
-    val got = Hgvsp.proteinForm(chrom, 1, cs, ce, "del", "XXX", cs + 9, cs + 11)
+    val got = Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1, "del", "XXX", cs + 9, cs + 11)
     assert(got == s"${aa3(aaAt(3, 1))}4del")
   }
 
   test("aligned 3-base deletion renders the mirrored codon on - strand") {
     // '-' strand: e = ce - p1 = 9 -> same codon 3 in transcript order
-    val got = Hgvsp.proteinForm(chrom, -1, cs, ce, "del", "XXX", ce - 11, ce - 9)
+    val got = Hgvsp.proteinForm(chrom, -1, Seq(cs), Seq(ce), 1L, ce - cs + 1, "del", "XXX", ce - 11, ce - 9)
     assert(got == s"${aa3(aaAt(3, -1))}4del")
   }
 
   test("aligned 6-base deletion renders the range del form") {
     // codons 3 and 4 removed -> p.{Aaa}4_{Bbb}5del
-    val got = Hgvsp.proteinForm(chrom, 1, cs, ce, "del", "X", cs + 9, cs + 14)
+    val got = Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1, "del", "X", cs + 9, cs + 14)
     assert(got == s"${aa3(aaAt(3, 1))}4_${aa3(aaAt(4, 1))}5del")
   }
 
   test("codon-boundary insertion renders p.{Aaa}{m}_{Bbb}{m+1}ins{Seq}") {
     // insertion between cds offsets 8 and 9 = between residues 3 and 4;
     // inserted ACG translates to Thr
-    val got = Hgvsp.proteinForm(chrom, 1, cs, ce, "ins", "ACG", cs + 8, cs + 9)
+    val got = Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1, "ins", "ACG", cs + 8, cs + 9)
     assert(got == s"${aa3(aaAt(2, 1))}3_${aa3(aaAt(3, 1))}4insThr")
   }
 
   test("frameshifting deletion renders fsTer/Ter at the right residue") {
     // 2-base deletion at codon 4 start (cds offsets 9-10): pos 4
-    val got = Hgvsp.proteinForm(chrom, 1, cs, ce, "del", "XX", cs + 9, cs + 10)
+    val got = Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1, "del", "XX", cs + 9, cs + 10)
     assert(got != null)
     val ref = aaAt(3, 1)
     if (ref == "*") assert(got.startsWith("Ter4"))
@@ -77,23 +77,23 @@ class HgvspSuite extends AnyFunSuite {
     assume(c0opt.nonEmpty)
     val c0 = c0opt.get
     // 1-base 'C' insertion after cds offset 3*c0 (inside the stop codon)
-    val got = Hgvsp.proteinForm(chrom, 1, cs, ce, "ins", "C", cs + 3 * c0, cs + 3 * c0 + 1)
+    val got = Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1, "ins", "C", cs + 3 * c0, cs + 3 * c0 + 1)
     val newAA = CodonLogic.codonTable("" + orig(3 * c0, 1) + 'C' + orig(3 * c0 + 1, 1))
     assert(got != null && got.startsWith(s"Ter${c0 + 1}${aa3(newAA)}extTer"), s"got=$got")
   }
 
   test("events outside the CDS render no protein form") {
-    assert(Hgvsp.proteinForm(chrom, 1, cs, ce, "del", "XX", cs - 1, cs + 1) == null)
-    assert(Hgvsp.proteinForm(chrom, 1, cs, ce, "ins", "C", ce, ce + 1) == null)
-    assert(Hgvsp.proteinForm(chrom, 1, cs, ce, "dup", "C", ce - 1, ce) == null)
-    assert(Hgvsp.proteinForm(chrom, 1, cs, ce, "delins", "AC", cs - 1, cs) == null)
+    assert(Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1, "del", "XX", cs - 1, cs + 1) == null)
+    assert(Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1, "ins", "C", ce, ce + 1) == null)
+    assert(Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1, "dup", "C", ce - 1, ce) == null)
+    assert(Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1, "delins", "AC", cs - 1, cs) == null)
   }
 
   test("length-preserving MNVs reclassify from the clipped peptides") {
     // MNV replacing cds offsets 9-10 (codon 4 only): one residue
     // replaced -> peptide-level SUBSTITUTION p.{Aaa}4{Bbb} (the
     // reference's protein_event_type '>' arm), not delins
-    val single = Hgvsp.proteinForm(chrom, 1, cs, ce, "delins", "AC", cs + 9, cs + 10)
+    val single = Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1, "delins", "AC", cs + 9, cs + 10)
     val newAA = CodonLogic.codonTable("AC" + orig(11, 1))
     assume(newAA != aaAt(3, 1))
     assert(single == s"${aa3(aaAt(3, 1))}4${aa3(newAA)}", s"got=$single")
@@ -101,7 +101,7 @@ class HgvspSuite extends AnyFunSuite {
     // residue 5 equals the old one (both Ter on this derived genome),
     // so clip_protein_alleles trims the shared suffix and the clipped
     // peptides are single residues -> substitution again
-    val range = Hgvsp.proteinForm(chrom, 1, cs, ce, "delins", "GT", cs + 11, cs + 12)
+    val range = Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1, "delins", "GT", cs + 11, cs + 12)
     val n1 = CodonLogic.codonTable("" + orig(9, 1) + orig(10, 1) + 'G')
     val n2 = CodonLogic.codonTable("T" + orig(13, 1) + orig(14, 1))
     assume(n2 == aaAt(4, 1) && n1 != aaAt(3, 1))
@@ -111,7 +111,7 @@ class HgvspSuite extends AnyFunSuite {
   test("non-aligned inframe insertion renders the peptide delins form") {
     // 3-base insertion mid-codon ((e+1) % 3 != 0): splits residue 4,
     // producing two new residues -> p.{Aaa}4delins{XxxYyy}
-    val got = Hgvsp.proteinForm(chrom, 1, cs, ce, "ins", "ACG", cs + 9, cs + 10)
+    val got = Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1, "ins", "ACG", cs + 9, cs + 10)
     val n1 = CodonLogic.codonTable("" + orig(9, 1) + "AC")
     val n2 = CodonLogic.codonTable("G" + orig(10, 1) + orig(11, 1))
     assume(n1 != aaAt(3, 1) && n2 != aaAt(3, 1))
@@ -123,9 +123,27 @@ class HgvspSuite extends AnyFunSuite {
     // following codon boundary: the peptide dup check fires
     val insAA = aaAt(2, 1)
     val codon = (0 to 2).map(j => orig(6 + j, 1)).mkString
-    val got = Hgvsp.proteinForm(chrom, 1, cs, ce, "ins", codon, cs + 8, cs + 9)
+    val got = Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1, "ins", codon, cs + 8, cs + 9)
     assume(insAA != aaAt(3, 1)) // no peptide 3'-shift interference
     assert(got == s"${aa3(insAA)}3dup", s"got=$got")
+  }
+
+  test("spliced CDS: protein coordinates and reads cross exon junctions") {
+    // two exons [2000,2059], [2100,2159]; coding cDNA [4, 117]. A
+    // 3-base deletion at genomic [2103,2105] sits at cDNA 64..66 =
+    // coding offsets 60-62 = codon 20 -> residue 21; the contiguous
+    // model has no way to produce 21 (genomic offsets would count the
+    // 40-base intron).
+    val es = Seq(2000L, 2100L); val ee = Seq(2059L, 2159L)
+    val ccs2 = 4L; val cce2 = 117L
+    def b(g: Long) = CodonLogic.baseAt(chrom, g)
+    val refAA = CodonLogic.codonTable("" + b(2103) + b(2104) + b(2105))
+    val nextAA = CodonLogic.codonTable("" + b(2106) + b(2107) + b(2108))
+    assume(refAA != nextAA && refAA != "*")
+    val got = Hgvsp.proteinForm(chrom, 1, es, ee, ccs2, cce2, "del", "XXX", 2103L, 2105L)
+    assert(got == s"${aa3(refAA)}21del", s"got=$got")
+    // intronic anchors produce no protein form in the spliced model
+    assert(Hgvsp.proteinForm(chrom, 1, es, ee, ccs2, cce2, "del", "XX", 2070L, 2071L) == null)
   }
 
   test("peptide deletion 3'-shifts across an identical following residue") {
@@ -133,7 +151,7 @@ class HgvspSuite extends AnyFunSuite {
     // codon 22 (0-based) must shift the rendered deletion to residue 24
     // (Ensembl _check_peptides_post_var / 3' shift)
     assume(aaAt(22, 1) == aaAt(23, 1) && aaAt(22, 1) != aaAt(24, 1))
-    val got = Hgvsp.proteinForm(chrom, 1, cs, ce, "del", "X", cs + 66, cs + 68)
+    val got = Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1, "del", "X", cs + 66, cs + 68)
     assert(got == s"${aa3(aaAt(22, 1))}24del", s"got=$got")
   }
 }
