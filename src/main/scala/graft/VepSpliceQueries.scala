@@ -738,7 +738,9 @@ object VepSpliceQueries {
        |allent AS (SELECT * FROM fused UNION ALL SELECT * FROM ud
        |  UNION ALL SELECT * FROM rge UNION ALL SELECT * FROM mte),
        |exv AS (SELECT v.id,
-       |   string_agg(c.variation_name, '&' ORDER BY c.variation_name) AS exvar
+       |   string_agg(c.variation_name, '&' ORDER BY c.variation_name) AS exvar,
+       |   COALESCE(array_to_string(list_sort(list_distinct(
+       |     list_filter(list(c.clin_sig), x -> x IS NOT NULL))), '&'), '') AS exclin
        |  FROM v JOIN c ON v.chrom = c.chrom
        |   AND v.norm_start = c.start AND v.norm_end = c."end"
        |   AND (split_part(c.allele_string, '/', 1) = v.vep_ref
@@ -775,7 +777,13 @@ object VepSpliceQueries {
        |   COALESCE(exv.exvar, ''), '|',
        |   COALESCE(rend.mname, ''), '|',
        |   COALESCE(CAST(rend.mpos AS VARCHAR), ''), '|',
-       |   COALESCE(rend.minf, '')) AS entry
+       |   COALESCE(rend.minf, ''), '|',
+       |   COALESCE(exv.exclin, ''), '|',
+       |   CASE WHEN t.biotype IN ('protein_coding', 'nonsense_mediated_decay')
+       |    THEN concat('P', substr(rend.transcript_id, 2)) ELSE '' END, '|',
+       |   CASE WHEN length(t.symbol) > 0 THEN 'HGNC' ELSE '' END, '|',
+       |   CASE WHEN length(t.symbol) > 0
+       |    THEN concat('HGNC:', substr(t.symbol, 4)) ELSE '' END) AS entry
        |  FROM rend LEFT JOIN t ON rend.transcript_id = t.transcript_id
        |   JOIN v ON rend.id = v.id
        |   LEFT JOIN exv ON rend.id = exv.id),

@@ -191,20 +191,24 @@ object Annotate {
     graft.core.Materialize(
       Vep.lookupVariants(vcf, cache,
           columns = Seq("variation_name", "af", "af_afr", "af_amr",
-            "af_eas", "af_eur", "af_sas", "af_gnomad"))
+            "af_eas", "af_eur", "af_sas", "af_gnomad", "clin_sig"))
         .select(col("id"), col("cache_variation_name").as("variation_name"),
           col("cache_af").as("af"), col("cache_af_afr").as("af_afr"),
           col("cache_af_amr").as("af_amr"), col("cache_af_eas").as("af_eas"),
           col("cache_af_eur").as("af_eur"), col("cache_af_sas").as("af_sas"),
-          col("cache_af_gnomad").as("af_gnomad")))
+          col("cache_af_gnomad").as("af_gnomad"),
+          col("cache_clin_sig").as("clin_sig")))
 
-  /** Per-variant `Existing_variation` value: the '&'-joined sorted
-    * names of every matching cache entry (VEP renders multiple known
-    * variations per site this way). One row per matched variant. */
+  /** Per-variant `Existing_variation` and `CLIN_SIG` values: the
+    * '&'-joined sorted names of every matching cache entry, and the
+    * '&'-joined sorted DISTINCT clinical-significance terms of those
+    * entries (VEP renders both colocated-variant families this way).
+    * One row per matched variant. */
   private def existingVar(looked: DataFrame): DataFrame =
     looked.where(col("variation_name").isNotNull)
       .groupBy(col("id"))
-      .agg(array_join(array_sort(collect_list(col("variation_name"))), "&").as("_exvar"))
+      .agg(array_join(array_sort(collect_list(col("variation_name"))), "&").as("_exvar"),
+        array_join(array_sort(collect_set(col("clin_sig"))), "&").as("_exclin"))
 
   /** Shared variant-level tail: MAX_AF + rank name resolution,
     * LEFT-joined onto the per-variant aggregate. MAX_AF spans the
@@ -498,17 +502,21 @@ object Annotate {
     val motEntries = featureEntries(motifs, "motif_id",
       "TF_binding_site_variant", "MotifFeature", motif = true)
 
-    // ---- per-entry rendering: 28-field VEP-style entries toward the
+    // ---- per-entry rendering: 32-field VEP-style entries toward the
     // --everything CSQ width (annotate_provider.rs:795-1000,2270-2306)
     //   Feature|Consequence|cDNA_position|CDS_position|
     //   Protein_position|HGVSc|HGVSp|SIFT|PolyPhen|IMPACT|BIOTYPE|
     //   STRAND|VARIANT_CLASS|DISTANCE|Amino_acids|Codons|Allele|
     //   Feature_type|Gene|SYMBOL|CANONICAL|FLAGS|EXON|INTRON|
-    //   Existing_variation|MOTIF_NAME|MOTIF_POS|HIGH_INF_POS
+    //   Existing_variation|MOTIF_NAME|MOTIF_POS|HIGH_INF_POS|
+    //   CLIN_SIG|ENSP|SYMBOL_SOURCE|HGNC_ID
     // Gene attributes resolve through one broadcast
     // transcript-attribute join ('' for non-transcript features);
-    // Allele/VARIANT_CLASS are per-variant dims; Existing_variation is
-    // the shared lookup's '&'-fused name list. ----
+    // Allele/VARIANT_CLASS are per-variant dims; Existing_variation
+    // and CLIN_SIG are the shared lookup's '&'-fused colocated
+    // families; ENSP derives from the coding transcript's id (the
+    // fixture's protein-id convention: P<n> for transcript T<n>);
+    // SYMBOL_SOURCE/HGNC_ID follow the fixture's HGNC-style symbols. ----
     val tAttr = transcripts.select(col("transcript_id"),
       col("biotype").as("_e_bt"), col("strand").cast("string").as("_e_strand"),
       col("gene_id").as("_e_gene"), col("symbol").as("_e_sym"),
@@ -535,6 +543,14 @@ object Annotate {
         f(col("_vallele")), col("_ftype"),
         f(col("_e_gene")), f(col("_e_sym")), f(col("_e_canon")), f(col("_e_flags")),
         f(col("_exon")), f(col("_intron")), f(col("_exvar")),
-        f(col("_mname")), f(col("_mpos")), f(col("_minf"))))
+        f(col("_mname")), f(col("_mpos")), f(col("_minf")),
+        f(col("_exclin")),
+        when(Splice.isCodingBt(col("_e_bt")),
+          concat(lit("P"), substring(col("transcript_id"), 2, 32)))
+          .otherwise(lit("")).as("_ensp"),
+        when(length(col("_e_sym")) > 0, lit("HGNC")).otherwise(lit("")),
+        when(length(col("_e_sym")) > 0,
+          concat(lit("HGNC:"), substring(col("_e_sym"), 4, 32)))
+          .otherwise(lit(""))))
   }
 }

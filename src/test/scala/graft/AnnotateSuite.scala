@@ -29,7 +29,7 @@ class AnnotateSuite extends SparkSpec {
   private val EXON = 22
   private val EXISTING = 24
   private val MOTIF_NAME = 25
-  private val N_FIELDS = 28
+  private val N_FIELDS = 32
 
   test("annotateTyped arrays align element-wise with annotate CSQ entries") {
     // variant 1 overlaps one transcript + one regulatory feature + one
@@ -41,9 +41,9 @@ class AnnotateSuite extends SparkSpec {
       ("chr2", 50L, 50L, 2L, "A", "G"),
     ).toDF("chrom", "start", "end", "id", "ref", "alt")
     val cache = Seq(
-      ("chr1", 1205L, 1205L, "rs1", "A/C", 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7),
+      ("chr1", 1205L, 1205L, "rs1", "A/C", 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, "benign"),
     ).toDF("chrom", "start", "end", "variation_name", "allele_string",
-      "af", "af_afr", "af_amr", "af_eas", "af_eur", "af_sas", "af_gnomad")
+      "af", "af_afr", "af_amr", "af_eas", "af_eur", "af_sas", "af_gnomad", "clin_sig")
     val tx = Seq(
       ("chr1", 1000L, 1999L, "T1", 1, "protein_coding", 1100L, 1900L,
         "G1", "SYM1", "YES", ""),
