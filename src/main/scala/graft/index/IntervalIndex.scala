@@ -224,11 +224,111 @@ object LapperIntervalIndex {
   }
 }
 
+/** One component of an [[AiListIntervalIndex]]: a start-sorted slice
+  * with its own running max-end and each interval's position in the
+  * CANONICAL (start, end, rank) order, so matches can be re-emitted in
+  * the shared deterministic order. */
+final class AiListComponent(
+    val starts: Array[Long], val ends: Array[Long],
+    val maxEnds: Array[Long], val canon: Array[Int]) extends Serializable {
+  /** Collect canonical positions of intervals overlapping [qs, qe]. */
+  def collect(qs: Long, qe: Long, out: ArrayBuffer[Int]): Unit = {
+    var i = {
+      var lo = 0; var hi = starts.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (starts(mid) <= qe) lo = mid + 1 else hi = mid
+      }
+      lo - 1
+    }
+    while (i >= 0 && maxEnds(i) >= qs) {
+      if (ends(i) >= qs) out += canon(i)
+      i -= 1
+    }
+  }
+}
+
+/** AIList stabber (Augmented Interval List — Feng, Ratan & Sheffield
+  * 2019, doi:10.1093/bioinformatics/btz407; one of the reference's
+  * interchangeable layout alternatives, interval_join.rs:849-901):
+  * the start-sorted list is decomposed into a few components by
+  * repeatedly EXTRACTING intervals that cover many of their
+  * successors — the long intervals that make a plain backward
+  * max-end scan degenerate. Each component keeps its own running
+  * max-end, so every per-component backward scan terminates quickly
+  * regardless of length skew. Matches are gathered across components
+  * and emitted in the canonical (start, end, rank) order shared by
+  * every other layout. */
+final class AiListIntervalIndex(
+    val comps: Array[AiListComponent],
+    val payload: Array[Int]) extends IntervalStabber {
+  def query(qs: Long, qe: Long)(f: Int => Unit): Unit = {
+    val hits = new ArrayBuffer[Int](16)
+    var c = 0
+    while (c < comps.length) { comps(c).collect(qs, qe, hits); c += 1 }
+    val a = hits.toArray
+    java.util.Arrays.sort(a)
+    var i = 0
+    while (i < a.length) { f(payload(a(i))); i += 1 }
+  }
+}
+
+object AiListIntervalIndex {
+  /** Paper defaults: an interval is extracted when it covers at least
+    * `MinCover` of its next `Lookahead` successors; at most `MaxComps`
+    * components, and decomposition stops once a slice is small. */
+  private val Lookahead = 20
+  private val MinCover = 10
+  private val MaxComps = 10
+  private val MinSize = 64
+
+  def build(s: Array[Long], e: Array[Long], payload: Array[Int]): AiListIntervalIndex = {
+    val c = ContigIntervalIndex.build(s, e, payload)
+    val comps = ArrayBuffer.empty[AiListComponent]
+    var idx = Array.range(0, c.starts.length) // canonical positions, start-sorted
+    while (idx.nonEmpty) {
+      val last = comps.length == MaxComps - 1 || idx.length < MinSize
+      val keep = ArrayBuffer.empty[Int]
+      val extracted = ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < idx.length) {
+        if (last) keep += idx(i)
+        else {
+          var cov = 0
+          var j = i + 1
+          val lim = math.min(idx.length, i + 1 + Lookahead)
+          while (j < lim) {
+            if (c.ends(idx(j)) <= c.ends(idx(i))) cov += 1
+            j += 1
+          }
+          if (cov >= MinCover) extracted += idx(i) else keep += idx(i)
+        }
+        i += 1
+      }
+      val ks = keep.toArray
+      val cs = new Array[Long](ks.length); val ce = new Array[Long](ks.length)
+      val mx = new Array[Long](ks.length)
+      var running = Long.MinValue
+      var k = 0
+      while (k < ks.length) {
+        cs(k) = c.starts(ks(k)); ce(k) = c.ends(ks(k))
+        if (ce(k) > running) running = ce(k)
+        mx(k) = running
+        k += 1
+      }
+      comps += new AiListComponent(cs, ce, mx, ks)
+      idx = extracted.toArray
+    }
+    new AiListIntervalIndex(comps.toArray, c.payload)
+  }
+}
+
 /** J3 algorithm selection: one factory keyed by the session config
   * `spark.graft.intervalJoin.algorithm` —
   * `superintervals` (default, sorted arrays + prefix-max-end),
   * `eytzinger` (same layout, branchless BFS-ordered search),
-  * `lapper` (start-sorted + max-length back-off), or
+  * `lapper` (start-sorted + max-length back-off),
+  * `ailist` (augmented interval list, skew-robust decomposition), or
   * `linear` (naive scan, for verification). */
 object IntervalIndexFactory {
   val ConfKey = "spark.graft.intervalJoin.algorithm"
@@ -241,9 +341,10 @@ object IntervalIndexFactory {
         new LinearIntervalIndex(c.starts, c.ends, c.payload)
       case "eytzinger" => EytzingerIntervalIndex.build(s, e, payload)
       case "lapper" => LapperIntervalIndex.build(s, e, payload)
+      case "ailist" => AiListIntervalIndex.build(s, e, payload)
       case "superintervals" | "" => ContigIntervalIndex.build(s, e, payload)
       case other => throw new IllegalArgumentException(
-        s"unknown interval-join algorithm '$other' (superintervals | eytzinger | lapper | linear)")
+        s"unknown interval-join algorithm '$other' (superintervals | eytzinger | lapper | ailist | linear)")
     }
 }
 

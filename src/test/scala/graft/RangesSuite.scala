@@ -68,12 +68,15 @@ class RangesSuite extends SparkSpec {
     }
   }
 
-  test("J3 eytzinger/lapper indexes: emission parity with superintervals") {
+  test("J3 eytzinger/lapper/ailist indexes: emission parity with superintervals") {
     import graft.index.IntervalIndexFactory
     val rnd = new scala.util.Random(42)
-    for (n <- Seq(0, 1, 7, 100, 1023); algo <- Seq("eytzinger", "lapper")) {
+    for (n <- Seq(0, 1, 7, 100, 1023);
+         algo <- Seq("eytzinger", "lapper", "ailist")) {
       val s = Array.fill(n)(rnd.nextLong(1000))
-      val e = s.map(x => x + rnd.nextLong(50))
+      // ~10% very long intervals: the length skew that degrades plain
+      // backward scans and drives AIList's component extraction
+      val e = s.map(x => x + (if (rnd.nextInt(10) == 0) 800L else rnd.nextLong(50)))
       val p = Array.range(0, n)
       val a = IntervalIndexFactory.build("superintervals", s, e, p)
       val b = IntervalIndexFactory.build(algo, s, e, p)
