@@ -9,6 +9,15 @@ import graft.vep.Vep
 object PileupVepQueries {
   import Oracle.{reads, vcf, vepCache}
 
+  /** Full cache payload projection of the lookup joins (mirrors
+    * Vep.defaultCacheCols over the widened fixture): the oracle SELECT
+    * fragment is generated from the same [[Tables.cacheExt]] list the
+    * fixture splices in, so widening the cache widens both engines. */
+  private val cacheOut: String =
+    (Seq("variation_name", "allele_string", "af", "af_afr", "af_amr", "af_eas",
+      "af_eur", "af_sas", "af_gnomad", "clin_sig") ++ Tables.cacheExt.map(_._1))
+      .map(n => s"c.$n AS cache_$n").mkString(", ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f9_depth_blocks" -> ((s, d) =>
       Pileup.depth(Tables.reads(s, d)).orderBy("contig", "pos_start")),
@@ -215,13 +224,7 @@ object PileupVepQueries {
     "f10_lookup_variants" ->
       s"""WITH $vcf, $vepCache
          |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
-         | c.variation_name AS cache_variation_name,
-         | c.allele_string AS cache_allele_string,
-         | c.af AS cache_af, c.af_afr AS cache_af_afr,
-         | c.af_amr AS cache_af_amr, c.af_eas AS cache_af_eas,
-         | c.af_eur AS cache_af_eur, c.af_sas AS cache_af_sas,
-         | c.af_gnomad AS cache_af_gnomad,
-         | c.clin_sig AS cache_clin_sig
+         | $cacheOut
          |FROM v LEFT JOIN c ON v.chrom = c.chrom
          | AND v.norm_start = c.start AND v.norm_end = c."end"
          | AND (split_part(c.allele_string, '/', 1) = v.vep_ref
@@ -231,13 +234,7 @@ object PileupVepQueries {
     "f10_lookup_extended" ->
       s"""WITH $vcf, $vepCache
          |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
-         | c.variation_name AS cache_variation_name,
-         | c.allele_string AS cache_allele_string,
-         | c.af AS cache_af, c.af_afr AS cache_af_afr,
-         | c.af_amr AS cache_af_amr, c.af_eas AS cache_af_eas,
-         | c.af_eur AS cache_af_eur, c.af_sas AS cache_af_sas,
-         | c.af_gnomad AS cache_af_gnomad,
-         | c.clin_sig AS cache_clin_sig
+         | $cacheOut
          |FROM v LEFT JOIN c ON v.chrom = c.chrom
          | AND c.start <= v.norm_end + 4 AND c."end" >= v.norm_start - 4
          | AND (split_part(c.allele_string, '/', 1) = v.vep_ref

@@ -79,8 +79,47 @@ object Tables {
     * VEP-normalized coordinates + "REF/ALT" allele strings for half the
     * vcf rows, plus positional-shift (j%10=1) and swapped-allele
     * (j%10=3) noise rows that must NOT match. */
+  /** Extended variation-cache payload (name -> dialect-shared SQL over
+    * `part`): the reference cache's remaining `--everything` column
+    * families — the gnomAD exomes/genomes AF sub-populations
+    * (annotate_provider.rs:811-1006 AF_COLUMNS), the variant-level
+    * SOMATIC/PHENO/PUBMED flags, and the cache-only cross-reference
+    * columns (annotate_provider.rs:745-792). Each formula is written
+    * ONCE and spliced into BOTH the Spark fixture selectExpr and the
+    * DuckDB oracle CTE, so the two engines cannot drift. */
+  val cacheExt: Seq[(String, String)] = {
+    def af(p: Int) = s"CAST(CAST(p_partkey AS BIGINT) * $p % 1000 AS DOUBLE) / 1000.0"
+    val minor = "substring('ACGT', 1 + CAST((p_partkey % 4 + 1 + p_partkey % 2) % 4 AS INT), 1)"
+    Seq(
+      "af_gnomade_afr" -> af(113), "af_gnomade_amr" -> af(127),
+      "af_gnomade_asj" -> af(137), "af_gnomade_eas" -> af(149),
+      "af_gnomade_fin" -> af(151), "af_gnomade_mid" -> af(157),
+      "af_gnomade_nfe" -> af(163), "af_gnomade_remaining" -> af(167),
+      "af_gnomade_sas" -> af(173),
+      "af_gnomadg" -> af(179),
+      "af_gnomadg_afr" -> af(181), "af_gnomadg_ami" -> af(191),
+      "af_gnomadg_amr" -> af(193), "af_gnomadg_asj" -> af(197),
+      "af_gnomadg_eas" -> af(199), "af_gnomadg_fin" -> af(211),
+      "af_gnomadg_mid" -> af(223), "af_gnomadg_nfe" -> af(227),
+      "af_gnomadg_remaining" -> af(229), "af_gnomadg_sas" -> af(233),
+      "somatic" -> "CASE WHEN p_partkey % 7 = 0 THEN '1' ELSE '0' END",
+      "pheno" -> "CASE WHEN p_partkey % 4 = 0 THEN '1' ELSE '0' END",
+      "pubmed" -> "CASE WHEN p_partkey % 6 = 0 THEN CAST(20000000 + p_partkey AS STRING) END",
+      "clin_sig_allele" -> ("CASE WHEN p_partkey % 5 < 3 THEN concat(" + minor +
+        ", ':', CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'benign' " +
+        "WHEN 1 THEN 'pathogenic' ELSE 'uncertain' END) END"),
+      "clinical_impact" -> ("CASE CAST(p_partkey % 8 AS INT) WHEN 0 THEN 'drug-response' " +
+        "WHEN 1 THEN 'risk-factor' END"),
+      "minor_allele" -> minor,
+      "minor_allele_freq" -> "CAST(CAST(p_partkey AS BIGINT) * 97 % 500 AS DOUBLE) / 1000.0",
+      "clinvar_id" -> "CASE WHEN p_partkey % 5 < 3 THEN concat('VCV00', CAST(p_partkey AS STRING)) END",
+      "cosmic_id" -> "CASE WHEN p_partkey % 11 = 0 THEN concat('COSV', CAST(p_partkey AS STRING)) END",
+      "dbsnp_id" -> "concat('rs', CAST(p_partkey AS STRING))")
+  }
+
   def vepCache(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "part").where("p_partkey % 4 < 2").selectExpr(
+      (Seq(
       "concat('chr', CAST(p_partkey % 2 AS STRING)) AS chrom",
       """CAST((p_partkey * 9176) % 100000 + 1
          + CASE WHEN p_partkey % 3 = 0 THEN 0 ELSE 1 END
@@ -116,7 +155,8 @@ object Tables {
       "CAST(CAST(p_partkey AS BIGINT) * 601 % 1000 AS DOUBLE) / 1000.0 AS af_sas",
       "CAST(CAST(p_partkey AS BIGINT) * 709 % 1000 AS DOUBLE) / 1000.0 AS af_gnomad",
       """CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'benign' WHEN 1 THEN 'pathogenic'
-         WHEN 2 THEN 'uncertain' ELSE NULL END AS clin_sig""")
+         WHEN 2 THEN 'uncertain' ELSE NULL END AS clin_sig""") ++
+      cacheExt.map { case (n, e) => s"$e AS $n" }): _*)
 
   /** Derived transcript context (FIXTURES.md §6 subset): one
     * transcript per 10th supplier row (unsampled, sf0.1 yields ~675
@@ -128,8 +168,35 @@ object Tables {
     * one of which is CANONICAL; FLAGS carries the cache-sourced
     * incomplete-CDS markers (cds_start_NF/cds_end_NF) the way the
     * real VEP cache stores them as transcript attributes. */
+  /** Extended transcript attributes (name -> dialect-shared SQL over
+    * `supplier`, suppkey always a multiple of 10): the `--everything`
+    * transcript-level CSQ families the real VEP cache stores as
+    * transcript attributes — MANE/TSL/APPRIS/CCDS classification,
+    * protein cross-references (ENSP derives from the id convention;
+    * SWISSPROT/TREMBL split by suppkey/10 parity since the raw key is
+    * always even), gene-phenotype flag, protein DOMAINS, mature-miRNA
+    * id. Shared verbatim by fixture and oracle like [[cacheExt]]. */
+  val transcriptExt: Seq[(String, String)] = {
+    val k = "CAST(s_suppkey / 10 AS BIGINT)" // exact: suppkey % 10 = 0
+    val coding = "s_suppkey % 3 = 0"
+    Seq(
+      "mane_select" -> s"CASE WHEN s_suppkey % 30 = 0 AND $coding THEN concat('NM_', CAST(s_suppkey AS STRING), '.1') ELSE '' END",
+      "mane_plus_clinical" -> s"CASE WHEN s_suppkey % 60 = 30 AND $coding THEN concat('NM_', CAST(s_suppkey AS STRING), '.2') ELSE '' END",
+      "tsl" -> s"CAST(1 + $k % 5 AS INT)",
+      "appris" -> s"CASE CAST($k % 4 AS INT) WHEN 0 THEN 'P1' WHEN 1 THEN 'P3' WHEN 2 THEN 'A1' ELSE '' END",
+      "ccds" -> s"CASE WHEN $coding THEN concat('CCDS', CAST(s_suppkey AS STRING), '.1') ELSE '' END",
+      "swissprot" -> s"CASE WHEN $coding AND $k % 2 = 0 THEN concat('SPQ', CAST(s_suppkey AS STRING)) ELSE '' END",
+      "trembl" -> s"CASE WHEN $coding AND $k % 2 = 1 THEN concat('TRQ', CAST(s_suppkey AS STRING)) ELSE '' END",
+      "uniparc" -> s"CASE WHEN $coding THEN concat('UPI', CAST(s_suppkey AS STRING)) ELSE '' END",
+      "uniprot_isoform" -> s"CASE WHEN $coding AND $k % 2 = 0 THEN concat('SPQ', CAST(s_suppkey AS STRING), '-1') ELSE '' END",
+      "gene_pheno" -> "CASE WHEN (s_suppkey - s_suppkey % 30) % 60 = 0 THEN '1' ELSE '' END",
+      "domains" -> s"CASE WHEN $coding THEN concat('Pfam:PF', CAST(s_suppkey % 1000 AS STRING), '&PANTHER:PTHR', CAST(s_suppkey % 97 AS STRING)) ELSE '' END",
+      "mirna" -> s"CASE WHEN s_suppkey % 3 <> 0 AND s_suppkey % 7 = 5 THEN concat('hsa-mir-', CAST(s_suppkey AS STRING)) ELSE '' END")
+  }
+
   def transcripts(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "supplier").where("s_suppkey % 10 = 0").selectExpr(
+      (Seq(
       "concat('chr', CAST(s_suppkey % 2 AS STRING)) AS chrom",
       "CAST((s_suppkey * 7919) % 100000 + 1 AS BIGINT) AS start",
       "CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 AS BIGINT) AS `end`",
@@ -145,7 +212,8 @@ object Tables {
       "concat('SYM', CAST(s_suppkey - s_suppkey % 30 AS STRING)) AS symbol",
       "CASE WHEN s_suppkey % 30 = 0 THEN 'YES' ELSE '' END AS canonical",
       """CASE WHEN s_suppkey % 11 = 2 THEN 'cds_end_NF'
-         WHEN s_suppkey % 13 = 3 THEN 'cds_start_NF' ELSE '' END AS flags""")
+         WHEN s_suppkey % 13 = 3 THEN 'cds_start_NF' ELSE '' END AS flags""") ++
+      transcriptExt.map { case (n, e) => s"$e AS $n" }): _*)
 
   /** Derived exon context: 3 evenly spaced exons per transcript. */
   def exons(spark: SparkSession, dir: String): DataFrame =
@@ -306,7 +374,10 @@ object Tables {
       "CAST((c_custkey * 4691) % 100000 + 1 + 8 + c_custkey % 12 AS BIGINT) AS `end`",
       "concat('M', CAST(c_custkey AS STRING)) AS motif_id",
       """CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'CTCF' WHEN 1 THEN 'GATA1'
-         WHEN 2 THEN 'TP53' ELSE 'MYC' END AS tf_name""")
+         WHEN 2 THEN 'TP53' ELSE 'MYC' END AS tf_name""",
+      // PWM score delta for the --everything MOTIF_SCORE_CHANGE CSQ
+      // field, in [-1.00, 0.99] (shared formula with Oracle.motifs)
+      "CAST(CAST(c_custkey AS BIGINT) * 73 % 200 - 100 AS DOUBLE) / 100.0 AS score_change")
 
   /** Derived structural-variant probes: symbolic alleles <DEL>/<DUP>/
     * <INS> with an END-derived span (200-8200 bp; <INS> is a point).
@@ -393,7 +464,7 @@ object Oracle {
 
   /** DuckDB mirror of [[Tables.transcripts]] / [[Tables.exons]]. */
   val transcripts: String =
-    """t AS (SELECT concat('chr', CAST(s_suppkey % 2 AS VARCHAR)) AS chrom,
+    s"""t AS (SELECT concat('chr', CAST(s_suppkey % 2 AS VARCHAR)) AS chrom,
       | CAST((s_suppkey * 7919) % 100000 + 1 AS BIGINT) AS start,
       | CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 AS BIGINT) AS "end",
       | concat('T', CAST(s_suppkey AS VARCHAR)) AS transcript_id,
@@ -408,7 +479,8 @@ object Oracle {
       | concat('SYM', CAST(s_suppkey - s_suppkey % 30 AS VARCHAR)) AS symbol,
       | CASE WHEN s_suppkey % 30 = 0 THEN 'YES' ELSE '' END AS canonical,
       | CASE WHEN s_suppkey % 11 = 2 THEN 'cds_end_NF'
-      |  WHEN s_suppkey % 13 = 3 THEN 'cds_start_NF' ELSE '' END AS flags
+      |  WHEN s_suppkey % 13 = 3 THEN 'cds_start_NF' ELSE '' END AS flags,
+      | ${Tables.transcriptExt.map { case (n, e) => s"$e AS $n" }.mkString(", ")}
       | FROM supplier WHERE s_suppkey % 10 = 0)""".stripMargin.replace("\n", " ")
 
   val exons: String =
@@ -495,7 +567,8 @@ object Oracle {
        | CAST(CAST(p_partkey AS BIGINT) * 601 % 1000 AS DOUBLE) / 1000.0 AS af_sas,
        | CAST(CAST(p_partkey AS BIGINT) * 709 % 1000 AS DOUBLE) / 1000.0 AS af_gnomad,
        | CASE CAST(p_partkey % 5 AS INT) WHEN 0 THEN 'benign' WHEN 1 THEN 'pathogenic'
-       |  WHEN 2 THEN 'uncertain' ELSE NULL END AS clin_sig
+       |  WHEN 2 THEN 'uncertain' ELSE NULL END AS clin_sig,
+       | ${Tables.cacheExt.map { case (n, e) => s"$e AS $n" }.mkString(", ")}
        | FROM part WHERE p_partkey % 4 < 2)""".stripMargin.replace("\n", " ")
 
   /** DuckDB mirror of [[Tables.hgvspProbes]] (requires `t` in scope),
@@ -579,7 +652,8 @@ object Oracle {
       | CAST((c_custkey * 4691) % 100000 + 1 + 8 + c_custkey % 12 AS BIGINT) AS "end",
       | concat('M', CAST(c_custkey AS VARCHAR)) AS motif_id,
       | CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'CTCF' WHEN 1 THEN 'GATA1'
-      |  WHEN 2 THEN 'TP53' ELSE 'MYC' END AS tf_name
+      |  WHEN 2 THEN 'TP53' ELSE 'MYC' END AS tf_name,
+      | CAST(CAST(c_custkey AS BIGINT) * 73 % 200 - 100 AS DOUBLE) / 100.0 AS score_change
       | FROM customer WHERE c_custkey % 15 = 0)""".stripMargin.replace("\n", " ")
 
   /** Gaps-and-islands merged intervals of a table `t(contig,
