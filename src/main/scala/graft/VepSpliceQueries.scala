@@ -138,17 +138,16 @@ object VepSpliceQueries {
     // (round-6 ADVICE parity fix).
     "f11_maxaf" -> ((s, d) => {
       import org.apache.spark.sql.functions._
+      import graft.vep.Annotate
       val looked = graft.vep.Vep.lookupVariants(Tables.vcf(s, d), Tables.vepCache(s, d))
         .where(col("cache_variation_name").isNotNull)
-      val pops = Seq("afr", "amr", "eas", "eur", "sas", "gnomad")
-        .map(p => p -> col(s"cache_af_$p"))
-      val mx = greatest(pops.map(_._2): _*)
-      looked.select(Seq(col("id"), col("cache_af").as("af")) ++
-        pops.map { case (p, c) => c.as(s"af_$p") } ++
+      val mx = greatest(Annotate.maxAfPopCols.map { case (_, c) => col(s"cache_$c") }: _*)
+      looked.select((col("id") +:
+        Annotate.afCsq.map { case (_, c) => col(s"cache_$c").as(c) }) ++
         Seq(mx.as("max_af"),
-          pops.init.reverse.foldLeft(lit(pops.last._1): org.apache.spark.sql.Column) {
-            case (acc, (p, c)) => when(mx === c, lit(p)).otherwise(acc)
-          }.as("max_af_pop")): _*)
+          concat_ws("&", Annotate.maxAfPopCols.map { case (n, c) =>
+            when(col(s"cache_$c") === mx, lit(n))
+          }: _*).as("max_af_pops")): _*)
     }),
   )
 
@@ -412,7 +411,7 @@ object VepSpliceQueries {
        |ind3 AS (SELECT ind2.*, ns + sh AS nss, ne + sh AS nse,
        |   array_to_string(list_transform(generate_series(ns + sh - k, ns + sh - 1),
        |     j -> $ctxBase), '') AS ctx FROM ind2),
-       |ind AS (SELECT id, chrom, vep_alt AS va,
+       |ind AS (SELECT id, chrom, vep_alt AS va, sh,
        |   CASE WHEN vep_ref = '-' AND ctx = vep_alt THEN 'dup'
        |    WHEN vep_ref = '-' THEN 'ins'
        |    WHEN vep_alt = '-' THEN 'del' ELSE 'delins' END AS kind,
@@ -426,13 +425,13 @@ object VepSpliceQueries {
        |cand AS (SELECT i.*, t.transcript_id AS tid, t.strand, t.biotype
        |  FROM ind i JOIN t ON i.chrom = t.chrom
        |   AND i.p0 BETWEEN t.start AND t."end" AND i.p1 BETWEEN t.start AND t."end"),
-       |agg AS (SELECT c.id, c.tid, c.strand, c.biotype, c.kind, c.va, c.p0, c.p1,
+       |agg AS (SELECT c.id, c.tid, c.strand, c.biotype, c.kind, c.va, c.p0, c.p1, c.sh,
        |   MAX(CASE WHEN c.p0 BETWEEN e.start AND e."end" THEN 1 ELSE 0 END) AS in0,
        |   MAX(CASE WHEN c.p1 BETWEEN e.start AND e."end" THEN 1 ELSE 0 END) AS in1,
        |   CAST(SUM(${contrib("c.p0")}) AS BIGINT) AS cdna0,
        |   CAST(SUM(${contrib("c.p1")}) AS BIGINT) AS cdna1
        |  FROM cand c JOIN ex e ON c.tid = e.transcript_id
-       |  GROUP BY c.id, c.tid, c.strand, c.biotype, c.kind, c.va, c.p0, c.p1),
+       |  GROUP BY c.id, c.tid, c.strand, c.biotype, c.kind, c.va, c.p0, c.p1, c.sh),
        |cb AS (SELECT t.transcript_id AS tid,
        |   CAST(SUM(${contrib(anchor1)})
        |     + (CASE WHEN MAX(CASE WHEN $anchor1 BETWEEN e.start AND e."end" THEN 1 ELSE 0 END) = 0
@@ -447,7 +446,8 @@ object VepSpliceQueries {
        |  FROM agg JOIN cb ON agg.tid = cb.tid WHERE in0 = 1 AND in1 = 1)
        |SELECT id, tid AS transcript_id, kind, lo AS cdna_pos,
        | CASE WHEN kind IN ('del', 'dup') THEN concat(pfx, $coords, kind)
-       |  ELSE concat(pfx, $coords, kind, altadj) END AS hgvs_c
+       |  ELSE concat(pfx, $coords, kind, altadj) END AS hgvs_c,
+       | CASE WHEN sh > 0 THEN (CASE WHEN strand = -1 THEN -sh ELSE sh END) END AS hgvs_offset
        |FROM x ORDER BY id, transcript_id""".stripMargin.replace("\n", " ")
   }
 
@@ -554,23 +554,20 @@ object VepSpliceQueries {
        |ORDER BY v.id, colocated_name""".stripMargin.replace("\n", " ")
 
   private val maxAfSql: String = {
-    val g = "GREATEST(af_afr, af_amr, af_eas, af_eur, af_sas, af_gnomad)"
+    import graft.vep.Annotate
+    val g = s"GREATEST(${Annotate.maxAfPopCols.map(_._2).mkString(", ")})"
     s"""WITH ${Oracle.vcf}, ${Oracle.vepCache},
-       |x AS (SELECT v.id, c.af, c.af_afr, c.af_amr, c.af_eas, c.af_eur,
-       |   c.af_sas, c.af_gnomad
+       |x AS (SELECT v.id, ${Annotate.afCsq.map { case (_, c) => s"c.$c" }.mkString(", ")}
        |  FROM v JOIN c ON v.chrom = c.chrom
        |   AND v.norm_start = c.start AND v.norm_end = c."end"
        |   AND (split_part(c.allele_string, '/', 1) = v.vep_ref
        |        OR split_part(c.allele_string, '/', 1) = v.ref)
        |   AND split_part(c.allele_string, '/', 2) = v.vep_alt)
-       |SELECT id, af, af_afr, af_amr, af_eas, af_eur, af_sas, af_gnomad,
+       |SELECT id, ${Annotate.afCsq.map(_._2).mkString(", ")},
        | $g AS max_af,
-       | CASE WHEN $g = af_afr THEN 'afr'
-       |  WHEN $g = af_amr THEN 'amr'
-       |  WHEN $g = af_eas THEN 'eas'
-       |  WHEN $g = af_eur THEN 'eur'
-       |  WHEN $g = af_sas THEN 'sas'
-       |  ELSE 'gnomad' END AS max_af_pop
+       | concat_ws('&', ${Annotate.maxAfPopCols.map { case (n, c) =>
+           s"CASE WHEN $c = $g THEN '$n' END"
+         }.mkString(", ")}) AS max_af_pops
        |FROM x ORDER BY id""".stripMargin.replace("\n", " ")
   }
 
@@ -597,11 +594,12 @@ object VepSpliceQueries {
        |    ELSE concat(codon.aa_ref, '/', codon.aa_alt) END AS aas,
        |   concat(codon.ref_codon, '/', codon.alt_codon) AS cod,
        |   CASE WHEN s.sift_score IS NULL THEN NULL
-       |    WHEN s.sift_score < 0.05 THEN 'deleterious' ELSE 'tolerated' END AS sift_pred,
+       |    ELSE concat(CASE WHEN s.sift_score < 0.05 THEN 'deleterious' ELSE 'tolerated' END,
+       |     '(', CAST(CAST(s.sift_score AS DECIMAL(4,3)) AS VARCHAR), ')') END AS sift_pred,
        |   CASE WHEN q.polyphen_score IS NULL THEN NULL
-       |    WHEN q.polyphen_score > 0.908 THEN 'probably_damaging'
-       |    WHEN q.polyphen_score > 0.446 THEN 'possibly_damaging'
-       |    ELSE 'benign' END AS polyphen_pred
+       |    ELSE concat(CASE WHEN q.polyphen_score > 0.908 THEN 'probably_damaging'
+       |     WHEN q.polyphen_score > 0.446 THEN 'possibly_damaging' ELSE 'benign' END,
+       |     '(', CAST(CAST(q.polyphen_score AS DECIMAL(4,3)) AS VARCHAR), ')') END AS polyphen_pred
        |  FROM codon LEFT JOIN sift s ON codon.transcript_id = s.transcript_id
        |   AND codon.protein_pos = s.protein_pos AND codon.aa_alt = s.aa
        |   LEFT JOIN pp q ON codon.transcript_id = q.transcript_id
@@ -619,7 +617,8 @@ object VepSpliceQueries {
        |   (cdna.region = 'intronic' AND strpos(cdna.hgvs_c, ':n.') > 0) AS nc,
        |   cdna.cdna_pos, cdna.cds_pos, cdna.protein_pos, cdna.hgvs_c, csx.hgvs_p,
        |   csx.sift_pred, csx.polyphen_pred, csx.aas, csx.cod,
-       |   CAST(NULL AS BIGINT) AS dist, cdna.exon, cdna.intron
+       |   CAST(NULL AS BIGINT) AS dist, cdna.exon, cdna.intron,
+       |   CAST(NULL AS BIGINT) AS hgvs_offset
        |  FROM cdna LEFT JOIN csx ON cdna.id = csx.id AND cdna.transcript_id = csx.transcript_id
        |   JOIN t ON cdna.transcript_id = t.transcript_id
        |   JOIN v ON cdna.id = v.id),
@@ -663,7 +662,7 @@ object VepSpliceQueries {
        |     CAST(CASE WHEN strand = 1 THEN nprev ELSE nex - nprev END AS VARCHAR),
        |     '/', CAST(nex - 1 AS VARCHAR)) END AS intron
        |  FROM igeo),
-       |ihx AS (SELECT id, transcript_id, cdna_pos, hgvs_c
+       |ihx AS (SELECT id, transcript_id, cdna_pos, hgvs_c, hgvs_offset
        |  FROM (${indelHgvsSqlFor(Oracle.vcf, "v")}) q3),
        |ihp AS (SELECT id, transcript_id, hgvs_p AS hp9
        |  FROM (${graft.vep.Hgvsp.oracleSql(s"${Oracle.transcripts}, ${Oracle.vcf}", "v")}) q9),
@@ -672,7 +671,8 @@ object VepSpliceQueries {
        |   ihx.hgvs_c, ihp.hp9 AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
        |   CAST(NULL AS VARCHAR) AS polyphen_pred,
        |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
-       |   CAST(NULL AS BIGINT) AS dist, iterm.exon, iterm.intron
+       |   CAST(NULL AS BIGINT) AS dist, iterm.exon, iterm.intron,
+       |   ihx.hgvs_offset
        |  FROM iterm LEFT JOIN ihx ON iterm.id = ihx.id
        |   AND iterm.transcript_id = ihx.transcript_id
        |   LEFT JOIN ihp ON iterm.id = ihp.id
@@ -687,9 +687,10 @@ object VepSpliceQueries {
        |     CASE WHEN b.nc THEN 'non_coding_transcript_variant' END], x -> x IS NOT NULL),
        |    COALESCE(s.sterms, CAST([] AS VARCHAR[]))) AS terms,
        |   b.cdna_pos, b.cds_pos, b.protein_pos, b.hgvs_c, b.hgvs_p, b.sift_pred,
-       |   b.polyphen_pred, b.aas, b.cod, b.dist, b.exon, b.intron,
+       |   b.polyphen_pred, b.aas, b.cod, b.dist, b.exon, b.intron, b.hgvs_offset,
        |   'Transcript' AS ftype, CAST(NULL AS VARCHAR) AS mname,
-       |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf
+       |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf,
+       |   CAST(NULL AS DOUBLE) AS mscore
        |  FROM bse b FULL OUTER JOIN sp s
        |   ON b.id = s.id AND b.transcript_id = s.transcript_id),
        |ud AS (SELECT v.id, t.transcript_id,
@@ -702,8 +703,10 @@ object VepSpliceQueries {
        |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
        |   GREATEST(t.start - v."end", v.start - t."end") AS dist,
        |   CAST(NULL AS VARCHAR) AS exon, CAST(NULL AS VARCHAR) AS intron,
+       |   CAST(NULL AS BIGINT) AS hgvs_offset,
        |   'Transcript' AS ftype, CAST(NULL AS VARCHAR) AS mname,
-       |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf
+       |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf,
+       |   CAST(NULL AS DOUBLE) AS mscore
        |  FROM v JOIN t ON v.chrom = t.chrom
        |   AND t.start - 5000 <= v."end" AND t."end" + 5000 >= v.start
        |   AND NOT (v.start <= t."end" AND v."end" >= t.start)),
@@ -716,8 +719,10 @@ object VepSpliceQueries {
        |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
        |   CAST(NULL AS BIGINT) AS dist,
        |   CAST(NULL AS VARCHAR) AS exon, CAST(NULL AS VARCHAR) AS intron,
+       |   CAST(NULL AS BIGINT) AS hgvs_offset,
        |   'RegulatoryFeature' AS ftype, CAST(NULL AS VARCHAR) AS mname,
-       |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf
+       |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf,
+       |   CAST(NULL AS DOUBLE) AS mscore
        |  FROM v JOIN rg ON v.chrom = rg.chrom
        |   AND rg.start <= v."end" AND rg."end" >= v.start),
        |mte AS (SELECT v.id, mt.motif_id AS transcript_id,
@@ -729,74 +734,120 @@ object VepSpliceQueries {
        |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
        |   CAST(NULL AS BIGINT) AS dist,
        |   CAST(NULL AS VARCHAR) AS exon, CAST(NULL AS VARCHAR) AS intron,
+       |   CAST(NULL AS BIGINT) AS hgvs_offset,
        |   'MotifFeature' AS ftype, mt.tf_name AS mname,
        |   GREATEST(v.start, mt.start) - mt.start + 1 AS mpos,
        |   CASE WHEN GREATEST(v.start, mt.start) - mt.start + 1 <= 3
-       |    THEN 'Y' ELSE 'N' END AS minf
+       |    THEN 'Y' ELSE 'N' END AS minf,
+       |   mt.score_change AS mscore
        |  FROM v JOIN mt ON v.chrom = mt.chrom
        |   AND mt.start <= v."end" AND mt."end" >= v.start),
        |allent AS (SELECT * FROM fused UNION ALL SELECT * FROM ud
        |  UNION ALL SELECT * FROM rge UNION ALL SELECT * FROM mte),
-       |exv AS (SELECT v.id,
+       |exv0 AS (SELECT v.id,
        |   string_agg(c.variation_name, '&' ORDER BY c.variation_name) AS exvar,
        |   COALESCE(array_to_string(list_sort(list_distinct(
-       |     list_filter(list(c.clin_sig), x -> x IS NOT NULL))), '&'), '') AS exclin
+       |     list_filter(list(c.clin_sig), x -> x IS NOT NULL))), '&'), '') AS exclin,
+       |   string_agg(c.somatic, '&' ORDER BY c.variation_name) AS exsom,
+       |   string_agg(c.pheno, '&' ORDER BY c.variation_name) AS expheno,
+       |   COALESCE(string_agg(c.pubmed, '&' ORDER BY c.variation_name), '') AS expub,
+       |   ${Annotate.afCsq.map { case (_, c) =>
+             s"string_agg(CAST(CAST(c.$c AS DECIMAL(5,4)) AS VARCHAR), '&' ORDER BY c.variation_name) AS ex_$c"
+           }.mkString(", ")},
+       |   ${Annotate.maxAfPopCols.map { case (_, c) => s"MAX(c.$c) AS mx_$c" }.mkString(", ")}
        |  FROM v JOIN c ON v.chrom = c.chrom
        |   AND v.norm_start = c.start AND v.norm_end = c."end"
        |   AND (split_part(c.allele_string, '/', 1) = v.vep_ref
        |        OR split_part(c.allele_string, '/', 1) = v.ref)
        |   AND split_part(c.allele_string, '/', 2) = v.vep_alt
        |  GROUP BY v.id),
+       |exv1 AS (SELECT exv0.*,
+       |   GREATEST(${Annotate.maxAfPopCols.map { case (_, c) => s"mx_$c" }.mkString(", ")}) AS maxafn
+       |  FROM exv0),
+       |exv AS (SELECT exv1.*,
+       |   CAST(CAST(maxafn AS DECIMAL(5,4)) AS VARCHAR) AS exmaxaf,
+       |   concat_ws('&', ${Annotate.maxAfPopCols.map { case (n, c) =>
+             s"CASE WHEN mx_$c = maxafn THEN '$n' END"
+           }.mkString(", ")}) AS exmaxafpops
+       |  FROM exv1),
        |rend AS (SELECT id, transcript_id, cdna_pos, cds_pos, protein_pos,
        |   hgvs_c, hgvs_p, sift_pred, polyphen_pred, aas, cod, dist,
-       |   exon, intron, ftype, mname, mpos, minf,
+       |   exon, intron, hgvs_offset, ftype, mname, mpos, minf, mscore,
+       |   list_contains(terms, 'mature_miRNA_variant') AS has_mirna,
        |   ${Annotate.termStrSql(D, "terms")} AS termstr,
        |   ${Annotate.bestRankSql(D, "terms")} AS best FROM allent),
        |ent AS (SELECT rend.id, rend.best, rend.transcript_id, rend.termstr,
        |   rend.hgvs_c, rend.hgvs_p, rend.sift_pred, rend.polyphen_pred,
        |   ${graft.vep.Annotate.impactSql("rend.best")} AS impact,
-       |   concat(rend.transcript_id, '|', rend.termstr, '|',
+       |   concat(COALESCE(v.vep_alt, ''), '|', rend.termstr, '|',
+       |   ${graft.vep.Annotate.impactSql("rend.best")}, '|',
+       |   COALESCE(t.symbol, ''), '|', COALESCE(t.gene_id, ''), '|',
+       |   rend.ftype, '|', rend.transcript_id, '|',
+       |   COALESCE(t.biotype, ''), '|',
+       |   COALESCE(rend.exon, ''), '|', COALESCE(rend.intron, ''), '|',
+       |   COALESCE(rend.hgvs_c, ''), '|', COALESCE(rend.hgvs_p, ''), '|',
        |   COALESCE(CAST(rend.cdna_pos AS VARCHAR), ''), '|',
        |   COALESCE(CAST(rend.cds_pos AS VARCHAR), ''), '|',
        |   COALESCE(CAST(rend.protein_pos AS VARCHAR), ''), '|',
-       |   COALESCE(rend.hgvs_c, ''), '|', COALESCE(rend.hgvs_p, ''), '|',
-       |   COALESCE(rend.sift_pred, ''), '|', COALESCE(rend.polyphen_pred, ''), '|',
-       |   ${graft.vep.Annotate.impactSql("rend.best")}, '|',
-       |   COALESCE(t.biotype, ''), '|',
+       |   COALESCE(rend.aas, ''), '|', COALESCE(rend.cod, ''), '|',
+       |   COALESCE(exv.exvar, ''), '|',
+       |   COALESCE(CAST(rend.dist AS VARCHAR), ''), '|',
        |   COALESCE(CAST(t.strand AS VARCHAR), ''), '|',
+       |   COALESCE(t.flags, ''), '|',
        |   CASE WHEN length(v.ref) = 1 AND length(v.alt) = 1 THEN 'SNV'
        |    WHEN length(v.ref) = length(v.alt) THEN 'substitution'
        |    WHEN length(v.alt) > length(v.ref) THEN 'insertion'
        |    ELSE 'deletion' END, '|',
-       |   COALESCE(CAST(rend.dist AS VARCHAR), ''), '|',
-       |   COALESCE(rend.aas, ''), '|', COALESCE(rend.cod, ''), '|',
-       |   COALESCE(v.vep_alt, ''), '|', rend.ftype, '|',
-       |   COALESCE(t.gene_id, ''), '|', COALESCE(t.symbol, ''), '|',
-       |   COALESCE(t.canonical, ''), '|', COALESCE(t.flags, ''), '|',
-       |   COALESCE(rend.exon, ''), '|', COALESCE(rend.intron, ''), '|',
-       |   COALESCE(exv.exvar, ''), '|',
+       |   CASE WHEN length(t.symbol) > 0 THEN 'HGNC' ELSE '' END, '|',
+       |   CASE WHEN length(t.symbol) > 0
+       |    THEN concat('HGNC:', substr(t.symbol, 4)) ELSE '' END, '|',
+       |   COALESCE(t.canonical, ''), '|',
+       |   CASE WHEN t.mane_select <> '' THEN 'MANE_Select'
+       |    WHEN t.mane_plus_clinical <> '' THEN 'MANE_Plus_Clinical'
+       |    ELSE '' END, '|',
+       |   COALESCE(t.mane_select, ''), '|',
+       |   COALESCE(t.mane_plus_clinical, ''), '|',
+       |   COALESCE(CAST(t.tsl AS VARCHAR), ''), '|',
+       |   COALESCE(t.appris, ''), '|', COALESCE(t.ccds, ''), '|',
+       |   CASE WHEN t.biotype IN ('protein_coding', 'nonsense_mediated_decay')
+       |    THEN concat('P', substr(rend.transcript_id, 2)) ELSE '' END, '|',
+       |   COALESCE(t.swissprot, ''), '|', COALESCE(t.trembl, ''), '|',
+       |   COALESCE(t.uniparc, ''), '|', COALESCE(t.uniprot_isoform, ''), '|',
+       |   COALESCE(t.gene_pheno, ''), '|',
+       |   COALESCE(rend.sift_pred, ''), '|', COALESCE(rend.polyphen_pred, ''), '|',
+       |   COALESCE(t.domains, ''), '|',
+       |   CASE WHEN rend.has_mirna THEN COALESCE(t.mirna, '') ELSE '' END, '|',
+       |   COALESCE(CAST(rend.hgvs_offset AS VARCHAR), ''), '|',
+       |   ${Annotate.afCsq.map { case (_, c) => s"COALESCE(exv.ex_$c, '')" }.mkString(", '|', ")}, '|',
+       |   COALESCE(exv.exmaxaf, ''), '|', COALESCE(exv.exmaxafpops, ''), '|',
+       |   COALESCE(exv.exclin, ''), '|',
+       |   COALESCE(exv.exsom, ''), '|', COALESCE(exv.expheno, ''), '|',
+       |   COALESCE(exv.expub, ''), '|',
        |   COALESCE(rend.mname, ''), '|',
        |   COALESCE(CAST(rend.mpos AS VARCHAR), ''), '|',
        |   COALESCE(rend.minf, ''), '|',
-       |   COALESCE(exv.exclin, ''), '|',
-       |   CASE WHEN t.biotype IN ('protein_coding', 'nonsense_mediated_decay')
-       |    THEN concat('P', substr(rend.transcript_id, 2)) ELSE '' END, '|',
-       |   CASE WHEN length(t.symbol) > 0 THEN 'HGNC' ELSE '' END, '|',
-       |   CASE WHEN length(t.symbol) > 0
-       |    THEN concat('HGNC:', substr(t.symbol, 4)) ELSE '' END) AS entry
+       |   COALESCE(CAST(CAST(rend.mscore AS DECIMAL(3,2)) AS VARCHAR), ''), '|',
+       |   COALESCE(rend.mname, '')) AS entry
        |  FROM rend LEFT JOIN t ON rend.transcript_id = t.transcript_id
        |   JOIN v ON rend.id = v.id
        |   LEFT JOIN exv ON rend.id = exv.id),
-       |lk AS (SELECT v.id, c.variation_name, c.af,
-       |   c.af_afr, c.af_amr, c.af_eas, c.af_eur, c.af_sas, c.af_gnomad,
+       |lk0 AS (SELECT v.id, c.variation_name,
+       |   ${Annotate.afCsq.map { case (_, c) => s"c.$c" }.mkString(", ")},
        |   CASE WHEN c.variation_name IS NULL THEN NULL
-       |    ELSE GREATEST(c.af_afr, c.af_amr, c.af_eas, c.af_eur, c.af_sas, c.af_gnomad)
+       |    ELSE GREATEST(${Annotate.maxAfPopCols.map { case (_, c) => s"c.$c" }.mkString(", ")})
        |   END AS max_af
        |  FROM v LEFT JOIN c ON v.chrom = c.chrom
        |   AND v.norm_start = c.start AND v.norm_end = c."end"
        |   AND (split_part(c.allele_string, '/', 1) = v.vep_ref
        |        OR split_part(c.allele_string, '/', 1) = v.ref)
-       |   AND split_part(c.allele_string, '/', 2) = v.vep_alt)""".stripMargin.replace("\n", " ")
+       |   AND split_part(c.allele_string, '/', 2) = v.vep_alt),
+       |lk AS (SELECT lk0.*,
+       |   CASE WHEN lk0.variation_name IS NULL THEN NULL
+       |    ELSE concat_ws('&', ${Annotate.maxAfPopCols.map { case (n, c) =>
+             s"CASE WHEN lk0.$c = lk0.max_af THEN '$n' END"
+           }.mkString(", ")})
+       |   END AS max_af_pops
+       |  FROM lk0)""".stripMargin.replace("\n", " ")
   }
 
   private def e2eNameCase: String = {
@@ -809,8 +860,9 @@ object VepSpliceQueries {
     s"""$e2eCtes,
        |grp AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts, MIN(best) AS best,
        |   string_agg(entry, ',' ORDER BY entry) AS csq FROM ent GROUP BY id)
-       |SELECT lk.id, lk.variation_name, lk.af,
-       | lk.af_afr, lk.af_amr, lk.af_eas, lk.af_eur, lk.af_sas, lk.af_gnomad, lk.max_af,
+       |SELECT lk.id, lk.variation_name,
+       | ${graft.vep.Annotate.afCsq.map { case (_, c) => s"lk.$c" }.mkString(", ")},
+       | lk.max_af, lk.max_af_pops,
        | $e2eNameCase AS most_severe_consequence,
        | COALESCE(g.n_transcripts, CAST(0 AS BIGINT)) AS n_transcripts,
        | COALESCE(g.csq, '') AS csq
@@ -831,8 +883,9 @@ object VepSpliceQueries {
        |   string_agg(COALESCE(polyphen_pred, ''), '|' ORDER BY entry) AS polyphen,
        |   string_agg(impact, '|' ORDER BY entry) AS impact
        |  FROM ent GROUP BY id)
-       |SELECT lk.id, lk.variation_name, lk.af,
-       | lk.af_afr, lk.af_amr, lk.af_eas, lk.af_eur, lk.af_sas, lk.af_gnomad, lk.max_af,
+       |SELECT lk.id, lk.variation_name,
+       | ${graft.vep.Annotate.afCsq.map { case (_, c) => s"lk.$c" }.mkString(", ")},
+       | lk.max_af, lk.max_af_pops,
        | $e2eNameCase AS most_severe_consequence,
        | COALESCE(g.n_transcripts, CAST(0 AS BIGINT)) AS n_transcripts,
        | COALESCE(g.transcript_ids, '') AS transcript_ids,
@@ -862,6 +915,7 @@ object VepSpliceQueries {
        | GREATEST(v.start, mt.start) - mt.start + 1 AS motif_pos,
        | CASE WHEN GREATEST(v.start, mt.start) - mt.start + 1 <= 3
        |  THEN 'Y' ELSE 'N' END AS high_inf_pos,
+       | mt.score_change AS motif_score_change,
        | 'TF_binding_site_variant' AS consequence
        |FROM v JOIN mt ON v.chrom = mt.chrom
        | AND mt.start <= v."end" AND mt."end" >= v.start

@@ -78,6 +78,61 @@ object Annotate {
 
   private def f(c: Column): Column = coalesce(c.cast("string"), lit(""))
 
+  /** CSQ frequency-slot order of `--everything` (CSQ field name ->
+    * cache column), exactly the reference's AF_COLUMNS emission order
+    * (annotate_provider.rs:811-1006, golden_benchmark.rs
+    * CSQ_FIELD_NAMES_EVERYTHING fields 43-69). */
+  val afCsq: Seq[(String, String)] = Seq(
+    "AF" -> "af", "AFR_AF" -> "af_afr", "AMR_AF" -> "af_amr",
+    "EAS_AF" -> "af_eas", "EUR_AF" -> "af_eur", "SAS_AF" -> "af_sas",
+    "gnomADe_AF" -> "af_gnomad",
+    "gnomADe_AFR_AF" -> "af_gnomade_afr", "gnomADe_AMR_AF" -> "af_gnomade_amr",
+    "gnomADe_ASJ_AF" -> "af_gnomade_asj", "gnomADe_EAS_AF" -> "af_gnomade_eas",
+    "gnomADe_FIN_AF" -> "af_gnomade_fin", "gnomADe_MID_AF" -> "af_gnomade_mid",
+    "gnomADe_NFE_AF" -> "af_gnomade_nfe",
+    "gnomADe_REMAINING_AF" -> "af_gnomade_remaining",
+    "gnomADe_SAS_AF" -> "af_gnomade_sas",
+    "gnomADg_AF" -> "af_gnomadg",
+    "gnomADg_AFR_AF" -> "af_gnomadg_afr", "gnomADg_AMI_AF" -> "af_gnomadg_ami",
+    "gnomADg_AMR_AF" -> "af_gnomadg_amr", "gnomADg_ASJ_AF" -> "af_gnomadg_asj",
+    "gnomADg_EAS_AF" -> "af_gnomadg_eas", "gnomADg_FIN_AF" -> "af_gnomadg_fin",
+    "gnomADg_MID_AF" -> "af_gnomadg_mid", "gnomADg_NFE_AF" -> "af_gnomadg_nfe",
+    "gnomADg_REMAINING_AF" -> "af_gnomadg_remaining",
+    "gnomADg_SAS_AF" -> "af_gnomadg_sas")
+
+  /** MAX_AF population set (pop name -> cache column): every AF column
+    * whose AF_COLUMNS entry has a `max_af_pop` — the three globals
+    * (AF, gnomADe_AF, gnomADg_AF) are EXCLUDED, 1000G populations use
+    * the short names (annotate_provider.rs:811-1006). */
+  val maxAfPopCols: Seq[(String, String)] =
+    Seq("AFR" -> "af_afr", "AMR" -> "af_amr", "EAS" -> "af_eas",
+      "EUR" -> "af_eur", "SAS" -> "af_sas") ++
+    afCsq.collect {
+      case (n, c) if n.startsWith("gnomAD") && n != "gnomADe_AF" &&
+        n != "gnomADg_AF" => (n.stripSuffix("_AF"), c)
+    }
+
+  /** All cache columns the integrated operator reads per matched
+    * variant (lookup projection + colocated-family aggregation). */
+  private val lookedCols: Seq[String] =
+    ("variation_name" +: afCsq.map(_._2)) ++
+      Seq("clin_sig", "somatic", "pheno", "pubmed")
+
+  /** Deterministic fixed-width decimal rendering of a frequency (or
+    * prediction-score) column for the CSQ string: both engines print
+    * DECIMAL with identical trailing-zero behavior, unlike raw DOUBLE
+    * casts (Java vs DuckDB shortest-roundtrip forms diverge). The
+    * reference prints the cache's raw text (its cache stores AF as
+    * strings); this engine's cache column family is numeric, so the
+    * CSQ renders a fixed 4-decimal form — documented deviation. */
+  private def dec4(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(5, 4)).cast("string")
+
+  /** [[dec4]] at 2 decimals (motif PWM score delta), '' when null. */
+  private def dec2(c: Column): Column =
+    coalesce(c.cast(org.apache.spark.sql.types.DecimalType(3, 2)).cast("string"),
+      lit(""))
+
   /** See object doc. Inputs follow the fixture contracts
     * (FIXTURES.md §4-§6): vcf (chrom,start,end,id,ref,alt), cache
     * (chrom,start,end,variation_name,allele_string,af,af_*...),
@@ -97,12 +152,12 @@ object Annotate {
       .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
         array_join(array_sort(collect_list(col("_entry"))), ",").as("csq"))
     lookupJoin(looked, grouped)
-      .select(col("id"), col("variation_name"), col("af"),
-        col("af_afr"), col("af_amr"), col("af_eas"), col("af_eur"),
-        col("af_sas"), col("af_gnomad"), col("max_af"),
+      .select((col("id") +: col("variation_name") +:
+        afCsq.map { case (_, c) => col(c) }) ++ Seq(
+        col("max_af"), col("max_af_pops"),
         col("most_severe_consequence"),
         coalesce(col("n_transcripts"), lit(0L)).as("n_transcripts"),
-        coalesce(col("csq"), lit("")).as("csq"))
+        coalesce(col("csq"), lit("")).as("csq")): _*)
   }
 
   /** [[annotate]] with TYPED per-transcript array columns instead of
@@ -138,9 +193,9 @@ object Annotate {
         expr("transform(_ents, x -> x.im)").as("impact"))
     val emptyArr = expr("CAST(array() AS ARRAY<STRING>)")
     lookupJoin(looked, grouped)
-      .select(col("id"), col("variation_name"), col("af"),
-        col("af_afr"), col("af_amr"), col("af_eas"), col("af_eur"),
-        col("af_sas"), col("af_gnomad"), col("max_af"),
+      .select((col("id") +: col("variation_name") +:
+        afCsq.map { case (_, c) => col(c) }) ++ Seq(
+        col("max_af"), col("max_af_pops"),
         col("most_severe_consequence"),
         coalesce(col("n_transcripts"), lit(0L)).as("n_transcripts"),
         coalesce(col("transcript_ids"), emptyArr).as("transcript_ids"),
@@ -149,7 +204,7 @@ object Annotate {
         coalesce(col("hgvs_p"), emptyArr).as("hgvs_p"),
         coalesce(col("sift"), emptyArr).as("sift"),
         coalesce(col("polyphen"), emptyArr).as("polyphen"),
-        coalesce(col("impact"), emptyArr).as("impact"))
+        coalesce(col("impact"), emptyArr).as("impact")): _*)
   }
 
   /** Colocated-variant side output (variant_lookup_exec.rs:519-537
@@ -189,39 +244,69 @@ object Annotate {
     * family (annotate_provider.rs:795-1000) — no derivation here. */
   private def lookedDf(vcf: DataFrame, cache: DataFrame): DataFrame =
     graft.core.Materialize(
-      Vep.lookupVariants(vcf, cache,
-          columns = Seq("variation_name", "af", "af_afr", "af_amr",
-            "af_eas", "af_eur", "af_sas", "af_gnomad", "clin_sig"))
-        .select(col("id"), col("cache_variation_name").as("variation_name"),
-          col("cache_af").as("af"), col("cache_af_afr").as("af_afr"),
-          col("cache_af_amr").as("af_amr"), col("cache_af_eas").as("af_eas"),
-          col("cache_af_eur").as("af_eur"), col("cache_af_sas").as("af_sas"),
-          col("cache_af_gnomad").as("af_gnomad"),
-          col("cache_clin_sig").as("clin_sig")))
+      Vep.lookupVariants(vcf, cache, columns = lookedCols)
+        .select(col("id") +:
+          lookedCols.map(c => col(s"cache_$c").as(c)): _*))
 
-  /** Per-variant `Existing_variation` and `CLIN_SIG` values: the
-    * '&'-joined sorted names of every matching cache entry, and the
-    * '&'-joined sorted DISTINCT clinical-significance terms of those
-    * entries (VEP renders both colocated-variant families this way).
-    * One row per matched variant. */
-  private def existingVar(looked: DataFrame): DataFrame =
+  /** Per-variant colocated-variant families for the CSQ rendering
+    * (annotate_provider.rs:1700-1848 FrequencyFields assembly): every
+    * per-entry value is '&'-joined across the matched cache entries in
+    * variation_name order — Existing_variation names, the 27 AF
+    * frequency slots (fixed 4-decimal form, see [[dec4]]),
+    * SOMATIC/PHENO flags, PUBMED ids (nulls skipped), CLIN_SIG as
+    * sorted DISTINCT terms — plus MAX_AF (numeric max over the
+    * [[maxAfPopCols]] populations across all entries) and MAX_AF_POPS
+    * (the populations attaining it, in AF_COLUMNS order; the reference
+    * accumulates ties in entry-then-column order, which coincides for
+    * single-entry matches). One row per matched variant. */
+  private def existingVar(looked: DataFrame): DataFrame = {
+    val entStruct = struct(
+      col("variation_name").as("vn") +:
+        (afCsq.map(_._2).map(c => col(c).as(c)) ++
+          Seq(col("somatic").as("somatic"), col("pheno").as("pheno"),
+            col("pubmed").as("pubmed"))): _*)
+    val popMaxes = maxAfPopCols.map { case (_, c) => max(col(c)).as(s"_mx_$c") }
+    val globalMax = greatest(maxAfPopCols.map { case (_, c) => col(s"_mx_$c") }: _*)
     looked.where(col("variation_name").isNotNull)
       .groupBy(col("id"))
-      .agg(array_join(array_sort(collect_list(col("variation_name"))), "&").as("_exvar"),
-        array_join(array_sort(collect_set(col("clin_sig"))), "&").as("_exclin"))
+      .agg(array_sort(collect_list(entStruct)).as("_ents"),
+        (array_join(array_sort(collect_set(col("clin_sig"))), "&").as("_exclin") +:
+          popMaxes): _*)
+      .select(Seq(
+        col("id"),
+        expr("array_join(transform(_ents, x -> x.vn), '&')").as("_exvar"),
+        col("_exclin"),
+        expr("array_join(transform(_ents, x -> x.somatic), '&')").as("_exsom"),
+        expr("array_join(transform(_ents, x -> x.pheno), '&')").as("_expheno"),
+        expr("array_join(transform(filter(_ents, x -> x.pubmed IS NOT NULL), x -> x.pubmed), '&')")
+          .as("_expub"),
+        dec4(globalMax).as("_exmaxaf"),
+        concat_ws("&", maxAfPopCols.map { case (n, c) =>
+          when(col(s"_mx_$c") === globalMax, lit(n))
+        }: _*).as("_exmaxafpops")) ++
+        afCsq.map { case (_, c) =>
+          expr(s"array_join(transform(_ents, x -> CAST(CAST(x.$c AS DECIMAL(5,4)) AS STRING)), '&')")
+            .as(s"_ex_$c")
+        }: _*)
+  }
 
-  /** Shared variant-level tail: MAX_AF + rank name resolution,
-    * LEFT-joined onto the per-variant aggregate. MAX_AF spans the
-    * POPULATION columns only — the reference excludes the global AF
-    * (annotate_provider.rs AF_COLUMNS: max_af_pop is None for "AF"). */
+  /** Shared variant-level tail: MAX_AF/MAX_AF_POPS + rank name
+    * resolution, LEFT-joined onto the per-variant aggregate. MAX_AF
+    * spans the POPULATION columns only — the reference excludes the
+    * three globals (annotate_provider.rs AF_COLUMNS: max_af_pop is
+    * None for "AF"/"gnomADe"/"gnomADg"). */
   private def lookupJoin(looked: DataFrame, grouped: DataFrame): DataFrame = {
-    val maxAf = greatest(col("af_afr"), col("af_amr"), col("af_eas"),
-      col("af_eur"), col("af_sas"), col("af_gnomad"))
+    val maxAf = greatest(maxAfPopCols.map { case (_, c) => col(c) }: _*)
     val rankToName = Vep.soRank.foldLeft(lit("intergenic_variant")) { case (acc, (n, r)) =>
       when(col("_vbest") === r, lit(n)).otherwise(acc)
     }
     looked.join(grouped, Seq("id"), "left")
       .withColumn("max_af", maxAf)
+      .withColumn("max_af_pops",
+        when(col("variation_name").isNotNull,
+          concat_ws("&", maxAfPopCols.map { case (n, c) =>
+            when(col(c) === col("max_af"), lit(n))
+          }: _*)))
       .withColumn("most_severe_consequence", rankToName)
   }
 
@@ -264,13 +349,26 @@ object Annotate {
         when(col("aa_ref") === col("aa_alt"), col("aa_ref"))
           .otherwise(concat_ws("/", col("aa_ref"), col("aa_alt"))).as("_aas"),
         concat_ws("/", col("ref_codon"), col("alt_codon")).as("_cod"),
+        // --everything renders prediction(score)
+        // (annotate_provider.rs format_prediction: "deleterious(0.01)");
+        // the score prints as fixed DECIMAL(4,3) — see [[dec4]] note
         when(col("sift_score").isNull, lit(null).cast("string"))
-          .when(col("sift_score") < 0.05, lit("deleterious"))
-          .otherwise(lit("tolerated")).as("_sift"),
+          .otherwise(concat(
+            when(col("sift_score") < 0.05, lit("deleterious"))
+              .otherwise(lit("tolerated")),
+            lit("("),
+            col("sift_score").cast(org.apache.spark.sql.types.DecimalType(4, 3))
+              .cast("string"),
+            lit(")"))).as("_sift"),
         when(col("polyphen_score").isNull, lit(null).cast("string"))
-          .when(col("polyphen_score") > 0.908, lit("probably_damaging"))
-          .when(col("polyphen_score") > 0.446, lit("possibly_damaging"))
-          .otherwise(lit("benign")).as("_polyphen"))
+          .otherwise(concat(
+            when(col("polyphen_score") > 0.908, lit("probably_damaging"))
+              .when(col("polyphen_score") > 0.446, lit("possibly_damaging"))
+              .otherwise(lit("benign")),
+            lit("("),
+            col("polyphen_score").cast(org.apache.spark.sql.types.DecimalType(4, 3))
+              .cast("string"),
+            lit(")"))).as("_polyphen"))
     val vPos = vcf.select(col("id"), col("start").cast("long").as("_a_vs"))
     // mature-miRNA span: derived middle sub-span of the transcript
     // (same stand-in Vep.annotateRegions documents)
@@ -296,7 +394,8 @@ object Annotate {
         col("protein_pos").cast("long").as("_pp"),
         col("hgvs_c"), col("hgvs_p"), col("_sift"), col("_polyphen"),
         col("_aas"), col("_cod"), lit(null).cast("long").as("_dist"),
-        col("exon").as("_exon"), col("intron").as("_intron"))
+        col("exon").as("_exon"), col("intron").as("_intron"),
+        lit(null).cast("long").as("_hoff"))
 
     // ---- indel entries: region-term geometry + HGVS forms, FUSED ----
     // One candidate probe + one exon aggregation serves all three
@@ -320,7 +419,8 @@ object Annotate {
         col("end").cast("long").as("_i_ve"), col("id").as("_i_vid"),
         (length(col("alt")) - length(col("ref"))).cast("long").as("_i_ld"),
         col("_ic._1").as("_i_kind"), col("_ic._2").as("_i_va"),
-        col("_ic._3").as("_i_p0"), col("_ic._4").as("_i_p1"))
+        col("_ic._3").as("_i_p0"), col("_ic._4").as("_i_p1"),
+        col("_ic._5").as("_i_sh"))
     val it = transcripts.select(col("chrom").as("_i_tc"),
       col("start").cast("long").as("_i_ts"), col("end").cast("long").as("_i_te"),
       col("transcript_id").as("_i_tid"), col("strand").as("_i_strand"),
@@ -336,7 +436,8 @@ object Annotate {
       .groupBy(col("_i_vid"), col("_i_tid"), col("_i_strand"), col("_i_bt"),
         col("_i_vs"), col("_i_ve"), col("_i_cs"), col("_i_ce"),
         col("_i_ts"), col("_i_te"), col("_i_ld"),
-        col("_i_vc"), col("_i_kind"), col("_i_va"), col("_i_p0"), col("_i_p1"))
+        col("_i_vc"), col("_i_kind"), col("_i_va"), col("_i_p0"), col("_i_p1"),
+        col("_i_sh"))
       .agg(max(when(col("_i_vs") <= col("_i_ee") && col("_i_ve") >= col("_i_es"), 1)
         .otherwise(0)).as("_i_inex"),
         // EXON/INTRON rank inputs keyed on the event start (same
@@ -422,7 +523,12 @@ object Annotate {
         Splice.exonRank(col("_i_inex") === 1, col("_i_strand"),
           col("_i_nprev"), col("_i_nex")).as("_exon"),
         Splice.intronRank(col("_i_inex") === 1, col("_i_strand"),
-          col("_i_nprev"), col("_i_nex")).as("_intron"))
+          col("_i_nprev"), col("_i_nex")).as("_intron"),
+        // HGVS_OFFSET: emitted with the HGVSc it annotates, signed
+        // transcript-ward (Splice.indelHgvs convention)
+        when(hok && col("_i_sh") > 0,
+          when(col("_i_strand") === -1, -col("_i_sh")).otherwise(col("_i_sh")))
+          .as("_hoff"))
 
     // ---- splice fusion: all six splice terms per (variant, transcript) ----
     val splice = Splice.spliceTermsRaw(vcf, transcripts, exons)
@@ -442,9 +548,11 @@ object Annotate {
         // constant (not from the base side): splice-only rows of the
         // full-outer join are still transcript entries
         lit("Transcript").as("_ftype"), col("_exon"), col("_intron"),
+        col("_hoff"),
         lit(null).cast("string").as("_mname"),
         lit(null).cast("long").as("_mpos"),
-        lit(null).cast("string").as("_minf"))
+        lit(null).cast("string").as("_minf"),
+        lit(null).cast("double").as("_mscore"))
 
     // ---- up/downstream entries (non-overlapping candidates in reach) ----
     val ut = transcripts.select(col("chrom").as("_u_tc"),
@@ -467,7 +575,9 @@ object Annotate {
         nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"),
         greatest(col("_u_ts") - col("_u_ve"), col("_u_vs") - col("_u_te")).as("_dist"),
         lit("Transcript").as("_ftype"), nullS.as("_exon"), nullS.as("_intron"),
-        nullS.as("_mname"), nullL.as("_mpos"), nullS.as("_minf"))
+        nullL.as("_hoff"),
+        nullS.as("_mname"), nullL.as("_mpos"), nullS.as("_minf"),
+        lit(null).cast("double").as("_mscore"))
 
     // ---- regulatory / TF-motif feature entries (VEP emits these as
     // their own CSQ Feature rows; they join most_severe ranking) ----
@@ -478,7 +588,8 @@ object Annotate {
       val ff = features.select(
         (Seq(col("chrom").as("_f_fc"), col("start").cast("long").as("_f_fs"),
           col("end").cast("long").as("_f_fe"), col(fid).as("_f_id")) ++
-         (if (motif) Seq(col("tf_name").as("_f_tf")) else Nil)): _*)
+         (if (motif) Seq(col("tf_name").as("_f_tf"),
+           col("score_change").as("_f_msc")) else Nil)): _*)
       // VEP's motif CSQ fields: MOTIF_POS = 1-based offset of the
       // variant within the motif (clamped at the motif start),
       // HIGH_INF_POS = 'Y' on the first three bases (the stand-in for
@@ -493,34 +604,54 @@ object Annotate {
           nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
           nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"), nullL.as("_dist"),
           lit(ftype).as("_ftype"), nullS.as("_exon"), nullS.as("_intron"),
+          nullL.as("_hoff"),
           (if (motif) col("_f_tf") else nullS).as("_mname"),
           (if (motif) mPos else nullL).as("_mpos"),
-          (if (motif) when(mPos <= 3, lit("Y")).otherwise(lit("N")) else nullS).as("_minf"))
+          (if (motif) when(mPos <= 3, lit("Y")).otherwise(lit("N")) else nullS).as("_minf"),
+          (if (motif) col("_f_msc") else lit(null)).cast("double").as("_mscore"))
     }
     val regEntries = featureEntries(regulatory, "feature_id",
       "regulatory_region_variant", "RegulatoryFeature", motif = false)
     val motEntries = featureEntries(motifs, "motif_id",
       "TF_binding_site_variant", "MotifFeature", motif = true)
 
-    // ---- per-entry rendering: 32-field VEP-style entries toward the
-    // --everything CSQ width (annotate_provider.rs:795-1000,2270-2306)
-    //   Feature|Consequence|cDNA_position|CDS_position|
-    //   Protein_position|HGVSc|HGVSp|SIFT|PolyPhen|IMPACT|BIOTYPE|
-    //   STRAND|VARIANT_CLASS|DISTANCE|Amino_acids|Codons|Allele|
-    //   Feature_type|Gene|SYMBOL|CANONICAL|FLAGS|EXON|INTRON|
-    //   Existing_variation|MOTIF_NAME|MOTIF_POS|HIGH_INF_POS|
-    //   CLIN_SIG|ENSP|SYMBOL_SOURCE|HGNC_ID
-    // Gene attributes resolve through one broadcast
+    // ---- per-entry rendering: the FULL 80-field --everything CSQ in
+    // the reference's exact field order (golden_benchmark.rs:556-640
+    // CSQ_FIELD_NAMES_EVERYTHING; annotate_provider.rs:4427-4474
+    // format strings):
+    //   Allele|Consequence|IMPACT|SYMBOL|Gene|Feature_type|Feature|
+    //   BIOTYPE|EXON|INTRON|HGVSc|HGVSp|cDNA_position|CDS_position|
+    //   Protein_position|Amino_acids|Codons|Existing_variation|
+    //   DISTANCE|STRAND|FLAGS|VARIANT_CLASS|SYMBOL_SOURCE|HGNC_ID|
+    //   CANONICAL|MANE|MANE_SELECT|MANE_PLUS_CLINICAL|TSL|APPRIS|
+    //   CCDS|ENSP|SWISSPROT|TREMBL|UNIPARC|UNIPROT_ISOFORM|
+    //   GENE_PHENO|SIFT|PolyPhen|DOMAINS|miRNA|HGVS_OFFSET|
+    //   <27 AF slots, afCsq order>|MAX_AF|MAX_AF_POPS|CLIN_SIG|
+    //   SOMATIC|PHENO|PUBMED|MOTIF_NAME|MOTIF_POS|HIGH_INF_POS|
+    //   MOTIF_SCORE_CHANGE|TRANSCRIPTION_FACTORS
+    // Transcript attributes resolve through one broadcast
     // transcript-attribute join ('' for non-transcript features);
-    // Allele/VARIANT_CLASS are per-variant dims; Existing_variation
-    // and CLIN_SIG are the shared lookup's '&'-fused colocated
-    // families; ENSP derives from the coding transcript's id (the
-    // fixture's protein-id convention: P<n> for transcript T<n>);
-    // SYMBOL_SOURCE/HGNC_ID follow the fixture's HGNC-style symbols. ----
-    val tAttr = transcripts.select(col("transcript_id"),
-      col("biotype").as("_e_bt"), col("strand").cast("string").as("_e_strand"),
-      col("gene_id").as("_e_gene"), col("symbol").as("_e_sym"),
-      col("canonical").as("_e_canon"), col("flags").as("_e_flags"))
+    // Allele/VARIANT_CLASS are per-variant dims; the colocated
+    // families (Existing_variation, AF slots, CLIN_SIG, SOMATIC/
+    // PHENO/PUBMED, MAX_AF/MAX_AF_POPS) come '&'-fused from
+    // [[existingVar]]; MANE derives VEP's generic MANE field from the
+    // two MANE attributes (annotate_provider.rs:4348-4360); ENSP
+    // derives from the coding transcript's id (fixture convention:
+    // P<n> for transcript T<n>); miRNA renders the mature-miRNA
+    // structure attribute only on entries actually inside the mature
+    // arm (the ones carrying mature_miRNA_variant); MOTIF_NAME and
+    // TRANSCRIPTION_FACTORS both render the fixture's tf_name (the
+    // fixture models one TF per motif; the reference splits PWM name
+    // vs TF list). ----
+    val extAttrs = Seq("mane_select", "mane_plus_clinical", "tsl", "appris",
+      "ccds", "swissprot", "trembl", "uniparc", "uniprot_isoform",
+      "gene_pheno", "domains", "mirna")
+    val tAttr = transcripts.select(
+      Seq(col("transcript_id"),
+        col("biotype").as("_e_bt"), col("strand").cast("string").as("_e_strand"),
+        col("gene_id").as("_e_gene"), col("symbol").as("_e_sym"),
+        col("canonical").as("_e_canon"), col("flags").as("_e_flags")) ++
+      extAttrs.map(a => col(a).cast("string").as(s"_e_$a")): _*)
     // VEP's VARIANT_CLASS and (first) output Allele, per variant
     val vClass = vcf.select(col("id"),
       when(length(col("ref")) === 1 && length(col("alt")) === 1, lit("SNV"))
@@ -528,6 +659,39 @@ object Annotate {
         .when(length(col("alt")) > length(col("ref")), lit("insertion"))
         .otherwise(lit("deletion")).as("_vclass"),
       Vep.vepAltUdf(col("ref"), col("alt")).as("_vallele"))
+    val ensp = when(Splice.isCodingBt(col("_e_bt")),
+      concat(lit("P"), substring(col("transcript_id"), 2, 32)))
+      .otherwise(lit(""))
+    val mane = when(col("_e_mane_select") =!= "", lit("MANE_Select"))
+      .when(col("_e_mane_plus_clinical") =!= "", lit("MANE_Plus_Clinical"))
+      .otherwise(lit(""))
+    val fields: Seq[Column] = Seq(
+      f(col("_vallele")), col("_termstr"), col("_impact"),
+      f(col("_e_sym")), f(col("_e_gene")), col("_ftype"), col("transcript_id"),
+      f(col("_e_bt")), f(col("_exon")), f(col("_intron")),
+      f(col("hgvs_c")), f(col("hgvs_p")),
+      f(col("_cdna")), f(col("_cds")), f(col("_pp")),
+      f(col("_aas")), f(col("_cod")), f(col("_exvar")),
+      f(col("_dist")), f(col("_e_strand")), f(col("_e_flags")),
+      col("_vclass"),
+      when(length(col("_e_sym")) > 0, lit("HGNC")).otherwise(lit("")),
+      when(length(col("_e_sym")) > 0,
+        concat(lit("HGNC:"), substring(col("_e_sym"), 4, 32)))
+        .otherwise(lit("")),
+      f(col("_e_canon")), mane,
+      f(col("_e_mane_select")), f(col("_e_mane_plus_clinical")),
+      f(col("_e_tsl")), f(col("_e_appris")), f(col("_e_ccds")), ensp,
+      f(col("_e_swissprot")), f(col("_e_trembl")), f(col("_e_uniparc")),
+      f(col("_e_uniprot_isoform")), f(col("_e_gene_pheno")),
+      f(col("_sift")), f(col("_polyphen")), f(col("_e_domains")),
+      when(array_contains(col("_terms"), "mature_miRNA_variant"),
+        f(col("_e_mirna"))).otherwise(lit("")),
+      f(col("_hoff"))) ++
+      afCsq.map { case (_, c) => f(col(s"_ex_$c")) } ++ Seq(
+      f(col("_exmaxaf")), f(col("_exmaxafpops")), f(col("_exclin")),
+      f(col("_exsom")), f(col("_expheno")), f(col("_expub")),
+      f(col("_mname")), f(col("_mpos")), f(col("_minf")),
+      dec2(col("_mscore")), f(col("_mname")))
     fused.unionByName(updown).unionByName(regEntries).unionByName(motEntries)
       .join(broadcast(tAttr), Seq("transcript_id"), "left")
       .join(vClass, Seq("id"))
@@ -535,22 +699,6 @@ object Annotate {
       .withColumn("_termstr", expr(termStrSql(CodonLogic.SparkD, "_terms")))
       .withColumn("_best", expr(bestRankSql(CodonLogic.SparkD, "_terms")))
       .withColumn("_impact", expr(impactSql("_best")))
-      .withColumn("_entry", concat_ws("|", col("transcript_id"), col("_termstr"),
-        f(col("_cdna")), f(col("_cds")), f(col("_pp")),
-        f(col("hgvs_c")), f(col("hgvs_p")), f(col("_sift")), f(col("_polyphen")),
-        col("_impact"), f(col("_e_bt")), f(col("_e_strand")),
-        col("_vclass"), f(col("_dist")), f(col("_aas")), f(col("_cod")),
-        f(col("_vallele")), col("_ftype"),
-        f(col("_e_gene")), f(col("_e_sym")), f(col("_e_canon")), f(col("_e_flags")),
-        f(col("_exon")), f(col("_intron")), f(col("_exvar")),
-        f(col("_mname")), f(col("_mpos")), f(col("_minf")),
-        f(col("_exclin")),
-        when(Splice.isCodingBt(col("_e_bt")),
-          concat(lit("P"), substring(col("transcript_id"), 2, 32)))
-          .otherwise(lit("")).as("_ensp"),
-        when(length(col("_e_sym")) > 0, lit("HGNC")).otherwise(lit("")),
-        when(length(col("_e_sym")) > 0,
-          concat(lit("HGNC:"), substring(col("_e_sym"), 4, 32)))
-          .otherwise(lit(""))))
+      .withColumn("_entry", concat_ws("|", fields: _*))
   }
 }

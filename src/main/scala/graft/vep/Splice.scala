@@ -455,10 +455,12 @@ object Splice {
       val nse = ne + sh
       val k = va.length.toLong
       val ctx = (nss - k to nss - 1).map(CodonLogic.baseAt(chrom, _)).mkString
-      if (isIns && ctx == va) ("dup", va, nss - k, nss - 1)
-      else if (isIns) ("ins", va, nss - 1, nss)
-      else if (isDel) ("del", va, nss, nse)
-      else ("delins", va, ns, ne)
+      // 5th element = applied 3'-shift length (HGVS_OFFSET source,
+      // hgvs.rs:326-344 hgvsc_offset_for_output)
+      if (isIns && ctx == va) ("dup", va, nss - k, nss - 1, sh)
+      else if (isIns) ("ins", va, nss - 1, nss, sh)
+      else if (isDel) ("del", va, nss, nse, sh)
+      else ("delins", va, ns, ne, sh)
   }.asNonNullable()
 
   def indelHgvs(
@@ -471,7 +473,8 @@ object Splice {
         col("chrom"), col("ref"), col("alt"), col("start").cast("long")))
       .select(col("chrom").as("_vc"), col("id").as("_vid"),
         col("_ic._1").as("_kind"), col("_ic._2").as("_va"),
-        col("_ic._3").as("_p0"), col("_ic._4").as("_p1"))
+        col("_ic._3").as("_p0"), col("_ic._4").as("_p1"),
+        col("_ic._5").as("_sh"))
     val t = transcripts.select(col("chrom").as("_tc"), col("start").cast("long").as("_ts"),
       col("end").cast("long").as("_te"), col("transcript_id").as("_tid"),
       col("strand").as("_strand"), col("biotype").as("_bt"))
@@ -485,7 +488,7 @@ object Splice {
       col("start").cast("long").as("_es"), col("end").cast("long").as("_ee"))
     val agg = cand.join(broadcast(ex), col("_tid") === col("_etid"))
       .groupBy(col("_vid"), col("_tid"), col("_strand"), col("_bt"),
-        col("_kind"), col("_va"), col("_p0"), col("_p1"))
+        col("_kind"), col("_va"), col("_p0"), col("_p1"), col("_sh"))
       .agg(
         max(when(col("_p0").between(col("_es"), col("_ee")), 1).otherwise(0)).as("_in0"),
         max(when(col("_p1").between(col("_es"), col("_ee")), 1).otherwise(0)).as("_in1"),
@@ -511,7 +514,12 @@ object Splice {
       .otherwise(concat(prefix, coords, col("_kind"), altAdj))
     agg.where(col("_in0") === 1 && col("_in1") === 1)
       .select(col("_vid").as("id"), col("_tid").as("transcript_id"),
-        col("_kind").as("kind"), lo.as("cdna_pos"), hgvs.as("hgvs_c"))
+        col("_kind").as("kind"), lo.as("cdna_pos"), hgvs.as("hgvs_c"),
+        // HGVS_OFFSET (hgvs.rs:326-344): the applied genomic 3'-shift,
+        // signed transcript-ward ('-' strand negates), only when an
+        // actual shift happened
+        when(col("_sh") > 0,
+          when(strandP, col("_sh")).otherwise(-col("_sh"))).as("hgvs_offset"))
   }
 
   /** Introns per transcript from consecutive exons in genomic order:

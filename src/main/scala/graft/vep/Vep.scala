@@ -140,13 +140,15 @@ object Vep {
     val v = vcf.select(col("chrom").as("_mvc"), col("start").cast("long").as("_mvs"),
       col("end").cast("long").as("_mve"), col("id"))
     val m = motifs.select(col("chrom").as("_mc"), col("start").cast("long").as("_ms"),
-      col("end").cast("long").as("_me"), col("motif_id"), col("tf_name"))
+      col("end").cast("long").as("_me"), col("motif_id"), col("tf_name"),
+      col("score_change"))
     val motifPos = greatest(col("_mvs"), col("_ms")) - col("_ms") + 1
     m.join(v,
         col("_mc") === col("_mvc") && col("_ms") <= col("_mve") && col("_me") >= col("_mvs"))
       .select(col("id"), col("motif_id"), col("tf_name"),
         motifPos.as("motif_pos"),
         when(motifPos <= 3, lit("Y")).otherwise(lit("N")).as("high_inf_pos"),
+        col("score_change").as("motif_score_change"),
         lit("TF_binding_site_variant").as("consequence"))
   }
 

@@ -13,23 +13,30 @@ import graft.vep.Annotate
 class AnnotateSuite extends SparkSpec {
   import spark.implicits._
 
-  // entry-string field positions (Annotate.entriesDf rendering)
-  private val FEATURE = 0
+  // entry-string field positions (the 80-field --everything order,
+  // golden_benchmark.rs CSQ_FIELD_NAMES_EVERYTHING)
+  private val ALLELE = 0
   private val CONSEQUENCE = 1
-  private val HGVSC = 5
-  private val HGVSP = 6
-  private val SIFT = 7
-  private val POLYPHEN = 8
-  private val IMPACT = 9
-  private val ALLELE = 16
-  private val FTYPE = 17
-  private val GENE = 18
-  private val SYMBOL = 19
-  private val CANONICAL = 20
-  private val EXON = 22
-  private val EXISTING = 24
-  private val MOTIF_NAME = 25
-  private val N_FIELDS = 32
+  private val IMPACT = 2
+  private val SYMBOL = 3
+  private val GENE = 4
+  private val FTYPE = 5
+  private val FEATURE = 6
+  private val EXON = 8
+  private val HGVSC = 10
+  private val HGVSP = 11
+  private val EXISTING = 17
+  private val CANONICAL = 24
+  private val MANE = 25
+  private val SIFT = 37
+  private val POLYPHEN = 38
+  private val AF = 42
+  private val MAX_AF = 69
+  private val MAX_AF_POPS = 70
+  private val MOTIF_NAME = 75
+  private val MOTIF_SCORE = 78
+  private val TFS = 79
+  private val N_FIELDS = 80
 
   test("annotateTyped arrays align element-wise with annotate CSQ entries") {
     // variant 1 overlaps one transcript + one regulatory feature + one
@@ -40,23 +47,38 @@ class AnnotateSuite extends SparkSpec {
       ("chr1", 1205L, 1205L, 1L, "A", "C"),
       ("chr2", 50L, 50L, 2L, "A", "G"),
     ).toDF("chrom", "start", "end", "id", "ref", "alt")
+    // gnomAD sub-population AF family: constant 0.05 (below af_sas 0.6,
+    // so MAX_AF = 0.6/'SAS'); af/af_gnomad/af_gnomadg are globals the
+    // MAX_AF excludes
+    val gnomadExt = Annotate.afCsq.map(_._2)
+      .filterNot(Seq("af", "af_afr", "af_amr", "af_eas", "af_eur", "af_sas",
+        "af_gnomad").contains)
+      .map(c => s"CAST(0.05 AS DOUBLE) AS $c")
     val cache = Seq(
       ("chr1", 1205L, 1205L, "rs1", "A/C", 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, "benign"),
     ).toDF("chrom", "start", "end", "variation_name", "allele_string",
       "af", "af_afr", "af_amr", "af_eas", "af_eur", "af_sas", "af_gnomad", "clin_sig")
+      .selectExpr(Seq("*") ++ gnomadExt ++ Seq(
+        "'1' AS somatic", "'0' AS pheno", "CAST(NULL AS STRING) AS pubmed"): _*)
     val tx = Seq(
       ("chr1", 1000L, 1999L, "T1", 1, "protein_coding", 1100L, 1900L,
         "G1", "SYM1", "YES", ""),
     ).toDF("chrom", "start", "end", "transcript_id", "strand", "biotype",
       "cds_start", "cds_end", "gene_id", "symbol", "canonical", "flags")
+      .selectExpr("*",
+        "'NM_1.1' AS mane_select", "'' AS mane_plus_clinical",
+        "1 AS tsl", "'P1' AS appris", "'CCDS1.1' AS ccds",
+        "'SPQ1' AS swissprot", "'' AS trembl", "'UPI1' AS uniparc",
+        "'SPQ1-1' AS uniprot_isoform", "'1' AS gene_pheno",
+        "'Pfam:PF1' AS domains", "'' AS mirna")
     val ex = Seq(("T1", 1000L, 1399L), ("T1", 1400L, 1699L), ("T1", 1700L, 1999L))
       .toDF("transcript_id", "start", "end")
     val sift = Seq(("T1", 1L, "A", 0.5)).toDF("transcript_id", "protein_pos", "aa", "sift_score")
     val pp = Seq(("T1", 1L, "A", 0.5)).toDF("transcript_id", "protein_pos", "aa", "polyphen_score")
     val reg = Seq(("chr1", 1200L, 1210L, "R1", "promoter"))
       .toDF("chrom", "start", "end", "feature_id", "feature_type")
-    val mot = Seq(("chr1", 1204L, 1215L, "M1", "CTCF"))
-      .toDF("chrom", "start", "end", "motif_id", "tf_name")
+    val mot = Seq(("chr1", 1204L, 1215L, "M1", "CTCF", -0.25))
+      .toDF("chrom", "start", "end", "motif_id", "tf_name", "score_change")
 
     val typed = Annotate.annotateTyped(vcf, cache, tx, ex, sift, pp, reg, mot)
       .collect().map(r => r.getLong(r.fieldIndex("id")) -> r).toMap
@@ -85,8 +107,13 @@ class AnnotateSuite extends SparkSpec {
     assert(t1e(GENE) == "G1" && t1e(SYMBOL) == "SYM1" && t1e(CANONICAL) == "YES")
     assert(t1e(EXON) == "1/3")      // pos 1205 is in exon 1 of 3, '+' strand
     assert(t1e(EXISTING) == "rs1")  // threaded from the shared lookup
+    assert(t1e(MANE) == "MANE_Select")   // derived from mane_select
+    assert(t1e(AF) == "0.1000")          // fixed 4-decimal AF slot
+    assert(t1e(MAX_AF) == "0.6000" && t1e(MAX_AF_POPS) == "SAS")
     val m1e = e1.find(_(FEATURE) == "M1").get
     assert(m1e(FTYPE) == "MotifFeature" && m1e(MOTIF_NAME) == "CTCF")
+    assert(m1e(MOTIF_SCORE) == "-0.25" && m1e(TFS) == "CTCF")
+    assert(m1e(MANE) == "")              // non-transcript feature
     // every array column must match the corresponding CSQ field,
     // element for element, in the shared entry-sort order
     assert(arr(1L, "transcript_ids") == e1.map(_(FEATURE)).toSeq)
@@ -107,9 +134,11 @@ class AnnotateSuite extends SparkSpec {
     assert(t1.getString(t1.fieldIndex("variation_name")) == "rs1")
     assert(p1.getString(p1.fieldIndex("variation_name")) == "rs1")
     assert(t1.getLong(t1.fieldIndex("n_transcripts")) == 3L)
-    // MAX_AF spans population columns only (global af 0.1 excluded;
-    // af_gnomad 0.7 is the population maximum)
-    assert(t1.getDouble(t1.fieldIndex("max_af")) == 0.7)
+    // MAX_AF spans population columns only: the globals af 0.1,
+    // af_gnomad 0.7 (gnomADe_AF) and af_gnomadg are excluded, the
+    // gnomAD sub-pops sit at 0.05, so af_sas 0.6 wins
+    assert(t1.getDouble(t1.fieldIndex("max_af")) == 0.6)
+    assert(t1.getString(t1.fieldIndex("max_af_pops")) == "SAS")
 
     // no-entry variant: all arrays empty, csq empty
     assert(entries(2L).isEmpty)
