@@ -764,11 +764,13 @@ object VepSpliceQueries {
        |exv1 AS (SELECT exv0.*,
        |   GREATEST(${Annotate.maxAfPopCols.map { case (_, c) => s"mx_$c" }.mkString(", ")}) AS maxafn
        |  FROM exv0),
-       |exv AS (SELECT exv1.*,
-       |   CAST(CAST(maxafn AS DECIMAL(5,4)) AS VARCHAR) AS exmaxaf,
-       |   concat_ws('&', ${Annotate.maxAfPopCols.map { case (n, c) =>
+       |exv AS (SELECT id, exvar,
+       |   concat(${Annotate.afCsq.map { case (_, c) => s"COALESCE(ex_$c, '')" }.mkString(", '|', ")}, '|',
+       |    CAST(CAST(maxafn AS DECIMAL(5,4)) AS VARCHAR), '|',
+       |    concat_ws('&', ${Annotate.maxAfPopCols.map { case (n, c) =>
              s"CASE WHEN mx_$c = maxafn THEN '$n' END"
-           }.mkString(", ")}) AS exmaxafpops
+           }.mkString(", ")}), '|',
+       |    exclin, '|', exsom, '|', expheno, '|', expub) AS exsuffix
        |  FROM exv1),
        |rend AS (SELECT id, transcript_id, cdna_pos, cds_pos, protein_pos,
        |   hgvs_c, hgvs_p, sift_pred, polyphen_pred, aas, cod, dist,
@@ -818,11 +820,7 @@ object VepSpliceQueries {
        |   COALESCE(t.domains, ''), '|',
        |   CASE WHEN rend.has_mirna THEN COALESCE(t.mirna, '') ELSE '' END, '|',
        |   COALESCE(CAST(rend.hgvs_offset AS VARCHAR), ''), '|',
-       |   ${Annotate.afCsq.map { case (_, c) => s"COALESCE(exv.ex_$c, '')" }.mkString(", '|', ")}, '|',
-       |   COALESCE(exv.exmaxaf, ''), '|', COALESCE(exv.exmaxafpops, ''), '|',
-       |   COALESCE(exv.exclin, ''), '|',
-       |   COALESCE(exv.exsom, ''), '|', COALESCE(exv.expheno, ''), '|',
-       |   COALESCE(exv.expub, ''), '|',
+       |   COALESCE(exv.exsuffix, '${"|" * 32}'), '|',
        |   COALESCE(rend.mname, ''), '|',
        |   COALESCE(CAST(rend.mpos AS VARCHAR), ''), '|',
        |   COALESCE(rend.minf, ''), '|',

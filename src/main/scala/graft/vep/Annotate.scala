@@ -272,23 +272,31 @@ object Annotate {
       .agg(array_sort(collect_list(entStruct)).as("_ents"),
         (array_join(array_sort(collect_set(col("clin_sig"))), "&").as("_exclin") +:
           popMaxes): _*)
-      .select(Seq(
+      .select(
         col("id"),
         expr("array_join(transform(_ents, x -> x.vn), '&')").as("_exvar"),
-        col("_exclin"),
-        expr("array_join(transform(_ents, x -> x.somatic), '&')").as("_exsom"),
-        expr("array_join(transform(_ents, x -> x.pheno), '&')").as("_expheno"),
-        expr("array_join(transform(filter(_ents, x -> x.pubmed IS NOT NULL), x -> x.pubmed), '&')")
-          .as("_expub"),
-        dec4(globalMax).as("_exmaxaf"),
-        concat_ws("&", maxAfPopCols.map { case (n, c) =>
-          when(col(s"_mx_$c") === globalMax, lit(n))
-        }: _*).as("_exmaxafpops")) ++
-        afCsq.map { case (_, c) =>
-          expr(s"array_join(transform(_ents, x -> CAST(CAST(x.$c AS DECIMAL(5,4)) AS STRING)), '&')")
-            .as(s"_ex_$c")
-        }: _*)
+        // the 33 colocated-family CSQ fields (AF slots..PUBMED) are
+        // per-VARIANT constants: pre-join them into ONE suffix string
+        // here, so the per-entry join ships one column instead of 35
+        // and the entry concat takes one argument for the whole block
+        concat_ws("|",
+          afCsq.map { case (_, c) =>
+            expr(s"array_join(transform(_ents, x -> CAST(CAST(x.$c AS DECIMAL(5,4)) AS STRING)), '&')")
+          } ++ Seq(
+            dec4(globalMax),
+            concat_ws("&", maxAfPopCols.map { case (n, c) =>
+              when(col(s"_mx_$c") === globalMax, lit(n))
+            }: _*),
+            col("_exclin"),
+            expr("array_join(transform(_ents, x -> x.somatic), '&')"),
+            expr("array_join(transform(_ents, x -> x.pheno), '&')"),
+            expr("array_join(transform(filter(_ents, x -> x.pubmed IS NOT NULL), x -> x.pubmed), '&')")): _*)
+          .as("_exsuffix"))
   }
+
+  /** Empty colocated suffix (33 fields -> 32 '|'s) for variants with
+    * no cache match. */
+  private val emptyExSuffix: String = "|" * 32
 
   /** Shared variant-level tail: MAX_AF/MAX_AF_POPS + rank name
     * resolution, LEFT-joined onto the per-variant aggregate. MAX_AF
@@ -686,12 +694,14 @@ object Annotate {
       f(col("_sift")), f(col("_polyphen")), f(col("_e_domains")),
       when(array_contains(col("_terms"), "mature_miRNA_variant"),
         f(col("_e_mirna"))).otherwise(lit("")),
-      f(col("_hoff"))) ++
-      afCsq.map { case (_, c) => f(col(s"_ex_$c")) } ++ Seq(
-      f(col("_exmaxaf")), f(col("_exmaxafpops")), f(col("_exclin")),
-      f(col("_exsom")), f(col("_expheno")), f(col("_expub")),
+      f(col("_hoff")),
+      coalesce(col("_exsuffix"), lit(emptyExSuffix)),
       f(col("_mname")), f(col("_mpos")), f(col("_minf")),
       dec2(col("_mscore")), f(col("_mname")))
+    // vClass/existing scale with the VARIANT count (not a bounded
+    // dimension), so they are deliberately NOT hinted broadcast — AQE
+    // converts these joins at runtime when the side is actually small,
+    // and a 100 TB vcf keeps the sound shuffle plan
     fused.unionByName(updown).unionByName(regEntries).unionByName(motEntries)
       .join(broadcast(tAttr), Seq("transcript_id"), "left")
       .join(vClass, Seq("id"))
