@@ -323,13 +323,59 @@ object AiListIntervalIndex {
   }
 }
 
+/** COITrees-style implicit augmented interval tree (the reference's
+  * DEFAULT layout, session_context.rs:60-101 `Algorithm::Coitrees`;
+  * cgranges lineage): the canonical (start, end, rank)-sorted array
+  * doubles as an implicit balanced BST via midpoint recursion, with a
+  * subtree-max-end augmentation stored at each midpoint. A probe
+  * recurses from the root: a subtree is pruned when its max end is
+  * below `qs` (nothing can reach the query) or when the node's start
+  * exceeds `qe` (the right subtree starts even later). In-order visits
+  * ascend the canonical index order, so emission matches every other
+  * layout without a sort. */
+final class CoitreesIntervalIndex(
+    val starts: Array[Long], val ends: Array[Long],
+    /** max end over the implicit subtree rooted at each midpoint */
+    val subMax: Array[Long],
+    val payload: Array[Int]) extends IntervalStabber {
+  def query(qs: Long, qe: Long)(f: Int => Unit): Unit = visit(0, starts.length - 1, qs, qe, f)
+
+  private def visit(lo: Int, hi: Int, qs: Long, qe: Long, f: Int => Unit): Unit = {
+    if (lo > hi) return
+    val mid = (lo + hi) >>> 1
+    if (subMax(mid) < qs) return       // whole subtree ends before query
+    visit(lo, mid - 1, qs, qe, f)
+    if (starts(mid) <= qe) {
+      if (ends(mid) >= qs) f(payload(mid))
+      visit(mid + 1, hi, qs, qe, f)    // right subtree may still start <= qe
+    }                                   // else: right starts even later — prune
+  }
+}
+
+object CoitreesIntervalIndex {
+  def build(s: Array[Long], e: Array[Long], payload: Array[Int]): CoitreesIntervalIndex = {
+    val c = ContigIntervalIndex.build(s, e, payload)
+    val subMax = new Array[Long](c.starts.length)
+    def fill(lo: Int, hi: Int): Long = {
+      if (lo > hi) return Long.MinValue
+      val mid = (lo + hi) >>> 1
+      val m = math.max(c.ends(mid), math.max(fill(lo, mid - 1), fill(mid + 1, hi)))
+      subMax(mid) = m
+      m
+    }
+    fill(0, c.starts.length - 1)
+    new CoitreesIntervalIndex(c.starts, c.ends, subMax, c.payload)
+  }
+}
+
 /** J3 algorithm selection: one factory keyed by the session config
   * `spark.graft.intervalJoin.algorithm` —
   * `superintervals` (default, sorted arrays + prefix-max-end),
   * `eytzinger` (same layout, branchless BFS-ordered search),
   * `lapper` (start-sorted + max-length back-off),
-  * `ailist` (augmented interval list, skew-robust decomposition), or
-  * `linear` (naive scan, for verification). */
+  * `ailist` (augmented interval list, skew-robust decomposition),
+  * `coitrees` (implicit augmented interval tree — the reference's
+  * default), or `linear` (naive scan, for verification). */
 object IntervalIndexFactory {
   val ConfKey = "spark.graft.intervalJoin.algorithm"
 
@@ -342,9 +388,10 @@ object IntervalIndexFactory {
       case "eytzinger" => EytzingerIntervalIndex.build(s, e, payload)
       case "lapper" => LapperIntervalIndex.build(s, e, payload)
       case "ailist" => AiListIntervalIndex.build(s, e, payload)
+      case "coitrees" => CoitreesIntervalIndex.build(s, e, payload)
       case "superintervals" | "" => ContigIntervalIndex.build(s, e, payload)
       case other => throw new IllegalArgumentException(
-        s"unknown interval-join algorithm '$other' (superintervals | eytzinger | lapper | ailist | linear)")
+        s"unknown interval-join algorithm '$other' (superintervals | eytzinger | lapper | ailist | coitrees | linear)")
     }
 }
 

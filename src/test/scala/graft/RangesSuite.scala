@@ -64,15 +64,15 @@ class RangesSuite extends SparkSpec {
       assert(got == naivePairs(FilterOp.Weak))
     } finally spark.conf.unset(IntervalIndexFactory.ConfKey)
     intercept[IllegalArgumentException] {
-      IntervalIndexFactory.build("coitrees", Array(1L), Array(2L), Array(0))
+      IntervalIndexFactory.build("quadtree", Array(1L), Array(2L), Array(0))
     }
   }
 
-  test("J3 eytzinger/lapper/ailist indexes: emission parity with superintervals") {
+  test("J3 eytzinger/lapper/ailist/coitrees indexes: emission parity with superintervals") {
     import graft.index.IntervalIndexFactory
     val rnd = new scala.util.Random(42)
     for (n <- Seq(0, 1, 7, 100, 1023);
-         algo <- Seq("eytzinger", "lapper", "ailist")) {
+         algo <- Seq("eytzinger", "lapper", "ailist", "coitrees")) {
       val s = Array.fill(n)(rnd.nextLong(1000))
       // ~10% very long intervals: the length skew that degrades plain
       // backward scans and drives AIList's component extraction
