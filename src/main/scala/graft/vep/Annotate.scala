@@ -146,18 +146,20 @@ object Annotate {
       regulatory: DataFrame, motifs: DataFrame,
       upstreamDistance: Long = 5000L): DataFrame = {
     val looked = lookedDf(vcf, cache)
-    val entries = entriesDf(vcf, existingVar(looked), transcripts, exons,
+    val entries = entriesDf(vcf, transcripts, exons,
       sift, polyphen, regulatory, motifs, upstreamDistance)
     val grouped = entries.groupBy(col("id"))
       .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
-        array_join(array_sort(collect_list(col("_entry"))), ",").as("csq"))
+        array_join(array_sort(collect_list(col("_entry"))), ",").as("_csqT"))
     lookupJoin(looked, grouped)
+      .join(vClassDf(vcf), Seq("id"))
+      .join(existingVar(looked), Seq("id"), "left")
       .select((col("id") +: col("variation_name") +:
         afCsq.map { case (_, c) => col(c) }) ++ Seq(
         col("max_af"), col("max_af_pops"),
         col("most_severe_consequence"),
         coalesce(col("n_transcripts"), lit(0L)).as("n_transcripts"),
-        coalesce(col("csq"), lit("")).as("csq")): _*)
+        coalesce(substPerVariant(col("_csqT")), lit("")).as("csq")): _*)
   }
 
   /** [[annotate]] with TYPED per-transcript array columns instead of
@@ -172,12 +174,13 @@ object Annotate {
       regulatory: DataFrame, motifs: DataFrame,
       upstreamDistance: Long = 5000L): DataFrame = {
     val looked = lookedDf(vcf, cache)
-    val entries = entriesDf(vcf, existingVar(looked), transcripts, exons,
+    val entries = entriesDf(vcf, transcripts, exons,
       sift, polyphen, regulatory, motifs, upstreamDistance)
     val grouped = entries.groupBy(col("id"))
       .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
-        // struct sort key = the unique entry string, so the parallel
-        // arrays share one deterministic order on both engines
+        // struct sort key = the unique entry string (placeholder form;
+        // per-variant blocks are constant within the group, so the
+        // order equals the substituted order both engines sort by)
         array_sort(collect_list(struct(
           col("_entry").as("e"), col("transcript_id").as("t"),
           col("_termstr").as("c"), f(col("hgvs_c")).as("hc"),
@@ -298,6 +301,40 @@ object Annotate {
     * no cache match. */
   private val emptyExSuffix: String = "|" * 32
 
+  /** Per-variant CSQ blocks render as single-byte placeholders in the
+    * per-entry stream and substitute ONCE per variant after the final
+    * aggregation: the wide entry stream never joins the per-variant
+    * dims, and the grouped-csq shuffle ships one byte where the
+    * rendered block (up to ~350 B of AF suffix) would repeat per
+    * entry. Sort order is unaffected: fields contain no '|' or
+    * control bytes, so two entries of the same variant first differ
+    * inside a PER-ENTRY field at identical byte alignment in both the
+    * placeholder and the substituted form. */
+  private val PhAllele = "\u0001"
+  private val PhVclass = "\u0002"
+  private val PhExvar = "\u0003"
+  private val PhSuffix = "\u0004"
+
+  /** Substitute the four per-variant placeholders in an aggregated
+    * CSQ string; requires _vallele/_vclass/_exvar/_exsuffix in scope. */
+  private def substPerVariant(c: Column): Column = {
+    def rep(inner: Column, ph: String, v: Column): Column =
+      call_function("replace", inner, lit(ph), v)
+    rep(rep(rep(rep(c, PhAllele, col("_vallele")),
+      PhVclass, col("_vclass")),
+      PhExvar, coalesce(col("_exvar"), lit(""))),
+      PhSuffix, coalesce(col("_exsuffix"), lit(emptyExSuffix)))
+  }
+
+  /** VEP's VARIANT_CLASS and (first) output Allele, per variant. */
+  private def vClassDf(vcf: DataFrame): DataFrame =
+    vcf.select(col("id"),
+      when(length(col("ref")) === 1 && length(col("alt")) === 1, lit("SNV"))
+        .when(length(col("ref")) === length(col("alt")), lit("substitution"))
+        .when(length(col("alt")) > length(col("ref")), lit("insertion"))
+        .otherwise(lit("deletion")).as("_vclass"),
+      Vep.vepAltUdf(col("ref"), col("alt")).as("_vallele"))
+
   /** Shared variant-level tail: MAX_AF/MAX_AF_POPS + rank name
     * resolution, LEFT-joined onto the per-variant aggregate. MAX_AF
     * spans the POPULATION columns only — the reference excludes the
@@ -319,11 +356,11 @@ object Annotate {
   }
 
   /** One row per (variant, transcript) entry with its fused term set
-    * rendered, severity rank, and entry string — the shared middle of
-    * [[annotate]]/[[annotateTyped]]. `existing` is the per-variant
-    * (id, _exvar) Existing_variation dimension from [[existingVar]]. */
+    * rendered, severity rank, and entry string (per-variant blocks as
+    * placeholders — see [[substPerVariant]]) — the shared middle of
+    * [[annotate]]/[[annotateTyped]]. */
   private def entriesDf(
-      vcf: DataFrame, existing: DataFrame, transcripts: DataFrame,
+      vcf: DataFrame, transcripts: DataFrame,
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       regulatory: DataFrame, motifs: DataFrame,
       upstreamDistance: Long): DataFrame = {
@@ -660,13 +697,6 @@ object Annotate {
         col("gene_id").as("_e_gene"), col("symbol").as("_e_sym"),
         col("canonical").as("_e_canon"), col("flags").as("_e_flags")) ++
       extAttrs.map(a => col(a).cast("string").as(s"_e_$a")): _*)
-    // VEP's VARIANT_CLASS and (first) output Allele, per variant
-    val vClass = vcf.select(col("id"),
-      when(length(col("ref")) === 1 && length(col("alt")) === 1, lit("SNV"))
-        .when(length(col("ref")) === length(col("alt")), lit("substitution"))
-        .when(length(col("alt")) > length(col("ref")), lit("insertion"))
-        .otherwise(lit("deletion")).as("_vclass"),
-      Vep.vepAltUdf(col("ref"), col("alt")).as("_vallele"))
     val ensp = when(Splice.isCodingBt(col("_e_bt")),
       concat(lit("P"), substring(col("transcript_id"), 2, 32)))
       .otherwise(lit(""))
@@ -674,14 +704,14 @@ object Annotate {
       .when(col("_e_mane_plus_clinical") =!= "", lit("MANE_Plus_Clinical"))
       .otherwise(lit(""))
     val fields: Seq[Column] = Seq(
-      f(col("_vallele")), col("_termstr"), col("_impact"),
+      lit(PhAllele), col("_termstr"), col("_impact"),
       f(col("_e_sym")), f(col("_e_gene")), col("_ftype"), col("transcript_id"),
       f(col("_e_bt")), f(col("_exon")), f(col("_intron")),
       f(col("hgvs_c")), f(col("hgvs_p")),
       f(col("_cdna")), f(col("_cds")), f(col("_pp")),
-      f(col("_aas")), f(col("_cod")), f(col("_exvar")),
+      f(col("_aas")), f(col("_cod")), lit(PhExvar),
       f(col("_dist")), f(col("_e_strand")), f(col("_e_flags")),
-      col("_vclass"),
+      lit(PhVclass),
       when(length(col("_e_sym")) > 0, lit("HGNC")).otherwise(lit("")),
       when(length(col("_e_sym")) > 0,
         concat(lit("HGNC:"), substring(col("_e_sym"), 4, 32)))
@@ -695,17 +725,11 @@ object Annotate {
       when(array_contains(col("_terms"), "mature_miRNA_variant"),
         f(col("_e_mirna"))).otherwise(lit("")),
       f(col("_hoff")),
-      coalesce(col("_exsuffix"), lit(emptyExSuffix)),
+      lit(PhSuffix),
       f(col("_mname")), f(col("_mpos")), f(col("_minf")),
       dec2(col("_mscore")), f(col("_mname")))
-    // vClass/existing scale with the VARIANT count (not a bounded
-    // dimension), so they are deliberately NOT hinted broadcast — AQE
-    // converts these joins at runtime when the side is actually small,
-    // and a 100 TB vcf keeps the sound shuffle plan
     fused.unionByName(updown).unionByName(regEntries).unionByName(motEntries)
       .join(broadcast(tAttr), Seq("transcript_id"), "left")
-      .join(vClass, Seq("id"))
-      .join(existing, Seq("id"), "left")
       .withColumn("_termstr", expr(termStrSql(CodonLogic.SparkD, "_terms")))
       .withColumn("_best", expr(bestRankSql(CodonLogic.SparkD, "_terms")))
       .withColumn("_impact", expr(impactSql("_best")))
