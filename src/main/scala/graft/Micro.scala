@@ -61,10 +61,21 @@ object Micro {
       val d = args.head
       val names = args.drop(1)
       val qs = SparkEntry.queries
+      // job/stage counters: structural overhead shows up as scheduling
+      // volume long before it shows up in task time at gate scale
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+        }
+      })
       for (rep <- 0 until 2; nm <- names) {
+        jobs.set(0); stages.set(0)
         val t0 = System.nanoTime()
         qs(nm)(spark, d).write.format("noop").mode("overwrite").save()
-        println(f"$nm rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println(f"$nm rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s  " +
+          s"jobs=${jobs.get} stages=${stages.get}")
       }
       spark.stop()
     }

@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
   *   up/downstream candidates   → distance-window entries
   *
   * Output: one row per input variant —
-  * (id, variation_name, af, af_* family, max_af,
+  * (id, variation_name, af, af_* family, max_af, max_af_pops,
   * most_severe_consequence, n_transcripts, csq) where csq is a
-  * deterministic comma-joined list of 28-field per-feature entries
+  * deterministic comma-joined list of 80-field per-feature entries
   * (see the rendering comment in [[entriesDf]] for the field list —
   * the --everything column family: gene/SYMBOL/CANONICAL/FLAGS,
   * EXON/INTRON ranks, Existing_variation, motif fields, Allele,

@@ -144,5 +144,20 @@ class AnnotateSuite extends SparkSpec {
     assert(entries(2L).isEmpty)
     Seq("transcript_ids", "consequences", "hgvs_c", "hgvs_p", "sift",
       "polyphen", "impact").foreach(c => assert(arr(2L, c).isEmpty))
+
+    // partition invariance: the entry sort (placeholder form) and the
+    // per-variant substitution must be deterministic under different
+    // shuffle layouts
+    val base = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val p0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (p <- Seq("1", "7")) {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        val got = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot)
+          .orderBy("id").collect().map(_.toSeq).toSeq
+        assert(got == base, s"annotate not invariant at partitions=$p")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", p0)
   }
 }
