@@ -71,6 +71,13 @@ object MlQueries {
       Multimodal.extractFeatures(assets)
         .select(col("asset_id"), col("media_type"), col("byte_length"), col("checksum"))
     }),
+    // frame-sample plumbing over a SQL-derived duration (the header
+    // codec is the declared stub; the explode shape is the operator)
+    "mm_frame_sample" -> ((s, d) => {
+      val feats = Tables.load(s, d, "events").where("event_id % 3 = 2").selectExpr(
+        "event_id AS asset_id", "CAST(event_id % 10000 + 40 AS BIGINT) AS duration_ms")
+      Multimodal.sampleFrameOffsets(feats, 4)
+    }),
   )
 
   // ---- DuckDB oracle fragments --------------------------------------
@@ -299,5 +306,12 @@ object MlQueries {
        "WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, " +
        "CAST(octet_length(encode(props)) AS BIGINT) AS byte_length, md5(props) AS checksum " +
        "FROM events ORDER BY asset_id"),
+    "mm_frame_sample" ->
+      ("WITH f AS (SELECT event_id AS asset_id, " +
+       "CAST(event_id % 10000 + 40 AS BIGINT) AS duration_ms " +
+       "FROM events WHERE event_id % 3 = 2) " +
+       "SELECT asset_id, CAST(t.i AS INT) AS frame_idx, " +
+       "CAST(duration_ms * t.i // 4 AS BIGINT) AS offset_ms " +
+       "FROM f, range(4) t(i) ORDER BY asset_id, frame_idx"),
   )
 }

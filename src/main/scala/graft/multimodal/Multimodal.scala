@@ -67,12 +67,15 @@ object Multimodal {
     }.toDF("asset_id", "media_type", "byte_length", "width", "height", "duration_ms", "checksum")
   }
 
-  /** Frame-sample stub: pick `n` deterministic offsets in
-    * [0, duration); the real variant would decode frames at these
-    * timestamps. Demonstrates the explode-shaped plumbing. */
+  /** Frame sampling: `n` deterministic evenly spaced offsets in
+    * [0, duration) per asset — `offset_ms = floor(duration * i / n)`,
+    * the timestamps a real variant would decode frames at. Map-only
+    * explode (one output row per (asset, frame index)), no shuffle —
+    * at 100 TB the row expansion happens inside the scan stage. */
   def sampleFrameOffsets(features: DataFrame, n: Int): DataFrame =
     features.where(col("duration_ms").isNotNull && col("duration_ms") > 0)
       .select(col("asset_id"),
         posexplode(transform(sequence(lit(0), lit(n - 1)),
-          i => (col("duration_ms") * i / n))).as(Seq("frame_idx", "offset_ms")))
+          i => floor(col("duration_ms") * i / n).cast("long")))
+          .as(Seq("frame_idx", "offset_ms")))
 }
