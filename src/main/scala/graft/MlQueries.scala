@@ -78,6 +78,14 @@ object MlQueries {
         "event_id AS asset_id", "CAST(event_id % 10000 + 40 AS BIGINT) AS duration_ms")
       Multimodal.sampleFrameOffsets(feats, 4)
     }),
+    // aspect-preserving resize planning over SQL-derived dimensions
+    "mm_resize_plan" -> ((s, d) => {
+      val feats = Tables.load(s, d, "events").where("event_id % 3 = 0").selectExpr(
+        "event_id AS asset_id",
+        "CAST(event_id % 3840 + 16 AS INT) AS width",
+        "CAST(event_id % 2160 + 16 AS INT) AS height")
+      Multimodal.resizePlan(feats, maxDim = 512)
+    }),
   )
 
   // ---- DuckDB oracle fragments --------------------------------------
@@ -313,5 +321,14 @@ object MlQueries {
        "SELECT asset_id, CAST(t.i AS INT) AS frame_idx, " +
        "CAST(duration_ms * t.i // 4 AS BIGINT) AS offset_ms " +
        "FROM f, range(4) t(i) ORDER BY asset_id, frame_idx"),
+    "mm_resize_plan" ->
+      ("WITH f AS (SELECT event_id AS asset_id, " +
+       "CAST(event_id % 3840 + 16 AS BIGINT) AS w, " +
+       "CAST(event_id % 2160 + 16 AS BIGINT) AS h " +
+       "FROM events WHERE event_id % 3 = 0) " +
+       "SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+       "CAST(CASE WHEN greatest(w, h) > 512 THEN (w * 512) // greatest(w, h) ELSE w END AS INT) AS new_width, " +
+       "CAST(CASE WHEN greatest(w, h) > 512 THEN (h * 512) // greatest(w, h) ELSE h END AS INT) AS new_height " +
+       "FROM f ORDER BY asset_id"),
   )
 }

@@ -78,4 +78,25 @@ object Multimodal {
         posexplode(transform(sequence(lit(0), lit(n - 1)),
           i => floor(col("duration_ms") * i / n).cast("long")))
           .as(Seq("frame_idx", "offset_ms")))
+
+  /** Resize planning: aspect-preserving target dimensions with the
+    * long edge clamped to `maxDim` (floor semantics, never upscale).
+    * Pure column arithmetic over the feature table — the real decode+
+    * rescale kernel would consume (asset_id, new_width, new_height)
+    * per partition; the plan itself is map-only and codegen'd. */
+  def resizePlan(features: DataFrame, maxDim: Int): DataFrame = {
+    // integer DIV keeps both engines on exact floor semantics (a
+    // double division + floor can land one off when the true quotient
+    // sits just below an integer)
+    def side(c: String): String =
+      s"CAST(CASE WHEN greatest(_w, _h) > $maxDim " +
+      s"THEN ($c * $maxDim) DIV greatest(_w, _h) ELSE $c END AS INT)"
+    features
+      .where(col("width").isNotNull && col("height").isNotNull &&
+        col("width") > 0 && col("height") > 0)
+      .select(col("asset_id"), col("width").cast("long").as("_w"),
+        col("height").cast("long").as("_h"))
+      .selectExpr("asset_id", "CAST(_w AS INT) AS width", "CAST(_h AS INT) AS height",
+        s"${side("_w")} AS new_width", s"${side("_h")} AS new_height")
+  }
 }
