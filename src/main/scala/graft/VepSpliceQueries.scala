@@ -584,6 +584,12 @@ object VepSpliceQueries {
     import graft.vep.{Annotate, CodonLogic}
     val D = CodonLogic.DuckD
     val coding = "biotype IN ('protein_coding', 'nonsense_mediated_decay')"
+    // colocated-family aggregation order: mirror Spark's FULL struct
+    // sort key (variation_name, then every payload field in struct
+    // order) so ties beyond the name cannot reorder between engines
+    val exvOrd = ("c.variation_name" +:
+      (Annotate.afCsq.map { case (_, c) => s"c.$c" } ++
+        Seq("c.somatic", "c.pheno", "c.pubmed"))).mkString(", ")
     s"""WITH ${Oracle.transcripts}, ${Oracle.exons}, ${Oracle.vcf}, ${Oracle.vepCache}, ${Oracle.siftCtx}, ${Oracle.polyphenCtx}, ${Oracle.regulatory}, ${Oracle.motifs},
        |cdna AS (SELECT * FROM ($cdnaHgvsSql) q1),
        |codon AS (SELECT id, transcript_id, consequence, protein_pos,
@@ -745,14 +751,14 @@ object VepSpliceQueries {
        |allent AS (SELECT * FROM fused UNION ALL SELECT * FROM ud
        |  UNION ALL SELECT * FROM rge UNION ALL SELECT * FROM mte),
        |exv0 AS (SELECT v.id,
-       |   string_agg(c.variation_name, '&' ORDER BY c.variation_name) AS exvar,
+       |   string_agg(c.variation_name, '&' ORDER BY $exvOrd) AS exvar,
        |   COALESCE(array_to_string(list_sort(list_distinct(
        |     list_filter(list(c.clin_sig), x -> x IS NOT NULL))), '&'), '') AS exclin,
-       |   string_agg(c.somatic, '&' ORDER BY c.variation_name) AS exsom,
-       |   string_agg(c.pheno, '&' ORDER BY c.variation_name) AS expheno,
-       |   COALESCE(string_agg(c.pubmed, '&' ORDER BY c.variation_name), '') AS expub,
+       |   string_agg(c.somatic, '&' ORDER BY $exvOrd) AS exsom,
+       |   string_agg(c.pheno, '&' ORDER BY $exvOrd) AS expheno,
+       |   COALESCE(string_agg(c.pubmed, '&' ORDER BY $exvOrd), '') AS expub,
        |   ${Annotate.afCsq.map { case (_, c) =>
-             s"string_agg(CAST(CAST(c.$c AS DECIMAL(5,4)) AS VARCHAR), '&' ORDER BY c.variation_name) AS ex_$c"
+             s"string_agg(CAST(CAST(c.$c AS DECIMAL(5,4)) AS VARCHAR), '&' ORDER BY $exvOrd) AS ex_$c"
            }.mkString(", ")},
        |   ${Annotate.maxAfPopCols.map { case (_, c) => s"MAX(c.$c) AS mx_$c" }.mkString(", ")}
        |  FROM v JOIN c ON v.chrom = c.chrom
