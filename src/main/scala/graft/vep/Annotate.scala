@@ -100,6 +100,44 @@ object Annotate {
     "gnomADg_REMAINING_AF" -> "af_gnomadg_remaining",
     "gnomADg_SAS_AF" -> "af_gnomadg_sas")
 
+  /** The 80 CSQ field names in emission order — byte-for-byte the
+    * reference's `--everything` header list (golden_benchmark.rs:
+    * 556-640 CSQ_FIELD_NAMES_EVERYTHING). Public so users can build
+    * the VCF `##INFO=<ID=CSQ,...>` header ([[csqInfoHeader]]) or
+    * parse entries positionally ([[parseCsq]]). */
+  val csqFieldNames: Seq[String] =
+    Seq("Allele", "Consequence", "IMPACT", "SYMBOL", "Gene",
+      "Feature_type", "Feature", "BIOTYPE", "EXON", "INTRON",
+      "HGVSc", "HGVSp", "cDNA_position", "CDS_position",
+      "Protein_position", "Amino_acids", "Codons", "Existing_variation",
+      "DISTANCE", "STRAND", "FLAGS", "VARIANT_CLASS", "SYMBOL_SOURCE",
+      "HGNC_ID", "CANONICAL", "MANE", "MANE_SELECT",
+      "MANE_PLUS_CLINICAL", "TSL", "APPRIS", "CCDS", "ENSP",
+      "SWISSPROT", "TREMBL", "UNIPARC", "UNIPROT_ISOFORM",
+      "GENE_PHENO", "SIFT", "PolyPhen", "DOMAINS", "miRNA",
+      "HGVS_OFFSET") ++
+    afCsq.map(_._1) ++
+    Seq("MAX_AF", "MAX_AF_POPS", "CLIN_SIG", "SOMATIC", "PHENO",
+      "PUBMED", "MOTIF_NAME", "MOTIF_POS", "HIGH_INF_POS",
+      "MOTIF_SCORE_CHANGE", "TRANSCRIPTION_FACTORS")
+
+  /** The VEP-style CSQ INFO header line announcing the entry format
+    * (what the reference's VCF writer emits for `--everything`). */
+  def csqInfoHeader: String =
+    "##INFO=<ID=CSQ,Number=.,Type=String,Description=\"Consequence " +
+    s"annotations from graft. Format: ${csqFieldNames.mkString("|")}\">"
+
+  /** Parse a CSQ column (comma-joined 80-field entries) into an array
+    * of name->value maps — '' slots stay empty strings; malformed
+    * entries map what they have positionally. */
+  def parseCsq(csq: Column): Column = {
+    val n = csqFieldNames.length
+    transform(split(csq, ","), e =>
+      map_from_arrays(
+        typedlit(csqFieldNames),
+        slice(concat(split(e, "\\|", -1), array_repeat(lit(""), n)), 1, n)))
+  }
+
   /** MAX_AF population set (pop name -> cache column): every AF column
     * whose AF_COLUMNS entry has a `max_af_pop` — the three globals
     * (AF, gnomADe_AF, gnomADg_AF) are EXCLUDED, 1000G populations use

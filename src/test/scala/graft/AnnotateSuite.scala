@@ -145,6 +145,22 @@ class AnnotateSuite extends SparkSpec {
     Seq("transcript_ids", "consequences", "hgvs_c", "hgvs_p", "sift",
       "polyphen", "impact").foreach(c => assert(arr(2L, c).isEmpty))
 
+    // the public CSQ metadata: 80 names in emission order, header
+    // line announces them, parseCsq inverts the rendering
+    assert(Annotate.csqFieldNames.length == N_FIELDS)
+    assert(Annotate.csqFieldNames(ALLELE) == "Allele" &&
+      Annotate.csqFieldNames(MAX_AF_POPS) == "MAX_AF_POPS" &&
+      Annotate.csqFieldNames(TFS) == "TRANSCRIPTION_FACTORS")
+    assert(Annotate.csqInfoHeader.contains(Annotate.csqFieldNames.mkString("|")))
+    val parsed = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot)
+      .where($"id" === 1L)
+      .select(org.apache.spark.sql.functions.explode(Annotate.parseCsq($"csq")).as("m"))
+      .collect().map(_.getMap[String, String](0))
+    assert(parsed.length == 3)
+    val tm = parsed.find(_("Feature") == "T1").get
+    assert(tm("SYMBOL") == "SYM1" && tm("MANE") == "MANE_Select" &&
+      tm("AF") == "0.1000" && tm("MAX_AF_POPS") == "SAS")
+
     // partition invariance: the entry sort (placeholder form) and the
     // per-variant substitution must be deterministic under different
     // shuffle layouts
