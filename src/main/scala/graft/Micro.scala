@@ -65,17 +65,31 @@ object Micro {
       // volume long before it shows up in task time at gate scale
       val jobs = new java.util.concurrent.atomic.AtomicInteger
       val stages = new java.util.concurrent.atomic.AtomicInteger
+      val stageTime = new java.util.concurrent.ConcurrentHashMap[String, Long]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
         }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val info = s.stageInfo
+          val key = info.name.takeWhile(_ != '(').trim + " @ " +
+            info.details.linesIterator.toSeq.lift(1).getOrElse("").trim
+          stageTime.merge(key, info.taskMetrics.executorRunTime, (a, b) => a + b)
+        }
       })
       for (rep <- 0 until 2; nm <- names) {
-        jobs.set(0); stages.set(0)
+        jobs.set(0); stages.set(0); stageTime.clear()
         val t0 = System.nanoTime()
         qs(nm)(spark, d).write.format("noop").mode("overwrite").save()
         println(f"$nm rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s  " +
           s"jobs=${jobs.get} stages=${stages.get}")
+        if (rep == 1) {
+          import scala.jdk.CollectionConverters._
+          stageTime.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (k, ms) =>
+            println(f"    ${ms / 1000.0}%7.1f task-s  $k")
+          }
+        }
       }
       spark.stop()
     }
