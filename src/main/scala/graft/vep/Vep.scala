@@ -69,6 +69,28 @@ object Vep {
     infoCols.map(c => s"""##INFO=<ID=${c.toUpperCase},Number=1,Type=String,Description="$c">""") :+
     "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
 
+  /** Annotated-VCF serialization (the reference's annotate output
+    * writer): joins [[Annotate.annotate]]'s per-variant result back
+    * onto the variant coordinates and renders `CSQ=` INFO lines, with
+    * [[annotatedVcfHeader]] announcing the 80-field entry format.
+    * Missing annotation renders `.` like any absent INFO value. */
+  def toAnnotatedVcfLines(vcf: DataFrame, annotated: DataFrame): DataFrame = {
+    val ann = annotated.select(col("id").as("_av_id"), col("csq").as("_av_csq"))
+    val info = when(col("_av_csq").isNull || col("_av_csq") === "", lit("."))
+      .otherwise(concat(lit("CSQ="), col("_av_csq")))
+    vcf.join(ann, col("id") === col("_av_id"), "left")
+      .select(concat_ws("\t",
+        col("chrom"), col("start").cast("string"),
+        coalesce(col("id").cast("string"), lit(".")),
+        col("ref"), col("alt"), lit("."), lit("PASS"), info).as("line"))
+  }
+
+  /** Header for [[toAnnotatedVcfLines]]: fileformat + the CSQ INFO
+    * format announcement + the column line. */
+  def annotatedVcfHeader: Seq[String] =
+    Seq("##fileformat=VCFv4.2", Annotate.csqInfoHeader,
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
+
   /** Register SQL-callable function names (lib.rs:91-102 equivalents). */
   def registerUdfs(spark: SparkSession): Unit = {
     spark.udf.register("vep_norm_start", vepNormStartUdf)

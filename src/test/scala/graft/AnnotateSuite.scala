@@ -161,6 +161,18 @@ class AnnotateSuite extends SparkSpec {
     assert(tm("SYMBOL") == "SYM1" && tm("MANE") == "MANE_Select" &&
       tm("AF") == "0.1000" && tm("MAX_AF_POPS") == "SAS")
 
+    // annotated-VCF serialization: CSQ INFO line round-trips the csq
+    // string; the no-annotation variant renders '.'
+    val ann = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot)
+    val lines = graft.vep.Vep.toAnnotatedVcfLines(vcf, ann)
+      .collect().map(_.getString(0)).sortBy(_.split("\t")(2).toLong)
+    assert(lines.length == 2)
+    val f1 = lines(0).split("\t"); val f2 = lines(1).split("\t")
+    assert(f1(7).startsWith("CSQ=") &&
+      f1(7).drop(4) == plain(1L).getString(plain(1L).fieldIndex("csq")))
+    assert(f2(7) == ".")
+    assert(graft.vep.Vep.annotatedVcfHeader(1) == Annotate.csqInfoHeader)
+
     // partition invariance: the entry sort (placeholder form) and the
     // per-variant substitution must be deterministic under different
     // shuffle layouts
