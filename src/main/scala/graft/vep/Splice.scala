@@ -129,6 +129,15 @@ object Splice {
     graft.plans.Graft.enable(vcf.sparkSession)
     val cand = t.join(v,
       col("_tc") === col("_vc") && col("_vp").between(col("_ts"), col("_te")))
+    snvTranscriptAggFrom(cand, transcripts, exons)
+  }
+
+  /** [[snvTranscriptAgg]]'s exon aggregation over a PRE-JOINED
+    * candidate set carrying the probe columns (_vc,_vp,_vid,_vref,
+    * _valt,_wb × _tc,_ts,_te,_tid,_strand,_bt) — lets the integrated
+    * operator feed one shared transcript probe into this layer. */
+  private[vep] def snvTranscriptAggFrom(
+      cand: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
     val ex = exons.select(col("transcript_id").as("_etid"),
       col("start").cast("long").as("_es"), col("end").cast("long").as("_ee"))
     val p = col("_vp")
