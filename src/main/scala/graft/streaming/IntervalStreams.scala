@@ -59,4 +59,56 @@ object IntervalStreams {
       op: FilterOp = FilterOp.Weak): DataFrame =
     countOverlaps(stream, intervals, scols, icols, op)
       .where(col("n_overlaps") > 0).drop("n_overlaps")
+
+  /** Annotate a variant stream with its transcript context
+    * (streaming twin of the batch region-annotation probe): each
+    * streamed row explodes into one row per transcript within
+    * `upstreamDistance`, labelled overlap / upstream / downstream in
+    * transcript orientation. The static transcript table becomes one
+    * broadcast per-contig index at plan time; the probe is a
+    * stateless map stage (no watermark, no state store), so
+    * annotate-as-variants-arrive costs O(log n + hits) per row
+    * exactly like the batch path. */
+  def annotateTranscripts(
+      stream: DataFrame, transcripts: DataFrame,
+      scols: IntervalCols = IntervalCols.default,
+      upstreamDistance: Long = 5000L): DataFrame = {
+    val rows = transcripts.select(col("chrom"),
+      col("start").cast("long"), col("end").cast("long"),
+      col("transcript_id"), col("strand").cast("int")).collect()
+    val idx = rows.groupBy(_.getString(0)).map { case (k, rs) =>
+      // widen each interval by the reach so one stabbing query finds
+      // overlap + up/downstream candidates; payload keeps true bounds
+      val payload = rs.map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getInt(4)))
+      k -> (ContigIntervalIndex.build(
+        rs.map(_.getLong(1) - upstreamDistance),
+        rs.map(_.getLong(2) + upstreamDistance),
+        Array.range(0, rs.length)), payload)
+    }
+    val bc = stream.sparkSession.sparkContext.broadcast(idx)
+    val probe = udf { (contig: String, qs: Long, qe: Long) =>
+      bc.value.get(contig) match {
+        case Some((i, payload)) =>
+          val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+          i.query(qs, qe) { p =>
+            val (ts, te, tid, strand) = payload(p)
+            val term =
+              if (qs <= te && qe >= ts) "overlap"
+              else if ((strand == 1 && qe < ts) || (strand == -1 && qs > te)) "upstream"
+              else "downstream"
+            val dist = if (term == "overlap") 0L else math.max(ts - qe, qs - te)
+            out += ((tid, term, dist))
+          }
+          out.toSeq
+        case None => Seq.empty[(String, String, Long)]
+      }
+    }
+    stream
+      .withColumn("_tc", explode(probe(
+        col(scols.contig), col(scols.start).cast("long"), col(scols.end).cast("long"))))
+      .withColumn("transcript_id", col("_tc._1"))
+      .withColumn("relation", col("_tc._2"))
+      .withColumn("distance", col("_tc._3"))
+      .drop("_tc")
+  }
 }

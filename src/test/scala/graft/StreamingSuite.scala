@@ -40,6 +40,33 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transcript-context probe labels overlap/upstream/downstream") {
+    implicit val sqlCtx = spark.sqlContext
+    val tx = Seq(
+      ("c1", 1000L, 2000L, "T1", 1),
+      ("c1", 9000L, 9500L, "T2", -1),
+    ).toDF("chrom", "start", "end", "transcript_id", "strand")
+    val input = MemoryStream[Iv]
+    val ann = IntervalStreams.annotateTranscripts(input.toDF(), tx)
+    assert(ann.isStreaming)
+    val q = ann.writeStream.format("memory").queryName("txctx")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Iv("c1", 1500, 1500, 1), // inside T1
+        Iv("c1", 500, 500, 2),   // 500 before T1 ('+' -> upstream)
+        Iv("c1", 9800, 9800, 3), // 300 after T2 ('-' -> upstream)
+        Iv("c1", 50000, 50000, 4)) // out of reach
+      q.processAllAvailable()
+      val got = spark.table("txctx").collect()
+        .map(r => (r.getLong(3), r.getString(4), r.getString(5), r.getLong(6))).toSet
+      assert(got == Set(
+        (1L, "T1", "overlap", 0L),
+        (2L, "T1", "upstream", 500L),
+        (3L, "T2", "upstream", 300L)))
+    } finally q.stop()
+  }
+
   test("streaming semi-join filter keeps only overlapping rows") {
     implicit val sqlCtx = spark.sqlContext
     val statics = Seq(Iv("c1", 100, 200, 1)).toDF("contig", "pos_start", "pos_end", "id")
