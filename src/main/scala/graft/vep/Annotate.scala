@@ -121,6 +121,26 @@ object Annotate {
       "PUBMED", "MOTIF_NAME", "MOTIF_POS", "HIGH_INF_POS",
       "MOTIF_SCORE_CHANGE", "TRANSCRIPTION_FACTORS")
 
+  /** [[csqFieldNames]] for a transcript-source mode — the reference's
+    * `csq_field_names_for_mode` (golden_benchmark.rs:651-690) for the
+    * `--everything` profile: RefSeq mode splices REFSEQ_MATCH/
+    * REFSEQ_OFFSET/GIVEN_REF/USED_REF/BAM_EDIT before GENE_PHENO,
+    * merged mode additionally carries SOURCE after REFSEQ_MATCH.
+    * This library annotates from the derived (Ensembl-shaped) context
+    * so those slots render empty, but the header/order contract lets
+    * a RefSeq-cache consumer keep its column positions. */
+  def csqFieldNamesForMode(refseq: Boolean = false, merged: Boolean = false): Seq[String] = {
+    val extra =
+      if (merged)
+        Seq("REFSEQ_MATCH", "SOURCE", "REFSEQ_OFFSET", "GIVEN_REF",
+          "USED_REF", "BAM_EDIT")
+      else if (refseq)
+        Seq("REFSEQ_MATCH", "REFSEQ_OFFSET", "GIVEN_REF", "USED_REF", "BAM_EDIT")
+      else Seq.empty
+    val at = csqFieldNames.indexOf("GENE_PHENO")
+    csqFieldNames.take(at) ++ extra ++ csqFieldNames.drop(at)
+  }
+
   /** The VEP-style CSQ INFO header line announcing the entry format
     * (what the reference's VCF writer emits for `--everything`). */
   def csqInfoHeader: String =

@@ -152,6 +152,14 @@ class AnnotateSuite extends SparkSpec {
       Annotate.csqFieldNames(MAX_AF_POPS) == "MAX_AF_POPS" &&
       Annotate.csqFieldNames(TFS) == "TRANSCRIPTION_FACTORS")
     assert(Annotate.csqInfoHeader.contains(Annotate.csqFieldNames.mkString("|")))
+    // transcript-source modes splice the RefSeq block before GENE_PHENO
+    val refseq = Annotate.csqFieldNamesForMode(refseq = true)
+    assert(refseq.length == 85 &&
+      refseq.slice(refseq.indexOf("UNIPROT_ISOFORM") + 1, refseq.indexOf("GENE_PHENO")) ==
+        Seq("REFSEQ_MATCH", "REFSEQ_OFFSET", "GIVEN_REF", "USED_REF", "BAM_EDIT"))
+    val merged = Annotate.csqFieldNamesForMode(merged = true)
+    assert(merged.length == 86 && merged.indexOf("SOURCE") == merged.indexOf("REFSEQ_MATCH") + 1)
+    assert(Annotate.csqFieldNamesForMode() == Annotate.csqFieldNames)
     val parsed = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot)
       .where($"id" === 1L)
       .select(org.apache.spark.sql.functions.explode(Annotate.parseCsq($"csq")).as("m"))
