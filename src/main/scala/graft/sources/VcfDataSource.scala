@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -58,18 +58,26 @@ class VcfTable(path: String) extends Table with SupportsRead {
 }
 
 class VcfScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilters {
-  private var chromFilter: Option[String] = None
+  private var chromFilter: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // Enforce exactly ONE chrom equality at the line scanner and claim
-    // only that one as pushed; every other filter — including a second,
-    // possibly conflicting chrom equality — stays in the residual so
-    // Spark re-applies it (round-2/3 ADVICE: claiming all chrom
-    // equalities pushed while enforcing only the first returned chr0
-    // rows for `chrom='chr0' AND chrom='chr1'`).
-    val first = filters.collectFirst { case f @ EqualTo("chrom", _: String) => f }
-    first.foreach { case EqualTo(_, v: String) => chromFilter = Some(v) }
+    // Enforce exactly ONE chrom predicate — an equality or an IN list
+    // — at the line scanner and claim only that one as pushed; every
+    // other filter, including a second possibly conflicting chrom
+    // predicate, stays in the residual so Spark re-applies it
+    // (round-2/3 ADVICE: claiming all chrom equalities pushed while
+    // enforcing only the first returned chr0 rows for
+    // `chrom='chr0' AND chrom='chr1'`).
+    val first = filters.collectFirst {
+      case f @ EqualTo("chrom", _: String) => f
+      case f @ In("chrom", vs) if vs.forall(_.isInstanceOf[String]) => f
+    }
+    first.foreach {
+      case EqualTo(_, v: String) => chromFilter = Some(Set(v))
+      case In(_, vs) => chromFilter = Some(vs.map(_.asInstanceOf[String]).toSet)
+      case _ =>
+    }
     pushed = first.toArray
     filters.filterNot(f => first.contains(f)) // residual Spark must still apply
   }
@@ -93,7 +101,7 @@ class SerializableHadoopConf(@transient var value: Configuration) extends Serial
   }
 }
 
-class VcfScan(path: String, chromFilter: Option[String]) extends Scan with Batch {
+class VcfScan(path: String, chromFilter: Option[Set[String]]) extends Scan with Batch {
   // resolved at planning time on the driver, where the session is live
   private val hadoopConf = new SerializableHadoopConf(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
@@ -101,7 +109,9 @@ class VcfScan(path: String, chromFilter: Option[String]) extends Scan with Batch
   override def readSchema(): StructType = VcfDataSource.schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"VcfScan($path${chromFilter.map(c => s", chrom=$c").getOrElse("")})"
+    s"VcfScan($path${chromFilter.map(c =>
+      if (c.size == 1) s", chrom=${c.head}"
+      else s", chrom in ${c.toSeq.sorted.mkString(",")}").getOrElse("")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = FileSystem.get(new java.net.URI(path), hadoopConf.value)
@@ -118,7 +128,7 @@ class VcfScan(path: String, chromFilter: Option[String]) extends Scan with Batch
 
 case class VcfInputPartition(file: String) extends InputPartition
 
-class VcfReaderFactory(chromFilter: Option[String], hadoopConf: SerializableHadoopConf)
+class VcfReaderFactory(chromFilter: Option[Set[String]], hadoopConf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[VcfInputPartition].file
@@ -133,7 +143,7 @@ class VcfReaderFactory(chromFilter: Option[String], hadoopConf: SerializableHado
         while (line != null) {
           if (!line.startsWith("#")) {
             val p = line.split("\t", -1)
-            if (p.length >= 8 && chromFilter.forall(_ == p(0))) {
+            if (p.length >= 8 && chromFilter.forall(_.contains(p(0)))) {
               row = InternalRow(
                 UTF8String.fromString(p(0)), p(1).toLong, UTF8String.fromString(p(2)),
                 UTF8String.fromString(p(3)), UTF8String.fromString(p(4)),

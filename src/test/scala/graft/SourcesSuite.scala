@@ -83,4 +83,25 @@ class SourcesSuite extends SparkSpec {
     assert(builder.pushedFilters().toSeq == Seq(EqualTo("chrom", "chr0")))
     assert(residual.toSeq == Seq(EqualTo("chrom", "chr1")))
   }
+
+  test("chrom IN list pushes into the reader; extra predicates stay residual") {
+    val path = "/tmp/graft_test_vcf_dsv2"
+    writeVcf(path)
+    val df = spark.read.format("graft.sources.VcfDataSource")
+      .option("path", path).load()
+      .where($"chrom".isin("chr0", "chr1"))
+    assert(df.count() == 3)
+    val one = spark.read.format("graft.sources.VcfDataSource")
+      .option("path", path).load()
+      .where($"chrom".isin("chr0", "chrX"))
+    assert(one.count() == 2)
+    // contract: one chrom predicate claimed (the IN), others residual
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val builder = new graft.sources.VcfScanBuilder(path)
+    val residual = builder.pushFilters(
+      Array(In("chrom", Array("chr0", "chr1")), EqualTo("chrom", "chr1")))
+    assert(builder.pushedFilters().toSeq.collect {
+      case In(a, vs) => (a, vs.toSeq) } == Seq(("chrom", Seq("chr0", "chr1"))))
+    assert(residual.toSeq == Seq(EqualTo("chrom", "chr1")))
+  }
 }
