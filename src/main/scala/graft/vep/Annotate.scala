@@ -344,7 +344,11 @@ object Annotate {
           afCsq.map { case (_, c) =>
             expr(s"array_join(transform(_ents, x -> CAST(CAST(x.$c AS DECIMAL(5,4)) AS STRING)), '&')")
           } ++ Seq(
-            dec4(globalMax),
+            // coalesce: concat_ws SKIPS null args, which would SHIFT
+            // every following CSQ field when all population AFs are
+            // null (possible on real caches; DuckDB's concat renders
+            // '' instead)
+            coalesce(dec4(globalMax), lit("")),
             concat_ws("&", maxAfPopCols.map { case (n, c) =>
               when(col(s"_mx_$c") === globalMax, lit(n))
             }: _*),
