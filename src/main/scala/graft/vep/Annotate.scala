@@ -152,10 +152,13 @@ object Annotate {
     * entries map what they have positionally. */
   def parseCsq(csq: Column): Column = {
     val n = csqFieldNames.length
-    transform(split(csq, ","), e =>
+    val parsed = transform(split(csq, ","), e =>
       map_from_arrays(
         typedlit(csqFieldNames),
         slice(concat(split(e, "\\|", -1), array_repeat(lit(""), n)), 1, n)))
+    // split('') yields [''], which would parse as one all-empty entry
+    when(csq.isNull || csq === "",
+      typedlit(Seq.empty[Map[String, String]])).otherwise(parsed)
   }
 
   /** MAX_AF population set (pop name -> cache column): every AF column

@@ -168,6 +168,12 @@ class AnnotateSuite extends SparkSpec {
     val tm = parsed.find(_("Feature") == "T1").get
     assert(tm("SYMBOL") == "SYM1" && tm("MANE") == "MANE_Select" &&
       tm("AF") == "0.1000" && tm("MAX_AF_POPS") == "SAS")
+    // empty csq parses to an empty entry list, not one all-empty map
+    val empty = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot)
+      .where($"id" === 2L)
+      .select(org.apache.spark.sql.functions.size(Annotate.parseCsq($"csq")))
+      .collect().head.getInt(0)
+    assert(empty == 0)
 
     // annotated-VCF serialization: CSQ INFO line round-trips the csq
     // string; the no-annotation variant renders '.'
