@@ -124,6 +124,13 @@ class SpliceSuite extends SparkSpec {
       transcripts, exons)
       .collect().map(r => r.getString(1) -> (r.getString(2), r.getString(4))).toMap
 
+  private def indelOffsets(pos: Long, ref: String, alt: String) =
+    Splice.indelHgvs(
+      Seq(("c1", pos, pos, 1L, ref, alt)).toDF("chrom", "start", "end", "id", "ref", "alt"),
+      transcripts, exons)
+      .collect().map(r => r.getString(1) ->
+        (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+
   test("indel kinds: insertion equal to its 5' context is a dup") {
     import graft.vep.CodonLogic.baseAt
     // p chosen so the derived genome breaks the repeat right after the
@@ -159,5 +166,18 @@ class SpliceSuite extends SparkSpec {
     val m = indel(p, "A", "A" + x)
     // after shifting past the repeat at p+1, 5' context = baseAt(p+1) = x
     assert(m("T+")._1 == "dup", s"expected shifted dup at $p ins $x: $m")
+
+    // HGVS_OFFSET = the applied shift, signed transcript-ward: +1 on
+    // the '+' transcript, -1 on the '-' transcript over the same span
+    val off = indelOffsets(p, "A", "A" + x)
+    assert(off("T+") == Some(1L) && off("T-") == Some(-1L), s"offsets: $off")
+  }
+
+  test("indel without a shift emits no HGVS_OFFSET") {
+    import graft.vep.CodonLogic.baseAt
+    val p = (150L to 190L).find(q => baseAt("c1", q) != baseAt("c1", q + 1)).get
+    val x = baseAt("c1", p).toString
+    val off = indelOffsets(p, "A", "A" + x)
+    assert(off("T+").isEmpty && off("T-").isEmpty, s"offsets: $off")
   }
 }
