@@ -69,8 +69,9 @@ object AnalyticsQueries {
     }),
     // per-user running sum over event time (window state shape)
     "a_window_running" -> ((s, d) => {
-      val e = Tables.load(s, d, "events").select(col("event_id"), col("user_id"),
-        expr("ts DIV 1000").as("ts_us"),
+      val ev = Tables.load(s, d, "events")
+      val e = ev.select(col("event_id"), col("user_id"),
+        Tables.tsMicros(ev).as("ts_us"),
         expr("CAST(round(value * 1000) AS BIGINT)").as("v_milli"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       e.withColumn("running_milli", sum(col("v_milli")).over(w))
@@ -80,8 +81,9 @@ object AnalyticsQueries {
     "a_sessionize" -> ((s, d) => {
       // µs granularity: DuckDB truncates parquet TIMESTAMP_NS to
       // microseconds, so both engines sessionize on the same clock
-      val e = Tables.load(s, d, "events").select(col("user_id"),
-        expr("ts DIV 1000").as("ts_us"), col("event_id"))
+      val ev = Tables.load(s, d, "events")
+      val e = ev.select(col("user_id"),
+        Tables.tsMicros(ev).as("ts_us"), col("event_id"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       val gapUs = 30L * 60 * 1000 * 1000
       e.withColumn("new_s",

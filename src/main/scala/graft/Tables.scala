@@ -23,6 +23,19 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** events.ts normalized to epoch MICROSECONDS regardless of the
+    * generator's physical type — TIMESTAMP(NANOS) (rejected by Spark,
+    * read as nanos-Long via the legacy flag) or TIMESTAMP(MICROS)
+    * (read as a timestamp, epoch taken under the session's UTC zone,
+    * matching DuckDB's epoch_us over the same naive values). */
+  def tsMicros(e: DataFrame): org.apache.spark.sql.Column =
+    e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.expr("ts DIV 1000")
+      case _ => org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
+
   /** Interval table A (the "annotation"/build side): one interval per
     * lineitem row. 4 contigs, domain [0, 1e6), lengths 0–300 (length 0
     * = point interval, exercised by the reference's fixtures too). */

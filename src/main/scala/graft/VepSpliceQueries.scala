@@ -149,6 +149,36 @@ object VepSpliceQueries {
             when(col(s"cache_$c") === mx, lit(n))
           }: _*).as("max_af_pops")): _*)
     }),
+    // Multi-entry colocated semantics (annotate_provider.rs:1600-1860
+    // over >1 matched cache entry per variant): a satellite cache copy
+    // shares every variant's matched coordinates + allele string under
+    // a COSMIC-style name, somatic-flagged, with one AF column
+    // diverging, an allele-scoped clin_sig_allele, and comma-list
+    // PUBMED ids. Exercises: entry ordering (somatic flag then prefix
+    // rank), per-column AF dedup (equal columns collapse, the
+    // diverging column '&'-joins and nulls the variant-level value),
+    // SOMATIC/PHENO any=='1' gating, clin_sig_allele preference with
+    // the before-first-csa clin_sig fallback, pubmed ','-splitting,
+    // and the entry-major MAX_AF/MAX_AF_POPS fold.
+    "f11_existing_multi" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val cache = Tables.vepCache(s, d)
+      val sat = cache
+        .withColumn("pubmed",
+          concat(lit("3"), substring(col("variation_name"), 3, 30), lit(",4"),
+            substring(col("variation_name"), 3, 30)))
+        .withColumn("clin_sig_allele",
+          when(col("clin_sig_allele").isNotNull,
+            concat(split(col("allele_string"), "/").getItem(1),
+              lit(":likely_pathogenic"))))
+        .withColumn("af_afr", lit(1.0) - col("af_afr"))
+        .withColumn("clin_sig", lit("likely_benign"))
+        .withColumn("somatic", lit("1"))
+        .withColumn("variation_name",
+          concat(lit("COSM"), substring(col("variation_name"), 3, 30)))
+      graft.vep.Annotate.existingVariants(
+        Tables.vcf(s, d), cache.unionByName(sat))
+    }),
   )
 
   /** Per-exon cDNA contribution of position `pos` (Splice.contribution
@@ -580,16 +610,102 @@ object VepSpliceQueries {
   /** Shared CTE chain of the e2e oracles — everything through the
     * per-entry rendering (`ent`) and the lookup (`lk`); the two gated
     * queries differ only in the per-variant aggregation tail. */
+  /** DuckDB mirror of the Spark side's csq_escape
+    * (annotate_provider.rs:1931-1961): lone '-' empties, ','/'|' ->
+    * '&', ';' -> '%3B', \s -> '_'. */
+  private def duckEsc(s: String): String =
+    s"CASE WHEN $s = '-' THEN '' ELSE regexp_replace(replace(replace(replace(" +
+      s"$s, ',', '&'), '|', '&'), ';', '%3B'), '\\s', '_', 'g') END"
+
+  /** DuckDB mirror of [[graft.vep.Annotate]]'s existingVar — the
+    * colocated-family aggregation chain (exv0..exv), parameterized by
+    * the cache CTE name so multi-entry fixtures can feed a widened
+    * cache union. Entry order is the reference's partial key (somatic
+    * flag, then variation-name prefix rank,
+    * annotate_provider.rs:1600-1608) followed by Spark's FULL struct
+    * sort key as the deterministic tie-break. Every nullable key is
+    * pinned NULLS FIRST: Spark's struct comparison orders null fields
+    * first while DuckDB defaults to NULLS LAST (round-7 ADVICE). */
+  private def exvCtes(cc: String): String = {
+    import graft.vep.Annotate
+    val exvPr = s"CASE WHEN lower(substr($cc.variation_name, 1, 2)) = 'rs' THEN 1 " +
+      s"WHEN lower(substr($cc.variation_name, 1, 2)) IN ('cm', 'ci', 'cd') THEN 2 " +
+      s"WHEN lower(substr($cc.variation_name, 1, 2)) = 'co' THEN 3 ELSE 100 END"
+    val exvOrd = (Seq(s"CASE WHEN $cc.somatic = '1' THEN 1 ELSE 0 END", exvPr) ++
+      ((s"$cc.variation_name" +: Annotate.afCsq.map { case (_, c) => s"$cc.$c" }) ++
+        Seq(s"$cc.somatic", s"$cc.pheno", s"$cc.pubmed", s"$cc.clin_sig",
+          s"$cc.clin_sig_allele")).map(k => s"$k NULLS FIRST")).mkString(", ")
+    s"""exv0 AS (SELECT v.id, any_value(v.vep_alt) AS va,
+       |   list(struct_pack(vn := $cc.variation_name,
+       |     ${Annotate.afCsq.map { case (_, c) => s"$c := $cc.$c" }.mkString(", ")},
+       |     somatic := $cc.somatic, pheno := $cc.pheno, pubmed := $cc.pubmed,
+       |     cs := $cc.clin_sig, csa := $cc.clin_sig_allele)
+       |    ORDER BY $exvOrd) AS ents
+       |  FROM v JOIN $cc ON v.chrom = $cc.chrom
+       |   AND v.norm_start = $cc.start AND v.norm_end = $cc."end"
+       |   AND (split_part($cc.allele_string, '/', 1) = v.vep_ref
+       |        OR split_part($cc.allele_string, '/', 1) = v.ref)
+       |   AND split_part($cc.allele_string, '/', 2) = v.vep_alt
+       |  GROUP BY v.id),
+       |exv1 AS (SELECT id, va, ents,
+       |   CAST(list_aggregate(list_transform(ents, x -> GREATEST(${Annotate.maxAfPopCols.map { case (_, c) => s"CAST(x.$c AS DECIMAL(5,4))" }.mkString(", ")})), 'max') AS DECIMAL(5,4)) AS exm,
+       |   ${Annotate.afCsq.map { case (_, c) =>
+             s"list_transform(list_filter(ents, x -> x.$c IS NOT NULL), x -> CAST(CAST(x.$c AS DECIMAL(5,4)) AS VARCHAR)) AS afr_$c"
+           }.mkString(", ")},
+       |   list_position(list_transform(ents, x -> x.csa IS NOT NULL), true) AS csapos
+       |  FROM exv0),
+       |exv2 AS (SELECT id, va, ents, exm,
+       |   ${Annotate.afCsq.map { case (_, c) =>
+             s"list_filter(afr_$c, (x, i) -> list_position(afr_$c, x) = i) AS afl_$c"
+           }.mkString(", ")},
+       |   flatten(list_transform(ents, x -> list_filter([${Annotate.maxAfPopCols.map { case (n, c) =>
+             s"CASE WHEN CAST(x.$c AS DECIMAL(5,4)) = exm THEN '$n' END"
+           }.mkString(", ")}], p -> p IS NOT NULL))) AS pops0,
+       |   list_transform(list_filter(ents, x -> x.csa IS NOT NULL
+       |     AND len(list_filter(string_split(x.csa, ';'), ch -> strpos(ch, ':') > 0
+       |       AND substr(ch, 1, strpos(ch, ':') - 1) = va)) > 0),
+       |     x -> array_to_string(list_transform(list_filter(string_split(x.csa, ';'),
+       |       ch -> strpos(ch, ':') > 0 AND substr(ch, 1, strpos(ch, ':') - 1) = va),
+       |       ch -> substr(ch, strpos(ch, ':') + 1)), ',')) AS csav0,
+       |   CASE WHEN csapos IS NULL OR csapos = 0 THEN len(ents) ELSE csapos - 1 END AS nfb
+       |  FROM exv1),
+       |exv3 AS (SELECT id, ents, exm,
+       |   ${Annotate.afCsq.map { case (_, c) => s"afl_$c" }.mkString(", ")},
+       |   list_filter(pops0, (x, i) -> list_position(pops0, x) = i) AS pops,
+       |   list_filter(csav0, (x, i) -> list_position(csav0, x) = i) AS csav,
+       |   flatten(list_transform(list_filter(array_slice(ents, 1, nfb), x -> x.cs IS NOT NULL),
+       |     x -> list_filter(string_split(x.cs, ','), v -> v <> ''))) AS fbv,
+       |   flatten(list_transform(ents,
+       |     x -> list_filter(string_split(COALESCE(x.pubmed, ''), ','), v -> v <> ''))) AS pbv
+       |  FROM exv2),
+       |exv AS (SELECT id,
+       |   array_to_string(list_transform(list_filter(ents, x -> x.vn <> ''), x -> x.vn), '&') AS exvar,
+       |   concat_ws('|',
+       |    ${Annotate.afCsq.map { case (_, c) => s"array_to_string(afl_$c, '&')" }.mkString(", ")},
+       |    COALESCE(CAST(exm AS VARCHAR), ''),
+       |    array_to_string(pops, '&'),
+       |    CASE WHEN len(csav) > 0 THEN ${duckEsc("array_to_string(csav, ';')")}
+       |     WHEN len(fbv) > 0 THEN ${duckEsc("array_to_string(fbv, '&')")} ELSE '' END,
+       |    CASE WHEN list_contains(list_transform(ents, x -> x.somatic), '1')
+       |     THEN array_to_string(list_transform(ents,
+       |       x -> CASE WHEN x.somatic = '1' THEN '1' ELSE '0' END), '&') ELSE '' END,
+       |    CASE WHEN list_contains(list_transform(ents, x -> x.pheno), '1')
+       |     THEN array_to_string(list_transform(ents,
+       |       x -> CASE WHEN x.pheno = '1' THEN '1' ELSE '0' END), '&') ELSE '' END,
+       |    CASE WHEN len(pbv) > 0 THEN ${duckEsc("array_to_string(pbv, '&')")} ELSE '' END) AS exsuffix,
+       |   array_to_string(list_transform(list_filter(ents, x -> x.vn <> ''), x -> x.vn), '&') AS variation_name,
+       |   ${Annotate.afCsq.map { case (_, c) =>
+             s"CASE WHEN len(afl_$c) = 1 THEN CAST(afl_$c[1] AS DOUBLE) END AS $c"
+           }.mkString(", ")},
+       |   CAST(exm AS DOUBLE) AS max_af,
+       |   CASE WHEN len(pops) > 0 THEN array_to_string(pops, '&') END AS max_af_pops
+       |  FROM exv3)""".stripMargin.replace("\n", " ")
+  }
+
   private lazy val e2eCtes: String = {
     import graft.vep.{Annotate, CodonLogic}
     val D = CodonLogic.DuckD
     val coding = "biotype IN ('protein_coding', 'nonsense_mediated_decay')"
-    // colocated-family aggregation order: mirror Spark's FULL struct
-    // sort key (variation_name, then every payload field in struct
-    // order) so ties beyond the name cannot reorder between engines
-    val exvOrd = ("c.variation_name" +:
-      (Annotate.afCsq.map { case (_, c) => s"c.$c" } ++
-        Seq("c.somatic", "c.pheno", "c.pubmed"))).mkString(", ")
     s"""WITH ${Oracle.transcripts}, ${Oracle.exons}, ${Oracle.vcf}, ${Oracle.vepCache}, ${Oracle.siftCtx}, ${Oracle.polyphenCtx}, ${Oracle.regulatory}, ${Oracle.motifs},
        |cdna AS (SELECT * FROM ($cdnaHgvsSql) q1),
        |codon AS (SELECT id, transcript_id, consequence, protein_pos,
@@ -750,34 +866,7 @@ object VepSpliceQueries {
        |   AND mt.start <= v."end" AND mt."end" >= v.start),
        |allent AS (SELECT * FROM fused UNION ALL SELECT * FROM ud
        |  UNION ALL SELECT * FROM rge UNION ALL SELECT * FROM mte),
-       |exv0 AS (SELECT v.id,
-       |   string_agg(c.variation_name, '&' ORDER BY $exvOrd) AS exvar,
-       |   COALESCE(array_to_string(list_sort(list_distinct(
-       |     list_filter(list(c.clin_sig), x -> x IS NOT NULL))), '&'), '') AS exclin,
-       |   string_agg(c.somatic, '&' ORDER BY $exvOrd) AS exsom,
-       |   string_agg(c.pheno, '&' ORDER BY $exvOrd) AS expheno,
-       |   COALESCE(string_agg(c.pubmed, '&' ORDER BY $exvOrd), '') AS expub,
-       |   ${Annotate.afCsq.map { case (_, c) =>
-             s"string_agg(CAST(CAST(c.$c AS DECIMAL(5,4)) AS VARCHAR), '&' ORDER BY $exvOrd) AS ex_$c"
-           }.mkString(", ")},
-       |   ${Annotate.maxAfPopCols.map { case (_, c) => s"MAX(c.$c) AS mx_$c" }.mkString(", ")}
-       |  FROM v JOIN c ON v.chrom = c.chrom
-       |   AND v.norm_start = c.start AND v.norm_end = c."end"
-       |   AND (split_part(c.allele_string, '/', 1) = v.vep_ref
-       |        OR split_part(c.allele_string, '/', 1) = v.ref)
-       |   AND split_part(c.allele_string, '/', 2) = v.vep_alt
-       |  GROUP BY v.id),
-       |exv1 AS (SELECT exv0.*,
-       |   GREATEST(${Annotate.maxAfPopCols.map { case (_, c) => s"mx_$c" }.mkString(", ")}) AS maxafn
-       |  FROM exv0),
-       |exv AS (SELECT id, exvar,
-       |   concat(${Annotate.afCsq.map { case (_, c) => s"COALESCE(ex_$c, '')" }.mkString(", '|', ")}, '|',
-       |    CAST(CAST(maxafn AS DECIMAL(5,4)) AS VARCHAR), '|',
-       |    concat_ws('&', ${Annotate.maxAfPopCols.map { case (n, c) =>
-             s"CASE WHEN mx_$c = maxafn THEN '$n' END"
-           }.mkString(", ")}), '|',
-       |    exclin, '|', exsom, '|', expheno, '|', expub) AS exsuffix
-       |  FROM exv1),
+       |${exvCtes("c")},
        |rend AS (SELECT id, transcript_id, cdna_pos, cds_pos, protein_pos,
        |   hgvs_c, hgvs_p, sift_pred, polyphen_pred, aas, cod, dist,
        |   exon, intron, hgvs_offset, ftype, mname, mpos, minf, mscore,
@@ -835,23 +924,33 @@ object VepSpliceQueries {
        |  FROM rend LEFT JOIN t ON rend.transcript_id = t.transcript_id
        |   JOIN v ON rend.id = v.id
        |   LEFT JOIN exv ON rend.id = exv.id),
-       |lk0 AS (SELECT v.id, c.variation_name,
-       |   ${Annotate.afCsq.map { case (_, c) => s"c.$c" }.mkString(", ")},
-       |   CASE WHEN c.variation_name IS NULL THEN NULL
-       |    ELSE GREATEST(${Annotate.maxAfPopCols.map { case (_, c) => s"c.$c" }.mkString(", ")})
-       |   END AS max_af
-       |  FROM v LEFT JOIN c ON v.chrom = c.chrom
-       |   AND v.norm_start = c.start AND v.norm_end = c."end"
-       |   AND (split_part(c.allele_string, '/', 1) = v.vep_ref
-       |        OR split_part(c.allele_string, '/', 1) = v.ref)
-       |   AND split_part(c.allele_string, '/', 2) = v.vep_alt),
-       |lk AS (SELECT lk0.*,
-       |   CASE WHEN lk0.variation_name IS NULL THEN NULL
-       |    ELSE concat_ws('&', ${Annotate.maxAfPopCols.map { case (n, c) =>
-             s"CASE WHEN lk0.$c = lk0.max_af THEN '$n' END"
-           }.mkString(", ")})
-       |   END AS max_af_pops
-       |  FROM lk0)""".stripMargin.replace("\n", " ")
+       |lk AS (SELECT v.id, exv.variation_name,
+       |   ${Annotate.afCsq.map { case (_, c) => s"exv.$c" }.mkString(", ")},
+       |   exv.max_af, exv.max_af_pops
+       |  FROM v LEFT JOIN exv ON v.id = exv.id)""".stripMargin.replace("\n", " ")
+  }
+
+  /** Multi-entry colocated oracle: the satellite cache union mirrored
+    * in SQL, fed through the shared [[exvCtes]] chain. */
+  private val existingMultiSql: String = {
+    import graft.vep.Annotate
+    s"""WITH ${Oracle.vcf}, ${Oracle.vepCache},
+       |cs AS (SELECT * REPLACE (
+       |   concat('3', substr(variation_name, 3, 30), ',4',
+       |     substr(variation_name, 3, 30)) AS pubmed,
+       |   CASE WHEN clin_sig_allele IS NOT NULL
+       |    THEN concat(split_part(allele_string, '/', 2), ':likely_pathogenic')
+       |   END AS clin_sig_allele,
+       |   1.0 - af_afr AS af_afr,
+       |   'likely_benign' AS clin_sig,
+       |   '1' AS somatic,
+       |   concat('COSM', substr(variation_name, 3, 30)) AS variation_name
+       |  ) FROM c),
+       |cu AS (SELECT * FROM c UNION ALL SELECT * FROM cs),
+       |${exvCtes("cu")}
+       |SELECT id, variation_name AS existing_variation, exsuffix AS csq_block,
+       | ${Annotate.afCsq.map(_._2).mkString(", ")}, max_af, max_af_pops
+       |FROM exv ORDER BY id""".stripMargin.replace("\n", " ")
   }
 
   private def e2eNameCase: String = {
@@ -977,5 +1076,6 @@ object VepSpliceQueries {
     "f11_sift" -> siftSql,
     "f11_maxaf" -> maxAfSql,
     "f11_colocated" -> colocatedSql,
+    "f11_existing_multi" -> existingMultiSql,
   )
 }

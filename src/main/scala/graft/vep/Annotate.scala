@@ -76,7 +76,29 @@ object Annotate {
     s"CASE WHEN $best <= 9 THEN 'HIGH' WHEN $best <= 13 THEN 'MODERATE' " +
     s"WHEN $best <= 21 THEN 'LOW' ELSE 'MODIFIER' END"
 
-  private def f(c: Column): Column = coalesce(c.cast("string"), lit(""))
+  /** Reserved placeholder bytes ([[substPerVariant]]): any occurrence
+    * in a USER-SOURCED field value would corrupt the per-variant
+    * substitution (and the entry sort vs the substituted form), so
+    * every rendered field strips them (round-7 ADVICE). The bytes are
+    * unassigned C0 controls no real annotation value contains; the
+    * strip is a no-op on well-formed caches. */
+  private val CtlBytes = "\u0001\u0002\u0003\u0004"
+  private def stripCtl(c: Column): Column = translate(c, CtlBytes, "")
+  private def f(c: Column): Column =
+    coalesce(stripCtl(c.cast("string")), lit(""))
+
+  /** VEP's CSQ value escaping (annotate_provider.rs:1931-1961
+    * csq_escape): a lone '-' renders empty; ','/'|' -> '&',
+    * ';' -> '%3B', whitespace -> '_'. Whitespace matches the regex \s
+    * class vs the reference's full Unicode is_whitespace — documented
+    * deviation, invisible on real cache values. */
+  private def csqEscape(c: Column): Column = {
+    def rep(x: Column, from: String, to: String): Column =
+      call_function("replace", x, lit(from), lit(to))
+    when(c === "-", lit("")).otherwise(
+      regexp_replace(rep(rep(rep(c, ",", "&"), "|", "&"), ";", "%3B"),
+        "\\s", "_"))
+  }
 
   /** CSQ frequency-slot order of `--everything` (CSQ field name ->
     * cache column), exactly the reference's AF_COLUMNS emission order
@@ -174,10 +196,13 @@ object Annotate {
     }
 
   /** All cache columns the integrated operator reads per matched
-    * variant (lookup projection + colocated-family aggregation). */
+    * variant (lookup projection + colocated-family aggregation).
+    * `clin_sig_allele` is optional on the cache (the reference models
+    * it as Option — annotate_provider.rs:1645) and is null-filled by
+    * [[lookedDf]] when absent. */
   private val lookedCols: Seq[String] =
     ("variation_name" +: afCsq.map(_._2)) ++
-      Seq("clin_sig", "somatic", "pheno", "pubmed")
+      Seq("clin_sig", "clin_sig_allele", "somatic", "pheno", "pubmed")
 
   /** Deterministic fixed-width decimal rendering of a frequency (or
     * prediction-score) column for the CSQ string: both engines print
@@ -206,15 +231,14 @@ object Annotate {
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       regulatory: DataFrame, motifs: DataFrame,
       upstreamDistance: Long = 5000L): DataFrame = {
-    val looked = lookedDf(vcf, cache)
+    val exv = existingVar(lookedDf(vcf, cache))
     val entries = entriesDf(vcf, transcripts, exons,
       sift, polyphen, regulatory, motifs, upstreamDistance)
     val grouped = entries.groupBy(col("id"))
       .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
         array_join(array_sort(collect_list(col("_entry"))), ",").as("_csqT"))
-    lookupJoin(looked, grouped)
+    lookupJoin(vcf.select(col("id")), exv, grouped)
       .join(vClassDf(vcf), Seq("id"))
-      .join(existingVar(looked), Seq("id"), "left")
       .select((col("id") +: col("variation_name") +:
         afCsq.map { case (_, c) => col(c) }) ++ Seq(
         col("max_af"), col("max_af_pops"),
@@ -234,7 +258,7 @@ object Annotate {
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       regulatory: DataFrame, motifs: DataFrame,
       upstreamDistance: Long = 5000L): DataFrame = {
-    val looked = lookedDf(vcf, cache)
+    val exv = existingVar(lookedDf(vcf, cache))
     val entries = entriesDf(vcf, transcripts, exons,
       sift, polyphen, regulatory, motifs, upstreamDistance)
     val grouped = entries.groupBy(col("id"))
@@ -256,7 +280,7 @@ object Annotate {
         expr("transform(_ents, x -> x.q)").as("polyphen"),
         expr("transform(_ents, x -> x.im)").as("impact"))
     val emptyArr = expr("CAST(array() AS ARRAY<STRING>)")
-    lookupJoin(looked, grouped)
+    lookupJoin(vcf.select(col("id")), exv, grouped)
       .select((col("id") +: col("variation_name") +:
         afCsq.map { case (_, c) => col(c) }) ++ Seq(
         col("max_af"), col("max_af_pops"),
@@ -300,67 +324,165 @@ object Annotate {
         col("_c_af").as("colocated_af"))
   }
 
-  /** Per-variant known-variant lookup, eagerly materialized ONCE so
-    * both consumers — the per-entry `Existing_variation` rendering and
-    * the variant-level output tail — share a single probe of the
-    * cache. The population AF family (the reference's --af_* flag
-    * columns) reads straight from the matched cache row's column
-    * family (annotate_provider.rs:795-1000) — no derivation here. */
-  private def lookedDf(vcf: DataFrame, cache: DataFrame): DataFrame =
-    graft.core.Materialize(
-      Vep.lookupVariants(vcf, cache, columns = lookedCols)
-        .select(col("id") +:
-          lookedCols.map(c => col(s"cache_$c").as(c)): _*))
-
-  /** Per-variant colocated-variant families for the CSQ rendering
-    * (annotate_provider.rs:1700-1848 FrequencyFields assembly): every
-    * per-entry value is '&'-joined across the matched cache entries in
-    * variation_name order — Existing_variation names, the 27 AF
-    * frequency slots (fixed 4-decimal form, see [[dec4]]),
-    * SOMATIC/PHENO flags, PUBMED ids (nulls skipped), CLIN_SIG as
-    * sorted DISTINCT terms — plus MAX_AF (numeric max over the
-    * [[maxAfPopCols]] populations across all entries) and MAX_AF_POPS
-    * (the populations attaining it, in AF_COLUMNS order; the reference
-    * accumulates ties in entry-then-column order, which coincides for
-    * single-entry matches). One row per matched variant. */
-  private def existingVar(looked: DataFrame): DataFrame = {
-    val entStruct = struct(
-      col("variation_name").as("vn") +:
-        (afCsq.map(_._2).map(c => col(c).as(c)) ++
-          Seq(col("somatic").as("somatic"), col("pheno").as("pheno"),
-            col("pubmed").as("pubmed"))): _*)
-    val popMaxes = maxAfPopCols.map { case (_, c) => max(col(c)).as(s"_mx_$c") }
-    val globalMax = greatest(maxAfPopCols.map { case (_, c) => col(s"_mx_$c") }: _*)
-    looked.where(col("variation_name").isNotNull)
-      .groupBy(col("id"))
-      .agg(array_sort(collect_list(entStruct)).as("_ents"),
-        (array_join(array_sort(collect_set(col("clin_sig"))), "&").as("_exclin") +:
-          popMaxes): _*)
-      .select(
-        col("id"),
-        expr("array_join(transform(_ents, x -> x.vn), '&')").as("_exvar"),
-        // the 33 colocated-family CSQ fields (AF slots..PUBMED) are
-        // per-VARIANT constants: pre-join them into ONE suffix string
-        // here, so the per-entry join ships one column instead of 35
-        // and the entry concat takes one argument for the whole block
-        concat_ws("|",
-          afCsq.map { case (_, c) =>
-            expr(s"array_join(transform(_ents, x -> CAST(CAST(x.$c AS DECIMAL(5,4)) AS STRING)), '&')")
-          } ++ Seq(
-            // coalesce: concat_ws SKIPS null args, which would SHIFT
-            // every following CSQ field when all population AFs are
-            // null (possible on real caches; DuckDB's concat renders
-            // '' instead)
-            coalesce(dec4(globalMax), lit("")),
-            concat_ws("&", maxAfPopCols.map { case (n, c) =>
-              when(col(s"_mx_$c") === globalMax, lit(n))
-            }: _*),
-            col("_exclin"),
-            expr("array_join(transform(_ents, x -> x.somatic), '&')"),
-            expr("array_join(transform(_ents, x -> x.pheno), '&')"),
-            expr("array_join(transform(filter(_ents, x -> x.pubmed IS NOT NULL), x -> x.pubmed), '&')")): _*)
-          .as("_exsuffix"))
+  /** Per-variant known-variant lookup: one row per (variant, matched
+    * cache entry), plus the variant's VEP output allele (`_va`, the
+    * key for allele-scoped clin_sig_allele selection). The population
+    * AF family (the reference's --af_* flag columns) reads straight
+    * from the matched cache row's column family
+    * (annotate_provider.rs:795-1000) — no derivation here. Consumed
+    * exactly once (by [[existingVar]]), so no eager materialization:
+    * the round-6 shared persist is gone with the second consumer. */
+  private def lookedDf(vcf: DataFrame, cache: DataFrame): DataFrame = {
+    val c =
+      if (cache.columns.contains("clin_sig_allele")) cache
+      else cache.withColumn("clin_sig_allele", lit(null).cast("string"))
+    Vep.lookupVariants(vcf, c, columns = lookedCols)
+      .select(col("id") +:
+        Vep.vepAltUdf(col("ref"), col("alt")).as("_va") +:
+        lookedCols.map(c2 => col(s"cache_$c2").as(c2)): _*)
   }
+
+  /** Per-variant colocated-variant families — the reference's
+    * FrequencyFields + clinical-field assembly
+    * (annotate_provider.rs:1600-1860), faithfully:
+    *
+    *   - entries sort by (somatic flag, variant-name prefix rank:
+    *     rs < cm/ci/cd < co < other) — the reference's partial order
+    *     (sorted_entries, :1600-1608) — then by name and payload as a
+    *     DETERMINISTIC tie-break (the reference falls back to cache
+    *     file order, which has no relational meaning);
+    *   - the 27 AF slots dedup repeated per-column values in entry
+    *     order (push_unique_value, :1507) before '&'-joining; fixed
+    *     4-decimal form (see [[dec4]] — documented deviation: the
+    *     reference prints raw cache text for non-format_4f columns);
+    *   - MAX_AF/MAX_AF_POPS via the entry-major fold (:1800-1830):
+    *     pops accumulate from every entry attaining the global max,
+    *     entry-then-column order, deduped;
+    *   - CLIN_SIG prefers allele-matched `clin_sig_allele`
+    *     ("allele:value;..." chunks, values for the variant's output
+    *     allele, deduped, ';'-joined); entries seen BEFORE the first
+    *     clin_sig_allele-bearing entry contribute their `clin_sig`
+    *     terms (','-split, no dedup, '&'-joined) as the fallback
+    *     (:1645-1700);
+    *   - SOMATIC/PHENO render only when at least one entry is '1'
+    *     (:1687-1692), else empty; somatic-true means the string
+    *     value '1' (the reference's cache stores an int; this
+    *     library's column family is string '0'/'1');
+    *   - PUBMED ids ','-split across entries, '&'-joined;
+    *   - CLIN_SIG/PUBMED pass [[csqEscape]].
+    *
+    * Also emits the variant-level lookup columns the reference
+    * derives from the same assembly (annotate_provider.rs:5023-5056):
+    * each af_* output parses the deduped slot back to a number —
+    * null when the entries disagree (the multi-value '&'-join fails
+    * the parse) — plus max_af, max_af_pops and variation_name (the
+    * '&'-joined existing names; the reference emits a List column).
+    * One row per matched variant. Entries sharing a variation_name
+    * are NOT merged (the reference dedups by name at collection,
+    * :1881-1897) — real caches key entries by distinct names. */
+  private def existingVar(looked: DataFrame): DataFrame = {
+    val sm = when(col("somatic").cast("string") === "1", 1).otherwise(0)
+    val p2 = lower(substring(col("variation_name"), 1, 2))
+    val pr = when(p2 === "rs", 1).when(p2.isin("cm", "ci", "cd"), 2)
+      .when(p2 === "co", 3).otherwise(100)
+    val entStruct = struct(
+      (Seq(sm.as("sm"), pr.as("pr"),
+        stripCtl(col("variation_name")).as("vn")) ++
+        afCsq.map(_._2).map(c => col(c).as(c)) ++
+        Seq(stripCtl(col("somatic").cast("string")).as("somatic"),
+          stripCtl(col("pheno").cast("string")).as("pheno"),
+          stripCtl(col("pubmed")).as("pubmed"),
+          stripCtl(col("clin_sig")).as("cs"),
+          stripCtl(col("clin_sig_allele")).as("csa"))): _*)
+    val emaxSql = "greatest(" + maxAfPopCols.map { case (_, c) =>
+      s"CAST(x.$c AS DECIMAL(5,4))" }.mkString(", ") + ")"
+    val popCases = maxAfPopCols.map { case (n, c) =>
+      s"CASE WHEN CAST(x.$c AS DECIMAL(5,4)) = _exm THEN '$n' END"
+    }.mkString(", ")
+    val chunkCond =
+      "ch -> instr(ch, ':') > 0 AND substring_index(ch, ':', 1) = _va"
+    val grouped = looked.where(col("variation_name").isNotNull)
+      .groupBy(col("id"))
+      // _va is a per-variant constant (derived from the variant's own
+      // ref/alt), so an unordered first() is deterministic here
+      .agg(first(col("_va"), ignoreNulls = true).as("_va"),
+        array_sort(collect_list(entStruct)).as("_ents"))
+    val staged = grouped.select(
+      (Seq(col("id"), col("_va"), col("_ents"),
+        expr(s"array_max(transform(_ents, x -> $emaxSql))").as("_exm")) ++
+        afCsq.map { case (_, c) =>
+          expr(s"array_distinct(transform(filter(_ents, x -> x.$c IS NOT NULL), " +
+            s"x -> CAST(CAST(x.$c AS DECIMAL(5,4)) AS STRING)))").as(s"_afl_$c")
+        }): _*)
+      .withColumn("_pops", expr("array_distinct(flatten(transform(_ents, " +
+        s"x -> filter(array($popCases), p -> p IS NOT NULL))))"))
+      .withColumn("_csaVals", expr(
+        "array_distinct(transform(filter(_ents, x -> x.csa IS NOT NULL AND " +
+          s"size(filter(split(x.csa, ';'), $chunkCond)) > 0), " +
+          s"x -> array_join(transform(filter(split(x.csa, ';'), $chunkCond), " +
+          "ch -> substr(ch, instr(ch, ':') + 1)), ',')))"))
+      // fallback clin_sig scope: entries strictly before the first
+      // clin_sig_allele-bearing entry (the reference checks the
+      // exists flag AFTER setting it within the same entry)
+      .withColumn("_csaPos",
+        expr("array_position(transform(_ents, x -> x.csa IS NOT NULL), true)"))
+      .withColumn("_nfb", expr("CASE WHEN _csaPos IS NULL OR _csaPos = 0 " +
+        "THEN size(_ents) ELSE CAST(_csaPos - 1 AS INT) END"))
+      .withColumn("_fbVals", expr(
+        "flatten(transform(filter(slice(_ents, 1, _nfb), x -> x.cs IS NOT NULL), " +
+          "x -> filter(split(x.cs, ','), v -> v <> '')))"))
+      .withColumn("_pbVals", expr(
+        "flatten(transform(_ents, " +
+          "x -> filter(split(coalesce(x.pubmed, ''), ','), v -> v <> '')))"))
+    def gatedFlags(field: String): Column =
+      when(expr(s"exists(_ents, x -> x.$field = '1')"),
+        expr(s"array_join(transform(_ents, " +
+          s"x -> CASE WHEN x.$field = '1' THEN '1' ELSE '0' END), '&')"))
+        .otherwise(lit(""))
+    val clinField =
+      when(size(col("_csaVals")) > 0, csqEscape(array_join(col("_csaVals"), ";")))
+        .when(size(col("_fbVals")) > 0, csqEscape(array_join(col("_fbVals"), "&")))
+        .otherwise(lit(""))
+    val pubField =
+      when(size(col("_pbVals")) > 0, csqEscape(array_join(col("_pbVals"), "&")))
+        .otherwise(lit(""))
+    val exvar = expr("array_join(transform(filter(_ents, x -> x.vn <> ''), x -> x.vn), '&')")
+    // the 33 colocated-family CSQ fields (AF slots..PUBMED) are
+    // per-VARIANT constants: pre-join them into ONE suffix string
+    // here, so the per-entry join ships one column instead of 35 and
+    // the entry concat takes one argument for the whole block. Every
+    // argument is non-null by construction (concat_ws SKIPS nulls,
+    // which would SHIFT the following CSQ fields).
+    val suffix = concat_ws("|",
+      (afCsq.map { case (_, c) => array_join(col(s"_afl_$c"), "&") } ++ Seq(
+        coalesce(col("_exm").cast("string"), lit("")),
+        array_join(col("_pops"), "&"),
+        clinField, gatedFlags("somatic"), gatedFlags("pheno"), pubField)): _*)
+    staged.select(
+      (Seq(col("id"), exvar.as("_exvar"), suffix.as("_exsuffix"),
+        exvar.as("variation_name")) ++
+        afCsq.map { case (_, c) =>
+          when(size(col(s"_afl_$c")) === 1,
+            element_at(col(s"_afl_$c"), 1).cast("double")).as(c)
+        } ++
+        Seq(col("_exm").cast("double").as("max_af"),
+          when(size(col("_pops")) > 0, array_join(col("_pops"), "&"))
+            .as("max_af_pops"))): _*)
+  }
+
+  /** Public per-variant colocated-variant summary — the variant-level
+    * projection of [[existingVar]] over an arbitrary vcf + cache pair
+    * (the reference's colocated clinical/frequency assembly without
+    * the transcript machinery): id, existing_variation ('&'-joined
+    * names in reference order), the rendered 33-field colocated CSQ
+    * block, the per-column AF family, MAX_AF and MAX_AF_POPS. Only
+    * variants with at least one allele-matched cache entry appear. */
+  def existingVariants(vcf: DataFrame, cache: DataFrame): DataFrame =
+    existingVar(lookedDf(vcf, cache)).select(
+      (Seq(col("id"), col("variation_name").as("existing_variation"),
+        col("_exsuffix").as("csq_block")) ++
+        afCsq.map { case (_, c) => col(c) } ++
+        Seq(col("max_af"), col("max_af_pops"))): _*)
 
   /** Empty colocated suffix (33 fields -> 32 '|'s) for variants with
     * no cache match. */
@@ -398,25 +520,23 @@ object Annotate {
         .when(length(col("ref")) === length(col("alt")), lit("substitution"))
         .when(length(col("alt")) > length(col("ref")), lit("insertion"))
         .otherwise(lit("deletion")).as("_vclass"),
-      Vep.vepAltUdf(col("ref"), col("alt")).as("_vallele"))
+      coalesce(stripCtl(Vep.vepAltUdf(col("ref"), col("alt"))), lit(""))
+        .as("_vallele"))
 
-  /** Shared variant-level tail: MAX_AF/MAX_AF_POPS + rank name
-    * resolution, LEFT-joined onto the per-variant aggregate. MAX_AF
-    * spans the POPULATION columns only — the reference excludes the
-    * three globals (annotate_provider.rs AF_COLUMNS: max_af_pop is
-    * None for "AF"/"gnomADe"/"gnomADg"). */
-  private def lookupJoin(looked: DataFrame, grouped: DataFrame): DataFrame = {
-    val maxAf = greatest(maxAfPopCols.map { case (_, c) => col(c) }: _*)
+  /** Shared variant-level tail: one row per input variant — the id
+    * spine LEFT-joins the per-variant colocated aggregate
+    * ([[existingVar]]: variation_name, AF family, MAX_AF/MAX_AF_POPS)
+    * and the per-variant entry aggregate, then resolves the
+    * most-severe rank name. MAX_AF spans the POPULATION columns
+    * only — the reference excludes the three globals
+    * (annotate_provider.rs AF_COLUMNS: max_af_pop is None for
+    * "AF"/"gnomADe"/"gnomADg"). */
+  private def lookupJoin(ids: DataFrame, exv: DataFrame, grouped: DataFrame): DataFrame = {
     val rankToName = Vep.soRank.foldLeft(lit("intergenic_variant")) { case (acc, (n, r)) =>
       when(col("_vbest") === r, lit(n)).otherwise(acc)
     }
-    looked.join(grouped, Seq("id"), "left")
-      .withColumn("max_af", maxAf)
-      .withColumn("max_af_pops",
-        when(col("variation_name").isNotNull,
-          concat_ws("&", maxAfPopCols.map { case (n, c) =>
-            when(col(c) === col("max_af"), lit(n))
-          }: _*)))
+    ids.join(exv, Seq("id"), "left")
+      .join(grouped, Seq("id"), "left")
       .withColumn("most_severe_consequence", rankToName)
   }
 
@@ -770,7 +890,7 @@ object Annotate {
       .otherwise(lit(""))
     val fields: Seq[Column] = Seq(
       lit(PhAllele), col("_termstr"), col("_impact"),
-      f(col("_e_sym")), f(col("_e_gene")), col("_ftype"), col("transcript_id"),
+      f(col("_e_sym")), f(col("_e_gene")), col("_ftype"), f(col("transcript_id")),
       f(col("_e_bt")), f(col("_exon")), f(col("_intron")),
       f(col("hgvs_c")), f(col("hgvs_p")),
       f(col("_cdna")), f(col("_cds")), f(col("_pp")),

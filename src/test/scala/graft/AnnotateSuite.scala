@@ -187,6 +187,26 @@ class AnnotateSuite extends SparkSpec {
     assert(f2(7) == ".")
     assert(graft.vep.Vep.annotatedVcfHeader(1) == Annotate.csqInfoHeader)
 
+    // reserved-byte hardening (round-7 ADVICE): \u0001-\u0004 are the
+    // per-variant substitution placeholders; user-sourced values
+    // carrying them must be stripped, not substituted into every
+    // entry of the variant
+    val hostileCache = cache
+      .withColumn("variation_name",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("rs\u0001\u00041"),
+          org.apache.spark.sql.functions.lit("")))
+    val hostileTx = tx.withColumn("symbol",
+      org.apache.spark.sql.functions.lit("SY\u0002M1\u0003"))
+    val hostile = Annotate.annotate(vcf, hostileCache, hostileTx, ex, sift, pp, reg, mot)
+      .where($"id" === 1L).collect().head
+    val hcsq = hostile.getString(hostile.fieldIndex("csq"))
+    assert(!hcsq.exists(c => c >= '\u0001' && c <= '\u0004'))
+    val hEntries = hcsq.split(",").map(_.split("\\|", -1))
+    assert(hEntries.forall(_.length == N_FIELDS))
+    assert(hEntries.find(_(FEATURE) == "T1").get(EXISTING) == "rs1")
+    assert(hEntries.find(_(FEATURE) == "T1").get(SYMBOL) == "SYM1")
+
     // partition invariance: the entry sort (placeholder form) and the
     // per-variant substitution must be deterministic under different
     // shuffle layouts
