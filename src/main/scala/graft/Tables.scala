@@ -318,23 +318,51 @@ object Tables {
     * keeps the 16-base DNA 3'-shift inside the exon). Codon phase at
     * the anchor varies per transcript, exercising the peptide model's
     * aligned AND non-aligned arms on both strands. */
+  /** First/last coding EXONIC genomic base of the derived 3-exon
+    * structure (exon i = [ts + i*(L div 3), ts + i*(L div 3) + L div
+    * 6], L = te - ts) — candidates per exon, combined with
+    * least/greatest (both engines skip NULLs). Columns ts/te/cs/ce in
+    * scope; `div` is the dialect's integer division. */
+  private[graft] def firstCodingSql(div: String): String =
+    (0 to 2).map(i =>
+      s"(CASE WHEN ts + $i * ((te - ts) $div 3) + ((te - ts) $div 6) >= cs " +
+      s"THEN greatest(ts + $i * ((te - ts) $div 3), cs) END)").mkString(", ")
+  private[graft] def lastCodingSql(div: String): String =
+    (0 to 2).map(i =>
+      s"(CASE WHEN ts + $i * ((te - ts) $div 3) <= ce " +
+      s"THEN least(ts + $i * ((te - ts) $div 3) + ((te - ts) $div 6), ce) END)").mkString(", ")
+
   def hgvspProbes(spark: SparkSession, dir: String): DataFrame =
     transcripts(spark, dir).selectExpr(
         "chrom", "start AS ts", "`end` AS te",
-        "cds_start AS cs", "cds_end AS ce",
+        "cds_start AS cs", "cds_end AS ce", "strand",
         "CAST(substring(transcript_id, 2) AS BIGINT) AS sk")
-      .selectExpr("chrom", "sk",
+      .selectExpr("chrom", "sk", "cs", "ce", "strand", "ts", "te",
         "greatest(ts + (te - ts) DIV 3, cs) AS b",
         "least(ts + (te - ts) DIV 3 + (te - ts) DIV 6, ce) AS h")
       .where("h - b >= 60")
-      .selectExpr("chrom", "sk", "b", "explode(sequence(0, 4)) AS kind")
+      // kinds 0-4: mid-CDS del/ins/delins/dup alignment probes;
+      // kind 5: 1-base del at the FIRST CODING EXONIC base in
+      // transcript orientation — cds_start itself may be intronic in
+      // the derived 3-exon structure, so the anchor resolves through
+      // the shared exon formula (start_lost arm; the 3'-shift may
+      // carry it downstream on repeat context — both engines shift
+      // identically); kind 6: 30-base inframe del whose 10-codon ref
+      // peptide spans a stop codon on a fair fraction of the derived
+      // transcripts (stop-extension '?extTer' arm)
+      .selectExpr("chrom", "sk", "b", "cs", "ce", "strand", "ts", "te",
+        "explode(sequence(0, 6)) AS kind")
       .selectExpr("chrom", "sk", "kind",
-        """CAST(CASE WHEN kind IN (0, 1) THEN b + 8
-           WHEN kind = 4 THEN b + 30 ELSE b + 20 END AS BIGINT) AS start""")
+        s"""CAST(CASE WHEN kind IN (0, 1) THEN b + 8
+           WHEN kind = 4 THEN b + 30
+           WHEN kind = 5 THEN (CASE WHEN strand = 1
+             THEN least(${firstCodingSql("DIV")})
+             ELSE greatest(${lastCodingSql("DIV")}) END) - 1
+           ELSE b + 20 END AS BIGINT) AS start""")
       .selectExpr("chrom", "start",
-        "CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 WHEN kind = 4 THEN 1 ELSE 0 END AS BIGINT) AS `end`",
+        "CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 WHEN kind IN (4, 5) THEN 1 WHEN kind = 6 THEN 30 ELSE 0 END AS BIGINT) AS `end`",
         "CAST(sk * 10 + kind AS BIGINT) AS id",
-        "CASE WHEN kind = 0 THEN 'ACGT' WHEN kind = 2 THEN 'ACG' WHEN kind = 4 THEN 'AC' ELSE 'A' END AS ref",
+        "CASE WHEN kind = 0 THEN 'ACGT' WHEN kind = 2 THEN 'ACG' WHEN kind IN (4, 5) THEN 'AC' WHEN kind = 6 THEN 'ACGTACGTACGTACGTACGTACGTACGTACG' ELSE 'A' END AS ref",
         "CASE WHEN kind = 1 THEN 'ACGT' WHEN kind = 3 THEN 'AC' WHEN kind = 4 THEN 'CA' ELSE 'A' END AS alt")
 
   /** Derived regulatory-feature context (partitioned_cache.rs:24-31
@@ -589,26 +617,31 @@ object Oracle {
     * CGT/- at [p+1, p+3]; 'A'>'ACGT' to -/CGT at (p+1, p);
     * 'ACG'>'A' to CG/- at [p+1, p+2]; 'A'>'AC' to -/C at (p+1, p). */
   val hgvspProbes: String =
-    """hp0 AS (SELECT t.chrom,
+    s"""hp0 AS (SELECT t.chrom, t.cds_start AS cs, t.cds_end AS ce, t.strand,
+      | t.start AS ts, t."end" AS te,
       | greatest(t.start + (t."end" - t.start) // 3, t.cds_start) AS b,
       | least(t.start + (t."end" - t.start) // 3 + (t."end" - t.start) // 6,
       |   t.cds_end) AS h,
       | CAST(substr(transcript_id, 2) AS BIGINT) AS sk, kind
-      | FROM t, UNNEST(generate_series(0, 4)) AS g(kind)
+      | FROM t, UNNEST(generate_series(0, 6)) AS g(kind)
       | WHERE least(t.start + (t."end" - t.start) // 3 + (t."end" - t.start) // 6,
       |   t.cds_end) - greatest(t.start + (t."end" - t.start) // 3, t.cds_start) >= 60),
       |hp1 AS (SELECT chrom, sk, kind,
       | CAST(CASE WHEN kind IN (0, 1) THEN b + 8
-      |  WHEN kind = 4 THEN b + 30 ELSE b + 20 END AS BIGINT) AS start
+      |  WHEN kind = 4 THEN b + 30
+      |  WHEN kind = 5 THEN (CASE WHEN strand = 1
+      |    THEN least(${Tables.firstCodingSql("//")})
+      |    ELSE greatest(${Tables.lastCodingSql("//")}) END) - 1
+      |  ELSE b + 20 END AS BIGINT) AS start
       | FROM hp0),
       |hp AS (SELECT chrom, start,
-      | CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 WHEN kind = 4 THEN 1 ELSE 0 END AS BIGINT) AS "end",
+      | CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 WHEN kind IN (4, 5) THEN 1 WHEN kind = 6 THEN 30 ELSE 0 END AS BIGINT) AS "end",
       | CAST(sk * 10 + kind AS BIGINT) AS id,
-      | CASE WHEN kind = 0 THEN 'ACGT' WHEN kind = 2 THEN 'ACG' WHEN kind = 4 THEN 'AC' ELSE 'A' END AS ref,
+      | CASE WHEN kind = 0 THEN 'ACGT' WHEN kind = 2 THEN 'ACG' WHEN kind IN (4, 5) THEN 'AC' WHEN kind = 6 THEN 'ACGTACGTACGTACGTACGTACGTACGTACG' ELSE 'A' END AS ref,
       | CASE WHEN kind = 1 THEN 'ACGT' WHEN kind = 3 THEN 'AC' WHEN kind = 4 THEN 'CA' ELSE 'A' END AS alt,
       | CAST(start + CASE WHEN kind = 4 THEN 0 ELSE 1 END AS BIGINT) AS norm_start,
-      | CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 WHEN kind = 4 THEN 1 ELSE 0 END AS BIGINT) AS norm_end,
-      | CASE WHEN kind = 0 THEN 'CGT' WHEN kind = 2 THEN 'CG' WHEN kind = 4 THEN 'AC' ELSE '-' END AS vep_ref,
+      | CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 WHEN kind IN (4, 5) THEN 1 WHEN kind = 6 THEN 30 ELSE 0 END AS BIGINT) AS norm_end,
+      | CASE WHEN kind = 0 THEN 'CGT' WHEN kind = 2 THEN 'CG' WHEN kind = 4 THEN 'AC' WHEN kind = 5 THEN 'C' WHEN kind = 6 THEN 'CGTACGTACGTACGTACGTACGTACGTACG' ELSE '-' END AS vep_ref,
       | CASE WHEN kind = 1 THEN 'CGT' WHEN kind = 3 THEN 'C' WHEN kind = 4 THEN 'CA' ELSE '-' END AS vep_alt
       | FROM hp1)""".stripMargin.replace("\n", " ")
 

@@ -21,11 +21,13 @@ import org.apache.spark.sql.functions._
   *               delins), pure peptide ins/del are 3'-shifted
   *               (capped at [[maxPeptideShift]] — exact on the
   *               uniform-random derived genome), and insertions equal
-  *               to the preceding residues render as dup. Not
-  *               implemented from the reference's model: the
-  *               stop_lost extTer arm for non-frameshift events and
-  *               the start_lost p.{A}1? form (rare on the fixture;
-  *               the frameshift arm's extTer is implemented)
+  *               to the preceding residues render as dup. Inframe
+  *               events consuming the stop codon render the
+  *               stop-extension forms (del '?extTer{N}', sub
+  *               Ter{p}{Bbb}extTer{N}, delins ...extTer{N} —
+  *               hgvs.rs:1895-1960), and events changing a base of
+  *               the initiator codon short-circuit to the start_lost
+  *               p.{A}1? form (hgvs.rs:1482-1497)
   *
   * Model (documented simplification, same one the original codon layer
   * used): the CDS is a CONTIGUOUS genomic span [cds_start, cds_end]
@@ -159,6 +161,17 @@ object Hgvsp {
     val pos = c0 + 1
     def origCodon(codon0: Long): String = (0 to 2).map(j => orig(3 * codon0 + j)).mkString
     val refAA = aaOf(origCodon(c0))
+    // ---- start_lost (hgvs.rs:1482-1497 format_hgvsp early return):
+    // an event changing a base of the initiator codon renders
+    // p.{Ref}1? before either the frameshift or the peptide arm. The
+    // codon-changed guard keeps base-identical events (start_retained)
+    // in the normal arms. ----
+    val touchesStart = kind match {
+      case "del" | "delins" => e <= 2
+      case _                => e <= 1 // insertion between offsets e, e+1
+    }
+    if (touchesStart && (0 to 2).map(j => nb(j)).mkString != origCodon(0))
+      return s"${aa3(aaOf(origCodon(0)))}1?"
     if (ld % 3 != 0) {
       val newAAs = (0 until maxScanCodons).map { c =>
         aaOf((0 to 2).map(j => nb(3 * (c0 + c) + j)).mkString)
@@ -237,6 +250,21 @@ object Hgvsp {
           val i = p.indexOf('*')
           pep3(if (i >= 0) p.substring(0, i + 1) else p)
         }
+        // stop-extension length (hgvs.rs:1821-1845 stop_loss_extra_aa,
+        // non-frameshift branch): position of the first '*' in the NEW
+        // translation minus the old stop's position, only when
+        // positive. Both engines scan the shared 32-codon window from
+        // the event codon — the reference scans the whole alt
+        // translation, which coincides because a real translation has
+        // no internal stop before the event.
+        def extraN(oldStop1: Long): Option[Long] = {
+          val idx = (0 until maxScanCodons)
+            .indexWhere(c => newAaAt(cStart + c) == '*')
+          if (idx < 0) None else {
+            val nExtra = cStart + idx + 1 - oldStop1
+            if (nExtra > 0) Some(nExtra) else None
+          }
+        }
         kind2 match {
           case "ins" =>
             val aLen = altP.length.toLong
@@ -250,13 +278,33 @@ object Hgvsp {
               val m = math.min(s, en) // = en: s == en + 1 for pure ins
               s"${aa3(aaAt(m - 1).toString)}${m}_${aa3(aaAt(m).toString)}${m + 1}ins${altRender(altP)}"
             }
+          case "del" if refP.contains('*') =>
+            // stop_lost deletion (hgvs.rs:1895-1920): the alt peptide
+            // of a pure deletion is empty, so the new-residue head
+            // renders '?' (peptide_first_three of ""), followed by the
+            // extension length to the new stop
+            val nStr = extraN(s + refP.indexOf('*')).map(_.toString).getOrElse("?")
+            if (refP.length > 1)
+              s"${aa3(refP.head.toString)}${s}_${aa3(refP.last.toString)}${en}?extTer$nStr"
+            else s"${aa3(refP)}$s?extTer$nStr"
           case "del" =>
             if (refP.length == 1) s"${aa3(refP)}${s}del"
             else s"${aa3(refP.head.toString)}${s}_${aa3(refP.last.toString)}${en}del"
+          case ">" if refP == "*" =>
+            // stop_lost substitution: p.Ter{pos}{Bbb}extTer{N}
+            val nStr = extraN(s).map(_.toString).getOrElse("?")
+            s"${aa3(refP)}$s${aa3(altP)}extTer$nStr"
           case ">" => s"${aa3(refP)}$s${aa3(altP)}"
           case _ => // delins
-            if (s == en) s"${aa3(refP.head.toString)}${s}delins${altRender(altP)}"
-            else s"${aa3(refP.head.toString)}${s}_${aa3(refP.last.toString)}${en}delins${altRender(altP)}"
+            // a delins whose ref peptide ends at the stop appends the
+            // extension marker to the alt (hgvs.rs:1950-1960), only
+            // when the extension length is computable and positive
+            val ext =
+              if (refP.endsWith("*"))
+                extraN(s + refP.length - 1).map(n => s"extTer$n").getOrElse("")
+              else ""
+            if (s == en) s"${aa3(refP.head.toString)}${s}delins${altRender(altP)}$ext"
+            else s"${aa3(refP.head.toString)}${s}_${aa3(refP.last.toString)}${en}delins${altRender(altP)}$ext"
         }
       }
     }
@@ -462,6 +510,9 @@ object Hgvsp {
        |  FROM hst1b WHERE incds),
        |hst3 AS MATERIALIZED (SELECT hst2.*, c0 + 1 AS pos,
        |   ${aaN(D, sOrigCodon(D, "c0"))} AS refaa,
+       |   ((CASE WHEN kind IN ('del', 'delins') THEN e <= 2 ELSE e <= 1 END)
+       |     AND concat(${nb("0")}, ${nb("1")}, ${nb("2")}) <> ${sOrigCodon(D, "0")}) AS startlost,
+       |   ${aaN(D, sOrigCodon(D, "0"))} AS refaa0,
        |   list_transform(generate_series(0, ${maxScanCodons - 1}),
        |     c -> concat(${nb("3*(c0 + c)")}, ${nb("3*(c0 + c) + 1")}, ${nb("3*(c0 + c) + 2")})) AS ncodons
        |  FROM hst2),
@@ -471,7 +522,8 @@ object Hgvsp {
        |   COALESCE(list_position(newaas, '*'), 0) AS lp FROM hst4),
        |${inframeSql(D)}
        |hform AS (SELECT id, tid, kind,
-       |   CASE WHEN ld % 3 <> 0 THEN
+       |   CASE WHEN startlost THEN concat(${aa3("refaa0")}, '1?')
+       |    WHEN ld % 3 <> 0 THEN
        |     CASE WHEN refaa = '*' AND newaa <> '*' THEN
        |       concat('Ter', CAST(pos AS VARCHAR), ${aa3("newaa")}, 'extTer',
        |         CASE WHEN lp >= 2 THEN CAST(lp - 1 AS VARCHAR) ELSE '?' END)
@@ -578,6 +630,15 @@ object Hgvsp {
     // ins/delins alt rendering truncates at the first stop (inclusive)
     def trunc(p: String): String =
       s"(CASE WHEN strpos($p, '*') > 0 THEN substr($p, 1, CAST(strpos($p, '*') AS INT)) ELSE $p END)"
+    // stop-extension length rendering (mirrors the JVM extraN over
+    // the shared newaas window): '?' when no new stop or non-positive
+    def extQ(oldStop1: String): String =
+      s"(CASE WHEN lp > 0 AND c0 + lp - ($oldStop1) > 0 " +
+      s"THEN CAST(c0 + lp - ($oldStop1) AS VARCHAR) ELSE '?' END)"
+    // delins appendix: extTer{N} only when computable and positive
+    val extDelins =
+      s"(CASE WHEN refp2 LIKE '%*' AND lp > 0 AND c0 + lp - (s1 + length(refp2) - 1) > 0 " +
+      s"THEN concat('extTer', CAST(c0 + lp - (s1 + length(refp2) - 1) AS VARCHAR)) ELSE '' END)"
     s"""WHEN peq THEN concat(${p3("refp")}, CAST(c0 + 1 AS VARCHAR), '=')
        |WHEN kind2 = 'ins' AND isdup THEN
        | CASE WHEN sl = 1 THEN concat(${aa3("sq3")}, CAST(s3 - 1 AS VARCHAR), 'dup')
@@ -586,16 +647,24 @@ object Hgvsp {
        |WHEN kind2 = 'ins' THEN
        | concat(${aa3(aaC("en3 - 1"))}, CAST(en3 AS VARCHAR), '_',
        |  ${aa3(aaC("en3"))}, CAST(en3 + 1 AS VARCHAR), 'ins', ${p3(trunc("sq3"))})
+       |WHEN kind2 = 'del' AND strpos(sq3, '*') > 0 THEN
+       | CASE WHEN sl > 1 THEN concat(${aa3("substr(sq3, 1, 1)")}, CAST(s3 AS VARCHAR), '_',
+       |   ${aa3(s"substr(sq3, CAST(sl AS INT), 1)")}, CAST(en3 AS VARCHAR), '?extTer',
+       |   ${extQ("s3 + strpos(sq3, '*') - 1")})
+       |  ELSE concat(${aa3("sq3")}, CAST(s3 AS VARCHAR), '?extTer',
+       |   ${extQ("s3 + strpos(sq3, '*') - 1")}) END
        |WHEN kind2 = 'del' THEN
        | CASE WHEN sl = 1 THEN concat(${aa3("sq3")}, CAST(s3 AS VARCHAR), 'del')
        |  ELSE concat(${aa3("substr(sq3, 1, 1)")}, CAST(s3 AS VARCHAR), '_',
        |   ${aa3(s"substr(sq3, CAST(sl AS INT), 1)")}, CAST(en3 AS VARCHAR), 'del') END
+       |WHEN kind2 = 'sub' AND refp2 = '*' THEN
+       | concat(${aa3("refp2")}, CAST(s1 AS VARCHAR), ${aa3("altp2")}, 'extTer', ${extQ("s1")})
        |WHEN kind2 = 'sub' THEN concat(${aa3("refp2")}, CAST(s1 AS VARCHAR), ${aa3("altp2")})
        |ELSE
        | CASE WHEN s1 = en2 THEN concat(${aa3("substr(refp2, 1, 1)")},
-       |   CAST(s1 AS VARCHAR), 'delins', ${p3(trunc("altp2"))})
+       |   CAST(s1 AS VARCHAR), 'delins', ${p3(trunc("altp2"))}, $extDelins)
        |  ELSE concat(${aa3("substr(refp2, 1, 1)")}, CAST(s1 AS VARCHAR), '_',
        |   ${aa3("substr(refp2, CAST(length(refp2) AS INT), 1)")}, CAST(en2 AS VARCHAR),
-       |   'delins', ${p3(trunc("altp2"))}) END""".stripMargin.replace("\n", " ")
+       |   'delins', ${p3(trunc("altp2"))}, $extDelins) END""".stripMargin.replace("\n", " ")
   }
 }

@@ -41,9 +41,20 @@ class HgvspSuite extends AnyFunSuite {
   }
 
   test("aligned 6-base deletion renders the range del form") {
-    // codons 3 and 4 removed -> p.{Aaa}4_{Bbb}5del
+    // codons 3 and 4 removed -> p.{Aaa}4_{Bbb}5del — unless the span
+    // consumes the stop codon (residue 5 IS Ter on this derived
+    // genome), in which case the stop-extension arm renders
+    // p.{Aaa}4_Ter5?extTer{N} (hgvs.rs:1895-1920)
     val got = Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1, "del", "X", cs + 9, cs + 14)
-    assert(got == s"${aa3(aaAt(3, 1))}4_${aa3(aaAt(4, 1))}5del")
+    val r1 = aaAt(3, 1); val r2 = aaAt(4, 1)
+    if (r1 == "*" || r2 == "*") {
+      val coding = codingStr(1)
+      val newCoding = coding.substring(0, 9) + coding.substring(15)
+      val oldStop1 = if (r1 == "*") 4 else 5
+      val nStr = firstStopFrom(newCoding, 3)
+        .map(c => (c + 1) - oldStop1).filter(_ > 0).map(_.toString).getOrElse("?")
+      assert(got == s"${aa3(r1)}4_${aa3(r2)}5?extTer$nStr", s"got=$got")
+    } else assert(got == s"${aa3(r1)}4_${aa3(r2)}5del")
   }
 
   test("codon-boundary insertion renders p.{Aaa}{m}_{Bbb}{m+1}ins{Seq}") {
@@ -153,5 +164,90 @@ class HgvspSuite extends AnyFunSuite {
     assume(aaAt(22, 1) == aaAt(23, 1) && aaAt(22, 1) != aaAt(24, 1))
     val got = Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1, "del", "X", cs + 66, cs + 68)
     assert(got == s"${aa3(aaAt(22, 1))}24del", s"got=$got")
+  }
+
+  // ---- stop-extension + start_lost arms (hgvs.rs:1482-1497,
+  // 1895-1960). Expected values computed INDEPENDENTLY by splicing
+  // the coding string and translating — not by re-running the
+  // operator's arithmetic. ----
+
+  private def codingStr(strand: Int): String =
+    (0L until (ce - cs + 1)).map(i => orig(i, strand)).mkString
+  private def aaStr(cod: String): String =
+    CodonLogic.codonTable.getOrElse(cod, "X")
+  private def firstStopFrom(seq: String, fromCodon: Int): Option[Int] =
+    (fromCodon until math.min(fromCodon + Hgvsp.maxScanCodons, seq.length / 3))
+      .find(c => aaStr(seq.substring(3 * c, 3 * c + 3)) == "*")
+
+  test("inframe deletion of the stop codon renders ?extTer") {
+    val coding = codingStr(1)
+    // a stop codon with non-stop neighbors (no clip/shift interplay)
+    val cOpt = (1 until 250).find { c =>
+      aaStr(coding.substring(3 * c, 3 * c + 3)) == "*" &&
+        aaStr(coding.substring(3 * (c - 1), 3 * (c - 1) + 3)) != "*" &&
+        aaStr(coding.substring(3 * (c + 1), 3 * (c + 1) + 3)) != "*"
+    }
+    assume(cOpt.nonEmpty)
+    val cStop = cOpt.get
+    val got = Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1,
+      "del", "XXX", cs + 3 * cStop, cs + 3 * cStop + 2)
+    val newCoding = coding.substring(0, 3 * cStop) + coding.substring(3 * cStop + 3)
+    val nStr = firstStopFrom(newCoding, cStop)
+      .map(c => (c + 1) - (cStop + 1)).filter(_ > 0)
+      .map(_.toString).getOrElse("?")
+    assert(got == s"Ter${cStop + 1}?extTer$nStr", s"got=$got cStop=$cStop")
+  }
+
+  test("MNV replacing the stop codon renders Ter{p}{Bbb}extTer{N}") {
+    val coding = codingStr(1)
+    val cOpt = (1 until 250).find(c => aaStr(coding.substring(3 * c, 3 * c + 3)) == "*")
+    assume(cOpt.nonEmpty)
+    val cStop = cOpt.get
+    // replace the stop codon with GGG (Gly) via a 3-base delins
+    val got = Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1,
+      "delins", "GGG", cs + 3 * cStop, cs + 3 * cStop + 2)
+    val newCoding = coding.substring(0, 3 * cStop) + "GGG" + coding.substring(3 * cStop + 3)
+    val nStr = firstStopFrom(newCoding, cStop)
+      .map(c => (c + 1) - (cStop + 1)).filter(_ > 0)
+      .map(_.toString).getOrElse("?")
+    assert(got == s"Ter${cStop + 1}Gly" + s"extTer$nStr", s"got=$got cStop=$cStop")
+  }
+
+  test("delins consuming the stop appends the extTer extension") {
+    val coding = codingStr(1)
+    // stop codon whose PRECEDING residue is neither Gly nor a stop:
+    // the 6->3 delins [cStop-1, cStop] -> 'GGG' then clips nothing
+    val cOpt = (2 until 250).find { c =>
+      aaStr(coding.substring(3 * c, 3 * c + 3)) == "*" && {
+        val prev = aaStr(coding.substring(3 * (c - 1), 3 * (c - 1) + 3))
+        prev != "G" && prev != "*"
+      }
+    }
+    assume(cOpt.nonEmpty)
+    val cStop = cOpt.get
+    val got = Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1,
+      "delins", "GGG", cs + 3 * (cStop - 1), cs + 3 * cStop + 2)
+    val prevAa = aaStr(coding.substring(3 * (cStop - 1), 3 * (cStop - 1) + 3))
+    val newCoding = coding.substring(0, 3 * (cStop - 1)) + "GGG" + coding.substring(3 * cStop + 3)
+    val ext = firstStopFrom(newCoding, cStop - 1)
+      .map(c => (c + 1) - (cStop + 1)).filter(_ > 0)
+      .map(n => s"extTer$n").getOrElse("")
+    assert(got == s"${aa3(prevAa)}${cStop}_Ter${cStop + 1}delinsGly$ext",
+      s"got=$got cStop=$cStop")
+  }
+
+  test("a deletion changing the initiator codon renders p.{Aaa}1?") {
+    val coding = codingStr(1)
+    // 1-base del of the first coding base shifts the initiator codon
+    assume(coding.substring(1, 4) != coding.substring(0, 3))
+    val got = Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1,
+      "del", "X", cs, cs)
+    assert(got == s"${aa3(aaStr(coding.substring(0, 3)))}1?", s"got=$got")
+    // frameshifting insertion inside the initiator codon as well
+    val gotIns = Hgvsp.proteinForm(chrom, 1, Seq(cs), Seq(ce), 1L, ce - cs + 1,
+      "ins", "T", cs, cs + 1)
+    val newC0 = "" + coding.charAt(0) + 'T' + coding.charAt(1)
+    assume(newC0 != coding.substring(0, 3))
+    assert(gotIns == s"${aa3(aaStr(coding.substring(0, 3)))}1?", s"got=$gotIns")
   }
 }
