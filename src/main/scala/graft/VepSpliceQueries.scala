@@ -179,6 +179,16 @@ object VepSpliceQueries {
       graft.vep.Annotate.existingVariants(
         Tables.vcf(s, d), cache.unionByName(sat))
     }),
+    // The reference's non-everything profile through its options_json
+    // surface (annotate_provider.rs:1110-1163 VepFlags): 74-field CSQ
+    // layout, 1000G AF + PUBMED flag groups only (gnomAD slots render
+    // empty, variant-level gnomAD columns null), distance=3000
+    // shrinking the up/downstream candidate window.
+    "f11_annotate_default" -> ((s, d) =>
+      graft.vep.Annotate.annotate(Tables.vcf(s, d), Tables.vepCache(s, d),
+        Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
+        Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d),
+        graft.vep.VepOptions.fromJson(defaultModeJson))),
   )
 
   /** Per-exon cDNA contribution of position `pos` (Splice.contribution
@@ -626,7 +636,8 @@ object VepSpliceQueries {
     * sort key as the deterministic tie-break. Every nullable key is
     * pinned NULLS FIRST: Spark's struct comparison orders null fields
     * first while DuckDB defaults to NULLS LAST (round-7 ADVICE). */
-  private def exvCtes(cc: String): String = {
+  private def exvCtes(cc: String,
+      opts: graft.vep.VepOptions = graft.vep.VepOptions.Everything): String = {
     import graft.vep.Annotate
     val exvPr = s"CASE WHEN lower(substr($cc.variation_name, 1, 2)) = 'rs' THEN 1 " +
       s"WHEN lower(substr($cc.variation_name, 1, 2)) IN ('cm', 'ci', 'cd') THEN 2 " +
@@ -681,9 +692,11 @@ object VepSpliceQueries {
        |exv AS (SELECT id,
        |   array_to_string(list_transform(list_filter(ents, x -> x.vn <> ''), x -> x.vn), '&') AS exvar,
        |   concat_ws('|',
-       |    ${Annotate.afCsq.map { case (_, c) => s"array_to_string(afl_$c, '&')" }.mkString(", ")},
-       |    COALESCE(CAST(exm AS VARCHAR), ''),
-       |    array_to_string(pops, '&'),
+       |    ${Annotate.afCsq.map { case (_, c) =>
+             if (opts.groupOn(c)) s"array_to_string(afl_$c, '&')" else "''"
+           }.mkString(", ")},
+       |    ${if (opts.maxAfOn) "COALESCE(CAST(exm AS VARCHAR), '')" else "''"},
+       |    ${if (opts.maxAfOn) "array_to_string(pops, '&')" else "''"},
        |    CASE WHEN len(csav) > 0 THEN ${duckEsc("array_to_string(csav, ';')")}
        |     WHEN len(fbv) > 0 THEN ${duckEsc("array_to_string(fbv, '&')")} ELSE '' END,
        |    CASE WHEN list_contains(list_transform(ents, x -> x.somatic), '1')
@@ -692,17 +705,97 @@ object VepSpliceQueries {
        |    CASE WHEN list_contains(list_transform(ents, x -> x.pheno), '1')
        |     THEN array_to_string(list_transform(ents,
        |       x -> CASE WHEN x.pheno = '1' THEN '1' ELSE '0' END), '&') ELSE '' END,
-       |    CASE WHEN len(pbv) > 0 THEN ${duckEsc("array_to_string(pbv, '&')")} ELSE '' END) AS exsuffix,
+       |    ${if (opts.pubmedOn)
+             s"CASE WHEN len(pbv) > 0 THEN ${duckEsc("array_to_string(pbv, '&')")} ELSE '' END"
+           else "''"}) AS exsuffix,
        |   array_to_string(list_transform(list_filter(ents, x -> x.vn <> ''), x -> x.vn), '&') AS variation_name,
        |   ${Annotate.afCsq.map { case (_, c) =>
-             s"CASE WHEN len(afl_$c) = 1 THEN CAST(afl_$c[1] AS DOUBLE) END AS $c"
+             if (opts.groupOn(c))
+               s"CASE WHEN len(afl_$c) = 1 THEN CAST(afl_$c[1] AS DOUBLE) END AS $c"
+             else s"CAST(NULL AS DOUBLE) AS $c"
            }.mkString(", ")},
-       |   CAST(exm AS DOUBLE) AS max_af,
-       |   CASE WHEN len(pops) > 0 THEN array_to_string(pops, '&') END AS max_af_pops
+       |   ${if (opts.maxAfOn) "CAST(exm AS DOUBLE)" else "CAST(NULL AS DOUBLE)"} AS max_af,
+       |   ${if (opts.maxAfOn) "CASE WHEN len(pops) > 0 THEN array_to_string(pops, '&') END"
+          else "CAST(NULL AS VARCHAR)"} AS max_af_pops
        |  FROM exv3)""".stripMargin.replace("\n", " ")
   }
 
-  private lazy val e2eCtes: String = {
+  /** DuckDB fragment per CSQ field name over the e2e oracle's
+    * rend/t/v/exv aliases — mirror of the Spark-side fieldCol map in
+    * Annotate.entriesDf. Names absent from the map (SOURCE, the
+    * RefSeq block) render ''. */
+  private lazy val entFieldSql: Map[String, String] = Map(
+    "Allele" -> "COALESCE(v.vep_alt, '')",
+    "Consequence" -> "rend.termstr",
+    "IMPACT" -> graft.vep.Annotate.impactSql("rend.best"),
+    "SYMBOL" -> "COALESCE(t.symbol, '')",
+    "Gene" -> "COALESCE(t.gene_id, '')",
+    "Feature_type" -> "rend.ftype",
+    "Feature" -> "rend.transcript_id",
+    "BIOTYPE" -> "COALESCE(t.biotype, '')",
+    "EXON" -> "COALESCE(rend.exon, '')",
+    "INTRON" -> "COALESCE(rend.intron, '')",
+    "HGVSc" -> "COALESCE(rend.hgvs_c, '')",
+    "HGVSp" -> "COALESCE(rend.hgvs_p, '')",
+    "cDNA_position" -> "COALESCE(CAST(rend.cdna_pos AS VARCHAR), '')",
+    "CDS_position" -> "COALESCE(CAST(rend.cds_pos AS VARCHAR), '')",
+    "Protein_position" -> "COALESCE(CAST(rend.protein_pos AS VARCHAR), '')",
+    "Amino_acids" -> "COALESCE(rend.aas, '')",
+    "Codons" -> "COALESCE(rend.cod, '')",
+    "Existing_variation" -> "COALESCE(exv.exvar, '')",
+    "DISTANCE" -> "COALESCE(CAST(rend.dist AS VARCHAR), '')",
+    "STRAND" -> "COALESCE(CAST(t.strand AS VARCHAR), '')",
+    "FLAGS" -> "COALESCE(t.flags, '')",
+    "VARIANT_CLASS" -> ("CASE WHEN length(v.ref) = 1 AND length(v.alt) = 1 THEN 'SNV' " +
+      "WHEN length(v.ref) = length(v.alt) THEN 'substitution' " +
+      "WHEN length(v.alt) > length(v.ref) THEN 'insertion' ELSE 'deletion' END"),
+    "SYMBOL_SOURCE" -> "CASE WHEN length(t.symbol) > 0 THEN 'HGNC' ELSE '' END",
+    "HGNC_ID" -> ("CASE WHEN length(t.symbol) > 0 " +
+      "THEN concat('HGNC:', substr(t.symbol, 4)) ELSE '' END"),
+    "CANONICAL" -> "COALESCE(t.canonical, '')",
+    "MANE" -> ("CASE WHEN t.mane_select <> '' THEN 'MANE_Select' " +
+      "WHEN t.mane_plus_clinical <> '' THEN 'MANE_Plus_Clinical' ELSE '' END"),
+    "MANE_SELECT" -> "COALESCE(t.mane_select, '')",
+    "MANE_PLUS_CLINICAL" -> "COALESCE(t.mane_plus_clinical, '')",
+    "TSL" -> "COALESCE(CAST(t.tsl AS VARCHAR), '')",
+    "APPRIS" -> "COALESCE(t.appris, '')",
+    "CCDS" -> "COALESCE(t.ccds, '')",
+    "ENSP" -> ("CASE WHEN t.biotype IN ('protein_coding', 'nonsense_mediated_decay') " +
+      "THEN concat('P', substr(rend.transcript_id, 2)) ELSE '' END"),
+    "SWISSPROT" -> "COALESCE(t.swissprot, '')",
+    "TREMBL" -> "COALESCE(t.trembl, '')",
+    "UNIPARC" -> "COALESCE(t.uniparc, '')",
+    "UNIPROT_ISOFORM" -> "COALESCE(t.uniprot_isoform, '')",
+    "GENE_PHENO" -> "COALESCE(t.gene_pheno, '')",
+    "SIFT" -> "COALESCE(rend.sift_pred, '')",
+    "PolyPhen" -> "COALESCE(rend.polyphen_pred, '')",
+    "DOMAINS" -> "COALESCE(t.domains, '')",
+    "miRNA" -> "CASE WHEN rend.has_mirna THEN COALESCE(t.mirna, '') ELSE '' END",
+    "HGVS_OFFSET" -> "COALESCE(CAST(rend.hgvs_offset AS VARCHAR), '')",
+    "MOTIF_NAME" -> "COALESCE(rend.mname, '')",
+    "MOTIF_POS" -> "COALESCE(CAST(rend.mpos AS VARCHAR), '')",
+    "HIGH_INF_POS" -> "COALESCE(rend.minf, '')",
+    "MOTIF_SCORE_CHANGE" -> "COALESCE(CAST(CAST(rend.mscore AS DECIMAL(3,2)) AS VARCHAR), '')",
+    "TRANSCRIPTION_FACTORS" -> "COALESCE(rend.mname, '')")
+
+  /** The full CSQ entry concat for a mode's field list — the 33-field
+    * colocated block renders as exv.exsuffix (empty-slot fallback for
+    * unmatched variants), mirroring the Spark side's per-variant
+    * suffix placeholder. */
+  private def entConcatSql(opts: graft.vep.VepOptions): String = {
+    val names = graft.vep.Annotate.csqFieldNamesForMode(
+      opts.refseq, opts.merged, opts.everything)
+    val afStart = names.indexOf("AF")
+    val parts: Seq[String] =
+      names.take(afStart).map(n => entFieldSql.getOrElse(n, "''")) ++
+        Seq(s"COALESCE(exv.exsuffix, '${"|" * 32}')") ++
+        names.drop(afStart + 33).map(n => entFieldSql.getOrElse(n, "''"))
+    parts.mkString("concat(", ", '|', ", ")")
+  }
+
+  private lazy val e2eCtes: String = e2eCtesFor(graft.vep.VepOptions.Everything)
+
+  private def e2eCtesFor(opts: graft.vep.VepOptions): String = {
     import graft.vep.{Annotate, CodonLogic}
     val D = CodonLogic.DuckD
     val coding = "biotype IN ('protein_coding', 'nonsense_mediated_decay')"
@@ -830,7 +923,7 @@ object VepSpliceQueries {
        |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf,
        |   CAST(NULL AS DOUBLE) AS mscore
        |  FROM v JOIN t ON v.chrom = t.chrom
-       |   AND t.start - 5000 <= v."end" AND t."end" + 5000 >= v.start
+       |   AND t.start - ${opts.distance} <= v."end" AND t."end" + ${opts.distance} >= v.start
        |   AND NOT (v.start <= t."end" AND v."end" >= t.start)),
        |rge AS (SELECT v.id, rg.feature_id AS transcript_id,
        |   ['regulatory_region_variant'] AS terms,
@@ -866,7 +959,7 @@ object VepSpliceQueries {
        |   AND mt.start <= v."end" AND mt."end" >= v.start),
        |allent AS (SELECT * FROM fused UNION ALL SELECT * FROM ud
        |  UNION ALL SELECT * FROM rge UNION ALL SELECT * FROM mte),
-       |${exvCtes("c")},
+       |${exvCtes("c", opts)},
        |rend AS (SELECT id, transcript_id, cdna_pos, cds_pos, protein_pos,
        |   hgvs_c, hgvs_p, sift_pred, polyphen_pred, aas, cod, dist,
        |   exon, intron, hgvs_offset, ftype, mname, mpos, minf, mscore,
@@ -876,51 +969,7 @@ object VepSpliceQueries {
        |ent AS (SELECT rend.id, rend.best, rend.transcript_id, rend.termstr,
        |   rend.hgvs_c, rend.hgvs_p, rend.sift_pred, rend.polyphen_pred,
        |   ${graft.vep.Annotate.impactSql("rend.best")} AS impact,
-       |   concat(COALESCE(v.vep_alt, ''), '|', rend.termstr, '|',
-       |   ${graft.vep.Annotate.impactSql("rend.best")}, '|',
-       |   COALESCE(t.symbol, ''), '|', COALESCE(t.gene_id, ''), '|',
-       |   rend.ftype, '|', rend.transcript_id, '|',
-       |   COALESCE(t.biotype, ''), '|',
-       |   COALESCE(rend.exon, ''), '|', COALESCE(rend.intron, ''), '|',
-       |   COALESCE(rend.hgvs_c, ''), '|', COALESCE(rend.hgvs_p, ''), '|',
-       |   COALESCE(CAST(rend.cdna_pos AS VARCHAR), ''), '|',
-       |   COALESCE(CAST(rend.cds_pos AS VARCHAR), ''), '|',
-       |   COALESCE(CAST(rend.protein_pos AS VARCHAR), ''), '|',
-       |   COALESCE(rend.aas, ''), '|', COALESCE(rend.cod, ''), '|',
-       |   COALESCE(exv.exvar, ''), '|',
-       |   COALESCE(CAST(rend.dist AS VARCHAR), ''), '|',
-       |   COALESCE(CAST(t.strand AS VARCHAR), ''), '|',
-       |   COALESCE(t.flags, ''), '|',
-       |   CASE WHEN length(v.ref) = 1 AND length(v.alt) = 1 THEN 'SNV'
-       |    WHEN length(v.ref) = length(v.alt) THEN 'substitution'
-       |    WHEN length(v.alt) > length(v.ref) THEN 'insertion'
-       |    ELSE 'deletion' END, '|',
-       |   CASE WHEN length(t.symbol) > 0 THEN 'HGNC' ELSE '' END, '|',
-       |   CASE WHEN length(t.symbol) > 0
-       |    THEN concat('HGNC:', substr(t.symbol, 4)) ELSE '' END, '|',
-       |   COALESCE(t.canonical, ''), '|',
-       |   CASE WHEN t.mane_select <> '' THEN 'MANE_Select'
-       |    WHEN t.mane_plus_clinical <> '' THEN 'MANE_Plus_Clinical'
-       |    ELSE '' END, '|',
-       |   COALESCE(t.mane_select, ''), '|',
-       |   COALESCE(t.mane_plus_clinical, ''), '|',
-       |   COALESCE(CAST(t.tsl AS VARCHAR), ''), '|',
-       |   COALESCE(t.appris, ''), '|', COALESCE(t.ccds, ''), '|',
-       |   CASE WHEN t.biotype IN ('protein_coding', 'nonsense_mediated_decay')
-       |    THEN concat('P', substr(rend.transcript_id, 2)) ELSE '' END, '|',
-       |   COALESCE(t.swissprot, ''), '|', COALESCE(t.trembl, ''), '|',
-       |   COALESCE(t.uniparc, ''), '|', COALESCE(t.uniprot_isoform, ''), '|',
-       |   COALESCE(t.gene_pheno, ''), '|',
-       |   COALESCE(rend.sift_pred, ''), '|', COALESCE(rend.polyphen_pred, ''), '|',
-       |   COALESCE(t.domains, ''), '|',
-       |   CASE WHEN rend.has_mirna THEN COALESCE(t.mirna, '') ELSE '' END, '|',
-       |   COALESCE(CAST(rend.hgvs_offset AS VARCHAR), ''), '|',
-       |   COALESCE(exv.exsuffix, '${"|" * 32}'), '|',
-       |   COALESCE(rend.mname, ''), '|',
-       |   COALESCE(CAST(rend.mpos AS VARCHAR), ''), '|',
-       |   COALESCE(rend.minf, ''), '|',
-       |   COALESCE(CAST(CAST(rend.mscore AS DECIMAL(3,2)) AS VARCHAR), ''), '|',
-       |   COALESCE(rend.mname, '')) AS entry
+       |   ${entConcatSql(opts)} AS entry
        |  FROM rend LEFT JOIN t ON rend.transcript_id = t.transcript_id
        |   JOIN v ON rend.id = v.id
        |   LEFT JOIN exv ON rend.id = exv.id),
@@ -959,8 +1008,8 @@ object VepSpliceQueries {
       .mkString(" ") + " ELSE 'intergenic_variant' END"
   }
 
-  private val annotateE2eSql: String =
-    s"""$e2eCtes,
+  private def e2eCsqSql(ctes: String): String =
+    s"""$ctes,
        |grp AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts, MIN(best) AS best,
        |   string_agg(entry, ',' ORDER BY entry) AS csq FROM ent GROUP BY id)
        |SELECT lk.id, lk.variation_name,
@@ -970,6 +1019,18 @@ object VepSpliceQueries {
        | COALESCE(g.n_transcripts, CAST(0 AS BIGINT)) AS n_transcripts,
        | COALESCE(g.csq, '') AS csq
        |FROM lk LEFT JOIN grp g ON lk.id = g.id ORDER BY lk.id""".stripMargin.replace("\n", " ")
+
+  private lazy val annotateE2eSql: String = e2eCsqSql(e2eCtes)
+
+  /** Options of the default-mode gate: the 74-field layout with the
+    * 1000G AF + PUBMED flags only (which imply check_existing) and a
+    * non-default distance — built from the same options_json string
+    * the reference's annotate_vep 4th argument takes. */
+  private[graft] val defaultModeJson: String =
+    """{"af_1kg": true, "pubmed": true, "distance": 3000}"""
+
+  private lazy val annotateDefaultSql: String =
+    e2eCsqSql(e2eCtesFor(graft.vep.VepOptions.fromJson(defaultModeJson)))
 
   /** Typed List<T> columns variant of the e2e oracle: parallel arrays
     * in the entry-string sort order, '|'-serialized for the gate
@@ -1077,5 +1138,6 @@ object VepSpliceQueries {
     "f11_maxaf" -> maxAfSql,
     "f11_colocated" -> colocatedSql,
     "f11_existing_multi" -> existingMultiSql,
+    "f11_annotate_default" -> annotateDefaultSql,
   )
 }

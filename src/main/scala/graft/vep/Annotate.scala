@@ -143,24 +143,59 @@ object Annotate {
       "PUBMED", "MOTIF_NAME", "MOTIF_POS", "HIGH_INF_POS",
       "MOTIF_SCORE_CHANGE", "TRANSCRIPTION_FACTORS")
 
-  /** [[csqFieldNames]] for a transcript-source mode — the reference's
-    * `csq_field_names_for_mode` (golden_benchmark.rs:651-690) for the
-    * `--everything` profile: RefSeq mode splices REFSEQ_MATCH/
-    * REFSEQ_OFFSET/GIVEN_REF/USED_REF/BAM_EDIT before GENE_PHENO,
-    * merged mode additionally carries SOURCE after REFSEQ_MATCH.
-    * This library annotates from the derived (Ensembl-shaped) context
-    * so those slots render empty, but the header/order contract lets
-    * a RefSeq-cache consumer keep its column positions. */
-  def csqFieldNamesForMode(refseq: Boolean = false, merged: Boolean = false): Seq[String] = {
-    val extra =
+  /** The 74-field DEFAULT (non-`--everything`) CSQ layout —
+    * byte-for-byte the reference's CSQ_FIELD_NAMES
+    * (golden_benchmark.rs:464-540): SOURCE instead of the MANE/APPRIS/
+    * SIFT/PolyPhen/DOMAINS/miRNA/HGVS_OFFSET family, VARIANT_CLASS
+    * after SOURCE, motif fields mid-list, gnomAD population slots
+    * without the _AF suffix. */
+  val csqFieldNamesDefault: Seq[String] =
+    Seq("Allele", "Consequence", "IMPACT", "SYMBOL", "Gene",
+      "Feature_type", "Feature", "BIOTYPE", "EXON", "INTRON",
+      "HGVSc", "HGVSp", "cDNA_position", "CDS_position",
+      "Protein_position", "Amino_acids", "Codons", "Existing_variation",
+      "DISTANCE", "STRAND", "FLAGS", "SYMBOL_SOURCE", "HGNC_ID",
+      "MOTIF_NAME", "MOTIF_POS", "HIGH_INF_POS", "MOTIF_SCORE_CHANGE",
+      "TRANSCRIPTION_FACTORS", "SOURCE", "VARIANT_CLASS", "CANONICAL",
+      "TSL", "MANE_SELECT", "MANE_PLUS_CLINICAL", "ENSP", "GENE_PHENO",
+      "CCDS", "SWISSPROT", "TREMBL", "UNIPARC", "UNIPROT_ISOFORM",
+      "AF", "AFR_AF", "AMR_AF", "EAS_AF", "EUR_AF", "SAS_AF",
+      "gnomADe_AF", "gnomADe_AFR", "gnomADe_AMR", "gnomADe_ASJ",
+      "gnomADe_EAS", "gnomADe_FIN", "gnomADe_MID", "gnomADe_NFE",
+      "gnomADe_REMAINING", "gnomADe_SAS",
+      "gnomADg_AF", "gnomADg_AFR", "gnomADg_AMI", "gnomADg_AMR",
+      "gnomADg_ASJ", "gnomADg_EAS", "gnomADg_FIN", "gnomADg_MID",
+      "gnomADg_NFE", "gnomADg_REMAINING", "gnomADg_SAS",
+      "MAX_AF", "MAX_AF_POPS", "CLIN_SIG", "SOMATIC", "PHENO", "PUBMED")
+
+  /** [[csqFieldNames]] for a profile + transcript-source mode — the
+    * reference's `csq_field_names_for_mode`
+    * (golden_benchmark.rs:652-700). `--everything`: RefSeq mode
+    * splices REFSEQ_MATCH/REFSEQ_OFFSET/GIVEN_REF/USED_REF/BAM_EDIT
+    * before GENE_PHENO, merged mode additionally carries SOURCE after
+    * REFSEQ_MATCH. Default (74-field) layout: the same block REPLACES
+    * the SOURCE slot. This library annotates from the derived
+    * (Ensembl-shaped) context so the RefSeq slots render empty, but
+    * the header/order contract lets a RefSeq-cache consumer keep its
+    * column positions. */
+  def csqFieldNamesForMode(refseq: Boolean = false, merged: Boolean = false,
+      everything: Boolean = true): Seq[String] = {
+    val refseqBlock =
       if (merged)
         Seq("REFSEQ_MATCH", "SOURCE", "REFSEQ_OFFSET", "GIVEN_REF",
           "USED_REF", "BAM_EDIT")
       else if (refseq)
         Seq("REFSEQ_MATCH", "REFSEQ_OFFSET", "GIVEN_REF", "USED_REF", "BAM_EDIT")
       else Seq.empty
-    val at = csqFieldNames.indexOf("GENE_PHENO")
-    csqFieldNames.take(at) ++ extra ++ csqFieldNames.drop(at)
+    if (everything) {
+      val at = csqFieldNames.indexOf("GENE_PHENO")
+      csqFieldNames.take(at) ++ refseqBlock ++ csqFieldNames.drop(at)
+    } else if (refseqBlock.isEmpty) csqFieldNamesDefault
+    else {
+      val at = csqFieldNamesDefault.indexOf("SOURCE")
+      csqFieldNamesDefault.take(at) ++ refseqBlock ++
+        csqFieldNamesDefault.drop(at + 1)
+    }
   }
 
   /** The VEP-style CSQ INFO header line announcing the entry format
@@ -230,10 +265,12 @@ object Annotate {
       vcf: DataFrame, cache: DataFrame, transcripts: DataFrame,
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       regulatory: DataFrame, motifs: DataFrame,
-      upstreamDistance: Long = 5000L): DataFrame = {
-    val exv = existingVar(lookedDf(vcf, cache))
+      opts: VepOptions = VepOptions.Everything): DataFrame = {
+    val exv =
+      if (opts.checkExistingOn) existingVar(lookedDf(vcf, cache), opts)
+      else emptyExv(vcf)
     val entries = entriesDf(vcf, transcripts, exons,
-      sift, polyphen, regulatory, motifs, upstreamDistance)
+      sift, polyphen, regulatory, motifs, opts)
     val grouped = entries.groupBy(col("id"))
       .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
         array_join(array_sort(collect_list(col("_entry"))), ",").as("_csqT"))
@@ -257,10 +294,12 @@ object Annotate {
       vcf: DataFrame, cache: DataFrame, transcripts: DataFrame,
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       regulatory: DataFrame, motifs: DataFrame,
-      upstreamDistance: Long = 5000L): DataFrame = {
-    val exv = existingVar(lookedDf(vcf, cache))
+      opts: VepOptions = VepOptions.Everything): DataFrame = {
+    val exv =
+      if (opts.checkExistingOn) existingVar(lookedDf(vcf, cache), opts)
+      else emptyExv(vcf)
     val entries = entriesDf(vcf, transcripts, exons,
-      sift, polyphen, regulatory, motifs, upstreamDistance)
+      sift, polyphen, regulatory, motifs, opts)
     val grouped = entries.groupBy(col("id"))
       .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
         // struct sort key = the unique entry string (placeholder form;
@@ -379,8 +418,13 @@ object Annotate {
     * '&'-joined existing names; the reference emits a List column).
     * One row per matched variant. Entries sharing a variation_name
     * are NOT merged (the reference dedups by name at collection,
-    * :1881-1897) — real caches key entries by distinct names. */
-  private def existingVar(looked: DataFrame): DataFrame = {
+    * :1881-1897) — real caches key entries by distinct names.
+    *
+    * Flag gating ([[VepOptions]], annotate_provider.rs
+    * `af_group_enabled` / `include_pubmed` / `flags.max_af`):
+    * disabled AF groups render empty CSQ slots and null variant-level
+    * values; MAX_AF/MAX_AF_POPS and PUBMED gate on their flags. */
+  private def existingVar(looked: DataFrame, opts: VepOptions): DataFrame = {
     val sm = when(col("somatic").cast("string") === "1", 1).otherwise(0)
     val p2 = lower(substring(col("variation_name"), 1, 2))
     val pr = when(p2 === "rs", 1).when(p2.isin("cm", "ci", "cd"), 2)
@@ -454,20 +498,28 @@ object Annotate {
     // argument is non-null by construction (concat_ws SKIPS nulls,
     // which would SHIFT the following CSQ fields).
     val suffix = concat_ws("|",
-      (afCsq.map { case (_, c) => array_join(col(s"_afl_$c"), "&") } ++ Seq(
-        coalesce(col("_exm").cast("string"), lit("")),
-        array_join(col("_pops"), "&"),
-        clinField, gatedFlags("somatic"), gatedFlags("pheno"), pubField)): _*)
+      (afCsq.map { case (_, c) =>
+        if (opts.groupOn(c)) array_join(col(s"_afl_$c"), "&") else lit("")
+      } ++ Seq(
+        if (opts.maxAfOn) coalesce(col("_exm").cast("string"), lit("")) else lit(""),
+        if (opts.maxAfOn) array_join(col("_pops"), "&") else lit(""),
+        clinField, gatedFlags("somatic"), gatedFlags("pheno"),
+        if (opts.pubmedOn) pubField else lit(""))): _*)
     staged.select(
       (Seq(col("id"), exvar.as("_exvar"), suffix.as("_exsuffix"),
         exvar.as("variation_name")) ++
         afCsq.map { case (_, c) =>
-          when(size(col(s"_afl_$c")) === 1,
-            element_at(col(s"_afl_$c"), 1).cast("double")).as(c)
+          if (opts.groupOn(c))
+            when(size(col(s"_afl_$c")) === 1,
+              element_at(col(s"_afl_$c"), 1).cast("double")).as(c)
+          else lit(null).cast("double").as(c)
         } ++
-        Seq(col("_exm").cast("double").as("max_af"),
-          when(size(col("_pops")) > 0, array_join(col("_pops"), "&"))
-            .as("max_af_pops"))): _*)
+        Seq(
+          (if (opts.maxAfOn) col("_exm").cast("double")
+           else lit(null).cast("double")).as("max_af"),
+          (if (opts.maxAfOn)
+             when(size(col("_pops")) > 0, array_join(col("_pops"), "&"))
+           else lit(null).cast("string")).as("max_af_pops"))): _*)
   }
 
   /** Public per-variant colocated-variant summary — the variant-level
@@ -477,8 +529,9 @@ object Annotate {
     * names in reference order), the rendered 33-field colocated CSQ
     * block, the per-column AF family, MAX_AF and MAX_AF_POPS. Only
     * variants with at least one allele-matched cache entry appear. */
-  def existingVariants(vcf: DataFrame, cache: DataFrame): DataFrame =
-    existingVar(lookedDf(vcf, cache)).select(
+  def existingVariants(vcf: DataFrame, cache: DataFrame,
+      opts: VepOptions = VepOptions.Everything): DataFrame =
+    existingVar(lookedDf(vcf, cache), opts).select(
       (Seq(col("id"), col("variation_name").as("existing_variation"),
         col("_exsuffix").as("csq_block")) ++
         afCsq.map { case (_, c) => col(c) } ++
@@ -487,6 +540,20 @@ object Annotate {
   /** Empty colocated suffix (33 fields -> 32 '|'s) for variants with
     * no cache match. */
   private val emptyExSuffix: String = "|" * 32
+
+  /** Zero-row colocated aggregate with [[existingVar]]'s schema — the
+    * no-lookup path when `check_existing` resolves off (the reference
+    * skips the cache probe entirely): every variant left-joins to
+    * nothing, so the whole colocated family renders empty/null. */
+  private def emptyExv(vcf: DataFrame): DataFrame = {
+    val nullS = lit(null).cast("string")
+    val nullD = lit(null).cast("double")
+    vcf.select(col("id")).where(lit(false)).select(
+      (Seq(col("id"), nullS.as("_exvar"), nullS.as("_exsuffix"),
+        nullS.as("variation_name")) ++
+        afCsq.map { case (_, c) => nullD.as(c) } ++
+        Seq(nullD.as("max_af"), nullS.as("max_af_pops"))): _*)
+  }
 
   /** Per-variant CSQ blocks render as single-byte placeholders in the
     * per-entry stream and substitute ONCE per variant after the final
@@ -548,7 +615,7 @@ object Annotate {
       vcf: DataFrame, transcripts: DataFrame,
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       regulatory: DataFrame, motifs: DataFrame,
-      upstreamDistance: Long): DataFrame = {
+      opts: VepOptions): DataFrame = {
     graft.plans.Graft.enable(vcf.sparkSession)
     val tMeta = transcripts.select(
       col("transcript_id"), col("biotype").as("_a_bt"),
@@ -790,7 +857,7 @@ object Annotate {
       col("transcript_id").as("_u_tid"), col("strand").as("_u_strand"))
     val uv = vcf.select(col("chrom").as("_u_vc"), col("start").cast("long").as("_u_vs"),
       col("end").cast("long").as("_u_ve"), col("id").as("_u_vid"))
-    val d = upstreamDistance
+    val d = opts.distance
     val updown = ut.join(uv,
         col("_u_tc") === col("_u_vc") &&
           col("_u_ts") - d <= col("_u_ve") && col("_u_te") + d >= col("_u_vs") &&
@@ -888,31 +955,74 @@ object Annotate {
     val mane = when(col("_e_mane_select") =!= "", lit("MANE_Select"))
       .when(col("_e_mane_plus_clinical") =!= "", lit("MANE_Plus_Clinical"))
       .otherwise(lit(""))
-    val fields: Seq[Column] = Seq(
-      lit(PhAllele), col("_termstr"), col("_impact"),
-      f(col("_e_sym")), f(col("_e_gene")), col("_ftype"), f(col("transcript_id")),
-      f(col("_e_bt")), f(col("_exon")), f(col("_intron")),
-      f(col("hgvs_c")), f(col("hgvs_p")),
-      f(col("_cdna")), f(col("_cds")), f(col("_pp")),
-      f(col("_aas")), f(col("_cod")), lit(PhExvar),
-      f(col("_dist")), f(col("_e_strand")), f(col("_e_flags")),
-      lit(PhVclass),
-      when(length(col("_e_sym")) > 0, lit("HGNC")).otherwise(lit("")),
-      when(length(col("_e_sym")) > 0,
-        concat(lit("HGNC:"), substring(col("_e_sym"), 4, 32)))
-        .otherwise(lit("")),
-      f(col("_e_canon")), mane,
-      f(col("_e_mane_select")), f(col("_e_mane_plus_clinical")),
-      f(col("_e_tsl")), f(col("_e_appris")), f(col("_e_ccds")), ensp,
-      f(col("_e_swissprot")), f(col("_e_trembl")), f(col("_e_uniparc")),
-      f(col("_e_uniprot_isoform")), f(col("_e_gene_pheno")),
-      f(col("_sift")), f(col("_polyphen")), f(col("_e_domains")),
-      when(array_contains(col("_terms"), "mature_miRNA_variant"),
-        f(col("_e_mirna"))).otherwise(lit("")),
-      f(col("_hoff")),
-      lit(PhSuffix),
-      f(col("_mname")), f(col("_mpos")), f(col("_minf")),
-      dec2(col("_mscore")), f(col("_mname")))
+    // per-field rendering, keyed by CSQ field name; the mode's field
+    // list ([[csqFieldNamesForMode]]) drives the emission order, so
+    // the 80-field --everything layout and the 74-field default
+    // layout share one renderer. The 33-field colocated block
+    // (AF..PUBMED, contiguous in every layout) renders as the single
+    // per-variant suffix placeholder; names outside the map (SOURCE,
+    // the RefSeq block) render '' — this library annotates from the
+    // derived Ensembl-shaped context.
+    val fieldCol: Map[String, Column] = Map(
+      "Allele" -> lit(PhAllele),
+      "Consequence" -> col("_termstr"),
+      "IMPACT" -> col("_impact"),
+      "SYMBOL" -> f(col("_e_sym")),
+      "Gene" -> f(col("_e_gene")),
+      "Feature_type" -> col("_ftype"),
+      "Feature" -> f(col("transcript_id")),
+      "BIOTYPE" -> f(col("_e_bt")),
+      "EXON" -> f(col("_exon")),
+      "INTRON" -> f(col("_intron")),
+      "HGVSc" -> f(col("hgvs_c")),
+      "HGVSp" -> f(col("hgvs_p")),
+      "cDNA_position" -> f(col("_cdna")),
+      "CDS_position" -> f(col("_cds")),
+      "Protein_position" -> f(col("_pp")),
+      "Amino_acids" -> f(col("_aas")),
+      "Codons" -> f(col("_cod")),
+      "Existing_variation" -> lit(PhExvar),
+      "DISTANCE" -> f(col("_dist")),
+      "STRAND" -> f(col("_e_strand")),
+      "FLAGS" -> f(col("_e_flags")),
+      "VARIANT_CLASS" -> lit(PhVclass),
+      "SYMBOL_SOURCE" ->
+        when(length(col("_e_sym")) > 0, lit("HGNC")).otherwise(lit("")),
+      "HGNC_ID" ->
+        when(length(col("_e_sym")) > 0,
+          concat(lit("HGNC:"), substring(col("_e_sym"), 4, 32)))
+          .otherwise(lit("")),
+      "CANONICAL" -> f(col("_e_canon")),
+      "MANE" -> mane,
+      "MANE_SELECT" -> f(col("_e_mane_select")),
+      "MANE_PLUS_CLINICAL" -> f(col("_e_mane_plus_clinical")),
+      "TSL" -> f(col("_e_tsl")),
+      "APPRIS" -> f(col("_e_appris")),
+      "CCDS" -> f(col("_e_ccds")),
+      "ENSP" -> ensp,
+      "SWISSPROT" -> f(col("_e_swissprot")),
+      "TREMBL" -> f(col("_e_trembl")),
+      "UNIPARC" -> f(col("_e_uniparc")),
+      "UNIPROT_ISOFORM" -> f(col("_e_uniprot_isoform")),
+      "GENE_PHENO" -> f(col("_e_gene_pheno")),
+      "SIFT" -> f(col("_sift")),
+      "PolyPhen" -> f(col("_polyphen")),
+      "DOMAINS" -> f(col("_e_domains")),
+      "miRNA" ->
+        when(array_contains(col("_terms"), "mature_miRNA_variant"),
+          f(col("_e_mirna"))).otherwise(lit("")),
+      "HGVS_OFFSET" -> f(col("_hoff")),
+      "MOTIF_NAME" -> f(col("_mname")),
+      "MOTIF_POS" -> f(col("_mpos")),
+      "HIGH_INF_POS" -> f(col("_minf")),
+      "MOTIF_SCORE_CHANGE" -> dec2(col("_mscore")),
+      "TRANSCRIPTION_FACTORS" -> f(col("_mname")))
+    val names = csqFieldNamesForMode(opts.refseq, opts.merged, opts.everything)
+    val afStart = names.indexOf("AF")
+    val fields: Seq[Column] =
+      names.take(afStart).map(n => fieldCol.getOrElse(n, lit(""))) ++
+        Seq(lit(PhSuffix)) ++
+        names.drop(afStart + 33).map(n => fieldCol.getOrElse(n, lit("")))
     fused.unionByName(updown).unionByName(regEntries).unionByName(motEntries)
       .join(broadcast(tAttr), Seq("transcript_id"), "left")
       .withColumn("_termstr", expr(termStrSql(CodonLogic.SparkD, "_terms")))

@@ -1,0 +1,75 @@
+package graft.vep
+
+/** The reference's `annotate_vep(..., options_json)` option surface
+  * (annotate_provider.rs:1110-1163 `VepFlags::from_options_json`, plus
+  * the `distance` option its own test exercises): flag names and the
+  * implication rules mirror Ensembl VEP's Config.pm — `--everything`
+  * turns on the whole AF family + pubmed, and any AF/pubmed flag
+  * implies `--check_existing`. `refseq`/`merged` pick the
+  * transcript-source CSQ layout ([[Annotate.csqFieldNamesForMode]]);
+  * `everything=false` renders the 74-field default layout
+  * (golden_benchmark.rs CSQ_FIELD_NAMES).
+  *
+  * This library's default is the `--everything` profile (the shape
+  * every e2e gate runs); the reference's default is all-flags-off. */
+final case class VepOptions(
+    everything: Boolean = true,
+    af: Boolean = false,
+    af1kg: Boolean = false,
+    afGnomade: Boolean = false,
+    afGnomadg: Boolean = false,
+    maxAf: Boolean = false,
+    pubmed: Boolean = false,
+    checkExisting: Boolean = false,
+    refseq: Boolean = false,
+    merged: Boolean = false,
+    distance: Long = 5000L) {
+  def afOn: Boolean = everything || af
+  def af1kgOn: Boolean = everything || af1kg
+  def afGnomadeOn: Boolean = everything || afGnomade
+  def afGnomadgOn: Boolean = everything || afGnomadg
+  def maxAfOn: Boolean = everything || maxAf
+  def pubmedOn: Boolean = everything || pubmed
+  /** VEP behavior: AF flags imply `--check_existing`. */
+  def checkExistingOn: Boolean =
+    checkExisting || afOn || af1kgOn || afGnomadeOn || afGnomadgOn ||
+      maxAfOn || pubmedOn
+
+  /** AF flag-group of a cache column (annotate_provider.rs AF_COLUMNS
+    * `flag_group`): the global 'af', the 1000G populations, the
+    * gnomAD-exomes family (cache column af_gnomad = gnomADe_AF), the
+    * gnomAD-genomes family. Disabled groups render empty CSQ slots
+    * and null variant-level values. */
+  def groupOn(cacheCol: String): Boolean =
+    if (cacheCol == "af") afOn
+    else if (cacheCol == "af_gnomadg" || cacheCol.startsWith("af_gnomadg_")) afGnomadgOn
+    else if (cacheCol == "af_gnomad" || cacheCol.startsWith("af_gnomade_")) afGnomadeOn
+    else af1kgOn
+}
+
+object VepOptions {
+  /** The `--everything` profile (this library's default). */
+  val Everything: VepOptions = VepOptions()
+
+  /** The reference's own default: every flag off — transcript
+    * consequences only, no colocated-variant lookup. */
+  val Default: VepOptions = VepOptions(everything = false)
+
+  /** Parse the reference's `options_json` argument (boolean flags by
+    * VEP CLI name + numeric `distance`). Unknown keys are ignored,
+    * matching the reference's per-key probing. */
+  def fromJson(json: String): VepOptions = {
+    def flag(k: String): Boolean =
+      s""""$k"\\s*:\\s*true""".r.findFirstIn(json).isDefined
+    val dist = s""""distance"\\s*:\\s*(\\d+)""".r
+      .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(5000L)
+    VepOptions(
+      everything = flag("everything"),
+      af = flag("af"), af1kg = flag("af_1kg"),
+      afGnomade = flag("af_gnomade"), afGnomadg = flag("af_gnomadg"),
+      maxAf = flag("max_af"), pubmed = flag("pubmed"),
+      checkExisting = flag("check_existing"),
+      refseq = flag("refseq"), merged = flag("merged"),
+      distance = dist)
+  }
+}

@@ -207,6 +207,46 @@ class AnnotateSuite extends SparkSpec {
     assert(hEntries.find(_(FEATURE) == "T1").get(EXISTING) == "rs1")
     assert(hEntries.find(_(FEATURE) == "T1").get(SYMBOL) == "SYM1")
 
+    // ---- the reference's options_json surface (VepFlags) ----
+    import graft.vep.VepOptions
+    val oj = VepOptions.fromJson(
+      """{"af_1kg": true, "pubmed": true, "distance": 3000}""")
+    assert(!oj.everything && oj.af1kg && oj.pubmed && oj.distance == 3000L)
+    // AF/pubmed flags imply check_existing (Config.pm rule)
+    assert(oj.checkExistingOn && !oj.afOn && !oj.afGnomadeOn && !oj.maxAfOn)
+    assert(VepOptions.Default.everything == false &&
+      !VepOptions.Default.checkExistingOn)
+    assert(VepOptions.Everything.checkExistingOn)
+    // 74-field default layout + transcript-source splices
+    val dflt = Annotate.csqFieldNamesForMode(everything = false)
+    assert(dflt.length == 74 && dflt.head == "Allele" && dflt.last == "PUBMED" &&
+      dflt.contains("SOURCE") && !dflt.contains("MANE") && !dflt.contains("SIFT"))
+    assert(Annotate.csqFieldNamesForMode(refseq = true, everything = false).length == 78)
+    assert(Annotate.csqFieldNamesForMode(merged = true, everything = false).length == 79)
+    // default profile (all flags off): 74-field entries, NO colocated
+    // lookup — Existing_variation renders empty, variation_name null
+    val defRow = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot,
+      VepOptions.Default).where($"id" === 1L).collect().head
+    val defEntries = defRow.getString(defRow.fieldIndex("csq"))
+      .split(",").map(_.split("\\|", -1))
+    assert(defEntries.forall(_.length == 74))
+    val defT1 = defEntries.find(_(6) == "T1").get
+    assert(defT1(17) == "")  // Existing_variation: check_existing off
+    assert(defRow.isNullAt(defRow.fieldIndex("variation_name")))
+    assert(defRow.isNullAt(defRow.fieldIndex("max_af")))
+    // flag-gated colocated family: af_1kg on, gnomAD off
+    val gatedRow = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot,
+      oj).where($"id" === 1L).collect().head
+    val gT1 = gatedRow.getString(gatedRow.fieldIndex("csq"))
+      .split(",").map(_.split("\\|", -1)).find(_(6) == "T1").get
+    // 74-layout AF block starts at index 41: AF(gated off), AFR..SAS on
+    assert(gT1(41) == "" && gT1(42) == "0.2000" && gT1(46) == "0.6000" &&
+      gT1(47) == "")  // gnomADe_AF slot off
+    assert(gatedRow.isNullAt(gatedRow.fieldIndex("af")) &&
+      gatedRow.getDouble(gatedRow.fieldIndex("af_afr")) == 0.2 &&
+      gatedRow.isNullAt(gatedRow.fieldIndex("af_gnomad")) &&
+      gatedRow.isNullAt(gatedRow.fieldIndex("max_af")))
+
     // partition invariance: the entry sort (placeholder form) and the
     // per-variant substitution must be deterministic under different
     // shuffle layouts
