@@ -180,10 +180,11 @@ object VepSpliceQueries {
         Tables.vcf(s, d), cache.unionByName(sat))
     }),
     // The reference's non-everything profile through its options_json
-    // surface (annotate_provider.rs:1110-1163 VepFlags): 74-field CSQ
-    // layout, 1000G AF + PUBMED flag groups only (gnomAD slots render
-    // empty, variant-level gnomAD columns null), distance=3000
-    // shrinking the up/downstream candidate window.
+    // surface (annotate_provider.rs:1110-1205 VepFlags + HgvsFlags):
+    // 74-field CSQ layout, 1000G AF + PUBMED flag groups only (gnomAD
+    // slots render empty, variant-level gnomAD columns null), HGVSc
+    // on but HGVSp off, distance=3000 shrinking the up/downstream
+    // candidate window.
     "f11_annotate_default" -> ((s, d) =>
       graft.vep.Annotate.annotate(Tables.vcf(s, d), Tables.vepCache(s, d),
         Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
@@ -786,10 +787,15 @@ object VepSpliceQueries {
     val names = graft.vep.Annotate.csqFieldNamesForMode(
       opts.refseq, opts.merged, opts.everything)
     val afStart = names.indexOf("AF")
+    def frag(n: String): String = n match {
+      case "HGVSc" | "HGVS_OFFSET" if !opts.hgvscOn => "''"
+      case "HGVSp" if !opts.hgvspOn => "''"
+      case _ => entFieldSql.getOrElse(n, "''")
+    }
     val parts: Seq[String] =
-      names.take(afStart).map(n => entFieldSql.getOrElse(n, "''")) ++
+      names.take(afStart).map(frag) ++
         Seq(s"COALESCE(exv.exsuffix, '${"|" * 32}')") ++
-        names.drop(afStart + 33).map(n => entFieldSql.getOrElse(n, "''"))
+        names.drop(afStart + 33).map(frag)
     parts.mkString("concat(", ", '|', ", ")")
   }
 
@@ -1027,7 +1033,7 @@ object VepSpliceQueries {
     * non-default distance — built from the same options_json string
     * the reference's annotate_vep 4th argument takes. */
   private[graft] val defaultModeJson: String =
-    """{"af_1kg": true, "pubmed": true, "distance": 3000}"""
+    """{"af_1kg": true, "pubmed": true, "hgvsc": true, "distance": 3000}"""
 
   private lazy val annotateDefaultSql: String =
     e2eCsqSql(e2eCtesFor(graft.vep.VepOptions.fromJson(defaultModeJson)))

@@ -1023,7 +1023,21 @@ object Annotate {
       names.take(afStart).map(n => fieldCol.getOrElse(n, lit(""))) ++
         Seq(lit(PhSuffix)) ++
         names.drop(afStart + 33).map(n => fieldCol.getOrElse(n, lit("")))
-    fused.unionByName(updown).unionByName(regEntries).unionByName(motEntries)
+    // HGVS flag gating ([[VepOptions.hgvscOn]]): the forms are
+    // computed by the layer operators regardless (they share the
+    // candidate aggregates), and nulled here when the flags resolve
+    // off — the reference skips the computation, this library skips
+    // the emission; same output.
+    val unioned0 = fused.unionByName(updown)
+      .unionByName(regEntries).unionByName(motEntries)
+    val unioned = unioned0
+      .withColumn("hgvs_c",
+        if (opts.hgvscOn) col("hgvs_c") else lit(null).cast("string"))
+      .withColumn("hgvs_p",
+        if (opts.hgvspOn) col("hgvs_p") else lit(null).cast("string"))
+      .withColumn("_hoff",
+        if (opts.hgvscOn) col("_hoff") else lit(null).cast("long"))
+    unioned
       .join(broadcast(tAttr), Seq("transcript_id"), "left")
       .withColumn("_termstr", expr(termStrSql(CodonLogic.SparkD, "_terms")))
       .withColumn("_best", expr(bestRankSql(CodonLogic.SparkD, "_terms")))

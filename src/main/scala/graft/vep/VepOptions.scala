@@ -21,9 +21,19 @@ final case class VepOptions(
     maxAf: Boolean = false,
     pubmed: Boolean = false,
     checkExisting: Boolean = false,
+    hgvs: Boolean = false,
+    hgvsc: Boolean = false,
+    hgvsp: Boolean = false,
     refseq: Boolean = false,
     merged: Boolean = false,
     distance: Long = 5000L) {
+  /** HGVS gating (annotate_provider.rs:1180-1205 HgvsFlags):
+    * `--everything` implies `--hgvs`, which implies both forms; the
+    * 3'-shift is always applied when either form renders (the
+    * reference's shift_hgvs default — the off switch is not
+    * implemented here). */
+  def hgvscOn: Boolean = everything || hgvs || hgvsc
+  def hgvspOn: Boolean = everything || hgvs || hgvsp
   def afOn: Boolean = everything || af
   def af1kgOn: Boolean = everything || af1kg
   def afGnomadeOn: Boolean = everything || afGnomade
@@ -69,6 +79,7 @@ object VepOptions {
       afGnomade = flag("af_gnomade"), afGnomadg = flag("af_gnomadg"),
       maxAf = flag("max_af"), pubmed = flag("pubmed"),
       checkExisting = flag("check_existing"),
+      hgvs = flag("hgvs"), hgvsc = flag("hgvsc"), hgvsp = flag("hgvsp"),
       refseq = flag("refseq"), merged = flag("merged"),
       distance = dist)
   }

@@ -232,8 +232,13 @@ class AnnotateSuite extends SparkSpec {
     assert(defEntries.forall(_.length == 74))
     val defT1 = defEntries.find(_(6) == "T1").get
     assert(defT1(17) == "")  // Existing_variation: check_existing off
+    assert(defT1(10) == "" && defT1(11) == "")  // HGVSc/HGVSp: hgvs off
     assert(defRow.isNullAt(defRow.fieldIndex("variation_name")))
     assert(defRow.isNullAt(defRow.fieldIndex("max_af")))
+    // hgvsc alone turns on only the coding form
+    val hOpt = VepOptions.fromJson("""{"hgvsc": true}""")
+    assert(hOpt.hgvscOn && !hOpt.hgvspOn && !hOpt.checkExistingOn)
+    assert(VepOptions.fromJson("""{"hgvs": true}""").hgvspOn)
     // flag-gated colocated family: af_1kg on, gnomAD off
     val gatedRow = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot,
       oj).where($"id" === 1L).collect().head
