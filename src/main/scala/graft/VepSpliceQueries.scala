@@ -190,7 +190,32 @@ object VepSpliceQueries {
         Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
         Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d),
         graft.vep.VepOptions.fromJson(defaultModeJson))),
+    // Transcript-source selection (annotate_provider.rs:5642-5784):
+    // the fixture's T* ids are remapped to a mix of curated RefSeq
+    // (NM_), predicted RefSeq (XM_), Ensembl (ENST) and unlabeled
+    // ids; merged mode with exclude_predicted keeps NM_ and ENST,
+    // drops XM_ and unlabeled.
+    "f11_transcript_selection" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val tx = Tables.transcripts(s, d).withColumn("transcript_id",
+        expr(txSelectRemap("transcript_id")))
+      graft.vep.Annotate.selectTranscripts(tx,
+          graft.vep.VepOptions.fromJson(
+            """{"merged": true, "exclude_predicted": true}"""))
+        .select(col("transcript_id"), col("chrom"), col("strand"))
+    }),
   )
+
+  /** Shared Spark/DuckDB remap of fixture transcript ids to the four
+    * source classes (suppkey is always a multiple of 10). */
+  private def txSelectRemap(tid: String): String =
+    s"""CASE WHEN CAST(substring($tid, 2) AS BIGINT) % 40 = 0
+       | THEN concat('XM_', substring($tid, 2))
+       |WHEN CAST(substring($tid, 2) AS BIGINT) % 20 = 0
+       | THEN concat('NM_', substring($tid, 2))
+       |WHEN CAST(substring($tid, 2) AS BIGINT) % 30 = 0
+       | THEN concat('ENST00', substring($tid, 2))
+       |ELSE $tid END""".stripMargin.replace("\n", " ")
 
   /** Per-exon cDNA contribution of position `pos` (Splice.contribution
     * mirrored; `e` = exon alias, `strand` in scope). */
@@ -985,6 +1010,23 @@ object VepSpliceQueries {
        |  FROM v LEFT JOIN exv ON v.id = exv.id)""".stripMargin.replace("\n", " ")
   }
 
+  /** Transcript-selection oracle: the remapped ids through the
+    * merged + exclude_predicted predicate (the fixture carries no
+    * source/display_xref_id columns and no mitochondrial contigs, so
+    * those arms resolve false on both engines). */
+  private val transcriptSelectionSql: String =
+    s"""WITH ${Oracle.transcripts},
+       |tr AS (SELECT ${txSelectRemap("transcript_id")} AS transcript_id,
+       |   chrom, strand FROM t)
+       |SELECT transcript_id, chrom, strand FROM tr
+       |WHERE length(transcript_id) > 0
+       | AND NOT (substring(transcript_id, 1, 3) = 'XM_'
+       |       OR substring(transcript_id, 1, 3) = 'XR_')
+       | AND (CASE WHEN substring(transcript_id, 1, 2) IN ('NM', 'NR', 'XM', 'XR')
+       |   THEN regexp_matches(transcript_id, '^[A-Z]{2}_[0-9]')
+       |   ELSE substring(transcript_id, 1, 4) = 'ENST' END)
+       |ORDER BY transcript_id""".stripMargin.replace("\n", " ")
+
   /** Multi-entry colocated oracle: the satellite cache union mirrored
     * in SQL, fed through the shared [[exvCtes]] chain. */
   private val existingMultiSql: String = {
@@ -1145,5 +1187,6 @@ object VepSpliceQueries {
     "f11_colocated" -> colocatedSql,
     "f11_existing_multi" -> existingMultiSql,
     "f11_annotate_default" -> annotateDefaultSql,
+    "f11_transcript_selection" -> transcriptSelectionSql,
   )
 }

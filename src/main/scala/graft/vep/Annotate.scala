@@ -269,7 +269,7 @@ object Annotate {
     val exv =
       if (opts.checkExistingOn) existingVar(lookedDf(vcf, cache), opts)
       else emptyExv(vcf)
-    val entries = entriesDf(vcf, transcripts, exons,
+    val entries = entriesDf(vcf, selectTranscripts(transcripts, opts), exons,
       sift, polyphen, regulatory, motifs, opts)
     val grouped = entries.groupBy(col("id"))
       .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
@@ -298,7 +298,7 @@ object Annotate {
     val exv =
       if (opts.checkExistingOn) existingVar(lookedDf(vcf, cache), opts)
       else emptyExv(vcf)
-    val entries = entriesDf(vcf, transcripts, exons,
+    val entries = entriesDf(vcf, selectTranscripts(transcripts, opts), exons,
       sift, polyphen, regulatory, motifs, opts)
     val grouped = entries.groupBy(col("id"))
       .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
@@ -540,6 +540,55 @@ object Annotate {
   /** Empty colocated suffix (33 fields -> 32 '|'s) for variants with
     * no cache match. */
   private val emptyExSuffix: String = "|" * 32
+
+  /** Transcript-source selection (annotate_provider.rs:5642-5784
+    * passes_transcript_selection + the TranscriptSelectionFlags
+    * validation at :1277-1286): RefSeq mode keeps RefSeq-labeled
+    * transcripts (source column 'RefSeq' or NM/NR/XM/XR ids),
+    * restricted to the curated default set (accession-shaped id,
+    * mitochondrial stable id, or RefSeq display xref) unless
+    * `all_refseq`; merged mode additionally admits Ensembl-labeled
+    * transcripts; `exclude_predicted` drops XM_/XR_ models. The
+    * optional `source` / `display_xref_id` columns participate when
+    * present. DELIBERATE DEVIATION: in the default Ensembl mode no
+    * filter applies — the reference requires source='Ensembl' or
+    * ENST ids, which its own caches always satisfy; this library
+    * annotates whatever transcript context the caller provides. */
+  def selectTranscripts(transcripts: DataFrame, opts: VepOptions): DataFrame = {
+    if (opts.allRefseq && !(opts.refseq || opts.merged))
+      throw new IllegalArgumentException(
+        "annotate: all_refseq requires refseq or merged")
+    if (opts.excludePredicted && !(opts.refseq || opts.merged))
+      throw new IllegalArgumentException(
+        "annotate: exclude_predicted requires refseq or merged")
+    if (!opts.refseq && !opts.merged) transcripts
+    else {
+      val tid = col("transcript_id")
+      def optCol(n: String): Column =
+        if (transcripts.columns.contains(n)) col(n)
+        else lit(null).cast("string")
+      val src = optCol("source"); val disp = optCol("display_xref_id")
+      val isEnsembl = src === "Ensembl" || tid.startsWith("ENST")
+      val isRefseq = src === "RefSeq" ||
+        substring(tid, 1, 2).isin("NM", "NR", "XM", "XR")
+      val isPredicted = tid.startsWith("XM_") || tid.startsWith("XR_")
+      def accession(c: Column): Column = c.rlike("^[A-Z]{2}_[0-9]")
+      val mtChrom = regexp_replace(col("chrom"), "^chr", "").isin("M", "MT", "m", "mt")
+      val mtStripped = regexp_replace(tid, "^rna-", "")
+      val mtStable = tid.rlike("^[0-9]{4}$") ||
+        (mtStripped.rlike("^[A-Z0-9]+$") && length(mtStripped) >= 3)
+      val isDefaultId = accession(tid) || (mtChrom && mtStable) ||
+        (disp.isNotNull && (accession(disp) || disp.rlike("^[0-9]{4}$")))
+      val refseqAdmit = isRefseq &&
+        (if (opts.allRefseq) lit(true) else isDefaultId)
+      val admit =
+        if (opts.merged) when(isRefseq, refseqAdmit).otherwise(isEnsembl)
+        else refseqAdmit
+      val base = length(tid) > 0 &&
+        (if (opts.excludePredicted) !isPredicted else lit(true))
+      transcripts.where(base && admit)
+    }
+  }
 
   /** Zero-row colocated aggregate with [[existingVar]]'s schema — the
     * no-lookup path when `check_existing` resolves off (the reference

@@ -26,6 +26,8 @@ final case class VepOptions(
     hgvsp: Boolean = false,
     refseq: Boolean = false,
     merged: Boolean = false,
+    allRefseq: Boolean = false,
+    excludePredicted: Boolean = false,
     distance: Long = 5000L) {
   /** HGVS gating (annotate_provider.rs:1180-1205 HgvsFlags):
     * `--everything` implies `--hgvs`, which implies both forms; the
@@ -81,6 +83,8 @@ object VepOptions {
       checkExisting = flag("check_existing"),
       hgvs = flag("hgvs"), hgvsc = flag("hgvsc"), hgvsp = flag("hgvsp"),
       refseq = flag("refseq"), merged = flag("merged"),
+      allRefseq = flag("all_refseq"),
+      excludePredicted = flag("exclude_predicted"),
       distance = dist)
   }
 }

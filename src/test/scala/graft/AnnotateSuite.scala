@@ -239,6 +239,27 @@ class AnnotateSuite extends SparkSpec {
     val hOpt = VepOptions.fromJson("""{"hgvsc": true}""")
     assert(hOpt.hgvscOn && !hOpt.hgvspOn && !hOpt.checkExistingOn)
     assert(VepOptions.fromJson("""{"hgvs": true}""").hgvspOn)
+    // transcript-source selection: Ensembl default mode is a
+    // pass-through; the sub-flags demand a RefSeq-bearing mode
+    // (the reference errors identically, annotate_provider.rs:1277)
+    assert(Annotate.selectTranscripts(tx, VepOptions.Everything).count() == 1)
+    intercept[IllegalArgumentException] {
+      Annotate.selectTranscripts(tx,
+        VepOptions.fromJson("""{"all_refseq": true}"""))
+    }
+    intercept[IllegalArgumentException] {
+      Annotate.selectTranscripts(tx,
+        VepOptions.fromJson("""{"exclude_predicted": true}"""))
+    }
+    // refseq mode: curated NM_ passes, predicted XM_ passes only via
+    // all_refseq, Ensembl/unlabeled ids drop
+    val mixTx = tx.selectExpr("'chr1' AS chrom", "explode(array('NM_7.1', 'XM_9.2', 'ENST0001', 'T77')) AS transcript_id")
+    def sel(js: String): Set[String] =
+      Annotate.selectTranscripts(mixTx, VepOptions.fromJson(js))
+        .collect().map(_.getString(1)).toSet
+    assert(sel("""{"refseq": true}""") == Set("NM_7.1", "XM_9.2"))
+    assert(sel("""{"refseq": true, "exclude_predicted": true}""") == Set("NM_7.1"))
+    assert(sel("""{"merged": true, "exclude_predicted": true}""") == Set("NM_7.1", "ENST0001"))
     // flag-gated colocated family: af_1kg on, gnomAD off
     val gatedRow = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot,
       oj).where($"id" === 1L).collect().head
