@@ -145,6 +145,32 @@ object AnalyticsQueries {
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))),
+    // Structured Streaming through the batch gate: the windowed
+    // aggregation runs as a REAL stream (parquet file source,
+    // watermark, AvailableNow trigger, memory sink) and drains to a
+    // table the oracle checks against the equivalent batch grouping.
+    // Window bounds project to epoch micros so the compare is
+    // timezone-free; totals to integer millis so the float sum order
+    // cannot flip hash bits.
+    "s7_stream_windows" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = Tables.load(s, d, "events").schema
+      // the file stream source wants a DIRECTORY; the glob filter
+      // scopes it to the events table within the shared testdata dir
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val ev = stream.withColumn("ts", col("ts").cast("timestamp"))
+      val out = graft.streaming.EventStreams.windowedCounts(ev)
+        .select(unix_micros(col("window_start").cast("timestamp")).as("window_start_us"),
+          unix_micros(col("window_end").cast("timestamp")).as("window_end_us"),
+          col("event_type"), col("n"),
+          expr("CAST(round(total * 1000) AS BIGINT)").as("total_milli"))
+      val name = "s7win_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val sq = out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table(name)
+    }),
   )
 
   private val lcents = (c: String) => s"CAST(round($c * 100) AS BIGINT)"
@@ -229,5 +255,13 @@ object AnalyticsQueries {
       s"""SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
          | CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps, CAST(COUNT(*) AS BIGINT) AS n_rows
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+    // batch equivalent of the streamed 10-minute tumbling windows
+    "s7_stream_windows" ->
+      s"""SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
+         | ((epoch_us(ts) // 600000000) + 1) * 600000000 AS window_end_us,
+         | event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         | CAST(round(SUM(value) * 1000) AS BIGINT) AS total_milli
+         |FROM events GROUP BY 1, 2, 3
+         |ORDER BY window_start_us, event_type""".stripMargin.replace("\n", " "),
   )
 }
