@@ -112,6 +112,29 @@ object RangesQueries {
         "strategy did not fire for the anti shape")
       df
     }),
+    // Streaming interval probe through the batch gate: the probe side
+    // runs as a REAL stream (parquet file source, AvailableNow,
+    // memory sink) over the broadcast static index — stateless
+    // map-only, so append mode needs no watermark. The oracle is the
+    // batch count_overlaps SQL.
+    "s8_stream_count_overlaps" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = Tables.load(s, d, "orders").schema
+      val bStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet").parquet(d)
+        .selectExpr(
+          "concat('c', CAST(o_orderkey % 4 AS STRING)) AS contig",
+          "CAST((o_custkey * 48271) % 1000000 AS BIGINT) AS pos_start",
+          "CAST((o_custkey * 48271) % 1000000 + (o_orderkey % 500) AS BIGINT) AS pos_end",
+          "CAST(o_orderkey AS BIGINT) AS id")
+      val out = graft.streaming.IntervalStreams.countOverlaps(
+        bStream, Tables.ivA(s, d))
+      val name = "s8cnt_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.table(name)
+    }),
   )
 
   private val overlapPairsSelect =
@@ -245,6 +268,8 @@ object RangesQueries {
          |ORDER BY contig, pos_start""".stripMargin.replace("\n", " "),
     "f8_subtract" -> subtractSql(strict = false),
     "f8_subtract_strict" -> subtractSql(strict = true),
+    "s8_stream_count_overlaps" ->
+      s"WITH $a, $b SELECT b.contig, b.pos_start, b.pos_end, b.id, CAST(COUNT(a.contig) AS BIGINT) AS n_overlaps FROM b LEFT JOIN a ON a.contig = b.contig AND a.pos_start <= b.pos_end AND a.pos_end >= b.pos_start GROUP BY b.contig, b.pos_start, b.pos_end, b.id ORDER BY b.id",
   )
 
   /** Shared subtract oracle; strict flips the overlap comparators AND
