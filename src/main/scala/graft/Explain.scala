@@ -24,8 +24,9 @@ object Explain {
         "f2_count_overlaps", "f5_merge", "f9_depth_blocks",
         "f10_lookup_variants", "f10_lookup_extended", "f11_cdna_hgvs",
         "f11_spliced_codon", "f11_csq", "f11_miss_worklist",
-        "f11_annotate_e2e", "f11_hgvsp_indel", "f11_sv_consequence",
-        "f11_colocated", "f11_maxaf",
+        "f11_annotate_e2e", "f11_annotate_default", "f11_hgvsp_indel",
+        "f11_sv_consequence", "f11_colocated", "f11_maxaf",
+        "f11_existing_multi", "f11_transcript_selection",
         "s4_kv_lookup", "d_lsh_pairs", "d_embed_dups", "ann_topk",
         "ann_ivf_topk", "a_q3_top_orders")
       .foreach(n => dump(n, all(n)))
