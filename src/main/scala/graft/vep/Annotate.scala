@@ -561,8 +561,32 @@ object Annotate {
     if (opts.excludePredicted && !(opts.refseq || opts.merged))
       throw new IllegalArgumentException(
         "annotate: exclude_predicted requires refseq or merged")
-    if (!opts.refseq && !opts.merged) transcripts
-    else {
+    // the reference's mutual exclusions (annotate_provider.rs:1252-1264)
+    if (opts.refseq && opts.gencodeBasic)
+      throw new IllegalArgumentException(
+        "annotate: refseq and gencode_basic are mutually exclusive")
+    if (opts.refseq && opts.gencodePrimary)
+      throw new IllegalArgumentException(
+        "annotate: refseq and gencode_primary are mutually exclusive")
+    if (opts.gencodeBasic && opts.gencodePrimary)
+      throw new IllegalArgumentException(
+        "annotate: gencode_basic and gencode_primary are mutually exclusive")
+    // GENCODE set membership rides optional boolean columns (the
+    // reference reads the transcript attribute array); absent columns
+    // mean no transcript is in the set, exactly like an attribute-less
+    // cache row
+    def optBool(n: String): Column =
+      if (transcripts.columns.contains(n))
+        coalesce(col(n).cast("boolean"), lit(false))
+      else lit(false)
+    val gencodePred =
+      (if (opts.gencodeBasic) optBool("is_gencode_basic") else lit(true)) &&
+        (if (opts.gencodePrimary) optBool("is_gencode_primary") else lit(true))
+    if (!opts.refseq && !opts.merged) {
+      if (opts.gencodeBasic || opts.gencodePrimary)
+        transcripts.where(gencodePred)
+      else transcripts
+    } else {
       val tid = col("transcript_id")
       def optCol(n: String): Column =
         if (transcripts.columns.contains(n)) col(n)
@@ -586,7 +610,7 @@ object Annotate {
         else refseqAdmit
       val base = length(tid) > 0 &&
         (if (opts.excludePredicted) !isPredicted else lit(true))
-      transcripts.where(base && admit)
+      transcripts.where(base && gencodePred && admit)
     }
   }
 

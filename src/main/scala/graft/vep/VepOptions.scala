@@ -28,6 +28,8 @@ final case class VepOptions(
     merged: Boolean = false,
     allRefseq: Boolean = false,
     excludePredicted: Boolean = false,
+    gencodeBasic: Boolean = false,
+    gencodePrimary: Boolean = false,
     distance: Long = 5000L) {
   /** HGVS gating (annotate_provider.rs:1180-1205 HgvsFlags):
     * `--everything` implies `--hgvs`, which implies both forms; the
@@ -85,6 +87,8 @@ object VepOptions {
       refseq = flag("refseq"), merged = flag("merged"),
       allRefseq = flag("all_refseq"),
       excludePredicted = flag("exclude_predicted"),
+      gencodeBasic = flag("gencode_basic"),
+      gencodePrimary = flag("gencode_primary"),
       distance = dist)
   }
 }

@@ -260,6 +260,24 @@ class AnnotateSuite extends SparkSpec {
     assert(sel("""{"refseq": true}""") == Set("NM_7.1", "XM_9.2"))
     assert(sel("""{"refseq": true, "exclude_predicted": true}""") == Set("NM_7.1"))
     assert(sel("""{"merged": true, "exclude_predicted": true}""") == Set("NM_7.1", "ENST0001"))
+    // gencode set flags: optional boolean attribute columns; the
+    // reference's mutual exclusions apply
+    intercept[IllegalArgumentException] {
+      Annotate.selectTranscripts(mixTx,
+        VepOptions.fromJson("""{"refseq": true, "gencode_basic": true}"""))
+    }
+    intercept[IllegalArgumentException] {
+      Annotate.selectTranscripts(mixTx,
+        VepOptions.fromJson("""{"gencode_basic": true, "gencode_primary": true}"""))
+    }
+    val gtx = mixTx.withColumn("is_gencode_basic",
+      org.apache.spark.sql.functions.expr("transcript_id IN ('NM_7.1', 'T77')"))
+    assert(Annotate.selectTranscripts(gtx,
+        VepOptions.fromJson("""{"gencode_basic": true}"""))
+      .collect().map(_.getString(1)).toSet == Set("NM_7.1", "T77"))
+    // absent attribute column = nothing is in the GENCODE set
+    assert(Annotate.selectTranscripts(mixTx,
+      VepOptions.fromJson("""{"gencode_basic": true}""")).count() == 0)
     // flag-gated colocated family: af_1kg on, gnomAD off
     val gatedRow = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot,
       oj).where($"id" === 1L).collect().head
@@ -278,6 +296,17 @@ class AnnotateSuite extends SparkSpec {
     // shuffle layouts
     val base = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot)
       .orderBy("id").collect().map(_.toSeq).toSeq
+    // multi-entry colocated ordering must also be layout-independent:
+    // a satellite entry at the same coordinates ties on the somatic
+    // key and resolves through the prefix-rank/payload tie-break
+    val cache2 = cache.unionByName(cache
+      .withColumn("variation_name", org.apache.spark.sql.functions.lit("COSM77"))
+      .withColumn("somatic", org.apache.spark.sql.functions.lit("0"))
+      .withColumn("af_afr", org.apache.spark.sql.functions.lit(0.9)))
+    val exBase = Annotate.existingVariants(vcf, cache2)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(exBase.nonEmpty &&
+      exBase.head(1) == "COSM77&rs1") // somatic '0' sorts before '1'
     val p0 = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (p <- Seq("1", "7")) {
@@ -285,6 +314,9 @@ class AnnotateSuite extends SparkSpec {
         val got = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot)
           .orderBy("id").collect().map(_.toSeq).toSeq
         assert(got == base, s"annotate not invariant at partitions=$p")
+        val gotEx = Annotate.existingVariants(vcf, cache2)
+          .orderBy("id").collect().map(_.toSeq).toSeq
+        assert(gotEx == exBase, s"existingVariants not invariant at partitions=$p")
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", p0)
   }
