@@ -238,6 +238,35 @@ object Vep {
     graft.ranges.Ranges.merge(miss, minDist = gap)
   }
 
+  /** Pushdown predicate scoping a context load to a miss worklist
+    * (miss_worklist.rs:12,67-95 interval_filter_sql): an OR of
+    * per-interval (chrom AND range) clauses, each chrom in BOTH its
+    * bare and chr-prefixed spelling (context tables differ in
+    * convention); above `maxClauses` intervals it falls back to the
+    * chrom-only IN filter — the reference avoids overflowing the
+    * planner with giant OR trees, and Catalyst prunes partitions/row
+    * groups with either form. An empty worklist yields `false` (no
+    * misses, load nothing). Apply as `context.where(filter)`. */
+  def missWorklistFilter(
+      intervals: Seq[(String, Long, Long)], maxClauses: Int = 50)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def spellings(c: String): Seq[String] = {
+      val bare = c.stripPrefix("chr")
+      Seq(bare, "chr" + bare).distinct
+    }
+    if (intervals.isEmpty) lit(false)
+    else if (intervals.size > maxClauses) {
+      val chroms = intervals.map(_._1).flatMap(spellings).distinct
+      col("chrom").isin(chroms: _*)
+    } else
+      intervals.map { case (c, lo, hi) =>
+        spellings(c).map(cv =>
+          col("chrom") === cv && col("start") <= hi && col("end") >= lo)
+          .reduce(_ || _)
+      }.reduce(_ || _)
+  }
+
   /** Default output columns: all cache columns minus the join triple
     * and `source_*` bookkeeping (vep/src/table_function.rs:82-94). */
   private def defaultCacheCols(cache: DataFrame): Seq[String] =

@@ -182,6 +182,27 @@ class PileupVepSuite extends SparkSpec {
     assert(got(2).isNullAt(5)) // allele_string A/G does not match A>C
   }
 
+  test("missWorklistFilter scopes context loads with the 50-clause fallback") {
+    // context table mixing bare and chr-prefixed chrom conventions
+    val ctx = Seq(
+      ("chr1", 90L, 110L, "in-range"),
+      ("1", 95L, 105L, "bare-in-range"),
+      ("chr1", 500L, 600L, "out-of-range"),
+      ("chr2", 90L, 110L, "other-chrom"),
+    ).toDF("chrom", "start", "end", "tag")
+    val f = Vep.missWorklistFilter(Seq(("chr1", 100L, 120L)))
+    assert(ctx.where(f).collect().map(_.getString(3)).toSet ==
+      Set("in-range", "bare-in-range"))
+    // above the clause cap: chrom-only IN fallback keeps everything on
+    // the listed contigs regardless of range
+    val many = (0 until 60).map(i => ("chr1", i * 1000L, i * 1000L + 10L))
+    val fb = Vep.missWorklistFilter(many)
+    assert(ctx.where(fb).collect().map(_.getString(3)).toSet ==
+      Set("in-range", "bare-in-range", "out-of-range"))
+    // empty worklist loads nothing
+    assert(ctx.where(Vep.missWorklistFilter(Seq.empty)).count() == 0)
+  }
+
   test("lookupVariants extendedWindow keeps unmatched duplicate-id rows") {
     // two rows share id=7; only the chr1 one matches the widened cache
     // window — the LEFT-restore must still emit the chr2 twin with NULL
