@@ -204,6 +204,33 @@ object VepSpliceQueries {
             """{"merged": true, "exclude_predicted": true}"""))
         .select(col("transcript_id"), col("chrom"), col("strand"))
     }),
+    // Streaming transcript-context probe through the batch gate
+    // (IntervalStreams.annotateTranscripts): variants stream from the
+    // parquet file source and explode against the broadcast
+    // transcript index into overlap/upstream/downstream relations —
+    // stateless map-only, AvailableNow. The oracle is the batch
+    // window-join classification.
+    "s9_stream_annotate_tx" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = Tables.load(s, d, "part").schema
+      val vcfStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "part.parquet").parquet(d)
+        .selectExpr(
+          "concat('chr', CAST(p_partkey % 2 AS STRING)) AS chrom",
+          "CAST((p_partkey * 9176) % 100000 + 1 AS BIGINT) AS start",
+          "CAST((p_partkey * 9176) % 100000 + 1 + CASE WHEN p_partkey % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS `end`",
+          "CAST(p_partkey AS BIGINT) AS id")
+      val out = graft.streaming.IntervalStreams.annotateTranscripts(
+          vcfStream, Tables.transcripts(s, d),
+          graft.core.IntervalCols("chrom", "start", "end"))
+        .select(col("id"), col("transcript_id"), col("relation"), col("distance"))
+      val name = "s9tx_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.table(name)
+    }),
   )
 
   /** Shared Spark/DuckDB remap of fixture transcript ids to the four
@@ -1188,5 +1215,17 @@ object VepSpliceQueries {
     "f11_existing_multi" -> existingMultiSql,
     "f11_annotate_default" -> annotateDefaultSql,
     "f11_transcript_selection" -> transcriptSelectionSql,
+    "s9_stream_annotate_tx" ->
+      s"""WITH ${Oracle.transcripts}, ${Oracle.vcf}
+         |SELECT v.id, t.transcript_id,
+         | CASE WHEN v.start <= t."end" AND v."end" >= t.start THEN 'overlap'
+         |  WHEN (t.strand = 1 AND v."end" < t.start)
+         |    OR (t.strand = -1 AND v.start > t."end") THEN 'upstream'
+         |  ELSE 'downstream' END AS relation,
+         | CAST(CASE WHEN v.start <= t."end" AND v."end" >= t.start THEN 0
+         |  ELSE GREATEST(t.start - v."end", v.start - t."end") END AS BIGINT) AS distance
+         |FROM v JOIN t ON v.chrom = t.chrom
+         | AND t.start - 5000 <= v."end" AND t."end" + 5000 >= v.start
+         |ORDER BY v.id, t.transcript_id""".stripMargin.replace("\n", " "),
   )
 }
