@@ -159,7 +159,15 @@ object AnalyticsQueries {
       // scopes it to the events table within the shared testdata dir
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-      val ev = stream.withColumn("ts", col("ts").cast("timestamp"))
+      // Branch on the physical type exactly like Tables.tsMicros: when
+      // the generator wrote TIMESTAMP(NANOS) the legacy flag surfaces
+      // ts as a nanos Long, and CAST(BIGINT AS TIMESTAMP) would read
+      // it as SECONDS — window bounds would be garbage.
+      val ev = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case _ => stream.withColumn("ts", col("ts").cast("timestamp"))
+      }
       val out = graft.streaming.EventStreams.windowedCounts(ev)
         .select(unix_micros(col("window_start").cast("timestamp")).as("window_start_us"),
           unix_micros(col("window_end").cast("timestamp")).as("window_end_us"),

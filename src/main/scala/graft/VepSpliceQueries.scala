@@ -706,6 +706,7 @@ object VepSpliceQueries {
        |     cs := $cc.clin_sig, csa := $cc.clin_sig_allele)
        |    ORDER BY $exvOrd) AS ents
        |  FROM v JOIN $cc ON v.chrom = $cc.chrom
+       |   AND $cc.variation_name IS NOT NULL AND $cc.variation_name <> ''
        |   AND v.norm_start = $cc.start AND v.norm_end = $cc."end"
        |   AND (split_part($cc.allele_string, '/', 1) = v.vep_ref
        |        OR split_part($cc.allele_string, '/', 1) = v.ref)
@@ -735,7 +736,7 @@ object VepSpliceQueries {
        |  FROM exv1),
        |exv3 AS (SELECT id, ents, exm,
        |   ${Annotate.afCsq.map { case (_, c) => s"afl_$c" }.mkString(", ")},
-       |   list_filter(pops0, (x, i) -> list_position(pops0, x) = i) AS pops,
+       |   pops0 AS pops,
        |   list_filter(csav0, (x, i) -> list_position(csav0, x) = i) AS csav,
        |   flatten(list_transform(list_filter(array_slice(ents, 1, nfb), x -> x.cs IS NOT NULL),
        |     x -> list_filter(string_split(x.cs, ','), v -> v <> ''))) AS fbv,

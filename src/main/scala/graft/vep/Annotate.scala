@@ -396,7 +396,9 @@ object Annotate {
     *     reference prints raw cache text for non-format_4f columns);
     *   - MAX_AF/MAX_AF_POPS via the entry-major fold (:1800-1830):
     *     pops accumulate from every entry attaining the global max,
-    *     entry-then-column order, deduped;
+    *     entry-then-column order, deduped within an entry only
+    *     (push_unique_value) — a pop repeats when two entries tie at
+    *     the global max on it;
     *   - CLIN_SIG prefers allele-matched `clin_sig_allele`
     *     ("allele:value;..." chunks, values for the variant's output
     *     allele, deduped, ';'-joined); entries seen BEFORE the first
@@ -445,7 +447,11 @@ object Annotate {
     }.mkString(", ")
     val chunkCond =
       "ch -> instr(ch, ':') > 0 AND substring_index(ch, ':', 1) = _va"
-    val grouped = looked.where(col("variation_name").isNotNull)
+    // the reference's build_colocated_map_from_sink SKIPS entries with
+    // an empty variation_name entirely (annotate_provider.rs:1881-1897)
+    // — they contribute NO AF slots, flags, pubmed, or clin_sig
+    val grouped = looked
+      .where(col("variation_name").isNotNull && col("variation_name") =!= "")
       .groupBy(col("id"))
       // _va is a per-variant constant (derived from the variant's own
       // ref/alt), so an unordered first() is deterministic here
@@ -458,8 +464,12 @@ object Annotate {
           expr(s"array_distinct(transform(filter(_ents, x -> x.$c IS NOT NULL), " +
             s"x -> CAST(CAST(x.$c AS DECIMAL(5,4)) AS STRING)))").as(s"_afl_$c")
         }): _*)
-      .withColumn("_pops", expr("array_distinct(flatten(transform(_ents, " +
-        s"x -> filter(array($popCases), p -> p IS NOT NULL))))"))
+      // per-entry dedup ONLY (push_unique_value dedups within an entry,
+      // automatic here since each pop name maps to one column; entries
+      // EXTEND without cross-entry dedup, :1800-1830) — two entries
+      // tying at the global max on the same population repeat its name
+      .withColumn("_pops", expr("flatten(transform(_ents, " +
+        s"x -> filter(array($popCases), p -> p IS NOT NULL)))"))
       .withColumn("_csaVals", expr(
         "array_distinct(transform(filter(_ents, x -> x.csa IS NOT NULL AND " +
           s"size(filter(split(x.csa, ';'), $chunkCond)) > 0), " +
@@ -561,7 +571,12 @@ object Annotate {
     if (opts.excludePredicted && !(opts.refseq || opts.merged))
       throw new IllegalArgumentException(
         "annotate: exclude_predicted requires refseq or merged")
-    // the reference's mutual exclusions (annotate_provider.rs:1252-1264)
+    // the reference's mutual exclusions (annotate_provider.rs:1252-1286,
+    // TranscriptSelectionFlags: '--refseq and --merged are mutually
+    // exclusive')
+    if (opts.refseq && opts.merged)
+      throw new IllegalArgumentException(
+        "annotate: refseq and merged are mutually exclusive")
     if (opts.refseq && opts.gencodeBasic)
       throw new IllegalArgumentException(
         "annotate: refseq and gencode_basic are mutually exclusive")

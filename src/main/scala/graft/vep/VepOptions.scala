@@ -71,12 +71,19 @@ object VepOptions {
 
   /** Parse the reference's `options_json` argument (boolean flags by
     * VEP CLI name + numeric `distance`). Unknown keys are ignored,
-    * matching the reference's per-key probing. */
+    * matching the reference's per-key probing — but over the actual
+    * JSON STRUCTURE (top-level keys of the options object), not a
+    * textual scan: a flag name appearing inside a string value or a
+    * nested object does NOT set the flag. Uses the Jackson parser
+    * Spark itself ships. */
   def fromJson(json: String): VepOptions = {
-    def flag(k: String): Boolean =
-      s""""$k"\\s*:\\s*true""".r.findFirstIn(json).isDefined
-    val dist = s""""distance"\\s*:\\s*(\\d+)""".r
-      .findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(5000L)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    def flag(k: String): Boolean = {
+      val v = node.get(k)
+      v != null && v.isBoolean && v.booleanValue()
+    }
+    val dist = Option(node.get("distance"))
+      .filter(_.isNumber).map(_.longValue()).getOrElse(5000L)
     VepOptions(
       everything = flag("everything"),
       af = flag("af"), af1kg = flag("af_1kg"),

@@ -320,4 +320,52 @@ class AnnotateSuite extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", p0)
   }
+
+  test("colocated fidelity: empty names skipped, tied-max pops repeat; option parsing is structural") {
+    import graft.vep.VepOptions
+    val vcf = Seq(("chr1", 100L, 100L, 1L, "A", "C"))
+      .toDF("chrom", "start", "end", "id", "ref", "alt")
+    val afCols = Annotate.afCsq.map(_._2)
+    def mk(name: String, sas: String): org.apache.spark.sql.DataFrame =
+      Seq(("chr1", 100L, 100L, name, "A/C"))
+        .toDF("chrom", "start", "end", "variation_name", "allele_string")
+        .selectExpr(Seq("*") ++ afCols.map {
+          case "af_sas" => s"CAST($sas AS DOUBLE) AS af_sas"
+          case c => s"CAST(NULL AS DOUBLE) AS $c"
+        } ++ Seq("'0' AS somatic", "'0' AS pheno",
+          "CAST(NULL AS STRING) AS pubmed", "CAST(NULL AS STRING) AS clin_sig"): _*)
+    // two entries tie at the global max on SAS: per-entry dedup only
+    // (push_unique_value), so the pop name repeats across entries
+    val tied = mk("rs1", "0.6").unionByName(mk("rs2", "0.6"))
+    val tr = Annotate.existingVariants(vcf, tied).collect().head
+    assert(tr.getString(tr.fieldIndex("existing_variation")) == "rs1&rs2")
+    assert(tr.getDouble(tr.fieldIndex("max_af")) == 0.6)
+    assert(tr.getString(tr.fieldIndex("max_af_pops")) == "SAS&SAS")
+    // an empty-named cache entry is skipped ENTIRELY (the reference's
+    // build_colocated_map_from_sink) — its higher AF must not leak
+    // into the family, the max, or the pops
+    val withEmpty = tied.unionByName(mk("", "0.9"))
+    val er = Annotate.existingVariants(vcf, withEmpty).collect().head
+    assert(er.getString(er.fieldIndex("existing_variation")) == "rs1&rs2")
+    assert(er.getDouble(er.fieldIndex("max_af")) == 0.6)
+    assert(er.getString(er.fieldIndex("max_af_pops")) == "SAS&SAS")
+
+    // --refseq and --merged are mutually exclusive
+    val tx1 = Seq(("chr1", "NM_7.1")).toDF("chrom", "transcript_id")
+    intercept[IllegalArgumentException] {
+      Annotate.selectTranscripts(tx1,
+        VepOptions.fromJson("""{"refseq": true, "merged": true}"""))
+    }
+
+    // fromJson is structural: a flag name inside a string value or a
+    // nested object must NOT set the flag
+    val sneaky = VepOptions.fromJson(
+      """{"note": "enable \"everything\": true later",
+        | "nested": {"hgvs": true}, "refseq": false}""".stripMargin)
+    assert(!sneaky.everything && !sneaky.hgvs && !sneaky.refseq)
+    // non-numeric distance is ignored, non-boolean flag value too
+    val typed = VepOptions.fromJson(
+      """{"distance": "3000", "pubmed": "true", "hgvsc": true}""")
+    assert(typed.distance == 5000L && !typed.pubmed && typed.hgvsc)
+  }
 }
