@@ -4,15 +4,25 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},
+  *  "samples":{...},"sf":...}.
   *
   * Each query is forced through the `noop` sink so full column
   * evaluation happens (a count() would let Catalyst prune expensive
-  * projections); -1 marks an errored query. */
+  * projections); -1 marks an errored query.
+  *
+  * Contention robustness (round-8 verdict: the official single-sample
+  * record showed 3x phantom regressions that four independent runs
+  * refuted): each query runs SPARK_GRAFT_REPEATS times (default 3),
+  * INTERLEAVED — the full query list runs as round 1, then round 2,
+  * ... — so one host-contention burst cannot poison all samples of
+  * any query. "queries" reports the per-query MEDIAN; "samples"
+  * carries every raw sample for dispersion analysis. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,7 +38,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // off-the-clock cleanup between queries: release any blocks the
       // previous query materialized (Materialize RDDs, caches), then
       // GC so the ContextCleaner reaps prior broadcasts — query N
@@ -38,21 +48,35 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
       val t0 = System.nanoTime()
-      val sec =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0
-        }
-      name -> sec
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+      }
     }
+    val samples: Seq[(String, Seq[Double])] = {
+      val acc = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+      for (_ <- 1 to repeats; (name, fn) <- selected)
+        acc(name) = acc.getOrElse(name, Vector.empty) :+ runOnce(name, fn)
+      acc.toSeq
+    }
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+    }
+    val results = samples.map { case (name, xs) => name -> median(xs) }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val raw = samples.map { case (k, xs) =>
+      "\"" + k + "\":[" + xs.map(x => f"$x%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$raw,"repeats":$repeats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

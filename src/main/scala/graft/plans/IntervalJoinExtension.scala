@@ -41,8 +41,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object IntervalJoinStrategy extends SparkStrategy with PredicateHelper {
 
-  /** Size cap for the CollectLeft build side (bytes of plan stats). */
-  private val maxBuildBytes = 1L << 30
+  /** Size cap for the CollectLeft build side (bytes of plan stats) —
+    * configurable via spark.graft.broadcast_build_limit (shared with
+    * the Ranges API guard, [[graft.ranges.BuildGuard]]). */
+  private def maxBuildBytes: Long =
+    SparkSession.active.conf.getOption(graft.ranges.BuildGuard.ConfKey)
+      .map(_.toLong).getOrElse(graft.ranges.BuildGuard.DefaultBytes)
 
   private case class Extracted(
       contigs: Option[(Expression, Expression)], // (left, right)

@@ -18,15 +18,24 @@ import graft.index._
   * probe FSM): a scalar UDF probes the broadcast index and returns
   * only match indices; `explode` + a broadcast hash join against the
   * row-indexed build DataFrame assembles output rows natively in
-  * Tungsten. Full build rows never pass through the driver — only the
-  * (contig, start, end, idx) quadruple is collected
-  * (collect_left_input in the reference ships whole batches;
-  * interval_join.rs:584-668).
+  * Tungsten. The FULL build rows are collected on the driver
+  * ([[collectBuild]]) to assemble the broadcast row table — the same
+  * contract as Spark's own BroadcastHashJoin and the reference's
+  * collect_left_input (interval_join.rs:584-668): driver heap bounds
+  * the build side at roughly its row bytes plus the per-contig
+  * coordinate arrays. The scalar probes (count/coverage/existence/
+  * subtract) collect only the (contig, start, end) coordinate
+  * triples.
   *
   * Scale notes (100 TB target):
-  *  - The build side must fit in executor memory — same constraint and
-  *    same typical shape (small annotation set vs huge reads set) as
-  *    the reference's CollectLeft mode.
+  *  - The build side must fit in DRIVER and executor memory — same
+  *    constraint and same typical shape (small annotation set vs huge
+  *    reads set) as the reference's CollectLeft mode. The [[Ranges]]
+  *    entry points guard this with [[BuildGuard]]
+  *    (spark.graft.broadcast_build_limit) and fail over to the
+  *    partitioned grid-bucket path when the estimate exceeds the cap,
+  *    mirroring the reference planner's CollectLeft-vs-Partitioned
+  *    choice (interval_join.rs:394-413).
   *  - Each probe costs O(log n + hits): no per-contig cross product
   *    (BASELINE.md bar #3).
   *  - The probe side never shuffles; AQE/codegen apply end-to-end.

@@ -22,16 +22,49 @@ import graft.core.{FilterOp, IntervalCols}
 object Ranges {
 
   /** F1 `overlap`: mode ∈ join | left | left_distinct
-    * (overlap.rs:154-226). `join` output = `left_*` ++ `right_*`. */
+    * (overlap.rs:154-226). `join` output = `left_*` ++ `right_*`.
+    *
+    * Build-side size guard ([[BuildGuard]],
+    * `spark.graft.broadcast_build_limit`): when the side that would be
+    * collected+broadcast exceeds the cap, the call silently takes the
+    * partitioned grid-bucket path instead — same rows, no driver
+    * collect — mirroring the reference planner's
+    * CollectLeft-vs-Partitioned choice (interval_join.rs:394-413). */
   def overlap(
       left: DataFrame, right: DataFrame,
       lcols: IntervalCols = IntervalCols.default,
       rcols: IntervalCols = IntervalCols.default,
       mode: String = "join",
       op: FilterOp = FilterOp.Weak): DataFrame = mode match {
-    case "join" => overlapViaStrategy(left, right, lcols, rcols, op)
-    case "left" => IntervalJoin.overlapExistence(left, right, lcols, rcols, op, distinct = false)
-    case "left_distinct" => IntervalJoin.overlapExistence(left, right, lcols, rcols, op, distinct = true)
+    case "join" =>
+      // the strategy indexes whichever side fits (left preferred);
+      // with neither under the cap the stock plan would be a
+      // per-contig cross product — take the co-shuffle path instead
+      if (BuildGuard.fits(left) || BuildGuard.fits(right))
+        overlapViaStrategy(left, right, lcols, rcols, op)
+      else overlapPartitioned(left, right, lcols, rcols, op)
+    case "left" =>
+      if (BuildGuard.fits(right))
+        IntervalJoin.overlapExistence(left, right, lcols, rcols, op, distinct = false)
+      else {
+        // partitioned pairs with LEFT as the probe side: one output
+        // row per (left row, overlap) = exactly the 'left' mode
+        // multiplicity; project the probe columns back
+        val pairs = overlapPartitioned(right, left, rcols, lcols, op)
+        pairs.select(left.columns.toSeq.map(c => col("right_" + c).as(c)): _*)
+      }
+    case "left_distinct" =>
+      if (BuildGuard.fits(right))
+        IntervalJoin.overlapExistence(left, right, lcols, rcols, op, distinct = true)
+      else {
+        // dedup per PROBE ROW IDENTITY (not per value tuple — equal
+        // rows must both survive): a deterministic dense row index
+        // carries identity through the pair join
+        val withId = IntervalJoin.withRowIndex(left)
+        val pairs = overlapPartitioned(right, withId, rcols, lcols, op)
+        pairs.select((left.columns.toSeq :+ "_lidx").map(c => col("right_" + c).as(c)): _*)
+          .dropDuplicates("_lidx").drop("_lidx")
+      }
     case other => throw new IllegalArgumentException(s"unknown overlap mode '$other'")
   }
 
@@ -170,22 +203,44 @@ object Ranges {
   }
 
   /** F2 `count_overlaps`: right rows + `count` = number of left
-    * intervals overlapping each (count_overlaps.rs:60-66). */
+    * intervals overlapping each (count_overlaps.rs:60-66).
+    * An over-cap left side fails over to
+    * [[countOverlapsPartitioned]] with a synthesized row identity
+    * (no unique-id assumption on the right side). */
   def countOverlaps(
       left: DataFrame, right: DataFrame,
       lcols: IntervalCols = IntervalCols.default,
       rcols: IntervalCols = IntervalCols.default,
       op: FilterOp = FilterOp.Weak): DataFrame =
-    IntervalJoin.annotateCount(left, right, lcols, rcols, op, coverage = false, "count")
+    if (BuildGuard.fits(left))
+      IntervalJoin.annotateCount(left, right, lcols, rcols, op, coverage = false, "count")
+    else {
+      val withId = IntervalJoin.withRowIndex(right)
+      countOverlapsPartitioned(left, withId, lcols, rcols, op, idCol = "_lidx")
+        .drop("_lidx")
+    }
 
   /** F3 `coverage`: right rows + `coverage` = basepairs of each right
-    * interval covered by >=1 (merged) left interval. */
+    * interval covered by >=1 (merged) left interval.
+    * An over-cap left side fails over to [[coveragePartitioned]]
+    * (weak semantics only — the partitioned formulation has no strict
+    * variant, so a strict op over an over-cap build fails loudly). */
   def coverage(
       left: DataFrame, right: DataFrame,
       lcols: IntervalCols = IntervalCols.default,
       rcols: IntervalCols = IntervalCols.default,
       op: FilterOp = FilterOp.Weak): DataFrame =
-    IntervalJoin.annotateCount(left, right, lcols, rcols, op, coverage = true, "coverage")
+    if (BuildGuard.fits(left))
+      IntervalJoin.annotateCount(left, right, lcols, rcols, op, coverage = true, "coverage")
+    else if (op.isStrict) throw new IllegalArgumentException(
+      s"coverage(strict): build side exceeds ${BuildGuard.ConfKey} and the " +
+        "partitioned coverage path has only weak semantics; pre-filter the " +
+        "build side or raise the limit")
+    else {
+      val withId = IntervalJoin.withRowIndex(right)
+      coveragePartitioned(left, withId, lcols, rcols, idCol = "_lidx")
+        .drop("_lidx")
+    }
 
   /** F4 `nearest` — see [[IntervalJoin.nearest]]. */
   def nearest(
@@ -196,9 +251,12 @@ object Ranges {
       includeOverlaps: Boolean = true,
       computeDistance: Boolean = true,
       op: FilterOp = FilterOp.Weak,
-      tieBreakCol: Option[String] = None): DataFrame =
+      tieBreakCol: Option[String] = None): DataFrame = {
+    BuildGuard.requireFits(left, "nearest",
+      "pre-filter the build side or raise the limit (no partitioned nearest path)")
     IntervalJoin.nearest(left, right, lcols, rcols, op, k, includeOverlaps,
       computeDistance, tieBreakCol)
+  }
 
   /** Island flag + id columns shared by merge/cluster: a new island
     * starts where `start > prevMaxEnd + minDist` (weak) or `>=`
@@ -342,6 +400,11 @@ object Ranges {
       left: DataFrame, right: DataFrame,
       lcols: IntervalCols = IntervalCols.default,
       rcols: IntervalCols = IntervalCols.default,
-      op: FilterOp = FilterOp.Weak): DataFrame =
+      op: FilterOp = FilterOp.Weak): DataFrame = {
+    // the collected side is only the (contig, start, end) triples of
+    // the merged-run index, but it is still driver-resident state
+    BuildGuard.requireFits(right, "subtract",
+      "pre-merge/filter the subtrahend or raise the limit (no partitioned subtract path)")
     IntervalJoin.subtractFragments(left, right, lcols, rcols, op)
+  }
 }

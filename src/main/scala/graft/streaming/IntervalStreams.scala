@@ -19,8 +19,19 @@ import graft.index.{ContigIntervalIndex, CountOverlapIndex}
   */
 object IntervalStreams {
 
+  /** Bounded-static contract: the static interval side is collected
+    * to the driver and broadcast ONCE PER QUERY PLAN (each
+    * countOverlaps/annotateTranscripts call builds its own index; a
+    * long-lived streaming query reuses the broadcast across all its
+    * micro-batches, but two separate queries do not share one). Guarded
+    * by the shared [[graft.ranges.BuildGuard]] cap so an oversized
+    * static side fails loudly at plan time instead of OOMing the
+    * driver mid-collect. */
   private def collectIndex(intervals: DataFrame, cols: IntervalCols)
       : Map[String, (Array[Long], Array[Long])] = {
+    graft.ranges.BuildGuard.requireFits(intervals, "IntervalStreams",
+      "pre-filter the static interval side or raise the limit " +
+        "(the streaming probe has no partitioned path)")
     val rows = intervals.select(
       col(cols.contig), col(cols.start).cast("long"), col(cols.end).cast("long")).collect()
     rows.groupBy(_.getString(0)).map { case (k, rs) =>
@@ -73,6 +84,9 @@ object IntervalStreams {
       stream: DataFrame, transcripts: DataFrame,
       scols: IntervalCols = IntervalCols.default,
       upstreamDistance: Long = 5000L): DataFrame = {
+    graft.ranges.BuildGuard.requireFits(transcripts, "IntervalStreams",
+      "pre-filter the static transcript side or raise the limit " +
+        "(the streaming probe has no partitioned path)")
     val rows = transcripts.select(col("chrom"),
       col("start").cast("long"), col("end").cast("long"),
       col("transcript_id"), col("strand").cast("int")).collect()

@@ -250,4 +250,53 @@ class RangesSuite extends SparkSpec {
     // dists: id2 300-260=40, id1 250-200=50, id3 700-260=440
     assert(got == Seq((2L, 40L), (1L, 50L), (3L, 440L)))
   }
+
+  test("build-size guard: over-cap builds fail over to the partitioned path, same rows") {
+    import graft.ranges.BuildGuard
+    def pairsOf(df: DataFrame): Set[(Long, Long)] =
+      df.select("left_id", "right_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def rowsOf(df: DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toList).toSeq.sortBy(_.toString)
+    val baseJoin = pairsOf(Ranges.overlap(reads, targets, mode = "join"))
+    val baseLeft = rowsOf(Ranges.overlap(reads, targets, mode = "left"))
+    val baseDist = rowsOf(Ranges.overlap(reads, targets, mode = "left_distinct"))
+    val baseCnt = rowsOf(Ranges.countOverlaps(reads, targets))
+    val baseCov = rowsOf(Ranges.coverage(reads, targets))
+    try {
+      spark.conf.set(BuildGuard.ConfKey, "1") // nothing fits
+      assert(!BuildGuard.fits(reads) && !BuildGuard.fits(targets))
+      // identical row sets through the grid-bucket failover
+      assert(pairsOf(Ranges.overlap(reads, targets, mode = "join")) == baseJoin)
+      assert(rowsOf(Ranges.overlap(reads, targets, mode = "left")) == baseLeft)
+      assert(rowsOf(Ranges.overlap(reads, targets, mode = "left_distinct")) == baseDist)
+      assert(rowsOf(Ranges.countOverlaps(reads, targets)) == baseCnt)
+      assert(rowsOf(Ranges.coverage(reads, targets)) == baseCov)
+      // the failover plan must NOT contain the CollectLeft exec node
+      // or a broadcast probe expression
+      val plan = Ranges.overlap(reads, targets, mode = "join")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastIntervalJoin") &&
+        !plan.contains("interval_probe"))
+      // strict coverage has no partitioned variant: loud failure
+      intercept[IllegalArgumentException] {
+        Ranges.coverage(reads, targets, op = FilterOp.Strict)
+      }
+      // no partitioned path exists: loud failure instead of a driver
+      // collect of an over-cap build
+      intercept[IllegalArgumentException] { Ranges.nearest(reads, targets) }
+      intercept[IllegalArgumentException] { Ranges.subtract(reads, targets) }
+      intercept[IllegalArgumentException] {
+        graft.streaming.IntervalStreams.countOverlaps(reads, targets)
+      }
+      intercept[IllegalArgumentException] {
+        graft.streaming.IntervalStreams.annotateTranscripts(reads,
+          Seq(("chr1", 100L, 200L, "T1", 1))
+            .toDF("chrom", "start", "end", "transcript_id", "strand"))
+      }
+    } finally spark.conf.unset(BuildGuard.ConfKey)
+    // with the cap back at default everything broadcasts again
+    assert(BuildGuard.fits(reads))
+    assert(pairsOf(Ranges.overlap(reads, targets, mode = "join")) == baseJoin)
+  }
 }
