@@ -210,11 +210,15 @@ object Tables {
   def transcripts(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "supplier").where("s_suppkey % 10 = 0").selectExpr(
       (Seq(
-      "concat('chr', CAST(s_suppkey % 2 AS STRING)) AS chrom",
+      // chrom/strand key off s_suppkey DIV 10 (the selected keys are
+      // all multiples of 10, so s_suppkey % 2 is constant — round-9
+      // fix: the old formulas put EVERY transcript on chr0/'+',
+      // leaving the '-'-strand and chr1 transcript arms gate-unexercised)
+      "concat('chr', CAST((s_suppkey DIV 10) % 2 AS STRING)) AS chrom",
       "CAST((s_suppkey * 7919) % 100000 + 1 AS BIGINT) AS start",
       "CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 AS BIGINT) AS `end`",
       "concat('T', CAST(s_suppkey AS STRING)) AS transcript_id",
-      "CAST(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE -1 END AS INT) AS strand",
+      "CAST(CASE WHEN (s_suppkey DIV 20) % 2 = 0 THEN 1 ELSE -1 END AS INT) AS strand",
       """CASE WHEN s_suppkey % 3 = 0 THEN 'protein_coding'
          WHEN s_suppkey % 7 = 1 THEN 'nonsense_mediated_decay'
          WHEN s_suppkey % 7 = 5 THEN 'miRNA'
@@ -250,7 +254,7 @@ object Tables {
     exons(spark, dir).selectExpr(
         "CAST(substring(transcript_id, 2) AS BIGINT) AS sk", "start", "`end`")
       .selectExpr("sk", "explode(array(start, `end`)) AS anchor")
-      .selectExpr("concat('chr', CAST(sk % 2 AS STRING)) AS chrom",
+      .selectExpr("concat('chr', CAST((sk DIV 10) % 2 AS STRING)) AS chrom",
         "anchor", "explode(sequence(-18, 18)) AS k")
       .selectExpr("chrom", "CAST(anchor + k AS BIGINT) AS p",
         "CAST((anchor + k) % 3 AS INT) AS kind")
@@ -349,21 +353,34 @@ object Tables {
       // carry it downstream on repeat context — both engines shift
       // identically); kind 6: 30-base inframe del whose 10-codon ref
       // peptide spans a stop codon on a fair fraction of the derived
-      // transcripts (stop-extension '?extTer' arm)
-      .selectExpr("chrom", "sk", "b", "cs", "ce", "strand", "ts", "te",
-        "explode(sequence(0, 6)) AS kind")
+      // transcripts (stop-extension '?extTer' arm);
+      // kinds 7-9: CROSS-EXON probes at the exon-2/intron-2 junction
+      // (h = exon 2's last coding base) — kind 7: 3-base inframe del
+      // at [h-3, h-1] whose codon window reads across the junction
+      // into the next exon; kind 8: 1-base frameshift del at h-1
+      // whose 32-codon scan reads deep across the junction; kind 9:
+      // insertion at the junction flanks (h-1, h). The spliced cDNA
+      // model must read every one of these through the exon structure
+      // on both strands (a contiguous-CDS read renders the wrong
+      // peptide); 3'-shifted anchors that land intronic render NULL
+      // identically on both engines.
+      .selectExpr("chrom", "sk", "b", "h", "cs", "ce", "strand", "ts", "te",
+        "explode(sequence(0, 9)) AS kind")
       .selectExpr("chrom", "sk", "kind",
         s"""CAST(CASE WHEN kind IN (0, 1) THEN b + 8
            WHEN kind = 4 THEN b + 30
            WHEN kind = 5 THEN (CASE WHEN strand = 1
              THEN least(${firstCodingSql("DIV")})
              ELSE greatest(${lastCodingSql("DIV")}) END) - 1
+           WHEN kind = 7 THEN h - 4
+           WHEN kind = 8 THEN h - 2
+           WHEN kind = 9 THEN h - 1
            ELSE b + 20 END AS BIGINT) AS start""")
       .selectExpr("chrom", "start",
-        "CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 WHEN kind IN (4, 5) THEN 1 WHEN kind = 6 THEN 30 ELSE 0 END AS BIGINT) AS `end`",
+        "CAST(start + CASE WHEN kind IN (0, 7) THEN 3 WHEN kind = 2 THEN 2 WHEN kind IN (4, 5, 8) THEN 1 WHEN kind = 6 THEN 30 ELSE 0 END AS BIGINT) AS `end`",
         "CAST(sk * 10 + kind AS BIGINT) AS id",
-        "CASE WHEN kind = 0 THEN 'ACGT' WHEN kind = 2 THEN 'ACG' WHEN kind IN (4, 5) THEN 'AC' WHEN kind = 6 THEN 'ACGTACGTACGTACGTACGTACGTACGTACG' ELSE 'A' END AS ref",
-        "CASE WHEN kind = 1 THEN 'ACGT' WHEN kind = 3 THEN 'AC' WHEN kind = 4 THEN 'CA' ELSE 'A' END AS alt")
+        "CASE WHEN kind IN (0, 7) THEN 'ACGT' WHEN kind = 2 THEN 'ACG' WHEN kind IN (4, 5, 8) THEN 'AC' WHEN kind = 6 THEN 'ACGTACGTACGTACGTACGTACGTACGTACG' ELSE 'A' END AS ref",
+        "CASE WHEN kind = 1 THEN 'ACGT' WHEN kind IN (3, 9) THEN 'AC' WHEN kind = 4 THEN 'CA' ELSE 'A' END AS alt")
 
   /** Derived regulatory-feature context (partitioned_cache.rs:24-31
     * `regulatory` table role): one feature per 20th customer row,
@@ -505,11 +522,11 @@ object Oracle {
 
   /** DuckDB mirror of [[Tables.transcripts]] / [[Tables.exons]]. */
   val transcripts: String =
-    s"""t AS (SELECT concat('chr', CAST(s_suppkey % 2 AS VARCHAR)) AS chrom,
+    s"""t AS (SELECT concat('chr', CAST((s_suppkey // 10) % 2 AS VARCHAR)) AS chrom,
       | CAST((s_suppkey * 7919) % 100000 + 1 AS BIGINT) AS start,
       | CAST((s_suppkey * 7919) % 100000 + 1 + 2000 + s_suppkey % 3000 AS BIGINT) AS "end",
       | concat('T', CAST(s_suppkey AS VARCHAR)) AS transcript_id,
-      | CAST(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE -1 END AS INT) AS strand,
+      | CAST(CASE WHEN (s_suppkey // 20) % 2 = 0 THEN 1 ELSE -1 END AS INT) AS strand,
       | CASE WHEN s_suppkey % 3 = 0 THEN 'protein_coding'
       |  WHEN s_suppkey % 7 = 1 THEN 'nonsense_mediated_decay'
       |  WHEN s_suppkey % 7 = 5 THEN 'miRNA'
@@ -536,7 +553,7 @@ object Oracle {
     * inverted coords (p+1, p); deletion AC>A trims to C/- at
     * (p+1, p+1). */
   val spliceProbes: String =
-    """sp AS (SELECT concat('chr', CAST(CAST(substr(transcript_id, 2) AS BIGINT) % 2 AS VARCHAR)) AS chrom,
+    """sp AS (SELECT concat('chr', CAST((CAST(substr(transcript_id, 2) AS BIGINT) // 10) % 2 AS VARCHAR)) AS chrom,
       | CAST(anchor + k AS BIGINT) AS start,
       | CAST(CASE WHEN (anchor + k) % 3 = 2 THEN anchor + k + 1 ELSE anchor + k END AS BIGINT) AS "end",
       | CAST((anchor + k) * 100 + (anchor + k) % 3 AS BIGINT) AS id,
@@ -623,7 +640,7 @@ object Oracle {
       | least(t.start + (t."end" - t.start) // 3 + (t."end" - t.start) // 6,
       |   t.cds_end) AS h,
       | CAST(substr(transcript_id, 2) AS BIGINT) AS sk, kind
-      | FROM t, UNNEST(generate_series(0, 6)) AS g(kind)
+      | FROM t, UNNEST(generate_series(0, 9)) AS g(kind)
       | WHERE least(t.start + (t."end" - t.start) // 3 + (t."end" - t.start) // 6,
       |   t.cds_end) - greatest(t.start + (t."end" - t.start) // 3, t.cds_start) >= 60),
       |hp1 AS (SELECT chrom, sk, kind,
@@ -632,17 +649,20 @@ object Oracle {
       |  WHEN kind = 5 THEN (CASE WHEN strand = 1
       |    THEN least(${Tables.firstCodingSql("//")})
       |    ELSE greatest(${Tables.lastCodingSql("//")}) END) - 1
+      |  WHEN kind = 7 THEN h - 4
+      |  WHEN kind = 8 THEN h - 2
+      |  WHEN kind = 9 THEN h - 1
       |  ELSE b + 20 END AS BIGINT) AS start
       | FROM hp0),
       |hp AS (SELECT chrom, start,
-      | CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 WHEN kind IN (4, 5) THEN 1 WHEN kind = 6 THEN 30 ELSE 0 END AS BIGINT) AS "end",
+      | CAST(start + CASE WHEN kind IN (0, 7) THEN 3 WHEN kind = 2 THEN 2 WHEN kind IN (4, 5, 8) THEN 1 WHEN kind = 6 THEN 30 ELSE 0 END AS BIGINT) AS "end",
       | CAST(sk * 10 + kind AS BIGINT) AS id,
-      | CASE WHEN kind = 0 THEN 'ACGT' WHEN kind = 2 THEN 'ACG' WHEN kind IN (4, 5) THEN 'AC' WHEN kind = 6 THEN 'ACGTACGTACGTACGTACGTACGTACGTACG' ELSE 'A' END AS ref,
-      | CASE WHEN kind = 1 THEN 'ACGT' WHEN kind = 3 THEN 'AC' WHEN kind = 4 THEN 'CA' ELSE 'A' END AS alt,
+      | CASE WHEN kind IN (0, 7) THEN 'ACGT' WHEN kind = 2 THEN 'ACG' WHEN kind IN (4, 5, 8) THEN 'AC' WHEN kind = 6 THEN 'ACGTACGTACGTACGTACGTACGTACGTACG' ELSE 'A' END AS ref,
+      | CASE WHEN kind = 1 THEN 'ACGT' WHEN kind IN (3, 9) THEN 'AC' WHEN kind = 4 THEN 'CA' ELSE 'A' END AS alt,
       | CAST(start + CASE WHEN kind = 4 THEN 0 ELSE 1 END AS BIGINT) AS norm_start,
-      | CAST(start + CASE WHEN kind = 0 THEN 3 WHEN kind = 2 THEN 2 WHEN kind IN (4, 5) THEN 1 WHEN kind = 6 THEN 30 ELSE 0 END AS BIGINT) AS norm_end,
-      | CASE WHEN kind = 0 THEN 'CGT' WHEN kind = 2 THEN 'CG' WHEN kind = 4 THEN 'AC' WHEN kind = 5 THEN 'C' WHEN kind = 6 THEN 'CGTACGTACGTACGTACGTACGTACGTACG' ELSE '-' END AS vep_ref,
-      | CASE WHEN kind = 1 THEN 'CGT' WHEN kind = 3 THEN 'C' WHEN kind = 4 THEN 'CA' ELSE '-' END AS vep_alt
+      | CAST(start + CASE WHEN kind IN (0, 7) THEN 3 WHEN kind = 2 THEN 2 WHEN kind IN (4, 5, 8) THEN 1 WHEN kind = 6 THEN 30 ELSE 0 END AS BIGINT) AS norm_end,
+      | CASE WHEN kind IN (0, 7) THEN 'CGT' WHEN kind = 2 THEN 'CG' WHEN kind = 4 THEN 'AC' WHEN kind IN (5, 8) THEN 'C' WHEN kind = 6 THEN 'CGTACGTACGTACGTACGTACGTACGTACG' ELSE '-' END AS vep_ref,
+      | CASE WHEN kind = 1 THEN 'CGT' WHEN kind IN (3, 9) THEN 'C' WHEN kind = 4 THEN 'CA' ELSE '-' END AS vep_alt
       | FROM hp1)""".stripMargin.replace("\n", " ")
 
   /** DuckDB mirror of [[Tables.svProbes]]. */

@@ -190,6 +190,14 @@ object VepSpliceQueries {
         Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
         Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d),
         graft.vep.VepOptions.fromJson(defaultModeJson))),
+    // shift_hgvs=false (annotate_provider.rs HgvsFlags): indel anchors
+    // stay unshifted, the peptide-level 3'-shift is off, HGVS_OFFSET
+    // never emits — the rest of the --everything surface unchanged.
+    "f11_annotate_noshift" -> ((s, d) =>
+      graft.vep.Annotate.annotate(Tables.vcf(s, d), Tables.vepCache(s, d),
+        Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
+        Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d),
+        graft.vep.VepOptions.fromJson(noShiftJson))),
     // Transcript-source selection (annotate_provider.rs:5642-5784):
     // the fixture's T* ids are remapped to a mix of curated RefSeq
     // (NM_), predicted RefSeq (XM_), Ensembl (ENST) and unlabeled
@@ -474,7 +482,8 @@ object VepSpliceQueries {
   /** Indel-HGVS oracle: mirrors the rewritten Splice.indelHgvs
     * (del/ins/delins/dup forms, 3'-shift feed, derived-genome dup
     * context) over the given variant view. */
-  private def indelHgvsSqlFor(variantCte: String, variantName: String): String = {
+  private def indelHgvsSqlFor(variantCte: String, variantName: String,
+      shift: Boolean = true): String = {
     import Oracle.{transcripts => tCte, exons => exCte}
     import graft.vep.CodonLogic
     val D = CodonLogic.DuckD
@@ -496,8 +505,10 @@ object VepSpliceQueries {
        |   CASE WHEN vep_ref = '-' THEN norm_start ELSE norm_start + 1 END AS anchor
        |  FROM $variantName WHERE NOT (length(ref) = 1 AND length(alt) = 1)),
        |ind1 AS (SELECT ind0.*,
-       |   CASE WHEN (vep_ref = '-' OR vep_alt = '-') AND length(allele) = 1
-       |    THEN $scan ELSE 1 END AS scan FROM ind0),
+       |   ${if (shift)
+             s"CASE WHEN (vep_ref = '-' OR vep_alt = '-') AND length(allele) = 1 " +
+               s"THEN $scan ELSE 1 END"
+           else "1"} AS scan FROM ind0),
        |ind2 AS (SELECT ind1.*,
        |   CAST(CASE WHEN scan = 0 THEN 16 ELSE scan - 1 END AS BIGINT) AS sh,
        |   CAST(length(vep_alt) AS BIGINT) AS k FROM ind1),
@@ -937,9 +948,9 @@ object VepSpliceQueries {
        |     '/', CAST(nex - 1 AS VARCHAR)) END AS intron
        |  FROM igeo),
        |ihx AS (SELECT id, transcript_id, cdna_pos, hgvs_c, hgvs_offset
-       |  FROM (${indelHgvsSqlFor(Oracle.vcf, "v")}) q3),
+       |  FROM (${indelHgvsSqlFor(Oracle.vcf, "v", opts.shiftHgvs)}) q3),
        |ihp AS (SELECT id, transcript_id, hgvs_p AS hp9
-       |  FROM (${graft.vep.Hgvsp.oracleSql(s"${Oracle.transcripts}, ${Oracle.vcf}", "v")}) q9),
+       |  FROM (${graft.vep.Hgvsp.oracleSql(s"${Oracle.transcripts}, ${Oracle.vcf}", "v", opts.shiftHgvs)}) q9),
        |ind AS (SELECT iterm.id, iterm.transcript_id, iterm.term, iterm.nmd, iterm.nc,
        |   ihx.cdna_pos, CAST(NULL AS BIGINT) AS cds_pos, CAST(NULL AS BIGINT) AS protein_pos,
        |   ihx.hgvs_c, ihp.hp9 AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
@@ -1108,6 +1119,14 @@ object VepSpliceQueries {
   private lazy val annotateDefaultSql: String =
     e2eCsqSql(e2eCtesFor(graft.vep.VepOptions.fromJson(defaultModeJson)))
 
+  /** Options of the shift_hgvs=false gate: full --everything with the
+    * 3'-shift disabled, exactly the reference's options_json toggle. */
+  private[graft] val noShiftJson: String =
+    """{"everything": true, "shift_hgvs": false}"""
+
+  private lazy val annotateNoShiftSql: String =
+    e2eCsqSql(e2eCtesFor(graft.vep.VepOptions.fromJson(noShiftJson)))
+
   /** Typed List<T> columns variant of the e2e oracle: parallel arrays
     * in the entry-string sort order, '|'-serialized for the gate
     * (string_agg(... ORDER BY entry) mirrors Spark's struct-sorted
@@ -1215,6 +1234,7 @@ object VepSpliceQueries {
     "f11_colocated" -> colocatedSql,
     "f11_existing_multi" -> existingMultiSql,
     "f11_annotate_default" -> annotateDefaultSql,
+    "f11_annotate_noshift" -> annotateNoShiftSql,
     "f11_transcript_selection" -> transcriptSelectionSql,
     "s9_stream_annotate_tx" ->
       s"""WITH ${Oracle.transcripts}, ${Oracle.vcf}

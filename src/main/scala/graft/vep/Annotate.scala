@@ -798,7 +798,9 @@ object Annotate {
     // dropped by the igeo-driven left joins before, and still are).
     val iv = graft.core.Parallelism.ensure(
         vcf.where(!(length(col("ref")) === 1 && length(col("alt")) === 1)))
-      .withColumn("_ic", Splice.indelCoordsUdf(16)(
+      // shift_hgvs=false pins the anchors unshifted (maxShift=0 makes
+      // the scan a no-op: sh=0, HGVS_OFFSET never emits)
+      .withColumn("_ic", Splice.indelCoordsUdf(if (opts.shiftHgvs) 16 else 0)(
         col("chrom"), col("ref"), col("alt"), col("start").cast("long")))
       .select(col("chrom").as("_i_vc"), col("start").cast("long").as("_i_vs"),
         col("end").cast("long").as("_i_ve"), col("id").as("_i_vid"),
@@ -892,8 +894,9 @@ object Annotate {
     // (concat propagates it, like the left join it replaces)
     val pok = iCoding &&
       col("_i_ts") <= col("_i_p1") && col("_i_te") >= col("_i_p0")
+    val pepForm = if (opts.shiftHgvs) Hgvsp.formUdf else Hgvsp.formUdfNoShift
     val ihgvsP = when(pok, concat(col("_i_tid"), lit(":p."),
-      Hgvsp.formUdf(col("_i_vc"), col("_i_strand"), col("_xa_es"), col("_xa_ee"),
+      pepForm(col("_i_vc"), col("_i_strand"), col("_xa_es"), col("_xa_ee"),
         col("_ccs"), col("_cce"), col("_i_kind"), col("_i_va"),
         col("_i_p0"), col("_i_p1"))))
     val nullS = lit(null).cast("string"); val nullL = lit(null).cast("long")

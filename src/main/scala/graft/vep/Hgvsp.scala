@@ -29,12 +29,17 @@ import org.apache.spark.sql.functions._
   *               the initiator codon short-circuit to the start_lost
   *               p.{A}1? form (hgvs.rs:1482-1497)
   *
-  * Model (documented simplification, same one the original codon layer
-  * used): the CDS is a CONTIGUOUS genomic span [cds_start, cds_end]
-  * read in transcript orientation; an extension/frameshift scan reads
-  * the derived genome past cds_end exactly as a real extension reads
-  * into the 3' UTR. Exon-spliced protein indel HGVS is future work —
-  * the spliced machinery exists in [[Splice.splicedCodon]] for SNVs.
+  * Model: the SPLICED cDNA — every sequence read maps a cDNA index to
+  * its genomic position through the transcript's exon structure
+  * ([[exonArrays]]), so codon windows, frameshift/extension scans and
+  * the peptide shift all read correctly across splice junctions on
+  * both strands (hgvs.rs reads the spliced translation identically;
+  * the contiguous-CDS simplification was retired with the
+  * cDNA-coordinate rewrite). Reads past the transcript's last exonic
+  * base return 'N' (unknown residue 'X'/'Xaa', stop scans '?') — the
+  * reference runs out of mRNA at the same point. Cross-exon coverage
+  * is gated: hgvspProbes kinds 7-9 place inframe/frameshift/insertion
+  * events at the exon-2 junction on both strands.
   *
   * The per-row computation is one bounded imperative scan (≤ 32
   * codons), so the Spark side is a typed UDF (the round-4 lesson:
@@ -80,7 +85,8 @@ object Hgvsp {
     * deleted range | insertion flanks | duplicated context). */
   def proteinForm(chrom: String, strand: Int,
       exES: Seq[Long], exEE: Seq[Long], ccs: Long, cce: Long,
-      kind: String, va: String, p0: Long, p1: Long): String = {
+      kind: String, va: String, p0: Long, p1: Long,
+      maxPep: Int = maxPeptideShift): String = {
     if (exES == null || exEE == null) return null
     val n = exES.length
     if (n == 0 || ccs < 1 || cce < ccs) return null
@@ -237,7 +243,7 @@ object Hgvsp {
           val en0 = en
           if (L > 0 && nCod - en0 >= L) {
             var sh = 0
-            while (sh < maxPeptideShift && en0 + sh < nCod &&
+            while (sh < maxPep && en0 + sh < nCod &&
                 seq.head == aaAt(en0 + sh)) {
               seq = seq.tail + seq.head; s += 1; en += 1; sh += 1
             }
@@ -310,7 +316,17 @@ object Hgvsp {
     }
   }
 
-  private[vep] val formUdf = udf(proteinForm _)
+  private[vep] val formUdf = udf(
+    (chrom: String, strand: Int, exES: Seq[Long], exEE: Seq[Long],
+     ccs: Long, cce: Long, kind: String, va: String, p0: Long, p1: Long) =>
+      proteinForm(chrom, strand, exES, exEE, ccs, cce, kind, va, p0, p1))
+  /** shift_hgvs=false twin: the peptide-level 3'-shift is disabled
+    * (the genomic-anchor shift is disabled upstream by passing
+    * maxShift=0 to [[Splice.indelCoordsUdf]]). */
+  private[vep] val formUdfNoShift = udf(
+    (chrom: String, strand: Int, exES: Seq[Long], exEE: Seq[Long],
+     ccs: Long, cce: Long, kind: String, va: String, p0: Long, p1: Long) =>
+      proteinForm(chrom, strand, exES, exEE, ccs, cce, kind, va, p0, p1, 0))
 
   /** Per-transcript exon genomic ranges as parallel array columns in
     * TRANSCRIPT order (ascending genomic start on '+', descending on
@@ -404,7 +420,8 @@ object Hgvsp {
     * use. Requires the `t` transcript CTE in scope; derives its own
     * `ex` exon CTE and the spliced-read context (exon genomic/cDNA
     * range lists per transcript, coding cDNA bounds). */
-  def oracleSql(variantCte: String, variantName: String): String = {
+  def oracleSql(variantCte: String, variantName: String,
+      shift: Boolean = true): String = {
     val D = CodonLogic.DuckD
     val scan = Splice.shiftScanSql(D, "chrom", "anchor", "allele", 16)
     val ctxBase = CodonLogic.seq(D, "chrom", "j")
@@ -432,8 +449,10 @@ object Hgvsp {
        |   CASE WHEN vep_ref = '-' THEN norm_start ELSE norm_start + 1 END AS anchor
        |  FROM $variantName WHERE NOT (length(ref) = 1 AND length(alt) = 1)),
        |hind1 AS (SELECT hind0.*,
-       |   CASE WHEN (vep_ref = '-' OR vep_alt = '-') AND length(allele) = 1
-       |    THEN $scan ELSE 1 END AS scan FROM hind0),
+       |   ${if (shift)
+             s"CASE WHEN (vep_ref = '-' OR vep_alt = '-') AND length(allele) = 1 " +
+               s"THEN $scan ELSE 1 END"
+           else "1"} AS scan FROM hind0),
        |hind2 AS (SELECT hind1.*,
        |   CAST(CASE WHEN scan = 0 THEN 16 ELSE scan - 1 END AS BIGINT) AS sh,
        |   CAST(length(vep_alt) AS BIGINT) AS ak FROM hind1),
@@ -520,7 +539,7 @@ object Hgvsp {
        |   list_transform(ncodons, cd -> ${aaN(D, "cd")}) AS newaas FROM hst3),
        |hst5 AS MATERIALIZED (SELECT hst4.*, newaas[1] AS newaa,
        |   COALESCE(list_position(newaas, '*'), 0) AS lp FROM hst4),
-       |${inframeSql(D)}
+       |${inframeSql(D, shift)}
        |hform AS (SELECT id, tid, kind,
        |   CASE WHEN startlost THEN concat(${aa3("refaa0")}, '1?')
        |    WHEN ld % 3 <> 0 THEN
@@ -544,7 +563,7 @@ object Hgvsp {
     * clipping, event-type reclassification, bounded peptide 3'-shift,
     * peptide duplication detection. Trailing comma included so the
     * caller can splice it before `hform`. */
-  private def inframeSql(D: CodonLogic.Dialect): String = {
+  private def inframeSql(D: CodonLogic.Dialect, shift: Boolean = true): String = {
     def aaC(c: String): String = aaN(D, sOrigCodon(D, c))
     s"""pep1 AS MATERIALIZED (SELECT hst5.*,
        |   CASE WHEN kind IN ('del', 'delins') THEN (e + bigk - 1) // 3 - c0 + 1
@@ -597,7 +616,8 @@ object Hgvsp {
        |   CASE WHEN refp2 = '' AND altp2 <> '' THEN altp2
        |    WHEN altp2 = '' THEN refp2 ELSE '' END AS sq FROM pep9),
        |pep11 AS MATERIALIZED (SELECT pep10.*, CAST(length(sq) AS BIGINT) AS sl,
-       |   CASE WHEN ld % 3 = 0 AND NOT peq AND kind2 IN ('ins', 'del')
+       |   CASE WHEN ${if (shift) "TRUE" else "FALSE"}
+       |     AND ld % 3 = 0 AND NOT peq AND kind2 IN ('ins', 'del')
        |     AND length(sq) > 0 AND ncod - en2 >= length(sq)
        |    THEN (CASE WHEN list_position(list_transform(
        |      generate_series(0, CAST(least($maxPeptideShift, ncod - en2) - 1 AS INT)),

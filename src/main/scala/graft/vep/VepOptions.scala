@@ -30,12 +30,16 @@ final case class VepOptions(
     excludePredicted: Boolean = false,
     gencodeBasic: Boolean = false,
     gencodePrimary: Boolean = false,
+    shiftHgvs: Boolean = true,
     distance: Long = 5000L) {
   /** HGVS gating (annotate_provider.rs:1180-1205 HgvsFlags):
-    * `--everything` implies `--hgvs`, which implies both forms; the
-    * 3'-shift is always applied when either form renders (the
-    * reference's shift_hgvs default — the off switch is not
-    * implemented here). */
+    * `--everything` implies `--hgvs`, which implies both forms.
+    * `shift_hgvs: false` disables the 3'-shift wherever HGVS renders
+    * (genomic indel anchors, the peptide-level shift, and the
+    * HGVS_OFFSET slot, which then never emits). The reference's
+    * default is `hgvsc || hgvsp` — observationally identical to a
+    * plain `true` here, since the flag is only consulted when an
+    * HGVS form actually renders. */
   def hgvscOn: Boolean = everything || hgvs || hgvsc
   def hgvspOn: Boolean = everything || hgvs || hgvsp
   def afOn: Boolean = everything || af
@@ -96,6 +100,10 @@ object VepOptions {
       excludePredicted = flag("exclude_predicted"),
       gencodeBasic = flag("gencode_basic"),
       gencodePrimary = flag("gencode_primary"),
+      // default ON (reference: unwrap_or(hgvsc || hgvsp)); only an
+      // explicit boolean false disables
+      shiftHgvs = Option(node.get("shift_hgvs"))
+        .filter(_.isBoolean).forall(_.booleanValue()),
       distance = dist)
   }
 }

@@ -367,5 +367,9 @@ class AnnotateSuite extends SparkSpec {
     val typed = VepOptions.fromJson(
       """{"distance": "3000", "pubmed": "true", "hgvsc": true}""")
     assert(typed.distance == 5000L && !typed.pubmed && typed.hgvsc)
+    // shift_hgvs: default on; only an explicit boolean false disables
+    assert(VepOptions.fromJson("""{"hgvs": true}""").shiftHgvs)
+    assert(!VepOptions.fromJson("""{"hgvs": true, "shift_hgvs": false}""").shiftHgvs)
+    assert(VepOptions.fromJson("""{"shift_hgvs": "false"}""").shiftHgvs)
   }
 }
