@@ -53,10 +53,17 @@ object Micro {
     }
 
     if (args.nonEmpty) {
-      val spark = SparkSession.builder().master("local[32]")
+      val b0 = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false").getOrCreate()
+        .config("spark.sql.adaptive.enabled",
+          sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+        .config("spark.ui.enabled", "false")
+      // extra confs for A/B probes: SPARK_GRAFT_CONF="k=v;k=v"
+      val b = sys.env.get("SPARK_GRAFT_CONF").map(_.split(";").toSeq).getOrElse(Seq.empty)
+        .foldLeft(b0) { (acc, kv) =>
+          val Array(k, v) = kv.split("=", 2); acc.config(k, v)
+        }
+      val spark = b.getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       val d = args.head
       val names = args.drop(1)
@@ -69,7 +76,15 @@ object Micro {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+          if (sys.env.contains("SPARK_GRAFT_JOBLOG")) {
+            val names = j.stageInfos.map(si =>
+              si.name.takeWhile(_ != '(').trim).mkString("|")
+            println(f"  [job ${j.jobId}%3d start t=${j.time % 1000000}%6d stages=${j.stageInfos.size} ${names.take(120)}")
+          }
         }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          if (sys.env.contains("SPARK_GRAFT_JOBLOG"))
+            println(f"  [job ${j.jobId}%3d end   t=${j.time % 1000000}%6d]")
         override def onStageCompleted(
             s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val info = s.stageInfo
@@ -80,6 +95,18 @@ object Micro {
       })
       for (rep <- 0 until 2; nm <- names) {
         jobs.set(0); stages.set(0); stageTime.clear()
+        if (sys.env.contains("SPARK_GRAFT_PHASES")) {
+          var t = System.nanoTime()
+          def lap(label: String): Unit = {
+            val now = System.nanoTime()
+            println(f"    phase $label: ${(now - t) / 1e9}%.2f s")
+            t = now
+          }
+          val df = qs(nm)(spark, d); lap("construct")
+          df.queryExecution.optimizedPlan; lap("analyze+optimize")
+          df.queryExecution.executedPlan; lap("physical-plan")
+          df.write.format("noop").mode("overwrite").save(); lap("execute")
+        }
         val t0 = System.nanoTime()
         qs(nm)(spark, d).write.format("noop").mode("overwrite").save()
         println(f"$nm rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s  " +

@@ -15,12 +15,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
+  /** Inferred-schema memo per parquet path: footer inference costs a
+    * driver job per spark.read.parquet call, and a multi-table query
+    * pays it once per table per INVOCATION (8 jobs ~= 0.9 s of the
+    * annotate e2e wall). The testdata is immutable for the life of the
+    * process, so the first inference is authoritative. Keyed per
+    * session too, so a restarted session (new JVM state, same path)
+    * re-infers. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
     // default; read it as Long (nanos since epoch) and convert
     // explicitly where needed.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent((spark, path),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   /** events.ts normalized to epoch MICROSECONDS regardless of the

@@ -796,8 +796,12 @@ object Annotate {
     // aggregate. Only geometry-overlapping pairs emit entries (pairs
     // reachable solely through the 3'-shifted coordinates were
     // dropped by the igeo-driven left joins before, and still are).
-    val iv = graft.core.Parallelism.ensure(
-        vcf.where(!(length(col("ref")) === 1 && length(col("alt")) === 1)))
+    // no Parallelism.ensure here: the indel side is the PROBE of the
+    // interval exec, which round-robin repartitions an
+    // under-parallelized probe internally (RDD-level, no AQE
+    // materialization) — an explicit repartition would add a full
+    // exchange + query-stage job for the same effect
+    val iv = vcf.where(!(length(col("ref")) === 1 && length(col("alt")) === 1))
       // shift_hgvs=false pins the anchors unshifted (maxShift=0 makes
       // the scan a no-op: sh=0, HGVS_OFFSET never emits)
       .withColumn("_ic", Splice.indelCoordsUdf(if (opts.shiftHgvs) 16 else 0)(
