@@ -164,12 +164,16 @@ case class BroadcastIntervalJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
     copy(left = newLeft, right = newRight)
 
+  /** Null coordinates follow SQL comparison semantics: a null bound
+    * can never satisfy the join condition, so a build row with a null
+    * coordinate is simply not indexed and a probe row with one matches
+    * nothing (null-extended under outer types) — NOT an error. */
   private def asLong(v: Any): Long = v match {
     case l: Long => l
     case i: Int => i.toLong
     case s: Short => s.toLong
-    case null => throw new IllegalArgumentException(
-      "null interval coordinate in interval join")
+    case other => throw new IllegalArgumentException(
+      s"non-integral interval coordinate in interval join: $other")
   }
 
   protected override def doExecute(): RDD[InternalRow] = {
@@ -193,13 +197,18 @@ case class BroadcastIntervalJoinExec(
     var i = 0
     while (i < rows.length) {
       val row = rows(i)
-      val key = bc0 match {
-        case Some(b) => b.eval(row).asInstanceOf[UTF8String].copy()
+      val key0 = bc0 match {
+        case Some(b) => b.eval(row).asInstanceOf[UTF8String]
         case None => UTF8String.EMPTY_UTF8
       }
-      val g = groups.getOrElseUpdate(key,
-        (mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
-      g._1 += asLong(bs.eval(row)); g._2 += asLong(be.eval(row)); g._3 += i
+      val sv = bs.eval(row); val ev = be.eval(row)
+      // null contig / coordinate: the condition can never hold (SQL
+      // null comparison) — leave the row out of the index
+      if (key0 != null && sv != null && ev != null) {
+        val g = groups.getOrElseUpdate(key0.copy(),
+          (mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
+        g._1 += asLong(sv); g._2 += asLong(ev); g._3 += i
+      }
       i += 1
     }
     val indexes: Map[UTF8String, graft.index.IntervalStabber] = groups.map {
@@ -254,15 +263,19 @@ case class BroadcastIntervalJoinExec(
           case None => UTF8String.EMPTY_UTF8
         }
         val hits = mutable.ArrayBuffer.empty[Int]
-        idxMap.get(key).foreach { idx =>
-          val qs = asLong(ps.eval(prow)) + addQs
-          val qe = asLong(pe.eval(prow)) - subQe
-          pred match {
-            case Some(p) =>
-              idx.query(qs, qe)(h => if (p.eval(pair(buildRows(h), prow))) hits += h)
-            case None => idx.query(qs, qe)(hits += _)
+        val qsv = ps.eval(prow); val qev = pe.eval(prow)
+        // null contig / coordinate probes match nothing (SQL null
+        // comparison): outer types null-extend, inner/semi drop, anti keeps
+        if (key != null && qsv != null && qev != null)
+          idxMap.get(key).foreach { idx =>
+            val qs = asLong(qsv) + addQs
+            val qe = asLong(qev) - subQe
+            pred match {
+              case Some(p) =>
+                idx.query(qs, qe)(h => if (p.eval(pair(buildRows(h), prow))) hits += h)
+              case None => idx.query(qs, qe)(hits += _)
+            }
           }
-        }
         jt match {
           case Inner =>
             hits.iterator.map(h => proj(pair(buildRows(h), prow)))

@@ -705,39 +705,72 @@ object Annotate {
       regulatory: DataFrame, motifs: DataFrame,
       opts: VepOptions): DataFrame = {
     graft.plans.Graft.enable(vcf.sparkSession)
-    val tMeta = transcripts.select(
-      col("transcript_id"), col("biotype").as("_a_bt"),
-      col("start").cast("long").as("_a_ts"), col("end").cast("long").as("_a_te"))
+    val emptyTerms = expr("CAST(array() AS ARRAY<STRING>)")
+    val nullS = lit(null).cast("string"); val nullL = lit(null).cast("long")
 
-    // ---- SNV entries: shared aggregate -> cDNA + codon layers ----
+    // ---- SNV entries: shared aggregate -> ONE fused projection ----
     // eagerly materialized (small: one row per variant×overlapping
-    // transcript) so the candidate probe + exon aggregation run ONCE
-    // for both layers, with blocks released when the caller drops the
-    // result — a Dataset.persist here leaked across the whole session
-    // (round-6 bench drift)
+    // transcript) so the candidate probe + exon aggregation run ONCE,
+    // with blocks released when the caller drops the result — a
+    // Dataset.persist here leaked across the whole session (round-6
+    // bench drift). Splice.snvFusedFrom computes the cDNA and codon
+    // layers in one pass (the former per-layer streams re-joined on
+    // (id, transcript_id): two shuffles + a sort-merge for rows that
+    // were never apart), carries the transcript span and variant
+    // position through the aggregate (the former tMeta/vPos joins),
+    // and the splice terms attach as intron-array lambdas over the
+    // already-broadcast exon arrays (the former separate probe +
+    // explode + aggregation + full-outer merge: three more exchanges).
     val agg = graft.core.Materialize(Splice.snvTranscriptAgg(vcf, transcripts, exons))
-    val cdna = Splice.cdnaAnnotateFrom(agg)
-    val codon = Splice.splicedCodonFrom(agg, transcripts, exons)
+    val fusedSnv = Splice.snvFusedFrom(agg, transcripts, exons)
     val siftCtx = sift.select(col("transcript_id").as("_s_tid"),
       col("protein_pos").as("_s_pp"), col("aa").as("_s_aa"), col("sift_score"))
     val ppCtx = polyphen.select(col("transcript_id").as("_q_tid"),
       col("protein_pos").as("_q_pp"), col("aa").as("_q_aa"), col("polyphen_score"))
-    val codonSift = codon.join(broadcast(siftCtx),
-        codon("transcript_id") === col("_s_tid") &&
-        codon("protein_pos") === col("_s_pp") && codon("aa_alt") === col("_s_aa"),
+    val xa = Hgvsp.exonArrays(transcripts, exons)
+    val snvJoined = fusedSnv
+      .join(broadcast(siftCtx),
+        fusedSnv("transcript_id") === col("_s_tid") &&
+        fusedSnv("protein_pos") === col("_s_pp") && fusedSnv("aa_alt") === col("_s_aa"),
         "left")
       .join(broadcast(ppCtx),
-        codon("transcript_id") === col("_q_tid") &&
-        codon("protein_pos") === col("_q_pp") && codon("aa_alt") === col("_q_aa"),
+        fusedSnv("transcript_id") === col("_q_tid") &&
+        fusedSnv("protein_pos") === col("_q_pp") && fusedSnv("aa_alt") === col("_q_aa"),
         "left")
-      .select(codon("id"), codon("transcript_id"), col("consequence"), col("hgvs_p"),
-        when(col("aa_ref") === col("aa_alt"), col("aa_ref"))
-          .otherwise(concat_ws("/", col("aa_ref"), col("aa_alt"))).as("_aas"),
-        concat_ws("/", col("ref_codon"), col("alt_codon")).as("_cod"),
+      .join(broadcast(xa), fusedSnv("transcript_id") === col("_xa_tid"), "left")
+    // mature-miRNA span: derived middle sub-span of the transcript
+    // (same stand-in Vep.annotateRegions documents)
+    val mStart = col("_ts") + floor((col("_te") - col("_ts")) / 3).cast("long")
+    val mEnd = col("_ts") + floor((col("_te") - col("_ts")) / 2).cast("long")
+    val snvTerm =
+      when(col("region") === "intronic", lit("intron_variant"))
+        .when(instr(col("hgvs_c"), ":n.") > 0 && col("_bt") === "miRNA" &&
+          col("_vp") <= mEnd && col("_vp") >= mStart, lit("mature_miRNA_variant"))
+        .when(instr(col("hgvs_c"), ":n.") > 0, lit("non_coding_transcript_exon_variant"))
+        .when(instr(col("hgvs_c"), ":c.-") > 0, lit("5_prime_UTR_variant"))
+        .when(instr(col("hgvs_c"), ":c.*") > 0, lit("3_prime_UTR_variant"))
+        .otherwise(coalesce(col("codon_consequence"), lit("coding_sequence_variant")))
+    // SNVs: normalized coords = the position itself, never an insertion
+    val snvSterms = Splice.spliceTermsOf(
+      Splice.intronArr(col("_xa_es"), col("_xa_ee")),
+      col("_vp"), col("_vp"), lit(false), col("_strand"))
+    val snvEntries = snvJoined
+      .select(col("id"), col("transcript_id"),
+        concat(
+          filter(array(snvTerm,
+            when(col("_bt") === "nonsense_mediated_decay",
+              lit("NMD_transcript_variant")),
+            when(col("region") === "intronic" && instr(col("hgvs_c"), ":n.") > 0,
+              lit("non_coding_transcript_variant"))),
+            x => x.isNotNull),
+          coalesce(snvSterms, emptyTerms)).as("_terms"),
+        col("cdna_pos").cast("long").as("_cdna"), col("cds_pos").cast("long").as("_cds"),
+        col("protein_pos").cast("long").as("_pp"),
+        col("hgvs_c"), col("hgvs_p"),
         // --everything renders prediction(score)
         // (annotate_provider.rs format_prediction: "deleterious(0.01)");
         // the score prints as fixed DECIMAL(4,3) — see [[dec4]] note
-        when(col("sift_score").isNull, lit(null).cast("string"))
+        when(col("sift_score").isNull, nullS)
           .otherwise(concat(
             when(col("sift_score") < 0.05, lit("deleterious"))
               .otherwise(lit("tolerated")),
@@ -745,7 +778,7 @@ object Annotate {
             col("sift_score").cast(org.apache.spark.sql.types.DecimalType(4, 3))
               .cast("string"),
             lit(")"))).as("_sift"),
-        when(col("polyphen_score").isNull, lit(null).cast("string"))
+        when(col("polyphen_score").isNull, nullS)
           .otherwise(concat(
             when(col("polyphen_score") > 0.908, lit("probably_damaging"))
               .when(col("polyphen_score") > 0.446, lit("possibly_damaging"))
@@ -753,34 +786,16 @@ object Annotate {
             lit("("),
             col("polyphen_score").cast(org.apache.spark.sql.types.DecimalType(4, 3))
               .cast("string"),
-            lit(")"))).as("_polyphen"))
-    val vPos = vcf.select(col("id"), col("start").cast("long").as("_a_vs"))
-    // mature-miRNA span: derived middle sub-span of the transcript
-    // (same stand-in Vep.annotateRegions documents)
-    val mStart = col("_a_ts") + floor((col("_a_te") - col("_a_ts")) / 3).cast("long")
-    val mEnd = col("_a_ts") + floor((col("_a_te") - col("_a_ts")) / 2).cast("long")
-    val snvTerm =
-      when(col("region") === "intronic", lit("intron_variant"))
-        .when(instr(col("hgvs_c"), ":n.") > 0 && col("_a_bt") === "miRNA" &&
-          col("_a_vs") <= mEnd && col("_a_vs") >= mStart, lit("mature_miRNA_variant"))
-        .when(instr(col("hgvs_c"), ":n.") > 0, lit("non_coding_transcript_exon_variant"))
-        .when(instr(col("hgvs_c"), ":c.-") > 0, lit("5_prime_UTR_variant"))
-        .when(instr(col("hgvs_c"), ":c.*") > 0, lit("3_prime_UTR_variant"))
-        .otherwise(coalesce(col("consequence"), lit("coding_sequence_variant")))
-    val snvEntries = cdna
-      .join(codonSift, Seq("id", "transcript_id"), "left")
-      .join(broadcast(tMeta), Seq("transcript_id"))
-      .join(vPos, Seq("id"))
-      .select(col("id"), col("transcript_id"),
-        snvTerm.as("_term"),
-        (col("_a_bt") === "nonsense_mediated_decay").as("_nmd"),
-        (col("region") === "intronic" && instr(col("hgvs_c"), ":n.") > 0).as("_nc"),
-        col("cdna_pos").cast("long").as("_cdna"), col("cds_pos").cast("long").as("_cds"),
-        col("protein_pos").cast("long").as("_pp"),
-        col("hgvs_c"), col("hgvs_p"), col("_sift"), col("_polyphen"),
-        col("_aas"), col("_cod"), lit(null).cast("long").as("_dist"),
+            lit(")"))).as("_polyphen"),
+        when(col("aa_ref") === col("aa_alt"), col("aa_ref"))
+          .otherwise(concat_ws("/", col("aa_ref"), col("aa_alt"))).as("_aas"),
+        concat_ws("/", col("ref_codon"), col("alt_codon")).as("_cod"),
+        nullL.as("_dist"),
+        lit("Transcript").as("_ftype"),
         col("exon").as("_exon"), col("intron").as("_intron"),
-        lit(null).cast("long").as("_hoff"))
+        nullL.as("_hoff"),
+        nullS.as("_mname"), nullL.as("_mpos"), nullS.as("_minf"),
+        lit(null).cast("double").as("_mscore"))
 
     // ---- indel entries: region-term geometry + HGVS forms, FUSED ----
     // One candidate probe + one exon aggregation serves all three
@@ -806,21 +821,40 @@ object Annotate {
       // the scan a no-op: sh=0, HGVS_OFFSET never emits)
       .withColumn("_ic", Splice.indelCoordsUdf(if (opts.shiftHgvs) 16 else 0)(
         col("chrom"), col("ref"), col("alt"), col("start").cast("long")))
+      // VEP-normalized coords + insertion flag feed the fused splice
+      // lambdas (the former separate splice stream's probe keys)
+      .withColumn("_i_nvs",
+        Vep.vepNormStartUdf(col("start").cast("long"), col("ref"), col("alt")))
+      .withColumn("_i_nve",
+        Vep.vepNormEndUdf(col("start").cast("long"), col("ref"), col("alt")))
       .select(col("chrom").as("_i_vc"), col("start").cast("long").as("_i_vs"),
         col("end").cast("long").as("_i_ve"), col("id").as("_i_vid"),
         (length(col("alt")) - length(col("ref"))).cast("long").as("_i_ld"),
         col("_ic._1").as("_i_kind"), col("_ic._2").as("_i_va"),
         col("_ic._3").as("_i_p0"), col("_ic._4").as("_i_p1"),
-        col("_ic._5").as("_i_sh"))
+        col("_ic._5").as("_i_sh"),
+        col("_i_nvs"), col("_i_nve"),
+        (Vep.vepRefUdf(col("ref"), col("alt")) === "-").as("_i_isins"),
+        least(col("_i_nvs"), col("_i_nve")).as("_i_nlo"),
+        greatest(col("_i_nvs"), col("_i_nve")).as("_i_nhi"))
+      .withColumn("_i_wlo", least(col("_i_vs"), col("_i_nlo")))
+      .withColumn("_i_whi", greatest(col("_i_ve"), col("_i_nhi")))
     val it = transcripts.select(col("chrom").as("_i_tc"),
       col("start").cast("long").as("_i_ts"), col("end").cast("long").as("_i_te"),
       col("transcript_id").as("_i_tid"), col("strand").as("_i_strand"),
       col("biotype").as("_i_bt"),
       col("cds_start").cast("long").as("_i_cs"), col("cds_end").cast("long").as("_i_ce"))
-    // transcripts = build side of the strategy's broadcast index probe
+    // transcripts = build side of the strategy's broadcast index probe.
+    // Candidates = raw-span overlap (the geometry/HGVS families) UNION
+    // norm-span overlap (the splice family's reach — an insertion's
+    // normalized point can sit one past the raw span): the probe folds
+    // the widened envelope, the exact disjunction rides as residual.
+    val rawOv = col("_i_ts") <= col("_i_ve") && col("_i_te") >= col("_i_vs")
+    val normOv = col("_i_ts") <= col("_i_nhi") && col("_i_te") >= col("_i_nlo")
     val icand = it.join(iv,
       col("_i_tc") === col("_i_vc") &&
-        col("_i_ts") <= col("_i_ve") && col("_i_te") >= col("_i_vs"))
+        col("_i_ts") <= col("_i_whi") && col("_i_te") >= col("_i_wlo") &&
+        (rawOv || normOv))
     val iex = exons.select(col("transcript_id").as("_i_etid"),
       col("start").cast("long").as("_i_es"), col("end").cast("long").as("_i_ee"))
     val igeo = icand.join(broadcast(iex), col("_i_tid") === col("_i_etid"))
@@ -828,7 +862,8 @@ object Annotate {
         col("_i_vs"), col("_i_ve"), col("_i_cs"), col("_i_ce"),
         col("_i_ts"), col("_i_te"), col("_i_ld"),
         col("_i_vc"), col("_i_kind"), col("_i_va"), col("_i_p0"), col("_i_p1"),
-        col("_i_sh"))
+        col("_i_sh"), col("_i_nvs"), col("_i_nve"), col("_i_isins"),
+        col("_i_nlo"), col("_i_nhi"))
       .agg(max(when(col("_i_vs") <= col("_i_ee") && col("_i_ve") >= col("_i_es"), 1)
         .otherwise(0)).as("_i_inex"),
         // EXON/INTRON rank inputs keyed on the event start (same
@@ -903,47 +938,46 @@ object Annotate {
       pepForm(col("_i_vc"), col("_i_strand"), col("_xa_es"), col("_xa_ee"),
         col("_ccs"), col("_cce"), col("_i_kind"), col("_i_va"),
         col("_i_p0"), col("_i_p1"))))
-    val nullS = lit(null).cast("string"); val nullL = lit(null).cast("long")
+    // splice terms via the fused intron-array lambdas (the former
+    // separate splice stream: probe + explode + aggregation +
+    // full-outer merge = three exchanges + an index build). Gated on
+    // the NORM-span overlap — exactly the old splice stream's
+    // candidate condition — so norm-only reach never leaks terms for
+    // transcripts the old probe would not have paired.
+    val iSterms = when(normOv, coalesce(Splice.spliceTermsOf(
+        Splice.intronArr(col("_xa_es"), col("_xa_ee")),
+        col("_i_nvs"), col("_i_nve"), col("_i_isins"), col("_i_strand")),
+      emptyTerms)).otherwise(emptyTerms)
+    // geometry/HGVS families render only for RAW-span overlap (the old
+    // indel candidate condition); norm-only rows carry splice terms
+    // alone — the old full-outer's splice-only arm
     val indelEntries = igeo
+      .withColumn("_sterms", iSterms)
+      .where(rawOv || size(col("_sterms")) > 0)
       .select(col("_i_vid").as("id"), col("_i_tid").as("transcript_id"),
-        iTerm.as("_term"),
-        (col("_i_bt") === "nonsense_mediated_decay").as("_nmd"),
-        (!iCoding && col("_i_inex") === 0).as("_nc"),
-        when(hok, ilo).as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
-        when(hok, ihgvsC).as("hgvs_c"), ihgvsP.as("hgvs_p"), nullS.as("_sift"),
+        concat(
+          filter(array(when(rawOv, iTerm),
+            when(rawOv && col("_i_bt") === "nonsense_mediated_decay",
+              lit("NMD_transcript_variant")),
+            when(rawOv && !iCoding && col("_i_inex") === 0,
+              lit("non_coding_transcript_variant"))),
+            x => x.isNotNull),
+          col("_sterms")).as("_terms"),
+        when(rawOv && hok, ilo).as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
+        when(rawOv && hok, ihgvsC).as("hgvs_c"),
+        when(rawOv, ihgvsP).as("hgvs_p"), nullS.as("_sift"),
         nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"), nullL.as("_dist"),
-        Splice.exonRank(col("_i_inex") === 1, col("_i_strand"),
-          col("_i_nprev"), col("_i_nex")).as("_exon"),
-        Splice.intronRank(col("_i_inex") === 1, col("_i_strand"),
-          col("_i_nprev"), col("_i_nex")).as("_intron"),
+        lit("Transcript").as("_ftype"),
+        when(rawOv, Splice.exonRank(col("_i_inex") === 1, col("_i_strand"),
+          col("_i_nprev"), col("_i_nex"))).as("_exon"),
+        when(rawOv, Splice.intronRank(col("_i_inex") === 1, col("_i_strand"),
+          col("_i_nprev"), col("_i_nex"))).as("_intron"),
         // HGVS_OFFSET: emitted with the HGVSc it annotates, signed
         // transcript-ward (Splice.indelHgvs convention)
-        when(hok && col("_i_sh") > 0,
+        when(rawOv && hok && col("_i_sh") > 0,
           when(col("_i_strand") === -1, -col("_i_sh")).otherwise(col("_i_sh")))
-          .as("_hoff"))
-
-    // ---- splice fusion: all six splice terms per (variant, transcript) ----
-    val splice = Splice.spliceTermsRaw(vcf, transcripts, exons)
-      .groupBy(col("id"), col("transcript_id"))
-      .agg(collect_set(col("consequence")).as("_sterms"))
-    val base = snvEntries.unionByName(indelEntries)
-    val fused = base.join(splice, Seq("id", "transcript_id"), "full_outer")
-      .withColumn("_terms", concat(
-        filter(array(col("_term"),
-          when(col("_nmd"), lit("NMD_transcript_variant")),
-          when(col("_nc"), lit("non_coding_transcript_variant"))),
-          x => x.isNotNull),
-        coalesce(col("_sterms"), expr("CAST(array() AS ARRAY<STRING>)"))))
-      .select(col("id"), col("transcript_id"), col("_terms"),
-        col("_cdna"), col("_cds"), col("_pp"), col("hgvs_c"), col("hgvs_p"),
-        col("_sift"), col("_polyphen"), col("_aas"), col("_cod"), col("_dist"),
-        // constant (not from the base side): splice-only rows of the
-        // full-outer join are still transcript entries
-        lit("Transcript").as("_ftype"), col("_exon"), col("_intron"),
-        col("_hoff"),
-        lit(null).cast("string").as("_mname"),
-        lit(null).cast("long").as("_mpos"),
-        lit(null).cast("string").as("_minf"),
+          .as("_hoff"),
+        nullS.as("_mname"), nullL.as("_mpos"), nullS.as("_minf"),
         lit(null).cast("double").as("_mscore"))
 
     // ---- up/downstream entries (non-overlapping candidates in reach) ----
@@ -1123,7 +1157,7 @@ object Annotate {
     // candidate aggregates), and nulled here when the flags resolve
     // off — the reference skips the computation, this library skips
     // the emission; same output.
-    val unioned0 = fused.unionByName(updown)
+    val unioned0 = snvEntries.unionByName(indelEntries).unionByName(updown)
       .unionByName(regEntries).unionByName(motEntries)
     val unioned = unioned0
       .withColumn("hgvs_c",

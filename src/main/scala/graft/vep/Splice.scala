@@ -159,7 +159,11 @@ object Splice {
         sum(when(col("_ee") < p, 1).otherwise(0)).as("_nprev"),
         count(lit(1)).as("_nex"),
         // constant within the group (derived from the _vc/_vp keys)
-        first(col("_wb")).as("_wb"))
+        first(col("_wb")).as("_wb"),
+        // transcript span (constant per _tid): carried through so
+        // downstream layers (miRNA window, splice lambdas) need no
+        // second transcript join
+        first(col("_ts")).as("_ts"), first(col("_te")).as("_te"))
       .join(broadcast(codingBounds(transcripts, exons)), col("_tid") === col("_cb_tid"), "left")
   }
 
@@ -395,6 +399,199 @@ object Splice {
         lit("incomplete_terminal_codon_variant").as("consequence"),
         nullStr.as("hgvs_p"))
     full.unionByName(truncated)
+  }
+
+  /** FUSED cDNA + spliced-codon stream over a prebuilt
+    * [[snvTranscriptAgg]]: every column [[cdnaAnnotateFrom]] emits plus
+    * the codon layer's ([[splicedCodonFrom]]) — computed in ONE
+    * projection pass with the codon-range lookahead join as a LEFT
+    * broadcast probe, instead of two derived streams re-joined on
+    * (id, transcript_id). That join cost two shuffles + a sort-merge
+    * per run at any scale, for rows that were never apart: the codon
+    * columns are a guarded refinement of the same aggregate row.
+    * Codon columns are null exactly where the standalone layer had no
+    * row (the left join it replaces). Passthrough columns (_bt,
+    * _strand, _ts, _te, _vp, _vc, _valt) let the integrated operator
+    * render entries without re-joining transcript metadata or the
+    * variant side. */
+  private[vep] def snvFusedFrom(
+      agg: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
+    val coding = isCodingBt(col("_bt"))
+    val cdna = col("_cdna")
+    val inCds = col("_in_exon") === 1 && coding &&
+      cdna >= col("_ccs") && cdna <= col("_cce")
+    // ---- codon addressing (null outside the CDS: the join misses) ----
+    val s0 = agg
+      .withColumn("_cds_pos", when(inCds, cdna - col("_ccs") + 1))
+      .withColumn("_codon0",
+        col("_ccs") + floor((col("_cds_pos") - 1) / lit(3)).cast("long") * 3)
+      .withColumn("_coff", ((col("_cds_pos") - 1) % 3).cast("int"))
+    val ranges = exonCdnaRanges(transcripts, exons)
+    val w = Window.partitionBy(col("_r_tid")).orderBy(col("_r_cs"))
+    val r = ranges
+      .withColumn("_n1_es", lead(col("_r_es"), 1).over(w))
+      .withColumn("_n1_ee", lead(col("_r_ee"), 1).over(w))
+      .withColumn("_n1_cs", lead(col("_r_cs"), 1).over(w))
+      .withColumn("_n1_ce", lead(col("_r_ce"), 1).over(w))
+      .withColumn("_n2_es", lead(col("_r_es"), 2).over(w))
+      .withColumn("_n2_ee", lead(col("_r_ee"), 2).over(w))
+      .withColumn("_n2_cs", lead(col("_r_cs"), 2).over(w))
+      .drop("_r_strand")
+    // cDNA segments partition [1, transcript length] per transcript, so
+    // a non-null _codon0 matches EXACTLY one segment — the left join
+    // never multiplies rows
+    val joined = s0.join(broadcast(r),
+      col("_tid") === col("_r_tid") &&
+        col("_codon0").between(col("_r_cs"), col("_r_ce")), "left")
+    def gOf(ci: Column): Column = {
+      def m(es: Column, ee: Column, cs: Column): Column =
+        when(col("_strand") === 1, es + (ci - cs)).otherwise(ee - (ci - cs))
+      when(ci <= col("_r_ce"), m(col("_r_es"), col("_r_ee"), col("_r_cs")))
+        .when(ci <= col("_n1_ce"), m(col("_n1_es"), col("_n1_ee"), col("_n1_cs")))
+        .otherwise(m(col("_n2_es"), col("_n2_ee"), col("_n2_cs")))
+    }
+    def baseOf(g: Column): Column = {
+      val raw = when(g.between(col("_vp") - 2, col("_vp") + 2),
+          element_at(col("_wb"), (g - col("_vp") + 3).cast("int")))
+        .otherwise(expr(CodonLogic.seq(CodonLogic.SparkD, "_vc", "_gx")))
+      when(col("_strand") === 1, raw).otherwise(translate(raw, "ACGT", "TGCA"))
+    }
+    val isFull = inCds && col("_codon0") + 2 <= col("_cce")
+    val withBases = (0 to 2).foldLeft(joined) { (df, k) =>
+      df.withColumn("_gx", gOf(col("_codon0") + k))
+        .withColumn(s"_b$k", baseOf(col("_gx")))
+    }
+    val altAdj0 = when(col("_strand") === 1, col("_valt"))
+      .otherwise(translate(col("_valt"), "ACGT", "TGCA"))
+    val refCodon = concat(col("_b0"), col("_b1"), col("_b2"))
+    val altCodon = concat(
+      when(col("_coff") === 0, altAdj0).otherwise(col("_b0")),
+      when(col("_coff") === 1, altAdj0).otherwise(col("_b1")),
+      when(col("_coff") === 2, altAdj0).otherwise(col("_b2")))
+    val staged = withBases
+      .withColumn("_refcodon", when(isFull, refCodon))
+      .withColumn("_altcodon", when(isFull, altCodon))
+      .withColumn("_aaref", expr(CodonLogic.aa(CodonLogic.SparkD, "_refcodon")))
+      .withColumn("_aaalt", expr(CodonLogic.aa(CodonLogic.SparkD, "_altcodon")))
+      .withColumn("_ppos",
+        when(inCds, floor((col("_cds_pos") - 1) / lit(3)) + 1).cast("long"))
+    val codonConsequence =
+      when(isFull,
+        when(col("_aaalt") === "*" && col("_aaref") =!= "*", lit("stop_gained"))
+          .when(col("_aaref") === "*" && col("_aaalt") =!= "*", lit("stop_lost"))
+          .when(col("_aaref") === "*" && col("_aaalt") === "*", lit("stop_retained_variant"))
+          .when(col("_ppos") === 1 && col("_aaref") =!= col("_aaalt"), lit("start_lost"))
+          .when(col("_ppos") === 1, lit("start_retained_variant"))
+          .when(col("_aaref") === col("_aaalt"), lit("synonymous_variant"))
+          .otherwise(lit("missense_variant")))
+      // partial codon at the coding end (VEP partial_codon,
+      // transcript_consequence.rs:1939-1976): in-CDS but untranslatable
+      .when(inCds, lit("incomplete_terminal_codon_variant"))
+    val hgvsP = when(isFull, concat(col("_tid"), lit(":p."),
+      expr(aa3Sql(CodonLogic.SparkD, "_aaref")), col("_ppos").cast("string"),
+      when(col("_aaref") === col("_aaalt"), lit("="))
+        .otherwise(expr(aa3Sql(CodonLogic.SparkD, "_aaalt")))))
+    // ---- cdna/HGVSc layer (cdnaAnnotateFrom 1:1) ----
+    val p = col("_vp")
+    val strandP = col("_strand") === 1
+    val dPlus = when(strandP, p - col("_prev_ee")).otherwise(col("_next_es") - p)
+    val dMinus = when(strandP, col("_next_es") - p).otherwise(p - col("_prev_ee"))
+    def fmtC(x: Column): Column =
+      when(!coding, x.cast("string"))
+        .when(x < col("_ccs"), concat(lit("-"), (col("_ccs") - x).cast("string")))
+        .when(x > col("_cce"), concat(lit("*"), (x - col("_cce")).cast("string")))
+        .otherwise((x - col("_ccs") + 1).cast("string"))
+    val refAdj = when(strandP, col("_vref")).otherwise(complement(col("_vref")))
+    val altAdjC = when(strandP, col("_valt")).otherwise(complement(col("_valt")))
+    val prefix = concat(col("_tid"), lit(":"), when(coding, lit("c.")).otherwise(lit("n.")))
+    val change = concat(refAdj, lit(">"), altAdjC)
+    val usePlus = col("_next_es").isNull ||
+      (col("_prev_ee").isNotNull && dPlus <= dMinus)
+    val hgvsC =
+      when(col("_in_exon") === 1, concat(prefix, fmtC(cdna), change))
+        .otherwise(when(usePlus,
+            concat(prefix, fmtC(cdna), lit("+"), dPlus.cast("string"), change))
+          .otherwise(
+            concat(prefix, fmtC(cdna + 1), lit("-"), dMinus.cast("string"), change)))
+    staged.select(
+      col("_vid").as("id"), col("_tid").as("transcript_id"),
+      when(col("_in_exon") === 1, lit("exonic")).otherwise(lit("intronic")).as("region"),
+      when(col("_in_exon") === 1, cdna).as("cdna_pos"),
+      col("_cds_pos").as("cds_pos"),
+      col("_ppos").as("protein_pos"),
+      hgvsC.as("hgvs_c"),
+      exonRank(col("_in_exon") === 1, col("_strand"), col("_nprev"), col("_nex")).as("exon"),
+      intronRank(col("_in_exon") === 1, col("_strand"), col("_nprev"), col("_nex")).as("intron"),
+      codonConsequence.as("codon_consequence"),
+      hgvsP.as("hgvs_p"),
+      col("_refcodon").as("ref_codon"), col("_altcodon").as("alt_codon"),
+      when(isFull, col("_aaref")).as("aa_ref"),
+      when(isFull, col("_aaalt")).as("aa_alt"),
+      col("_bt"), col("_strand"), col("_ts"), col("_te"),
+      col("_vp"), col("_vc"))
+  }
+
+  /** Intron array derived from a transcript's sorted exon start/end
+    * arrays, GENOMIC order: `[ee[k]+1, es[k+1]-1]` for consecutive
+    * exons, touching/overlapping pairs dropped — [[introns]] without
+    * the shuffle (the caller already holds the per-transcript exon
+    * arrays, broadcast). */
+  private[vep] def intronArr(esArr: Column, eeArr: Column): Column = {
+    val es = array_sort(esArr)
+    val ee = array_sort(eeArr)
+    when(size(esArr) >= 2,
+      filter(
+        transform(sequence(lit(1), size(esArr) - 1), k =>
+          struct((element_at(ee, k) + 1).as("is"),
+            (element_at(es, k + 1) - 1).as("ie"))),
+        i => i.getField("ie") >= i.getField("is")))
+      .otherwise(expr("CAST(array() AS ARRAY<STRUCT<is: BIGINT, ie: BIGINT>>)"))
+  }
+
+  /** [[spliceTermsRaw]]'s six per-intron positional windows as a pure
+    * array-lambda expression over an intron array — per candidate row,
+    * NO probe, explode, aggregation or re-join: the integrated
+    * operator attaches splice terms to the snv/indel entry streams as
+    * a projection. Deduped across introns (the standalone operator's
+    * distinct / the fusion's collect_set). Inputs: VEP-normalized
+    * [vs, ve], the insertion flag, strand. */
+  private[vep] def spliceTermsOf(introns: Column, vs: Column, ve: Column,
+      isins: Column, strand: Column): Column = {
+    val terms = transform(introns, i => {
+      val is_ = i.getField("is"); val ie_ = i.getField("ie")
+      val plus = strand === 1
+      val p = vs
+      def ov(x: Column, y: Column) = !isins && vs <= y && ve >= x
+      def ip(x: Column, y: Column) = isins && p.between(x, y)
+      val donor = when(plus, ov(is_, is_ + 1) || ip(is_ + 1, is_ + 1))
+        .otherwise(ov(ie_ - 1, ie_) || ip(ie_, ie_))
+      val donor5 = when(plus, ov(is_ + 4, is_ + 4)).otherwise(ov(ie_ - 4, ie_ - 4))
+      val donorRegion = when(plus, ov(is_ + 2, is_ + 5) || ip(is_ + 3, is_ + 5))
+        .otherwise(ov(ie_ - 5, ie_ - 2) || ip(ie_ - 4, ie_ - 2))
+      val acceptor = when(plus, ov(ie_ - 1, ie_) || ip(ie_, ie_))
+        .otherwise(ov(is_, is_ + 1) || ip(is_ + 1, is_ + 1))
+      val withinIntron = !isins && vs >= is_ && ve <= ie_
+      val ppt = when(plus,
+          (withinIntron && ov(ie_ - 16, ie_ - 2)) || ip(ie_ - 16, ie_ - 1))
+        .otherwise(
+          (withinIntron && ov(is_ + 2, is_ + 16)) || ip(is_ + 2, is_ + 17))
+      val spliceRegion =
+        ov(is_ + 2, is_ + 7) || ov(ie_ - 7, ie_ - 2) ||
+        ov(is_ - 3, is_ - 1) || ov(ie_ + 1, ie_ + 3) ||
+        ip(is_ + 3, is_ + 7) || ip(ie_ - 6, ie_ - 2) ||
+        ip(is_ - 2, is_ - 1) || ip(ie_ + 2, ie_ + 3) ||
+        (isins &&
+          (p === is_ || p === ie_ + 1 || p === is_ + 2 || p === ie_ - 1))
+      filter(array(
+        when(acceptor, lit("splice_acceptor_variant")),
+        when(donor, lit("splice_donor_variant")),
+        when(donor5, lit("splice_donor_5th_base_variant")),
+        when(spliceRegion, lit("splice_region_variant")),
+        when(donorRegion, lit("splice_donor_region_variant")),
+        when(ppt, lit("splice_polypyrimidine_tract_variant"))),
+        x => x.isNotNull)
+    })
+    array_distinct(flatten(terms))
   }
 
   /** HGVS notation for exonic non-SNV events — the hgvs.rs /
@@ -659,10 +856,11 @@ object Splice {
     // and Materialize releases the blocks once the result is dropped
     // (a Dataset.persist leaked them for the session).
     val agg = graft.core.Materialize(snvTranscriptAgg(vcf, transcripts, exons))
-    val cdna = cdnaAnnotateFrom(agg)
-    val codon = splicedCodonFrom(agg, transcripts, exons)
-      .select(col("id"), col("transcript_id"), col("consequence"), col("hgvs_p"))
-    val j = cdna.join(codon, Seq("id", "transcript_id"), "left")
+    // fused single-pass stream (see [[snvFusedFrom]]) — the former
+    // cdna-side left join to the codon layer re-joined rows that were
+    // never apart, costing two shuffles + a sort-merge per run
+    val j = snvFusedFrom(agg, transcripts, exons)
+      .withColumnRenamed("codon_consequence", "consequence")
     val term = when(col("region") === "intronic", lit("intron_variant"))
       .when(instr(col("hgvs_c"), ":n.") > 0, lit("non_coding_transcript_exon_variant"))
       .when(instr(col("hgvs_c"), ":c.-") > 0, lit("5_prime_UTR_variant"))
