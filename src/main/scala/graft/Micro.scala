@@ -108,9 +108,17 @@ object Micro {
           df.write.format("noop").mode("overwrite").save(); lap("execute")
         }
         val t0 = System.nanoTime()
-        qs(nm)(spark, d).write.format("noop").mode("overwrite").save()
+        val dfq = qs(nm)(spark, d)
+        dfq.write.format("noop").mode("overwrite").save()
         println(f"$nm rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s  " +
           s"jobs=${jobs.get} stages=${stages.get}")
+        if (rep == 1 && sys.env.contains("SPARK_GRAFT_FINALPLAN")) {
+          val s = dfq.queryExecution.executedPlan.toString
+          println(s"  finalplan: reused=${s.linesIterator.count(_.contains("ReusedExchange"))} " +
+            s"exchanges=${s.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))}")
+          java.nio.file.Files.write(java.nio.file.Paths.get(s"/tmp/finalplan_$nm.txt"),
+            s.getBytes)
+        }
         if (rep == 1) {
           import scala.jdk.CollectionConverters._
           stageTime.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (k, ms) =>

@@ -274,8 +274,9 @@ object Annotate {
     val grouped = entries.groupBy(col("id"))
       .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
         array_join(array_sort(collect_list(col("_entry"))), ",").as("_csqT"))
-    lookupJoin(vcf.select(col("id")), exv, grouped)
-      .join(vClassDf(vcf), Seq("id"))
+    // the id spine IS the per-variant class/allele projection — no
+    // separate vClass join
+    lookupJoin(vClassDf(vcf), exv, grouped)
       .select((col("id") +: col("variation_name") +:
         afCsq.map { case (_, c) => col(c) }) ++ Seq(
         col("max_af"), col("max_af_pops"),
@@ -722,12 +723,15 @@ object Annotate {
     // already-broadcast exon arrays (the former separate probe +
     // explode + aggregation + full-outer merge: three more exchanges).
     val agg = graft.core.Materialize(Splice.snvTranscriptAgg(vcf, transcripts, exons))
-    val fusedSnv = Splice.snvFusedFrom(agg, transcripts, exons)
+    // ONE per-transcript exon-array aggregation serves the codon-range
+    // build, the snv splice lambdas, the indel protein/splice layers —
+    // a single exchange instead of one per consumer
+    val xa = Hgvsp.exonArrays(transcripts, exons)
+    val fusedSnv = Splice.snvFusedFrom(agg, transcripts, exons, Some(xa))
     val siftCtx = sift.select(col("transcript_id").as("_s_tid"),
       col("protein_pos").as("_s_pp"), col("aa").as("_s_aa"), col("sift_score"))
     val ppCtx = polyphen.select(col("transcript_id").as("_q_tid"),
       col("protein_pos").as("_q_pp"), col("aa").as("_q_aa"), col("polyphen_score"))
-    val xa = Hgvsp.exonArrays(transcripts, exons)
     val snvJoined = fusedSnv
       .join(broadcast(siftCtx),
         fusedSnv("transcript_id") === col("_s_tid") &&
@@ -879,8 +883,7 @@ object Annotate {
         sum(Splice.contribution(col("_i_p1"), col("_i_es"), col("_i_ee"), col("_i_strand"))).as("_cdna1"))
       .join(broadcast(Splice.codingBounds(transcripts, exons)),
         col("_i_tid") === col("_cb_tid"), "left")
-      .join(broadcast(Hgvsp.exonArrays(transcripts, exons)),
-        col("_i_tid") === col("_xa_tid"), "left")
+      .join(broadcast(xa), col("_i_tid") === col("_xa_tid"), "left")
     val iCoding = Splice.isCodingBt(col("_i_bt"))
     val inCodingExon = col("_i_inex") === 1 && iCoding
     val inCds = inCodingExon &&

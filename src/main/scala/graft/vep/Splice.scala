@@ -415,7 +415,8 @@ object Splice {
     * render entries without re-joining transcript metadata or the
     * variant side. */
   private[vep] def snvFusedFrom(
-      agg: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
+      agg: DataFrame, transcripts: DataFrame, exons: DataFrame,
+      xa: Option[DataFrame] = None): DataFrame = {
     val coding = isCodingBt(col("_bt"))
     val cdna = col("_cdna")
     val inCds = col("_in_exon") === 1 && coding &&
@@ -426,17 +427,8 @@ object Splice {
       .withColumn("_codon0",
         col("_ccs") + floor((col("_cds_pos") - 1) / lit(3)).cast("long") * 3)
       .withColumn("_coff", ((col("_cds_pos") - 1) % 3).cast("int"))
-    val ranges = exonCdnaRanges(transcripts, exons)
-    val w = Window.partitionBy(col("_r_tid")).orderBy(col("_r_cs"))
-    val r = ranges
-      .withColumn("_n1_es", lead(col("_r_es"), 1).over(w))
-      .withColumn("_n1_ee", lead(col("_r_ee"), 1).over(w))
-      .withColumn("_n1_cs", lead(col("_r_cs"), 1).over(w))
-      .withColumn("_n1_ce", lead(col("_r_ce"), 1).over(w))
-      .withColumn("_n2_es", lead(col("_r_es"), 2).over(w))
-      .withColumn("_n2_ee", lead(col("_r_ee"), 2).over(w))
-      .withColumn("_n2_cs", lead(col("_r_cs"), 2).over(w))
-      .drop("_r_strand")
+    val r = codonRangesFromArrays(
+      xa.getOrElse(Hgvsp.exonArrays(transcripts, exons)))
     // cDNA segments partition [1, transcript length] per transcript, so
     // a non-null _codon0 matches EXACTLY one segment — the left join
     // never multiplies rows
@@ -530,6 +522,34 @@ object Splice {
       col("_bt"), col("_strand"), col("_ts"), col("_te"),
       col("_vp"), col("_vc"))
   }
+
+  /** The codon-range lookahead build ([[exonCdnaRanges]] + the two
+    * window leads) derived from the per-transcript exon arrays
+    * ([[Hgvsp.exonArrays]], transcript orientation) instead of a
+    * second shuffle: the cumulative cDNA offsets are array folds and
+    * the "leads" are simply elements k+1 / k+2 (null past the last
+    * exon, like the window leads). Lets the integrated operator share
+    * ONE per-transcript exon aggregation across the codon, protein
+    * and splice layers. */
+  private[vep] def codonRangesFromArrays(xa: DataFrame): DataFrame =
+    xa.withColumn("_l", expr("zip_with(_xa_es, _xa_ee, (s, e) -> e - s + 1)"))
+      .withColumn("_c", expr(
+        "transform(sequence(1, size(_xa_es)), k -> aggregate(slice(_l, 1, k - 1), 0L, (a, x) -> a + x))"))
+      .select(col("_xa_tid").as("_r_tid"), col("_xa_es").as("_es"),
+        col("_xa_ee").as("_ee"), col("_l"), col("_c"),
+        explode(expr("sequence(1, size(_xa_es))")).as("_k"))
+      .selectExpr("_r_tid",
+        "try_element_at(_es, _k) AS _r_es",
+        "try_element_at(_ee, _k) AS _r_ee",
+        "try_element_at(_c, _k) + 1 AS _r_cs",
+        "try_element_at(_c, _k) + try_element_at(_l, _k) AS _r_ce",
+        "try_element_at(_es, _k + 1) AS _n1_es",
+        "try_element_at(_ee, _k + 1) AS _n1_ee",
+        "try_element_at(_c, _k + 1) + 1 AS _n1_cs",
+        "try_element_at(_c, _k + 1) + try_element_at(_l, _k + 1) AS _n1_ce",
+        "try_element_at(_es, _k + 2) AS _n2_es",
+        "try_element_at(_ee, _k + 2) AS _n2_ee",
+        "try_element_at(_c, _k + 2) + 1 AS _n2_cs")
 
   /** Intron array derived from a transcript's sorted exon start/end
     * arrays, GENOMIC order: `[ee[k]+1, es[k+1]-1]` for consecutive
