@@ -95,6 +95,8 @@ object Micro {
       })
       for (rep <- 0 until 2; nm <- names) {
         jobs.set(0); stages.set(0); stageTime.clear()
+        if (rep == 1 && sys.env.contains("SPARK_GRAFT_RULETIME"))
+          org.apache.spark.sql.catalyst.rules.RuleExecutor.resetMetrics()
         if (sys.env.contains("SPARK_GRAFT_PHASES")) {
           var t = System.nanoTime()
           def lap(label: String): Unit = {
@@ -123,6 +125,18 @@ object Micro {
           import scala.jdk.CollectionConverters._
           stageTime.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (k, ms) =>
             println(f"    ${ms / 1000.0}%7.1f task-s  $k")
+          }
+          if (sys.env.contains("SPARK_GRAFT_RULETIME")) {
+            val dump = org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent()
+            println("  --- top rules by effective time ---")
+            dump.linesIterator.toSeq
+              .filter(_.contains("org.apache.spark"))
+              .map { l =>
+                val parts = l.trim.split("\\s+")
+                (parts.headOption.getOrElse(""), parts.lift(1).map(_.toDouble).getOrElse(0.0))
+              }
+              .sortBy(-_._2).take(15)
+              .foreach { case (r, t) => println(f"    ${t / 1e6}%8.1f ms  $r") }
           }
         }
       }

@@ -468,27 +468,30 @@ object Annotate {
       // per-entry dedup ONLY (push_unique_value dedups within an entry,
       // automatic here since each pop name maps to one column; entries
       // EXTEND without cross-entry dedup, :1800-1830) — two entries
-      // tying at the global max on the same population repeat its name
-      .withColumn("_pops", expr("flatten(transform(_ents, " +
-        s"x -> filter(array($popCases), p -> p IS NOT NULL)))"))
-      .withColumn("_csaVals", expr(
-        "array_distinct(transform(filter(_ents, x -> x.csa IS NOT NULL AND " +
-          s"size(filter(split(x.csa, ';'), $chunkCond)) > 0), " +
-          s"x -> array_join(transform(filter(split(x.csa, ';'), $chunkCond), " +
-          "ch -> substr(ch, instr(ch, ':') + 1)), ',')))"))
-      // fallback clin_sig scope: entries strictly before the first
-      // clin_sig_allele-bearing entry (the reference checks the
-      // exists flag AFTER setting it within the same entry)
-      .withColumn("_csaPos",
-        expr("array_position(transform(_ents, x -> x.csa IS NOT NULL), true)"))
-      .withColumn("_nfb", expr("CASE WHEN _csaPos IS NULL OR _csaPos = 0 " +
-        "THEN size(_ents) ELSE CAST(_csaPos - 1 AS INT) END"))
-      .withColumn("_fbVals", expr(
-        "flatten(transform(filter(slice(_ents, 1, _nfb), x -> x.cs IS NOT NULL), " +
-          "x -> filter(split(x.cs, ','), v -> v <> '')))"))
-      .withColumn("_pbVals", expr(
-        "flatten(transform(_ents, " +
-          "x -> filter(split(coalesce(x.pubmed, ''), ','), v -> v <> '')))"))
+      // tying at the global max on the same population repeat its name.
+      // Two selects, one per dependency layer (each withColumn was an
+      // eager analyzer pass over this wide aggregate subtree)
+      .select(col("*"),
+        expr("flatten(transform(_ents, " +
+          s"x -> filter(array($popCases), p -> p IS NOT NULL)))").as("_pops"),
+        expr(
+          "array_distinct(transform(filter(_ents, x -> x.csa IS NOT NULL AND " +
+            s"size(filter(split(x.csa, ';'), $chunkCond)) > 0), " +
+            s"x -> array_join(transform(filter(split(x.csa, ';'), $chunkCond), " +
+            "ch -> substr(ch, instr(ch, ':') + 1)), ',')))").as("_csaVals"),
+        // fallback clin_sig scope anchor: position of the first
+        // clin_sig_allele-bearing entry (the reference checks the
+        // exists flag AFTER setting it within the same entry)
+        expr("array_position(transform(_ents, x -> x.csa IS NOT NULL), true)")
+          .as("_csaPos"),
+        expr("flatten(transform(_ents, " +
+          "x -> filter(split(coalesce(x.pubmed, ''), ','), v -> v <> '')))")
+          .as("_pbVals"))
+      .select(col("*"),
+        expr("flatten(transform(filter(slice(_ents, 1, " +
+          "CASE WHEN _csaPos IS NULL OR _csaPos = 0 THEN size(_ents) " +
+          "ELSE CAST(_csaPos - 1 AS INT) END), x -> x.cs IS NOT NULL), " +
+          "x -> filter(split(x.cs, ','), v -> v <> '')))").as("_fbVals"))
     def gatedFlags(field: String): Column =
       when(expr(s"exists(_ents, x -> x.$field = '1')"),
         expr(s"array_join(transform(_ents, " +
@@ -722,7 +725,12 @@ object Annotate {
     // and the splice terms attach as intron-array lambdas over the
     // already-broadcast exon arrays (the former separate probe +
     // explode + aggregation + full-outer merge: three more exchanges).
-    val agg = graft.core.Materialize(Splice.snvTranscriptAgg(vcf, transcripts, exons))
+    // NO Materialize here any more: after the layer fusion the
+    // aggregate has exactly ONE consumer (snvFusedFrom), so the eager
+    // materialization was a pure extra action — a serial plan +
+    // count job + RDD barrier on the critical path (the round-8 shape
+    // had two consumers; the fusion removed the second)
+    val agg = Splice.snvTranscriptAgg(vcf, transcripts, exons)
     // ONE per-transcript exon-array aggregation serves the codon-range
     // build, the snv splice lambdas, the indel protein/splice layers —
     // a single exchange instead of one per consumer
@@ -820,17 +828,18 @@ object Annotate {
     // under-parallelized probe internally (RDD-level, no AQE
     // materialization) — an explicit repartition would add a full
     // exchange + query-stage job for the same effect
+    // shift_hgvs=false pins the anchors unshifted (maxShift=0 makes
+    // the scan a no-op: sh=0, HGVS_OFFSET never emits). VEP-normalized
+    // coords + insertion flag feed the fused splice lambdas (the
+    // former separate splice stream's probe keys).
     val iv = vcf.where(!(length(col("ref")) === 1 && length(col("alt")) === 1))
-      // shift_hgvs=false pins the anchors unshifted (maxShift=0 makes
-      // the scan a no-op: sh=0, HGVS_OFFSET never emits)
-      .withColumn("_ic", Splice.indelCoordsUdf(if (opts.shiftHgvs) 16 else 0)(
-        col("chrom"), col("ref"), col("alt"), col("start").cast("long")))
-      // VEP-normalized coords + insertion flag feed the fused splice
-      // lambdas (the former separate splice stream's probe keys)
-      .withColumn("_i_nvs",
-        Vep.vepNormStartUdf(col("start").cast("long"), col("ref"), col("alt")))
-      .withColumn("_i_nve",
-        Vep.vepNormEndUdf(col("start").cast("long"), col("ref"), col("alt")))
+      .select(col("*"),
+        Splice.indelCoordsUdf(if (opts.shiftHgvs) 16 else 0)(
+          col("chrom"), col("ref"), col("alt"), col("start").cast("long")).as("_ic"),
+        Vep.vepNormStartUdf(col("start").cast("long"), col("ref"), col("alt"))
+          .as("_i_nvs"),
+        Vep.vepNormEndUdf(col("start").cast("long"), col("ref"), col("alt"))
+          .as("_i_nve"))
       .select(col("chrom").as("_i_vc"), col("start").cast("long").as("_i_vs"),
         col("end").cast("long").as("_i_ve"), col("id").as("_i_vid"),
         (length(col("alt")) - length(col("ref"))).cast("long").as("_i_ld"),
@@ -841,8 +850,9 @@ object Annotate {
         (Vep.vepRefUdf(col("ref"), col("alt")) === "-").as("_i_isins"),
         least(col("_i_nvs"), col("_i_nve")).as("_i_nlo"),
         greatest(col("_i_nvs"), col("_i_nve")).as("_i_nhi"))
-      .withColumn("_i_wlo", least(col("_i_vs"), col("_i_nlo")))
-      .withColumn("_i_whi", greatest(col("_i_ve"), col("_i_nhi")))
+      .select(col("*"),
+        least(col("_i_vs"), col("_i_nlo")).as("_i_wlo"),
+        greatest(col("_i_ve"), col("_i_nhi")).as("_i_whi"))
     val it = transcripts.select(col("chrom").as("_i_tc"),
       col("start").cast("long").as("_i_ts"), col("end").cast("long").as("_i_te"),
       col("transcript_id").as("_i_tid"), col("strand").as("_i_strand"),
@@ -1162,18 +1172,22 @@ object Annotate {
     // the emission; same output.
     val unioned0 = snvEntries.unionByName(indelEntries).unionByName(updown)
       .unionByName(regEntries).unionByName(motEntries)
-    val unioned = unioned0
-      .withColumn("hgvs_c",
-        if (opts.hgvscOn) col("hgvs_c") else lit(null).cast("string"))
-      .withColumn("hgvs_p",
-        if (opts.hgvspOn) col("hgvs_p") else lit(null).cast("string"))
-      .withColumn("_hoff",
-        if (opts.hgvscOn) col("_hoff") else lit(null).cast("long"))
+    // flag gating only rewrites columns when a flag is actually off —
+    // the default (all on) path adds no projection layer
+    val unioned =
+      if (opts.hgvscOn && opts.hgvspOn) unioned0
+      else unioned0.select(unioned0.columns.map {
+        case "hgvs_c" if !opts.hgvscOn => lit(null).cast("string").as("hgvs_c")
+        case "hgvs_p" if !opts.hgvspOn => lit(null).cast("string").as("hgvs_p")
+        case "_hoff" if !opts.hgvscOn => lit(null).cast("long").as("_hoff")
+        case c => col(c)
+      }.toSeq: _*)
     unioned
       .join(broadcast(tAttr), Seq("transcript_id"), "left")
-      .withColumn("_termstr", expr(termStrSql(CodonLogic.SparkD, "_terms")))
-      .withColumn("_best", expr(bestRankSql(CodonLogic.SparkD, "_terms")))
-      .withColumn("_impact", expr(impactSql("_best")))
-      .withColumn("_entry", concat_ws("|", fields: _*))
+      .select(col("*"),
+        expr(termStrSql(CodonLogic.SparkD, "_terms")).as("_termstr"),
+        expr(bestRankSql(CodonLogic.SparkD, "_terms")).as("_best"))
+      .select(col("*"), expr(impactSql("_best")).as("_impact"))
+      .select(col("*"), concat_ws("|", fields: _*).as("_entry"))
   }
 }

@@ -421,12 +421,15 @@ object Splice {
     val cdna = col("_cdna")
     val inCds = col("_in_exon") === 1 && coding &&
       cdna >= col("_ccs") && cdna <= col("_cce")
-    // ---- codon addressing (null outside the CDS: the join misses) ----
-    val s0 = agg
-      .withColumn("_cds_pos", when(inCds, cdna - col("_ccs") + 1))
-      .withColumn("_codon0",
-        col("_ccs") + floor((col("_cds_pos") - 1) / lit(3)).cast("long") * 3)
-      .withColumn("_coff", ((col("_cds_pos") - 1) % 3).cast("int"))
+    // ---- codon addressing (null outside the CDS: the join misses).
+    // One select per dependency layer — every withColumn is a full
+    // eager analyzer pass over the whole subtree, and this plan is
+    // wide enough that chained passes dominate driver latency ----
+    val cdsPosE = when(inCds, cdna - col("_ccs") + 1)
+    val s0 = agg.select(col("*"),
+      cdsPosE.as("_cds_pos"),
+      (col("_ccs") + floor((cdsPosE - 1) / lit(3)).cast("long") * 3).as("_codon0"),
+      ((cdsPosE - 1) % 3).cast("int").as("_coff"))
     val r = codonRangesFromArrays(
       xa.getOrElse(Hgvsp.exonArrays(transcripts, exons)))
     // cDNA segments partition [1, transcript length] per transcript, so
@@ -442,17 +445,20 @@ object Splice {
         .when(ci <= col("_n1_ce"), m(col("_n1_es"), col("_n1_ee"), col("_n1_cs")))
         .otherwise(m(col("_n2_es"), col("_n2_ee"), col("_n2_cs")))
     }
-    def baseOf(g: Column): Column = {
+    def baseOf(gName: String): Column = {
+      val g = col(gName)
       val raw = when(g.between(col("_vp") - 2, col("_vp") + 2),
           element_at(col("_wb"), (g - col("_vp") + 3).cast("int")))
-        .otherwise(expr(CodonLogic.seq(CodonLogic.SparkD, "_vc", "_gx")))
+        .otherwise(expr(CodonLogic.seq(CodonLogic.SparkD, "_vc", gName)))
       when(col("_strand") === 1, raw).otherwise(translate(raw, "ACGT", "TGCA"))
     }
     val isFull = inCds && col("_codon0") + 2 <= col("_cce")
-    val withBases = (0 to 2).foldLeft(joined) { (df, k) =>
-      df.withColumn("_gx", gOf(col("_codon0") + k))
-        .withColumn(s"_b$k", baseOf(col("_gx")))
-    }
+    val withBases = joined
+      .select(col("*"),
+        gOf(col("_codon0")).as("_g0"), gOf(col("_codon0") + 1).as("_g1"),
+        gOf(col("_codon0") + 2).as("_g2"))
+      .select(col("*"),
+        baseOf("_g0").as("_b0"), baseOf("_g1").as("_b1"), baseOf("_g2").as("_b2"))
     val altAdj0 = when(col("_strand") === 1, col("_valt"))
       .otherwise(translate(col("_valt"), "ACGT", "TGCA"))
     val refCodon = concat(col("_b0"), col("_b1"), col("_b2"))
@@ -461,12 +467,13 @@ object Splice {
       when(col("_coff") === 1, altAdj0).otherwise(col("_b1")),
       when(col("_coff") === 2, altAdj0).otherwise(col("_b2")))
     val staged = withBases
-      .withColumn("_refcodon", when(isFull, refCodon))
-      .withColumn("_altcodon", when(isFull, altCodon))
-      .withColumn("_aaref", expr(CodonLogic.aa(CodonLogic.SparkD, "_refcodon")))
-      .withColumn("_aaalt", expr(CodonLogic.aa(CodonLogic.SparkD, "_altcodon")))
-      .withColumn("_ppos",
-        when(inCds, floor((col("_cds_pos") - 1) / lit(3)) + 1).cast("long"))
+      .select(col("*"),
+        when(isFull, refCodon).as("_refcodon"),
+        when(isFull, altCodon).as("_altcodon"),
+        when(inCds, floor((col("_cds_pos") - 1) / lit(3)) + 1).cast("long").as("_ppos"))
+      .select(col("*"),
+        expr(CodonLogic.aa(CodonLogic.SparkD, "_refcodon")).as("_aaref"),
+        expr(CodonLogic.aa(CodonLogic.SparkD, "_altcodon")).as("_aaalt"))
     val codonConsequence =
       when(isFull,
         when(col("_aaalt") === "*" && col("_aaref") =!= "*", lit("stop_gained"))
@@ -875,11 +882,12 @@ object Splice {
     // (variant × overlapping transcript) — small relative to input —
     // and Materialize releases the blocks once the result is dropped
     // (a Dataset.persist leaked them for the session).
-    val agg = graft.core.Materialize(snvTranscriptAgg(vcf, transcripts, exons))
     // fused single-pass stream (see [[snvFusedFrom]]) — the former
     // cdna-side left join to the codon layer re-joined rows that were
-    // never apart, costing two shuffles + a sort-merge per run
-    val j = snvFusedFrom(agg, transcripts, exons)
+    // never apart, costing two shuffles + a sort-merge per run. With
+    // one consumer the former Materialize of the aggregate would be a
+    // pure extra action, so the aggregate plans inline.
+    val j = snvFusedFrom(snvTranscriptAgg(vcf, transcripts, exons), transcripts, exons)
       .withColumnRenamed("codon_consequence", "consequence")
     val term = when(col("region") === "intronic", lit("intron_variant"))
       .when(instr(col("hgvs_c"), ":n.") > 0, lit("non_coding_transcript_exon_variant"))
