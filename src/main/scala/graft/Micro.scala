@@ -88,8 +88,12 @@ object Micro {
         override def onStageCompleted(
             s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val info = s.stageInfo
-          val key = info.name.takeWhile(_ != '(').trim + " @ " +
-            info.details.linesIterator.toSeq.lift(1).getOrElse("").trim
+          val key =
+            if (sys.env.contains("SPARK_GRAFT_STAGEDETAIL"))
+              f"stage ${info.stageId}%4d tasks=${info.numTasks}%3d " +
+                info.name.takeWhile(_ != '(').trim
+            else info.name.takeWhile(_ != '(').trim + " @ " +
+              info.details.linesIterator.toSeq.lift(1).getOrElse("").trim
           stageTime.merge(key, info.taskMetrics.executorRunTime, (a, b) => a + b)
         }
       })

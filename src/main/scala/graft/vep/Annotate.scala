@@ -76,6 +76,22 @@ object Annotate {
     s"CASE WHEN $best <= 9 THEN 'HIGH' WHEN $best <= 13 THEN 'MODERATE' " +
     s"WHEN $best <= 21 THEN 'LOW' ELSE 'MODIFIER' END"
 
+  /** Severity-rank-PREFIXED term representation ("NNterm", NN =
+    * zero-padded SO rank): every consequence term in the fused entry
+    * streams is born a literal, so prefixing at creation makes the
+    * severity sort a plain string sort and the best-rank fold a plain
+    * string min — the former per-element 41-branch CASE inside
+    * (interpreted) array lambdas ran twice per entry row and dominated
+    * the render stage's task time. Stripped via substr(x, 3) at render. */
+  private def rk(n: String): String =
+    f"${Vep.soRank.getOrElse(n, 41)}%02d" + n
+  private[vep] def rkLit(n: String): Column = lit(rk(n))
+  /** Prefix a non-literal term column — ONE scalar codegen'd CASE. */
+  private def rkCol(c: Column): Column =
+    concat(Vep.soRank.toSeq.sortBy(_._2).foldLeft(lit("41")) {
+      case (acc, (n, r)) => when(c === n, lit(f"$r%02d")).otherwise(acc)
+    }, c)
+
   /** Reserved placeholder bytes ([[substPerVariant]]): any occurrence
     * in a USER-SOURCED field value would corrupt the per-variant
     * substitution (and the entry sort vs the substituted form), so
@@ -755,13 +771,14 @@ object Annotate {
     val mStart = col("_ts") + floor((col("_te") - col("_ts")) / 3).cast("long")
     val mEnd = col("_ts") + floor((col("_te") - col("_ts")) / 2).cast("long")
     val snvTerm =
-      when(col("region") === "intronic", lit("intron_variant"))
+      when(col("region") === "intronic", rkLit("intron_variant"))
         .when(instr(col("hgvs_c"), ":n.") > 0 && col("_bt") === "miRNA" &&
-          col("_vp") <= mEnd && col("_vp") >= mStart, lit("mature_miRNA_variant"))
-        .when(instr(col("hgvs_c"), ":n.") > 0, lit("non_coding_transcript_exon_variant"))
-        .when(instr(col("hgvs_c"), ":c.-") > 0, lit("5_prime_UTR_variant"))
-        .when(instr(col("hgvs_c"), ":c.*") > 0, lit("3_prime_UTR_variant"))
-        .otherwise(coalesce(col("codon_consequence"), lit("coding_sequence_variant")))
+          col("_vp") <= mEnd && col("_vp") >= mStart, rkLit("mature_miRNA_variant"))
+        .when(instr(col("hgvs_c"), ":n.") > 0, rkLit("non_coding_transcript_exon_variant"))
+        .when(instr(col("hgvs_c"), ":c.-") > 0, rkLit("5_prime_UTR_variant"))
+        .when(instr(col("hgvs_c"), ":c.*") > 0, rkLit("3_prime_UTR_variant"))
+        .otherwise(rkCol(
+          coalesce(col("codon_consequence"), lit("coding_sequence_variant"))))
     // SNVs: normalized coords = the position itself, never an insertion
     val snvSterms = Splice.spliceTermsOf(
       Splice.intronArr(col("_xa_es"), col("_xa_ee")),
@@ -771,9 +788,9 @@ object Annotate {
         concat(
           filter(array(snvTerm,
             when(col("_bt") === "nonsense_mediated_decay",
-              lit("NMD_transcript_variant")),
+              rkLit("NMD_transcript_variant")),
             when(col("region") === "intronic" && instr(col("hgvs_c"), ":n.") > 0,
-              lit("non_coding_transcript_variant"))),
+              rkLit("non_coding_transcript_variant"))),
             x => x.isNotNull),
           coalesce(snvSterms, emptyTerms)).as("_terms"),
         col("cdna_pos").cast("long").as("_cdna"), col("cds_pos").cast("long").as("_cds"),
@@ -901,21 +918,21 @@ object Annotate {
     val imStart = col("_i_ts") + floor((col("_i_te") - col("_i_ts")) / 3).cast("long")
     val imEnd = col("_i_ts") + floor((col("_i_te") - col("_i_ts")) / 2).cast("long")
     val iTerm =
-      when(inCds && col("_i_ld") % 3 =!= 0, lit("frameshift_variant"))
-        .when(inCds && col("_i_ld") > 0, lit("inframe_insertion"))
-        .when(inCds && col("_i_ld") < 0, lit("inframe_deletion"))
-        .when(inCds, lit("protein_altering_variant"))
+      when(inCds && col("_i_ld") % 3 =!= 0, rkLit("frameshift_variant"))
+        .when(inCds && col("_i_ld") > 0, rkLit("inframe_insertion"))
+        .when(inCds && col("_i_ld") < 0, rkLit("inframe_deletion"))
+        .when(inCds, rkLit("protein_altering_variant"))
         .when(inCodingExon && col("_i_ve") < col("_i_cs"),
-          when(col("_i_strand") === 1, lit("5_prime_UTR_variant"))
-            .otherwise(lit("3_prime_UTR_variant")))
+          when(col("_i_strand") === 1, rkLit("5_prime_UTR_variant"))
+            .otherwise(rkLit("3_prime_UTR_variant")))
         .when(inCodingExon && col("_i_vs") > col("_i_ce"),
-          when(col("_i_strand") === 1, lit("3_prime_UTR_variant"))
-            .otherwise(lit("5_prime_UTR_variant")))
-        .when(inCodingExon, lit("coding_sequence_variant"))
+          when(col("_i_strand") === 1, rkLit("3_prime_UTR_variant"))
+            .otherwise(rkLit("5_prime_UTR_variant")))
+        .when(inCodingExon, rkLit("coding_sequence_variant"))
         .when(col("_i_inex") === 1 && col("_i_bt") === "miRNA" &&
-          col("_i_vs") <= imEnd && col("_i_ve") >= imStart, lit("mature_miRNA_variant"))
-        .when(col("_i_inex") === 1, lit("non_coding_transcript_exon_variant"))
-        .otherwise(lit("intron_variant"))
+          col("_i_vs") <= imEnd && col("_i_ve") >= imStart, rkLit("mature_miRNA_variant"))
+        .when(col("_i_inex") === 1, rkLit("non_coding_transcript_exon_variant"))
+        .otherwise(rkLit("intron_variant"))
     // HGVSc rendering on the fused aggregate — 1:1 with
     // Splice.indelHgvs's formatting over its own aggregate: valid only
     // when both shifted anchors lie inside this transcript AND inside
@@ -971,9 +988,9 @@ object Annotate {
         concat(
           filter(array(when(rawOv, iTerm),
             when(rawOv && col("_i_bt") === "nonsense_mediated_decay",
-              lit("NMD_transcript_variant")),
+              rkLit("NMD_transcript_variant")),
             when(rawOv && !iCoding && col("_i_inex") === 0,
-              lit("non_coding_transcript_variant"))),
+              rkLit("non_coding_transcript_variant"))),
             x => x.isNotNull),
           col("_sterms")).as("_terms"),
         when(rawOv && hok, ilo).as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
@@ -1007,7 +1024,7 @@ object Annotate {
       .select(col("_u_vid").as("id"), col("_u_tid").as("transcript_id"),
         array(when((col("_u_strand") === 1 && col("_u_ve") < col("_u_ts")) ||
             (col("_u_strand") === -1 && col("_u_vs") > col("_u_te")),
-          lit("upstream_gene_variant")).otherwise(lit("downstream_gene_variant")))
+          rkLit("upstream_gene_variant")).otherwise(rkLit("downstream_gene_variant")))
           .as("_terms"),
         nullL.as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
         nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
@@ -1038,7 +1055,7 @@ object Annotate {
           col("_f_fc") === col("_f_vc") &&
             col("_f_fs") <= col("_f_ve") && col("_f_fe") >= col("_f_vs"))
         .select(col("_f_vid").as("id"), col("_f_id").as("transcript_id"),
-          array(lit(term)).as("_terms"),
+          array(rkLit(term)).as("_terms"),
           nullL.as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
           nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
           nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"), nullL.as("_dist"),
@@ -1151,7 +1168,7 @@ object Annotate {
       "PolyPhen" -> f(col("_polyphen")),
       "DOMAINS" -> f(col("_e_domains")),
       "miRNA" ->
-        when(array_contains(col("_terms"), "mature_miRNA_variant"),
+        when(array_contains(col("_terms"), rk("mature_miRNA_variant")),
           f(col("_e_mirna"))).otherwise(lit("")),
       "HGVS_OFFSET" -> f(col("_hoff")),
       "MOTIF_NAME" -> f(col("_mname")),
@@ -1185,8 +1202,10 @@ object Annotate {
     unioned
       .join(broadcast(tAttr), Seq("transcript_id"), "left")
       .select(col("*"),
-        expr(termStrSql(CodonLogic.SparkD, "_terms")).as("_termstr"),
-        expr(bestRankSql(CodonLogic.SparkD, "_terms")).as("_best"))
+        // prefixed terms: plain string sort + strip, plain string min
+        expr("array_join(transform(array_sort(_terms), x -> substr(x, 3)), '&')")
+          .as("_termstr"),
+        expr("CAST(substr(array_min(_terms), 1, 2) AS INT)").as("_best"))
       .select(col("*"), expr(impactSql("_best")).as("_impact"))
       .select(col("*"), concat_ws("|", fields: _*).as("_entry"))
   }

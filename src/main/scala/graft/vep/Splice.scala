@@ -609,13 +609,15 @@ object Splice {
         ip(is_ - 2, is_ - 1) || ip(ie_ + 2, ie_ + 3) ||
         (isins &&
           (p === is_ || p === ie_ + 1 || p === is_ + 2 || p === ie_ - 1))
+      // severity-rank-prefixed literals (Annotate.rkLit): the fused
+      // streams sort/min terms as plain strings
       filter(array(
-        when(acceptor, lit("splice_acceptor_variant")),
-        when(donor, lit("splice_donor_variant")),
-        when(donor5, lit("splice_donor_5th_base_variant")),
-        when(spliceRegion, lit("splice_region_variant")),
-        when(donorRegion, lit("splice_donor_region_variant")),
-        when(ppt, lit("splice_polypyrimidine_tract_variant"))),
+        when(acceptor, Annotate.rkLit("splice_acceptor_variant")),
+        when(donor, Annotate.rkLit("splice_donor_variant")),
+        when(donor5, Annotate.rkLit("splice_donor_5th_base_variant")),
+        when(spliceRegion, Annotate.rkLit("splice_region_variant")),
+        when(donorRegion, Annotate.rkLit("splice_donor_region_variant")),
+        when(ppt, Annotate.rkLit("splice_polypyrimidine_tract_variant"))),
         x => x.isNotNull)
     })
     array_distinct(flatten(terms))
