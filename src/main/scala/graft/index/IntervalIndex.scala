@@ -376,6 +376,56 @@ object CoitreesIntervalIndex {
   * `ailist` (augmented interval list, skew-robust decomposition),
   * `coitrees` (implicit augmented interval tree — the reference's
   * default), or `linear` (naive scan, for verification). */
+/** Implicit-BST stabber over the canonical sorted arrays — rust-bio's
+  * `ArrayBackedIntervalTree`, the reference's `arrayintervaltree`
+  * algorithm (session_context.rs:61-70, interval_join.rs:703-814): the
+  * sorted interval array is viewed as a balanced BST by recursive
+  * midpoint, each node annotated with its subtree's max end. A query
+  * prunes a subtree when its max end < qs and skips the right child
+  * when the node's start > qe; in-order descent emits hits in the
+  * canonical (start, end, rank) order. O(log n + k) per probe, no
+  * pointer chasing — the same flat-array idea as coitrees but with
+  * midpoint topology instead of van Emde Boas layout. */
+final class ArrayTreeIntervalIndex(
+    val starts: Array[Long], val ends: Array[Long],
+    val payload: Array[Int],
+    /** subtreeMax(mid) = max end over the subtree rooted at the
+      * midpoint node of its range */
+    val subtreeMax: Array[Long]) extends IntervalStabber {
+
+  def query(qs: Long, qe: Long)(f: Int => Unit): Unit = {
+    def rec(lo: Int, hi: Int): Unit = {
+      if (lo >= hi) return
+      val mid = (lo + hi) >>> 1
+      if (subtreeMax(mid) < qs) return
+      rec(lo, mid)
+      if (starts(mid) <= qe) {
+        if (ends(mid) >= qs) f(payload(mid))
+        rec(mid + 1, hi)
+      }
+    }
+    rec(0, starts.length)
+  }
+}
+
+object ArrayTreeIntervalIndex {
+  def build(s: Array[Long], e: Array[Long], payload: Array[Int]): ArrayTreeIntervalIndex = {
+    // canonical (start, end, rank) order shared by every layout
+    val c = ContigIntervalIndex.build(s, e, payload)
+    val n = c.starts.length
+    val subMax = new Array[Long](n)
+    def rec(lo: Int, hi: Int): Long = {
+      if (lo >= hi) return Long.MinValue
+      val mid = (lo + hi) >>> 1
+      val m = math.max(c.ends(mid), math.max(rec(lo, mid), rec(mid + 1, hi)))
+      subMax(mid) = m
+      m
+    }
+    rec(0, n)
+    new ArrayTreeIntervalIndex(c.starts, c.ends, c.payload, subMax)
+  }
+}
+
 object IntervalIndexFactory {
   val ConfKey = "spark.graft.intervalJoin.algorithm"
 
@@ -389,9 +439,10 @@ object IntervalIndexFactory {
       case "lapper" => LapperIntervalIndex.build(s, e, payload)
       case "ailist" => AiListIntervalIndex.build(s, e, payload)
       case "coitrees" => CoitreesIntervalIndex.build(s, e, payload)
+      case "arrayintervaltree" => ArrayTreeIntervalIndex.build(s, e, payload)
       case "superintervals" | "" => ContigIntervalIndex.build(s, e, payload)
       case other => throw new IllegalArgumentException(
-        s"unknown interval-join algorithm '$other' (superintervals | eytzinger | lapper | ailist | coitrees | linear)")
+        s"unknown interval-join algorithm '$other' (superintervals | eytzinger | lapper | ailist | coitrees | arrayintervaltree | linear)")
     }
 }
 

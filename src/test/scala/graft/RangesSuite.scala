@@ -68,11 +68,12 @@ class RangesSuite extends SparkSpec {
     }
   }
 
-  test("J3 eytzinger/lapper/ailist/coitrees indexes: emission parity with superintervals") {
+  test("J3 eytzinger/lapper/ailist/coitrees/arrayintervaltree indexes: emission parity with superintervals") {
     import graft.index.IntervalIndexFactory
     val rnd = new scala.util.Random(42)
     for (n <- Seq(0, 1, 7, 100, 1023);
-         algo <- Seq("eytzinger", "lapper", "ailist", "coitrees")) {
+         algo <- Seq("eytzinger", "lapper", "ailist", "coitrees",
+           "arrayintervaltree")) {
       val s = Array.fill(n)(rnd.nextLong(1000))
       // ~10% very long intervals: the length skew that degrades plain
       // backward scans and drives AIList's component extraction
