@@ -372,4 +372,69 @@ class AnnotateSuite extends SparkSpec {
     assert(!VepOptions.fromJson("""{"hgvs": true, "shift_hgvs": false}""").shiftHgvs)
     assert(VepOptions.fromJson("""{"shift_hgvs": "false"}""").shiftHgvs)
   }
+
+  test("fused splice-only arm: norm-reach insertion at the transcript boundary") {
+    // Variant 1: insertion anchored at 999 — its RAW span [999, 999]
+    // does NOT overlap T1 [1000, 1999], but its VEP-normalized
+    // insertion point P = 1000 does (the widened indel candidate's
+    // norm arm). With a 1-base first exon [1000, 1000] the first
+    // intron starts at is = 1001, so P falls in the exonic
+    // splice-region insertion window [is-2, is-1]: the entry carries
+    // splice_region_variant ALONE (no geometry/HGVS fields — the raw
+    // arm is gated off), reproducing the old full-outer's splice-only
+    // row. The same variant is also 1 bp upstream, so the updown
+    // layer contributes its own entry. Variant 2 is far upstream:
+    // updown only, and the widened candidate must NOT leak terms.
+    val vcf = Seq(
+      ("chr1", 999L, 999L, 1L, "A", "AG"),
+      ("chr1", 900L, 900L, 2L, "A", "AG"),
+    ).toDF("chrom", "start", "end", "id", "ref", "alt")
+    val afCols = Annotate.afCsq.map(_._2)
+    val cache = Seq.empty[(String, Long, Long, String, String)]
+      .toDF("chrom", "start", "end", "variation_name", "allele_string")
+      .selectExpr(Seq("*") ++ afCols.map(c => s"CAST(NULL AS DOUBLE) AS $c") ++
+        Seq("'0' AS somatic", "'0' AS pheno",
+          "CAST(NULL AS STRING) AS pubmed", "CAST(NULL AS STRING) AS clin_sig"): _*)
+    val tx = Seq(
+      ("chr1", 1000L, 1999L, "T1", 1, "protein_coding", 1200L, 1900L,
+        "G1", "SYM1", "YES", ""),
+    ).toDF("chrom", "start", "end", "transcript_id", "strand", "biotype",
+      "cds_start", "cds_end", "gene_id", "symbol", "canonical", "flags")
+      .selectExpr("*",
+        "'' AS mane_select", "'' AS mane_plus_clinical", "1 AS tsl",
+        "'' AS appris", "'' AS ccds", "'' AS swissprot", "'' AS trembl",
+        "'' AS uniparc", "'' AS uniprot_isoform", "'0' AS gene_pheno",
+        "'' AS domains", "'' AS mirna")
+    val ex = Seq(("T1", 1000L, 1000L), ("T1", 1100L, 1999L))
+      .toDF("transcript_id", "start", "end")
+    val sift = Seq.empty[(String, Long, String, Double)]
+      .toDF("transcript_id", "protein_pos", "aa", "sift_score")
+    val pp = Seq.empty[(String, Long, String, Double)]
+      .toDF("transcript_id", "protein_pos", "aa", "polyphen_score")
+    val reg = Seq.empty[(String, Long, Long, String)]
+      .toDF("chrom", "start", "end", "feature_id")
+    val mot = Seq.empty[(String, Long, Long, String, String, Double)]
+      .toDF("chrom", "start", "end", "motif_id", "tf_name", "score_change")
+
+    val out = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot)
+      .collect().map(r => r.getLong(r.fieldIndex("id")) -> r).toMap
+    def entries(id: Long): Array[Array[String]] = {
+      val csq = out(id).getString(out(id).fieldIndex("csq"))
+      if (csq.isEmpty) Array.empty else csq.split(",").map(_.split("\\|", -1))
+    }
+    val DIST = 18
+    val e1 = entries(1L)
+    assert(e1.length == 2, e1.map(_(CONSEQUENCE)).mkString(";"))
+    val spl = e1.find(_(CONSEQUENCE) == "splice_region_variant")
+    assert(spl.isDefined)
+    assert(spl.get(FEATURE) == "T1" && spl.get(FTYPE) == "Transcript")
+    assert(spl.get(HGVSC) == "" && spl.get(EXON) == "" && spl.get(DIST) == "")
+    val up = e1.find(_(CONSEQUENCE) == "upstream_gene_variant")
+    assert(up.isDefined && up.get(DIST) == "1")
+    assert(out(1L).getString(out(1L).fieldIndex("most_severe_consequence")) ==
+      "splice_region_variant")
+    val e2 = entries(2L)
+    assert(e2.length == 1 && e2.head(CONSEQUENCE) == "upstream_gene_variant")
+    assert(e2.head(DIST) == "100")
+  }
 }
