@@ -1030,13 +1030,16 @@ object VepSpliceQueries {
        |allent AS (SELECT * FROM fused UNION ALL SELECT * FROM ud
        |  UNION ALL SELECT * FROM rge UNION ALL SELECT * FROM mte),
        |${exvCtes("c", opts)},
+       |rend0 AS (SELECT *,
+       |   ${Annotate.stripParentsSql(D, "terms", prefixed = false)} AS terms2
+       |  FROM allent),
        |rend AS (SELECT id, transcript_id, cdna_pos, cds_pos, protein_pos,
        |   hgvs_c, hgvs_p, sift_pred, polyphen_pred, aas, cod, dist,
-       |   exon, intron, hgvs_offset, ftype, mname, mpos, minf, mscore,
+       |   exon, intron, hgvs_offset, ftype, mname, mpos, minf, mscore, terms2,
        |   list_contains(terms, 'mature_miRNA_variant') AS has_mirna,
-       |   ${Annotate.termStrSql(D, "terms")} AS termstr,
-       |   ${Annotate.bestRankSql(D, "terms")} AS best FROM allent),
-       |ent AS (SELECT rend.id, rend.best, rend.transcript_id, rend.termstr,
+       |   ${Annotate.termStrSql(D, "terms2")} AS termstr,
+       |   ${Annotate.bestRankSql(D, "terms2")} AS best FROM rend0),
+       |ent AS (SELECT rend.id, rend.best, rend.terms2, rend.transcript_id, rend.termstr,
        |   rend.hgvs_c, rend.hgvs_p, rend.sift_pred, rend.polyphen_pred,
        |   ${graft.vep.Annotate.impactSql("rend.best")} AS impact,
        |   ${entConcatSql(opts)} AS entry
@@ -1097,8 +1100,12 @@ object VepSpliceQueries {
 
   private def e2eCsqSql(ctes: String): String =
     s"""$ctes,
-       |grp AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts, MIN(best) AS best,
-       |   string_agg(entry, ',' ORDER BY entry) AS csq FROM ent GROUP BY id)
+       |grp0 AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts,
+       |   flatten(list(terms2)) AS ut,
+       |   string_agg(entry, ',' ORDER BY entry) AS csq FROM ent GROUP BY id),
+       |grp AS (SELECT id, n_transcripts, csq,
+       |   ${graft.vep.Annotate.collapsedBestSql(graft.vep.CodonLogic.DuckD, "ut", prefixed = false)} AS best
+       |  FROM grp0)
        |SELECT lk.id, lk.variation_name,
        | ${graft.vep.Annotate.afCsq.map { case (_, c) => s"lk.$c" }.mkString(", ")},
        | lk.max_af, lk.max_af_pops,
@@ -1133,7 +1140,8 @@ object VepSpliceQueries {
     * collect followed by array_join). */
   private val typedColumnsSql: String =
     s"""$e2eCtes,
-       |grp AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts, MIN(best) AS best,
+       |grp0 AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts,
+       |   flatten(list(terms2)) AS ut,
        |   string_agg(transcript_id, '|' ORDER BY entry) AS transcript_ids,
        |   string_agg(termstr, '|' ORDER BY entry) AS consequences,
        |   string_agg(COALESCE(hgvs_c, ''), '|' ORDER BY entry) AS hgvs_c,
@@ -1141,7 +1149,10 @@ object VepSpliceQueries {
        |   string_agg(COALESCE(sift_pred, ''), '|' ORDER BY entry) AS sift,
        |   string_agg(COALESCE(polyphen_pred, ''), '|' ORDER BY entry) AS polyphen,
        |   string_agg(impact, '|' ORDER BY entry) AS impact
-       |  FROM ent GROUP BY id)
+       |  FROM ent GROUP BY id),
+       |grp AS (SELECT * EXCLUDE (ut),
+       |   ${graft.vep.Annotate.collapsedBestSql(graft.vep.CodonLogic.DuckD, "ut", prefixed = false)} AS best
+       |  FROM grp0)
        |SELECT lk.id, lk.variation_name,
        | ${graft.vep.Annotate.afCsq.map { case (_, c) => s"lk.$c" }.mkString(", ")},
        | lk.max_af, lk.max_af_pops,

@@ -68,6 +68,80 @@ object Annotate {
       s"list_min(list_transform($arr, x -> CAST(${rankCaseSql("x")} AS INT)))"
   }
 
+  /** The ten specific coding children that strip their parent terms
+    * (strip_parent_terms, transcript_consequence.rs:3106-3115). */
+  private val codingChildren = Seq(
+    "missense_variant", "synonymous_variant", "stop_gained", "stop_lost",
+    "start_lost", "frameshift_variant", "inframe_insertion",
+    "inframe_deletion", "stop_retained_variant", "start_retained_variant")
+
+  /** VEP's parent-term stripping over a fused per-entry term array —
+    * `strip_parent_terms` (transcript_consequence.rs:3099-3161,
+    * itself Ensembl `BaseVariationFeatureOverlapAllele::
+    * _get_cons_term_rank`): a parent SO term is never emitted
+    * alongside a more specific child on the same feature entry.
+    *
+    *   coding_sequence_variant   dropped when any specific coding
+    *                             child OR protein_altering_variant
+    *   protein_altering_variant  dropped when any specific coding child
+    *   splice_donor_region_variant  dropped when the 5th-base term
+    *   splice_region_variant     dropped when donor / acceptor /
+    *                             donor-region / 5th-base
+    *   incomplete_terminal_codon_variant  dropped when stop_lost /
+    *                             stop_gained / stop_retained
+    *
+    * `prefixed` selects the severity-rank-prefixed encoding of the
+    * Spark entry streams ([[rkLit]]) vs the bare names of the DuckDB
+    * oracle CTEs. */
+  def stripParentsSql(
+      d: CodonLogic.Dialect, arr: String, prefixed: Boolean): String = {
+    def t(n: String) = if (prefixed) rk(n) else n
+    val (fil, has) = d match {
+      case CodonLogic.SparkD => ("filter", "array_contains")
+      case CodonLogic.DuckD => ("list_filter", "list_contains")
+    }
+    def c(n: String) = s"$has($arr, '${t(n)}')"
+    val child = codingChildren.map(c).mkString("(", " OR ", ")")
+    val spliceSpecific = Seq("splice_donor_variant", "splice_acceptor_variant",
+      "splice_donor_region_variant", "splice_donor_5th_base_variant")
+      .map(c).mkString("(", " OR ", ")")
+    val stopish = Seq("stop_lost", "stop_gained", "stop_retained_variant")
+      .map(c).mkString("(", " OR ", ")")
+    s"$fil($arr, x -> NOT (" +
+      s"(x = '${t("coding_sequence_variant")}' AND ($child OR ${c("protein_altering_variant")})) OR " +
+      s"(x = '${t("protein_altering_variant")}' AND $child) OR " +
+      s"(x = '${t("splice_donor_region_variant")}' AND ${c("splice_donor_5th_base_variant")}) OR " +
+      s"(x = '${t("splice_region_variant")}' AND $spliceSpecific) OR " +
+      s"(x = '${t("incomplete_terminal_codon_variant")}' AND $stopish)))"
+  }
+
+  /** Variant-level best severity rank over the UNION of all entry
+    * term sets, with `protein_altering_variant` stripped when any
+    * specific coding child is contributed by ANY feature entry —
+    * `collapse_variant_terms` + `strip_coding_parent_terms`
+    * (transcript_consequence.rs:1124-1141, 3076-3087; the
+    * cross-transcript child list ALSO includes
+    * incomplete_terminal_codon_variant). min-rank over per-entry
+    * bests is NOT equivalent: a feature whose best is the parent
+    * must fall back to its next term when another feature supplies
+    * the specific child. Input `arr`: flattened (already per-entry
+    * stripped) term arrays of all entries of one variant. */
+  def collapsedBestSql(
+      d: CodonLogic.Dialect, arr: String, prefixed: Boolean): String = {
+    def t(n: String) = if (prefixed) rk(n) else n
+    val (fil, has, amin, tfm) = d match {
+      case CodonLogic.SparkD => ("filter", "array_contains", "array_min", "transform")
+      case CodonLogic.DuckD => ("list_filter", "list_contains", "list_min", "list_transform")
+    }
+    def c(n: String) = s"$has($arr, '${t(n)}')"
+    val childU = (codingChildren :+ "incomplete_terminal_codon_variant")
+      .map(c).mkString("(", " OR ", ")")
+    val kept =
+      s"$fil($arr, x -> NOT (x = '${t("protein_altering_variant")}' AND $childU))"
+    if (prefixed) s"CAST(substr($amin($kept), 1, 2) AS INT)"
+    else s"$amin($tfm($kept, x -> CAST(${rankCaseSql("x")} AS INT)))"
+  }
+
   /** VEP impact class from the entry's best severity rank: ranks 0-9
     * (transcript_ablation..feature_truncation) HIGH, 10-13 (inframe
     * indels, missense, protein_altering) MODERATE, 14-21 (splice
@@ -288,8 +362,15 @@ object Annotate {
     val entries = entriesDf(vcf, selectTranscripts(transcripts, opts), exons,
       sift, polyphen, regulatory, motifs, opts)
     val grouped = entries.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
+      .agg(count(lit(1)).as("n_transcripts"),
+        // variant-level severity reads the UNION of entry term sets
+        // (collapse_variant_terms), not min-of-entry-bests — the
+        // cross-feature protein_altering strip can promote a LESS
+        // severe term from another feature to most_severe
+        array_distinct(flatten(collect_list(col("_terms2")))).as("_vterms"),
         array_join(array_sort(collect_list(col("_entry"))), ",").as("_csqT"))
+      .withColumn("_vbest",
+        expr(collapsedBestSql(CodonLogic.SparkD, "_vterms", prefixed = true)))
     // the id spine IS the per-variant class/allele projection — no
     // separate vClass join
     lookupJoin(vClassDf(vcf), exv, grouped)
@@ -318,7 +399,8 @@ object Annotate {
     val entries = entriesDf(vcf, selectTranscripts(transcripts, opts), exons,
       sift, polyphen, regulatory, motifs, opts)
     val grouped = entries.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_transcripts"), min(col("_best")).as("_vbest"),
+      .agg(count(lit(1)).as("n_transcripts"),
+        array_distinct(flatten(collect_list(col("_terms2")))).as("_vterms"),
         // struct sort key = the unique entry string (placeholder form;
         // per-variant blocks are constant within the group, so the
         // order equals the substituted order both engines sort by)
@@ -327,6 +409,8 @@ object Annotate {
           col("_termstr").as("c"), f(col("hgvs_c")).as("hc"),
           f(col("hgvs_p")).as("hp"), f(col("_sift")).as("s"),
           f(col("_polyphen")).as("q"), col("_impact").as("im")))).as("_ents"))
+      .withColumn("_vbest",
+        expr(collapsedBestSql(CodonLogic.SparkD, "_vterms", prefixed = true)))
       .select(col("id"), col("n_transcripts"), col("_vbest"),
         expr("transform(_ents, x -> x.t)").as("transcript_ids"),
         expr("transform(_ents, x -> x.c)").as("consequences"),
@@ -1201,11 +1285,18 @@ object Annotate {
       }.toSeq: _*)
     unioned
       .join(broadcast(tAttr), Seq("transcript_id"), "left")
+      // parent-term stripping runs per entry BEFORE the render: the
+      // Consequence string, IMPACT, and severity rank all read the
+      // stripped set (strip_parent_terms fires after every layer has
+      // contributed its terms in the reference, too)
+      .select(col("*"),
+        expr(stripParentsSql(CodonLogic.SparkD, "_terms", prefixed = true))
+          .as("_terms2"))
       .select(col("*"),
         // prefixed terms: plain string sort + strip, plain string min
-        expr("array_join(transform(array_sort(_terms), x -> substr(x, 3)), '&')")
+        expr("array_join(transform(array_sort(_terms2), x -> substr(x, 3)), '&')")
           .as("_termstr"),
-        expr("CAST(substr(array_min(_terms), 1, 2) AS INT)").as("_best"))
+        expr("CAST(substr(array_min(_terms2), 1, 2) AS INT)").as("_best"))
       .select(col("*"), expr(impactSql("_best")).as("_impact"))
       .select(col("*"), concat_ws("|", fields: _*).as("_entry"))
   }
