@@ -870,6 +870,10 @@ object VepSpliceQueries {
     val D = CodonLogic.DuckD
     val coding = "biotype IN ('protein_coding', 'nonsense_mediated_decay')"
     s"""WITH ${Oracle.transcripts}, ${Oracle.exons}, ${Oracle.vcf}, ${Oracle.vepCache}, ${Oracle.siftCtx}, ${Oracle.polyphenCtx}, ${Oracle.regulatory}, ${Oracle.motifs},
+       |intr AS (SELECT transcript_id, istart, iend FROM (
+       |   SELECT transcript_id, "end" + 1 AS istart,
+       |    LEAD(start) OVER (PARTITION BY transcript_id ORDER BY start) - 1 AS iend
+       |   FROM ex) q WHERE iend IS NOT NULL AND iend >= istart),
        |cdna AS (SELECT * FROM ($cdnaHgvsSql) q1),
        |codon AS (SELECT id, transcript_id, consequence, protein_pos,
        |   aa_ref, aa_alt, ref_codon, alt_codon, hgvs_p
@@ -890,7 +894,7 @@ object VepSpliceQueries {
        |   LEFT JOIN pp q ON codon.transcript_id = q.transcript_id
        |   AND codon.protein_pos = q.protein_pos AND codon.aa_alt = q.aa),
        |snv AS (SELECT cdna.id, cdna.transcript_id,
-       |   CASE WHEN cdna.region = 'intronic' THEN 'intron_variant'
+       |   CASE WHEN cdna.region = 'intronic' THEN CAST(NULL AS VARCHAR)
        |    WHEN strpos(cdna.hgvs_c, ':n.') > 0 AND t.biotype = 'miRNA'
        |      AND v.start <= t.start + (t."end" - t.start) // 2
        |      AND v.start >= t.start + (t."end" - t.start) // 3 THEN 'mature_miRNA_variant'
@@ -900,6 +904,9 @@ object VepSpliceQueries {
        |    ELSE COALESCE(csx.consequence, 'coding_sequence_variant') END AS term,
        |   (t.biotype = 'nonsense_mediated_decay') AS nmd,
        |   (cdna.region = 'intronic' AND strpos(cdna.hgvs_c, ':n.') > 0) AS nc,
+       |   EXISTS (SELECT 1 FROM intr i WHERE i.transcript_id = cdna.transcript_id
+       |     AND i.iend - i.istart > 12
+       |     AND v.start >= i.istart + 2 AND v.start <= i.iend - 2) AS ibody,
        |   cdna.cdna_pos, cdna.cds_pos, cdna.protein_pos, cdna.hgvs_c, csx.hgvs_p,
        |   csx.sift_pred, csx.polyphen_pred, csx.aas, csx.cod,
        |   CAST(NULL AS BIGINT) AS dist, cdna.exon, cdna.intron,
@@ -937,7 +944,7 @@ object VepSpliceQueries {
        |      AND vs <= ts + (te - ts) // 2 AND ve >= ts + (te - ts) // 3
        |     THEN 'mature_miRNA_variant'
        |    WHEN inex = 1 THEN 'non_coding_transcript_exon_variant'
-       |    ELSE 'intron_variant' END AS term,
+       |    END AS term,
        |   (biotype = 'nonsense_mediated_decay') AS nmd,
        |   (NOT $coding AND inex = 0) AS nc,
        |   CASE WHEN inex = 1 THEN concat(
@@ -952,13 +959,19 @@ object VepSpliceQueries {
        |ihp AS (SELECT id, transcript_id, hgvs_p AS hp9
        |  FROM (${graft.vep.Hgvsp.oracleSql(s"${Oracle.transcripts}, ${Oracle.vcf}", "v", opts.shiftHgvs)}) q9),
        |ind AS (SELECT iterm.id, iterm.transcript_id, iterm.term, iterm.nmd, iterm.nc,
+       |   EXISTS (SELECT 1 FROM intr i WHERE i.transcript_id = iterm.transcript_id
+       |     AND i.iend - i.istart > 12
+       |     AND (CASE WHEN v.vep_ref = '-'
+       |      THEN v.norm_start >= i.istart + 2 AND v.norm_start <= i.iend - 1
+       |      ELSE v.norm_start <= i.iend - 2 AND v.norm_end >= i.istart + 2 END)) AS ibody,
        |   ihx.cdna_pos, CAST(NULL AS BIGINT) AS cds_pos, CAST(NULL AS BIGINT) AS protein_pos,
        |   ihx.hgvs_c, ihp.hp9 AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
        |   CAST(NULL AS VARCHAR) AS polyphen_pred,
        |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
        |   CAST(NULL AS BIGINT) AS dist, iterm.exon, iterm.intron,
        |   ihx.hgvs_offset
-       |  FROM iterm LEFT JOIN ihx ON iterm.id = ihx.id
+       |  FROM iterm JOIN v ON iterm.id = v.id
+       |   LEFT JOIN ihx ON iterm.id = ihx.id
        |   AND iterm.transcript_id = ihx.transcript_id
        |   LEFT JOIN ihp ON iterm.id = ihp.id
        |   AND iterm.transcript_id = ihp.transcript_id),
@@ -968,6 +981,7 @@ object VepSpliceQueries {
        |fused AS (SELECT COALESCE(b.id, s.id) AS id,
        |   COALESCE(b.transcript_id, s.transcript_id) AS transcript_id,
        |   list_concat(list_filter([b.term,
+       |     CASE WHEN b.ibody THEN 'intron_variant' END,
        |     CASE WHEN b.nmd THEN 'NMD_transcript_variant' END,
        |     CASE WHEN b.nc THEN 'non_coding_transcript_variant' END], x -> x IS NOT NULL),
        |    COALESCE(s.sterms, CAST([] AS VARCHAR[]))) AS terms,

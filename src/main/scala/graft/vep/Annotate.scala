@@ -854,8 +854,14 @@ object Annotate {
     // (same stand-in Vep.annotateRegions documents)
     val mStart = col("_ts") + floor((col("_te") - col("_ts")) / 3).cast("long")
     val mEnd = col("_ts") + floor((col("_te") - col("_ts")) / 2).cast("long")
+    // geometry term of the EXON side only: intronic rows carry no
+    // geometry term here — intron_variant is an INDEPENDENT element
+    // gated on the inner-intron-body predicate below (VEP's
+    // variant_hits_intron_body: donor/acceptor-site SNVs at the first/
+    // last two intron bases get their splice term WITHOUT
+    // intron_variant)
     val snvTerm =
-      when(col("region") === "intronic", rkLit("intron_variant"))
+      when(col("region") === "intronic", lit(null).cast("string"))
         .when(instr(col("hgvs_c"), ":n.") > 0 && col("_bt") === "miRNA" &&
           col("_vp") <= mEnd && col("_vp") >= mStart, rkLit("mature_miRNA_variant"))
         .when(instr(col("hgvs_c"), ":n.") > 0, rkLit("non_coding_transcript_exon_variant"))
@@ -864,13 +870,16 @@ object Annotate {
         .otherwise(rkCol(
           coalesce(col("codon_consequence"), lit("coding_sequence_variant"))))
     // SNVs: normalized coords = the position itself, never an insertion
+    val snvIntrons = Splice.intronArr(col("_xa_es"), col("_xa_ee"))
+    val snvBody = Splice.hitsIntronBody(
+      snvIntrons, col("_vp"), col("_vp"), lit(false))
     val snvSterms = Splice.spliceTermsOf(
-      Splice.intronArr(col("_xa_es"), col("_xa_ee")),
-      col("_vp"), col("_vp"), lit(false), col("_strand"))
+      snvIntrons, col("_vp"), col("_vp"), lit(false), col("_strand"))
     val snvEntries = snvJoined
       .select(col("id"), col("transcript_id"),
         concat(
           filter(array(snvTerm,
+            when(snvBody, rkLit("intron_variant")),
             when(col("_bt") === "nonsense_mediated_decay",
               rkLit("NMD_transcript_variant")),
             when(col("region") === "intronic" && instr(col("hgvs_c"), ":n.") > 0,
@@ -1016,7 +1025,13 @@ object Annotate {
         .when(col("_i_inex") === 1 && col("_i_bt") === "miRNA" &&
           col("_i_vs") <= imEnd && col("_i_ve") >= imStart, rkLit("mature_miRNA_variant"))
         .when(col("_i_inex") === 1, rkLit("non_coding_transcript_exon_variant"))
-        .otherwise(rkLit("intron_variant"))
+    // no geometry fallback for intron-only rows: intron_variant is an
+    // independent element on the inner-body predicate (and an
+    // exon-spanning deletion reaching >= 2 bp into an intron carries
+    // BOTH its exon term and intron_variant, like the reference)
+    val iBody = Splice.hitsIntronBody(
+      Splice.intronArr(col("_xa_es"), col("_xa_ee")),
+      col("_i_nvs"), col("_i_nve"), col("_i_isins"))
     // HGVSc rendering on the fused aggregate — 1:1 with
     // Splice.indelHgvs's formatting over its own aggregate: valid only
     // when both shifted anchors lie inside this transcript AND inside
@@ -1071,6 +1086,7 @@ object Annotate {
       .select(col("_i_vid").as("id"), col("_i_tid").as("transcript_id"),
         concat(
           filter(array(when(rawOv, iTerm),
+            when(rawOv && iBody, rkLit("intron_variant")),
             when(rawOv && col("_i_bt") === "nonsense_mediated_decay",
               rkLit("NMD_transcript_variant")),
             when(rawOv && !iCoding && col("_i_inex") === 0,

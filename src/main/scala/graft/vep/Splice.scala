@@ -575,6 +575,24 @@ object Splice {
       .otherwise(expr("CAST(array() AS ARRAY<STRUCT<is: BIGINT, ie: BIGINT>>)"))
   }
 
+  /** `variant_hits_intron_body` (transcript_consequence.rs:8123-8143)
+    * over an intron array: VEP inserts `intron_variant` only when the
+    * variant reaches the INNER intron body `[is+2, ie-2]` — the
+    * first/last two (splice-site) bases do not count, and frameshift
+    * introns (<= 13 bp, `ie - is <= 12`) never do. Insertions check
+    * the VEP inverted-coordinate point: `P in [is+2, ie-1]`.
+    * Independent of the exon-side geometry term: an exon-spanning
+    * deletion that reaches >= 2 bp into an intron carries BOTH its
+    * exon consequence and `intron_variant`. */
+  private[vep] def hitsIntronBody(
+      introns: Column, vs: Column, ve: Column, isins: Column): Column =
+    coalesce(exists(introns, i => {
+      val is_ = i.getField("is"); val ie_ = i.getField("ie")
+      (ie_ - is_ > 12) &&
+        when(isins, vs >= is_ + 2 && vs <= ie_ - 1)
+          .otherwise(vs <= ie_ - 2 && ve >= is_ + 2)
+    }), lit(false))
+
   /** [[spliceTermsRaw]]'s six per-intron positional windows as a pure
     * array-lambda expression over an intron array — per candidate row,
     * NO probe, explode, aggregation or re-join: the integrated
