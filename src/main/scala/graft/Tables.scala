@@ -271,7 +271,7 @@ object Tables {
       .selectExpr("concat('chr', CAST((sk DIV 10) % 2 AS STRING)) AS chrom",
         "anchor", "explode(sequence(-18, 18)) AS k")
       .selectExpr("chrom", "CAST(anchor + k AS BIGINT) AS p",
-        "CAST((anchor + k) % 3 AS INT) AS kind")
+        "CAST(((anchor + k) % 3 + 3) % 3 AS INT) AS kind")
       .selectExpr("chrom", "p AS start",
         "CAST(CASE WHEN kind = 2 THEN p + 1 ELSE p END AS BIGINT) AS `end`",
         "CAST(p * 100 + kind AS BIGINT) AS id",
@@ -555,32 +555,42 @@ object Oracle {
       | ${Tables.transcriptExt.map { case (n, e) => s"$e AS $n" }.mkString(", ")}
       | FROM supplier WHERE s_suppkey % 10 = 0)""".stripMargin.replace("\n", " ")
 
-  val exons: String =
-    """ex AS (SELECT transcript_id,
+  /** [[exons]] under a caller-chosen CTE name (self-contained probe
+    * chains re-derive the exon context under a non-colliding name so
+    * they can be spliced into oracles that define `ex` themselves). */
+  def exonsAs(name: String): String =
+    s"""$name AS (SELECT transcript_id,
       | CAST(start + i * (("end" - start) // 3) AS BIGINT) AS start,
       | CAST(start + i * (("end" - start) // 3) + (("end" - start) // 6) AS BIGINT) AS "end"
       | FROM t, UNNEST(generate_series(0, 2)) AS u(i))""".stripMargin.replace("\n", " ")
+
+  val exons: String = exonsAs("ex")
 
   /** DuckDB mirror of [[Tables.spliceProbes]] (requires `ex` in
     * scope), VEP-normalized columns precomputed per variant kind:
     * SNV A>C norm (p,p); insertion A>AC trims to -/C with the VEP
     * inverted coords (p+1, p); deletion AC>A trims to C/- at
     * (p+1, p+1). */
+  /** [[spliceProbes]] reading its exon context from a caller-chosen
+    * CTE name (see [[exonsAs]]). */
+  def spliceProbesFrom(exName: String): String =
+    spliceProbes.replace("FROM ex)", s"FROM $exName)")
+
   val spliceProbes: String =
     """sp AS (SELECT concat('chr', CAST((CAST(substr(transcript_id, 2) AS BIGINT) // 10) % 2 AS VARCHAR)) AS chrom,
       | CAST(anchor + k AS BIGINT) AS start,
-      | CAST(CASE WHEN (anchor + k) % 3 = 2 THEN anchor + k + 1 ELSE anchor + k END AS BIGINT) AS "end",
-      | CAST((anchor + k) * 100 + (anchor + k) % 3 AS BIGINT) AS id,
-      | CASE WHEN (anchor + k) % 3 = 2 THEN 'AC' ELSE 'A' END AS ref,
-      | CASE WHEN (anchor + k) % 3 = 0 THEN 'C'
-      |      WHEN (anchor + k) % 3 = 1 THEN 'AC' ELSE 'A' END AS alt,
-      | CAST(CASE WHEN (anchor + k) % 3 = 0 THEN anchor + k ELSE anchor + k + 1 END AS BIGINT) AS norm_start,
-      | CAST(CASE WHEN (anchor + k) % 3 = 0 THEN anchor + k
-      |      WHEN (anchor + k) % 3 = 1 THEN anchor + k ELSE anchor + k + 1 END AS BIGINT) AS norm_end,
-      | CASE WHEN (anchor + k) % 3 = 0 THEN 'A'
-      |      WHEN (anchor + k) % 3 = 1 THEN '-' ELSE 'C' END AS vep_ref,
-      | CASE WHEN (anchor + k) % 3 = 0 THEN 'C'
-      |      WHEN (anchor + k) % 3 = 1 THEN 'C' ELSE '-' END AS vep_alt
+      | CAST(CASE WHEN ((anchor + k) % 3 + 3) % 3 = 2 THEN anchor + k + 1 ELSE anchor + k END AS BIGINT) AS "end",
+      | CAST((anchor + k) * 100 + ((anchor + k) % 3 + 3) % 3 AS BIGINT) AS id,
+      | CASE WHEN ((anchor + k) % 3 + 3) % 3 = 2 THEN 'AC' ELSE 'A' END AS ref,
+      | CASE WHEN ((anchor + k) % 3 + 3) % 3 = 0 THEN 'C'
+      |      WHEN ((anchor + k) % 3 + 3) % 3 = 1 THEN 'AC' ELSE 'A' END AS alt,
+      | CAST(CASE WHEN ((anchor + k) % 3 + 3) % 3 = 0 THEN anchor + k ELSE anchor + k + 1 END AS BIGINT) AS norm_start,
+      | CAST(CASE WHEN ((anchor + k) % 3 + 3) % 3 = 0 THEN anchor + k
+      |      WHEN ((anchor + k) % 3 + 3) % 3 = 1 THEN anchor + k ELSE anchor + k + 1 END AS BIGINT) AS norm_end,
+      | CASE WHEN ((anchor + k) % 3 + 3) % 3 = 0 THEN 'A'
+      |      WHEN ((anchor + k) % 3 + 3) % 3 = 1 THEN '-' ELSE 'C' END AS vep_ref,
+      | CASE WHEN ((anchor + k) % 3 + 3) % 3 = 0 THEN 'C'
+      |      WHEN ((anchor + k) % 3 + 3) % 3 = 1 THEN 'C' ELSE '-' END AS vep_alt
       | FROM (SELECT transcript_id, UNNEST([start, "end"]) AS anchor FROM ex) u,
       |  UNNEST(generate_series(-18, 18)) AS o(k))"""
       .stripMargin.replace("\n", " ")

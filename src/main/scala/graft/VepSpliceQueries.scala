@@ -198,6 +198,18 @@ object VepSpliceQueries {
         Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
         Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d),
         graft.vep.VepOptions.fromJson(noShiftJson))),
+    // Full annotate over the dense exon-boundary probe sweep (one
+    // variant at every offset in [-18, 18] around every exon
+    // boundary, cycling SNV/ins/del): pins the parent-term strips
+    // (splice_region under its four specific splice terms, the
+    // donor-region term under the 5th base) and the inner-intron-body
+    // intron_variant gate through the oracle on both strands and all
+    // transcript classes — the random vcf fixture rarely lands in a
+    // splice window, this sweep hits every one.
+    "f11_annotate_probes" -> ((s, d) =>
+      graft.vep.Annotate.annotate(probeVcf(s, d), Tables.vepCache(s, d),
+        Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
+        Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d))),
     // Transcript-source selection (annotate_provider.rs:5642-5784):
     // the fixture's T* ids are remapped to a mix of curated RefSeq
     // (NM_), predicted RefSeq (XM_), Ensembl (ENST) and unlabeled
@@ -264,8 +276,10 @@ object VepSpliceQueries {
        |       WHEN $pos BETWEEN e.start AND e."end" THEN e."end" - $pos + 1
        |       ELSE 0 END END""".stripMargin.replace("\n", " ")
 
-  private val cdnaHgvsSql: String = {
-    import Oracle.{vcf => vcfCte, transcripts => tCte, exons => exCte}
+  private lazy val cdnaHgvsSql: String = cdnaHgvsSqlFor(Oracle.vcf)
+
+  private def cdnaHgvsSqlFor(vcfCte: String): String = {
+    import Oracle.{transcripts => tCte, exons => exCte}
     val anchor1 = "(CASE WHEN strand = 1 THEN cds_start ELSE cds_end END)"
     val anchor2 = "(CASE WHEN strand = 1 THEN cds_end ELSE cds_start END)"
     // cds-relative rendering of a cDNA index x (fmtC in Splice)
@@ -274,7 +288,7 @@ object VepSpliceQueries {
          | WHEN $x < ccs THEN concat('-', CAST(ccs - $x AS VARCHAR))
          | WHEN $x > cce THEN concat('*', CAST($x - cce AS VARCHAR))
          | ELSE CAST($x - ccs + 1 AS VARCHAR) END""".stripMargin.replace("\n", " ")
-    s"""WITH $vcfCte, $tCte, $exCte,
+    s"""WITH $tCte, $exCte, $vcfCte,
        |snv AS (SELECT * FROM v WHERE length(ref) = 1 AND length(alt) = 1),
        |cand AS (SELECT s.id, s.start AS vp, s.ref, s.alt,
        |   t.transcript_id AS tid, t.strand, t.biotype
@@ -315,8 +329,10 @@ object VepSpliceQueries {
        | cds_pos,
        | CASE WHEN incds THEN CAST((cds_pos - 1) // 3 + 1 AS BIGINT) END AS protein_pos,
        | CASE WHEN in_exon = 1 THEN concat(pfx, ${fmtC("cdna")}, chg)
-       |  WHEN useplus THEN concat(pfx, ${fmtC("cdna")}, '+', CAST(dplus AS VARCHAR), chg)
-       |  ELSE concat(pfx, ${fmtC("(cdna + 1)")}, '-', CAST(dminus AS VARCHAR), chg)
+       |  WHEN useplus AND dplus IS NOT NULL
+       |   THEN concat(pfx, ${fmtC("cdna")}, '+', CAST(dplus AS VARCHAR), chg)
+       |  WHEN NOT useplus AND dminus IS NOT NULL
+       |   THEN concat(pfx, ${fmtC("(cdna + 1)")}, '-', CAST(dminus AS VARCHAR), chg)
        | END AS hgvs_c,
        | $exonRankSql, $intronRankSql
        |FROM y ORDER BY id, transcript_id""".stripMargin.replace("\n", " ")
@@ -865,23 +881,26 @@ object VepSpliceQueries {
 
   private lazy val e2eCtes: String = e2eCtesFor(graft.vep.VepOptions.Everything)
 
-  private def e2eCtesFor(opts: graft.vep.VepOptions): String = {
+  private def e2eCtesFor(opts: graft.vep.VepOptions,
+      vcfCte: String = Oracle.vcf): String = {
     import graft.vep.{Annotate, CodonLogic}
     val D = CodonLogic.DuckD
     val coding = "biotype IN ('protein_coding', 'nonsense_mediated_decay')"
-    s"""WITH ${Oracle.transcripts}, ${Oracle.exons}, ${Oracle.vcf}, ${Oracle.vepCache}, ${Oracle.siftCtx}, ${Oracle.polyphenCtx}, ${Oracle.regulatory}, ${Oracle.motifs},
+    s"""WITH ${Oracle.transcripts}, ${Oracle.exons}, $vcfCte, ${Oracle.vepCache}, ${Oracle.siftCtx}, ${Oracle.polyphenCtx}, ${Oracle.regulatory}, ${Oracle.motifs},
        |intr AS (SELECT transcript_id, istart, iend FROM (
        |   SELECT transcript_id, "end" + 1 AS istart,
        |    LEAD(start) OVER (PARTITION BY transcript_id ORDER BY start) - 1 AS iend
        |   FROM ex) q WHERE iend IS NOT NULL AND iend >= istart),
-       |cdna AS (SELECT * FROM ($cdnaHgvsSql) q1),
+       |cdna AS (SELECT * FROM (${cdnaHgvsSqlFor(vcfCte)}) q1),
        |codon AS (SELECT id, transcript_id, consequence, protein_pos,
        |   aa_ref, aa_alt, ref_codon, alt_codon, hgvs_p
-       |  FROM ($splicedCodonSql) q2),
+       |  FROM (${splicedCodonSqlFor(vcfCte, "v")}) q2),
        |csx AS (SELECT codon.id, codon.transcript_id, codon.consequence, codon.hgvs_p,
-       |   CASE WHEN codon.aa_ref = codon.aa_alt THEN codon.aa_ref
+       |   CASE WHEN codon.aa_ref IS NULL OR codon.aa_alt IS NULL THEN NULL
+       |    WHEN codon.aa_ref = codon.aa_alt THEN codon.aa_ref
        |    ELSE concat(codon.aa_ref, '/', codon.aa_alt) END AS aas,
-       |   concat(codon.ref_codon, '/', codon.alt_codon) AS cod,
+       |   CASE WHEN codon.ref_codon IS NULL OR codon.alt_codon IS NULL THEN NULL
+       |    ELSE concat(codon.ref_codon, '/', codon.alt_codon) END AS cod,
        |   CASE WHEN s.sift_score IS NULL THEN NULL
        |    ELSE concat(CASE WHEN s.sift_score < 0.05 THEN 'deleterious' ELSE 'tolerated' END,
        |     '(', CAST(CAST(s.sift_score AS DECIMAL(4,3)) AS VARCHAR), ')') END AS sift_pred,
@@ -955,9 +974,9 @@ object VepSpliceQueries {
        |     '/', CAST(nex - 1 AS VARCHAR)) END AS intron
        |  FROM igeo),
        |ihx AS (SELECT id, transcript_id, cdna_pos, hgvs_c, hgvs_offset
-       |  FROM (${indelHgvsSqlFor(Oracle.vcf, "v", opts.shiftHgvs)}) q3),
+       |  FROM (${indelHgvsSqlFor(vcfCte, "v", opts.shiftHgvs)}) q3),
        |ihp AS (SELECT id, transcript_id, hgvs_p AS hp9
-       |  FROM (${graft.vep.Hgvsp.oracleSql(s"${Oracle.transcripts}, ${Oracle.vcf}", "v", opts.shiftHgvs)}) q9),
+       |  FROM (${graft.vep.Hgvsp.oracleSql(s"${Oracle.transcripts}, $vcfCte", "v", opts.shiftHgvs)}) q9),
        |ind AS (SELECT iterm.id, iterm.transcript_id, iterm.term, iterm.nmd, iterm.nc,
        |   EXISTS (SELECT 1 FROM intr i WHERE i.transcript_id = iterm.transcript_id
        |     AND i.iend - i.istart > 12
@@ -977,7 +996,7 @@ object VepSpliceQueries {
        |   AND iterm.transcript_id = ihp.transcript_id),
        |bse AS (SELECT * FROM snv UNION ALL SELECT * FROM ind),
        |sp AS (SELECT id, transcript_id, list(DISTINCT consequence) AS sterms
-       |  FROM (${spliceTermsSql(Oracle.vcf, "v")}) q4 GROUP BY id, transcript_id),
+       |  FROM (${spliceTermsSql(vcfCte, "v")}) q4 GROUP BY id, transcript_id),
        |fused AS (SELECT COALESCE(b.id, s.id) AS id,
        |   COALESCE(b.transcript_id, s.transcript_id) AS transcript_id,
        |   list_concat(list_filter([b.term,
@@ -1148,6 +1167,37 @@ object VepSpliceQueries {
   private lazy val annotateNoShiftSql: String =
     e2eCsqSql(e2eCtesFor(graft.vep.VepOptions.fromJson(noShiftJson)))
 
+  /** The splice-probe sweep as an annotate input: probe ids collide
+    * across chromosomes (they encode only position and kind), so the
+    * gate re-keys them with a chromosome bit and drops full-row
+    * duplicates (shared exon-boundary coordinates on the same
+    * chromosome produce identical probes). */
+  private def probeVcf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.spliceProbes(s, d)
+      .withColumn("id", col("id") * 2 +
+        when(col("chrom") === "chr1", lit(1L)).otherwise(lit(0L)))
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[probeVcf]] as a `v`-defining CTE chain —
+    * self-contained (re-derives the exon context under `spx`) so it
+    * can replace `Oracle.vcf` in every nested layer oracle without
+    * colliding with their own `ex` CTEs. */
+  private val probeVcfCte: String = {
+    // the e2e oracle's splice-term aggregation CTE is itself named
+    // `sp` — the probe chain renames its CTE to `spv` to avoid the
+    // top-level collision
+    val probes = Oracle.spliceProbesFrom("spx").replaceFirst("sp AS ", "spv AS ")
+    s"""${Oracle.exonsAs("spx")}, $probes,
+       |v AS (SELECT DISTINCT spv.* REPLACE (spv.id * 2
+       |  + CASE WHEN spv.chrom = 'chr1' THEN 1 ELSE 0 END AS id) FROM spv)"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  private lazy val annotateProbesSql: String =
+    e2eCsqSql(e2eCtesFor(graft.vep.VepOptions.Everything, probeVcfCte))
+
   /** Typed List<T> columns variant of the e2e oracle: parallel arrays
     * in the entry-string sort order, '|'-serialized for the gate
     * (string_agg(... ORDER BY entry) mirrors Spark's struct-sorted
@@ -1260,6 +1310,7 @@ object VepSpliceQueries {
     "f11_existing_multi" -> existingMultiSql,
     "f11_annotate_default" -> annotateDefaultSql,
     "f11_annotate_noshift" -> annotateNoShiftSql,
+    "f11_annotate_probes" -> annotateProbesSql,
     "f11_transcript_selection" -> transcriptSelectionSql,
     "s9_stream_annotate_tx" ->
       s"""WITH ${Oracle.transcripts}, ${Oracle.vcf}
