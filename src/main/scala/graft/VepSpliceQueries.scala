@@ -1060,8 +1060,25 @@ object VepSpliceQueries {
        |   mt.score_change AS mscore
        |  FROM v JOIN mt ON v.chrom = mt.chrom
        |   AND mt.start <= v."end" AND mt."end" >= v.start),
+       |itg AS (SELECT v.id, '' AS transcript_id,
+       |   ['intergenic_variant'] AS terms,
+       |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
+       |   CAST(NULL AS BIGINT) AS protein_pos, CAST(NULL AS VARCHAR) AS hgvs_c,
+       |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
+       |   CAST(NULL AS VARCHAR) AS polyphen_pred,
+       |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
+       |   CAST(NULL AS BIGINT) AS dist,
+       |   CAST(NULL AS VARCHAR) AS exon, CAST(NULL AS VARCHAR) AS intron,
+       |   CAST(NULL AS BIGINT) AS hgvs_offset,
+       |   '' AS ftype, CAST(NULL AS VARCHAR) AS mname,
+       |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf,
+       |   CAST(NULL AS DOUBLE) AS mscore
+       |  FROM v WHERE NOT EXISTS (SELECT 1 FROM t
+       |   WHERE v.chrom = t.chrom AND t.start - ${opts.distance} <= v."end"
+       |    AND t."end" + ${opts.distance} >= v.start)),
        |allent AS (SELECT * FROM fused UNION ALL SELECT * FROM ud
-       |  UNION ALL SELECT * FROM rge UNION ALL SELECT * FROM mte),
+       |  UNION ALL SELECT * FROM rge UNION ALL SELECT * FROM mte
+       |  UNION ALL SELECT * FROM itg),
        |${exvCtes("c", opts)},
        |rend0 AS (SELECT *,
        |   ${Annotate.stripParentsSql(D, "terms", prefixed = false)} AS terms2
@@ -1074,6 +1091,8 @@ object VepSpliceQueries {
        |   ${Annotate.bestRankSql(D, "terms2")} AS best FROM rend0),
        |ent AS (SELECT rend.id, rend.best, rend.terms2, rend.transcript_id, rend.termstr,
        |   rend.hgvs_c, rend.hgvs_p, rend.sift_pred, rend.polyphen_pred,
+       |   CASE rend.ftype WHEN 'Transcript' THEN 0 WHEN 'RegulatoryFeature' THEN 1
+       |    WHEN 'MotifFeature' THEN 2 ELSE 3 END AS ftrank,
        |   ${graft.vep.Annotate.impactSql("rend.best")} AS impact,
        |   ${entConcatSql(opts)} AS entry
        |  FROM rend LEFT JOIN t ON rend.transcript_id = t.transcript_id
@@ -1135,7 +1154,7 @@ object VepSpliceQueries {
     s"""$ctes,
        |grp0 AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts,
        |   flatten(list(terms2)) AS ut,
-       |   string_agg(entry, ',' ORDER BY entry) AS csq FROM ent GROUP BY id),
+       |   string_agg(entry, ',' ORDER BY ftrank, transcript_id) AS csq FROM ent GROUP BY id),
        |grp AS (SELECT id, n_transcripts, csq,
        |   ${graft.vep.Annotate.collapsedBestSql(graft.vep.CodonLogic.DuckD, "ut", prefixed = false)} AS best
        |  FROM grp0)
@@ -1200,19 +1219,19 @@ object VepSpliceQueries {
 
   /** Typed List<T> columns variant of the e2e oracle: parallel arrays
     * in the entry-string sort order, '|'-serialized for the gate
-    * (string_agg(... ORDER BY entry) mirrors Spark's struct-sorted
+    * (string_agg(... ORDER BY ftrank, transcript_id) mirrors Spark's struct-sorted
     * collect followed by array_join). */
   private val typedColumnsSql: String =
     s"""$e2eCtes,
        |grp0 AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts,
        |   flatten(list(terms2)) AS ut,
-       |   string_agg(transcript_id, '|' ORDER BY entry) AS transcript_ids,
-       |   string_agg(termstr, '|' ORDER BY entry) AS consequences,
-       |   string_agg(COALESCE(hgvs_c, ''), '|' ORDER BY entry) AS hgvs_c,
-       |   string_agg(COALESCE(hgvs_p, ''), '|' ORDER BY entry) AS hgvs_p,
-       |   string_agg(COALESCE(sift_pred, ''), '|' ORDER BY entry) AS sift,
-       |   string_agg(COALESCE(polyphen_pred, ''), '|' ORDER BY entry) AS polyphen,
-       |   string_agg(impact, '|' ORDER BY entry) AS impact
+       |   string_agg(transcript_id, '|' ORDER BY ftrank, transcript_id) AS transcript_ids,
+       |   string_agg(termstr, '|' ORDER BY ftrank, transcript_id) AS consequences,
+       |   string_agg(COALESCE(hgvs_c, ''), '|' ORDER BY ftrank, transcript_id) AS hgvs_c,
+       |   string_agg(COALESCE(hgvs_p, ''), '|' ORDER BY ftrank, transcript_id) AS hgvs_p,
+       |   string_agg(COALESCE(sift_pred, ''), '|' ORDER BY ftrank, transcript_id) AS sift,
+       |   string_agg(COALESCE(polyphen_pred, ''), '|' ORDER BY ftrank, transcript_id) AS polyphen,
+       |   string_agg(impact, '|' ORDER BY ftrank, transcript_id) AS impact
        |  FROM ent GROUP BY id),
        |grp AS (SELECT * EXCLUDE (ut),
        |   ${graft.vep.Annotate.collapsedBestSql(graft.vep.CodonLogic.DuckD, "ut", prefixed = false)} AS best

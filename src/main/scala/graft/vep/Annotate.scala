@@ -368,7 +368,13 @@ object Annotate {
         // cross-feature protein_altering strip can promote a LESS
         // severe term from another feature to most_severe
         array_distinct(flatten(collect_list(col("_terms2")))).as("_vterms"),
-        array_join(array_sort(collect_list(col("_entry"))), ",").as("_csqT"))
+        // entry order: feature-type rank then lexicographic feature id
+        // (NOT the entry string) — a Transcript entry precedes a
+        // RegulatoryFeature entry regardless of how their rendered
+        // strings compare
+        expr("array_join(transform(array_sort(collect_list(struct(" +
+          "_ftrank, transcript_id, _entry))), x -> x._entry), ',')")
+          .as("_csqT"))
       .withColumn("_vbest",
         expr(collapsedBestSql(CodonLogic.SparkD, "_vterms", prefixed = true)))
     // the id spine IS the per-variant class/allele projection — no
@@ -401,11 +407,12 @@ object Annotate {
     val grouped = entries.groupBy(col("id"))
       .agg(count(lit(1)).as("n_transcripts"),
         array_distinct(flatten(collect_list(col("_terms2")))).as("_vterms"),
-        // struct sort key = the unique entry string (placeholder form;
-        // per-variant blocks are constant within the group, so the
-        // order equals the substituted order both engines sort by)
+        // struct sort key = (feature-type rank, feature id) — the
+        // reference's CSQ permutation order, shared with [[annotate]]
+        // so the Nth typed element matches the Nth CSQ entry
         array_sort(collect_list(struct(
-          col("_entry").as("e"), col("transcript_id").as("t"),
+          col("_ftrank").as("r"), col("transcript_id").as("t"),
+          col("_entry").as("e"),
           col("_termstr").as("c"), f(col("hgvs_c")).as("hc"),
           f(col("hgvs_p")).as("hp"), f(col("_sift")).as("s"),
           f(col("_polyphen")).as("q"), col("_impact").as("im")))).as("_ents"))
@@ -1135,6 +1142,32 @@ object Annotate {
         nullS.as("_mname"), nullL.as("_mpos"), nullS.as("_minf"),
         lit(null).cast("double").as("_mscore"))
 
+    // ---- intergenic entry: VEP emits one featureless
+    // intergenic_variant CSQ entry when NO transcript was hit (no
+    // overlap AND none within the up/downstream distance) — even when
+    // regulatory/motif features DO overlap, those being orthogonal to
+    // transcripts (transcript_consequence.rs:1113-1121). Feature and
+    // Feature_type render empty (FeatureType::None). ----
+    val gt = transcripts.select(col("chrom").as("_g_tc"),
+      col("start").cast("long").as("_g_ts"), col("end").cast("long").as("_g_te"))
+    val intergenic = vcf.select(col("chrom").as("_g_vc"),
+        col("start").cast("long").as("_g_vs"),
+        col("end").cast("long").as("_g_ve"), col("id"))
+      .join(broadcast(gt),
+        col("_g_tc") === col("_g_vc") &&
+          col("_g_ts") - d <= col("_g_ve") && col("_g_te") + d >= col("_g_vs"),
+        "left_anti")
+      .select(col("id"), lit("").as("transcript_id"),
+        array(rkLit("intergenic_variant")).as("_terms"),
+        nullL.as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
+        nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
+        nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"),
+        nullL.as("_dist"),
+        lit("").as("_ftype"), nullS.as("_exon"), nullS.as("_intron"),
+        nullL.as("_hoff"),
+        nullS.as("_mname"), nullL.as("_mpos"), nullS.as("_minf"),
+        lit(null).cast("double").as("_mscore"))
+
     // ---- regulatory / TF-motif feature entries (VEP emits these as
     // their own CSQ Feature rows; they join most_severe ranking) ----
     val fv = vcf.select(col("chrom").as("_f_vc"), col("start").cast("long").as("_f_vs"),
@@ -1288,7 +1321,7 @@ object Annotate {
     // off — the reference skips the computation, this library skips
     // the emission; same output.
     val unioned0 = snvEntries.unionByName(indelEntries).unionByName(updown)
-      .unionByName(regEntries).unionByName(motEntries)
+      .unionByName(regEntries).unionByName(motEntries).unionByName(intergenic)
     // flag gating only rewrites columns when a flag is actually off —
     // the default (all on) path adds no projection layer
     val unioned =
@@ -1314,6 +1347,15 @@ object Annotate {
           .as("_termstr"),
         expr("CAST(substr(array_min(_terms2), 1, 2) AS INT)").as("_best"))
       .select(col("*"), expr(impactSql("_best")).as("_impact"))
+      // entry sort rank: Transcript -> RegulatoryFeature ->
+      // MotifFeature -> Intergenic, then lexicographic feature id
+      // (annotate_provider.rs:4169-4193, itself ensembl-variation
+      // VariationFeature.pm's hard-coded concat order)
+      .select(col("*"),
+        when(col("_ftype") === "Transcript", lit(0))
+          .when(col("_ftype") === "RegulatoryFeature", lit(1))
+          .when(col("_ftype") === "MotifFeature", lit(2))
+          .otherwise(lit(3)).as("_ftrank"))
       .select(col("*"), concat_ws("|", fields: _*).as("_entry"))
   }
 }

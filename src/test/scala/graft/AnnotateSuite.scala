@@ -140,10 +140,16 @@ class AnnotateSuite extends SparkSpec {
     assert(t1.getDouble(t1.fieldIndex("max_af")) == 0.6)
     assert(t1.getString(t1.fieldIndex("max_af_pops")) == "SAS")
 
-    // no-entry variant: all arrays empty, csq empty
-    assert(entries(2L).isEmpty)
-    Seq("transcript_ids", "consequences", "hgvs_c", "hgvs_p", "sift",
-      "polyphen", "impact").foreach(c => assert(arr(2L, c).isEmpty))
+    // no-transcript-hit variant: VEP emits ONE featureless intergenic
+    // entry (transcript_consequence.rs:1113-1121) — Feature and
+    // Feature_type empty, MODIFIER impact
+    val e2 = entries(2L)
+    assert(e2.length == 1)
+    assert(e2(0)(CONSEQUENCE) == "intergenic_variant")
+    assert(e2(0)(FEATURE) == "" && e2(0)(FTYPE) == "")
+    assert(e2(0)(IMPACT) == "MODIFIER")
+    assert(arr(2L, "consequences") == Seq("intergenic_variant"))
+    assert(arr(2L, "transcript_ids") == Seq(""))
 
     // the public CSQ metadata: 80 names in emission order, header
     // line announces them, parseCsq inverts the rendering
@@ -168,15 +174,26 @@ class AnnotateSuite extends SparkSpec {
     val tm = parsed.find(_("Feature") == "T1").get
     assert(tm("SYMBOL") == "SYM1" && tm("MANE") == "MANE_Select" &&
       tm("AF") == "0.1000" && tm("MAX_AF_POPS") == "SAS")
-    // empty csq parses to an empty entry list, not one all-empty map
-    val empty = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot)
+    // the no-transcript-hit variant's csq parses to exactly the one
+    // intergenic entry (csq is never empty any more — VEP emits the
+    // featureless intergenic entry instead)
+    val itgParsed = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot)
       .where($"id" === 2L)
-      .select(org.apache.spark.sql.functions.size(Annotate.parseCsq($"csq")))
+      .select(org.apache.spark.sql.functions.explode(
+        Annotate.parseCsq($"csq")).as("m"))
+      .collect().map(_.getMap[String, String](0))
+    assert(itgParsed.length == 1)
+    assert(itgParsed.head("Consequence") == "intergenic_variant")
+    // an actually-empty csq string still parses to an empty list
+    val empty = vcf.where($"id" === 2L)
+      .select(org.apache.spark.sql.functions.size(
+        Annotate.parseCsq(org.apache.spark.sql.functions.lit(""))))
       .collect().head.getInt(0)
     assert(empty == 0)
 
     // annotated-VCF serialization: CSQ INFO line round-trips the csq
-    // string; the no-annotation variant renders '.'
+    // string; the no-transcript-hit variant carries its intergenic
+    // entry (csq is never empty, so the '.' INFO arm never fires here)
     val ann = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot)
     val lines = graft.vep.Vep.toAnnotatedVcfLines(vcf, ann)
       .collect().map(_.getString(0)).sortBy(_.split("\t")(2).toLong)
@@ -184,7 +201,7 @@ class AnnotateSuite extends SparkSpec {
     val f1 = lines(0).split("\t"); val f2 = lines(1).split("\t")
     assert(f1(7).startsWith("CSQ=") &&
       f1(7).drop(4) == plain(1L).getString(plain(1L).fieldIndex("csq")))
-    assert(f2(7) == ".")
+    assert(f2(7).startsWith("CSQ=") && f2(7).contains("intergenic_variant"))
     assert(graft.vep.Vep.annotatedVcfHeader(1) == Annotate.csqInfoHeader)
 
     // reserved-byte hardening (round-7 ADVICE): \u0001-\u0004 are the
