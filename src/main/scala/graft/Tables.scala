@@ -265,7 +265,13 @@ object Tables {
     * coordinate models. `id` need not be unique (the splice gate
     * deduplicates (id, transcript, term) identically on both engines). */
   def spliceProbes(spark: SparkSession, dir: String): DataFrame =
-    exons(spark, dir).selectExpr(
+    spliceProbesOver(exons(spark, dir))
+
+  /** [[spliceProbes]] over a caller-chosen exon layout (the
+    * frameshift-intron gate sweeps the same offsets over
+    * [[exonsFs]]). */
+  def spliceProbesOver(ex: DataFrame): DataFrame =
+    ex.selectExpr(
         "CAST(substring(transcript_id, 2) AS BIGINT) AS sk", "start", "`end`")
       .selectExpr("sk", "explode(array(start, `end`)) AS anchor")
       .selectExpr("concat('chr', CAST((sk DIV 10) % 2 AS STRING)) AS chrom",
@@ -277,6 +283,21 @@ object Tables {
         "CAST(p * 100 + kind AS BIGINT) AS id",
         "CASE WHEN kind = 0 THEN 'A' WHEN kind = 1 THEN 'A' ELSE 'AC' END AS ref",
         "CASE WHEN kind = 0 THEN 'C' WHEN kind = 1 THEN 'AC' ELSE 'A' END AS alt")
+
+  /** Frameshift-intron exon layout: the SAME transcripts with TWO
+    * exons separated by a 10 bp intron at the transcript midpoint
+    * (ie - is = 9 <= 12 — a VEP "frameshift intron"; always inside
+    * the genomic CDS span for coding transcripts since the CDS
+    * margins are <= 800 and transcripts are >= 2000 long). Drives the
+    * frameshift-intron arms: splice-window skip, the
+    * coding_sequence_variant CDS arm, intron_variant body exclusion. */
+  def exonsFs(spark: SparkSession, dir: String): DataFrame =
+    transcripts(spark, dir)
+      .selectExpr("transcript_id", "start AS ts", "`end` AS te")
+      .selectExpr("transcript_id", "ts", "te", "explode(sequence(0, 1)) AS i")
+      .selectExpr("transcript_id",
+        "CAST(CASE WHEN i = 0 THEN ts ELSE ts + ((te - ts) DIV 2) + 11 END AS BIGINT) AS start",
+        "CAST(CASE WHEN i = 0 THEN ts + ((te - ts) DIV 2) ELSE te END AS BIGINT) AS `end`")
 
   /** Transcript-class probe variants: per transcript one MNV and one
     * SNV just inside exon 1 (= the derived mature-miRNA span of miRNA
@@ -565,6 +586,14 @@ object Oracle {
       | FROM t, UNNEST(generate_series(0, 2)) AS u(i))""".stripMargin.replace("\n", " ")
 
   val exons: String = exonsAs("ex")
+
+  /** DuckDB mirror of [[Tables.exonsFs]] under a caller-chosen CTE
+    * name (requires `t` in scope). */
+  def exonsFsAs(name: String): String =
+    s"""$name AS (SELECT transcript_id,
+      | CAST(CASE WHEN i = 0 THEN start ELSE start + (("end" - start) // 2) + 11 END AS BIGINT) AS start,
+      | CAST(CASE WHEN i = 0 THEN start + (("end" - start) // 2) ELSE "end" END AS BIGINT) AS "end"
+      | FROM t, UNNEST(generate_series(0, 1)) AS u(i))""".stripMargin.replace("\n", " ")
 
   /** DuckDB mirror of [[Tables.spliceProbes]] (requires `ex` in
     * scope), VEP-normalized columns precomputed per variant kind:

@@ -210,6 +210,16 @@ object VepSpliceQueries {
       graft.vep.Annotate.annotate(probeVcf(s, d), Tables.vepCache(s, d),
         Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
         Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d))),
+    // Same sweep over the frameshift-intron exon layout (a 10 bp
+    // midpoint intron): inside its body NO splice terms fire, an
+    // in-CDS position yields coding_sequence_variant (the mapper gaps
+    // out so no specific coding predicate can), intron_variant never
+    // (the body predicate excludes <= 13 bp introns).
+    "f11_annotate_fsintron" -> ((s, d) =>
+      graft.vep.Annotate.annotate(probeVcfOver(Tables.exonsFs(s, d)),
+        Tables.vepCache(s, d),
+        Tables.transcripts(s, d), Tables.exonsFs(s, d), Tables.siftContext(s, d),
+        Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d))),
     // Transcript-source selection (annotate_provider.rs:5642-5784):
     // the fixture's T* ids are remapped to a mix of curated RefSeq
     // (NM_), predicted RefSeq (XM_), Ensembl (ENST) and unlabeled
@@ -278,8 +288,9 @@ object VepSpliceQueries {
 
   private lazy val cdnaHgvsSql: String = cdnaHgvsSqlFor(Oracle.vcf)
 
-  private def cdnaHgvsSqlFor(vcfCte: String): String = {
-    import Oracle.{transcripts => tCte, exons => exCte}
+  private def cdnaHgvsSqlFor(vcfCte: String,
+      exCte: String = Oracle.exons): String = {
+    import Oracle.{transcripts => tCte}
     val anchor1 = "(CASE WHEN strand = 1 THEN cds_start ELSE cds_end END)"
     val anchor2 = "(CASE WHEN strand = 1 THEN cds_end ELSE cds_start END)"
     // cds-relative rendering of a cDNA index x (fmtC in Splice)
@@ -353,8 +364,9 @@ object VepSpliceQueries {
     * exon cDNA-range window, three per-base range joins, and the
     * shared derived-sequence/translation fragments (CodonLogic DuckD
     * dialect — identical md5 arithmetic on both engines). */
-  private def splicedCodonSqlFor(variantCte: String, variantName: String): String = {
-    import Oracle.{transcripts => tCte, exons => exCte}
+  private def splicedCodonSqlFor(variantCte: String, variantName: String,
+      exCte: String = Oracle.exons): String = {
+    import Oracle.{transcripts => tCte}
     import graft.vep.{CodonLogic, Splice}
     val D = CodonLogic.DuckD
     def seqAdj(g: String): String =
@@ -499,8 +511,8 @@ object VepSpliceQueries {
     * (del/ins/delins/dup forms, 3'-shift feed, derived-genome dup
     * context) over the given variant view. */
   private def indelHgvsSqlFor(variantCte: String, variantName: String,
-      shift: Boolean = true): String = {
-    import Oracle.{transcripts => tCte, exons => exCte}
+      shift: Boolean = true, exCte: String = Oracle.exons): String = {
+    import Oracle.{transcripts => tCte}
     import graft.vep.CodonLogic
     val D = CodonLogic.DuckD
     val anchor1 = "(CASE WHEN strand = 1 THEN cds_start ELSE cds_end END)"
@@ -576,8 +588,9 @@ object VepSpliceQueries {
     * swaps donor/acceptor ends exactly as the Spark expressions do).
     * `variantCte`/`variantName` select which derived variant view
     * probes (the real vcf or the dense exon-boundary probe fixture). */
-  private def spliceTermsSql(variantCte: String, variantName: String): String = {
-    import Oracle.{transcripts => tCte, exons => exCte}
+  private def spliceTermsSql(variantCte: String, variantName: String,
+      exCte: String = Oracle.exons): String = {
+    import Oracle.{transcripts => tCte}
     def ov(x: String, y: String) = s"(NOT isins AND vs <= $y AND ve >= $x)"
     def ip(x: String, y: String) = s"(isins AND vs BETWEEN $x AND $y)"
     val within = "(NOT isins AND vs >= ist AND ve <= ien)"
@@ -592,9 +605,17 @@ object VepSpliceQueries {
     val acceptor = s"""CASE WHEN strand = 1
       THEN ${ov("ien - 1", "ien")} OR ${ip("ien", "ien")}
       ELSE ${ov("ist", "ist + 1")} OR ${ip("ist + 1", "ist + 1")} END"""
-    val ppt = s"""CASE WHEN strand = 1
-      THEN ($within AND ${ov("ien - 16", "ien - 2")}) OR ${ip("ien - 16", "ien - 1")}
-      ELSE ($within AND ${ov("ist + 2", "ist + 16")}) OR ${ip("ist + 2", "ist + 17")} END"""
+    // PPT include gate (intron yes / exon no) + the frameshift-intron
+    // 12 bp exon stretch — mirrors Splice.spliceTermsOf
+    val insIn = "(vs > ist AND vs <= ien)"
+    val deep = """(CASE WHEN isins THEN vs > ist + 11 AND vs < ien - 10
+      ELSE vs > ist + 11 AND ve < ien - 11 END)"""
+    val ppt = s"""(CASE WHEN strand = 1
+      THEN ($within AND ${ov("ien - 16", "ien - 2")})
+        OR (${ip("ien - 16", "ien - 1")} AND $insIn)
+      ELSE ($within AND ${ov("ist + 2", "ist + 16")})
+        OR (${ip("ist + 2", "ist + 17")} AND $insIn) END)
+      AND (NOT hasfs OR $deep)"""
     val sregion = Seq(
       ov("ist + 2", "ist + 7"), ov("ien - 7", "ien - 2"),
       ov("ist - 3", "ist - 1"), ov("ien + 1", "ien + 3"),
@@ -621,8 +642,14 @@ object VepSpliceQueries {
        |cand AS (SELECT iv.id, iv.vs, iv.ve, iv.isins, iv.lo, iv.hi,
        |   t.transcript_id AS tid, t.strand
        |  FROM iv JOIN t ON iv.chrom = t.chrom AND t.start <= iv.hi AND t."end" >= iv.lo),
-       |j AS (SELECT cand.*, intr.ist, intr.ien FROM cand JOIN intr ON cand.tid = intr.itid
-       |  AND cand.lo <= intr.ien + 3 AND cand.hi >= intr.ist - 3)
+       |j AS (SELECT cand.*, intr.ist, intr.ien,
+       |  EXISTS (SELECT 1 FROM intr x WHERE x.itid = cand.tid
+       |   AND x.ien - x.ist <= 12) AS hasfs
+       |  FROM cand JOIN intr ON cand.tid = intr.itid
+       |  AND cand.lo <= intr.ien + 3 AND cand.hi >= intr.ist - 3
+       |  AND NOT (intr.ien - intr.ist <= 12 AND
+       |   (CASE WHEN cand.isins THEN cand.vs > intr.ist AND cand.vs <= intr.ien
+       |    ELSE cand.vs <= intr.ien AND cand.ve >= intr.ist END)))
        |SELECT DISTINCT id, tid AS transcript_id, consequence FROM ($unions) u
        |ORDER BY id, transcript_id, consequence""".stripMargin.replace("\n", " ")
   }
@@ -882,19 +909,20 @@ object VepSpliceQueries {
   private lazy val e2eCtes: String = e2eCtesFor(graft.vep.VepOptions.Everything)
 
   private def e2eCtesFor(opts: graft.vep.VepOptions,
-      vcfCte: String = Oracle.vcf): String = {
+      vcfCte: String = Oracle.vcf,
+      exCte: String = Oracle.exons): String = {
     import graft.vep.{Annotate, CodonLogic}
     val D = CodonLogic.DuckD
     val coding = "biotype IN ('protein_coding', 'nonsense_mediated_decay')"
-    s"""WITH ${Oracle.transcripts}, ${Oracle.exons}, $vcfCte, ${Oracle.vepCache}, ${Oracle.siftCtx}, ${Oracle.polyphenCtx}, ${Oracle.regulatory}, ${Oracle.motifs},
+    s"""WITH ${Oracle.transcripts}, $exCte, $vcfCte, ${Oracle.vepCache}, ${Oracle.siftCtx}, ${Oracle.polyphenCtx}, ${Oracle.regulatory}, ${Oracle.motifs},
        |intr AS (SELECT transcript_id, istart, iend FROM (
        |   SELECT transcript_id, "end" + 1 AS istart,
        |    LEAD(start) OVER (PARTITION BY transcript_id ORDER BY start) - 1 AS iend
        |   FROM ex) q WHERE iend IS NOT NULL AND iend >= istart),
-       |cdna AS (SELECT * FROM (${cdnaHgvsSqlFor(vcfCte)}) q1),
+       |cdna AS (SELECT * FROM (${cdnaHgvsSqlFor(vcfCte, exCte)}) q1),
        |codon AS (SELECT id, transcript_id, consequence, protein_pos,
        |   aa_ref, aa_alt, ref_codon, alt_codon, hgvs_p
-       |  FROM (${splicedCodonSqlFor(vcfCte, "v")}) q2),
+       |  FROM (${splicedCodonSqlFor(vcfCte, "v", exCte)}) q2),
        |csx AS (SELECT codon.id, codon.transcript_id, codon.consequence, codon.hgvs_p,
        |   CASE WHEN codon.aa_ref IS NULL OR codon.aa_alt IS NULL THEN NULL
        |    WHEN codon.aa_ref = codon.aa_alt THEN codon.aa_ref
@@ -913,7 +941,14 @@ object VepSpliceQueries {
        |   LEFT JOIN pp q ON codon.transcript_id = q.transcript_id
        |   AND codon.protein_pos = q.protein_pos AND codon.aa_alt = q.aa),
        |snv AS (SELECT cdna.id, cdna.transcript_id,
-       |   CASE WHEN cdna.region = 'intronic' THEN CAST(NULL AS VARCHAR)
+       |   CASE WHEN cdna.region = 'intronic' THEN
+       |    (CASE WHEN t.biotype IN ('protein_coding', 'nonsense_mediated_decay')
+       |      AND v.start BETWEEN t.cds_start AND t.cds_end
+       |      AND EXISTS (SELECT 1 FROM intr i
+       |       WHERE i.transcript_id = cdna.transcript_id
+       |        AND i.iend - i.istart <= 12
+       |        AND v.start BETWEEN i.istart AND i.iend)
+       |      THEN 'coding_sequence_variant' END)
        |    WHEN strpos(cdna.hgvs_c, ':n.') > 0 AND t.biotype = 'miRNA'
        |      AND v.start <= t.start + (t."end" - t.start) // 2
        |      AND v.start >= t.start + (t."end" - t.start) // 3 THEN 'mature_miRNA_variant'
@@ -963,6 +998,17 @@ object VepSpliceQueries {
        |      AND vs <= ts + (te - ts) // 2 AND ve >= ts + (te - ts) // 3
        |     THEN 'mature_miRNA_variant'
        |    WHEN inex = 1 THEN 'non_coding_transcript_exon_variant'
+       |    WHEN inex = 0 AND $coding AND EXISTS (SELECT 1 FROM v
+       |      WHERE v.id = igeo.id
+       |       AND (CASE WHEN v.vep_ref = '-'
+       |        THEN v.norm_start > tcs AND v.norm_start <= tce
+       |        ELSE v.norm_start <= tce AND v.norm_end >= tcs END)
+       |       AND EXISTS (SELECT 1 FROM intr i WHERE i.transcript_id = tid
+       |        AND i.iend - i.istart <= 12
+       |        AND (CASE WHEN v.vep_ref = '-'
+       |         THEN v.norm_start > i.istart AND v.norm_start <= i.iend
+       |         ELSE v.norm_start <= i.iend AND v.norm_end >= i.istart END)))
+       |     THEN 'coding_sequence_variant'
        |    END AS term,
        |   (biotype = 'nonsense_mediated_decay') AS nmd,
        |   (NOT $coding AND inex = 0) AS nc,
@@ -974,9 +1020,9 @@ object VepSpliceQueries {
        |     '/', CAST(nex - 1 AS VARCHAR)) END AS intron
        |  FROM igeo),
        |ihx AS (SELECT id, transcript_id, cdna_pos, hgvs_c, hgvs_offset
-       |  FROM (${indelHgvsSqlFor(vcfCte, "v", opts.shiftHgvs)}) q3),
+       |  FROM (${indelHgvsSqlFor(vcfCte, "v", opts.shiftHgvs, exCte)}) q3),
        |ihp AS (SELECT id, transcript_id, hgvs_p AS hp9
-       |  FROM (${graft.vep.Hgvsp.oracleSql(s"${Oracle.transcripts}, $vcfCte", "v", opts.shiftHgvs)}) q9),
+       |  FROM (${graft.vep.Hgvsp.oracleSql(s"${Oracle.transcripts}, $vcfCte", "v", opts.shiftHgvs, exCte)}) q9),
        |ind AS (SELECT iterm.id, iterm.transcript_id, iterm.term, iterm.nmd, iterm.nc,
        |   EXISTS (SELECT 1 FROM intr i WHERE i.transcript_id = iterm.transcript_id
        |     AND i.iend - i.istart > 12
@@ -996,7 +1042,7 @@ object VepSpliceQueries {
        |   AND iterm.transcript_id = ihp.transcript_id),
        |bse AS (SELECT * FROM snv UNION ALL SELECT * FROM ind),
        |sp AS (SELECT id, transcript_id, list(DISTINCT consequence) AS sterms
-       |  FROM (${spliceTermsSql(vcfCte, "v")}) q4 GROUP BY id, transcript_id),
+       |  FROM (${spliceTermsSql(vcfCte, "v", exCte)}) q4 GROUP BY id, transcript_id),
        |fused AS (SELECT COALESCE(b.id, s.id) AS id,
        |   COALESCE(b.transcript_id, s.transcript_id) AS transcript_id,
        |   list_concat(list_filter([b.term,
@@ -1191,9 +1237,12 @@ object VepSpliceQueries {
     * gate re-keys them with a chromosome bit and drops full-row
     * duplicates (shared exon-boundary coordinates on the same
     * chromosome produce identical probes). */
-  private def probeVcf(s: SparkSession, d: String): DataFrame = {
+  private def probeVcf(s: SparkSession, d: String): DataFrame =
+    probeVcfOver(Tables.exons(s, d))
+
+  private def probeVcfOver(ex: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    Tables.spliceProbes(s, d)
+    Tables.spliceProbesOver(ex)
       .withColumn("id", col("id") * 2 +
         when(col("chrom") === "chr1", lit(1L)).otherwise(lit(0L)))
       .distinct()
@@ -1216,6 +1265,23 @@ object VepSpliceQueries {
 
   private lazy val annotateProbesSql: String =
     e2eCsqSql(e2eCtesFor(graft.vep.VepOptions.Everything, probeVcfCte))
+
+  /** Frameshift-intron gate fixtures: the same probe sweep over the
+    * two-exon layout whose 10 bp midpoint intron is a VEP frameshift
+    * intron ([[Tables.exonsFs]]) — pins the splice-window skip, the
+    * coding_sequence_variant CDS arm, and the intron_variant body
+    * exclusion through the oracle. */
+  private val fsProbeVcfCte: String = {
+    val probes = Oracle.spliceProbesFrom("spx").replaceFirst("sp AS ", "spv AS ")
+    s"""${Oracle.exonsFsAs("spx")}, $probes,
+       |v AS (SELECT DISTINCT spv.* REPLACE (spv.id * 2
+       |  + CASE WHEN spv.chrom = 'chr1' THEN 1 ELSE 0 END AS id) FROM spv)"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  private lazy val annotateFsIntronSql: String =
+    e2eCsqSql(e2eCtesFor(graft.vep.VepOptions.Everything, fsProbeVcfCte,
+      Oracle.exonsFsAs("ex")))
 
   /** Typed List<T> columns variant of the e2e oracle: parallel arrays
     * in the entry-string sort order, '|'-serialized for the gate
@@ -1330,6 +1396,7 @@ object VepSpliceQueries {
     "f11_annotate_default" -> annotateDefaultSql,
     "f11_annotate_noshift" -> annotateNoShiftSql,
     "f11_annotate_probes" -> annotateProbesSql,
+    "f11_annotate_fsintron" -> annotateFsIntronSql,
     "f11_transcript_selection" -> transcriptSelectionSql,
     "s9_stream_annotate_tx" ->
       s"""WITH ${Oracle.transcripts}, ${Oracle.vcf}

@@ -867,8 +867,20 @@ object Annotate {
     // variant_hits_intron_body: donor/acceptor-site SNVs at the first/
     // last two intron bases get their splice term WITHOUT
     // intron_variant)
+    // frameshift-intron CDS arm: a position in a <= 13 bp intron
+    // within genomic CDS bounds is part of the coding context —
+    // coding_sequence_variant fires (and ONLY it: the mapper gaps
+    // out, so no specific coding predicate can), the intron's splice
+    // windows are skipped, intron_variant never (body excludes
+    // frameshift introns)
+    val snvFsIntron = Splice.inFrameshiftIntron(
+      Splice.intronArr(col("_xa_es"), col("_xa_ee")),
+      col("_vp"), col("_vp"), lit(false))
     val snvTerm =
-      when(col("region") === "intronic", lit(null).cast("string"))
+      when(col("region") === "intronic",
+        when(snvFsIntron && Splice.isCodingBt(col("_bt")) &&
+          col("_vp").between(col("_gcs"), col("_gce")),
+          rkLit("coding_sequence_variant")))
         .when(instr(col("hgvs_c"), ":n.") > 0 && col("_bt") === "miRNA" &&
           col("_vp") <= mEnd && col("_vp") >= mStart, rkLit("mature_miRNA_variant"))
         .when(instr(col("hgvs_c"), ":n.") > 0, rkLit("non_coding_transcript_exon_variant"))
@@ -1017,6 +1029,13 @@ object Annotate {
       col("_i_vs") >= col("_i_cs") && col("_i_ve") <= col("_i_ce")
     val imStart = col("_i_ts") + floor((col("_i_te") - col("_i_ts")) / 3).cast("long")
     val imEnd = col("_i_ts") + floor((col("_i_te") - col("_i_ts")) / 2).cast("long")
+    // frameshift-intron CDS arm (see the SNV stream's twin)
+    val iFsIntron = Splice.inFrameshiftIntron(
+      Splice.intronArr(col("_xa_es"), col("_xa_ee")),
+      col("_i_nvs"), col("_i_nve"), col("_i_isins"))
+    val iFsCds = when(col("_i_isins"),
+        col("_i_nvs") > col("_i_cs") && col("_i_nvs") <= col("_i_ce"))
+      .otherwise(col("_i_nvs") <= col("_i_ce") && col("_i_nve") >= col("_i_cs"))
     val iTerm =
       when(inCds && col("_i_ld") % 3 =!= 0, rkLit("frameshift_variant"))
         .when(inCds && col("_i_ld") > 0, rkLit("inframe_insertion"))
@@ -1032,6 +1051,8 @@ object Annotate {
         .when(col("_i_inex") === 1 && col("_i_bt") === "miRNA" &&
           col("_i_vs") <= imEnd && col("_i_ve") >= imStart, rkLit("mature_miRNA_variant"))
         .when(col("_i_inex") === 1, rkLit("non_coding_transcript_exon_variant"))
+        .when(col("_i_inex") === 0 && iCoding && iFsIntron && iFsCds,
+          rkLit("coding_sequence_variant"))
     // no geometry fallback for intron-only rows: intron_variant is an
     // independent element on the inner-body predicate (and an
     // exon-spanning deletion reaching >= 2 bp into an intron carries

@@ -421,7 +421,8 @@ object Hgvsp {
     * `ex` exon CTE and the spliced-read context (exon genomic/cDNA
     * range lists per transcript, coding cDNA bounds). */
   def oracleSql(variantCte: String, variantName: String,
-      shift: Boolean = true): String = {
+      shift: Boolean = true,
+      exCte: String = graft.Oracle.exons): String = {
     val D = CodonLogic.DuckD
     val scan = Splice.shiftScanSql(D, "chrom", "anchor", "allele", 16)
     val ctxBase = CodonLogic.seq(D, "chrom", "j")
@@ -442,7 +443,7 @@ object Hgvsp {
       "WHEN ANCH BETWEEN e.start AND e.\"end\" THEN e.\"end\" - ANCH + 1 ELSE 0 END END"
     val anchor1 = "(CASE WHEN strand = 1 THEN cds_start ELSE cds_end END)"
     val anchor2 = "(CASE WHEN strand = 1 THEN cds_end ELSE cds_start END)"
-    s"""WITH $variantCte, ${graft.Oracle.exons},
+    s"""WITH $variantCte, $exCte,
        |hind0 AS (SELECT id, chrom, vep_ref, vep_alt,
        |   norm_start AS ns, norm_end AS ne,
        |   CASE WHEN vep_ref = '-' THEN vep_alt ELSE vep_ref END AS allele,

@@ -94,7 +94,11 @@ object Splice {
         sum(contribution(anchor2, col("_be_es"), col("_be_ee"), col("_bt_strand"))).as("_cce"))
       .select(col("_bt_tid").as("_cb_tid"),
         (col("_ccs0") + when(col("_a1_in_exon") === 0, 1L).otherwise(0L)).as("_ccs"),
-        col("_cce"))
+        col("_cce"),
+        // GENOMIC cds span, carried for predicates that need raw
+        // coordinate overlap (the frameshift-intron CDS arm uses
+        // overlaps_cds = genomic [cds_start, cds_end] overlap)
+        col("_bt_cs").as("_gcs"), col("_bt_ce").as("_gce"))
   }
 
   /** Shared per-(SNV variant, overlapping transcript) aggregate:
@@ -527,7 +531,7 @@ object Splice {
       when(isFull, col("_aaref")).as("aa_ref"),
       when(isFull, col("_aaalt")).as("aa_alt"),
       col("_bt"), col("_strand"), col("_ts"), col("_te"),
-      col("_vp"), col("_vc"))
+      col("_vp"), col("_vc"), col("_gcs"), col("_gce"))
   }
 
   /** The codon-range lookahead build ([[exonCdnaRanges]] + the two
@@ -593,6 +597,20 @@ object Splice {
           .otherwise(vs <= ie_ - 2 && ve >= is_ + 2)
     }), lit(false))
 
+  /** `in_frameshift_intron` (transcript_consequence.rs:2552-2576):
+    * the variant overlaps the body of a frameshift intron (<= 13 bp).
+    * VEP treats such positions as part of the surrounding coding
+    * context — within CDS bounds they emit coding_sequence_variant
+    * (the mapper gaps out, so no specific coding predicate can fire),
+    * and the splice windows of that intron are skipped. */
+  private[vep] def inFrameshiftIntron(
+      introns: Column, vs: Column, ve: Column, isins: Column): Column =
+    coalesce(exists(introns, i => {
+      val is_ = i.getField("is"); val ie_ = i.getField("ie")
+      (ie_ - is_ <= 12) &&
+        when(isins, vs > is_ && vs <= ie_).otherwise(vs <= ie_ && ve >= is_)
+    }), lit(false))
+
   /** [[spliceTermsRaw]]'s six per-intron positional windows as a pure
     * array-lambda expression over an intron array — per candidate row,
     * NO probe, explode, aggregation or re-join: the integrated
@@ -602,12 +620,24 @@ object Splice {
     * [vs, ve], the insertion flag, strand. */
   private[vep] def spliceTermsOf(introns: Column, vs: Column, ve: Column,
       isins: Column, strand: Column): Column = {
+    // transcript-wide: any frameshift intron stretches exon overlap by
+    // 12 bp in VEP's consequence-include predicates, which suppresses
+    // the polypyrimidine term near exons (allow_polypyrimidine,
+    // transcript_consequence.rs:2607-2608, 2495-2524)
+    val hasFs = coalesce(exists(introns,
+      i => i.getField("ie") - i.getField("is") <= 12), lit(false))
     val terms = transform(introns, i => {
       val is_ = i.getField("is"); val ie_ = i.getField("ie")
       val plus = strand === 1
       val p = vs
       def ov(x: Column, y: Column) = !isins && vs <= y && ve >= x
       def ip(x: Column, y: Column) = isins && p.between(x, y)
+      // VEP skips ALL splice checks for a frameshift intron (<= 13 bp,
+      // ie - is <= 12) when the variant overlaps the intron body
+      // itself (transcript_consequence.rs:2623-2636) — boundary
+      // variants still run the windows on a frameshift intron
+      val fsSkip = (ie_ - is_ <= 12) &&
+        when(isins, p > is_ && p <= ie_).otherwise(vs <= ie_ && ve >= is_)
       val donor = when(plus, ov(is_, is_ + 1) || ip(is_ + 1, is_ + 1))
         .otherwise(ov(ie_ - 1, ie_) || ip(ie_, ie_))
       val donor5 = when(plus, ov(is_ + 4, is_ + 4)).otherwise(ov(ie_ - 4, ie_ - 4))
@@ -616,10 +646,21 @@ object Splice {
       val acceptor = when(plus, ov(ie_ - 1, ie_) || ip(ie_, ie_))
         .otherwise(ov(is_, is_ + 1) || ip(is_ + 1, is_ + 1))
       val withinIntron = !isins && vs >= is_ && ve <= ie_
-      val ppt = when(plus,
-          (withinIntron && ov(ie_ - 16, ie_ - 2)) || ip(ie_ - 16, ie_ - 1))
+      // PPT's include gate (intron yes, exon no): an insertion's PPT
+      // window reaches into the exon on short introns — VEP's
+      // allow_polypyrimidine requires intron membership; with a
+      // frameshift intron on the transcript, exon overlap stretches
+      // 12 bp, suppressing PPT within 12 bp of any exon
+      val insIn = p > is_ && p <= ie_
+      val pptRaw = when(plus,
+          (withinIntron && ov(ie_ - 16, ie_ - 2)) ||
+            (ip(ie_ - 16, ie_ - 1) && insIn))
         .otherwise(
-          (withinIntron && ov(is_ + 2, is_ + 16)) || ip(is_ + 2, is_ + 17))
+          (withinIntron && ov(is_ + 2, is_ + 16)) ||
+            (ip(is_ + 2, is_ + 17) && insIn))
+      val deep = when(isins, p > is_ + 11 && p < ie_ - 10)
+        .otherwise(vs > is_ + 11 && ve < ie_ - 11)
+      val ppt = pptRaw && (!hasFs || deep)
       val spliceRegion =
         ov(is_ + 2, is_ + 7) || ov(ie_ - 7, ie_ - 2) ||
         ov(is_ - 3, is_ - 1) || ov(ie_ + 1, ie_ + 3) ||
@@ -629,14 +670,15 @@ object Splice {
           (p === is_ || p === ie_ + 1 || p === is_ + 2 || p === ie_ - 1))
       // severity-rank-prefixed literals (Annotate.rkLit): the fused
       // streams sort/min terms as plain strings
-      filter(array(
-        when(acceptor, Annotate.rkLit("splice_acceptor_variant")),
-        when(donor, Annotate.rkLit("splice_donor_variant")),
-        when(donor5, Annotate.rkLit("splice_donor_5th_base_variant")),
-        when(spliceRegion, Annotate.rkLit("splice_region_variant")),
-        when(donorRegion, Annotate.rkLit("splice_donor_region_variant")),
-        when(ppt, Annotate.rkLit("splice_polypyrimidine_tract_variant"))),
-        x => x.isNotNull)
+      when(fsSkip, expr("CAST(array() AS ARRAY<STRING>)")).otherwise(
+        filter(array(
+          when(acceptor, Annotate.rkLit("splice_acceptor_variant")),
+          when(donor, Annotate.rkLit("splice_donor_variant")),
+          when(donor5, Annotate.rkLit("splice_donor_5th_base_variant")),
+          when(spliceRegion, Annotate.rkLit("splice_region_variant")),
+          when(donorRegion, Annotate.rkLit("splice_donor_region_variant")),
+          when(ppt, Annotate.rkLit("splice_polypyrimidine_tract_variant"))),
+          x => x.isNotNull))
     })
     array_distinct(flatten(terms))
   }
@@ -842,9 +884,16 @@ object Splice {
       col("transcript_id").as("_tid"), col("strand").as("_strand"))
     val cand = t.join(v,
       col("_tc") === col("_vc") && col("_ts") <= col("_hi") && col("_te") >= col("_lo"))
-    val joined = cand.join(broadcast(introns(exons)),
+    val intronDf = introns(exons)
+    // per-transcript frameshift-intron presence (PPT's 12 bp exon
+    // stretch — see [[spliceTermsOf]])
+    val fsFlag = intronDf
+      .groupBy(col("_i_tid").as("_fs_tid"))
+      .agg(max(when(col("_ie") - col("_is") <= 12, 1).otherwise(0)).as("_hasfs"))
+    val joined = cand.join(broadcast(intronDf),
       col("_tid") === col("_i_tid") &&
         col("_lo") <= col("_ie") + 3 && col("_hi") >= col("_is") - 3)
+      .join(broadcast(fsFlag), col("_tid") === col("_fs_tid"), "left")
     val is_ = col("_is"); val ie_ = col("_ie")
     val plus = col("_strand") === 1
     val p = col("_vs") // insertion point (norm start; ins has vs = ve+1)
@@ -858,10 +907,19 @@ object Splice {
     val acceptor = when(plus, ov(ie_ - 1, ie_) || ip(ie_, ie_))
       .otherwise(ov(is_, is_ + 1) || ip(is_ + 1, is_ + 1))
     val withinIntron = !col("_isins") && col("_vs") >= is_ && col("_ve") <= ie_
-    val ppt = when(plus,
-        (withinIntron && ov(ie_ - 16, ie_ - 2)) || ip(ie_ - 16, ie_ - 1))
+    // PPT include gate + frameshift-intron exon stretch — see
+    // [[spliceTermsOf]]'s twin
+    val insIn = p > is_ && p <= ie_
+    val hasFs = coalesce(col("_hasfs"), lit(0)) === 1
+    val pptRaw = when(plus,
+        (withinIntron && ov(ie_ - 16, ie_ - 2)) ||
+          (ip(ie_ - 16, ie_ - 1) && insIn))
       .otherwise(
-        (withinIntron && ov(is_ + 2, is_ + 16)) || ip(is_ + 2, is_ + 17))
+        (withinIntron && ov(is_ + 2, is_ + 16)) ||
+          (ip(is_ + 2, is_ + 17) && insIn))
+    val deep = when(col("_isins"), p > is_ + 11 && p < ie_ - 10)
+      .otherwise(col("_vs") > is_ + 11 && col("_ve") < ie_ - 11)
+    val ppt = pptRaw && (!hasFs || deep)
     val spliceRegion =
       ov(is_ + 2, is_ + 7) || ov(ie_ - 7, ie_ - 2) ||
       ov(is_ - 3, is_ - 1) || ov(ie_ + 1, ie_ + 3) ||
@@ -876,7 +934,13 @@ object Splice {
       "splice_region_variant" -> spliceRegion,
       "splice_donor_region_variant" -> donorRegion,
       "splice_polypyrimidine_tract_variant" -> ppt)
+    // frameshift-intron skip (see [[spliceTermsOf]]): no splice terms
+    // from a <= 13 bp intron when the variant overlaps its body
+    val fsSkip = (ie_ - is_ <= 12) &&
+      when(col("_isins"), p > is_ && p <= ie_)
+        .otherwise(col("_vs") <= ie_ && col("_ve") >= is_)
     joined
+      .where(!fsSkip)
       .select(col("_vid").as("id"), col("_tid").as("transcript_id"),
         explode(array(entries.map { case (n, c) => when(c, lit(n)) }: _*)).as("consequence"))
       .where(col("consequence").isNotNull)

@@ -103,6 +103,32 @@ class SpliceSuite extends SparkSpec {
     assert(m("T-") == Set("splice_region_variant"))
   }
 
+  test("frameshift intron: body variants get no splice terms, boundaries keep theirs") {
+    // Tf has a 10 bp intron [200, 209] (ie - is = 9 <= 12): VEP skips
+    // ALL splice windows for variants overlapping its body, but a
+    // purely-exonic boundary variant still runs the window checks
+    val tf = Seq(("c1", 100L, 400L, "Tf", 1, "protein_coding", 120L, 380L))
+      .toDF("chrom", "start", "end", "transcript_id", "strand", "biotype",
+        "cds_start", "cds_end")
+    val exf = Seq(("Tf", 100L, 199L), ("Tf", 210L, 400L))
+      .toDF("transcript_id", "start", "end")
+    def at(pos: Long, ref: String = "A", alt: String = "G") =
+      Splice.spliceTerms(vcf(pos, ref, alt), tf, exf)
+        .collect().map(_.getString(2)).toSet
+    // donor-site SNV overlaps the intron body -> skipped entirely
+    assert(at(200).isEmpty)
+    // mid-body SNV -> skipped (and never intron_variant either)
+    assert(at(205).isEmpty)
+    // exonic last-exon-base SNV does NOT overlap the body -> the
+    // exonic splice-region window still fires
+    assert(at(199) == Set("splice_region_variant"))
+    // PPT include gate: with a frameshift intron on the transcript the
+    // 12 bp exon stretch suppresses PPT near exons on the LONG introns
+    // of the same transcript too — here the only intron is short, so
+    // just pin that no PPT leaks from the skipped intron
+    assert(at(203, "A", "AG").isEmpty)
+  }
+
   test("splice windows: insertion-point model at P = is+1") {
     // VCF A>AG at 200 is a VEP insertion with insertion point P = 201
     val m = spliceAt(200, "A", "AG")
