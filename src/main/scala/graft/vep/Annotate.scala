@@ -31,6 +31,19 @@ import org.apache.spark.sql.functions._
   * Feature_type, ...) with Consequence the '&'-join of ALL terms for
   * that (variant, feature) in SO severity order.
   *
+  * KNOWN MODEL SIMPLIFICATION (documented deviation): the indel
+  * GEOMETRY layer classifies exon/CDS membership on the RAW VCF span,
+  * while VEP evaluates insertions with inverted coordinates (point
+  * P = normalized start; exon membership `P in (exon_start,
+  * exon_end]`, CDS membership `P in [cds_start+1, cds_end]`, plus the
+  * `cds_{start,end}_exon_boundary` and `_after_coding` UTR arms —
+  * transcript_consequence.rs:1160-1335). The two models differ only
+  * for insertions whose point sits exactly ON an exon/CDS boundary;
+  * the splice layer and the intron-body predicate already use the
+  * VEP insertion model. The DuckDB oracle mirrors this same
+  * simplification, so the gates pin engine agreement, not reference
+  * fidelity, on those boundary insertions.
+  *
   * Scale shape: every candidate generator runs through the interval
   * strategy's broadcast index probes (transcripts on the build side);
   * the shared SNV aggregate is persisted once and feeds both the cDNA
