@@ -914,6 +914,29 @@ object VepSpliceQueries {
     import graft.vep.{Annotate, CodonLogic}
     val D = CodonLogic.DuckD
     val coding = "biotype IN ('protein_coding', 'nonsense_mediated_decay')"
+    // VEP insertion/trimmed-event predicates over igeo columns
+    // (mirrors Annotate's Spark chain 1:1 — see that file's citations)
+    val iCdsOv = "(CASE WHEN isins THEN nvs > tcs AND nvs <= tce " +
+      "ELSE nvs <= tce AND nve >= tcs END)"
+    val iLeftFlank = "(isins AND nvs - 1 BETWEEN tcs AND tce " +
+      "AND NOT (strand = -1 AND nvs - 1 = tce))"
+    val iCbGate = s"($coding AND (inex = 1 OR (bend = 1 AND $iLeftFlank) " +
+      s"OR (bstart = 1 AND $iCdsOv)) AND ($iCdsOv OR $iLeftFlank))"
+    val iComplex = "(NOT isins AND inex = 1 AND EXISTS (SELECT 1 FROM intr i " +
+      "WHERE i.transcript_id = tid AND i.iend - i.istart > 12 " +
+      "AND nvs <= i.iend AND nve >= i.istart))"
+    val iUtrExt5 = "(NOT isins AND nvs < tcs)"
+    val iUtrExt3 = "(NOT isins AND nve > tce)"
+    val iFs = "EXISTS (SELECT 1 FROM intr i WHERE i.transcript_id = tid " +
+      "AND i.iend - i.istart <= 12 " +
+      "AND (CASE WHEN isins THEN nvs > i.istart AND nvs <= i.iend " +
+      "ELSE nvs <= i.iend AND nve >= i.istart END))"
+    val iGeomOk = "(CASE WHEN isins THEN nvs > ts AND nvs <= te " +
+      "ELSE nvs <= te AND nve >= ts END)"
+    def utr5(s: String = "strand") =
+      s"(CASE WHEN $s = 1 THEN '5_prime_UTR_variant' ELSE '3_prime_UTR_variant' END)"
+    def utr3(s: String = "strand") =
+      s"(CASE WHEN $s = 1 THEN '3_prime_UTR_variant' ELSE '5_prime_UTR_variant' END)"
     s"""WITH ${Oracle.transcripts}, $exCte, $vcfCte, ${Oracle.vepCache}, ${Oracle.siftCtx}, ${Oracle.polyphenCtx}, ${Oracle.regulatory}, ${Oracle.motifs},
        |intr AS (SELECT transcript_id, istart, iend FROM (
        |   SELECT transcript_id, "end" + 1 AS istart,
@@ -961,6 +984,7 @@ object VepSpliceQueries {
        |   EXISTS (SELECT 1 FROM intr i WHERE i.transcript_id = cdna.transcript_id
        |     AND i.iend - i.istart > 12
        |     AND v.start >= i.istart + 2 AND v.start <= i.iend - 2) AS ibody,
+       |   CAST(NULL AS VARCHAR) AS ut5, CAST(NULL AS VARCHAR) AS ut3,
        |   cdna.cdna_pos, cdna.cds_pos, cdna.protein_pos, cdna.hgvs_c, csx.hgvs_p,
        |   csx.sift_pred, csx.polyphen_pred, csx.aas, csx.cod,
        |   CAST(NULL AS BIGINT) AS dist, cdna.exon, cdna.intron,
@@ -970,52 +994,61 @@ object VepSpliceQueries {
        |   JOIN v ON cdna.id = v.id),
        |iv AS (SELECT * FROM v WHERE NOT (length(ref) = 1 AND length(alt) = 1)),
        |icand AS (SELECT iv.id, iv.start AS vs, iv."end" AS ve,
+       |   iv.norm_start AS nvs, iv.norm_end AS nve, (iv.vep_ref = '-') AS isins,
        |   CAST(length(iv.alt) - length(iv.ref) AS BIGINT) AS ld,
        |   t.transcript_id AS tid, t.strand, t.biotype, t.cds_start AS tcs, t.cds_end AS tce,
        |   t.start AS ts, t."end" AS te
        |  FROM iv JOIN t ON iv.chrom = t.chrom AND t.start <= iv."end" AND t."end" >= iv.start),
-       |igeo AS (SELECT id, vs, ve, ld, tid, strand, biotype, tcs, tce, ts, te,
-       |   MAX(CASE WHEN vs <= e."end" AND ve >= e.start THEN 1 ELSE 0 END) AS inex,
-       |   CAST(SUM(CASE WHEN e."end" < vs THEN 1 ELSE 0 END) AS BIGINT) AS nprev,
+       |igeo AS (SELECT id, vs, ve, nvs, nve, isins, ld, tid, strand, biotype, tcs, tce, ts, te,
+       |   MAX(CASE WHEN (CASE WHEN isins THEN nvs > e.start AND nvs <= e."end"
+       |     ELSE nvs <= e."end" AND nve >= e.start END) THEN 1 ELSE 0 END) AS inex,
+       |   MAX(CASE WHEN isins AND nvs = e."end" + 1 THEN 1 ELSE 0 END) AS bend,
+       |   MAX(CASE WHEN isins AND nvs = e.start THEN 1 ELSE 0 END) AS bstart,
+       |   CAST(SUM(CASE WHEN e."end" < nvs THEN 1 ELSE 0 END) AS BIGINT) AS nprev,
        |   CAST(COUNT(*) AS BIGINT) AS nex
        |  FROM icand JOIN ex e ON icand.tid = e.transcript_id
-       |  GROUP BY id, vs, ve, ld, tid, strand, biotype, tcs, tce, ts, te),
+       |  GROUP BY id, vs, ve, nvs, nve, isins, ld, tid, strand, biotype, tcs, tce, ts, te),
        |iterm AS (SELECT id, tid AS transcript_id,
-       |   CASE WHEN inex = 1 AND $coding AND vs >= tcs AND ve <= tce AND ld % 3 <> 0
-       |     THEN 'frameshift_variant'
-       |    WHEN inex = 1 AND $coding AND vs >= tcs AND ve <= tce AND ld > 0
-       |     THEN 'inframe_insertion'
-       |    WHEN inex = 1 AND $coding AND vs >= tcs AND ve <= tce AND ld < 0
-       |     THEN 'inframe_deletion'
-       |    WHEN inex = 1 AND $coding AND vs >= tcs AND ve <= tce
-       |     THEN 'protein_altering_variant'
-       |    WHEN inex = 1 AND $coding AND ve < tcs THEN
-       |     (CASE WHEN strand = 1 THEN '5_prime_UTR_variant' ELSE '3_prime_UTR_variant' END)
-       |    WHEN inex = 1 AND $coding AND vs > tce THEN
-       |     (CASE WHEN strand = 1 THEN '3_prime_UTR_variant' ELSE '5_prime_UTR_variant' END)
-       |    WHEN inex = 1 AND $coding THEN 'coding_sequence_variant'
-       |    WHEN inex = 1 AND biotype = 'miRNA'
-       |      AND vs <= ts + (te - ts) // 2 AND ve >= ts + (te - ts) // 3
+       |   CASE WHEN NOT $iGeomOk THEN CAST(NULL AS VARCHAR)
+       |    WHEN $iCbGate THEN (CASE
+       |     WHEN $iComplex OR (($iUtrExt5 OR $iUtrExt3) AND ld <> 0)
+       |      THEN 'coding_sequence_variant'
+       |     WHEN ld % 3 <> 0 THEN 'frameshift_variant'
+       |     WHEN ld > 0 THEN 'inframe_insertion'
+       |     WHEN ld < 0 THEN 'inframe_deletion'
+       |     ELSE 'protein_altering_variant' END)
+       |    WHEN inex = 1 AND biotype = 'miRNA' AND (CASE WHEN isins
+       |      THEN nvs > ts + (te - ts) // 3 AND nvs <= ts + (te - ts) // 2
+       |      ELSE nvs <= ts + (te - ts) // 2 AND nve >= ts + (te - ts) // 3 END)
        |     THEN 'mature_miRNA_variant'
-       |    WHEN inex = 1 THEN 'non_coding_transcript_exon_variant'
-       |    WHEN inex = 0 AND $coding AND EXISTS (SELECT 1 FROM v
-       |      WHERE v.id = igeo.id
-       |       AND (CASE WHEN v.vep_ref = '-'
-       |        THEN v.norm_start > tcs AND v.norm_start <= tce
-       |        ELSE v.norm_start <= tce AND v.norm_end >= tcs END)
-       |       AND EXISTS (SELECT 1 FROM intr i WHERE i.transcript_id = tid
-       |        AND i.iend - i.istart <= 12
-       |        AND (CASE WHEN v.vep_ref = '-'
-       |         THEN v.norm_start > i.istart AND v.norm_start <= i.iend
-       |         ELSE v.norm_start <= i.iend AND v.norm_end >= i.istart END)))
+       |    WHEN inex = 1 AND NOT $coding THEN 'non_coding_transcript_exon_variant'
+       |    WHEN inex = 1 AND $coding THEN (CASE
+       |     WHEN isins AND nvs <= tcs THEN ${utr5()}
+       |     WHEN isins AND nvs >= tce THEN ${utr3()}
+       |     WHEN NOT isins AND nve < tcs THEN ${utr5()}
+       |     WHEN NOT isins AND nvs > tce THEN ${utr3()} END)
+       |    WHEN isins AND $coding AND inex = 0
+       |      AND NOT (bend = 1 AND $iLeftFlank) AND NOT (bstart = 1 AND $iCdsOv)
+       |      AND (bend = 1 OR bstart = 1) THEN (CASE
+       |     WHEN strand = 1 AND nvs > tce THEN '3_prime_UTR_variant'
+       |     WHEN strand = 1 AND nvs <= tcs THEN '5_prime_UTR_variant'
+       |     WHEN strand = -1 AND nvs < tcs THEN '3_prime_UTR_variant'
+       |     WHEN strand = -1 AND nvs > tce THEN '5_prime_UTR_variant' END)
+       |    WHEN inex = 0 AND $coding AND $iFs AND $iCdsOv
        |     THEN 'coding_sequence_variant'
        |    END AS term,
-       |   (biotype = 'nonsense_mediated_decay') AS nmd,
-       |   (NOT $coding AND inex = 0) AS nc,
-       |   CASE WHEN inex = 1 THEN concat(
+       |   CASE WHEN $iGeomOk AND $iCbGate AND $iUtrExt5 THEN ${utr5()} END AS ut5,
+       |   CASE WHEN $iGeomOk AND $iCbGate AND $iUtrExt3 THEN ${utr3()} END AS ut3,
+       |   ($iGeomOk AND EXISTS (SELECT 1 FROM intr i WHERE i.transcript_id = tid
+       |     AND i.iend - i.istart > 12
+       |     AND (CASE WHEN isins THEN nvs >= i.istart + 2 AND nvs <= i.iend - 1
+       |      ELSE nvs <= i.iend - 2 AND nve >= i.istart + 2 END))) AS ibody,
+       |   ($iGeomOk AND biotype = 'nonsense_mediated_decay') AS nmd,
+       |   ($iGeomOk AND NOT $coding AND inex = 0) AS nc,
+       |   CASE WHEN $iGeomOk AND inex = 1 THEN concat(
        |     CAST(CASE WHEN strand = 1 THEN nprev + 1 ELSE nex - nprev END AS VARCHAR),
        |     '/', CAST(nex AS VARCHAR)) END AS exon,
-       |   CASE WHEN inex = 0 THEN concat(
+       |   CASE WHEN $iGeomOk AND inex = 0 THEN concat(
        |     CAST(CASE WHEN strand = 1 THEN nprev ELSE nex - nprev END AS VARCHAR),
        |     '/', CAST(nex - 1 AS VARCHAR)) END AS intron
        |  FROM igeo),
@@ -1024,19 +1057,14 @@ object VepSpliceQueries {
        |ihp AS (SELECT id, transcript_id, hgvs_p AS hp9
        |  FROM (${graft.vep.Hgvsp.oracleSql(s"${Oracle.transcripts}, $vcfCte", "v", opts.shiftHgvs, exCte)}) q9),
        |ind AS (SELECT iterm.id, iterm.transcript_id, iterm.term, iterm.nmd, iterm.nc,
-       |   EXISTS (SELECT 1 FROM intr i WHERE i.transcript_id = iterm.transcript_id
-       |     AND i.iend - i.istart > 12
-       |     AND (CASE WHEN v.vep_ref = '-'
-       |      THEN v.norm_start >= i.istart + 2 AND v.norm_start <= i.iend - 1
-       |      ELSE v.norm_start <= i.iend - 2 AND v.norm_end >= i.istart + 2 END)) AS ibody,
+       |   iterm.ibody, iterm.ut5, iterm.ut3,
        |   ihx.cdna_pos, CAST(NULL AS BIGINT) AS cds_pos, CAST(NULL AS BIGINT) AS protein_pos,
        |   ihx.hgvs_c, ihp.hp9 AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
        |   CAST(NULL AS VARCHAR) AS polyphen_pred,
        |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
        |   CAST(NULL AS BIGINT) AS dist, iterm.exon, iterm.intron,
        |   ihx.hgvs_offset
-       |  FROM iterm JOIN v ON iterm.id = v.id
-       |   LEFT JOIN ihx ON iterm.id = ihx.id
+       |  FROM iterm LEFT JOIN ihx ON iterm.id = ihx.id
        |   AND iterm.transcript_id = ihx.transcript_id
        |   LEFT JOIN ihp ON iterm.id = ihp.id
        |   AND iterm.transcript_id = ihp.transcript_id),
@@ -1045,7 +1073,7 @@ object VepSpliceQueries {
        |  FROM (${spliceTermsSql(vcfCte, "v", exCte)}) q4 GROUP BY id, transcript_id),
        |fused AS (SELECT COALESCE(b.id, s.id) AS id,
        |   COALESCE(b.transcript_id, s.transcript_id) AS transcript_id,
-       |   list_concat(list_filter([b.term,
+       |   list_concat(list_filter([b.term, b.ut5, b.ut3,
        |     CASE WHEN b.ibody THEN 'intron_variant' END,
        |     CASE WHEN b.nmd THEN 'NMD_transcript_variant' END,
        |     CASE WHEN b.nc THEN 'non_coding_transcript_variant' END], x -> x IS NOT NULL),
@@ -1128,7 +1156,7 @@ object VepSpliceQueries {
        |${exvCtes("c", opts)},
        |rend0 AS (SELECT *,
        |   ${Annotate.stripParentsSql(D, "terms", prefixed = false)} AS terms2
-       |  FROM allent),
+       |  FROM allent WHERE len(terms) > 0),
        |rend AS (SELECT id, transcript_id, cdna_pos, cds_pos, protein_pos,
        |   hgvs_c, hgvs_p, sift_pred, polyphen_pred, aas, cod, dist,
        |   exon, intron, hgvs_offset, ftype, mname, mpos, minf, mscore, terms2,

@@ -31,18 +31,24 @@ import org.apache.spark.sql.functions._
   * Feature_type, ...) with Consequence the '&'-join of ALL terms for
   * that (variant, feature) in SO severity order.
   *
-  * KNOWN MODEL SIMPLIFICATION (documented deviation): the indel
-  * GEOMETRY layer classifies exon/CDS membership on the RAW VCF span,
-  * while VEP evaluates insertions with inverted coordinates (point
-  * P = normalized start; exon membership `P in (exon_start,
-  * exon_end]`, CDS membership `P in [cds_start+1, cds_end]`, plus the
-  * `cds_{start,end}_exon_boundary` and `_after_coding` UTR arms —
-  * transcript_consequence.rs:1160-1335). The two models differ only
-  * for insertions whose point sits exactly ON an exon/CDS boundary;
-  * the splice layer and the intron-body predicate already use the
-  * VEP insertion model. The DuckDB oracle mirrors this same
-  * simplification, so the gates pin engine agreement, not reference
-  * fidelity, on those boundary insertions.
+  * The indel GEOMETRY layer follows VEP's trimmed-event model
+  * (transcript_consequence.rs:1160-1335): insertions evaluate with
+  * inverted coordinates (point P = normalized start; exon membership
+  * `P in (exon_start, exon_end]`, CDS membership
+  * `P in [cds_start+1, cds_end]`, transcript candidacy
+  * `P in (tx_start, tx_end]`), with the `cds_{start,end}_exon_boundary`
+  * coding arms, the `_after_coding` boundary-insertion UTR arm, the
+  * complex-indel downgrade (a deletion reaching a non-frameshift
+  * intron body keeps only coding_sequence_variant), and the
+  * no-frameshift rule + UTR-extension terms for deletions spanning a
+  * CDS/UTR boundary. Remaining documented deviations: the indel
+  * partial-codon arm (incomplete_terminal_codon_variant fires only
+  * from the SNV codon layer), NMD/splice terms on trimmed-candidacy
+  * rows ride the same gates as their geometry families, and a variant
+  * whose only nearby transcript yields zero assignments (e.g. an
+  * insertion one past the transcript end) keeps an empty CSQ rather
+  * than the reference's intergenic entry (the intergenic arm keys on
+  * the distance window, not on assignment emptiness).
   *
   * Scale shape: every candidate generator runs through the interval
   * strategy's broadcast index probes (transcripts on the build side);
@@ -1020,12 +1026,27 @@ object Annotate {
         col("_i_vc"), col("_i_kind"), col("_i_va"), col("_i_p0"), col("_i_p1"),
         col("_i_sh"), col("_i_nvs"), col("_i_nve"), col("_i_isins"),
         col("_i_nlo"), col("_i_nhi"))
-      .agg(max(when(col("_i_vs") <= col("_i_ee") && col("_i_ve") >= col("_i_es"), 1)
+      .agg(max(when(
+        // VEP evaluates exon membership on the TRIMMED event with
+        // insertion inverted-coordinate semantics: an insertion point
+        // P belongs to an exon when P in (exon_start, exon_end] (an
+        // insertion at the first exon base falls in the intron);
+        // deletions/MNVs use the trimmed [norm_start, norm_end] span
+        when(col("_i_isins"),
+          col("_i_nvs") > col("_i_es") && col("_i_nvs") <= col("_i_ee"))
+          .otherwise(
+            col("_i_nvs") <= col("_i_ee") && col("_i_nve") >= col("_i_es")), 1)
         .otherwise(0)).as("_i_inex"),
-        // EXON/INTRON rank inputs keyed on the event start (same
-        // convention as the SNV layer: exons entirely before the
-        // position, per-transcript exon count)
-        sum(when(col("_i_ee") < col("_i_vs"), 1).otherwise(0)).as("_i_nprev"),
+        // insertion boundary flags: P exactly one past an exon end /
+        // exactly on an exon start (the cds_{end,start}_exon_boundary
+        // and _after_coding arms)
+        max(when(col("_i_isins") && col("_i_nvs") === col("_i_ee") + 1, 1)
+          .otherwise(0)).as("_i_bend"),
+        max(when(col("_i_isins") && col("_i_nvs") === col("_i_es"), 1)
+          .otherwise(0)).as("_i_bstart"),
+        // EXON/INTRON rank inputs keyed on the trimmed event start
+        // (exons entirely before it, per-transcript exon count)
+        sum(when(col("_i_ee") < col("_i_nvs"), 1).otherwise(0)).as("_i_nprev"),
         count(lit(1)).as("_i_nex"),
         // indelHgvs inputs: exon membership + cDNA index of the
         // shifted event anchors (Splice.indelCoordsUdf contract)
@@ -1037,33 +1058,84 @@ object Annotate {
         col("_i_tid") === col("_cb_tid"), "left")
       .join(broadcast(xa), col("_i_tid") === col("_xa_tid"), "left")
     val iCoding = Splice.isCodingBt(col("_i_bt"))
-    val inCodingExon = col("_i_inex") === 1 && iCoding
-    val inCds = inCodingExon &&
-      col("_i_vs") >= col("_i_cs") && col("_i_ve") <= col("_i_ce")
+    val isins = col("_i_isins")
+    val iP = col("_i_nvs") // insertion point (norm start)
+    val strandPos = col("_i_strand") === 1
+    // overlaps_cds: genomic CDS-span overlap on the trimmed event;
+    // insertion inverted coords resolve to P in [cds_start+1, cds_end]
+    // (transcript_consequence.rs:1784-1795)
+    val cdsOv = when(isins, iP > col("_i_cs") && iP <= col("_i_ce"))
+      .otherwise(col("_i_nvs") <= col("_i_ce") && col("_i_nve") >= col("_i_cs"))
+    // insertion_left_flank_in_cds (:1813-1833): the padding base sits
+    // in [cds_start, cds_end]; on '-' strand a left flank exactly on
+    // cds_end is the 5' UTR side, excluded
+    val leftFlank = isins && (iP - 1).between(col("_i_cs"), col("_i_ce")) &&
+      !(col("_i_strand") === -1 && iP - 1 === col("_i_ce"))
+    // the coding-branch gate (:1283-1291): exon membership OR the two
+    // CDS exon-boundary insertion arms, AND CDS reach
+    val cbGate = iCoding &&
+      (col("_i_inex") === 1 || (col("_i_bend") === 1 && leftFlank) ||
+        (col("_i_bstart") === 1 && cdsOv)) &&
+      (cdsOv || leftFlank)
+    // complex indel (:1850-1866): a deletion that overlaps an exon AND
+    // reaches the body of a NON-frameshift intron — the CDS change is
+    // undeterminable, only coding_sequence_variant fires
+    val iComplex = !isins && col("_i_inex") === 1 &&
+      coalesce(exists(Splice.intronArr(col("_xa_es"), col("_xa_ee")), i =>
+        (i.getField("ie") - i.getField("is") > 12) &&
+          col("_i_nvs") <= i.getField("ie") &&
+          col("_i_nve") >= i.getField("is")), lit(false))
+    // deletions spanning a CDS/UTR boundary get NO frameshift/inframe
+    // (add_coding_terms:1985-2000) — CSV plus the UTR-extension terms
+    val utrExt5 = !isins && col("_i_nvs") < col("_i_cs")
+    val utrExt3 = !isins && col("_i_nve") > col("_i_ce")
     val imStart = col("_i_ts") + floor((col("_i_te") - col("_i_ts")) / 3).cast("long")
     val imEnd = col("_i_ts") + floor((col("_i_te") - col("_i_ts")) / 2).cast("long")
+    val mirnaOv = when(isins, iP > imStart && iP <= imEnd)
+      .otherwise(col("_i_nvs") <= imEnd && col("_i_nve") >= imStart)
     // frameshift-intron CDS arm (see the SNV stream's twin)
     val iFsIntron = Splice.inFrameshiftIntron(
       Splice.intronArr(col("_xa_es"), col("_xa_ee")),
       col("_i_nvs"), col("_i_nve"), col("_i_isins"))
-    val iFsCds = when(col("_i_isins"),
-        col("_i_nvs") > col("_i_cs") && col("_i_nvs") <= col("_i_ce"))
-      .otherwise(col("_i_nvs") <= col("_i_ce") && col("_i_nve") >= col("_i_cs"))
+    val iFsCds = cdsOv
     val iTerm =
-      when(inCds && col("_i_ld") % 3 =!= 0, rkLit("frameshift_variant"))
-        .when(inCds && col("_i_ld") > 0, rkLit("inframe_insertion"))
-        .when(inCds && col("_i_ld") < 0, rkLit("inframe_deletion"))
-        .when(inCds, rkLit("protein_altering_variant"))
-        .when(inCodingExon && col("_i_ve") < col("_i_cs"),
-          when(col("_i_strand") === 1, rkLit("5_prime_UTR_variant"))
-            .otherwise(rkLit("3_prime_UTR_variant")))
-        .when(inCodingExon && col("_i_vs") > col("_i_ce"),
-          when(col("_i_strand") === 1, rkLit("3_prime_UTR_variant"))
-            .otherwise(rkLit("5_prime_UTR_variant")))
-        .when(inCodingExon, rkLit("coding_sequence_variant"))
-        .when(col("_i_inex") === 1 && col("_i_bt") === "miRNA" &&
-          col("_i_vs") <= imEnd && col("_i_ve") >= imStart, rkLit("mature_miRNA_variant"))
-        .when(col("_i_inex") === 1, rkLit("non_coding_transcript_exon_variant"))
+      when(cbGate,
+        when(iComplex || ((utrExt5 || utrExt3) && col("_i_ld") =!= 0),
+          rkLit("coding_sequence_variant"))
+          .when(col("_i_ld") % 3 =!= 0, rkLit("frameshift_variant"))
+          .when(col("_i_ld") > 0, rkLit("inframe_insertion"))
+          .when(col("_i_ld") < 0, rkLit("inframe_deletion"))
+          .otherwise(rkLit("protein_altering_variant")))
+        .when(col("_i_inex") === 1 && col("_i_bt") === "miRNA" && mirnaOv,
+          rkLit("mature_miRNA_variant"))
+        .when(col("_i_inex") === 1 && !iCoding,
+          rkLit("non_coding_transcript_exon_variant"))
+        // coding-exon UTR (utr_term:2343-2381 — insertions use <=/>=
+        // against the CDS bounds, deletions strict inequalities)
+        .when(col("_i_inex") === 1 && iCoding,
+          when(isins && iP <= col("_i_cs"),
+            when(strandPos, rkLit("5_prime_UTR_variant"))
+              .otherwise(rkLit("3_prime_UTR_variant")))
+            .when(isins && iP >= col("_i_ce"),
+              when(strandPos, rkLit("3_prime_UTR_variant"))
+                .otherwise(rkLit("5_prime_UTR_variant")))
+            .when(!isins && col("_i_nve") < col("_i_cs"),
+              when(strandPos, rkLit("5_prime_UTR_variant"))
+                .otherwise(rkLit("3_prime_UTR_variant")))
+            .when(!isins && col("_i_nvs") > col("_i_ce"),
+              when(strandPos, rkLit("3_prime_UTR_variant"))
+                .otherwise(rkLit("5_prime_UTR_variant"))))
+        // _after_coding (:1315-1334 + utr_boundary_insertion_term): an
+        // insertion at an exon boundary (intronic side) outside the
+        // CDS still gets its UTR term
+        .when(isins && iCoding && col("_i_inex") === 0 &&
+            !(col("_i_bend") === 1 && leftFlank) &&
+            !(col("_i_bstart") === 1 && cdsOv) &&
+            (col("_i_bend") === 1 || col("_i_bstart") === 1),
+          when(strandPos && iP > col("_i_ce"), rkLit("3_prime_UTR_variant"))
+            .when(strandPos && iP <= col("_i_cs"), rkLit("5_prime_UTR_variant"))
+            .when(!strandPos && iP < col("_i_cs"), rkLit("3_prime_UTR_variant"))
+            .when(!strandPos && iP > col("_i_ce"), rkLit("5_prime_UTR_variant")))
         .when(col("_i_inex") === 0 && iCoding && iFsIntron && iFsCds,
           rkLit("coding_sequence_variant"))
     // no geometry fallback for intron-only rows: intron_variant is an
@@ -1121,16 +1193,33 @@ object Annotate {
     // geometry/HGVS families render only for RAW-span overlap (the old
     // indel candidate condition); norm-only rows carry splice terms
     // alone — the old full-outer's splice-only arm
+    // geometry terms evaluate on VEP's TRIMMED-event transcript
+    // candidacy: insertions require P in (tx_start, tx_end] (the
+    // inverted-coordinate transcript overlap — an insertion right
+    // after the last transcript base is NOT a candidate in VEP),
+    // deletions the trimmed span; HGVS keeps the raw-span gate (the
+    // shifted anchors' in-transcript guard bounds it anyway)
+    val geomOk = when(isins, iP > col("_i_ts") && iP <= col("_i_te"))
+      .otherwise(col("_i_nvs") <= col("_i_te") && col("_i_nve") >= col("_i_ts"))
     val indelEntries = igeo
       .withColumn("_sterms", iSterms)
       .where(rawOv || size(col("_sterms")) > 0)
       .select(col("_i_vid").as("id"), col("_i_tid").as("transcript_id"),
         concat(
-          filter(array(when(rawOv, iTerm),
-            when(rawOv && iBody, rkLit("intron_variant")),
-            when(rawOv && col("_i_bt") === "nonsense_mediated_decay",
+          filter(array(when(geomOk, iTerm),
+            // deletion reaching past the CDS into the UTR carries the
+            // UTR term(s) BESIDE its coding term (add_coding_terms'
+            // extends_before/extends_after inserts)
+            when(geomOk && cbGate && utrExt5,
+              when(strandPos, rkLit("5_prime_UTR_variant"))
+                .otherwise(rkLit("3_prime_UTR_variant"))),
+            when(geomOk && cbGate && utrExt3,
+              when(strandPos, rkLit("3_prime_UTR_variant"))
+                .otherwise(rkLit("5_prime_UTR_variant"))),
+            when(geomOk && iBody, rkLit("intron_variant")),
+            when(geomOk && col("_i_bt") === "nonsense_mediated_decay",
               rkLit("NMD_transcript_variant")),
-            when(rawOv && !iCoding && col("_i_inex") === 0,
+            when(geomOk && !iCoding && col("_i_inex") === 0,
               rkLit("non_coding_transcript_variant"))),
             x => x.isNotNull),
           col("_sterms")).as("_terms"),
@@ -1139,9 +1228,9 @@ object Annotate {
         when(rawOv, ihgvsP).as("hgvs_p"), nullS.as("_sift"),
         nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"), nullL.as("_dist"),
         lit("Transcript").as("_ftype"),
-        when(rawOv, Splice.exonRank(col("_i_inex") === 1, col("_i_strand"),
+        when(geomOk, Splice.exonRank(col("_i_inex") === 1, col("_i_strand"),
           col("_i_nprev"), col("_i_nex"))).as("_exon"),
-        when(rawOv, Splice.intronRank(col("_i_inex") === 1, col("_i_strand"),
+        when(geomOk, Splice.intronRank(col("_i_inex") === 1, col("_i_strand"),
           col("_i_nprev"), col("_i_nex"))).as("_intron"),
         // HGVS_OFFSET: emitted with the HGVSc it annotates, signed
         // transcript-ward (Splice.indelHgvs convention)
@@ -1354,8 +1443,13 @@ object Annotate {
     // candidate aggregates), and nulled here when the flags resolve
     // off — the reference skips the computation, this library skips
     // the emission; same output.
+    // an entry with an empty term set is NOT an assignment in VEP —
+    // e.g. a trimmed event whose candidacy was raw-span only (an
+    // insertion one past the transcript end) produces no terms and no
+    // CSQ row
     val unioned0 = snvEntries.unionByName(indelEntries).unionByName(updown)
       .unionByName(regEntries).unionByName(motEntries).unionByName(intergenic)
+      .where(size(col("_terms")) > 0)
     // flag gating only rewrites columns when a flag is actually off —
     // the default (all on) path adds no projection layer
     val unioned =
