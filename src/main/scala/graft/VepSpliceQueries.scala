@@ -985,6 +985,7 @@ object VepSpliceQueries {
        |     AND i.iend - i.istart > 12
        |     AND v.start >= i.istart + 2 AND v.start <= i.iend - 2) AS ibody,
        |   CAST(NULL AS VARCHAR) AS ut5, CAST(NULL AS VARCHAR) AS ut3,
+       |   FALSE AS itc,
        |   cdna.cdna_pos, cdna.cds_pos, cdna.protein_pos, cdna.hgvs_c, csx.hgvs_p,
        |   csx.sift_pred, csx.polyphen_pred, csx.aas, csx.cod,
        |   CAST(NULL AS BIGINT) AS dist, cdna.exon, cdna.intron,
@@ -1005,9 +1006,20 @@ object VepSpliceQueries {
        |   MAX(CASE WHEN isins AND nvs = e."end" + 1 THEN 1 ELSE 0 END) AS bend,
        |   MAX(CASE WHEN isins AND nvs = e.start THEN 1 ELSE 0 END) AS bstart,
        |   CAST(SUM(CASE WHEN e."end" < nvs THEN 1 ELSE 0 END) AS BIGINT) AS nprev,
-       |   CAST(COUNT(*) AS BIGINT) AS nex
+       |   CAST(COUNT(*) AS BIGINT) AS nex,
+       |   MAX(CASE WHEN LEAST(nvs, nve) BETWEEN e.start AND e."end"
+       |     THEN 1 ELSE 0 END) AS nloex,
+       |   CAST(SUM(${contrib("LEAST(nvs, nve)")}) AS BIGINT) AS cdnalo
        |  FROM icand JOIN ex e ON icand.tid = e.transcript_id
        |  GROUP BY id, vs, ve, nvs, nve, isins, ld, tid, strand, biotype, tcs, tce, ts, te),
+       |cbx AS (SELECT t.transcript_id AS cbtid,
+       |   CAST(SUM(${contrib("(CASE WHEN strand = 1 THEN cds_start ELSE cds_end END)")})
+       |     + (CASE WHEN MAX(CASE WHEN (CASE WHEN strand = 1 THEN cds_start ELSE cds_end END)
+       |        BETWEEN e.start AND e."end" THEN 1 ELSE 0 END) = 0
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS ccs,
+       |   CAST(SUM(${contrib("(CASE WHEN strand = 1 THEN cds_end ELSE cds_start END)")}) AS BIGINT) AS cce
+       |  FROM t JOIN ex e ON t.transcript_id = e.transcript_id
+       |  GROUP BY t.transcript_id),
        |iterm AS (SELECT id, tid AS transcript_id,
        |   CASE WHEN NOT $iGeomOk THEN CAST(NULL AS VARCHAR)
        |    WHEN $iCbGate THEN (CASE
@@ -1039,6 +1051,10 @@ object VepSpliceQueries {
        |    END AS term,
        |   CASE WHEN $iGeomOk AND $iCbGate AND $iUtrExt5 THEN ${utr5()} END AS ut5,
        |   CASE WHEN $iGeomOk AND $iCbGate AND $iUtrExt3 THEN ${utr3()} END AS ut3,
+       |   ($iGeomOk AND $iCbGate AND nloex = 1
+       |     AND cdnalo BETWEEN ccs AND cce
+       |     AND (cce - ccs + 1) - ((cdnalo - ccs) - ((cdnalo - ccs) % 3))
+       |      BETWEEN 1 AND 2) AS itc,
        |   ($iGeomOk AND EXISTS (SELECT 1 FROM intr i WHERE i.transcript_id = tid
        |     AND i.iend - i.istart > 12
        |     AND (CASE WHEN isins THEN nvs >= i.istart + 2 AND nvs <= i.iend - 1
@@ -1051,13 +1067,13 @@ object VepSpliceQueries {
        |   CASE WHEN $iGeomOk AND inex = 0 THEN concat(
        |     CAST(CASE WHEN strand = 1 THEN nprev ELSE nex - nprev END AS VARCHAR),
        |     '/', CAST(nex - 1 AS VARCHAR)) END AS intron
-       |  FROM igeo),
+       |  FROM igeo LEFT JOIN cbx ON igeo.tid = cbx.cbtid),
        |ihx AS (SELECT id, transcript_id, cdna_pos, hgvs_c, hgvs_offset
        |  FROM (${indelHgvsSqlFor(vcfCte, "v", opts.shiftHgvs, exCte)}) q3),
        |ihp AS (SELECT id, transcript_id, hgvs_p AS hp9
        |  FROM (${graft.vep.Hgvsp.oracleSql(s"${Oracle.transcripts}, $vcfCte", "v", opts.shiftHgvs, exCte)}) q9),
        |ind AS (SELECT iterm.id, iterm.transcript_id, iterm.term, iterm.nmd, iterm.nc,
-       |   iterm.ibody, iterm.ut5, iterm.ut3,
+       |   iterm.ibody, iterm.ut5, iterm.ut3, iterm.itc,
        |   ihx.cdna_pos, CAST(NULL AS BIGINT) AS cds_pos, CAST(NULL AS BIGINT) AS protein_pos,
        |   ihx.hgvs_c, ihp.hp9 AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
        |   CAST(NULL AS VARCHAR) AS polyphen_pred,
@@ -1074,6 +1090,9 @@ object VepSpliceQueries {
        |fused AS (SELECT COALESCE(b.id, s.id) AS id,
        |   COALESCE(b.transcript_id, s.transcript_id) AS transcript_id,
        |   list_concat(list_filter([b.term, b.ut5, b.ut3,
+       |     CASE WHEN b.term = 'incomplete_terminal_codon_variant'
+       |      THEN 'coding_sequence_variant' END,
+       |     CASE WHEN b.itc THEN 'incomplete_terminal_codon_variant' END,
        |     CASE WHEN b.ibody THEN 'intron_variant' END,
        |     CASE WHEN b.nmd THEN 'NMD_transcript_variant' END,
        |     CASE WHEN b.nc THEN 'non_coding_transcript_variant' END], x -> x IS NOT NULL),

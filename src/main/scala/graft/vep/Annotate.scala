@@ -917,6 +917,11 @@ object Annotate {
       .select(col("id"), col("transcript_id"),
         concat(
           filter(array(snvTerm,
+            // incomplete_terminal_codon co-occurs WITH its parent
+            // coding_sequence_variant (strip_parent_terms explicitly
+            // excludes it from the CSV-stripping children)
+            when(snvTerm === rkLit("incomplete_terminal_codon_variant"),
+              rkLit("coding_sequence_variant")),
             when(snvBody, rkLit("intron_variant")),
             when(col("_bt") === "nonsense_mediated_decay",
               rkLit("NMD_transcript_variant")),
@@ -1048,6 +1053,13 @@ object Annotate {
         // (exons entirely before it, per-transcript exon count)
         sum(when(col("_i_ee") < col("_i_nvs"), 1).otherwise(0)).as("_i_nprev"),
         count(lit(1)).as("_i_nex"),
+        // partial-codon inputs: exon membership + cDNA index of the
+        // trimmed event's LOWER genomic bound (VEP's partial_codon
+        // uses min(start, end) — the left flank for insertions)
+        max(when(col("_i_nlo").between(col("_i_es"), col("_i_ee")), 1)
+          .otherwise(0)).as("_i_nloex"),
+        sum(Splice.contribution(col("_i_nlo"), col("_i_es"), col("_i_ee"),
+          col("_i_strand"))).as("_i_cdnalo"),
         // indelHgvs inputs: exon membership + cDNA index of the
         // shifted event anchors (Splice.indelCoordsUdf contract)
         max(when(col("_i_p0").between(col("_i_es"), col("_i_ee")), 1).otherwise(0)).as("_in0"),
@@ -1098,6 +1110,15 @@ object Annotate {
       Splice.intronArr(col("_xa_es"), col("_xa_ee")),
       col("_i_nvs"), col("_i_nve"), col("_i_isins"))
     val iFsCds = cdsOv
+    // partial_codon (add_coding_terms:1927-1981): the event's codon is
+    // the LAST, truncated one of a CDS whose spliced length is not a
+    // multiple of 3 — incomplete_terminal_codon_variant joins the set
+    // BESIDE the indel class term
+    val iCdsIdx0 = col("_i_cdnalo") - col("_ccs")
+    val iIncomplete = cbGate && col("_i_nloex") === 1 &&
+      col("_i_cdnalo").between(col("_ccs"), col("_cce")) &&
+      ((col("_cce") - col("_ccs") + 1) - (iCdsIdx0 - (iCdsIdx0 % 3)))
+        .between(1, 2)
     val iTerm =
       when(cbGate,
         when(iComplex || ((utrExt5 || utrExt3) && col("_i_ld") =!= 0),
@@ -1216,6 +1237,8 @@ object Annotate {
             when(geomOk && cbGate && utrExt3,
               when(strandPos, rkLit("3_prime_UTR_variant"))
                 .otherwise(rkLit("5_prime_UTR_variant"))),
+            when(geomOk && iIncomplete,
+              rkLit("incomplete_terminal_codon_variant")),
             when(geomOk && iBody, rkLit("intron_variant")),
             when(geomOk && col("_i_bt") === "nonsense_mediated_decay",
               rkLit("NMD_transcript_variant")),
