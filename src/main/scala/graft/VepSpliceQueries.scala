@@ -1122,7 +1122,10 @@ object VepSpliceQueries {
        |   AND t.start - ${opts.distance} <= v."end" AND t."end" + ${opts.distance} >= v.start
        |   AND NOT (v.start <= t."end" AND v."end" >= t.start)),
        |rge AS (SELECT v.id, rg.feature_id AS transcript_id,
-       |   ['regulatory_region_variant'] AS terms,
+       |   list_filter([CASE WHEN length(v.alt) < length(v.ref)
+       |      AND v.norm_start <= rg.start AND v.norm_end >= rg."end"
+       |      THEN 'regulatory_region_ablation' END,
+       |     'regulatory_region_variant'], x -> x IS NOT NULL) AS terms,
        |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
        |   CAST(NULL AS BIGINT) AS protein_pos, CAST(NULL AS VARCHAR) AS hgvs_c,
        |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,

@@ -41,14 +41,19 @@ import org.apache.spark.sql.functions._
   * complex-indel downgrade (a deletion reaching a non-frameshift
   * intron body keeps only coding_sequence_variant), and the
   * no-frameshift rule + UTR-extension terms for deletions spanning a
-  * CDS/UTR boundary. Remaining documented deviations: the indel
-  * partial-codon arm (incomplete_terminal_codon_variant fires only
-  * from the SNV codon layer), NMD/splice terms on trimmed-candidacy
-  * rows ride the same gates as their geometry families, and a variant
-  * whose only nearby transcript yields zero assignments (e.g. an
-  * insertion one past the transcript end) keeps an empty CSQ rather
-  * than the reference's intergenic entry (the intergenic arm keys on
-  * the distance window, not on assignment emptiness).
+  * CDS/UTR boundary; the partial-codon arm fires for indels too, and
+  * incomplete_terminal_codon co-occurs with its coding_sequence
+  * parent. Remaining documented deviations: a variant whose only
+  * nearby transcript yields zero assignments (e.g. an insertion one
+  * past the transcript end) keeps an empty CSQ rather than the
+  * reference's intergenic entry (the intergenic arm keys on the
+  * distance window, not on assignment emptiness); and the motif
+  * entries are DELIBERATELY RICHER than the reference's — real-VEP
+  * style per-motif Feature rows with populated MOTIF_NAME/MOTIF_POS/
+  * HIGH_INF_POS/MOTIF_SCORE_CHANGE/TRANSCRIPTION_FACTORS, where the
+  * reference emits one anonymous MotifFeature entry per variant and
+  * always renders the five motif CSQ slots empty
+  * (annotate_provider.rs format strings end `...|||||`).
   *
   * Scale shape: every candidate generator runs through the interval
   * strategy's broadcast index probes (transcripts on the build side);
@@ -1317,7 +1322,12 @@ object Annotate {
     // ---- regulatory / TF-motif feature entries (VEP emits these as
     // their own CSQ Feature rows; they join most_severe ranking) ----
     val fv = vcf.select(col("chrom").as("_f_vc"), col("start").cast("long").as("_f_vs"),
-      col("end").cast("long").as("_f_ve"), col("id").as("_f_vid"))
+      col("end").cast("long").as("_f_ve"), col("id").as("_f_vid"),
+      (length(col("alt")) - length(col("ref"))).cast("long").as("_f_ld"),
+      Vep.vepNormStartUdf(col("start").cast("long"), col("ref"), col("alt"))
+        .as("_f_nvs"),
+      Vep.vepNormEndUdf(col("start").cast("long"), col("ref"), col("alt"))
+        .as("_f_nve"))
     def featureEntries(features: DataFrame, fid: String, term: String,
         ftype: String, motif: Boolean): DataFrame = {
       val ff = features.select(
@@ -1330,11 +1340,25 @@ object Annotate {
       // HIGH_INF_POS = 'Y' on the first three bases (the stand-in for
       // the PWM high-information flag — Vep.annotateMotif convention)
       val mPos = greatest(col("_f_vs"), col("_f_fs")) - col("_f_fs") + 1
+      // feature_ablation: a deletion whose trimmed span fully
+      // encompasses the regulatory feature adds the ablation term
+      // beside regulatory_region_variant (VariationEffect.pm
+      // feature_ablation = complete_overlap + deletion; the reference
+      // applies it to regulatory features only —
+      // transcript_consequence.rs:1415-1421)
+      val terms: Column =
+        if (ftype == "RegulatoryFeature")
+          filter(array(
+            when(col("_f_ld") < 0 && col("_f_nvs") <= col("_f_fs") &&
+              col("_f_nve") >= col("_f_fe"),
+              rkLit("regulatory_region_ablation")),
+            rkLit(term)), x => x.isNotNull)
+        else array(rkLit(term))
       ff.join(fv,
           col("_f_fc") === col("_f_vc") &&
             col("_f_fs") <= col("_f_ve") && col("_f_fe") >= col("_f_vs"))
         .select(col("_f_vid").as("id"), col("_f_id").as("transcript_id"),
-          array(rkLit(term)).as("_terms"),
+          terms.as("_terms"),
           nullL.as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
           nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
           nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"), nullL.as("_dist"),
