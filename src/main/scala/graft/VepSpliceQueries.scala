@@ -641,7 +641,9 @@ object VepSpliceQueries {
        |intr AS (SELECT itid, ist, ien FROM i0 WHERE ien IS NOT NULL AND ien >= ist),
        |cand AS (SELECT iv.id, iv.vs, iv.ve, iv.isins, iv.lo, iv.hi,
        |   t.transcript_id AS tid, t.strand
-       |  FROM iv JOIN t ON iv.chrom = t.chrom AND t.start <= iv.hi AND t."end" >= iv.lo),
+       |  FROM iv JOIN t ON iv.chrom = t.chrom AND t.start <= iv.hi AND t."end" >= iv.lo
+       |   AND (CASE WHEN iv.isins THEN iv.vs > t.start AND iv.vs <= t."end"
+       |    ELSE iv.vs <= t."end" AND iv.ve >= t.start END)),
        |j AS (SELECT cand.*, intr.ist, intr.ien,
        |  EXISTS (SELECT 1 FROM intr x WHERE x.itid = cand.tid
        |   AND x.ien - x.ist <= 12) AS hasfs

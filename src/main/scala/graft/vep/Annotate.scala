@@ -1212,24 +1212,23 @@ object Annotate {
     // the NORM-span overlap — exactly the old splice stream's
     // candidate condition — so norm-only reach never leaks terms for
     // transcripts the old probe would not have paired.
-    val iSterms = when(normOv, coalesce(Splice.spliceTermsOf(
+    // ALL families — geometry, HGVS and splice — evaluate on VEP's
+    // TRIMMED-event transcript candidacy (reference tree-query filter,
+    // transcript_consequence.rs:919-925): insertions require
+    // P in (tx_start, tx_end] — an insertion right before the first or
+    // right after the last transcript base is NOT a candidate in VEP
+    // and yields NO entry (the former norm-reach splice-only arm
+    // preserved a pre-fusion behavior the reference never produces);
+    // deletions use the trimmed span
+    val geomOk = when(isins, iP > col("_i_ts") && iP <= col("_i_te"))
+      .otherwise(col("_i_nvs") <= col("_i_te") && col("_i_nve") >= col("_i_ts"))
+    val iSterms = when(geomOk, coalesce(Splice.spliceTermsOf(
         Splice.intronArr(col("_xa_es"), col("_xa_ee")),
         col("_i_nvs"), col("_i_nve"), col("_i_isins"), col("_i_strand")),
       emptyTerms)).otherwise(emptyTerms)
-    // geometry/HGVS families render only for RAW-span overlap (the old
-    // indel candidate condition); norm-only rows carry splice terms
-    // alone — the old full-outer's splice-only arm
-    // geometry terms evaluate on VEP's TRIMMED-event transcript
-    // candidacy: insertions require P in (tx_start, tx_end] (the
-    // inverted-coordinate transcript overlap — an insertion right
-    // after the last transcript base is NOT a candidate in VEP),
-    // deletions the trimmed span; HGVS keeps the raw-span gate (the
-    // shifted anchors' in-transcript guard bounds it anyway)
-    val geomOk = when(isins, iP > col("_i_ts") && iP <= col("_i_te"))
-      .otherwise(col("_i_nvs") <= col("_i_te") && col("_i_nve") >= col("_i_ts"))
     val indelEntries = igeo
       .withColumn("_sterms", iSterms)
-      .where(rawOv || size(col("_sterms")) > 0)
+      .where(geomOk)
       .select(col("_i_vid").as("id"), col("_i_tid").as("transcript_id"),
         concat(
           filter(array(when(geomOk, iTerm),

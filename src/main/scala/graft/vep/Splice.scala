@@ -882,8 +882,14 @@ object Splice {
     val t = transcripts.select(col("chrom").as("_tc"),
       col("start").cast("long").as("_ts"), col("end").cast("long").as("_te"),
       col("transcript_id").as("_tid"), col("strand").as("_strand"))
+    // transcript candidacy on the TRIMMED event (reference tree query
+    // filter, transcript_consequence.rs:919-925): insertions require
+    // P in (tx_start, tx_end] — both flanks inside the transcript
     val cand = t.join(v,
-      col("_tc") === col("_vc") && col("_ts") <= col("_hi") && col("_te") >= col("_lo"))
+      col("_tc") === col("_vc") &&
+        col("_ts") <= col("_hi") && col("_te") >= col("_lo") &&
+        when(col("_isins"), col("_vs") > col("_ts") && col("_vs") <= col("_te"))
+          .otherwise(col("_vs") <= col("_te") && col("_ve") >= col("_ts")))
     val intronDf = introns(exons)
     // per-transcript frameshift-intron presence (PPT's 12 bp exon
     // stretch — see [[spliceTermsOf]])

@@ -390,18 +390,17 @@ class AnnotateSuite extends SparkSpec {
     assert(VepOptions.fromJson("""{"shift_hgvs": "false"}""").shiftHgvs)
   }
 
-  test("fused splice-only arm: norm-reach insertion at the transcript boundary") {
-    // Variant 1: insertion anchored at 999 — its RAW span [999, 999]
-    // does NOT overlap T1 [1000, 1999], but its VEP-normalized
-    // insertion point P = 1000 does (the widened indel candidate's
-    // norm arm). With a 1-base first exon [1000, 1000] the first
-    // intron starts at is = 1001, so P falls in the exonic
-    // splice-region insertion window [is-2, is-1]: the entry carries
-    // splice_region_variant ALONE (no geometry/HGVS fields — the raw
-    // arm is gated off), reproducing the old full-outer's splice-only
-    // row. The same variant is also 1 bp upstream, so the updown
-    // layer contributes its own entry. Variant 2 is far upstream:
-    // updown only, and the widened candidate must NOT leak terms.
+  test("boundary insertions: VEP transcript candidacy gates every family") {
+    // Variant 1: insertion anchored at 999 — its VEP insertion point
+    // P = 1000 sits exactly ON the transcript start of T1
+    // [1000, 1999]. VEP's insertion candidacy requires BOTH flanks
+    // inside the transcript (P in (tx_start, tx_end]), so T1 is not
+    // evaluated at all: no geometry, no HGVS, and — since the
+    // candidacy gate covers the splice family too — no splice terms
+    // (the pre-rework norm-reach arm emitted splice_region_variant
+    // here, a behavior the reference never produces). The variant is
+    // 1 bp upstream, so the updown layer contributes the ONLY entry.
+    // Variant 2 is far upstream: updown only.
     val vcf = Seq(
       ("chr1", 999L, 999L, 1L, "A", "AG"),
       ("chr1", 900L, 900L, 2L, "A", "AG"),
@@ -441,15 +440,11 @@ class AnnotateSuite extends SparkSpec {
     }
     val DIST = 18
     val e1 = entries(1L)
-    assert(e1.length == 2, e1.map(_(CONSEQUENCE)).mkString(";"))
-    val spl = e1.find(_(CONSEQUENCE) == "splice_region_variant")
-    assert(spl.isDefined)
-    assert(spl.get(FEATURE) == "T1" && spl.get(FTYPE) == "Transcript")
-    assert(spl.get(HGVSC) == "" && spl.get(EXON) == "" && spl.get(DIST) == "")
-    val up = e1.find(_(CONSEQUENCE) == "upstream_gene_variant")
-    assert(up.isDefined && up.get(DIST) == "1")
+    assert(e1.length == 1, e1.map(_(CONSEQUENCE)).mkString(";"))
+    assert(e1.head(CONSEQUENCE) == "upstream_gene_variant")
+    assert(e1.head(DIST) == "1")
     assert(out(1L).getString(out(1L).fieldIndex("most_severe_consequence")) ==
-      "splice_region_variant")
+      "upstream_gene_variant")
     val e2 = entries(2L)
     assert(e2.length == 1 && e2.head(CONSEQUENCE) == "upstream_gene_variant")
     assert(e2.head(DIST) == "100")
