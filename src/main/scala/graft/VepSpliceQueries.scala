@@ -220,6 +220,17 @@ object VepSpliceQueries {
         Tables.vepCache(s, d),
         Tables.transcripts(s, d), Tables.exonsFs(s, d), Tables.siftContext(s, d),
         Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d))),
+    // The reference's PRIMARY output shape: the full typed annotation
+    // frame (annotation_column_defs — per-CSQ-field List columns).
+    // Gate projection serializes every List to a '~'-joined string so
+    // the driver's hash compare can sort the cells; float lists
+    // serialize through fixed DECIMAL forms matching the oracle's raw
+    // CSQ slot strings.
+    "f11_typed_full" -> ((s, d) =>
+      serializeTypedFull(graft.vep.Annotate.annotateTypedFull(
+        Tables.vcf(s, d), Tables.vepCache(s, d),
+        Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
+        Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d)))),
     // Transcript-source selection (annotate_provider.rs:5642-5784):
     // the fixture's T* ids are remapped to a mix of curated RefSeq
     // (NM_), predicted RefSeq (XM_), Ensembl (ENST) and unlabeled
@@ -1335,6 +1346,68 @@ object VepSpliceQueries {
     e2eCsqSql(e2eCtesFor(graft.vep.VepOptions.Everything, fsProbeVcfCte,
       Oracle.exonsFsAs("ex")))
 
+  /** Gate serialization of [[graft.vep.Annotate.annotateTypedFull]]:
+    * List columns '~'-joined; float lists through fixed DECIMAL forms
+    * that reproduce the CSQ slots' rendered strings exactly (the
+    * oracle serializes the raw slot text). */
+  private def serializeTypedFull(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val afNames = (graft.vep.Annotate.afCsq.map(_._1) :+ "MAX_AF").toSet
+    val strArrays = (graft.vep.Annotate.typedFullListCols ++
+      Seq("CLIN_SIG", "PUBMED", "TRANSCRIPTION_FACTORS")).toSet
+    df.select(df.columns.toSeq.map {
+      case c if afNames(c) =>
+        array_join(transform(col(c), x =>
+          coalesce(x.cast(DecimalType(6, 4)).cast("string"), lit(""))), "~").as(c)
+      case c @ "MOTIF_SCORE_CHANGE" =>
+        array_join(transform(col(c), x =>
+          x.cast(DecimalType(3, 2)).cast("string")), "~").as(c)
+      case c if strArrays(c) => array_join(col(c), "~").as(c)
+      case c => col(c)
+    }: _*)
+  }
+
+  /** DuckDB oracle of the full typed frame: the SAME derivation over
+    * the e2e csq — per-entry field arrays split from the rendered
+    * entries, serialized identically. */
+  private lazy val typedFullSql: String = {
+    val names = graft.vep.Annotate.csqFieldNames
+    def k(n: String): Int = {
+      val i = names.indexOf(n); require(i >= 0, n); i + 1
+    }
+    def slotSer(n: String) =
+      s"COALESCE(array_to_string(list_transform(flds, f -> f[${k(n)}]), '~'), '')"
+    def scalar(n: String) =
+      s"CASE WHEN len(flds) > 0 THEN flds[1][${k(n)}] END"
+    def amp(n: String) =
+      s"CASE WHEN len(flds) > 0 AND flds[1][${k(n)}] <> '' " +
+        s"THEN array_to_string(string_split(flds[1][${k(n)}], '&'), '~') ELSE '' END"
+    def joined(n: String, sep: String) =
+      s"COALESCE(array_to_string(list_filter(list_transform(flds, f -> f[${k(n)}]), x -> x <> ''), '$sep'), '')"
+    val (listA, listB) = graft.vep.Annotate.typedFullListCols.splitAt(20)
+    val cols = Seq("b.id AS id", s"""${scalar("Allele")} AS "Allele"""") ++
+      listA.map(n => s"""${slotSer(n)} AS "$n"""") ++
+      Seq(s"""${scalar("VARIANT_CLASS")} AS "VARIANT_CLASS"""") ++
+      listB.map(n => s"""${slotSer(n)} AS "$n"""") ++
+      graft.vep.Annotate.afCsq.map { case (n, _) => s"""${slotSer(n)} AS "$n"""" } ++
+      Seq(s"""${slotSer("MAX_AF")} AS "MAX_AF"""",
+        """b.max_af_pops AS "MAX_AF_POPS"""",
+        s"""${amp("CLIN_SIG")} AS "CLIN_SIG"""",
+        s"""${scalar("SOMATIC")} AS "SOMATIC"""",
+        s"""${scalar("PHENO")} AS "PHENO"""",
+        s"""${amp("PUBMED")} AS "PUBMED"""",
+        s"""NULLIF(${joined("MOTIF_NAME", "&")}, '') AS "MOTIF_NAME"""",
+        s"""NULLIF(${joined("MOTIF_POS", "&")}, '') AS "MOTIF_POS"""",
+        s"""NULLIF(${joined("HIGH_INF_POS", "&")}, '') AS "HIGH_INF_POS"""",
+        s"""${joined("MOTIF_SCORE_CHANGE", "~")} AS "MOTIF_SCORE_CHANGE"""",
+        s"""${joined("TRANSCRIPTION_FACTORS", "~")} AS "TRANSCRIPTION_FACTORS"""")
+    s"""SELECT ${cols.mkString(", ")} FROM (
+       | SELECT q.*, CASE WHEN csq = '' THEN CAST([] AS VARCHAR[][])
+       |  ELSE list_transform(string_split(csq, ','), e -> string_split(e, '|')) END AS flds
+       | FROM ($annotateE2eSql) q) b ORDER BY b.id""".stripMargin.replace("\n", " ")
+  }
+
   /** Typed List<T> columns variant of the e2e oracle: parallel arrays
     * in the entry-string sort order, '|'-serialized for the gate
     * (string_agg(... ORDER BY ftrank, transcript_id) mirrors Spark's struct-sorted
@@ -1449,6 +1522,7 @@ object VepSpliceQueries {
     "f11_annotate_noshift" -> annotateNoShiftSql,
     "f11_annotate_probes" -> annotateProbesSql,
     "f11_annotate_fsintron" -> annotateFsIntronSql,
+    "f11_typed_full" -> typedFullSql,
     "f11_transcript_selection" -> transcriptSelectionSql,
     "s9_stream_annotate_tx" ->
       s"""WITH ${Oracle.transcripts}, ${Oracle.vcf}

@@ -466,6 +466,89 @@ object Annotate {
         coalesce(col("impact"), emptyArr).as("impact")): _*)
   }
 
+  /** Transcript-level List columns of the reference's FULL typed
+    * output frame, in its order (annotation_column_defs — the
+    * Transcript block minus the two per-variant scalars Allele and
+    * VARIANT_CLASS). Every name is a CSQ --everything field, so the
+    * arrays derive from the rendered entries by slot index. */
+  val typedFullListCols: Seq[String] = Seq(
+    "Consequence", "IMPACT", "SYMBOL", "Gene", "Feature_type",
+    "Feature", "BIOTYPE", "EXON", "INTRON", "HGVSc", "HGVSp",
+    "cDNA_position", "CDS_position", "Protein_position", "Amino_acids",
+    "Codons", "Existing_variation", "DISTANCE", "STRAND", "FLAGS",
+    "SYMBOL_SOURCE", "HGNC_ID", "CANONICAL", "MANE", "MANE_SELECT",
+    "MANE_PLUS_CLINICAL", "TSL", "APPRIS", "CCDS", "ENSP", "SWISSPROT",
+    "TREMBL", "UNIPARC", "UNIPROT_ISOFORM", "GENE_PHENO", "SIFT",
+    "PolyPhen", "DOMAINS", "miRNA", "HGVS_OFFSET")
+
+  /** The reference's PRIMARY output shape: the full typed annotation
+    * frame (annotate_provider.rs:142-… `annotation_column_defs` — 42
+    * transcript-level + 29 frequency + 9 variant-level columns; the 7
+    * cache-only xref columns are exposed by [[existingXrefs]]). One
+    * row per variant; each transcript-level column is a List with one
+    * element per CSQ entry, element N matching the Nth entry of the
+    * permutation-ordered CSQ. Derived as a pure PROJECTION over
+    * [[annotate]]'s rendered entries — per-entry slots split from the
+    * entry strings, per-variant constants taken post-substitution —
+    * so the frame costs no additional shuffle and cannot drift from
+    * the CSQ surface. Frequency columns are List<Double> (the
+    * reference replicates the variant-level frequency per entry);
+    * the motif tail '&'-joins our per-motif enrichment (the reference
+    * renders those columns null — see the object-doc deviation
+    * note). */
+  def annotateTypedFull(
+      vcf: DataFrame, cache: DataFrame, transcripts: DataFrame,
+      exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
+      regulatory: DataFrame, motifs: DataFrame,
+      opts: VepOptions = VepOptions.Everything): DataFrame = {
+    val base = annotate(vcf, cache, transcripts, exons, sift, polyphen,
+      regulatory, motifs, opts)
+    val names = csqFieldNamesForMode(opts.refseq, opts.merged, opts.everything)
+    val emptyA = expr("CAST(array() AS ARRAY<STRING>)")
+    // ONE split pass: array of per-entry field arrays
+    val withF = base.withColumn("_tf",
+      when(col("csq") === "", expr("CAST(array() AS ARRAY<ARRAY<STRING>>)"))
+        .otherwise(expr("transform(split(csq, ','), e -> split(e, '[|]'))")))
+    def slot(name: String): Column = {
+      val k = names.indexOf(name) + 1
+      require(k > 0, s"unknown CSQ field $name")
+      expr(s"transform(_tf, f -> element_at(f, $k))")
+    }
+    def scalar1(name: String): Column =
+      when(size(col("_tf")) === 0, lit(null).cast("string"))
+        .otherwise(element_at(slot(name), 1))
+    def floatArr(name: String): Column =
+      transform(slot(name), x =>
+        when(x === "", lit(null).cast("double")).otherwise(x.cast("double")))
+    def ampList(name: String): Column = {
+      val s = scalar1(name)
+      when(s.isNull || s === "", emptyA).otherwise(split(s, "[&]"))
+    }
+    def nonEmpty(name: String): Column = filter(slot(name), x => x =!= "")
+    def nullifEmpty(c: Column): Column =
+      when(c === "", lit(null).cast("string")).otherwise(c)
+    val (listA, listB) = typedFullListCols.splitAt(20)
+    val cols: Seq[Column] =
+      Seq(col("id"), scalar1("Allele").as("Allele")) ++
+        listA.map(n => slot(n).as(n)) ++
+        Seq(scalar1("VARIANT_CLASS").as("VARIANT_CLASS")) ++
+        listB.map(n => slot(n).as(n)) ++
+        afCsq.map { case (n, _) => floatArr(n).as(n) } ++
+        Seq(floatArr("MAX_AF").as("MAX_AF"),
+          col("max_af_pops").as("MAX_AF_POPS"),
+          ampList("CLIN_SIG").as("CLIN_SIG"),
+          scalar1("SOMATIC").as("SOMATIC"),
+          scalar1("PHENO").as("PHENO"),
+          ampList("PUBMED").as("PUBMED"),
+          nullifEmpty(array_join(nonEmpty("MOTIF_NAME"), "&")).as("MOTIF_NAME"),
+          nullifEmpty(array_join(nonEmpty("MOTIF_POS"), "&")).as("MOTIF_POS"),
+          nullifEmpty(array_join(nonEmpty("HIGH_INF_POS"), "&")).as("HIGH_INF_POS"),
+          transform(nonEmpty("MOTIF_SCORE_CHANGE"), x => x.cast("double"))
+            .as("MOTIF_SCORE_CHANGE"),
+          nonEmpty("TRANSCRIPTION_FACTORS").as("TRANSCRIPTION_FACTORS"))
+    withF.select(cols: _*)
+  }
+
   /** Colocated-variant side output (variant_lookup_exec.rs:519-537
     * `ColocatedSink`): cache entries sharing the variant's NORMALIZED
     * position — same chrom + VEP-normalized coordinates — whose allele
