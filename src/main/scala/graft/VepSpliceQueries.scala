@@ -1355,7 +1355,8 @@ object VepSpliceQueries {
     import org.apache.spark.sql.types.DecimalType
     val afNames = (graft.vep.Annotate.afCsq.map(_._1) :+ "MAX_AF").toSet
     val strArrays = (graft.vep.Annotate.typedFullListCols ++
-      Seq("CLIN_SIG", "PUBMED", "TRANSCRIPTION_FACTORS")).toSet
+      Seq("CLIN_SIG", "PUBMED", "TRANSCRIPTION_FACTORS",
+        "clin_sig_allele", "clinvar_ids", "cosmic_ids", "dbsnp_ids")).toSet
     df.select(df.columns.toSeq.map {
       case c if afNames(c) =>
         array_join(transform(col(c), x =>
@@ -1402,10 +1403,38 @@ object VepSpliceQueries {
         s"""NULLIF(${joined("HIGH_INF_POS", "&")}, '') AS "HIGH_INF_POS"""",
         s"""${joined("MOTIF_SCORE_CHANGE", "~")} AS "MOTIF_SCORE_CHANGE"""",
         s"""${joined("TRANSCRIPTION_FACTORS", "~")} AS "TRANSCRIPTION_FACTORS"""")
-    s"""SELECT ${cols.mkString(", ")} FROM (
+    def xsplit(c: String, sep: String) =
+      s"CASE WHEN xr.$c IS NULL OR xr.$c = '' THEN NULL " +
+        s"ELSE array_to_string(list_transform(string_split(xr.$c, '$sep'), x -> trim(x)), '~') END"
+    val xrefCols = Seq(
+      s"""${xsplit("csa", ";")} AS "clin_sig_allele"""",
+      """NULLIF(xr.ci, '') AS "clinical_impact"""",
+      """NULLIF(xr.ma, '') AS "minor_allele"""",
+      """xr.maf AS "minor_allele_freq"""",
+      s"""${xsplit("cv", ",")} AS "clinvar_ids"""",
+      s"""${xsplit("co", ",")} AS "cosmic_ids"""",
+      s"""${xsplit("db", ",")} AS "dbsnp_ids"""")
+    s"""WITH ${Oracle.vcf}, ${Oracle.vepCache},
+       |xr0 AS (SELECT v.id, c.variation_name AS vn, c.clin_sig_allele AS csa,
+       |   c.clinical_impact AS ci, c.minor_allele AS ma,
+       |   c.minor_allele_freq AS maf, c.clinvar_id AS cv, c.cosmic_id AS co,
+       |   c.dbsnp_id AS db,
+       |   ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+       |     c.variation_name NULLS FIRST, c.clin_sig_allele NULLS FIRST,
+       |     c.clinical_impact NULLS FIRST, c.minor_allele NULLS FIRST,
+       |     c.minor_allele_freq NULLS FIRST, c.clinvar_id NULLS FIRST,
+       |     c.cosmic_id NULLS FIRST, c.dbsnp_id NULLS FIRST) AS rn
+       |  FROM v JOIN c ON v.chrom = c.chrom
+       |   AND v.norm_start = c.start AND v.norm_end = c."end"
+       |   AND (split_part(c.allele_string, '/', 1) = v.vep_ref
+       |        OR split_part(c.allele_string, '/', 1) = v.ref)
+       |   AND split_part(c.allele_string, '/', 2) = v.vep_alt),
+       |xr AS (SELECT * FROM xr0 WHERE rn = 1)
+       |SELECT ${cols.mkString(", ")}, ${xrefCols.mkString(", ")} FROM (
        | SELECT q.*, CASE WHEN csq = '' THEN CAST([] AS VARCHAR[][])
        |  ELSE list_transform(string_split(csq, ','), e -> string_split(e, '|')) END AS flds
-       | FROM ($annotateE2eSql) q) b ORDER BY b.id""".stripMargin.replace("\n", " ")
+       | FROM ($annotateE2eSql) q) b
+       |LEFT JOIN xr ON b.id = xr.id ORDER BY b.id""".stripMargin.replace("\n", " ")
   }
 
   /** Typed List<T> columns variant of the e2e oracle: parallel arrays

@@ -481,10 +481,51 @@ object Annotate {
     "TREMBL", "UNIPARC", "UNIPROT_ISOFORM", "GENE_PHENO", "SIFT",
     "PolyPhen", "DOMAINS", "miRNA", "HGVS_OFFSET")
 
+  /** The reference's 7 cache-only xref output columns
+    * (annotation_column_defs Cache block, filled at
+    * annotate_provider.rs:5105-5180): read from the variant's
+    * allele-MATCHED cache entry — clin_sig_allele splits on ';', the
+    * id columns on ','; empty strings become NULL (scalars) or NULL
+    * lists, exactly like the reference's builders. This fixture
+    * cache carries the singular-name id columns
+    * (clinvar_id/cosmic_id/dbsnp_id) — one-element lists. When
+    * multiple cache entries match, the lexicographically least
+    * (variation_name, xref tuple) wins, deterministically on both
+    * engines. */
+  def existingXrefs(vcf: DataFrame, cache: DataFrame): DataFrame = {
+    val looked = Vep.lookupVariants(vcf, cache,
+      columns = Seq("variation_name", "clin_sig_allele", "clinical_impact",
+        "minor_allele", "minor_allele_freq", "clinvar_id", "cosmic_id",
+        "dbsnp_id"))
+    val agg = looked.groupBy(col("id"))
+      .agg(min(struct(
+        col("cache_variation_name").as("vn"),
+        col("cache_clin_sig_allele").as("csa"),
+        col("cache_clinical_impact").as("ci"),
+        col("cache_minor_allele").as("ma"),
+        col("cache_minor_allele_freq").as("maf"),
+        col("cache_clinvar_id").as("cv"),
+        col("cache_cosmic_id").as("co"),
+        col("cache_dbsnp_id").as("db"))).as("x"))
+    def splitList(c: Column, sep: String): Column =
+      when(c.isNull || c === "", lit(null).cast("array<string>"))
+        .otherwise(transform(split(c, sep), x => trim(x)))
+    def ne(c: Column): Column =
+      when(c === "", lit(null).cast("string")).otherwise(c)
+    agg.select(col("id"),
+      splitList(col("x.csa"), "[;]").as("clin_sig_allele"),
+      ne(col("x.ci")).as("clinical_impact"),
+      ne(col("x.ma")).as("minor_allele"),
+      col("x.maf").cast("double").as("minor_allele_freq"),
+      splitList(col("x.cv"), "[,]").as("clinvar_ids"),
+      splitList(col("x.co"), "[,]").as("cosmic_ids"),
+      splitList(col("x.db"), "[,]").as("dbsnp_ids"))
+  }
+
   /** The reference's PRIMARY output shape: the full typed annotation
     * frame (annotate_provider.rs:142-… `annotation_column_defs` — 42
-    * transcript-level + 29 frequency + 9 variant-level columns; the 7
-    * cache-only xref columns are exposed by [[existingXrefs]]). One
+    * transcript-level + 29 frequency + 9 variant-level + 7 cache-only
+    * xref columns ([[existingXrefs]], appended by id join). One
     * row per variant; each transcript-level column is a List with one
     * element per CSQ entry, element N matching the Nth entry of the
     * permutation-ordered CSQ. Derived as a pure PROJECTION over
@@ -547,6 +588,7 @@ object Annotate {
             .as("MOTIF_SCORE_CHANGE"),
           nonEmpty("TRANSCRIPTION_FACTORS").as("TRANSCRIPTION_FACTORS"))
     withF.select(cols: _*)
+      .join(existingXrefs(vcf, cache), Seq("id"), "left")
   }
 
   /** Colocated-variant side output (variant_lookup_exec.rs:519-537
