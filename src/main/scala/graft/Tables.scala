@@ -595,16 +595,16 @@ object Oracle {
       | CAST(CASE WHEN i = 0 THEN start + (("end" - start) // 2) ELSE "end" END AS BIGINT) AS "end"
       | FROM t, UNNEST(generate_series(0, 1)) AS u(i))""".stripMargin.replace("\n", " ")
 
-  /** DuckDB mirror of [[Tables.spliceProbes]] (requires `ex` in
-    * scope), VEP-normalized columns precomputed per variant kind:
-    * SNV A>C norm (p,p); insertion A>AC trims to -/C with the VEP
-    * inverted coords (p+1, p); deletion AC>A trims to C/- at
-    * (p+1, p+1). */
   /** [[spliceProbes]] reading its exon context from a caller-chosen
     * CTE name (see [[exonsAs]]). */
   def spliceProbesFrom(exName: String): String =
     spliceProbes.replace("FROM ex)", s"FROM $exName)")
 
+  /** DuckDB mirror of [[Tables.spliceProbes]] (requires `ex` in
+    * scope), VEP-normalized columns precomputed per variant kind:
+    * SNV A>C norm (p,p); insertion A>AC trims to -/C with the VEP
+    * inverted coords (p+1, p); deletion AC>A trims to C/- at
+    * (p+1, p+1). */
   val spliceProbes: String =
     """sp AS (SELECT concat('chr', CAST((CAST(substr(transcript_id, 2) AS BIGINT) // 10) % 2 AS VARCHAR)) AS chrom,
       | CAST(anchor + k AS BIGINT) AS start,

@@ -1263,7 +1263,7 @@ object VepSpliceQueries {
     s"""$ctes,
        |grp0 AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts,
        |   flatten(list(terms2)) AS ut,
-       |   string_agg(entry, ',' ORDER BY ftrank, transcript_id) AS csq FROM ent GROUP BY id),
+       |   string_agg(entry, ',' ORDER BY ftrank, transcript_id, entry) AS csq FROM ent GROUP BY id),
        |grp AS (SELECT id, n_transcripts, csq,
        |   ${graft.vep.Annotate.collapsedBestSql(graft.vep.CodonLogic.DuckD, "ut", prefixed = false)} AS best
        |  FROM grp0)
@@ -1315,16 +1315,20 @@ object VepSpliceQueries {
     * self-contained (re-derives the exon context under `spx`) so it
     * can replace `Oracle.vcf` in every nested layer oracle without
     * colliding with their own `ex` CTEs. */
-  private val probeVcfCte: String = {
-    // the e2e oracle's splice-term aggregation CTE is itself named
-    // `sp` — the probe chain renames its CTE to `spv` to avoid the
-    // top-level collision
+  /** A `v`-defining probe CTE chain over the given exon-layout CTE
+    * (named `spx`). The e2e oracle's splice-term aggregation CTE is
+    * itself named `sp`, so the probe chain renames its CTE to `spv`
+    * to avoid the top-level collision; ids re-key with a chromosome
+    * bit and full-row duplicates drop (see [[probeVcfOver]]). */
+  private def probeCteOver(exCte: String): String = {
     val probes = Oracle.spliceProbesFrom("spx").replaceFirst("sp AS ", "spv AS ")
-    s"""${Oracle.exonsAs("spx")}, $probes,
+    s"""$exCte, $probes,
        |v AS (SELECT DISTINCT spv.* REPLACE (spv.id * 2
        |  + CASE WHEN spv.chrom = 'chr1' THEN 1 ELSE 0 END AS id) FROM spv)"""
       .stripMargin.replace("\n", " ")
   }
+
+  private val probeVcfCte: String = probeCteOver(Oracle.exonsAs("spx"))
 
   private lazy val annotateProbesSql: String =
     e2eCsqSql(e2eCtesFor(graft.vep.VepOptions.Everything, probeVcfCte))
@@ -1334,13 +1338,7 @@ object VepSpliceQueries {
     * intron ([[Tables.exonsFs]]) — pins the splice-window skip, the
     * coding_sequence_variant CDS arm, and the intron_variant body
     * exclusion through the oracle. */
-  private val fsProbeVcfCte: String = {
-    val probes = Oracle.spliceProbesFrom("spx").replaceFirst("sp AS ", "spv AS ")
-    s"""${Oracle.exonsFsAs("spx")}, $probes,
-       |v AS (SELECT DISTINCT spv.* REPLACE (spv.id * 2
-       |  + CASE WHEN spv.chrom = 'chr1' THEN 1 ELSE 0 END AS id) FROM spv)"""
-      .stripMargin.replace("\n", " ")
-  }
+  private val fsProbeVcfCte: String = probeCteOver(Oracle.exonsFsAs("spx"))
 
   private lazy val annotateFsIntronSql: String =
     e2eCsqSql(e2eCtesFor(graft.vep.VepOptions.Everything, fsProbeVcfCte,
@@ -1360,7 +1358,7 @@ object VepSpliceQueries {
     df.select(df.columns.toSeq.map {
       case c if afNames(c) =>
         array_join(transform(col(c), x =>
-          coalesce(x.cast(DecimalType(6, 4)).cast("string"), lit(""))), "~").as(c)
+          coalesce(x.cast(DecimalType(5, 4)).cast("string"), lit(""))), "~").as(c)
       case c @ "MOTIF_SCORE_CHANGE" =>
         array_join(transform(col(c), x =>
           x.cast(DecimalType(3, 2)).cast("string")), "~").as(c)
@@ -1439,19 +1437,19 @@ object VepSpliceQueries {
 
   /** Typed List<T> columns variant of the e2e oracle: parallel arrays
     * in the entry-string sort order, '|'-serialized for the gate
-    * (string_agg(... ORDER BY ftrank, transcript_id) mirrors Spark's struct-sorted
+    * (string_agg(... ORDER BY ftrank, transcript_id, entry) mirrors Spark's struct-sorted
     * collect followed by array_join). */
   private val typedColumnsSql: String =
     s"""$e2eCtes,
        |grp0 AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_transcripts,
        |   flatten(list(terms2)) AS ut,
-       |   string_agg(transcript_id, '|' ORDER BY ftrank, transcript_id) AS transcript_ids,
-       |   string_agg(termstr, '|' ORDER BY ftrank, transcript_id) AS consequences,
-       |   string_agg(COALESCE(hgvs_c, ''), '|' ORDER BY ftrank, transcript_id) AS hgvs_c,
-       |   string_agg(COALESCE(hgvs_p, ''), '|' ORDER BY ftrank, transcript_id) AS hgvs_p,
-       |   string_agg(COALESCE(sift_pred, ''), '|' ORDER BY ftrank, transcript_id) AS sift,
-       |   string_agg(COALESCE(polyphen_pred, ''), '|' ORDER BY ftrank, transcript_id) AS polyphen,
-       |   string_agg(impact, '|' ORDER BY ftrank, transcript_id) AS impact
+       |   string_agg(transcript_id, '|' ORDER BY ftrank, transcript_id, entry) AS transcript_ids,
+       |   string_agg(termstr, '|' ORDER BY ftrank, transcript_id, entry) AS consequences,
+       |   string_agg(COALESCE(hgvs_c, ''), '|' ORDER BY ftrank, transcript_id, entry) AS hgvs_c,
+       |   string_agg(COALESCE(hgvs_p, ''), '|' ORDER BY ftrank, transcript_id, entry) AS hgvs_p,
+       |   string_agg(COALESCE(sift_pred, ''), '|' ORDER BY ftrank, transcript_id, entry) AS sift,
+       |   string_agg(COALESCE(polyphen_pred, ''), '|' ORDER BY ftrank, transcript_id, entry) AS polyphen,
+       |   string_agg(impact, '|' ORDER BY ftrank, transcript_id, entry) AS impact
        |  FROM ent GROUP BY id),
        |grp AS (SELECT * EXCLUDE (ut),
        |   ${graft.vep.Annotate.collapsedBestSql(graft.vep.CodonLogic.DuckD, "ut", prefixed = false)} AS best

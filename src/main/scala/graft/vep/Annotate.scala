@@ -1022,9 +1022,9 @@ object Annotate {
     // out, so no specific coding predicate can), the intron's splice
     // windows are skipped, intron_variant never (body excludes
     // frameshift introns)
+    val snvIntrons = Splice.intronArr(col("_xa_es"), col("_xa_ee"))
     val snvFsIntron = Splice.inFrameshiftIntron(
-      Splice.intronArr(col("_xa_es"), col("_xa_ee")),
-      col("_vp"), col("_vp"), lit(false))
+      snvIntrons, col("_vp"), col("_vp"), lit(false))
     val snvTerm =
       when(col("region") === "intronic",
         when(snvFsIntron && Splice.isCodingBt(col("_bt")) &&
@@ -1038,7 +1038,6 @@ object Annotate {
         .otherwise(rkCol(
           coalesce(col("codon_consequence"), lit("coding_sequence_variant"))))
     // SNVs: normalized coords = the position itself, never an insertion
-    val snvIntrons = Splice.intronArr(col("_xa_es"), col("_xa_ee"))
     val snvBody = Splice.hitsIntronBody(
       snvIntrons, col("_vp"), col("_vp"), lit(false))
     val snvSterms = Splice.spliceTermsOf(
@@ -1222,8 +1221,9 @@ object Annotate {
     // complex indel (:1850-1866): a deletion that overlaps an exon AND
     // reaches the body of a NON-frameshift intron — the CDS change is
     // undeterminable, only coding_sequence_variant fires
+    val iIntrons = Splice.intronArr(col("_xa_es"), col("_xa_ee"))
     val iComplex = !isins && col("_i_inex") === 1 &&
-      coalesce(exists(Splice.intronArr(col("_xa_es"), col("_xa_ee")), i =>
+      coalesce(exists(iIntrons, i =>
         (i.getField("ie") - i.getField("is") > 12) &&
           col("_i_nvs") <= i.getField("ie") &&
           col("_i_nve") >= i.getField("is")), lit(false))
@@ -1237,8 +1237,7 @@ object Annotate {
       .otherwise(col("_i_nvs") <= imEnd && col("_i_nve") >= imStart)
     // frameshift-intron CDS arm (see the SNV stream's twin)
     val iFsIntron = Splice.inFrameshiftIntron(
-      Splice.intronArr(col("_xa_es"), col("_xa_ee")),
-      col("_i_nvs"), col("_i_nve"), col("_i_isins"))
+      iIntrons, col("_i_nvs"), col("_i_nve"), col("_i_isins"))
     val iFsCds = cdsOv
     // partial_codon (add_coding_terms:1927-1981): the event's codon is
     // the LAST, truncated one of a CDS whose spliced length is not a
@@ -1294,8 +1293,7 @@ object Annotate {
     // exon-spanning deletion reaching >= 2 bp into an intron carries
     // BOTH its exon term and intron_variant, like the reference)
     val iBody = Splice.hitsIntronBody(
-      Splice.intronArr(col("_xa_es"), col("_xa_ee")),
-      col("_i_nvs"), col("_i_nve"), col("_i_isins"))
+      iIntrons, col("_i_nvs"), col("_i_nve"), col("_i_isins"))
     // HGVSc rendering on the fused aggregate — 1:1 with
     // Splice.indelHgvs's formatting over its own aggregate: valid only
     // when both shifted anchors lie inside this transcript AND inside
@@ -1348,7 +1346,7 @@ object Annotate {
     val geomOk = when(isins, iP > col("_i_ts") && iP <= col("_i_te"))
       .otherwise(col("_i_nvs") <= col("_i_te") && col("_i_nve") >= col("_i_ts"))
     val iSterms = when(geomOk, coalesce(Splice.spliceTermsOf(
-        Splice.intronArr(col("_xa_es"), col("_xa_ee")),
+        iIntrons,
         col("_i_nvs"), col("_i_nve"), col("_i_isins"), col("_i_strand")),
       emptyTerms)).otherwise(emptyTerms)
     val indelEntries = igeo

@@ -633,9 +633,11 @@ object Splice {
       def ov(x: Column, y: Column) = !isins && vs <= y && ve >= x
       def ip(x: Column, y: Column) = isins && p.between(x, y)
       // VEP skips ALL splice checks for a frameshift intron (<= 13 bp,
-      // ie - is <= 12) when the variant overlaps the intron body
-      // itself (transcript_consequence.rs:2623-2636) — boundary
-      // variants still run the windows on a frameshift intron
+      // ie - is <= 12) when the variant overlaps the intron SPAN
+      // [is, ie] — including its splice-site bases, a wider test than
+      // hitsIntronBody's inner span (transcript_consequence.rs:
+      // 2623-2636); purely-exonic boundary variants still run the
+      // windows on a frameshift intron
       val fsSkip = (ie_ - is_ <= 12) &&
         when(isins, p > is_ && p <= ie_).otherwise(vs <= ie_ && ve >= is_)
       val donor = when(plus, ov(is_, is_ + 1) || ip(is_ + 1, is_ + 1))
