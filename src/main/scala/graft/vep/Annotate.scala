@@ -493,10 +493,19 @@ object Annotate {
     * (variation_name, xref tuple) wins, deterministically on both
     * engines. */
   def existingXrefs(vcf: DataFrame, cache: DataFrame): DataFrame = {
-    val looked = Vep.lookupVariants(vcf, cache,
-      columns = Seq("variation_name", "clin_sig_allele", "clinical_impact",
-        "minor_allele", "minor_allele_freq", "clinvar_id", "cosmic_id",
-        "dbsnp_id"))
+    // every xref column is OPTIONAL on the cache, exactly like the
+    // reference's schema.index_of(...).ok() reads — absent columns
+    // read as all-NULL
+    val want = Seq("variation_name", "clin_sig_allele", "clinical_impact",
+      "minor_allele", "minor_allele_freq", "clinvar_id", "cosmic_id",
+      "dbsnp_id")
+    val present = want.filter(cache.columns.contains)
+    val looked0 = Vep.lookupVariants(vcf, cache, columns = present)
+    val looked = want.filterNot(present.contains).foldLeft(looked0) {
+      (df, n) =>
+        df.withColumn(s"cache_$n", lit(null).cast(
+          if (n == "minor_allele_freq") "double" else "string"))
+    }
     val agg = looked.groupBy(col("id"))
       .agg(min(struct(
         col("cache_variation_name").as("vn"),

@@ -151,6 +151,39 @@ class AnnotateSuite extends SparkSpec {
     assert(arr(2L, "consequences") == Seq("intergenic_variant"))
     assert(arr(2L, "transcript_ids") == Seq(""))
 
+    // the full 87-column typed frame decomposes the same CSQ: every
+    // transcript-level List column matches its CSQ slot element-wise,
+    // per-variant scalars match the first entry's slot, frequency
+    // columns round-trip the rendered decimals, and the cache-only
+    // xrefs read the allele-matched cache entry
+    val full = Annotate.annotateTypedFull(vcf, cache, tx, ex, sift, pp, reg, mot)
+      .collect().map(r => r.getLong(r.fieldIndex("id")) -> r).toMap
+    val f1r = full(1L)
+    def farr(name: String): Seq[String] =
+      f1r.getSeq[String](f1r.fieldIndex(name))
+    assert(f1r.getString(f1r.fieldIndex("Allele")) == "C")
+    assert(f1r.getString(f1r.fieldIndex("VARIANT_CLASS")) == "SNV")
+    assert(farr("Consequence") == e1.map(_(CONSEQUENCE)).toSeq)
+    assert(farr("Feature") == e1.map(_(FEATURE)).toSeq)
+    assert(farr("SYMBOL") == e1.map(_(SYMBOL)).toSeq)
+    assert(farr("HGVSc") == e1.map(_(HGVSC)).toSeq)
+    assert(farr("Existing_variation") == Seq("rs1", "rs1", "rs1"))
+    assert(f1r.getSeq[Double](f1r.fieldIndex("AF")) == Seq(0.1, 0.1, 0.1))
+    assert(f1r.getSeq[Double](f1r.fieldIndex("MAX_AF")) == Seq(0.6, 0.6, 0.6))
+    assert(f1r.getString(f1r.fieldIndex("MAX_AF_POPS")) == "SAS")
+    assert(f1r.getSeq[String](f1r.fieldIndex("CLIN_SIG")) == Seq("benign"))
+    assert(f1r.getString(f1r.fieldIndex("SOMATIC")) == "1")
+    // motif tail: our per-motif enrichment '&'-joins non-empty slots
+    assert(f1r.getString(f1r.fieldIndex("MOTIF_NAME")) == "CTCF")
+    assert(f1r.getSeq[Double](f1r.fieldIndex("MOTIF_SCORE_CHANGE")) == Seq(-0.25))
+    // cache-only xrefs: variant 1 matches rs1; the fixture cache rows
+    // here carry no xref columns -> lookupVariants requires them, so
+    // just pin the no-hit variant's NULL lists on variant 2
+    val f2r = full(2L)
+    assert(f2r.isNullAt(f2r.fieldIndex("dbsnp_ids")))
+    assert(f2r.isNullAt(f2r.fieldIndex("clinical_impact")))
+    assert(f2r.getSeq[String](f2r.fieldIndex("Consequence")) == Seq("intergenic_variant"))
+
     // the public CSQ metadata: 80 names in emission order, header
     // line announces them, parseCsq inverts the rendering
     assert(Annotate.csqFieldNames.length == N_FIELDS)
