@@ -3,9 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},
-  *  "samples":{...},"sf":...}.
+  * SPARK_GRAFT_SF_DIR. Prints TWO JSON lines: first a raw-samples
+  * record ({"metric":"samples","samples":{...},"load":[...]}), then —
+  * as the FINAL stdout line — the compact medians-only record
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  * The driver captures a fixed-size TAIL of stdout (round-9 verdict:
+  * the combined one-line record outgrew the window and the official
+  * BENCH_r09 held only 48 of 97 queries), so the complete compact
+  * record must be last and self-contained.
   *
   * Each query is forced through the `noop` sink so full column
   * evaluation happens (a count() would let Catalyst prune expensive
@@ -16,13 +21,24 @@ import org.apache.spark.sql.SparkSession
   * refuted): each query runs SPARK_GRAFT_REPEATS times (default 3),
   * INTERLEAVED — the full query list runs as round 1, then round 2,
   * ... — so one host-contention burst cannot poison all samples of
-  * any query. "queries" reports the per-query MEDIAN; "samples"
-  * carries every raw sample for dispersion analysis. */
+  * any query. The ~10 s annotate-family pipelines dominate dispersion
+  * (round-9 verdict: a burst spanned all 3 interleaved samples of the
+  * two slowest queries), so they run 5 rounds; "load" records the
+  * host 1-min load average at each round start, making contention
+  * visible in-band. */
 object Bench {
+  /** The heavy end-to-end pipelines: extra rounds, since a single
+    * contention burst can span three back-to-back ~10 s samples. */
+  private val HeavyQueries = Set(
+    "f11_annotate_e2e", "f11_annotate_default", "f11_typed_columns",
+    "f11_typed_full", "f11_annotate_probes", "f11_annotate_fsintron")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    val heavyRepeats = math.max(repeats,
+      sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPEATS", "5").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -57,10 +73,18 @@ object Bench {
           -1.0
       }
     }
+    def repeatsFor(name: String): Int =
+      if (HeavyQueries(name)) heavyRepeats else repeats
+    val maxRounds = (selected.map { case (n, _) => repeatsFor(n) } :+ repeats).max
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loads = collection.mutable.ArrayBuffer[Double]()
     val samples: Seq[(String, Seq[Double])] = {
       val acc = collection.mutable.LinkedHashMap[String, Vector[Double]]()
-      for (_ <- 1 to repeats; (name, fn) <- selected)
-        acc(name) = acc.getOrElse(name, Vector.empty) :+ runOnce(name, fn)
+      for (round <- 1 to maxRounds) {
+        loads += osBean.getSystemLoadAverage
+        for ((name, fn) <- selected if round <= repeatsFor(name))
+          acc(name) = acc.getOrElse(name, Vector.empty) :+ runOnce(name, fn)
+      }
       acc.toSeq
     }
     def median(xs: Seq[Double]): Double = {
@@ -75,8 +99,12 @@ object Bench {
     val raw = samples.map { case (k, xs) =>
       "\"" + k + "\":[" + xs.map(x => f"$x%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val loadArr = loads.map(x => f"$x%.2f").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$raw,"repeats":$repeats,"sf":"$sfDir"}""")
+    // raw samples + per-round host load first; the compact,
+    // self-contained medians record is the FINAL line (driver contract)
+    println(s"""{"metric":"samples","samples":$raw,"load":$loadArr,"repeats":$repeats,"heavy_repeats":$heavyRepeats}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"repeats":$repeats,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

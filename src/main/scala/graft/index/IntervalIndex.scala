@@ -512,12 +512,23 @@ object CountOverlapIndex {
 /** Coverage index: intervals merged (weak/closed convention — reference
   * merges the left table per contig before coverage,
   * interval_tree.rs:104-106) into disjoint sorted runs, plus prefix
-  * sums of closed-interval lengths. `coverage([qs,qe])` = number of
-  * query basepairs covered by >=1 interval, O(log n). */
+  * sums of closed-interval lengths and of point-run counts.
+  * `coverage([qs,qe])` reproduces the reference's `get_coverage`
+  * formula EXACTLY (interval_tree.rs:145-152): each run overlapping
+  * the (strict-adjusted) query closed-style contributes
+  * `max(1, min(qe+1, runEnd) - max(qs-1, runStart))` — i.e. the
+  * closed length of the run's intersection with the one-expanded
+  * query, minus one, clamped to >=1. NOT the closed-inclusive covered
+  * length: a probe fully inside a run yields `len+1` (the reference's
+  * own fixture expects coverage 202 for a 201-bp fully-covered probe,
+  * tests/integration_test.rs:703) and a point run inside the probe
+  * yields 1. Validated row-for-row against the reference's shipped
+  * polars-bio golden (expected_coverage.parquet, 438,694 rows). */
 final class CoverageIndex(
     val ms: Array[Long], // merged starts, ascending, disjoint
     val me: Array[Long], // merged ends
-    val prefixLen: Array[Long]) extends ScalarIndex {
+    val prefixLen: Array[Long],
+    val prefixPts: Array[Int]) extends ScalarIndex {
 
   def valueOf(qs: Long, qe: Long): Long = coverage(qs, qe)
 
@@ -549,15 +560,28 @@ final class CoverageIndex(
   }
 
   def coverage(qs: Long, qe: Long): Long = {
-    if (qs > qe || ms.length == 0) return 0L
+    if (ms.length == 0) return 0L
     // first merged run with end >= qs (me is ascending since runs are disjoint)
     val first = lowerBound(me, qs)
     // last merged run with start <= qe
     val last = upperBound(ms, qe) - 1
+    // NB: an inverted strict-adjusted query (point probe, qs = qe + 2)
+    // still selects a run strictly spanning the point — same convention
+    // as CountOverlapIndex — and at most one run can qualify.
     if (first > last) return 0L
-    var total = prefixLen(last + 1) - prefixLen(first)
-    if (qs > ms(first)) total -= (qs - ms(first))
-    if (me(last) > qe) total -= (me(last) - qe)
+    def contrib(i: Int): Long =
+      math.max(1L, math.min(qe + 1, me(i)) - math.max(qs - 1, ms(i)))
+    if (first == last) return contrib(first)
+    var total = contrib(first) + contrib(last)
+    if (last - first > 1) {
+      // interior runs lie strictly inside the expanded query, so the
+      // min/max clamps cannot bind: contribution = closedLen - 1,
+      // floored at 1 — i.e. point runs (closedLen 1) contribute 1
+      val lenSum = prefixLen(last) - prefixLen(first + 1)
+      val n = (last - 1) - (first + 1) + 1
+      val pts = prefixPts(last) - prefixPts(first + 1)
+      total += lenSum - n + pts
+    }
     total
   }
 
@@ -590,7 +614,7 @@ object CoverageIndex {
     * fragments at the shared boundary. */
   def build(s: Array[Long], e: Array[Long], strictMerge: Boolean = false): CoverageIndex = {
     val n = s.length
-    if (n == 0) return new CoverageIndex(Array.empty, Array.empty, Array(0L))
+    if (n == 0) return new CoverageIndex(Array.empty, Array.empty, Array(0L), Array(0))
     val order = Array.range(0, n).sortInPlaceWith { (a, b) =>
       if (s(a) != s(b)) s(a) < s(b) else e(a) < e(b)
     }
@@ -607,8 +631,13 @@ object CoverageIndex {
     mss += cs; mes += ce
     val k = mss.length
     val pref = new Array[Long](k + 1)
+    val pts = new Array[Int](k + 1)
     i = 0
-    while (i < k) { pref(i + 1) = pref(i) + (mes(i) - mss(i) + 1); i += 1 }
-    new CoverageIndex(mss.toArray, mes.toArray, pref)
+    while (i < k) {
+      pref(i + 1) = pref(i) + (mes(i) - mss(i) + 1)
+      pts(i + 1) = pts(i) + (if (mss(i) == mes(i)) 1 else 0)
+      i += 1
+    }
+    new CoverageIndex(mss.toArray, mes.toArray, pref, pts)
   }
 }

@@ -158,45 +158,65 @@ object Ranges {
         coalesce(col("_n"), lit(0L)).as("count"): _*)
   }
 
-  /** Partitioned F3: per-right-row covered basepairs, the co-shuffle
-    * scale path. Left intervals merge per contig first (same
-    * convention as the broadcast variant); then BOTH sides explode
-    * onto the bucket grid as bucket-CLIPPED fragments
-    * `[max(s, b*W), min(e, (b+1)*W - 1)]` — each base of the domain
-    * belongs to exactly one bucket, so summing the clipped-fragment
-    * intersection lengths per right id IS the coverage, with no
-    * canonical-bucket dedup predicate and no duplicated full-width
-    * rows (a merged run spanning the domain previously rode whole
-    * into every one of its ~span/W buckets and cross-matched there;
-    * the clipped fragment is at most W wide). */
+  /** Partitioned F3: per-right-row coverage, the co-shuffle scale
+    * path, computing EXACTLY the reference's `get_coverage` formula
+    * (interval_tree.rs:145-152): per (probe, merged-run) pair with the
+    * run overlapping the strict-adjusted query closed-style, the
+    * contribution is `max(1, closedLen(run ∩ expandedQuery) - 1)`
+    * where expandedQuery = the adjusted query widened by 1 each side.
+    * Both sides explode onto the bucket grid as bucket-CLIPPED
+    * fragments `[max(s, b*W), min(e, (b+1)*W - 1)]` — each base
+    * belongs to exactly one bucket, so per-pair piece sums ARE the
+    * pair's closed intersection length; runs are disjoint per contig,
+    * so `(contig, runStart)` is a pair key with no extra shuffle
+    * state. Two-level aggregation: pieces → pair length → clamped
+    * contribution → per-probe sum. Handles weak AND strict (strict
+    * shrinks the query ±1; the formula is then identical). */
   def coveragePartitioned(
       left: DataFrame, right: DataFrame,
       lcols: IntervalCols = IntervalCols.default,
       rcols: IntervalCols = IntervalCols.default,
+      op: FilterOp = FilterOp.Weak,
       bucketWidth: Long = 1000L,
       idCol: String = "id"): DataFrame = {
     val w = bucketWidth
-    // bucket-clipped fragments: (contig, bucket, clipped start/end [+ id])
-    def clipped(df: DataFrame, cols: IntervalCols, prefix: String, extra: Seq[Column]): DataFrame = {
-      val s = col(cols.start).cast("long"); val e = col(cols.end).cast("long")
-      df.select(Seq(col(cols.contig).as(prefix + "c"), s.as(prefix + "s0"), e.as(prefix + "e0")) ++ extra: _*)
-        .withColumn(prefix + "b",
-          explode(sequence(floor(col(prefix + "s0") / w).cast("long"),
-            floor(col(prefix + "e0") / w).cast("long"))))
-        .withColumn(prefix + "s", greatest(col(prefix + "s0"), col(prefix + "b") * w))
-        .withColumn(prefix + "e", least(col(prefix + "e0"), (col(prefix + "b") + 1) * w - 1))
-        .drop(prefix + "s0", prefix + "e0")
-    }
+    // merged runs over raw coords (weak convention — the reference
+    // merges before indexing regardless of op, interval_tree.rs:104)
     val merged = merge(left, lcols, 0L, FilterOp.Weak)
-      .select(col(lcols.contig), col(lcols.start), col(lcols.end))
-    val a = clipped(merged, lcols, "_l", Nil)
-    val rb = clipped(graft.core.Parallelism.ensure(right), rcols, "_r",
-      Seq(col(idCol).as("_rid")))
-    val clip = least(col("_le"), col("_re")) - greatest(col("_ls"), col("_rs")) + 1
-    val sums = a.join(rb,
-        col("_lc") === col("_rc") && col("_lb") === col("_rb") &&
-        col("_ls") <= col("_re") && col("_le") >= col("_rs"))
-      .groupBy(col("_rid")).agg(sum(clip).as("_cov"))
+      .select(col(lcols.contig).as("_mc"),
+        col(lcols.start).cast("long").as("_ms"),
+        col(lcols.end).cast("long").as("_me"))
+    val runFrags = merged
+      .withColumn("_b", explode(sequence(
+        floor(col("_ms") / w).cast("long"), floor(col("_me") / w).cast("long"))))
+      .withColumn("_fs", greatest(col("_ms"), col("_b") * w))
+      .withColumn("_fe", least(col("_me"), (col("_b") + 1) * w - 1))
+    // probes carry adjusted bounds (_aqs/_aqe; strict shrinks inward,
+    // possibly inverted for point probes) and the expanded window
+    // (_xs/_xe = adjusted ±1, never inverted) that fragments explode on
+    val shift = if (op.isStrict) 1L else 0L
+    val pr = graft.core.Parallelism.ensure(right).select(
+        col(rcols.contig).as("_pc"), col(idCol).as("_rid"),
+        (col(rcols.start).cast("long") + shift).as("_aqs"),
+        (col(rcols.end).cast("long") - shift).as("_aqe"))
+      .withColumn("_xs", col("_aqs") - 1)
+      .withColumn("_xe", col("_aqe") + 1)
+      .withColumn("_pb", explode(sequence(
+        floor(col("_xs") / w).cast("long"), floor(col("_xe") / w).cast("long"))))
+      .withColumn("_ps", greatest(col("_xs"), col("_pb") * w))
+      .withColumn("_pe", least(col("_xe"), (col("_pb") + 1) * w - 1))
+    val piece = least(col("_fe"), col("_pe")) - greatest(col("_fs"), col("_ps")) + 1
+    val pairs = runFrags.join(pr,
+        col("_mc") === col("_pc") && col("_b") === col("_pb") &&
+        // the run must overlap the ADJUSTED query (reference predicate);
+        // piece bounds intersect within the expanded window
+        col("_ms") <= col("_aqe") && col("_me") >= col("_aqs") &&
+        col("_fs") <= col("_pe") && col("_fe") >= col("_ps"))
+      .groupBy(col("_rid"), col("_mc"), col("_ms"))
+      .agg(sum(piece).as("_plen"))
+    val sums = pairs
+      .select(col("_rid"), greatest(lit(1L), col("_plen") - 1).as("_contrib"))
+      .groupBy(col("_rid")).agg(sum(col("_contrib")).as("_cov"))
     right.join(sums, right(idCol) === sums("_rid"), "left")
       .select(right.columns.toSeq.map(col) :+
         coalesce(col("_cov"), lit(0L)).as("coverage"): _*)
@@ -220,11 +240,11 @@ object Ranges {
         .drop("_lidx")
     }
 
-  /** F3 `coverage`: right rows + `coverage` = basepairs of each right
-    * interval covered by >=1 (merged) left interval.
-    * An over-cap left side fails over to [[coveragePartitioned]]
-    * (weak semantics only — the partitioned formulation has no strict
-    * variant, so a strict op over an over-cap build fails loudly). */
+  /** F3 `coverage`: right rows + `coverage` per the reference's
+    * `get_coverage` formula (see [[graft.index.CoverageIndex]] — NOT
+    * plain covered-basepair length). An over-cap left side fails over
+    * to [[coveragePartitioned]], which implements the identical
+    * formula for both ops. */
   def coverage(
       left: DataFrame, right: DataFrame,
       lcols: IntervalCols = IntervalCols.default,
@@ -232,13 +252,9 @@ object Ranges {
       op: FilterOp = FilterOp.Weak): DataFrame =
     if (BuildGuard.fits(left))
       IntervalJoin.annotateCount(left, right, lcols, rcols, op, coverage = true, "coverage")
-    else if (op.isStrict) throw new IllegalArgumentException(
-      s"coverage(strict): build side exceeds ${BuildGuard.ConfKey} and the " +
-        "partitioned coverage path has only weak semantics; pre-filter the " +
-        "build side or raise the limit")
     else {
       val withId = IntervalJoin.withRowIndex(right)
-      coveragePartitioned(left, withId, lcols, rcols, idCol = "_lidx")
+      coveragePartitioned(left, withId, lcols, rcols, op, idCol = "_lidx")
         .drop("_lidx")
     }
 

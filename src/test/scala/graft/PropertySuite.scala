@@ -59,6 +59,14 @@ class PropertySuite extends SparkSpec {
     val covP = Ranges.coveragePartitioned(a, b).select("id", "coverage")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(covP == covB)
+    // strict: the partitioned formula is op-uniform (incl. inverted
+    // point-probe adjustment) — must agree with the broadcast index
+    val covBS = Ranges.coverage(a, b, op = FilterOp.Strict).select("id", "coverage")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val covPS = Ranges.coveragePartitioned(a, b, op = FilterOp.Strict)
+      .select("id", "coverage")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(covPS == covBS)
   }
 
   test("property: merge is idempotent and covers the same basepairs") {
@@ -73,12 +81,14 @@ class PropertySuite extends SparkSpec {
     assert(got == naive.view.mapValues(_.sorted).toMap)
   }
 
-  test("property: coverage(a,b) <= closed length of b; count==0 iff coverage==0") {
+  test("property: coverage(a,b) <= closed length of b + 1; count==0 iff coverage==0") {
+    // the reference get_coverage formula tops out at len+1 (a run
+    // covering the whole expanded query window), not at len
     val both = Ranges.coverage(a, Ranges.countOverlaps(a, b))
     both.collect().foreach { r =>
       val len = r.getLong(2) - r.getLong(1) + 1
       val cnt = r.getLong(4); val cov = r.getLong(5)
-      assert(cov <= len)
+      assert(cov <= len + 1)
       assert((cnt == 0) == (cov == 0))
     }
   }

@@ -145,12 +145,14 @@ class RangesSuite extends SparkSpec {
     // -> [150,700]; plus [15000,15000], [22000,22300]
     val got = Ranges.coverage(reads, targets)
       .select("id", "coverage").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    // closed-interval coverage: t100 [100,190] vs [150,700] -> 190-150+1=41
-    assert(got(100L) == 41L)
-    assert(got(101L) == 91L)  // [200,290] fully inside -> 91
-    assert(got(102L) == 201L) // [400,600] fully inside
-    assert(got(103L) == 1L)   // [10000,20000] covers point [15000,15000]
-    assert(got(104L) == 1L)   // point target [22100,22100] inside [22000,22300]
+    // reference get_coverage formula (interval_tree.rs:145-152;
+    // expected values from tests/integration_test.rs:699-711):
+    // max(1, min(qe+1, runEnd) - max(qs-1, runStart)) per merged run
+    assert(got(100L) == 41L)  // [100,190] vs [150,700]: min(191,700)-150
+    assert(got(101L) == 92L)  // [200,290] interior: 291-199
+    assert(got(102L) == 202L) // [400,600] interior: 601-399
+    assert(got(103L) == 1L)   // [10000,20000] vs point run [15000,15000]: clamp
+    assert(got(104L) == 2L)   // point [22100,22100] inside [22000,22300]: 22101-22099
   }
 
   test("merge collapses overlapping+touching runs, counts inputs") {
@@ -264,6 +266,7 @@ class RangesSuite extends SparkSpec {
     val baseDist = rowsOf(Ranges.overlap(reads, targets, mode = "left_distinct"))
     val baseCnt = rowsOf(Ranges.countOverlaps(reads, targets))
     val baseCov = rowsOf(Ranges.coverage(reads, targets))
+    val baseCovStrict = rowsOf(Ranges.coverage(reads, targets, op = FilterOp.Strict))
     try {
       spark.conf.set(BuildGuard.ConfKey, "1") // nothing fits
       assert(!BuildGuard.fits(reads) && !BuildGuard.fits(targets))
@@ -279,10 +282,9 @@ class RangesSuite extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastIntervalJoin") &&
         !plan.contains("interval_probe"))
-      // strict coverage has no partitioned variant: loud failure
-      intercept[IllegalArgumentException] {
-        Ranges.coverage(reads, targets, op = FilterOp.Strict)
-      }
+      // strict coverage fails over too (the partitioned formula is
+      // op-uniform) — same rows as the broadcast strict variant
+      assert(rowsOf(Ranges.coverage(reads, targets, op = FilterOp.Strict)) == baseCovStrict)
       // no partitioned path exists: loud failure instead of a driver
       // collect of an over-cap build
       intercept[IllegalArgumentException] { Ranges.nearest(reads, targets) }
