@@ -198,6 +198,15 @@ object VepSpliceQueries {
         Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
         Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d),
         graft.vep.VepOptions.fromJson(noShiftJson))),
+    // reference-parity motif mode: one anonymous MotifFeature entry
+    // per motif-overlapping variant, five empty motif slots (the
+    // library's default per-motif rendering is the documented richer
+    // deviation — this gate proves byte-level reference comparability)
+    "f11_motif_parity" -> ((s, d) =>
+      graft.vep.Annotate.annotate(Tables.vcf(s, d), Tables.vepCache(s, d),
+        Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
+        Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d),
+        graft.vep.VepOptions.fromJson(motifParityJson))),
     // Full annotate over the dense exon-boundary probe sweep (one
     // variant at every offset in [-18, 18] around every exon
     // boundary, cycling SNV/ins/del): pins the parent-term strips
@@ -1036,7 +1045,7 @@ object VepSpliceQueries {
        |iterm AS (SELECT id, tid AS transcript_id,
        |   CASE WHEN NOT $iGeomOk THEN CAST(NULL AS VARCHAR)
        |    WHEN $iCbGate THEN (CASE
-       |     WHEN $iComplex OR (($iUtrExt5 OR $iUtrExt3) AND ld <> 0)
+       |     WHEN $iComplex OR (($iUtrExt5 OR $iUtrExt3) AND ld < 0)
        |      THEN 'coding_sequence_variant'
        |     WHEN ld % 3 <> 0 THEN 'frameshift_variant'
        |     WHEN ld > 0 THEN 'inframe_insertion'
@@ -1152,23 +1161,44 @@ object VepSpliceQueries {
        |   CAST(NULL AS DOUBLE) AS mscore
        |  FROM v JOIN rg ON v.chrom = rg.chrom
        |   AND rg.start <= v."end" AND rg."end" >= v.start),
-       |mte AS (SELECT v.id, mt.motif_id AS transcript_id,
-       |   ['TF_binding_site_variant'] AS terms,
-       |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
-       |   CAST(NULL AS BIGINT) AS protein_pos, CAST(NULL AS VARCHAR) AS hgvs_c,
-       |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
-       |   CAST(NULL AS VARCHAR) AS polyphen_pred,
-       |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
-       |   CAST(NULL AS BIGINT) AS dist,
-       |   CAST(NULL AS VARCHAR) AS exon, CAST(NULL AS VARCHAR) AS intron,
-       |   CAST(NULL AS BIGINT) AS hgvs_offset,
-       |   'MotifFeature' AS ftype, mt.tf_name AS mname,
-       |   GREATEST(v.start, mt.start) - mt.start + 1 AS mpos,
-       |   CASE WHEN GREATEST(v.start, mt.start) - mt.start + 1 <= 3
-       |    THEN 'Y' ELSE 'N' END AS minf,
-       |   mt.score_change AS mscore
-       |  FROM v JOIN mt ON v.chrom = mt.chrom
-       |   AND mt.start <= v."end" AND mt."end" >= v.start),
+       |mte AS (${
+        if (opts.motifParity)
+          // reference-parity: ONE anonymous MotifFeature entry per
+          // variant overlapping any motif; five motif slots empty
+          """SELECT v.id, '' AS transcript_id,
+            |   ['TF_binding_site_variant'] AS terms,
+            |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
+            |   CAST(NULL AS BIGINT) AS protein_pos, CAST(NULL AS VARCHAR) AS hgvs_c,
+            |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
+            |   CAST(NULL AS VARCHAR) AS polyphen_pred,
+            |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
+            |   CAST(NULL AS BIGINT) AS dist,
+            |   CAST(NULL AS VARCHAR) AS exon, CAST(NULL AS VARCHAR) AS intron,
+            |   CAST(NULL AS BIGINT) AS hgvs_offset,
+            |   'MotifFeature' AS ftype, CAST(NULL AS VARCHAR) AS mname,
+            |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf,
+            |   CAST(NULL AS DOUBLE) AS mscore
+            |  FROM v WHERE EXISTS (SELECT 1 FROM mt WHERE v.chrom = mt.chrom
+            |   AND mt.start <= v."end" AND mt."end" >= v.start)""".stripMargin
+        else
+          """SELECT v.id, mt.motif_id AS transcript_id,
+            |   ['TF_binding_site_variant'] AS terms,
+            |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
+            |   CAST(NULL AS BIGINT) AS protein_pos, CAST(NULL AS VARCHAR) AS hgvs_c,
+            |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
+            |   CAST(NULL AS VARCHAR) AS polyphen_pred,
+            |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
+            |   CAST(NULL AS BIGINT) AS dist,
+            |   CAST(NULL AS VARCHAR) AS exon, CAST(NULL AS VARCHAR) AS intron,
+            |   CAST(NULL AS BIGINT) AS hgvs_offset,
+            |   'MotifFeature' AS ftype, mt.tf_name AS mname,
+            |   GREATEST(v.start, mt.start) - mt.start + 1 AS mpos,
+            |   CASE WHEN GREATEST(v.start, mt.start) - mt.start + 1 <= 3
+            |    THEN 'Y' ELSE 'N' END AS minf,
+            |   mt.score_change AS mscore
+            |  FROM v JOIN mt ON v.chrom = mt.chrom
+            |   AND mt.start <= v."end" AND mt."end" >= v.start""".stripMargin
+      }),
        |itg AS (SELECT v.id, '' AS transcript_id,
        |   ['intergenic_variant'] AS terms,
        |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
@@ -1182,12 +1212,13 @@ object VepSpliceQueries {
        |   '' AS ftype, CAST(NULL AS VARCHAR) AS mname,
        |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf,
        |   CAST(NULL AS DOUBLE) AS mscore
-       |  FROM v WHERE NOT EXISTS (SELECT 1 FROM t
-       |   WHERE v.chrom = t.chrom AND t.start - ${opts.distance} <= v."end"
-       |    AND t."end" + ${opts.distance} >= v.start)),
+       |  FROM v),
        |allent AS (SELECT * FROM fused UNION ALL SELECT * FROM ud
        |  UNION ALL SELECT * FROM rge UNION ALL SELECT * FROM mte
-       |  UNION ALL SELECT * FROM itg),
+       |  UNION ALL SELECT * FROM itg WHERE NOT EXISTS (
+       |   SELECT 1 FROM (SELECT id FROM fused WHERE len(terms) > 0
+       |     UNION ALL SELECT id FROM ud WHERE len(terms) > 0) txe
+       |   WHERE txe.id = itg.id)),
        |${exvCtes("c", opts)},
        |rend0 AS (SELECT *,
        |   ${Annotate.stripParentsSql(D, "terms", prefixed = false)} AS terms2
@@ -1294,6 +1325,16 @@ object VepSpliceQueries {
 
   private lazy val annotateNoShiftSql: String =
     e2eCsqSql(e2eCtesFor(graft.vep.VepOptions.fromJson(noShiftJson)))
+
+  /** Options of the reference-parity motif gate: full --everything
+    * with [[graft.vep.VepOptions.motifParity]] on — byte-level
+    * comparable motif entries (one anonymous MotifFeature row,
+    * `...|||||`). */
+  private[graft] val motifParityJson: String =
+    """{"everything": true, "motif_parity": true}"""
+
+  private lazy val annotateMotifParitySql: String =
+    e2eCsqSql(e2eCtesFor(graft.vep.VepOptions.fromJson(motifParityJson)))
 
   /** The splice-probe sweep as an annotate input: probe ids collide
     * across chromosomes (they encode only position and kind), so the
@@ -1547,6 +1588,7 @@ object VepSpliceQueries {
     "f11_existing_multi" -> existingMultiSql,
     "f11_annotate_default" -> annotateDefaultSql,
     "f11_annotate_noshift" -> annotateNoShiftSql,
+    "f11_motif_parity" -> annotateMotifParitySql,
     "f11_annotate_probes" -> annotateProbesSql,
     "f11_annotate_fsintron" -> annotateFsIntronSql,
     "f11_typed_full" -> typedFullSql,

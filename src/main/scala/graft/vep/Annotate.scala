@@ -43,17 +43,19 @@ import org.apache.spark.sql.functions._
   * no-frameshift rule + UTR-extension terms for deletions spanning a
   * CDS/UTR boundary; the partial-codon arm fires for indels too, and
   * incomplete_terminal_codon co-occurs with its coding_sequence
-  * parent. Remaining documented deviations: a variant whose only
-  * nearby transcript yields zero assignments (e.g. an insertion one
-  * past the transcript end) keeps an empty CSQ rather than the
-  * reference's intergenic entry (the intergenic arm keys on the
-  * distance window, not on assignment emptiness); and the motif
-  * entries are DELIBERATELY RICHER than the reference's — real-VEP
-  * style per-motif Feature rows with populated MOTIF_NAME/MOTIF_POS/
-  * HIGH_INF_POS/MOTIF_SCORE_CHANGE/TRANSCRIPTION_FACTORS, where the
-  * reference emits one anonymous MotifFeature entry per variant and
-  * always renders the five motif CSQ slots empty
-  * (annotate_provider.rs format strings end `...|||||`).
+  * parent. The intergenic entry keys on assignment EMPTINESS (a
+  * variant with zero surviving Transcript entries goes intergenic,
+  * even when its distance window holds transcripts — matching
+  * annotate_provider's !has_transcript_hit). Remaining documented
+  * deviation: the DEFAULT motif entries are DELIBERATELY RICHER than
+  * the reference's — real-VEP style per-motif Feature rows with
+  * populated MOTIF_NAME/MOTIF_POS/HIGH_INF_POS/MOTIF_SCORE_CHANGE/
+  * TRANSCRIPTION_FACTORS, where the reference emits one anonymous
+  * MotifFeature entry per variant and always renders the five motif
+  * CSQ slots empty (annotate_provider.rs format strings end
+  * `...|||||`); [[VepOptions.motifParity]] (`motif_parity` in
+  * options_json) switches to the reference's exact shape for
+  * byte-level comparison (gated by `f11_motif_parity`).
   *
   * Scale shape: every candidate generator runs through the interval
   * strategy's broadcast index probes (transcripts on the build side);
@@ -1259,7 +1261,11 @@ object Annotate {
         .between(1, 2)
     val iTerm =
       when(cbGate,
-        when(iComplex || ((utrExt5 || utrExt3) && col("_i_ld") =!= 0),
+        // the CDS/UTR-boundary downgrade fires only for CONTRACTING
+        // events (ref longer than alt — transcript_consequence.rs:1984
+        // gates extends_into_utr on ref_len > alt_len): an expanding
+        // delins spanning the boundary still frameshifts/inframes
+        when(iComplex || ((utrExt5 || utrExt3) && col("_i_ld") < 0),
           rkLit("coding_sequence_variant"))
           .when(col("_i_ld") % 3 =!= 0, rkLit("frameshift_variant"))
           .when(col("_i_ld") > 0, rkLit("inframe_insertion"))
@@ -1425,20 +1431,20 @@ object Annotate {
         lit(null).cast("double").as("_mscore"))
 
     // ---- intergenic entry: VEP emits one featureless
-    // intergenic_variant CSQ entry when NO transcript was hit (no
-    // overlap AND none within the up/downstream distance) — even when
-    // regulatory/motif features DO overlap, those being orthogonal to
-    // transcripts (transcript_consequence.rs:1113-1121). Feature and
-    // Feature_type render empty (FeatureType::None). ----
-    val gt = transcripts.select(col("chrom").as("_g_tc"),
-      col("start").cast("long").as("_g_ts"), col("end").cast("long").as("_g_te"))
-    val intergenic = vcf.select(col("chrom").as("_g_vc"),
-        col("start").cast("long").as("_g_vs"),
-        col("end").cast("long").as("_g_ve"), col("id"))
-      .join(broadcast(gt),
-        col("_g_tc") === col("_g_vc") &&
-          col("_g_ts") - d <= col("_g_ve") && col("_g_te") + d >= col("_g_vs"),
-        "left_anti")
+    // intergenic_variant CSQ entry when NO transcript ASSIGNMENT was
+    // emitted (annotate_provider.rs: intergenic keys on
+    // !has_transcript_hit over the post-filter entry set, NOT on the
+    // up/downstream distance window — a variant whose only nearby
+    // transcript yields zero assignments still goes intergenic) —
+    // even when regulatory/motif features DO overlap, those being
+    // orthogonal to transcripts (transcript_consequence.rs:1113-1121).
+    // Feature and Feature_type render empty (FeatureType::None).
+    // Mechanically: a candidate intergenic row is emitted for EVERY
+    // variant (one map-only row each) and the ones whose variant has a
+    // surviving Transcript entry are dropped by a window over the
+    // entry stream — the window shares the downstream groupBy(id)
+    // hash key, so it costs a sort but no extra shuffle. ----
+    val intergenic = vcf
       .select(col("id"), lit("").as("transcript_id"),
         array(rkLit("intergenic_variant")).as("_terms"),
         nullL.as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
@@ -1502,8 +1508,35 @@ object Annotate {
     }
     val regEntries = featureEntries(regulatory, "feature_id",
       "regulatory_region_variant", "RegulatoryFeature", motif = false)
-    val motEntries = featureEntries(motifs, "motif_id",
-      "TF_binding_site_variant", "MotifFeature", motif = true)
+    // motif entries: the default is the library's RICHER real-VEP
+    // rendering (one Feature row per overlapped motif, populated
+    // MOTIF_* slots). `motif_parity` switches to the reference's
+    // shape: ONE anonymous MotifFeature entry per variant overlapping
+    // any motif, all five motif slots empty ([[VepOptions.motifParity]]
+    // — a semi-join, so multiplicity is per VARIANT, not per motif).
+    val motEntries =
+      if (!opts.motifParity)
+        featureEntries(motifs, "motif_id",
+          "TF_binding_site_variant", "MotifFeature", motif = true)
+      else {
+        val mf = motifs.select(col("chrom").as("_f_fc"),
+          col("start").cast("long").as("_f_fs"),
+          col("end").cast("long").as("_f_fe"))
+        fv.join(mf,
+            col("_f_fc") === col("_f_vc") &&
+              col("_f_fs") <= col("_f_ve") && col("_f_fe") >= col("_f_vs"),
+            "left_semi")
+          .select(col("_f_vid").as("id"), lit("").as("transcript_id"),
+            array(rkLit("TF_binding_site_variant")).as("_terms"),
+            nullL.as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
+            nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
+            nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"),
+            nullL.as("_dist"),
+            lit("MotifFeature").as("_ftype"), nullS.as("_exon"),
+            nullS.as("_intron"), nullL.as("_hoff"),
+            nullS.as("_mname"), nullL.as("_mpos"), nullS.as("_minf"),
+            lit(null).cast("double").as("_mscore"))
+      }
 
     // ---- per-entry rendering: the FULL 80-field --everything CSQ in
     // the reference's exact field order (golden_benchmark.rs:556-640
@@ -1662,6 +1695,14 @@ object Annotate {
           .when(col("_ftype") === "RegulatoryFeature", lit(1))
           .when(col("_ftype") === "MotifFeature", lit(2))
           .otherwise(lit(3)).as("_ftrank"))
+      // assignment-emptiness gate for the per-variant intergenic
+      // candidate: drop it when any Transcript entry survived the
+      // term filter (see the intergenic arm comment above)
+      .withColumn("_hastx",
+        max(when(col("_ftrank") === 0, lit(1)).otherwise(lit(0)))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      .where(!(col("_ftrank") === 3 && col("_hastx") === 1))
+      .drop("_hastx")
       .select(col("*"), concat_ws("|", fields: _*).as("_entry"))
   }
 }

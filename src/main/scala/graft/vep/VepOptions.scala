@@ -31,6 +31,17 @@ final case class VepOptions(
     gencodeBasic: Boolean = false,
     gencodePrimary: Boolean = false,
     shiftHgvs: Boolean = true,
+    /** Reference-parity motif rendering: ONE anonymous MotifFeature
+      * entry per variant overlapping any motif, with all five motif
+      * CSQ slots empty (transcript_consequence.rs
+      * append_tfbs_terms_prepared builds `TranscriptConsequence {
+      * feature_type: MotifFeature, terms, ..Default }` — no feature
+      * id, no motif metadata; the annotate_provider.rs CSQ format
+      * strings end `...|||||`). Off by default: the library's richer
+      * per-motif Feature rows (real-VEP style, populated MOTIF_*
+      * slots) are the documented default deviation. Library-extension
+      * options_json key: `motif_parity`. */
+    motifParity: Boolean = false,
     distance: Long = 5000L) {
   /** HGVS gating (annotate_provider.rs:1180-1205 HgvsFlags):
     * `--everything` implies `--hgvs`, which implies both forms.
@@ -104,6 +115,7 @@ object VepOptions {
       // explicit boolean false disables
       shiftHgvs = Option(node.get("shift_hgvs"))
         .filter(_.isBoolean).forall(_.booleanValue()),
+      motifParity = flag("motif_parity"),
       distance = dist)
   }
 }
