@@ -1,0 +1,154 @@
+package graft.ranges
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+import graft.core.{FilterOp, IntervalCols}
+import graft.index.{CoverageIndex, NearestIndex}
+
+/** Co-shuffle (Partitioned-mode) nearest and subtract — the scale path
+  * when the build side exceeds the CollectLeft cap, mirroring the
+  * reference's `PartitionMode::Partitioned`
+  * (interval_join.rs:393-406: `Distribution::HashPartitioned` on the
+  * contig key for BOTH sides, per-partition index build, local probe).
+  *
+  * Spark expression: `Dataset.groupByKey(contig).cogroup` — Catalyst
+  * plans one hash shuffle per side keyed on contig and streams each
+  * co-partition through the SAME index kernels the broadcast paths
+  * use ([[graft.index.NearestIndex]], [[graft.index.CoverageIndex]]),
+  * so the two modes cannot diverge semantically. Memory bound: one
+  * contig's build rows on one task (the reference's Partitioned bound
+  * too); contig-key skew is the documented residual (SURVEY §7.4).
+  * The probe side streams through the iterator — only the build side
+  * of each co-group materializes. */
+object PartitionedJoin {
+
+  private def asLong(v: Any, colName: String): Long = v match {
+    case l: Long  => l
+    case i: Int   => i.toLong
+    case s: Short => s.toLong
+    case null => throw new IllegalArgumentException(
+      s"null coordinate in column '$colName' (reference treats null positions as an execution error)")
+    case other => throw new IllegalArgumentException(
+      s"column '$colName' must be integral, got ${other.getClass.getSimpleName}")
+  }
+
+  /** F4 nearest, Partitioned mode. Output identical to
+    * [[IntervalJoin.nearest]]: `left_*` (build) ++ `right_*` (probe)
+    * [+ distance], NULL build columns when no candidate. `tieBreakCol`
+    * is REQUIRED (integral): under a shuffle there is no stable
+    * "arrival position" to break ties with, so determinism needs an
+    * explicit rank column — the broadcast path's optional
+    * driver-row-order fallback has no partitioned equivalent. */
+  def nearestPartitioned(
+      build: DataFrame, probe: DataFrame,
+      bcols: IntervalCols, pcols: IntervalCols,
+      op: FilterOp, k: Int, includeOverlaps: Boolean,
+      computeDistance: Boolean, tieBreakCol: String): DataFrame = {
+    val bSchema = build.schema
+    val pSchema = probe.schema
+    val outSchema = StructType(
+      bSchema.fields.map(f => StructField("left_" + f.name, f.dataType, nullable = true)).toSeq ++
+      pSchema.fields.map(f => StructField("right_" + f.name, f.dataType, f.nullable)) ++
+      (if (computeDistance) Seq(StructField("distance", LongType, nullable = true)) else Nil))
+    val bci = bSchema.fieldIndex(bcols.contig)
+    val bsi = bSchema.fieldIndex(bcols.start)
+    val bei = bSchema.fieldIndex(bcols.end)
+    val bti = bSchema.fieldIndex(tieBreakCol)
+    val pci = pSchema.fieldIndex(pcols.contig)
+    val psi = pSchema.fieldIndex(pcols.start)
+    val pei = pSchema.fieldIndex(pcols.end)
+    val nb = bSchema.length
+    val kvB = build.groupByKey(_.getString(bci))(Encoders.STRING)
+    val kvP = probe.groupByKey(_.getString(pci))(Encoders.STRING)
+    val ds = kvB.cogroup(kvP) { (_: String, bIt: Iterator[Row], pIt: Iterator[Row]) =>
+      val bRows = bIt.toArray
+      val idx =
+        if (bRows.isEmpty) null
+        else {
+          val s = new Array[Long](bRows.length); val e = new Array[Long](bRows.length)
+          val r = new Array[Long](bRows.length); val p = new Array[Int](bRows.length)
+          var i = 0
+          while (i < bRows.length) {
+            s(i) = asLong(bRows(i).get(bsi), bcols.start)
+            e(i) = asLong(bRows(i).get(bei), bcols.end)
+            r(i) = asLong(bRows(i).get(bti), tieBreakCol)
+            p(i) = i
+            i += 1
+          }
+          NearestIndex.build(s, e, r, p)
+        }
+      val nullLeft: Seq[Any] = Seq.fill(nb)(null)
+      pIt.flatMap { pr =>
+        val pVals = pr.toSeq
+        val (qs, qe) = op.adjustQuery(
+          asLong(pr.get(psi), pcols.start), asLong(pr.get(pei), pcols.end))
+        val out = mutable.ArrayBuffer.empty[Row]
+        if (idx != null)
+          idx.nearestK(qs, qe, k, includeOverlaps) { (pay, dist) =>
+            out += Row.fromSeq(bRows(pay).toSeq ++ pVals ++
+              (if (computeDistance) Seq(dist) else Nil))
+          }
+        if (out.isEmpty)
+          out += Row.fromSeq(nullLeft ++ pVals ++
+            (if (computeDistance) Seq(null) else Nil))
+        out.iterator
+      }
+    }(Encoders.row(outSchema))
+    ds.toDF()
+  }
+
+  /** F8 subtract, Partitioned mode. Output identical to
+    * [[IntervalJoin.subtractFragments]]: the probe columns with
+    * `start`/`end` replaced by the uncovered-fragment bounds (Long) —
+    * nothing emitted for fully covered rows, the whole interval for
+    * untouched rows. The subtrahend co-partition builds the SAME
+    * op-consistent merged-run index as the broadcast path
+    * ([[CoverageIndex.build]] `strictMerge`) and only its coordinate
+    * arrays materialize per task. */
+  def subtractPartitioned(
+      left: DataFrame, right: DataFrame,
+      lcols: IntervalCols, rcols: IntervalCols,
+      op: FilterOp): DataFrame = {
+    val lSchema = left.schema
+    val rSchema = right.schema
+    val outSchema = StructType(lSchema.fields.map { f =>
+      if (f.name == lcols.start || f.name == lcols.end)
+        StructField(f.name, LongType, f.nullable)
+      else f
+    })
+    val lci = lSchema.fieldIndex(lcols.contig)
+    val lsi = lSchema.fieldIndex(lcols.start)
+    val lei = lSchema.fieldIndex(lcols.end)
+    val rci = rSchema.fieldIndex(rcols.contig)
+    val rsi = rSchema.fieldIndex(rcols.start)
+    val rei = rSchema.fieldIndex(rcols.end)
+    val strict = op.isStrict
+    val kvR = right.groupByKey(_.getString(rci))(Encoders.STRING)
+    val kvL = left.groupByKey(_.getString(lci))(Encoders.STRING)
+    val ds = kvR.cogroup(kvL) { (_: String, rIt: Iterator[Row], lIt: Iterator[Row]) =>
+      val ss = mutable.ArrayBuffer.empty[Long]
+      val ee = mutable.ArrayBuffer.empty[Long]
+      rIt.foreach { rr =>
+        ss += asLong(rr.get(rsi), rcols.start)
+        ee += asLong(rr.get(rei), rcols.end)
+      }
+      val idx = CoverageIndex.build(ss.toArray, ee.toArray, strictMerge = strict)
+      lIt.flatMap { lr =>
+        val vals = lr.toSeq
+        val ls = asLong(lr.get(lsi), lcols.start)
+        val le = asLong(lr.get(lei), lcols.end)
+        val out = mutable.ArrayBuffer.empty[Row]
+        idx.gaps(ls, le, strict) { (fs, fe) =>
+          out += Row.fromSeq(vals.zipWithIndex.map {
+            case (_, i) if i == lsi => fs
+            case (_, i) if i == lei => fe
+            case (v, _) => v
+          })
+        }
+        out.iterator
+      }
+    }(Encoders.row(outSchema))
+    ds.toDF()
+  }
+}

@@ -258,7 +258,12 @@ object Ranges {
         .drop("_lidx")
     }
 
-  /** F4 `nearest` — see [[IntervalJoin.nearest]]. */
+  /** F4 `nearest` — see [[IntervalJoin.nearest]]. An over-cap build
+    * side fails over to the contig co-shuffle Partitioned mode
+    * ([[PartitionedJoin.nearestPartitioned]], the reference's
+    * HashPartitioned distribution) when a `tieBreakCol` provides a
+    * deterministic rank; without one the partitioned result would be
+    * shuffle-order-dependent, so the guard still fails loudly. */
   def nearest(
       left: DataFrame, right: DataFrame,
       lcols: IntervalCols = IntervalCols.default,
@@ -267,12 +272,20 @@ object Ranges {
       includeOverlaps: Boolean = true,
       computeDistance: Boolean = true,
       op: FilterOp = FilterOp.Weak,
-      tieBreakCol: Option[String] = None): DataFrame = {
-    BuildGuard.requireFits(left, "nearest",
-      "pre-filter the build side or raise the limit (no partitioned nearest path)")
-    IntervalJoin.nearest(left, right, lcols, rcols, op, k, includeOverlaps,
-      computeDistance, tieBreakCol)
-  }
+      tieBreakCol: Option[String] = None): DataFrame =
+    if (BuildGuard.fits(left))
+      IntervalJoin.nearest(left, right, lcols, rcols, op, k, includeOverlaps,
+        computeDistance, tieBreakCol)
+    else tieBreakCol match {
+      case Some(t) =>
+        PartitionedJoin.nearestPartitioned(left, right, lcols, rcols, op, k,
+          includeOverlaps, computeDistance, t)
+      case None =>
+        BuildGuard.requireFits(left, "nearest",
+          "provide a tieBreakCol for the deterministic partitioned path, " +
+            "pre-filter the build side, or raise the limit")
+        throw new IllegalStateException("unreachable")
+    }
 
   /** Island flag + id columns shared by merge/cluster: a new island
     * starts where `start > prevMaxEnd + minDist` (weak) or `>=`
@@ -416,11 +429,14 @@ object Ranges {
       left: DataFrame, right: DataFrame,
       lcols: IntervalCols = IntervalCols.default,
       rcols: IntervalCols = IntervalCols.default,
-      op: FilterOp = FilterOp.Weak): DataFrame = {
+      op: FilterOp = FilterOp.Weak): DataFrame =
     // the collected side is only the (contig, start, end) triples of
-    // the merged-run index, but it is still driver-resident state
-    BuildGuard.requireFits(right, "subtract",
-      "pre-merge/filter the subtrahend or raise the limit (no partitioned subtract path)")
-    IntervalJoin.subtractFragments(left, right, lcols, rcols, op)
-  }
+    // the merged-run index, but it is still driver-resident state; an
+    // over-cap subtrahend fails over to the contig co-shuffle
+    // Partitioned mode ([[PartitionedJoin.subtractPartitioned]]) with
+    // the same merged-run kernel
+    if (BuildGuard.fits(right))
+      IntervalJoin.subtractFragments(left, right, lcols, rcols, op)
+    else
+      PartitionedJoin.subtractPartitioned(left, right, lcols, rcols, op)
 }

@@ -69,6 +69,26 @@ class PropertySuite extends SparkSpec {
     assert(covPS == covBS)
   }
 
+  test("property: partitioned nearest/subtract == broadcast variants") {
+    import graft.ranges.{IntervalJoin, PartitionedJoin}
+    import graft.core.IntervalCols
+    def rowsOf(df: DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toList).toSeq.sortBy(_.toString)
+    val ic = IntervalCols.default
+    for (k <- Seq(1, 3); ov <- Seq(true, false)) {
+      val bc = rowsOf(IntervalJoin.nearest(a, b, ic, ic, FilterOp.Weak, k,
+        ov, computeDistance = true, tieBreakCol = Some("id")))
+      val pt = rowsOf(PartitionedJoin.nearestPartitioned(a, b, ic, ic,
+        FilterOp.Weak, k, ov, computeDistance = true, tieBreakCol = "id"))
+      assert(pt == bc, s"nearest k=$k includeOverlaps=$ov")
+    }
+    for (op <- Seq(FilterOp.Weak, FilterOp.Strict)) {
+      val bc = rowsOf(IntervalJoin.subtractFragments(a, b, ic, ic, op))
+      val pt = rowsOf(PartitionedJoin.subtractPartitioned(a, b, ic, ic, op))
+      assert(pt == bc, s"subtract $op")
+    }
+  }
+
   test("property: merge is idempotent and covers the same basepairs") {
     val m1 = Ranges.merge(a)
     val m2 = Ranges.merge(m1)

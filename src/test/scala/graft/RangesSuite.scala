@@ -267,6 +267,8 @@ class RangesSuite extends SparkSpec {
     val baseCnt = rowsOf(Ranges.countOverlaps(reads, targets))
     val baseCov = rowsOf(Ranges.coverage(reads, targets))
     val baseCovStrict = rowsOf(Ranges.coverage(reads, targets, op = FilterOp.Strict))
+    val baseNear = rowsOf(Ranges.nearest(reads, targets, tieBreakCol = Some("id")))
+    val baseSub = rowsOf(Ranges.subtract(reads, targets))
     try {
       spark.conf.set(BuildGuard.ConfKey, "1") // nothing fits
       assert(!BuildGuard.fits(reads) && !BuildGuard.fits(targets))
@@ -285,10 +287,12 @@ class RangesSuite extends SparkSpec {
       // strict coverage fails over too (the partitioned formula is
       // op-uniform) — same rows as the broadcast strict variant
       assert(rowsOf(Ranges.coverage(reads, targets, op = FilterOp.Strict)) == baseCovStrict)
-      // no partitioned path exists: loud failure instead of a driver
-      // collect of an over-cap build
+      // nearest/subtract fail over to the contig co-shuffle
+      // Partitioned mode; nearest WITHOUT a tieBreakCol has no
+      // deterministic partitioned rank and still fails loudly
+      assert(rowsOf(Ranges.nearest(reads, targets, tieBreakCol = Some("id"))) == baseNear)
+      assert(rowsOf(Ranges.subtract(reads, targets)) == baseSub)
       intercept[IllegalArgumentException] { Ranges.nearest(reads, targets) }
-      intercept[IllegalArgumentException] { Ranges.subtract(reads, targets) }
       intercept[IllegalArgumentException] {
         graft.streaming.IntervalStreams.countOverlaps(reads, targets)
       }
