@@ -970,12 +970,46 @@ object Annotate {
     * rendered, severity rank, and entry string (per-variant blocks as
     * placeholders — see [[substPerVariant]]) — the shared middle of
     * [[annotate]]/[[annotateTyped]]. */
+  /** Driver-materialized LocalRelation copy of a small dimension
+    * subtree. The transcript-family dims are broadcast at every use
+    * site (the driver already holds their rows during each broadcast
+    * exchange), but Catalyst's exchange reuse never unifies the
+    * repeated scan+aggregate subtrees (measured plan: zero
+    * ReusedExchange, 29 file scans, five per-transcript aggregates of
+    * the same two tables). Collecting once and re-injecting as a
+    * LocalRelation deletes the duplicated subtrees from the logical
+    * plan — smaller analysis/optimizer/AQE input, one computation of
+    * each dim — and every consumer broadcasts straight from memory.
+    * Memory contract unchanged: the same rows already sat on the
+    * driver per exchange. Fact-side inputs (vcf, cache) must NEVER
+    * come through here. */
+  private def localize(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  /** [[localize]] over several dims with the collects running
+    * CONCURRENTLY (independent Spark actions): the construction-time
+    * cost is one scheduler round-trip, not a serial chain. */
+  private def localizeAll(dfs: DataFrame*): Seq[DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(dfs.map(df => Future(localize(df)))), 10.minutes)
+  }
+
   private def entriesDf(
-      vcf: DataFrame, transcripts: DataFrame,
-      exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
+      vcf0: DataFrame, transcripts0: DataFrame,
+      exons0: DataFrame, sift: DataFrame, polyphen: DataFrame,
       regulatory: DataFrame, motifs: DataFrame,
       opts: VepOptions): DataFrame = {
-    graft.plans.Graft.enable(vcf.sparkSession)
+    graft.plans.Graft.enable(vcf0.sparkSession)
+    val vcf = vcf0
+    // one concurrent materialization of the transcript-family dims +
+    // their two shared per-transcript aggregates (see [[localize]])
+    val Seq(transcripts, exons, xa, cb) = localizeAll(
+      transcripts0, exons0,
+      Hgvsp.exonArrays(transcripts0, exons0),
+      Splice.codingBounds(transcripts0, exons0))
     val emptyTerms = expr("CAST(array() AS ARRAY<STRING>)")
     val nullS = lit(null).cast("string"); val nullL = lit(null).cast("long")
 
@@ -997,11 +1031,9 @@ object Annotate {
     // materialization was a pure extra action — a serial plan +
     // count job + RDD barrier on the critical path (the round-8 shape
     // had two consumers; the fusion removed the second)
-    val agg = Splice.snvTranscriptAgg(vcf, transcripts, exons)
-    // ONE per-transcript exon-array aggregation serves the codon-range
-    // build, the snv splice lambdas, the indel protein/splice layers —
-    // a single exchange instead of one per consumer
-    val xa = Hgvsp.exonArrays(transcripts, exons)
+    val agg = Splice.snvTranscriptAgg(vcf, transcripts, exons, Some(cb))
+    // the localized xa serves the codon-range build, the snv splice
+    // lambdas, and the indel protein/splice layers — one computation
     val fusedSnv = Splice.snvFusedFrom(agg, transcripts, exons, Some(xa))
     val siftCtx = sift.select(col("transcript_id").as("_s_tid"),
       col("protein_pos").as("_s_pp"), col("aa").as("_s_aa"), col("sift_score"))
@@ -1206,8 +1238,7 @@ object Annotate {
         max(when(col("_i_p1").between(col("_i_es"), col("_i_ee")), 1).otherwise(0)).as("_in1"),
         sum(Splice.contribution(col("_i_p0"), col("_i_es"), col("_i_ee"), col("_i_strand"))).as("_cdna0"),
         sum(Splice.contribution(col("_i_p1"), col("_i_es"), col("_i_ee"), col("_i_strand"))).as("_cdna1"))
-      .join(broadcast(Splice.codingBounds(transcripts, exons)),
-        col("_i_tid") === col("_cb_tid"), "left")
+      .join(broadcast(cb), col("_i_tid") === col("_cb_tid"), "left")
       .join(broadcast(xa), col("_i_tid") === col("_xa_tid"), "left")
     val iCoding = Splice.isCodingBt(col("_i_bt"))
     val isins = col("_i_isins")

@@ -106,7 +106,8 @@ object Splice {
     * Columns: _vid _tid _strand _bt _vref _valt _vp _vc _in_exon
     * _cdna _prev_ee _next_es _ccs _cce. */
   private[vep] def snvTranscriptAgg(
-      vcf: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
+      vcf: DataFrame, transcripts: DataFrame, exons: DataFrame,
+      cb: Option[DataFrame] = None): DataFrame = {
     // Derived-genome memoization (per-position sequence dedup): every
     // base of a codon that does NOT span an exon boundary lies within
     // ±2 of the variant position, so the 5-base window is computed
@@ -133,7 +134,7 @@ object Splice {
     graft.plans.Graft.enable(vcf.sparkSession)
     val cand = t.join(v,
       col("_tc") === col("_vc") && col("_vp").between(col("_ts"), col("_te")))
-    snvTranscriptAggFrom(cand, transcripts, exons)
+    snvTranscriptAggFrom(cand, transcripts, exons, cb)
   }
 
   /** [[snvTranscriptAgg]]'s exon aggregation over a PRE-JOINED
@@ -141,7 +142,8 @@ object Splice {
     * _valt,_wb × _tc,_ts,_te,_tid,_strand,_bt) — lets the integrated
     * operator feed one shared transcript probe into this layer. */
   private[vep] def snvTranscriptAggFrom(
-      cand: DataFrame, transcripts: DataFrame, exons: DataFrame): DataFrame = {
+      cand: DataFrame, transcripts: DataFrame, exons: DataFrame,
+      cb: Option[DataFrame] = None): DataFrame = {
     val ex = exons.select(col("transcript_id").as("_etid"),
       col("start").cast("long").as("_es"), col("end").cast("long").as("_ee"))
     val p = col("_vp")
@@ -168,7 +170,8 @@ object Splice {
         // downstream layers (miRNA window, splice lambdas) need no
         // second transcript join
         first(col("_ts")).as("_ts"), first(col("_te")).as("_te"))
-      .join(broadcast(codingBounds(transcripts, exons)), col("_tid") === col("_cb_tid"), "left")
+      .join(broadcast(cb.getOrElse(codingBounds(transcripts, exons))),
+        col("_tid") === col("_cb_tid"), "left")
   }
 
   /** Intron-aware cDNA/CDS/protein coordinates + HGVSc for SNVs
@@ -660,6 +663,18 @@ object Splice {
         .otherwise(
           (withinIntron && ov(is_ + 2, is_ + 16)) ||
             (ip(is_ + 2, is_ + 17) && insIn))
+      // NB: the reference stretches EVERY exon of the transcript by
+      // 12 bp (overlaps_exon_for_consequence_include,
+      // transcript_consequence.rs:2505-2524); this per-intron flank
+      // distance is EQUIVALENT, not an approximation: pptRaw confines
+      // the variant to this intron's interior, a transcript's exons
+      // are disjoint and alternate with introns, so every
+      // non-flanking exon is strictly farther from any position in
+      // this intron than the flanking exon on that side — a stretched
+      // non-flanking exon can only reach positions the stretched
+      // flanking exon already covers. Algebra: suppression ⇔ the
+      // variant's ±12 window is NOT contained in this intron's span,
+      // which is exactly the negation below.
       val deep = when(isins, p > is_ + 11 && p < ie_ - 10)
         .otherwise(vs > is_ + 11 && ve < ie_ - 11)
       val ppt = pptRaw && (!hasFs || deep)
