@@ -38,6 +38,13 @@ object JobProfile {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
         taskMs += s.stageInfo.taskMetrics.executorRunTime
+        if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+          val si = s.stageInfo
+          val dur = (for (a <- si.completionTime; b <- si.submissionTime) yield a - b).getOrElse(-1L)
+          println(f"[stage] ${si.stageId}%4d tasks=${si.numTasks}%3d " +
+            f"dur=${dur / 1e3}%6.2fs taskSec=${si.taskMetrics.executorRunTime / 1e3}%7.1f " +
+            si.name.take(100))
+        }
       }
     })
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt

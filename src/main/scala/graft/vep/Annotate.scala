@@ -101,6 +101,17 @@ object Annotate {
     "start_lost", "frameshift_variant", "inframe_insertion",
     "inframe_deletion", "stop_retained_variant", "start_retained_variant")
 
+  /** Rank-prefixed vocabulary for the codegen term post-processor
+    * ([[graft.plans.TermPost]]) — same sets as [[stripParentsSql]]. */
+  private lazy val termPostConf = graft.plans.TermPostConf(
+    codingChildren.map(rk),
+    Seq("splice_donor_variant", "splice_acceptor_variant",
+      "splice_donor_region_variant", "splice_donor_5th_base_variant").map(rk),
+    Seq("stop_lost", "stop_gained", "stop_retained_variant").map(rk),
+    rk("coding_sequence_variant"), rk("protein_altering_variant"),
+    rk("splice_donor_region_variant"), rk("splice_region_variant"),
+    rk("incomplete_terminal_codon_variant"), rk("splice_donor_5th_base_variant"))
+
   /** VEP's parent-term stripping over a fused per-entry term array —
     * `strip_parent_terms` (transcript_consequence.rs:3099-3161,
     * itself Ensembl `BaseVariationFeatureOverlapAllele::
@@ -183,7 +194,7 @@ object Annotate {
     * string min — the former per-element 41-branch CASE inside
     * (interpreted) array lambdas ran twice per entry row and dominated
     * the render stage's task time. Stripped via substr(x, 3) at render. */
-  private def rk(n: String): String =
+  private[vep] def rk(n: String): String =
     f"${Vep.soRank.getOrElse(n, 41)}%02d" + n
   private[vep] def rkLit(n: String): Column = lit(rk(n))
   /** Prefix a non-literal term column — ONE scalar codegen'd CASE. */
@@ -1065,9 +1076,9 @@ object Annotate {
     // out, so no specific coding predicate can), the intron's splice
     // windows are skipped, intron_variant never (body excludes
     // frameshift introns)
-    val snvIntrons = Splice.intronArr(col("_xa_es"), col("_xa_ee"))
-    val snvFsIntron = Splice.inFrameshiftIntron(
-      snvIntrons, col("_vp"), col("_vp"), lit(false))
+    val snvScan = Splice.spliceScan(col("_xa_es"), col("_xa_ee"),
+      col("_vp"), col("_vp"), lit(false), col("_strand"))
+    val snvFsIntron = coalesce(snvScan.getField("fs"), lit(false))
     val snvTerm =
       when(col("region") === "intronic",
         when(snvFsIntron && Splice.isCodingBt(col("_bt")) &&
@@ -1081,10 +1092,8 @@ object Annotate {
         .otherwise(rkCol(
           coalesce(col("codon_consequence"), lit("coding_sequence_variant"))))
     // SNVs: normalized coords = the position itself, never an insertion
-    val snvBody = Splice.hitsIntronBody(
-      snvIntrons, col("_vp"), col("_vp"), lit(false))
-    val snvSterms = Splice.spliceTermsOf(
-      snvIntrons, col("_vp"), col("_vp"), lit(false), col("_strand"))
+    val snvBody = coalesce(snvScan.getField("body"), lit(false))
+    val snvSterms = coalesce(snvScan.getField("terms"), emptyTerms)
     val snvEntries = snvJoined
       .select(col("id"), col("transcript_id"),
         concat(
@@ -1263,12 +1272,10 @@ object Annotate {
     // complex indel (:1850-1866): a deletion that overlaps an exon AND
     // reaches the body of a NON-frameshift intron — the CDS change is
     // undeterminable, only coding_sequence_variant fires
-    val iIntrons = Splice.intronArr(col("_xa_es"), col("_xa_ee"))
+    val iScan = Splice.spliceScan(col("_xa_es"), col("_xa_ee"),
+      col("_i_nvs"), col("_i_nve"), col("_i_isins"), col("_i_strand"))
     val iComplex = !isins && col("_i_inex") === 1 &&
-      coalesce(exists(iIntrons, i =>
-        (i.getField("ie") - i.getField("is") > 12) &&
-          col("_i_nvs") <= i.getField("ie") &&
-          col("_i_nve") >= i.getField("is")), lit(false))
+      coalesce(iScan.getField("longov"), lit(false))
     // deletions spanning a CDS/UTR boundary get NO frameshift/inframe
     // (add_coding_terms:1985-2000) — CSV plus the UTR-extension terms
     val utrExt5 = !isins && col("_i_nvs") < col("_i_cs")
@@ -1278,8 +1285,7 @@ object Annotate {
     val mirnaOv = when(isins, iP > imStart && iP <= imEnd)
       .otherwise(col("_i_nvs") <= imEnd && col("_i_nve") >= imStart)
     // frameshift-intron CDS arm (see the SNV stream's twin)
-    val iFsIntron = Splice.inFrameshiftIntron(
-      iIntrons, col("_i_nvs"), col("_i_nve"), col("_i_isins"))
+    val iFsIntron = coalesce(iScan.getField("fs"), lit(false))
     val iFsCds = cdsOv
     // partial_codon (add_coding_terms:1927-1981): the event's codon is
     // the LAST, truncated one of a CDS whose spliced length is not a
@@ -1338,8 +1344,7 @@ object Annotate {
     // independent element on the inner-body predicate (and an
     // exon-spanning deletion reaching >= 2 bp into an intron carries
     // BOTH its exon term and intron_variant, like the reference)
-    val iBody = Splice.hitsIntronBody(
-      iIntrons, col("_i_nvs"), col("_i_nve"), col("_i_isins"))
+    val iBody = coalesce(iScan.getField("body"), lit(false))
     // HGVSc rendering on the fused aggregate — 1:1 with
     // Splice.indelHgvs's formatting over its own aggregate: valid only
     // when both shifted anchors lie inside this transcript AND inside
@@ -1391,9 +1396,7 @@ object Annotate {
     // deletions use the trimmed span
     val geomOk = when(isins, iP > col("_i_ts") && iP <= col("_i_te"))
       .otherwise(col("_i_nvs") <= col("_i_te") && col("_i_nve") >= col("_i_ts"))
-    val iSterms = when(geomOk, coalesce(Splice.spliceTermsOf(
-        iIntrons,
-        col("_i_nvs"), col("_i_nve"), col("_i_isins"), col("_i_strand")),
+    val iSterms = when(geomOk, coalesce(iScan.getField("terms"),
       emptyTerms)).otherwise(emptyTerms)
     val indelEntries = igeo
       .withColumn("_sterms", iSterms)
@@ -1707,15 +1710,20 @@ object Annotate {
       // parent-term stripping runs per entry BEFORE the render: the
       // Consequence string, IMPACT, and severity rank all read the
       // stripped set (strip_parent_terms fires after every layer has
-      // contributed its terms in the reference, too)
-      .select(col("*"),
-        expr(stripParentsSql(CodonLogic.SparkD, "_terms", prefixed = true))
-          .as("_terms2"))
-      .select(col("*"),
-        // prefixed terms: plain string sort + strip, plain string min
-        expr("array_join(transform(array_sort(_terms2), x -> substr(x, 3)), '&')")
-          .as("_termstr"),
-        expr("CAST(substr(array_min(_terms2), 1, 2) AS INT)").as("_best"))
+      // contributed its terms in the reference, too). One codegen
+      // expression ([[graft.plans.TermPost]]) computes strip + sorted
+      // term string + best rank — the former five-HOF chain evaluated
+      // its lambdas interpreted per array element in the hottest
+      // stage; the ORACLE keeps the SQL formulation (stripParentsSql
+      // lives on in VepSpliceQueries), so the engines cross-check.
+      .select(col("*"), {
+        import org.apache.spark.sql.GraftColumnBridge
+        GraftColumnBridge.column(graft.plans.TermPost(
+          GraftColumnBridge.expression(col("_terms")), termPostConf)).as("_tp")
+      })
+      .select(col("*"), col("_tp.t2").as("_terms2"),
+        col("_tp.ts").as("_termstr"), col("_tp.b").as("_best"))
+      .drop("_tp")
       .select(col("*"), expr(impactSql("_best")).as("_impact"))
       // entry sort rank: Transcript -> RegulatoryFeature ->
       // MotifFeature -> Intergenic, then lexicographic feature id

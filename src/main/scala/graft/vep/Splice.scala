@@ -570,6 +570,29 @@ object Splice {
     * exons, touching/overlapping pairs dropped — [[introns]] without
     * the shuffle (the caller already holds the per-transcript exon
     * arrays, broadcast). */
+  /** The six splice windows + frameshift-intron + intron-body
+    * predicates in ONE codegen pass over the exon arrays
+    * ([[graft.plans.SpliceScan]] — replaces [[intronArr]] +
+    * [[spliceTermsOf]] + [[inFrameshiftIntron]] + [[hitsIntronBody]]
+    * on the hot entry streams; the lambda formulations remain the
+    * documented semantics source and the oracle mirror's shape).
+    * Returns struct<terms, fs, body>; null when any input is null. */
+  private[vep] def spliceScan(es: Column, ee: Column, vs: Column,
+      ve: Column, isins: Column, strand: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.SpliceScan(
+      Seq(es, ee, vs, ve, isins, strand).map(GraftColumnBridge.expression),
+      spliceScanConf))
+  }
+
+  private lazy val spliceScanConf = graft.plans.SpliceScanConf(
+    Annotate.rk("splice_acceptor_variant"),
+    Annotate.rk("splice_donor_variant"),
+    Annotate.rk("splice_donor_5th_base_variant"),
+    Annotate.rk("splice_region_variant"),
+    Annotate.rk("splice_donor_region_variant"),
+    Annotate.rk("splice_polypyrimidine_tract_variant"))
+
   private[vep] def intronArr(esArr: Column, eeArr: Column): Column = {
     val es = array_sort(esArr)
     val ee = array_sort(eeArr)
