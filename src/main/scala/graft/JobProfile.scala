@@ -18,6 +18,10 @@ object JobProfile {
         sys.env.getOrElse("SPARK_GRAFT_EXCLUDE", ""))
       .config("spark.sql.constraintPropagation.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CONSTRAINTS", "true"))
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MINPART", "1"))
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_WSCG", "true"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
@@ -88,6 +92,9 @@ object JobProfile {
         println(s"[plan] analyzed nodes=${nodes.size} exprs=${nodes.map(exprCount).sum}")
         val onodes = qe.optimizedPlan.collect { case n => n }
         println(s"[plan] optimized nodes=${onodes.size} exprs=${onodes.map(exprCount).sum}")
+        onodes.map(n => (exprCount(n), n.nodeName, n.output.take(6).map(_.name).mkString(",")))
+          .sortBy(-_._1).take(12).foreach { case (c, nm, o) =>
+            println(s"[plan] exprs=$c $nm [$o]") }
       }
       qe.optimizedPlan
       val tOpt = (System.nanoTime() - t0) / 1e9
