@@ -568,17 +568,32 @@ object Annotate {
       regulatory, motifs, opts)
     val names = csqFieldNamesForMode(opts.refseq, opts.merged, opts.everything)
     val emptyA = expr("CAST(array() AS ARRAY<STRING>)")
-    // ONE split pass: array of per-entry field arrays
-    val withF = base.withColumn("_tf",
-      when(col("csq") === "", expr("CAST(array() AS ARRAY<ARRAY<STRING>>)"))
-        .otherwise(expr("transform(split(csq, ','), e -> split(e, '[|]'))")))
+    // ONE parse + transpose pass ([[graft.plans.CsqTranspose]]):
+    // _tp[k] = field k+1 across entries, so every per-field column is
+    // a plain element_at instead of its own transform-over-split HOF
+    // (~80 interpreted lambdas per variant, serial in the final
+    // AQE-coalesced stage — 5.4 s of the typed-frame wall at sf0.1)
+    // explicit (AQE-respected) width for the projection stage: the
+    // per-variant aggregate upstream is small in BYTES, so AQE
+    // coalesces its reader to one partition — but this projection is
+    // heavy in CPU per row (80+ array columns), and serializing it
+    // cost ~4-5 s of the typed-frame wall at bench scale. One
+    // rebalance exchange of per-variant rows; at scale the reader
+    // would be wide anyway and the explicit width stays harmless.
+    val withF = base
+      .repartition(base.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("_tp", {
+        import org.apache.spark.sql.GraftColumnBridge
+        GraftColumnBridge.column(graft.plans.CsqTranspose(
+          GraftColumnBridge.expression(col("csq")), names.length))
+      })
     def slot(name: String): Column = {
       val k = names.indexOf(name) + 1
       require(k > 0, s"unknown CSQ field $name")
-      expr(s"transform(_tf, f -> element_at(f, $k))")
+      element_at(col("_tp"), k)
     }
     def scalar1(name: String): Column =
-      when(size(col("_tf")) === 0, lit(null).cast("string"))
+      when(size(element_at(col("_tp"), 1)) === 0, lit(null).cast("string"))
         .otherwise(element_at(slot(name), 1))
     def floatArr(name: String): Column =
       transform(slot(name), x =>
