@@ -388,40 +388,105 @@ object Annotate {
     * cds_start,cds_end,gene_id,symbol,canonical,flags), exons
     * (transcript_id,start,end), sift
     * (transcript_id,protein_pos,aa,sift_score). */
+  /** Union-aggregate variant-level tail — ONE shuffle on id replaces
+    * the former three (per-variant entry aggregate, per-variant
+    * colocated aggregate, and the id-spine sort-merge joins): the
+    * spine (class/allele projection), the rendered entry stream, and
+    * the matched cache rows union into a three-slot tagged stream and
+    * aggregate together; every variant has exactly one spine row, so
+    * no outer join is needed afterwards. Output (one row per
+    * variant): `_sv` (spine struct), `n_transcripts`, `_evs` (entry
+    * structs in the reference's (feature-type rank, feature id)
+    * order), `_vterms`/`_vbest` (collapse_variant_terms), plus
+    * [[exvAppend]]'s colocated outputs (null-shaped when
+    * check_existing resolves off, matching the former
+    * LEFT-join-miss/emptyExv shape). */
+  private def variantTail(
+      vcf: DataFrame, cache: DataFrame, entries: DataFrame,
+      opts: VepOptions): DataFrame = {
+    val evStruct = struct(
+      col("_ftrank").as("r"), col("transcript_id").as("t"),
+      col("_entry").as("e"), col("_termstr").as("c"),
+      f(col("hgvs_c")).as("hc"), f(col("hgvs_p")).as("hp"),
+      f(col("_sift")).as("s"), f(col("_polyphen")).as("q"),
+      col("_impact").as("im"), col("_terms2").as("t2"))
+    val spineB = vClassDf(vcf).select(col("id"),
+      struct(col("_vclass"), col("_vallele")).as("_sv"))
+    val entB = entries.select(col("id"), evStruct.as("_ev"))
+    val svT = spineB.schema("_sv").dataType
+    val evT = entB.schema("_ev").dataType
+    val cvB =
+      if (opts.checkExistingOn)
+        Some(lookedFiltered(lookedDf(vcf, cache)).select(col("id"),
+          struct(col("_va").as("va"), lookedEntStruct.as("ent")).as("_cv")))
+      else None
+    def nullOf(t: org.apache.spark.sql.types.DataType) = lit(null).cast(t)
+    val unioned = cvB match {
+      case Some(cv) =>
+        val cvT = cv.schema("_cv").dataType
+        spineB.select(col("id"), col("_sv"), nullOf(evT).as("_ev"), nullOf(cvT).as("_cv"))
+          .unionByName(entB.select(col("id"), nullOf(svT).as("_sv"), col("_ev"), nullOf(cvT).as("_cv")))
+          .unionByName(cv.select(col("id"), nullOf(svT).as("_sv"), nullOf(evT).as("_ev"), col("_cv")))
+      case None =>
+        spineB.select(col("id"), col("_sv"), nullOf(evT).as("_ev"))
+          .unionByName(entB.select(col("id"), nullOf(svT).as("_sv"), col("_ev")))
+    }
+    val aggCols = Seq(
+      first(col("_sv"), ignoreNulls = true).as("_sv"),
+      count(col("_ev")).as("n_transcripts"),
+      // entry order: feature-type rank then lexicographic feature id
+      // (NOT the entry string) — a Transcript entry precedes a
+      // RegulatoryFeature entry regardless of how their rendered
+      // strings compare (collect_list skips the other slots' nulls)
+      array_sort(collect_list(col("_ev"))).as("_evs"),
+      // variant-level severity reads the UNION of entry term sets
+      // (collapse_variant_terms), not min-of-entry-bests — the
+      // cross-feature protein_altering strip can promote a LESS
+      // severe term from another feature to most_severe
+      array_distinct(flatten(collect_list(col("_ev").getField("t2"))))
+        .as("_vterms")) ++
+      (if (opts.checkExistingOn) Seq(
+        // _va is a per-variant constant (derived from the variant's
+        // own ref/alt), so an unordered first() is deterministic
+        first(col("_cv").getField("va"), ignoreNulls = true).as("_va"),
+        array_sort(collect_list(col("_cv").getField("ent"))).as("_ents"))
+      else Nil)
+    val agg0 = unioned.groupBy(col("id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("_vbest",
+        expr(collapsedBestSql(CodonLogic.SparkD, "_vterms", prefixed = true)))
+    val rankToName = Vep.soRank.foldLeft(lit("intergenic_variant")) { case (acc, (n, r)) =>
+      when(col("_vbest") === r, lit(n)).otherwise(acc)
+    }
+    val withExv =
+      if (opts.checkExistingOn) exvAppend(agg0, opts)
+      else {
+        val nullS = lit(null).cast("string"); val nullD = lit(null).cast("double")
+        agg0.select((Seq(col("*"), nullS.as("_exvar"), nullS.as("_exsuffix"),
+          nullS.as("variation_name")) ++
+          afCsq.map { case (_, c) => nullD.as(c) } ++
+          Seq(nullD.as("max_af"), nullS.as("max_af_pops"))): _*)
+      }
+    withExv.select(col("*"),
+      col("_sv._vclass").as("_vclass"), col("_sv._vallele").as("_vallele"),
+      rankToName.as("most_severe_consequence"))
+  }
+
   def annotate(
       vcf: DataFrame, cache: DataFrame, transcripts: DataFrame,
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       regulatory: DataFrame, motifs: DataFrame,
       opts: VepOptions = VepOptions.Everything): DataFrame = {
-    val exv =
-      if (opts.checkExistingOn) existingVar(lookedDf(vcf, cache), opts)
-      else emptyExv(vcf)
     val entries = entriesDf(vcf, selectTranscripts(transcripts, opts), exons,
       sift, polyphen, regulatory, motifs, opts)
-    val grouped = entries.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_transcripts"),
-        // variant-level severity reads the UNION of entry term sets
-        // (collapse_variant_terms), not min-of-entry-bests — the
-        // cross-feature protein_altering strip can promote a LESS
-        // severe term from another feature to most_severe
-        array_distinct(flatten(collect_list(col("_terms2")))).as("_vterms"),
-        // entry order: feature-type rank then lexicographic feature id
-        // (NOT the entry string) — a Transcript entry precedes a
-        // RegulatoryFeature entry regardless of how their rendered
-        // strings compare
-        expr("array_join(transform(array_sort(collect_list(struct(" +
-          "_ftrank, transcript_id, _entry))), x -> x._entry), ',')")
-          .as("_csqT"))
-      .withColumn("_vbest",
-        expr(collapsedBestSql(CodonLogic.SparkD, "_vterms", prefixed = true)))
-    // the id spine IS the per-variant class/allele projection — no
-    // separate vClass join
-    lookupJoin(vClassDf(vcf), exv, grouped)
+    variantTail(vcf, cache, entries, opts)
+      .withColumn("_csqT",
+        expr("array_join(transform(_evs, x -> x.e), ',')"))
       .select((col("id") +: col("variation_name") +:
         afCsq.map { case (_, c) => col(c) }) ++ Seq(
         col("max_af"), col("max_af_pops"),
         col("most_severe_consequence"),
-        coalesce(col("n_transcripts"), lit(0L)).as("n_transcripts"),
+        col("n_transcripts"),
         coalesce(substPerVariant(col("_csqT")), lit("")).as("csq")): _*)
   }
 
@@ -436,47 +501,25 @@ object Annotate {
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       regulatory: DataFrame, motifs: DataFrame,
       opts: VepOptions = VepOptions.Everything): DataFrame = {
-    val exv =
-      if (opts.checkExistingOn) existingVar(lookedDf(vcf, cache), opts)
-      else emptyExv(vcf)
     val entries = entriesDf(vcf, selectTranscripts(transcripts, opts), exons,
       sift, polyphen, regulatory, motifs, opts)
-    val grouped = entries.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_transcripts"),
-        array_distinct(flatten(collect_list(col("_terms2")))).as("_vterms"),
-        // struct sort key = (feature-type rank, feature id) — the
-        // reference's CSQ permutation order, shared with [[annotate]]
-        // so the Nth typed element matches the Nth CSQ entry
-        array_sort(collect_list(struct(
-          col("_ftrank").as("r"), col("transcript_id").as("t"),
-          col("_entry").as("e"),
-          col("_termstr").as("c"), f(col("hgvs_c")).as("hc"),
-          f(col("hgvs_p")).as("hp"), f(col("_sift")).as("s"),
-          f(col("_polyphen")).as("q"), col("_impact").as("im")))).as("_ents"))
-      .withColumn("_vbest",
-        expr(collapsedBestSql(CodonLogic.SparkD, "_vterms", prefixed = true)))
-      .select(col("id"), col("n_transcripts"), col("_vbest"),
-        expr("transform(_ents, x -> x.t)").as("transcript_ids"),
-        expr("transform(_ents, x -> x.c)").as("consequences"),
-        expr("transform(_ents, x -> x.hc)").as("hgvs_c"),
-        expr("transform(_ents, x -> x.hp)").as("hgvs_p"),
-        expr("transform(_ents, x -> x.s)").as("sift"),
-        expr("transform(_ents, x -> x.q)").as("polyphen"),
-        expr("transform(_ents, x -> x.im)").as("impact"))
-    val emptyArr = expr("CAST(array() AS ARRAY<STRING>)")
-    lookupJoin(vcf.select(col("id")), exv, grouped)
+    // `_evs` carries the (feature-type rank, feature id) sort order —
+    // the reference's CSQ permutation, shared with [[annotate]] so
+    // the Nth typed element matches the Nth CSQ entry; a variant with
+    // no entries has an empty `_evs`, so every array is born empty
+    variantTail(vcf, cache, entries, opts)
       .select((col("id") +: col("variation_name") +:
         afCsq.map { case (_, c) => col(c) }) ++ Seq(
         col("max_af"), col("max_af_pops"),
         col("most_severe_consequence"),
-        coalesce(col("n_transcripts"), lit(0L)).as("n_transcripts"),
-        coalesce(col("transcript_ids"), emptyArr).as("transcript_ids"),
-        coalesce(col("consequences"), emptyArr).as("consequences"),
-        coalesce(col("hgvs_c"), emptyArr).as("hgvs_c"),
-        coalesce(col("hgvs_p"), emptyArr).as("hgvs_p"),
-        coalesce(col("sift"), emptyArr).as("sift"),
-        coalesce(col("polyphen"), emptyArr).as("polyphen"),
-        coalesce(col("impact"), emptyArr).as("impact")): _*)
+        col("n_transcripts"),
+        expr("transform(_evs, x -> x.t)").as("transcript_ids"),
+        expr("transform(_evs, x -> x.c)").as("consequences"),
+        expr("transform(_evs, x -> x.hc)").as("hgvs_c"),
+        expr("transform(_evs, x -> x.hp)").as("hgvs_p"),
+        expr("transform(_evs, x -> x.s)").as("sift"),
+        expr("transform(_evs, x -> x.q)").as("polyphen"),
+        expr("transform(_evs, x -> x.im)").as("impact")): _*)
   }
 
   /** Transcript-level List columns of the reference's FULL typed
@@ -720,12 +763,15 @@ object Annotate {
     * `af_group_enabled` / `include_pubmed` / `flags.max_af`):
     * disabled AF groups render empty CSQ slots and null variant-level
     * values; MAX_AF/MAX_AF_POPS and PUBMED gate on their flags. */
-  private def existingVar(looked: DataFrame, opts: VepOptions): DataFrame = {
+  /** Per-row cache-entry struct (sort key + payload) over the looked
+    * columns — [[existingVar]]'s collection unit, also unioned into
+    * the single-shuffle variant tail ([[variantTail]]). */
+  private def lookedEntStruct: Column = {
     val sm = when(col("somatic").cast("string") === "1", 1).otherwise(0)
     val p2 = lower(substring(col("variation_name"), 1, 2))
     val pr = when(p2 === "rs", 1).when(p2.isin("cm", "ci", "cd"), 2)
       .when(p2 === "co", 3).otherwise(100)
-    val entStruct = struct(
+    struct(
       (Seq(sm.as("sm"), pr.as("pr"),
         stripCtl(col("variation_name")).as("vn")) ++
         afCsq.map(_._2).map(c => col(c).as(c)) ++
@@ -734,6 +780,22 @@ object Annotate {
           stripCtl(col("pubmed")).as("pubmed"),
           stripCtl(col("clin_sig")).as("cs"),
           stripCtl(col("clin_sig_allele")).as("csa"))): _*)
+  }
+
+  /** The reference's build_colocated_map_from_sink SKIPS entries with
+    * an empty variation_name entirely (annotate_provider.rs:1881-1897)
+    * — they contribute NO AF slots, flags, pubmed, or clin_sig. */
+  private def lookedFiltered(looked: DataFrame): DataFrame =
+    looked.where(col("variation_name").isNotNull && col("variation_name") =!= "")
+
+  /** Appends the colocated-variant per-variant output columns
+    * (_exvar, _exsuffix, variation_name, the AF family, max_af,
+    * max_af_pops) to a frame carrying sorted `_ents` + `_va`,
+    * dropping the staging intermediates; null string outputs when
+    * `_ents` is empty (the LEFT-join-miss shape of the former
+    * separate aggregate). Extra input columns pass through — shared
+    * by [[existingVar]] and the union-aggregate [[variantTail]]. */
+  private def exvAppend(withEnts: DataFrame, opts: VepOptions): DataFrame = {
     val emaxSql = "greatest(" + maxAfPopCols.map { case (_, c) =>
       s"CAST(x.$c AS DECIMAL(5,4))" }.mkString(", ") + ")"
     val popCases = maxAfPopCols.map { case (n, c) =>
@@ -741,18 +803,8 @@ object Annotate {
     }.mkString(", ")
     val chunkCond =
       "ch -> instr(ch, ':') > 0 AND substring_index(ch, ':', 1) = _va"
-    // the reference's build_colocated_map_from_sink SKIPS entries with
-    // an empty variation_name entirely (annotate_provider.rs:1881-1897)
-    // — they contribute NO AF slots, flags, pubmed, or clin_sig
-    val grouped = looked
-      .where(col("variation_name").isNotNull && col("variation_name") =!= "")
-      .groupBy(col("id"))
-      // _va is a per-variant constant (derived from the variant's own
-      // ref/alt), so an unordered first() is deterministic here
-      .agg(first(col("_va"), ignoreNulls = true).as("_va"),
-        array_sort(collect_list(entStruct)).as("_ents"))
-    val staged = grouped.select(
-      (Seq(col("id"), col("_va"), col("_ents"),
+    val staged = withEnts.select(
+      (Seq(col("*"),
         expr(s"array_max(transform(_ents, x -> $emaxSql))").as("_exm")) ++
         afCsq.map { case (_, c) =>
           expr(s"array_distinct(transform(filter(_ents, x -> x.$c IS NOT NULL), " +
@@ -812,9 +864,12 @@ object Annotate {
         if (opts.maxAfOn) array_join(col("_pops"), "&") else lit(""),
         clinField, gatedFlags("somatic"), gatedFlags("pheno"),
         if (opts.pubmedOn) pubField else lit(""))): _*)
+    val hasExv = size(col("_ents")) > 0
     staged.select(
-      (Seq(col("id"), exvar.as("_exvar"), suffix.as("_exsuffix"),
-        exvar.as("variation_name")) ++
+      (Seq(col("*"),
+        when(hasExv, exvar).as("_exvar"),
+        when(hasExv, suffix).as("_exsuffix"),
+        when(hasExv, exvar).as("variation_name")) ++
         afCsq.map { case (_, c) =>
           if (opts.groupOn(c))
             when(size(col(s"_afl_$c")) === 1,
@@ -827,6 +882,24 @@ object Annotate {
           (if (opts.maxAfOn)
              when(size(col("_pops")) > 0, array_join(col("_pops"), "&"))
            else lit(null).cast("string")).as("max_af_pops"))): _*)
+      .drop((Seq("_exm", "_pops", "_csaVals", "_csaPos", "_pbVals", "_fbVals") ++
+        afCsq.map { case (_, c) => s"_afl_$c" }): _*)
+  }
+
+  /** See the Scaladoc above [[lookedEntStruct]]/[[exvAppend]] — the
+    * standalone per-matched-variant colocated aggregate (one row per
+    * matched variant), the shape [[existingVariants]] exposes. */
+  private def existingVar(looked: DataFrame, opts: VepOptions): DataFrame = {
+    val grouped = lookedFiltered(looked)
+      .groupBy(col("id"))
+      // _va is a per-variant constant (derived from the variant's own
+      // ref/alt), so an unordered first() is deterministic here
+      .agg(first(col("_va"), ignoreNulls = true).as("_va"),
+        array_sort(collect_list(lookedEntStruct)).as("_ents"))
+    exvAppend(grouped, opts).select(
+      (Seq(col("id"), col("_exvar"), col("_exsuffix"), col("variation_name")) ++
+        afCsq.map { case (_, c) => col(c) } ++
+        Seq(col("max_af"), col("max_af_pops"))): _*)
   }
 
   /** Public per-variant colocated-variant summary — the variant-level
@@ -926,19 +999,7 @@ object Annotate {
     }
   }
 
-  /** Zero-row colocated aggregate with [[existingVar]]'s schema — the
-    * no-lookup path when `check_existing` resolves off (the reference
-    * skips the cache probe entirely): every variant left-joins to
-    * nothing, so the whole colocated family renders empty/null. */
-  private def emptyExv(vcf: DataFrame): DataFrame = {
-    val nullS = lit(null).cast("string")
-    val nullD = lit(null).cast("double")
-    vcf.select(col("id")).where(lit(false)).select(
-      (Seq(col("id"), nullS.as("_exvar"), nullS.as("_exsuffix"),
-        nullS.as("variation_name")) ++
-        afCsq.map { case (_, c) => nullD.as(c) } ++
-        Seq(nullD.as("max_af"), nullS.as("max_af_pops"))): _*)
-  }
+
 
   /** Per-variant CSQ blocks render as single-byte placeholders in the
     * per-entry stream and substitute ONCE per variant after the final
@@ -975,22 +1036,7 @@ object Annotate {
       coalesce(stripCtl(Vep.vepAltUdf(col("ref"), col("alt"))), lit(""))
         .as("_vallele"))
 
-  /** Shared variant-level tail: one row per input variant — the id
-    * spine LEFT-joins the per-variant colocated aggregate
-    * ([[existingVar]]: variation_name, AF family, MAX_AF/MAX_AF_POPS)
-    * and the per-variant entry aggregate, then resolves the
-    * most-severe rank name. MAX_AF spans the POPULATION columns
-    * only — the reference excludes the three globals
-    * (annotate_provider.rs AF_COLUMNS: max_af_pop is None for
-    * "AF"/"gnomADe"/"gnomADg"). */
-  private def lookupJoin(ids: DataFrame, exv: DataFrame, grouped: DataFrame): DataFrame = {
-    val rankToName = Vep.soRank.foldLeft(lit("intergenic_variant")) { case (acc, (n, r)) =>
-      when(col("_vbest") === r, lit(n)).otherwise(acc)
-    }
-    ids.join(exv, Seq("id"), "left")
-      .join(grouped, Seq("id"), "left")
-      .withColumn("most_severe_consequence", rankToName)
-  }
+
 
   /** One row per (variant, transcript) entry with its fused term set
     * rendered, severity rank, and entry string (per-variant blocks as
