@@ -120,7 +120,7 @@ object JobProfile {
           l.contains("Scan") || l.contains("Interval"))
           .foreach(l => println("[plan] " + l.take(160)))
       }
-      if (i == 1) {
+      if (i == passes - 1) {
         import scala.jdk.CollectionConverters._
         val evs = events.asScala.toSeq.sortBy(_._2)
         val base = evs.headOption.map(_._2).getOrElse(0L)
