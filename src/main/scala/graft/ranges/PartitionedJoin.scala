@@ -2,6 +2,7 @@ package graft.ranges
 
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import graft.core.{FilterOp, IntervalCols}
 import graft.index.{CoverageIndex, NearestIndex}
@@ -59,8 +60,13 @@ object PartitionedJoin {
     val psi = pSchema.fieldIndex(pcols.start)
     val pei = pSchema.fieldIndex(pcols.end)
     val nb = bSchema.length
-    val kvB = build.groupByKey(_.getString(bci))(Encoders.STRING)
-    val kvP = probe.groupByKey(_.getString(pci))(Encoders.STRING)
+    // SQL null semantics, matching the broadcast path: null-contig
+    // build rows are never indexed; null-contig probe rows match
+    // nothing and emit the no-candidate (null-left) row
+    val kvB = build.where(col(bcols.contig).isNotNull)
+      .groupByKey(_.getString(bci))(Encoders.STRING)
+    val kvP = probe.where(col(pcols.contig).isNotNull)
+      .groupByKey(_.getString(pci))(Encoders.STRING)
     val ds = kvB.cogroup(kvP) { (_: String, bIt: Iterator[Row], pIt: Iterator[Row]) =>
       val bRows = bIt.toArray
       val idx =
@@ -95,7 +101,14 @@ object PartitionedJoin {
         out.iterator
       }
     }(Encoders.row(outSchema))
-    ds.toDF()
+    // null-contig probes ride a (usually empty) side branch — no
+    // construction-time action to test for them
+    val nullLeft2: Seq[Any] = Seq.fill(nb)(null)
+    val extra = probe.where(col(pcols.contig).isNull).map { pr =>
+      Row.fromSeq(nullLeft2 ++ pr.toSeq ++
+        (if (computeDistance) Seq(null) else Nil))
+    }(Encoders.row(outSchema))
+    ds.toDF().unionByName(extra.toDF())
   }
 
   /** F8 subtract, Partitioned mode. Output identical to
@@ -124,8 +137,13 @@ object PartitionedJoin {
     val rsi = rSchema.fieldIndex(rcols.start)
     val rei = rSchema.fieldIndex(rcols.end)
     val strict = op.isStrict
-    val kvR = right.groupByKey(_.getString(rci))(Encoders.STRING)
-    val kvL = left.groupByKey(_.getString(lci))(Encoders.STRING)
+    // null-contig subtrahend rows never merge into the index; a
+    // null-contig left row overlaps nothing and passes through whole
+    // (coords Long-cast like every fragment row)
+    val kvR = right.where(col(rcols.contig).isNotNull)
+      .groupByKey(_.getString(rci))(Encoders.STRING)
+    val kvL = left.where(col(lcols.contig).isNotNull)
+      .groupByKey(_.getString(lci))(Encoders.STRING)
     val ds = kvR.cogroup(kvL) { (_: String, rIt: Iterator[Row], lIt: Iterator[Row]) =>
       val ss = mutable.ArrayBuffer.empty[Long]
       val ee = mutable.ArrayBuffer.empty[Long]
@@ -149,6 +167,13 @@ object PartitionedJoin {
         out.iterator
       }
     }(Encoders.row(outSchema))
-    ds.toDF()
+    val extra = left.where(col(lcols.contig).isNull).map { lr =>
+      Row.fromSeq(lr.toSeq.zipWithIndex.map {
+        case (v, i) if i == lsi || i == lei => asLong(v,
+          if (i == lsi) lcols.start else lcols.end)
+        case (v, _) => v
+      })
+    }(Encoders.row(outSchema))
+    ds.toDF().unionByName(extra.toDF())
   }
 }
