@@ -22,6 +22,8 @@ object JobProfile {
         sys.env.getOrElse("SPARK_GRAFT_MINPART", "1"))
       .config("spark.sql.codegen.wholeStage",
         sys.env.getOrElse("SPARK_GRAFT_WSCG", "true"))
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS", "200"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
@@ -64,9 +66,11 @@ object JobProfile {
           val t = new Thread(() => {
             try while (true) {
               Thread.getAllStackTraces.forEach { (th, st) =>
-                if (!th.getName.contains("dispatcher") && !th.getName.contains("Executor task")) {
+                val isExec = th.getName.contains("Executor task")
+                if (if (sys.env.contains("SPARK_GRAFT_SAMPLE_EXEC")) isExec
+                    else !th.getName.contains("dispatcher") && !isExec) {
                   val top = st.filter(f => f.getClassName.startsWith("org.apache.spark") ||
-                    f.getClassName.startsWith("org.codehaus") ||
+                    f.getClassName.startsWith("org.codehaus") || f.getClassName.startsWith("java.security") ||
                     f.getClassName.startsWith("graft")).take(3)
                   if (top.nonEmpty)
                     counts.merge(top.map(f => f.getClassName.split("\\.").takeRight(2)

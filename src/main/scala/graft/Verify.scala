@@ -15,6 +15,13 @@ object Verify {
       // of driver time per invocation (optimizer + AQE re-planning);
       // every gate query is oracle-verified under this setting
       .config("spark.sql.constraintPropagation.enabled", "false")
+      // with 32 reduce partitions the bypass-merge shuffle writer
+      // opens one file per (map task x partition) — ~45 executor-
+      // seconds of file handling per annotate run at bench scale
+      // (stack-sampled: DiskBlockObjectWriter.open + KeyLock
+      // contention + NIO concat). Threshold 0 selects the
+      // tungsten-sort writer: one spill file per map task
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
