@@ -240,6 +240,15 @@ object VepSpliceQueries {
         Tables.vcf(s, d), Tables.vepCache(s, d),
         Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
         Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d)))),
+    // The reference AnnotateProvider's PRIMARY output shape
+    // (annotate_provider.rs:2270-2296): every input VCF column passes
+    // through, then CSQ + most_severe_consequence, then the full
+    // typed annotation block — the vcf_passthrough contract.
+    "f11_provider_frame" -> ((s, d) =>
+      serializeTypedFull(graft.vep.Annotate.annotateProviderFrame(
+        Tables.vcf(s, d), Tables.vepCache(s, d),
+        Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
+        Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d)))),
     // Transcript-source selection (annotate_provider.rs:5642-5784):
     // the fixture's T* ids are remapped to a mix of curated RefSeq
     // (NM_), predicted RefSeq (XM_), Ensembl (ENST) and unlabeled
@@ -1411,7 +1420,10 @@ object VepSpliceQueries {
   /** DuckDB oracle of the full typed frame: the SAME derivation over
     * the e2e csq — per-entry field arrays split from the rendered
     * entries, serialized identically. */
-  private lazy val typedFullSql: String = {
+  private lazy val typedFullSql: String = typedFullSqlFor(provider = false)
+  private lazy val providerFrameSql: String = typedFullSqlFor(provider = true)
+
+  private def typedFullSqlFor(provider: Boolean): String = {
     val names = graft.vep.Annotate.csqFieldNames
     def k(n: String): Int = {
       val i = names.indexOf(n); require(i >= 0, n); i + 1
@@ -1426,7 +1438,13 @@ object VepSpliceQueries {
     def joined(n: String, sep: String) =
       s"COALESCE(array_to_string(list_filter(list_transform(flds, f -> f[${k(n)}]), x -> x <> ''), '$sep'), '')"
     val (listA, listB) = graft.vep.Annotate.typedFullListCols.splitAt(20)
-    val cols = Seq("b.id AS id", s"""${scalar("Allele")} AS "Allele"""") ++
+    val head =
+      if (provider) Seq(
+        "v.chrom AS chrom", "v.start AS start", "v.\"end\" AS \"end\"",
+        "b.id AS id", "v.ref AS ref", "v.alt AS alt",
+        "b.csq AS \"CSQ\"", "b.most_severe_consequence AS most_severe_consequence")
+      else Seq("b.id AS id")
+    val cols = head ++ Seq(s"""${scalar("Allele")} AS "Allele"""") ++
       listA.map(n => s"""${slotSer(n)} AS "$n"""") ++
       Seq(s"""${scalar("VARIANT_CLASS")} AS "VARIANT_CLASS"""") ++
       listB.map(n => s"""${slotSer(n)} AS "$n"""") ++
@@ -1473,6 +1491,7 @@ object VepSpliceQueries {
        | SELECT q.*, CASE WHEN csq = '' THEN CAST([] AS VARCHAR[][])
        |  ELSE list_transform(string_split(csq, ','), e -> string_split(e, '|')) END AS flds
        | FROM ($annotateE2eSql) q) b
+       |${if (provider) "JOIN v ON b.id = v.id" else ""}
        |LEFT JOIN xr ON b.id = xr.id ORDER BY b.id""".stripMargin.replace("\n", " ")
   }
 
@@ -1592,6 +1611,7 @@ object VepSpliceQueries {
     "f11_annotate_probes" -> annotateProbesSql,
     "f11_annotate_fsintron" -> annotateFsIntronSql,
     "f11_typed_full" -> typedFullSql,
+    "f11_provider_frame" -> providerFrameSql,
     "f11_transcript_selection" -> transcriptSelectionSql,
     "s9_stream_annotate_tx" ->
       s"""WITH ${Oracle.transcripts}, ${Oracle.vcf}

@@ -606,7 +606,31 @@ object Annotate {
       vcf: DataFrame, cache: DataFrame, transcripts: DataFrame,
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       regulatory: DataFrame, motifs: DataFrame,
-      opts: VepOptions = VepOptions.Everything): DataFrame = {
+      opts: VepOptions = VepOptions.Everything): DataFrame =
+    typedFullFrom(vcf, cache, transcripts, exons, sift, polyphen,
+      regulatory, motifs, opts, provider = false)
+
+  /** The reference AnnotateProvider's PRIMARY output shape
+    * (annotate_provider.rs:2270-2296): ALL input VCF columns pass
+    * through first, then `CSQ` and `most_severe_consequence`, then
+    * the full typed annotation column block — the contract the
+    * reference's vcf_passthrough tests pin (every input column
+    * preserved in the output). One pipeline: the typed block derives
+    * from the same rendered CSQ, and the input columns ride a final
+    * id equi-join against the spine. */
+  def annotateProviderFrame(
+      vcf: DataFrame, cache: DataFrame, transcripts: DataFrame,
+      exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
+      regulatory: DataFrame, motifs: DataFrame,
+      opts: VepOptions = VepOptions.Everything): DataFrame =
+    typedFullFrom(vcf, cache, transcripts, exons, sift, polyphen,
+      regulatory, motifs, opts, provider = true)
+
+  private def typedFullFrom(
+      vcf: DataFrame, cache: DataFrame, transcripts: DataFrame,
+      exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
+      regulatory: DataFrame, motifs: DataFrame,
+      opts: VepOptions, provider: Boolean): DataFrame = {
     val base = annotate(vcf, cache, transcripts, exons, sift, polyphen,
       regulatory, motifs, opts)
     val names = csqFieldNamesForMode(opts.refseq, opts.merged, opts.everything)
@@ -649,8 +673,12 @@ object Annotate {
     def nullifEmpty(c: Column): Column =
       when(c === "", lit(null).cast("string")).otherwise(c)
     val (listA, listB) = typedFullListCols.splitAt(20)
+    val head: Seq[Column] =
+      if (provider) Seq(col("id"), col("csq").as("CSQ"),
+        col("most_severe_consequence"), scalar1("Allele").as("Allele"))
+      else Seq(col("id"), scalar1("Allele").as("Allele"))
     val cols: Seq[Column] =
-      Seq(col("id"), scalar1("Allele").as("Allele")) ++
+      head ++
         listA.map(n => slot(n).as(n)) ++
         Seq(scalar1("VARIANT_CLASS").as("VARIANT_CLASS")) ++
         listB.map(n => slot(n).as(n)) ++
@@ -667,8 +695,12 @@ object Annotate {
           transform(nonEmpty("MOTIF_SCORE_CHANGE"), x => x.cast("double"))
             .as("MOTIF_SCORE_CHANGE"),
           nonEmpty("TRANSCRIPTION_FACTORS").as("TRANSCRIPTION_FACTORS"))
-    withF.select(cols: _*)
+    val typed = withF.select(cols: _*)
       .join(existingXrefs(vcf, cache), Seq("id"), "left")
+    if (!provider) typed
+    else vcf.join(typed, Seq("id"))
+      .select((vcf.columns.toSeq.map(col) ++
+        typed.columns.filterNot(_ == "id").map(col)): _*)
   }
 
   /** Colocated-variant side output (variant_lookup_exec.rs:519-537
