@@ -143,8 +143,18 @@ object Dedup {
     val banded = sig.select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("ck", expr("(simhash >> (band * 4)) & 15"))
-    val a = banded.select(col("id").as("id1"), col("simhash").as("_s1"),
-      col("band"), col("ck"))
+    // explicit (AQE-respected) width for the candidate join: its INPUT
+    // is tiny (4 rows per doc), so AQE coalesces the reader to one
+    // partition — but the join EXPANDS quadratically within each
+    // (band, nibble) group (~|group|^2/2 candidate pairs), and the
+    // whole expansion+verify ran serial on that one task. Partitioning
+    // by the join key keeps the expansion parallel; the 64-key space
+    // (4 bands x 16 nibbles) bounds the spread — an inherent skew
+    // residual of coarse signatures, same class as contig keys.
+    val w = df.sparkSession.sparkContext.defaultParallelism
+    val a = banded.repartition(w, col("band"), col("ck"))
+      .select(col("id").as("id1"), col("simhash").as("_s1"),
+        col("band"), col("ck"))
     val b = banded.select(col("id").as("id2"), col("simhash").as("_s2"),
       col("band").as("_band2"), col("ck").as("_ck2"))
     a.join(b, col("band") === col("_band2") && col("ck") === col("_ck2") &&
