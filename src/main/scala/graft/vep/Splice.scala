@@ -570,13 +570,14 @@ object Splice {
     * exons, touching/overlapping pairs dropped — [[introns]] without
     * the shuffle (the caller already holds the per-transcript exon
     * arrays, broadcast). */
-  /** The six splice windows + frameshift-intron + intron-body
-    * predicates in ONE codegen pass over the exon arrays
-    * ([[graft.plans.SpliceScan]] — replaces [[intronArr]] +
-    * [[spliceTermsOf]] + [[inFrameshiftIntron]] + [[hitsIntronBody]]
-    * on the hot entry streams; the lambda formulations remain the
-    * documented semantics source and the oracle mirror's shape).
-    * Returns struct<terms, fs, body>; null when any input is null. */
+  /** The six splice windows + the frameshift-intron, intron-body and
+    * complex-indel predicates in ONE codegen pass over the exon
+    * arrays ([[graft.plans.SpliceScan]], where each window's
+    * semantics and reference traceability are documented; the DuckDB
+    * oracle in VepSpliceQueries keeps the independent SQL
+    * formulation — the former per-predicate array-lambda expressions
+    * were CodegenFallback and are retired). Returns
+    * struct<terms, fs, body, longov>; null when any input is null. */
   private[vep] def spliceScan(es: Column, ee: Column, vs: Column,
       ve: Column, isins: Column, strand: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
@@ -592,136 +593,6 @@ object Splice {
     Annotate.rk("splice_region_variant"),
     Annotate.rk("splice_donor_region_variant"),
     Annotate.rk("splice_polypyrimidine_tract_variant"))
-
-  private[vep] def intronArr(esArr: Column, eeArr: Column): Column = {
-    val es = array_sort(esArr)
-    val ee = array_sort(eeArr)
-    when(size(esArr) >= 2,
-      filter(
-        transform(sequence(lit(1), size(esArr) - 1), k =>
-          struct((element_at(ee, k) + 1).as("is"),
-            (element_at(es, k + 1) - 1).as("ie"))),
-        i => i.getField("ie") >= i.getField("is")))
-      .otherwise(expr("CAST(array() AS ARRAY<STRUCT<is: BIGINT, ie: BIGINT>>)"))
-  }
-
-  /** `variant_hits_intron_body` (transcript_consequence.rs:8123-8143)
-    * over an intron array: VEP inserts `intron_variant` only when the
-    * variant reaches the INNER intron body `[is+2, ie-2]` — the
-    * first/last two (splice-site) bases do not count, and frameshift
-    * introns (<= 13 bp, `ie - is <= 12`) never do. Insertions check
-    * the VEP inverted-coordinate point: `P in [is+2, ie-1]`.
-    * Independent of the exon-side geometry term: an exon-spanning
-    * deletion that reaches >= 2 bp into an intron carries BOTH its
-    * exon consequence and `intron_variant`. */
-  private[vep] def hitsIntronBody(
-      introns: Column, vs: Column, ve: Column, isins: Column): Column =
-    coalesce(exists(introns, i => {
-      val is_ = i.getField("is"); val ie_ = i.getField("ie")
-      (ie_ - is_ > 12) &&
-        when(isins, vs >= is_ + 2 && vs <= ie_ - 1)
-          .otherwise(vs <= ie_ - 2 && ve >= is_ + 2)
-    }), lit(false))
-
-  /** `in_frameshift_intron` (transcript_consequence.rs:2552-2576):
-    * the variant overlaps the body of a frameshift intron (<= 13 bp).
-    * VEP treats such positions as part of the surrounding coding
-    * context — within CDS bounds they emit coding_sequence_variant
-    * (the mapper gaps out, so no specific coding predicate can fire),
-    * and the splice windows of that intron are skipped. */
-  private[vep] def inFrameshiftIntron(
-      introns: Column, vs: Column, ve: Column, isins: Column): Column =
-    coalesce(exists(introns, i => {
-      val is_ = i.getField("is"); val ie_ = i.getField("ie")
-      (ie_ - is_ <= 12) &&
-        when(isins, vs > is_ && vs <= ie_).otherwise(vs <= ie_ && ve >= is_)
-    }), lit(false))
-
-  /** [[spliceTermsRaw]]'s six per-intron positional windows as a pure
-    * array-lambda expression over an intron array — per candidate row,
-    * NO probe, explode, aggregation or re-join: the integrated
-    * operator attaches splice terms to the snv/indel entry streams as
-    * a projection. Deduped across introns (the standalone operator's
-    * distinct / the fusion's collect_set). Inputs: VEP-normalized
-    * [vs, ve], the insertion flag, strand. */
-  private[vep] def spliceTermsOf(introns: Column, vs: Column, ve: Column,
-      isins: Column, strand: Column): Column = {
-    // transcript-wide: any frameshift intron stretches exon overlap by
-    // 12 bp in VEP's consequence-include predicates, which suppresses
-    // the polypyrimidine term near exons (allow_polypyrimidine,
-    // transcript_consequence.rs:2607-2608, 2495-2524)
-    val hasFs = coalesce(exists(introns,
-      i => i.getField("ie") - i.getField("is") <= 12), lit(false))
-    val terms = transform(introns, i => {
-      val is_ = i.getField("is"); val ie_ = i.getField("ie")
-      val plus = strand === 1
-      val p = vs
-      def ov(x: Column, y: Column) = !isins && vs <= y && ve >= x
-      def ip(x: Column, y: Column) = isins && p.between(x, y)
-      // VEP skips ALL splice checks for a frameshift intron (<= 13 bp,
-      // ie - is <= 12) when the variant overlaps the intron SPAN
-      // [is, ie] — including its splice-site bases, a wider test than
-      // hitsIntronBody's inner span (transcript_consequence.rs:
-      // 2623-2636); purely-exonic boundary variants still run the
-      // windows on a frameshift intron
-      val fsSkip = (ie_ - is_ <= 12) &&
-        when(isins, p > is_ && p <= ie_).otherwise(vs <= ie_ && ve >= is_)
-      val donor = when(plus, ov(is_, is_ + 1) || ip(is_ + 1, is_ + 1))
-        .otherwise(ov(ie_ - 1, ie_) || ip(ie_, ie_))
-      val donor5 = when(plus, ov(is_ + 4, is_ + 4)).otherwise(ov(ie_ - 4, ie_ - 4))
-      val donorRegion = when(plus, ov(is_ + 2, is_ + 5) || ip(is_ + 3, is_ + 5))
-        .otherwise(ov(ie_ - 5, ie_ - 2) || ip(ie_ - 4, ie_ - 2))
-      val acceptor = when(plus, ov(ie_ - 1, ie_) || ip(ie_, ie_))
-        .otherwise(ov(is_, is_ + 1) || ip(is_ + 1, is_ + 1))
-      val withinIntron = !isins && vs >= is_ && ve <= ie_
-      // PPT's include gate (intron yes, exon no): an insertion's PPT
-      // window reaches into the exon on short introns — VEP's
-      // allow_polypyrimidine requires intron membership; with a
-      // frameshift intron on the transcript, exon overlap stretches
-      // 12 bp, suppressing PPT within 12 bp of any exon
-      val insIn = p > is_ && p <= ie_
-      val pptRaw = when(plus,
-          (withinIntron && ov(ie_ - 16, ie_ - 2)) ||
-            (ip(ie_ - 16, ie_ - 1) && insIn))
-        .otherwise(
-          (withinIntron && ov(is_ + 2, is_ + 16)) ||
-            (ip(is_ + 2, is_ + 17) && insIn))
-      // NB: the reference stretches EVERY exon of the transcript by
-      // 12 bp (overlaps_exon_for_consequence_include,
-      // transcript_consequence.rs:2505-2524); this per-intron flank
-      // distance is EQUIVALENT, not an approximation: pptRaw confines
-      // the variant to this intron's interior, a transcript's exons
-      // are disjoint and alternate with introns, so every
-      // non-flanking exon is strictly farther from any position in
-      // this intron than the flanking exon on that side — a stretched
-      // non-flanking exon can only reach positions the stretched
-      // flanking exon already covers. Algebra: suppression ⇔ the
-      // variant's ±12 window is NOT contained in this intron's span,
-      // which is exactly the negation below.
-      val deep = when(isins, p > is_ + 11 && p < ie_ - 10)
-        .otherwise(vs > is_ + 11 && ve < ie_ - 11)
-      val ppt = pptRaw && (!hasFs || deep)
-      val spliceRegion =
-        ov(is_ + 2, is_ + 7) || ov(ie_ - 7, ie_ - 2) ||
-        ov(is_ - 3, is_ - 1) || ov(ie_ + 1, ie_ + 3) ||
-        ip(is_ + 3, is_ + 7) || ip(ie_ - 6, ie_ - 2) ||
-        ip(is_ - 2, is_ - 1) || ip(ie_ + 2, ie_ + 3) ||
-        (isins &&
-          (p === is_ || p === ie_ + 1 || p === is_ + 2 || p === ie_ - 1))
-      // severity-rank-prefixed literals (Annotate.rkLit): the fused
-      // streams sort/min terms as plain strings
-      when(fsSkip, expr("CAST(array() AS ARRAY<STRING>)")).otherwise(
-        filter(array(
-          when(acceptor, Annotate.rkLit("splice_acceptor_variant")),
-          when(donor, Annotate.rkLit("splice_donor_variant")),
-          when(donor5, Annotate.rkLit("splice_donor_5th_base_variant")),
-          when(spliceRegion, Annotate.rkLit("splice_region_variant")),
-          when(donorRegion, Annotate.rkLit("splice_donor_region_variant")),
-          when(ppt, Annotate.rkLit("splice_polypyrimidine_tract_variant"))),
-          x => x.isNotNull))
-    })
-    array_distinct(flatten(terms))
-  }
 
   /** HGVS notation for exonic non-SNV events — the hgvs.rs /
     * `format_hgvs_string` small-variant forms (hgvs.rs:1163-1192,
