@@ -102,32 +102,55 @@ object IntervalJoin {
   private def collectBuild(
       df: DataFrame, cols: IntervalCols, tieBreakCol: Option[String] = None)
       : (mutable.LinkedHashMap[String, (Array[Long], Array[Long], Array[Int], Array[Long])], DataFrame) = {
-    val rows = df.collect()
+    import org.apache.spark.sql.catalyst.InternalRow
+    // executeCollect: UnsafeRows straight off the wire — df.collect()
+    // additionally ran CatalystTypeConverters per field per row and
+    // re-boxed every value again for the _lidx append (driver-serial;
+    // ~2 s of the nearest build at sf0.1)
+    val rows = df.queryExecution.executedPlan.executeCollect()
     val ci = df.schema.fieldIndex(cols.contig)
     val si = df.schema.fieldIndex(cols.start)
     val ei = df.schema.fieldIndex(cols.end)
     val ti = tieBreakCol.map(df.schema.fieldIndex)
+    def longGetter(k: Int, name: String): InternalRow => Long =
+      df.schema(k).dataType match {
+        case LongType => r => if (r.isNullAt(k)) asLong(null, name) else r.getLong(k)
+        case IntegerType => r => if (r.isNullAt(k)) asLong(null, name) else r.getInt(k).toLong
+        case ShortType => r => if (r.isNullAt(k)) asLong(null, name) else r.getShort(k).toLong
+        case other => r => asLong(other, name) // throws with the type name
+      }
+    val getS = longGetter(si, cols.start)
+    val getE = longGetter(ei, cols.end)
+    val getT = ti.map(t => longGetter(t, "tieBreak"))
     val groups = mutable.LinkedHashMap.empty[String,
       (mutable.ArrayBuffer[Long], mutable.ArrayBuffer[Long], mutable.ArrayBuffer[Int], mutable.ArrayBuffer[Long])]
     var i = 0
     while (i < rows.length) {
       val r = rows(i)
-      val g = groups.getOrElseUpdate(r.getString(ci),
+      val key = r.getUTF8String(ci)
+      val g = groups.getOrElseUpdate(if (key == null) null else key.toString,
         (mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty,
          mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
-      g._1 += asLong(r.get(si), cols.start)
-      g._2 += asLong(r.get(ei), cols.end)
+      g._1 += getS(r)
+      g._2 += getE(r)
       g._3 += i
-      g._4 += (ti match { case Some(t) => asLong(r.get(t), "tieBreak"); case None => i.toLong })
+      g._4 += (getT match { case Some(f) => f(r); case None => i.toLong })
       i += 1
     }
     val coords = groups.map { case (k, (s, e, p, t)) =>
       k -> (s.toArray, e.toArray, p.toArray, t.toArray)
     }
     val schema2 = StructType(df.schema.fields :+ StructField("_lidx", IntegerType, nullable = false))
-    val idxRows = new Array[Row](rows.length)
+    // _lidx rides a JoinedRow over the collected UnsafeRow — no
+    // per-field re-boxing on the driver
+    val idxRows = new Array[InternalRow](rows.length)
     i = 0
-    while (i < rows.length) { idxRows(i) = Row.fromSeq(rows(i).toSeq :+ i); i += 1 }
+    while (i < rows.length) {
+      val idx = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      idx.setInt(0, i)
+      idxRows(i) = new org.apache.spark.sql.catalyst.expressions.JoinedRow(rows(i), idx)
+      i += 1
+    }
     // RDD-backed, NOT a LocalRelation: LocalTableScanExec keeps its rows
     // as a plan-node field, and the whole plan serializes into every
     // task closure of the probe stage (observed 1.3 MiB/task at sf0.1).
@@ -146,7 +169,8 @@ object IntervalJoin {
         all.iterator.slice(s * per, math.min(all.length, (s + 1) * per))
       }
     }
-    val local = df.sparkSession.createDataFrame(rdd, schema2)
+    val local = org.apache.spark.sql.GraftRowBridge.internalDf(
+      df.sparkSession, rdd, schema2)
     (coords, local)
   }
 
@@ -162,19 +186,28 @@ object IntervalJoin {
       col(cols.end).cast("long"))
     if (withIdx) selectCols += col("_lidx")
     tieBreakCol.foreach(t => selectCols += col(t).cast("long"))
-    val rows = src.select(selectCols.toSeq: _*).collect()
+    // executeCollect: InternalRows straight off the wire — df.collect()
+    // additionally runs CatalystTypeConverters per field per row, which
+    // dominated build-side construction at sf0.1 (driver-serial)
+    val rows = src.select(selectCols.toSeq: _*)
+      .queryExecution.executedPlan.executeCollect()
+    def longAt(r: org.apache.spark.sql.catalyst.InternalRow, k: Int, name: String): Long = {
+      if (r.isNullAt(k)) asLong(null, name)
+      r.getLong(k)
+    }
     val groups = mutable.LinkedHashMap.empty[String,
       (mutable.ArrayBuffer[Long], mutable.ArrayBuffer[Long], mutable.ArrayBuffer[Int], mutable.ArrayBuffer[Long])]
     var i = 0
     while (i < rows.length) {
       val r = rows(i)
-      val g = groups.getOrElseUpdate(r.getString(0),
+      val key = r.getUTF8String(0)
+      val g = groups.getOrElseUpdate(if (key == null) null else key.toString,
         (mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
-      g._1 += asLong(r.get(1), cols.start)
-      g._2 += asLong(r.get(2), cols.end)
+      g._1 += longAt(r, 1, cols.start)
+      g._2 += longAt(r, 2, cols.end)
       g._3 += (if (withIdx) r.getInt(3) else i)
       g._4 += (tieBreakCol match {
-        case Some(_) => asLong(r.get(if (withIdx) 4 else 3), "tieBreak")
+        case Some(_) => longAt(r, if (withIdx) 4 else 3, "tieBreak")
         case None => i.toLong
       })
       i += 1
