@@ -32,7 +32,7 @@ object Bench {
   private val HeavyQueries = Set(
     "f11_annotate_e2e", "f11_annotate_default", "f11_typed_columns",
     "f11_typed_full", "f11_annotate_probes", "f11_annotate_fsintron",
-    "f11_annotate_noshift", "f11_motif_parity", "f11_provider_frame")
+    "f11_annotate_noshift", "f11_motif_rich", "f11_provider_frame")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -198,15 +198,22 @@ object VepSpliceQueries {
         Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
         Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d),
         graft.vep.VepOptions.fromJson(noShiftJson))),
-    // reference-parity motif mode: one anonymous MotifFeature entry
-    // per motif-overlapping variant, five empty motif slots (the
-    // library's default per-motif rendering is the documented richer
-    // deviation — this gate proves byte-level reference comparability)
+    // reference-parity motif shape IS the default: one anonymous
+    // MotifFeature entry per motif-overlapping variant, five empty
+    // motif slots (annotate_provider.rs:3319-3366) — this gate pins
+    // byte-level reference comparability of the DEFAULT output
     "f11_motif_parity" -> ((s, d) =>
       graft.vep.Annotate.annotate(Tables.vcf(s, d), Tables.vepCache(s, d),
         Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
         Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d),
         graft.vep.VepOptions.fromJson(motifParityJson))),
+    // richer per-motif rendering (library-extension `motif_rich`):
+    // one Feature row per overlapped motif, populated MOTIF_* slots
+    "f11_motif_rich" -> ((s, d) =>
+      graft.vep.Annotate.annotate(Tables.vcf(s, d), Tables.vepCache(s, d),
+        Tables.transcripts(s, d), Tables.exons(s, d), Tables.siftContext(s, d),
+        Tables.polyphenContext(s, d), Tables.regulatory(s, d), Tables.motifs(s, d),
+        graft.vep.VepOptions.fromJson(motifRichJson))),
     // Full annotate over the dense exon-boundary probe sweep (one
     // variant at every offset in [-18, 18] around every exon
     // boundary, cycling SNV/ins/del): pins the parent-term strips
@@ -1171,8 +1178,8 @@ object VepSpliceQueries {
        |  FROM v JOIN rg ON v.chrom = rg.chrom
        |   AND rg.start <= v."end" AND rg."end" >= v.start),
        |mte AS (${
-        if (opts.motifParity)
-          // reference-parity: ONE anonymous MotifFeature entry per
+        if (!opts.motifRich)
+          // reference DEFAULT: ONE anonymous MotifFeature entry per
           // variant overlapping any motif; five motif slots empty
           """SELECT v.id, '' AS transcript_id,
             |   ['TF_binding_site_variant'] AS terms,
@@ -1335,15 +1342,25 @@ object VepSpliceQueries {
   private lazy val annotateNoShiftSql: String =
     e2eCsqSql(e2eCtesFor(graft.vep.VepOptions.fromJson(noShiftJson)))
 
-  /** Options of the reference-parity motif gate: full --everything
-    * with [[graft.vep.VepOptions.motifParity]] on — byte-level
-    * comparable motif entries (one anonymous MotifFeature row,
-    * `...|||||`). */
+  /** Options of the motif-parity gate: plain --everything — the
+    * DEFAULT now renders the reference's exact motif shape (one
+    * anonymous MotifFeature row per motif-overlapping variant,
+    * `...|||||`), so this gate pins byte-level reference
+    * comparability of the default output. */
   private[graft] val motifParityJson: String =
-    """{"everything": true, "motif_parity": true}"""
+    """{"everything": true}"""
 
   private lazy val annotateMotifParitySql: String =
     e2eCsqSql(e2eCtesFor(graft.vep.VepOptions.fromJson(motifParityJson)))
+
+  /** Options of the richer per-motif rendering (library extension
+    * `motif_rich`): one Feature row per overlapped motif with
+    * populated MOTIF_* slots. */
+  private[graft] val motifRichJson: String =
+    """{"everything": true, "motif_rich": true}"""
+
+  private lazy val annotateMotifRichSql: String =
+    e2eCsqSql(e2eCtesFor(graft.vep.VepOptions.fromJson(motifRichJson)))
 
   /** The splice-probe sweep as an annotate input: probe ids collide
     * across chromosomes (they encode only position and kind), so the
@@ -1608,6 +1625,7 @@ object VepSpliceQueries {
     "f11_annotate_default" -> annotateDefaultSql,
     "f11_annotate_noshift" -> annotateNoShiftSql,
     "f11_motif_parity" -> annotateMotifParitySql,
+    "f11_motif_rich" -> annotateMotifRichSql,
     "f11_annotate_probes" -> annotateProbesSql,
     "f11_annotate_fsintron" -> annotateFsIntronSql,
     "f11_typed_full" -> typedFullSql,

@@ -46,16 +46,15 @@ import org.apache.spark.sql.functions._
   * parent. The intergenic entry keys on assignment EMPTINESS (a
   * variant with zero surviving Transcript entries goes intergenic,
   * even when its distance window holds transcripts — matching
-  * annotate_provider's !has_transcript_hit). Remaining documented
-  * deviation: the DEFAULT motif entries are DELIBERATELY RICHER than
-  * the reference's — real-VEP style per-motif Feature rows with
-  * populated MOTIF_NAME/MOTIF_POS/HIGH_INF_POS/MOTIF_SCORE_CHANGE/
-  * TRANSCRIPTION_FACTORS, where the reference emits one anonymous
-  * MotifFeature entry per variant and always renders the five motif
-  * CSQ slots empty (annotate_provider.rs format strings end
-  * `...|||||`); [[VepOptions.motifParity]] (`motif_parity` in
-  * options_json) switches to the reference's exact shape for
-  * byte-level comparison (gated by `f11_motif_parity`).
+  * annotate_provider's !has_transcript_hit). Motif entries DEFAULT to
+  * the reference's exact shape: one anonymous MotifFeature entry per
+  * variant overlapping any motif, the five motif CSQ slots always
+  * empty (annotate_provider.rs format strings end `...|||||`; gated
+  * by `f11_motif_parity`); [[VepOptions.motifRich]] (`motif_rich` in
+  * options_json, a library extension) switches to richer real-VEP
+  * style per-motif Feature rows with populated MOTIF_NAME/MOTIF_POS/
+  * HIGH_INF_POS/MOTIF_SCORE_CHANGE/TRANSCRIPTION_FACTORS (gated by
+  * `f11_motif_rich`).
   *
   * Scale shape: every candidate generator runs through the interval
   * strategy's broadcast index probes (transcripts on the build side);
@@ -404,6 +403,12 @@ object Annotate {
   private def variantTail(
       vcf: DataFrame, cache: DataFrame, entries: DataFrame,
       opts: VepOptions): DataFrame = {
+    // eager cache-contract check (schema_contract.rs:10-56) — covers
+    // every annotate-family public entry ([[annotate]],
+    // [[annotateTyped]], [[annotateTypedFull]],
+    // [[annotateProviderFrame]]): fail at the API boundary with the
+    // reference's error shape, not deep inside the pipeline
+    SchemaContract.validateVariationCache(cache)
     val evStruct = struct(
       col("_ftrank").as("r"), col("transcript_id").as("t"),
       col("_entry").as("e"), col("_termstr").as("c"),
@@ -477,6 +482,10 @@ object Annotate {
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       regulatory: DataFrame, motifs: DataFrame,
       opts: VepOptions = VepOptions.Everything): DataFrame = {
+    // eager cache-contract check (schema_contract.rs:10-56): fail at
+    // the API boundary with the reference's error shape, before any
+    // plan is built
+    SchemaContract.validateVariationCache(cache)
     val entries = entriesDf(vcf, selectTranscripts(transcripts, opts), exons,
       sift, polyphen, regulatory, motifs, opts)
     variantTail(vcf, cache, entries, opts)
@@ -501,6 +510,7 @@ object Annotate {
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       regulatory: DataFrame, motifs: DataFrame,
       opts: VepOptions = VepOptions.Everything): DataFrame = {
+    SchemaContract.validateVariationCache(cache)
     val entries = entriesDf(vcf, selectTranscripts(transcripts, opts), exons,
       sift, polyphen, regulatory, motifs, opts)
     // `_evs` carries the (feature-type rank, feature id) sort order —
@@ -599,9 +609,9 @@ object Annotate {
     * so the frame costs no additional shuffle and cannot drift from
     * the CSQ surface. Frequency columns are List<Double> (the
     * reference replicates the variant-level frequency per entry);
-    * the motif tail '&'-joins our per-motif enrichment (the reference
-    * renders those columns null — see the object-doc deviation
-    * note). */
+    * the motif tail '&'-joins the entry slot values — null/empty under
+    * the default (reference-parity) motif shape, populated under
+    * [[VepOptions.motifRich]]. */
   def annotateTypedFull(
       vcf: DataFrame, cache: DataFrame, transcripts: DataFrame,
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
@@ -631,6 +641,7 @@ object Annotate {
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       regulatory: DataFrame, motifs: DataFrame,
       opts: VepOptions, provider: Boolean): DataFrame = {
+    SchemaContract.validateVariationCache(cache)
     val base = annotate(vcf, cache, transcripts, exons, sift, polyphen,
       regulatory, motifs, opts)
     val names = csqFieldNamesForMode(opts.refseq, opts.merged, opts.everything)
@@ -713,6 +724,7 @@ object Annotate {
     * shuffles on the same (chrom, norm coords) keys and scales exactly
     * like J6. Output: one row per (variant, colocated cache entry). */
   def colocated(vcf: DataFrame, cache: DataFrame): DataFrame = {
+    SchemaContract.validateVariationCache(cache)
     val v = vcf
       .withColumn("_norm_start",
         Vep.vepNormStartUdf(col("start").cast("long"), col("ref"), col("alt")))
@@ -1635,14 +1647,15 @@ object Annotate {
     }
     val regEntries = featureEntries(regulatory, "feature_id",
       "regulatory_region_variant", "RegulatoryFeature", motif = false)
-    // motif entries: the default is the library's RICHER real-VEP
-    // rendering (one Feature row per overlapped motif, populated
-    // MOTIF_* slots). `motif_parity` switches to the reference's
-    // shape: ONE anonymous MotifFeature entry per variant overlapping
-    // any motif, all five motif slots empty ([[VepOptions.motifParity]]
-    // — a semi-join, so multiplicity is per VARIANT, not per motif).
+    // motif entries: the DEFAULT is the reference's shape — ONE
+    // anonymous MotifFeature entry per variant overlapping any motif,
+    // all five motif slots empty (a semi-join, so multiplicity is per
+    // VARIANT, not per motif; annotate_provider.rs:3319-3366).
+    // `motif_rich` ([[VepOptions.motifRich]], library extension)
+    // switches to the richer real-VEP rendering: one Feature row per
+    // overlapped motif with populated MOTIF_* slots.
     val motEntries =
-      if (!opts.motifParity)
+      if (opts.motifRich)
         featureEntries(motifs, "motif_id",
           "TF_binding_site_variant", "MotifFeature", motif = true)
       else {

@@ -459,6 +459,11 @@ object Vep {
       columns: Seq[String] = Nil,
       relaxed: Boolean = false,
       extendedWindow: Long = 0L): DataFrame = {
+    // eager cache-contract checks (schema_contract.rs:10-90): the
+    // required column/type set, then any explicitly-requested output
+    // columns — schema-only, no job launched
+    SchemaContract.validateVariationCache(cache)
+    SchemaContract.validateRequestedColumns(cache, columns)
     val outCols = if (columns.nonEmpty) columns else defaultCacheCols(cache)
     val matcher = if (relaxed) matchAlleleRelaxedUdf else matchAlleleUdf
     val v = vcf

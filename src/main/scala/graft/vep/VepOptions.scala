@@ -31,17 +31,18 @@ final case class VepOptions(
     gencodeBasic: Boolean = false,
     gencodePrimary: Boolean = false,
     shiftHgvs: Boolean = true,
-    /** Reference-parity motif rendering: ONE anonymous MotifFeature
-      * entry per variant overlapping any motif, with all five motif
-      * CSQ slots empty (transcript_consequence.rs
-      * append_tfbs_terms_prepared builds `TranscriptConsequence {
-      * feature_type: MotifFeature, terms, ..Default }` — no feature
-      * id, no motif metadata; the annotate_provider.rs CSQ format
-      * strings end `...|||||`). Off by default: the library's richer
-      * per-motif Feature rows (real-VEP style, populated MOTIF_*
-      * slots) are the documented default deviation. Library-extension
-      * options_json key: `motif_parity`. */
-    motifParity: Boolean = false,
+    /** Richer per-motif rendering (library extension, OFF by default):
+      * one Feature row per overlapped motif with populated MOTIF_NAME/
+      * MOTIF_POS/HIGH_INF_POS/MOTIF_SCORE_CHANGE/TRANSCRIPTION_FACTORS
+      * slots, real-VEP style. The DEFAULT matches the reference
+      * exactly: ONE anonymous MotifFeature entry per variant
+      * overlapping any motif, with all five motif CSQ slots empty
+      * (transcript_consequence.rs append_tfbs_terms_prepared builds
+      * `TranscriptConsequence { feature_type: MotifFeature, terms,
+      * ..Default }` — no feature id, no motif metadata; the
+      * annotate_provider.rs CSQ format strings end `...|||||`).
+      * Library-extension options_json key: `motif_rich`. */
+    motifRich: Boolean = false,
     distance: Long = 5000L) {
   /** HGVS gating (annotate_provider.rs:1180-1205 HgvsFlags):
     * `--everything` implies `--hgvs`, which implies both forms.
@@ -115,7 +116,7 @@ object VepOptions {
       // explicit boolean false disables
       shiftHgvs = Option(node.get("shift_hgvs"))
         .filter(_.isBoolean).forall(_.booleanValue()),
-      motifParity = flag("motif_parity"),
+      motifRich = flag("motif_rich"),
       distance = dist)
   }
 }

@@ -99,7 +99,9 @@ class AnnotateSuite extends SparkSpec {
     val e1 = entries(1L)
     assert(e1.length == 3)
     assert(e1.forall(_.length == N_FIELDS))
-    assert(e1.map(_(FEATURE)).toSet == Set("T1", "R1", "M1"))
+    // DEFAULT motif shape is the reference's: ONE anonymous
+    // MotifFeature entry (Feature empty) per motif-overlapping variant
+    assert(e1.map(_(FEATURE)).toSet == Set("T1", "R1", ""))
     // --everything family spot checks on the transcript entry
     val t1e = e1.find(_(FEATURE) == "T1").get
     assert(t1e(ALLELE) == "C")
@@ -110,9 +112,11 @@ class AnnotateSuite extends SparkSpec {
     assert(t1e(MANE) == "MANE_Select")   // derived from mane_select
     assert(t1e(AF) == "0.1000")          // fixed 4-decimal AF slot
     assert(t1e(MAX_AF) == "0.6000" && t1e(MAX_AF_POPS) == "SAS")
-    val m1e = e1.find(_(FEATURE) == "M1").get
-    assert(m1e(FTYPE) == "MotifFeature" && m1e(MOTIF_NAME) == "CTCF")
-    assert(m1e(MOTIF_SCORE) == "-0.25" && m1e(TFS) == "CTCF")
+    val m1e = e1.find(_(FTYPE) == "MotifFeature").get
+    // reference parity: all five motif slots empty (annotate_provider
+    // format strings end `...|||||`)
+    assert(m1e(FEATURE) == "" && m1e(MOTIF_NAME) == "")
+    assert(m1e(MOTIF_SCORE) == "" && m1e(TFS) == "")
     assert(m1e(MANE) == "")              // non-transcript feature
     // every array column must match the corresponding CSQ field,
     // element for element, in the shared entry-sort order
@@ -127,7 +131,7 @@ class AnnotateSuite extends SparkSpec {
     val regIdx = e1.indexWhere(_(FEATURE) == "R1")
     assert(arr(1L, "consequences")(regIdx) == "regulatory_region_variant")
     assert(arr(1L, "impact")(regIdx) == "MODIFIER")
-    val motIdx = e1.indexWhere(_(FEATURE) == "M1")
+    val motIdx = e1.indexWhere(_(FTYPE) == "MotifFeature")
     assert(arr(1L, "consequences")(motIdx) == "TF_binding_site_variant")
     // variant-level columns agree between the two shapes
     val t1 = typed(1L); val p1 = plain(1L)
@@ -173,9 +177,10 @@ class AnnotateSuite extends SparkSpec {
     assert(f1r.getString(f1r.fieldIndex("MAX_AF_POPS")) == "SAS")
     assert(f1r.getSeq[String](f1r.fieldIndex("CLIN_SIG")) == Seq("benign"))
     assert(f1r.getString(f1r.fieldIndex("SOMATIC")) == "1")
-    // motif tail: our per-motif enrichment '&'-joins non-empty slots
-    assert(f1r.getString(f1r.fieldIndex("MOTIF_NAME")) == "CTCF")
-    assert(f1r.getSeq[Double](f1r.fieldIndex("MOTIF_SCORE_CHANGE")) == Seq(-0.25))
+    // motif tail: default (reference-parity) slots are empty, so the
+    // '&'-join of non-empty values yields null / an empty list
+    assert(f1r.isNullAt(f1r.fieldIndex("MOTIF_NAME")))
+    assert(f1r.getSeq[Double](f1r.fieldIndex("MOTIF_SCORE_CHANGE")).isEmpty)
     // cache-only xrefs: variant 1 matches rs1; the fixture cache rows
     // here carry no xref columns -> lookupVariants requires them, so
     // just pin the no-hit variant's NULL lists on variant 2
@@ -340,6 +345,25 @@ class AnnotateSuite extends SparkSpec {
       gatedRow.getDouble(gatedRow.fieldIndex("af_afr")) == 0.2 &&
       gatedRow.isNullAt(gatedRow.fieldIndex("af_gnomad")) &&
       gatedRow.isNullAt(gatedRow.fieldIndex("max_af")))
+
+    // motif_rich (library extension): one Feature row per overlapped
+    // motif with populated MOTIF_* slots, real-VEP style
+    val richOpts = VepOptions.fromJson(
+      """{"everything": true, "motif_rich": true}""")
+    assert(richOpts.motifRich && !VepOptions.Everything.motifRich)
+    val richRow = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot,
+      richOpts).where($"id" === 1L).collect().head
+    val richE = richRow.getString(richRow.fieldIndex("csq"))
+      .split(",").map(_.split("\\|", -1))
+    assert(richE.map(_(FEATURE)).toSet == Set("T1", "R1", "M1"))
+    val richM = richE.find(_(FEATURE) == "M1").get
+    assert(richM(FTYPE) == "MotifFeature" && richM(MOTIF_NAME) == "CTCF")
+    assert(richM(MOTIF_SCORE) == "-0.25" && richM(TFS) == "CTCF")
+    val richFull = Annotate.annotateTypedFull(vcf, cache, tx, ex, sift, pp,
+      reg, mot, richOpts).where($"id" === 1L).collect().head
+    assert(richFull.getString(richFull.fieldIndex("MOTIF_NAME")) == "CTCF")
+    assert(richFull.getSeq[Double](
+      richFull.fieldIndex("MOTIF_SCORE_CHANGE")) == Seq(-0.25))
 
     // partition invariance: the entry sort (placeholder form) and the
     // per-variant substitution must be deterministic under different
