@@ -3,14 +3,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR. Prints TWO JSON lines: first a raw-samples
-  * record ({"metric":"samples","samples":{...},"load":[...]}), then —
-  * as the FINAL stdout line — the compact medians-only record
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
-  * The driver captures a fixed-size TAIL of stdout (round-9 verdict:
-  * the combined one-line record outgrew the window and the official
-  * BENCH_r09 held only 48 of 97 queries), so the complete compact
-  * record must be last and self-contained.
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Output contract (round-10 verdict: the driver captures a FIXED
+  * ~2 KB tail of stdout, and a single line carrying all ~105 query
+  * medians is ~2.6 KB — it can never fit, two rounds of attempts
+  * confirmed):
+  *   1. The FULL record (medians + raw samples + per-round load) is
+  *      WRITTEN TO A FILE every run — `tools/bench/bench_latest.json`
+  *      under the repo root — so the complete per-query history never
+  *      depends on stdout capture or manual copying.
+  *   2. stdout still prints the full samples + full medians lines
+  *      (anything reading whole stdout gets everything), and the
+  *      FINAL line is a compact summary GUARANTEED to fit the tail
+  *      window: total, counts, the file path, and as many per-query
+  *      medians as fit a fixed byte budget, filled in priority order
+  *      (heavy annotate family first, then the interval/pileup
+  *      operator families, then sources/f11 probes, then
+  *      dedup/ANN/text, then general analytics).
   *
   * Each query is forced through the `noop` sink so full column
   * evaluation happens (a count() would let Catalyst prune expensive
@@ -21,10 +31,12 @@ import org.apache.spark.sql.SparkSession
   * refuted): each query runs SPARK_GRAFT_REPEATS times (default 3),
   * INTERLEAVED — the full query list runs as round 1, then round 2,
   * ... — so one host-contention burst cannot poison all samples of
-  * any query. The ~10 s annotate-family pipelines dominate dispersion
-  * (round-9 verdict: a burst spanned all 3 interleaved samples of the
-  * two slowest queries), so they run 5 rounds; "load" records the
-  * host 1-min load average at each round start, making contention
+  * any query. The heavy ~6-10 s annotate-family pipelines run
+  * SPARK_GRAFT_HEAVY_REPEATS (default 5) samples, and the extra
+  * heavy-only passes are SPREAD BETWEEN the full rounds in a rotated
+  * order (round-10 ADVICE: back-to-back heavy rounds let a single
+  * burst span consecutive samples of the same query); "load" records
+  * the host 1-min load average at each block start, making contention
   * visible in-band. */
 object Bench {
   /** The heavy end-to-end pipelines: extra rounds, since a single
@@ -33,6 +45,21 @@ object Bench {
     "f11_annotate_e2e", "f11_annotate_default", "f11_typed_columns",
     "f11_typed_full", "f11_annotate_probes", "f11_annotate_fsintron",
     "f11_annotate_noshift", "f11_motif_rich", "f11_provider_frame")
+
+  /** Byte budget for the final stdout line — comfortably inside the
+    * driver's ~2 KB tail window even after sbt's trailing
+    * "[success] ..." line (~80 bytes) eats into it. */
+  private val TailLineBudget = 1700
+
+  /** Priority class for filling the final-line query map. */
+  private def prio(name: String): Int =
+    if (HeavyQueries(name)) 0
+    else if (name.matches("^f[1-9]_.*") || name.startsWith("j1_")) 1
+    else if (name.startsWith("f10_") || name.startsWith("f11_") ||
+      name.startsWith("s")) 2
+    else if (name.startsWith("d_") || name.startsWith("ann_") ||
+      name.startsWith("mm_") || name.startsWith("t_")) 3
+    else 4
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,16 +113,29 @@ object Bench {
           -1.0
       }
     }
-    def repeatsFor(name: String): Int =
-      if (HeavyQueries(name)) heavyRepeats else repeats
-    val maxRounds = (selected.map { case (n, _) => repeatsFor(n) } :+ repeats).max
+    // schedule: `repeats` full rounds over every query, with the
+    // extra heavy-only passes SPREAD BETWEEN them (not back-to-back)
+    // and the heavy order ROTATED per extra pass, so consecutive
+    // samples of the same heavy query are separated by at least half
+    // a suite (round-10 ADVICE)
+    val heavySel = selected.filter { case (n, _) => HeavyQueries(n) }
+    def rotated(k: Int): Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (heavySel.isEmpty) Nil
+      else heavySel.drop(k % heavySel.size) ++ heavySel.take(k % heavySel.size)
+    val extraPasses = heavyRepeats - repeats
+    val blocks = collection.mutable.ArrayBuffer[Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]]()
+    for (r <- 1 to math.max(repeats, 1)) {
+      blocks += selected
+      if (r <= extraPasses) blocks += rotated(r)
+    }
+    for (r <- repeats + 1 to extraPasses) blocks += rotated(r)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loads = collection.mutable.ArrayBuffer[Double]()
     val samples: Seq[(String, Seq[Double])] = {
       val acc = collection.mutable.LinkedHashMap[String, Vector[Double]]()
-      for (round <- 1 to maxRounds) {
+      for (block <- blocks) {
         loads += osBean.getSystemLoadAverage
-        for ((name, fn) <- selected if round <= repeatsFor(name))
+        for ((name, fn) <- block)
           acc(name) = acc.getOrElse(name, Vector.empty) :+ runOnce(name, fn)
       }
       acc.toSeq
@@ -114,10 +154,42 @@ object Bench {
     }.mkString("{", ",", "}")
     val loadArr = loads.map(x => f"$x%.2f").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // raw samples + per-round host load first; the compact,
-    // self-contained medians record is the FINAL line (driver contract)
-    println(s"""{"metric":"samples","samples":$raw,"load":$loadArr,"repeats":$repeats,"heavy_repeats":$heavyRepeats}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"repeats":$repeats,"sf":"$sfDir"}""")
+    val samplesLine =
+      s"""{"metric":"samples","samples":$raw,"load":$loadArr,"repeats":$repeats,"heavy_repeats":$heavyRepeats}"""
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"repeats":$repeats,"sf":"$sfDir"}"""
+    // 1. the complete record goes to a FILE — the canonical per-query
+    // history, independent of any stdout capture window
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "tools/bench/bench_latest.json")
+    try {
+      val f = new java.io.File(outPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try { w.println(fullLine); w.println(samplesLine) } finally w.close()
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    // 2. full lines on stdout for whole-stream readers
+    println(samplesLine)
+    println(fullLine)
+    // 3. FINAL line: a compact summary that always fits the driver's
+    // ~2 KB stdout tail — per-query medians fill a fixed byte budget
+    // in priority order; "full" names the on-disk complete record
+    val ordered = results.sortBy { case (n, _) => (prio(n), n) }
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"full":"$outPath","repeats":$repeats,"sf":"$sfDir","queries":{"""
+    val tail = "}}"
+    val sb = new StringBuilder(head)
+    var first = true
+    for ((n, v) <- ordered) {
+      val entry = (if (first) "" else ",") + "\"" + n + f"\":$v%.2f"
+      if (sb.length + entry.length + tail.length <= TailLineBudget) {
+        sb.append(entry); first = false
+      }
+    }
+    sb.append(tail)
+    println(sb.toString)
     spark.stop()
   }
 }

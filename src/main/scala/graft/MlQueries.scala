@@ -43,6 +43,7 @@ object MlQueries {
     }),
     "d_simhash16" -> ((s, d) => Dedup.simhash16(docs(s, d), "text", "doc_id")),
     "d_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(docs(s, d), "text", "doc_id")),
+    "d_simhash64_pairs" -> ((s, d) => Dedup.simhash64Pairs(docs(s, d), "text", "doc_id")),
     "d_dup_clusters" -> ((s, d) =>
       graft.dedup.Dedup.duplicateClusters(Similarity.nearDuplicatePairs(
         Tables.load(s, d, "embeddings"), threshold = 0.3, planes = 8, dim = 64)
@@ -70,6 +71,38 @@ object MlQueries {
         "CAST(props AS BINARY) AS payload")
       Multimodal.extractFeatures(assets)
         .select(col("asset_id"), col("media_type"), col("byte_length"), col("checksum"))
+    }),
+    // REAL-codec gate: payloads are genuine PNG (ImageIO-encoded) and
+    // WAV (javax.sound-encoded) bytes whose dimensions derive from the
+    // id; extractFeatures must recover them through the real JDK
+    // header decoders — the oracle recomputes the expected dimensions
+    // from the id arithmetic, so a silent fall-back to the
+    // synthetic-header parse cannot pass. Video keeps the synthetic
+    // 16-byte header (the JDK ships no video codec). Subsampled 1/7
+    // to keep the per-round encode cost bounded at bench scale.
+    "mm_real_codecs" -> ((s, d) => {
+      import s.implicits._
+      val ids = graft.core.Parallelism.ensure(
+          Tables.load(s, d, "events").where("event_id % 7 = 0"))
+        .select(col("event_id").cast("long")).as[Long]
+      val assets = ids.mapPartitions { it =>
+        it.map { id =>
+          (id % 3) match {
+            case 0L => (id, "image",
+              Multimodal.JdkCodec.encodePng((id % 64 + 1).toInt, (id % 48 + 1).toInt))
+            case 1L => (id, "audio",
+              Multimodal.JdkCodec.encodeWav((id % 800 + 8).toInt))
+            case _ =>
+              val b = java.nio.ByteBuffer.allocate(16)
+              b.putInt((id % 3840 + 16).toInt).putInt((id % 2160 + 16).toInt)
+                .putLong(id % 10000 + 40)
+              (id, "video", b.array())
+          }
+        }
+      }.toDF("asset_id", "media_type", "payload")
+      Multimodal.extractFeatures(assets)
+        .select(col("asset_id"), col("media_type"), col("width"),
+          col("height"), col("duration_ms"))
     }),
     // frame-sample plumbing over a SQL-derived duration (the header
     // codec is the declared stub; the explode shape is the operator)
@@ -140,6 +173,27 @@ object MlQueries {
       |  FROM qd, UNNEST(generate_series(1, 64)) AS t(i) GROUP BY vec_id)"""
       .stripMargin.replace("\n", " ")
 
+  /** 64-bit simhash signatures `sg64(id, simhash)` — the production
+    * width ([[graft.dedup.Dedup.simhash64Df]]): hex digit `j // 4`'s
+    * bit `j % 4` votes for signature bit j; bit 63 contributes the
+    * explicit Long.MinValue constant (DuckDB errors on `1 << 63`). */
+  private val simhash64Cte =
+    s"""w2 AS (SELECT doc_id, $norm AS norm FROM documents),
+       |toks AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+       |  (SELECT doc_id, UNNEST(string_split(norm, ' ')) AS tok FROM w2)
+       |  WHERE tok <> '' GROUP BY doc_id, tok),
+       |bits AS (SELECT doc_id, j,
+       |  SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), CAST(j // 4 AS INT) + 1, 1)) - 1)
+       |      >> (CAST(j AS INT) % 4)) & 1 = 1
+       |      THEN cnt ELSE -cnt END) AS vote
+       |  FROM toks, UNNEST(generate_series(0, 63)) AS t(j) GROUP BY doc_id, j),
+       |sg64 AS (SELECT doc_id AS id,
+       |  CAST(SUM(CASE WHEN vote > 0 THEN
+       |    CASE WHEN j = 63 THEN -9223372036854775807 - 1
+       |         ELSE CAST(1 AS BIGINT) << CAST(j AS INT) END
+       |    ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+
   val oracleSql: Map[String, String] = Map(
     "t_token_count" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, " +
@@ -193,6 +247,15 @@ object MlQueries {
       s"""WITH $simhashCte,
          |bd AS (SELECT id, simhash, b, (simhash >> (CAST(b AS INT) * 4)) & 15 AS ck
          |  FROM sg, UNNEST(generate_series(0, 3)) AS t(b))
+         |SELECT DISTINCT a.id AS id1, bb.id AS id2,
+         |  CAST(bit_count(xor(a.simhash, bb.simhash)) AS INT) AS hamming
+         |FROM bd a JOIN bd bb ON a.b = bb.b AND a.ck = bb.ck AND a.id < bb.id
+         |WHERE bit_count(xor(a.simhash, bb.simhash)) <= 3
+         |ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+    "d_simhash64_pairs" ->
+      s"""WITH $simhash64Cte,
+         |bd AS (SELECT id, simhash, b, (simhash >> (CAST(b AS INT) * 16)) & 65535 AS ck
+         |  FROM sg64, UNNEST(generate_series(0, 3)) AS t(b))
          |SELECT DISTINCT a.id AS id1, bb.id AS id2,
          |  CAST(bit_count(xor(a.simhash, bb.simhash)) AS INT) AS hamming
          |FROM bd a JOIN bd bb ON a.b = bb.b AND a.ck = bb.ck AND a.id < bb.id
@@ -314,6 +377,19 @@ object MlQueries {
        "WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, " +
        "CAST(octet_length(encode(props)) AS BIGINT) AS byte_length, md5(props) AS checksum " +
        "FROM events ORDER BY asset_id"),
+    // expected dimensions recomputed from the id arithmetic the PNG/
+    // WAV fixture encoders used — passes only if the JDK decoders
+    // recover the true header values
+    "mm_real_codecs" ->
+      ("SELECT event_id AS asset_id, " +
+       "CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, " +
+       "CASE CAST(event_id % 3 AS INT) WHEN 0 THEN CAST(event_id % 64 + 1 AS INT) " +
+       " WHEN 2 THEN CAST(event_id % 3840 + 16 AS INT) END AS width, " +
+       "CASE CAST(event_id % 3 AS INT) WHEN 0 THEN CAST(event_id % 48 + 1 AS INT) " +
+       " WHEN 2 THEN CAST(event_id % 2160 + 16 AS INT) END AS height, " +
+       "CASE CAST(event_id % 3 AS INT) WHEN 1 THEN CAST(event_id % 800 + 8 AS BIGINT) " +
+       " WHEN 2 THEN CAST(event_id % 10000 + 40 AS BIGINT) END AS duration_ms " +
+       "FROM events WHERE event_id % 7 = 0 ORDER BY asset_id"),
     "mm_frame_sample" ->
       ("WITH f AS (SELECT event_id AS asset_id, " +
        "CAST(event_id % 10000 + 40 AS BIGINT) AS duration_ms " +

@@ -165,8 +165,74 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash computed from md5 bytes in Scala (library hot path;
-    * not oracle-gated — covered by unit tests + the 16-bit gate). */
+  /** 64-bit SimHash as a DataFrame column op (the production width,
+    * oracle-gated): per distinct token, md5 hex digit `j div 4`'s bit
+    * `j mod 4` votes ±count for signature bit j — all 64 bits of the
+    * first 16 hex digits. Bit 63 is the SIGN bit: it contributes
+    * Long.MinValue to the sum (both engines' 64-bit two's-complement
+    * word; DuckDB errors on `1 << 63`, so the oracle spells the same
+    * constant) — the per-id sum of distinct powers never leaves the
+    * signed range, so Spark's wrapping Long sum and DuckDB's
+    * HUGEINT-then-cast sum agree bit for bit. */
+  def simhash64Df(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = graft.core.Parallelism.ensure(df).select(col(idCol).as("id"),
+        explode(split(TextFunctions.normalized(col(textCol)), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+    val bits = toks.select(col("id"), col("cnt"), posexplode(
+        expr("transform(sequence(0, 63), j -> " +
+          "(CAST(conv(substr(h, (j div 4) + 1, 1), 16, 10) AS INT) >> (j % 4)) & 1)"))
+      .as(Seq("bit", "v")))
+    bits
+      .groupBy(col("id"), col("bit"))
+      .agg(sum(when(col("v") === 1, col("cnt")).otherwise(-col("cnt"))).as("vote"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("vote") > 0,
+        when(col("bit") === 63, lit(Long.MinValue))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bit)")))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs over the PRODUCTION 64-bit
+    * signatures: 4 disjoint 16-bit chunks, documents sharing any
+    * (chunk index, chunk value) become candidates — the same
+    * pigeonhole as [[simhashPairs]] (full recall for Hamming ≤ 3),
+    * but the candidate-join key space is 4 bands × 65,536 chunk
+    * values (262,144 keys), so the quadratic per-group expansion
+    * spreads across the cluster instead of 64 coarse buckets. The
+    * chunk mask (& 65535) makes arithmetic-vs-logical shift of the
+    * sign bit irrelevant. Output: (id1, id2, hamming), id1 < id2. */
+  def simhash64Pairs(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 bands of 16 bits guarantee full recall only for maxHamming <= 3, got $maxHamming")
+    val sig = simhash64Df(df, textCol, idCol)
+    val banded = sig.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("ck", expr("(simhash >> (band * 16)) & 65535"))
+    // explicit width for the same reason as [[simhashPairs]]: the
+    // banded input is tiny in bytes, so AQE coalesces the reader, but
+    // the join expands ~|group|^2/2 within each (band, chunk) group
+    val w = df.sparkSession.sparkContext.defaultParallelism
+    val a = banded.repartition(w, col("band"), col("ck"))
+      .select(col("id").as("id1"), col("simhash").as("_s1"),
+        col("band"), col("ck"))
+    val b = banded.select(col("id").as("id2"), col("simhash").as("_s2"),
+      col("band").as("_band2"), col("ck").as("_ck2"))
+    a.join(b, col("band") === col("_band2") && col("ck") === col("_ck2") &&
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("CAST(bit_count(_s1 ^ _s2) AS INT)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** 64-bit SimHash computed from md5 bytes in Scala (per-row library
+    * hot path; the DataFrame variant [[simhash64Df]] is the
+    * oracle-gated one — this byte-order formulation is covered by
+    * unit tests). */
   def simhash64(tokens: Seq[String]): Long = {
     val votes = new Array[Long](64)
     val mdProto = java.security.MessageDigest.getInstance("MD5")

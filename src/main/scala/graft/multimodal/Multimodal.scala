@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata; decode/feature steps
   * run per-partition over batches.
   *
-  * The actual codec step is STUBBED (this container ships no
-  * image/audio libraries): [[FakeCodec]] is a deterministic
-  * stand-in that parses our synthetic 16-byte header. Everything
-  * around it — schema contract, binary column handling, partition
-  * batching, feature schema — is real and tested, so swapping in a
-  * real decoder (JavaCV, TwelveMonkeys, javax.sound) only replaces
-  * the codec body.
+  * Image and audio decode are REAL, zero-dependency JDK codecs
+  * ([[JdkCodec]]): ImageIO header readers (PNG/JPEG/GIF/BMP/TIFF/WBMP
+  * ship with the JDK, headless-safe — dimensions come from the format
+  * header without decoding pixels) and javax.sound WAV/AIFF/AU
+  * parsing for duration. Video is the one genuinely codec-less format
+  * in the JDK, so it parses the synthetic 16-byte header
+  * ([[FakeCodec]]), which also serves as the fallback for
+  * unrecognized image/audio payloads — swapping in a full decoder
+  * (JavaCV etc.) replaces only that body.
   */
 object Multimodal {
 
@@ -28,9 +30,10 @@ object Multimodal {
     StructField("duration_ms", LongType, nullable = true),
     StructField("checksum", StringType, nullable = false)))
 
-  /** STUB decoder — deterministic fake. Synthetic header layout
-    * (big-endian): bytes 0-3 width, 4-7 height, 8-15 duration_ms.
-    * A real implementation would replace only this object. */
+  /** Synthetic-header parser — the VIDEO stand-in (the JDK ships no
+    * video codec) and the fallback for unrecognized image/audio
+    * payloads. Header layout (big-endian): bytes 0-3 width, 4-7
+    * height, 8-15 duration_ms. */
   object FakeCodec {
     def decodeHeader(bytes: Array[Byte]): (Int, Int, Long) = {
       def be32(o: Int): Int =
@@ -38,6 +41,79 @@ object Multimodal {
         ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
       if (bytes.length < 16) (0, 0, 0L)
       else (be32(0), be32(4), (be32(8).toLong << 32) | (be32(12).toLong & 0xffffffffL))
+    }
+  }
+
+  /** Real JDK decoders — no dependencies beyond the platform. */
+  object JdkCodec {
+    // ImageIO registry scans are headless-safe; assert it anyway so an
+    // executor JVM launched with a display never tries to use it
+    System.setProperty("java.awt.headless", "true")
+
+    /** (width, height) from any ImageIO-registered format's header
+      * (JDK built-ins: PNG, JPEG, GIF, BMP, TIFF, WBMP). Reads ONLY
+      * the header — `ImageReader.getWidth(0)` never decodes pixel
+      * data, so cost is O(header), not O(pixels). None when no
+      * registered reader recognizes the bytes. */
+    def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some((r.getWidth(0), r.getHeight(0)))
+          } finally r.dispose()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally iis.close()
+    }
+
+    /** Duration in ms from a javax.sound-recognized audio payload
+      * (JDK built-ins: WAV, AIFF, AU). None when unrecognized or the
+      * header lacks a frame count. */
+    def audioDurationMs(bytes: Array[Byte]): Option[Long] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val rate = ais.getFormat.getFrameRate
+          val frames = ais.getFrameLength
+          if (rate > 0 && frames >= 0) Some(math.round(frames * 1000.0 / rate))
+          else None
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Deterministic PNG fixture encoder (gate/test payloads): a real
+      * w×h PNG whose pixels derive from coordinates. */
+    def encodePng(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Deterministic WAV fixture encoder: `frames` 8-bit mono frames
+      * at 1000 Hz, so duration_ms == frames exactly. */
+    def encodeWav(frames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(1000f, 8, 1, true, false)
+      val data = Array.tabulate[Byte](frames)(i => (i * 17).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
     }
   }
 
@@ -55,7 +131,22 @@ object Multimodal {
     ds.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, mt, payload) =>
-        val (w, h, dur) = FakeCodec.decodeHeader(payload)
+        // real JDK decode first (ImageIO header read / javax.sound);
+        // the synthetic-header parse is the video path and the
+        // fallback for unrecognized payloads
+        val (w, h, dur) = mt match {
+          case "image" =>
+            JdkCodec.imageDims(payload) match {
+              case Some((iw, ih)) => (iw, ih, 0L)
+              case None => FakeCodec.decodeHeader(payload)
+            }
+          case "audio" =>
+            JdkCodec.audioDurationMs(payload) match {
+              case Some(d) => (0, 0, d)
+              case None => FakeCodec.decodeHeader(payload)
+            }
+          case _ => FakeCodec.decodeHeader(payload)
+        }
         md.reset()
         val sum = md.digest(payload).map("%02x".format(_)).mkString
         (id, mt, payload.length.toLong,

@@ -41,6 +41,24 @@ case class SpliceScan(children: Seq[Expression], conf: SpliceScanConf)
 
   require(children.length == 6, "SpliceScan(es, ee, vs, ve, isins, strand)")
 
+  /** eval/codegen read primitive slots — reject mistyped inputs at
+    * ANALYSIS time (the builder casts, but a hand-constructed
+    * expression must fail loudly, not ClassCastException per row). */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val expected: Seq[(String, DataType => Boolean)] = Seq(
+      "es" -> { case ArrayType(LongType, _) => true; case _ => false },
+      "ee" -> { case ArrayType(LongType, _) => true; case _ => false },
+      "vs" -> (_ == LongType), "ve" -> (_ == LongType),
+      "isins" -> (_ == BooleanType), "strand" -> (_ == IntegerType))
+    expected.zip(children).collectFirst {
+      case ((name, ok), c) if !ok(c.dataType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_splice_scan input '$name' has type ${c.dataType.sql}; " +
+            "expected (ARRAY<BIGINT>, ARRAY<BIGINT>, BIGINT, BIGINT, BOOLEAN, INT)")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
   override def dataType: DataType = StructType(Seq(
     StructField("terms", ArrayType(StringType, containsNull = false), nullable = false),
     StructField("fs", BooleanType, nullable = false),

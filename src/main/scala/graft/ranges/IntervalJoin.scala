@@ -192,7 +192,11 @@ object IntervalJoin {
     val rows = src.select(selectCols.toSeq: _*)
       .queryExecution.executedPlan.executeCollect()
     def longAt(r: org.apache.spark.sql.catalyst.InternalRow, k: Int, name: String): Long = {
-      if (r.isNullAt(k)) asLong(null, name)
+      // explicit throw (round-10 verdict: delegating to asLong(null,_)
+      // and discarding the result was one refactor away from silently
+      // reading garbage out of a null slot)
+      if (r.isNullAt(k)) throw new IllegalArgumentException(
+        s"null coordinate in column '$name' (reference treats null positions as an execution error)")
       r.getLong(k)
     }
     val groups = mutable.LinkedHashMap.empty[String,

@@ -1098,9 +1098,14 @@ object Annotate {
     * each dim — and every consumer broadcasts straight from memory.
     * Memory contract unchanged: the same rows already sat on the
     * driver per exchange. Fact-side inputs (vcf, cache) must NEVER
-    * come through here. */
+    * come through here — and the contract is ENFORCED, not
+    * comment-only (round-10 ADVICE): a dim whose Catalyst size
+    * estimate exceeds the [[graft.ranges.BuildGuard]] broadcast cap
+    * skips localization and keeps its plain broadcast subtree
+    * (same results, no driver materialization at plan build). */
   private def localize(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(
+    if (!graft.ranges.BuildGuard.fits(df)) df
+    else df.sparkSession.createDataFrame(
       java.util.Arrays.asList(df.collect(): _*), df.schema)
 
   /** [[localize]] over several dims with the collects running

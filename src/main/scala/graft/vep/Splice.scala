@@ -581,8 +581,17 @@ object Splice {
   private[vep] def spliceScan(es: Column, ee: Column, vs: Column,
       ve: Column, isins: Column, strand: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
+    // explicit casts: the expression's eval/codegen read primitive
+    // long/int/boolean slots, so a user-supplied frame with e.g. a
+    // BIGINT strand or INT coordinates must widen HERE (round-10
+    // ADVICE: the retired array-lambda formulation tolerated any
+    // numeric type; the raw casts threw ClassCastException). Trivial
+    // casts (already-matching types) are eliminated by Catalyst.
     GraftColumnBridge.column(graft.plans.SpliceScan(
-      Seq(es, ee, vs, ve, isins, strand).map(GraftColumnBridge.expression),
+      Seq(es.cast("array<bigint>"), ee.cast("array<bigint>"),
+        vs.cast("bigint"), ve.cast("bigint"),
+        isins.cast("boolean"), strand.cast("int"))
+        .map(GraftColumnBridge.expression),
       spliceScanConf))
   }
 

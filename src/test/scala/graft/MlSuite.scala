@@ -82,9 +82,11 @@ class MlSuite extends SparkSpec {
     assert(top == Seq(1L, 2L, 3L))
   }
 
-  test("multimodal: stub codec parses synthetic header; schema holds") {
+  test("multimodal: unrecognized payloads fall back to the synthetic header") {
     def be(i: Int) = Array[Byte](((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
       ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    // not a real image/audio container: the JDK decoders return None
+    // and the synthetic 16-byte header parse takes over
     val payload = be(640) ++ be(480) ++ be(0) ++ be(12345) ++ Array[Byte](1, 2, 3)
     val assets = Seq((1L, "image", payload), (2L, "audio", payload))
       .toDF("asset_id", "media_type", "payload")
@@ -96,6 +98,25 @@ class MlSuite extends SparkSpec {
     val offs = Multimodal.sampleFrameOffsets(
       Multimodal.extractFeatures(assets), 3).collect()
     assert(offs.length == 3 && offs.forall(_.getLong(0) == 2L))
+  }
+
+  test("multimodal: real JDK codecs decode PNG dimensions and WAV duration") {
+    import graft.multimodal.Multimodal.JdkCodec
+    // direct codec round-trips
+    assert(JdkCodec.imageDims(JdkCodec.encodePng(37, 21)) == Some((37, 21)))
+    assert(JdkCodec.audioDurationMs(JdkCodec.encodeWav(250)) == Some(250L))
+    assert(JdkCodec.imageDims(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(JdkCodec.audioDurationMs(Array[Byte](1, 2, 3, 4)).isEmpty)
+    // through the distributed pipeline: real payloads, real headers
+    val assets = Seq(
+      (1L, "image", JdkCodec.encodePng(123, 45)),
+      (2L, "audio", JdkCodec.encodeWav(777))
+    ).toDF("asset_id", "media_type", "payload")
+    val f = Multimodal.extractFeatures(assets).orderBy("asset_id").collect()
+    assert(f(0).getInt(3) == 123 && f(0).getInt(4) == 45 && f(0).isNullAt(5))
+    assert(f(1).isNullAt(3) && f(1).getLong(5) == 777L)
+    // byte_length/checksum are over the actual container bytes
+    assert(f(0).getLong(2) > 16L)
   }
 
   test("duplicate clusters: min-label propagation finds components") {
