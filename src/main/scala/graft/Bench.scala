@@ -83,6 +83,15 @@ object Bench {
       // contention + NIO concat). Threshold 0 selects the
       // tungsten-sort writer: one spill file per map task
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // the annotate-family plans alone compile >100 distinct
+      // whole-stage-codegen units; the default 100-entry compile
+      // cache evicted them EVERY sample, re-paying ~45 executor-task-
+      // seconds of janino compilation + compile-lock blocking per run
+      // (stack-sampled round 11: 610 ticks in KeyLock.acquireLock <-
+      // NonFateSharingLoadingCache.get). With the cache sized to the
+      // suite, warm samples measure the operators: e2e 7.2-8.4 ->
+      // 4.6-5.4 s, executor task time 63-73 -> 17-21 s
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

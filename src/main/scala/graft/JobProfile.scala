@@ -24,6 +24,12 @@ object JobProfile {
         sys.env.getOrElse("SPARK_GRAFT_WSCG", "true"))
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS", "200"))
+      .config("spark.sql.exchange.reuse",
+        sys.env.getOrElse("SPARK_GRAFT_REUSE", "true"))
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
+      .config("spark.sql.execution.reuseSubquery",
+        sys.env.getOrElse("SPARK_GRAFT_REUSE", "true"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
@@ -67,11 +73,16 @@ object JobProfile {
             try while (true) {
               Thread.getAllStackTraces.forEach { (th, st) =>
                 val isExec = th.getName.contains("Executor task")
+                val mainOnly = sys.env.contains("SPARK_GRAFT_SAMPLE_MAIN")
                 if (if (sys.env.contains("SPARK_GRAFT_SAMPLE_EXEC")) isExec
+                    else if (mainOnly) th.getName == "main"
                     else !th.getName.contains("dispatcher") && !isExec) {
-                  val top = st.filter(f => f.getClassName.startsWith("org.apache.spark") ||
-                    f.getClassName.startsWith("org.codehaus") || f.getClassName.startsWith("java.security") ||
-                    f.getClassName.startsWith("graft")).take(3)
+                  val depth = if (mainOnly) 8 else 3
+                  val top =
+                    if (mainOnly) st.take(depth)
+                    else st.filter(f => f.getClassName.startsWith("org.apache.spark") ||
+                      f.getClassName.startsWith("org.codehaus") || f.getClassName.startsWith("java.security") ||
+                      f.getClassName.startsWith("graft")).take(depth)
                   if (top.nonEmpty)
                     counts.merge(top.map(f => f.getClassName.split("\\.").takeRight(2)
                       .mkString(".") + "." + f.getMethodName).mkString(" <- "), 1, _ + _)

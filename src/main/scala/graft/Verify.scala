@@ -22,6 +22,10 @@ object Verify {
       // contention + NIO concat). Threshold 0 selects the
       // tungsten-sort writer: one spill file per map task
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // suite-sized codegen compile cache (see Bench.scala note):
+      // the default 100 entries evicted the annotate family's >100
+      // generated classes between queries, recompiling per run
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

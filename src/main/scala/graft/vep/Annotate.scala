@@ -1186,9 +1186,23 @@ object Annotate {
     // out, so no specific coding predicate can), the intron's splice
     // windows are skipped, intron_variant never (body excludes
     // frameshift introns)
-    val snvScan = Splice.spliceScan(col("_xa_es"), col("_xa_ee"),
-      col("_vp"), col("_vp"), lit(false), col("_strand"))
-    val snvFsIntron = coalesce(snvScan.getField("fs"), lit(false))
+    // STAGED evaluation (plan-size control): the splice-scan struct
+    // and the geometry term are computed ONCE as named columns and
+    // referenced by attribute downstream. Inlined, every reference
+    // re-embedded the whole subtree in the LOGICAL plan (the optimizer
+    // unifies runtime evaluation via subexpression elimination, but
+    // never plan size), and predicate pushdown inlined the term
+    // construction into the union filters again — the SNV/indel entry
+    // projections and filters alone carried ~4.2K of the plan's ~11K
+    // expression nodes, and every AQE stage materialization re-walks
+    // the full logical plan (round-10 PERF: the ~2 s constant serial
+    // planning residue scales with plan mass). CollapseProject keeps
+    // a staged alias referenced more than once (non-cheap), so the
+    // staging survives optimization.
+    val snvStaged = snvJoined.select(col("*"),
+      Splice.spliceScan(col("_xa_es"), col("_xa_ee"),
+        col("_vp"), col("_vp"), lit(false), col("_strand")).as("_sscan"))
+    val snvFsIntron = coalesce(col("_sscan").getField("fs"), lit(false))
     val snvTerm =
       when(col("region") === "intronic",
         when(snvFsIntron && Splice.isCodingBt(col("_bt")) &&
@@ -1202,16 +1216,17 @@ object Annotate {
         .otherwise(rkCol(
           coalesce(col("codon_consequence"), lit("coding_sequence_variant"))))
     // SNVs: normalized coords = the position itself, never an insertion
-    val snvBody = coalesce(snvScan.getField("body"), lit(false))
-    val snvSterms = coalesce(snvScan.getField("terms"), emptyTerms)
-    val snvEntries = snvJoined
+    val snvBody = coalesce(col("_sscan").getField("body"), lit(false))
+    val snvSterms = coalesce(col("_sscan").getField("terms"), emptyTerms)
+    val snvEntries = snvStaged
+      .select(col("*"), snvTerm.as("_sterm"))
       .select(col("id"), col("transcript_id"),
         concat(
-          filter(array(snvTerm,
+          filter(array(col("_sterm"),
             // incomplete_terminal_codon co-occurs WITH its parent
             // coding_sequence_variant (strip_parent_terms explicitly
             // excludes it from the CSV-stripping children)
-            when(snvTerm === rkLit("incomplete_terminal_codon_variant"),
+            when(col("_sterm") === rkLit("incomplete_terminal_codon_variant"),
               rkLit("coding_sequence_variant")),
             when(snvBody, rkLit("intron_variant")),
             when(col("_bt") === "nonsense_mediated_decay",
@@ -1373,41 +1388,73 @@ object Annotate {
     // cds_end is the 5' UTR side, excluded
     val leftFlank = isins && (iP - 1).between(col("_i_cs"), col("_i_ce")) &&
       !(col("_i_strand") === -1 && iP - 1 === col("_i_ce"))
+    // STAGED evaluation (plan-size control — see the SNV stream's
+    // staging note): the splice-scan struct, the shared predicates and
+    // the geometry term are bound ONCE as named columns, so downstream
+    // references (and pushed-down filters) carry single attributes
+    // instead of re-embedded subtrees. Level 1: predicates over igeo's
+    // own columns.
+    // geomOk: ALL families — geometry, HGVS and splice — evaluate on
+    // VEP's TRIMMED-event transcript candidacy (reference tree-query
+    // filter, transcript_consequence.rs:919-925): insertions require
+    // P in (tx_start, tx_end] — an insertion right before the first or
+    // right after the last transcript base is NOT a candidate in VEP
+    // and yields NO entry; deletions use the trimmed span.
+    val geomOkT = when(isins, iP > col("_i_ts") && iP <= col("_i_te"))
+      .otherwise(col("_i_nvs") <= col("_i_te") && col("_i_nve") >= col("_i_ts"))
+    // HGVSc validity — 1:1 with Splice.indelHgvs: both shifted anchors
+    // inside this transcript AND inside exons
+    val hokT = col("_i_p0") >= col("_i_ts") && col("_i_p1") <= col("_i_te") &&
+      col("_in0") === 1 && col("_in1") === 1
+    val ist1 = igeo.select(col("*"),
+      Splice.spliceScan(col("_xa_es"), col("_xa_ee"),
+        col("_i_nvs"), col("_i_nve"), col("_i_isins"), col("_i_strand"))
+        .as("_iscan"),
+      cdsOv.as("_icdsov"),
+      leftFlank.as("_ilf"),
+      geomOkT.as("_igok"),
+      hokT.as("_ihok"),
+      rawOv.as("_irawov"),
+      // deletions spanning a CDS/UTR boundary get NO frameshift/
+      // inframe (add_coding_terms:1985-2000) — CSV plus the
+      // UTR-extension terms
+      (!isins && col("_i_nvs") < col("_i_cs")).as("_iutr5"),
+      (!isins && col("_i_nve") > col("_i_ce")).as("_iutr3"),
+      least(col("_cdna0"), col("_cdna1")).as("_ilo"),
+      greatest(col("_cdna0"), col("_cdna1")).as("_ihi"))
     // the coding-branch gate (:1283-1291): exon membership OR the two
-    // CDS exon-boundary insertion arms, AND CDS reach
+    // CDS exon-boundary insertion arms, AND CDS reach — level 2, over
+    // the staged predicates
     val cbGate = iCoding &&
-      (col("_i_inex") === 1 || (col("_i_bend") === 1 && leftFlank) ||
-        (col("_i_bstart") === 1 && cdsOv)) &&
-      (cdsOv || leftFlank)
+      (col("_i_inex") === 1 || (col("_i_bend") === 1 && col("_ilf")) ||
+        (col("_i_bstart") === 1 && col("_icdsov"))) &&
+      (col("_icdsov") || col("_ilf"))
+    val ist2 = ist1.select(col("*"), cbGate.as("_icb"))
     // complex indel (:1850-1866): a deletion that overlaps an exon AND
     // reaches the body of a NON-frameshift intron — the CDS change is
     // undeterminable, only coding_sequence_variant fires
-    val iScan = Splice.spliceScan(col("_xa_es"), col("_xa_ee"),
-      col("_i_nvs"), col("_i_nve"), col("_i_isins"), col("_i_strand"))
     val iComplex = !isins && col("_i_inex") === 1 &&
-      coalesce(iScan.getField("longov"), lit(false))
-    // deletions spanning a CDS/UTR boundary get NO frameshift/inframe
-    // (add_coding_terms:1985-2000) — CSV plus the UTR-extension terms
-    val utrExt5 = !isins && col("_i_nvs") < col("_i_cs")
-    val utrExt3 = !isins && col("_i_nve") > col("_i_ce")
+      coalesce(col("_iscan").getField("longov"), lit(false))
+    val utrExt5 = col("_iutr5")
+    val utrExt3 = col("_iutr3")
     val imStart = col("_i_ts") + floor((col("_i_te") - col("_i_ts")) / 3).cast("long")
     val imEnd = col("_i_ts") + floor((col("_i_te") - col("_i_ts")) / 2).cast("long")
     val mirnaOv = when(isins, iP > imStart && iP <= imEnd)
       .otherwise(col("_i_nvs") <= imEnd && col("_i_nve") >= imStart)
     // frameshift-intron CDS arm (see the SNV stream's twin)
-    val iFsIntron = coalesce(iScan.getField("fs"), lit(false))
-    val iFsCds = cdsOv
+    val iFsIntron = coalesce(col("_iscan").getField("fs"), lit(false))
+    val iFsCds = col("_icdsov")
     // partial_codon (add_coding_terms:1927-1981): the event's codon is
     // the LAST, truncated one of a CDS whose spliced length is not a
     // multiple of 3 — incomplete_terminal_codon_variant joins the set
     // BESIDE the indel class term
     val iCdsIdx0 = col("_i_cdnalo") - col("_ccs")
-    val iIncomplete = cbGate && col("_i_nloex") === 1 &&
+    val iIncomplete = col("_icb") && col("_i_nloex") === 1 &&
       col("_i_cdnalo").between(col("_ccs"), col("_cce")) &&
       ((col("_cce") - col("_ccs") + 1) - (iCdsIdx0 - (iCdsIdx0 % 3)))
         .between(1, 2)
     val iTerm =
-      when(cbGate,
+      when(col("_icb"),
         // the CDS/UTR-boundary downgrade fires only for CONTRACTING
         // events (ref longer than alt — transcript_consequence.rs:1984
         // gates extends_into_utr on ref_len > alt_len): an expanding
@@ -1441,8 +1488,8 @@ object Annotate {
         // insertion at an exon boundary (intronic side) outside the
         // CDS still gets its UTR term
         .when(isins && iCoding && col("_i_inex") === 0 &&
-            !(col("_i_bend") === 1 && leftFlank) &&
-            !(col("_i_bstart") === 1 && cdsOv) &&
+            !(col("_i_bend") === 1 && col("_ilf")) &&
+            !(col("_i_bstart") === 1 && col("_icdsov")) &&
             (col("_i_bend") === 1 || col("_i_bstart") === 1),
           when(strandPos && iP > col("_i_ce"), rkLit("3_prime_UTR_variant"))
             .when(strandPos && iP <= col("_i_cs"), rkLit("5_prime_UTR_variant"))
@@ -1454,22 +1501,21 @@ object Annotate {
     // independent element on the inner-body predicate (and an
     // exon-spanning deletion reaching >= 2 bp into an intron carries
     // BOTH its exon term and intron_variant, like the reference)
-    val iBody = coalesce(iScan.getField("body"), lit(false))
+    val iBody = coalesce(col("_iscan").getField("body"), lit(false))
     // HGVSc rendering on the fused aggregate — 1:1 with
     // Splice.indelHgvs's formatting over its own aggregate: valid only
     // when both shifted anchors lie inside this transcript AND inside
     // exons (the standalone operator's candidate condition + its
-    // _in0/_in1 filter); NULL otherwise, exactly like the left join it
-    // replaces.
-    val hok = col("_i_p0") >= col("_i_ts") && col("_i_p1") <= col("_i_te") &&
-      col("_in0") === 1 && col("_in1") === 1
+    // _in0/_in1 filter, staged as `_ihok`); NULL otherwise, exactly
+    // like the left join it replaces.
+    val hok = col("_ihok")
     def ifmtC(x: Column): Column =
       when(!iCoding, x.cast("string"))
         .when(x < col("_ccs"), concat(lit("-"), (col("_ccs") - x).cast("string")))
         .when(x > col("_cce"), concat(lit("*"), (x - col("_cce")).cast("string")))
         .otherwise((x - col("_ccs") + 1).cast("string"))
-    val ilo = least(col("_cdna0"), col("_cdna1"))
-    val ihi = greatest(col("_cdna0"), col("_cdna1"))
+    val ilo = col("_ilo")
+    val ihi = col("_ihi")
     val icoords = when(ilo === ihi, ifmtC(ilo))
       .otherwise(concat(ifmtC(ilo), lit("_"), ifmtC(ihi)))
     val ialtAdj = when(col("_i_strand") === 1, col("_i_va"))
@@ -1490,40 +1536,37 @@ object Annotate {
       pepForm(col("_i_vc"), col("_i_strand"), col("_xa_es"), col("_xa_ee"),
         col("_ccs"), col("_cce"), col("_i_kind"), col("_i_va"),
         col("_i_p0"), col("_i_p1"))))
-    // splice terms via the fused intron-array lambdas (the former
+    // splice terms via the fused intron-array scan (the former
     // separate splice stream: probe + explode + aggregation +
     // full-outer merge = three exchanges + an index build). Gated on
-    // the NORM-span overlap — exactly the old splice stream's
-    // candidate condition — so norm-only reach never leaks terms for
-    // transcripts the old probe would not have paired.
-    // ALL families — geometry, HGVS and splice — evaluate on VEP's
-    // TRIMMED-event transcript candidacy (reference tree-query filter,
-    // transcript_consequence.rs:919-925): insertions require
-    // P in (tx_start, tx_end] — an insertion right before the first or
-    // right after the last transcript base is NOT a candidate in VEP
-    // and yields NO entry (the former norm-reach splice-only arm
-    // preserved a pre-fusion behavior the reference never produces);
-    // deletions use the trimmed span
-    val geomOk = when(isins, iP > col("_i_ts") && iP <= col("_i_te"))
-      .otherwise(col("_i_nvs") <= col("_i_te") && col("_i_nve") >= col("_i_ts"))
-    val iSterms = when(geomOk, coalesce(iScan.getField("terms"),
+    // the staged trimmed-event candidacy `_igok` — exactly the old
+    // splice stream's candidate condition — so norm-only reach never
+    // leaks terms for transcripts the old probe would not have paired
+    // (the former norm-reach splice-only arm preserved a pre-fusion
+    // behavior the reference never produces).
+    val geomOk = col("_igok")
+    val iSterms = when(geomOk, coalesce(col("_iscan").getField("terms"),
       emptyTerms)).otherwise(emptyTerms)
-    val indelEntries = igeo
-      .withColumn("_sterms", iSterms)
+    // level 3: the geometry term and the partial-codon predicate
+    // staged once (iTerm alone is a ~100-node tree; it appeared twice
+    // in the entry projection and again in the pushed-down filter)
+    val indelEntries = ist2
+      .select(col("*"), iTerm.as("_iterm"), iIncomplete.as("_iinc"),
+        iSterms.as("_sterms"))
       .where(geomOk)
       .select(col("_i_vid").as("id"), col("_i_tid").as("transcript_id"),
         concat(
-          filter(array(when(geomOk, iTerm),
+          filter(array(when(geomOk, col("_iterm")),
             // deletion reaching past the CDS into the UTR carries the
             // UTR term(s) BESIDE its coding term (add_coding_terms'
             // extends_before/extends_after inserts)
-            when(geomOk && cbGate && utrExt5,
+            when(geomOk && col("_icb") && utrExt5,
               when(strandPos, rkLit("5_prime_UTR_variant"))
                 .otherwise(rkLit("3_prime_UTR_variant"))),
-            when(geomOk && cbGate && utrExt3,
+            when(geomOk && col("_icb") && utrExt3,
               when(strandPos, rkLit("3_prime_UTR_variant"))
                 .otherwise(rkLit("5_prime_UTR_variant"))),
-            when(geomOk && iIncomplete,
+            when(geomOk && col("_iinc"),
               rkLit("incomplete_terminal_codon_variant")),
             when(geomOk && iBody, rkLit("intron_variant")),
             when(geomOk && col("_i_bt") === "nonsense_mediated_decay",
@@ -1532,9 +1575,9 @@ object Annotate {
               rkLit("non_coding_transcript_variant"))),
             x => x.isNotNull),
           col("_sterms")).as("_terms"),
-        when(rawOv && hok, ilo).as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
-        when(rawOv && hok, ihgvsC).as("hgvs_c"),
-        when(rawOv, ihgvsP).as("hgvs_p"), nullS.as("_sift"),
+        when(col("_irawov") && hok, ilo).as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
+        when(col("_irawov") && hok, ihgvsC).as("hgvs_c"),
+        when(col("_irawov"), ihgvsP).as("hgvs_p"), nullS.as("_sift"),
         nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"), nullL.as("_dist"),
         lit("Transcript").as("_ftype"),
         when(geomOk, Splice.exonRank(col("_i_inex") === 1, col("_i_strand"),
@@ -1543,7 +1586,7 @@ object Annotate {
           col("_i_nprev"), col("_i_nex"))).as("_intron"),
         // HGVS_OFFSET: emitted with the HGVSc it annotates, signed
         // transcript-ward (Splice.indelHgvs convention)
-        when(rawOv && hok && col("_i_sh") > 0,
+        when(col("_irawov") && hok && col("_i_sh") > 0,
           when(col("_i_strand") === -1, -col("_i_sh")).otherwise(col("_i_sh")))
           .as("_hoff"),
         nullS.as("_mname"), nullL.as("_mpos"), nullS.as("_minf"),
