@@ -47,15 +47,45 @@ object Multimodal {
   /** Real JDK decoders — no dependencies beyond the platform. */
   object JdkCodec {
     // ImageIO registry scans are headless-safe; assert it anyway so an
-    // executor JVM launched with a display never tries to use it
+    // executor JVM launched with a display never tries to use it.
+    // setUseCache(false): the default ImageInputStream is backed by a
+    // TEMP FILE ON DISK — one create+delete per decoded payload, which
+    // alone put mm_features at ~16 s for 100K rows at bench scale;
+    // the in-memory cache stream needs no filesystem at all.
     System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Magic-byte prefilter for the JDK's built-in image readers
+      * (PNG, JPEG, GIF, BMP, TIFF, WBMP-excluded — WBMP has no magic,
+      * headerless): probing the full ImageIO reader registry per row
+      * costs registry iteration + stream setup, so rows that cannot
+      * possibly be images (the common case in a mixed asset table)
+      * skip it entirely on a byte compare. */
+    private def looksLikeImage(b: Array[Byte]): Boolean =
+      b.length >= 4 && (
+        (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||               // JPEG
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||                // GIF
+        (b(0) == 'B' && b(1) == 'M') ||                               // BMP
+        (b(0) == 'I' && b(1) == 'I' && b(2) == 42) ||                 // TIFF LE
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))      // TIFF BE
+
+    /** RIFF/WAVE, AIFF (FORM), AU (.snd) container magics. */
+    private def looksLikeAudio(b: Array[Byte]): Boolean =
+      b.length >= 12 && (
+        (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
+        (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') ||
+        (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'))
 
     /** (width, height) from any ImageIO-registered format's header
-      * (JDK built-ins: PNG, JPEG, GIF, BMP, TIFF, WBMP). Reads ONLY
-      * the header — `ImageReader.getWidth(0)` never decodes pixel
-      * data, so cost is O(header), not O(pixels). None when no
-      * registered reader recognizes the bytes. */
+      * (JDK built-ins: PNG, JPEG, GIF, BMP, TIFF). Reads ONLY the
+      * header — `ImageReader.getWidth(0)` never decodes pixel data,
+      * so cost is O(header), not O(pixels). None when the magic bytes
+      * match no built-in format or no registered reader recognizes
+      * the bytes. */
     def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+      if (!looksLikeImage(bytes)) return None
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -73,9 +103,10 @@ object Multimodal {
     }
 
     /** Duration in ms from a javax.sound-recognized audio payload
-      * (JDK built-ins: WAV, AIFF, AU). None when unrecognized or the
-      * header lacks a frame count. */
-    def audioDurationMs(bytes: Array[Byte]): Option[Long] =
+      * (JDK built-ins: WAV, AIFF, AU). None when the container magic
+      * matches none of them or the header lacks a frame count. */
+    def audioDurationMs(bytes: Array[Byte]): Option[Long] = {
+      if (!looksLikeAudio(bytes)) return None
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
@@ -86,6 +117,7 @@ object Multimodal {
           else None
         } finally ais.close()
       } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
     /** Deterministic PNG fixture encoder (gate/test payloads): a real
       * w×h PNG whose pixels derive from coordinates. */

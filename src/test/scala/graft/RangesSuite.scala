@@ -306,4 +306,33 @@ class RangesSuite extends SparkSpec {
     assert(BuildGuard.fits(reads))
     assert(pairsOf(Ranges.overlap(reads, targets, mode = "join")) == baseJoin)
   }
+
+  test("coordinates beyond i32::MAX join correctly (documented superset, SURVEY 7.4.2)") {
+    // the reference's interval-join path ERRORS on coordinates above
+    // i32::MAX (interval_join.rs:1963-1999); this library keeps Long
+    // coordinates end to end and must succeed with exact results —
+    // both on the broadcast-index path and the partitioned failover
+    val big = Int.MaxValue.toLong // 2,147,483,647
+    val l = Seq(("chr1", big + 10L, big + 100L, 1L),
+      ("chr1", big + 500L, big + 600L, 2L))
+      .toDF("contig", "pos_start", "pos_end", "id")
+    val r = Seq(("chr1", big + 50L, big + 520L, 10L),
+      ("chr1", 100L, 200L, 11L))
+      .toDF("contig", "pos_start", "pos_end", "id")
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("left_id", "right_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val expected = Set((1L, 10L), (2L, 10L))
+    assert(pairs(Ranges.overlap(l, r, mode = "join")) == expected)
+    import graft.ranges.BuildGuard
+    try {
+      spark.conf.set(BuildGuard.ConfKey, "1")
+      assert(pairs(Ranges.overlap(l, r, mode = "join")) == expected)
+    } finally spark.conf.unset(BuildGuard.ConfKey)
+    // nearest across the i32 boundary: distance math stays exact
+    val near = Ranges.nearest(l, r, tieBreakCol = Some("id"))
+      .select("right_id", "left_id", "distance").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(near.contains((11L, 1L, big + 10L - 200L)))
+  }
 }
