@@ -39,6 +39,24 @@ object PileupVepQueries {
         pack(expr("CAST(substring(cigar, 1, length(cigar) - 1) AS INT)")))
       Pileup.depth(binReads).orderBy("contig", "pos_start")
     }),
+    // S2 full BAM round-trip: the reads fixture serializes to a
+    // directory of REAL per-partition BAM shards (BGZF container,
+    // spec record layout — graft.sources.Bam), reads back through the
+    // BamDataSource DSv2 scan (binary packed CIGAR), and runs depth
+    // over the scan. Oracle = the same depth SQL over the parquet
+    // fixture, so the gate pins the whole binary codec + source
+    // against an independent engine.
+    "s2_bam_depth" -> ((s, d) => {
+      val refs = (0 to 3).map(i => (s"chr$i", 600000))
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft_bam_${Integer.toHexString(d.hashCode)}"
+      graft.sources.Bam.writeShards(Tables.reads(s, d), tmp, refs)
+      val back = s.read.format("graft.sources.BamDataSource")
+        .option("path", tmp).load()
+      Pileup.depth(back.select(col("chrom"), col("start"), col("flags"),
+        col("cigar"), col("mapping_quality")))
+        .orderBy("contig", "pos_start")
+    }),
     "f10_vep_allele" -> ((s, d) =>
       Tables.vcf(s, d).select(
         col("id"),
@@ -214,6 +232,8 @@ object PileupVepQueries {
     "f9_depth_blocks" ->
       s"WITH ${blocksCte()} SELECT contig, pos_start, pos_end, coverage FROM blocks ORDER BY contig, pos_start",
     "f9_depth_binary" ->
+      s"WITH ${blocksCte()} SELECT contig, pos_start, pos_end, coverage FROM blocks ORDER BY contig, pos_start",
+    "s2_bam_depth" ->
       s"WITH ${blocksCte()} SELECT contig, pos_start, pos_end, coverage FROM blocks ORDER BY contig, pos_start",
     "f9_depth_perbase" ->
       s"WITH ${blocksCte()} SELECT contig, UNNEST(generate_series(pos_start, pos_end)) AS pos, coverage FROM blocks ORDER BY contig, pos",

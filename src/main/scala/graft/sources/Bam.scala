@@ -1,0 +1,396 @@
+package graft.sources
+
+import java.io.{DataOutputStream, EOFException, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Minimal alignment record — the slice of a BAM record this library's
+  * pileup contract consumes (FIXTURES.md §3): 0-based `pos`, raw
+  * `flag`, `mapq`, packed binary CIGAR (little-endian u32 per op,
+  * `len << 4 | op`, op order `MIDNSHP=X`), read name. `refId` indexes
+  * the file's reference dictionary; -1 = unmapped. */
+final case class BamRecord(
+    refId: Int, pos: Int, mapq: Int, flag: Int,
+    cigarOps: Array[Int], readName: String)
+
+/** Pure-JDK BAM binary codec (SAMv1 spec §4: BGZF container +
+  * little-endian record layout) — closes SURVEY §2 S2: the reference
+  * ingests BAM through its `datafusion-bio-format-bam` provider; this
+  * is the Spark-native equivalent with zero dependencies beyond the
+  * JDK ([[Bgzf]] for the container). Sequence/quality/tags are
+  * written empty (`l_seq = 0`, legal per spec) and SKIPPED on read —
+  * depth/pileup needs none of them, and skipping keeps the scan
+  * O(records), not O(bases).
+  *
+  * Scale shape: writing is per-partition sharded (`writeShards` — one
+  * `part-NNNNN.bam` per task, the standard sharded-BAM layout, no
+  * driver funnel); reading parallelizes per shard file
+  * ([[BamDataSource]]). Single large .bam files could additionally
+  * split WITHIN a file at BGZF block boundaries (BSIZE walking needs
+  * no inflation) given a record-boundary index (.bai/virtual
+  * offsets) — documented, not needed for the sharded layout. */
+object Bam {
+
+  /** SAM spec reg2bin (§5.3): the R-tree bin for [beg, end) 0-based. */
+  def reg2bin(beg: Int, end0: Int): Int = {
+    val end = end0 - 1
+    if ((beg >> 14) == (end >> 14)) ((1 << 15) - 1) / 7 + (beg >> 14)
+    else if ((beg >> 17) == (end >> 17)) ((1 << 12) - 1) / 7 + (beg >> 17)
+    else if ((beg >> 20) == (end >> 20)) ((1 << 9) - 1) / 7 + (beg >> 20)
+    else if ((beg >> 23) == (end >> 23)) ((1 << 6) - 1) / 7 + (beg >> 23)
+    else if ((beg >> 26) == (end >> 26)) ((1 << 3) - 1) / 7 + (beg >> 26)
+    else 0
+  }
+
+  /** Reference-consuming span of a packed CIGAR (ops M/D/N/=/X). */
+  def refLength(cigarOps: Array[Int]): Int = {
+    var i = 0; var n = 0
+    while (i < cigarOps.length) {
+      val op = cigarOps(i) & 0xf
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+        n += (cigarOps(i) >>> 4)
+      i += 1
+    }
+    n
+  }
+
+  private def writeI32(out: OutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+  private def writeU16(out: OutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+  }
+
+  /** Write a complete BAM file: magic, SAM-header text, reference
+    * dictionary, records, BGZF EOF marker. */
+  def write(sink: OutputStream, refs: Seq[(String, Int)],
+      records: Iterator[BamRecord]): Unit = {
+    val out = new Bgzf.BlockOutputStream(sink)
+    try {
+      out.write("BAM".getBytes(UTF_8)); out.write(1)
+      val text = ("@HD\tVN:1.6\tSO:unsorted\n" +
+        refs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l\n" }.mkString)
+        .getBytes(UTF_8)
+      writeI32(out, text.length); out.write(text)
+      writeI32(out, refs.size)
+      for ((name, len) <- refs) {
+        val nb = name.getBytes(UTF_8)
+        writeI32(out, nb.length + 1); out.write(nb); out.write(0)
+        writeI32(out, len)
+      }
+      for (r <- records) {
+        val nameB = r.readName.getBytes(UTF_8)
+        val blockSize = 32 + nameB.length + 1 + 4 * r.cigarOps.length
+        writeI32(out, blockSize)
+        writeI32(out, r.refId)
+        writeI32(out, r.pos)
+        out.write(nameB.length + 1) // l_read_name incl NUL
+        out.write(r.mapq & 0xff)
+        writeU16(out, reg2bin(math.max(r.pos, 0),
+          math.max(r.pos, 0) + math.max(refLength(r.cigarOps), 1)))
+        writeU16(out, r.cigarOps.length)
+        writeU16(out, r.flag)
+        writeI32(out, 0)  // l_seq
+        writeI32(out, -1) // next_refID
+        writeI32(out, -1) // next_pos
+        writeI32(out, 0)  // tlen
+        out.write(nameB); out.write(0)
+        r.cigarOps.foreach(writeI32(out, _))
+        // no seq, no qual, no tags
+      }
+    } finally out.close()
+  }
+
+  private final class LeReader(in: InputStream) {
+    def readFully(buf: Array[Byte], len: Int): Unit = {
+      var o = 0
+      while (o < len) {
+        val n = in.read(buf, o, len - o)
+        if (n < 0) throw new EOFException("truncated BAM stream")
+        o += n
+      }
+    }
+    def i32(): Int = {
+      val b = new Array[Byte](4); readFully(b, 4)
+      (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
+    }
+    def tryI32(): Option[Int] = {
+      val b = new Array[Byte](4)
+      val first = in.read()
+      if (first < 0) return None
+      b(0) = first.toByte; readFully0(b, 1, 3)
+      Some((b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24))
+    }
+    private def readFully0(buf: Array[Byte], off: Int, len: Int): Unit = {
+      var o = off
+      while (o < off + len) {
+        val n = in.read(buf, o, off + len - o)
+        if (n < 0) throw new EOFException("truncated BAM stream")
+        o += n
+      }
+    }
+    def bytes(len: Int): Array[Byte] = { val b = new Array[Byte](len); readFully(b, len); b }
+    def skip(len: Int): Unit = {
+      var remaining = len.toLong
+      while (remaining > 0) {
+        val n = in.skip(remaining)
+        if (n <= 0) { if (in.read() < 0) throw new EOFException("truncated BAM stream"); remaining -= 1 }
+        else remaining -= n
+      }
+    }
+  }
+
+  /** Read a BAM stream: (reference dictionary, record iterator). The
+    * iterator decodes lazily; seq/qual/tags are skipped bytewise. */
+  def read(source: InputStream): (Seq[(String, Int)], Iterator[BamRecord]) = {
+    val in = new LeReader(new Bgzf.BlockInputStream(source))
+    val magic = in.bytes(4)
+    require(magic(0) == 'B' && magic(1) == 'A' && magic(2) == 'M' && magic(3) == 1,
+      "not a BAM stream (bad magic)")
+    val lText = in.i32()
+    in.skip(lText)
+    val nRef = in.i32()
+    val refs = (0 until nRef).map { _ =>
+      val lName = in.i32()
+      val nameB = in.bytes(lName)
+      val name = new String(nameB, 0, lName - 1, UTF_8) // strip NUL
+      val lRef = in.i32()
+      (name, lRef)
+    }
+    val it = new Iterator[BamRecord] {
+      private var nextRec: BamRecord = _
+      private var fetched = false
+      private def fetch(): Unit = {
+        fetched = true
+        nextRec = null
+        in.tryI32() match {
+          case None => ()
+          case Some(blockSize) =>
+            val refId = in.i32()
+            val pos = in.i32()
+            val lReadName = in.i32() // packs l_read_name(u8), mapq(u8), bin(u16)
+            val lrn = lReadName & 0xff
+            val mapq = (lReadName >> 8) & 0xff
+            val flagNc = in.i32() // n_cigar_op(u16) | flag(u16) << 16
+            val nCigar = flagNc & 0xffff
+            val flag = (flagNc >>> 16) & 0xffff
+            val lSeq = in.i32()
+            in.skip(12) // next_refID, next_pos, tlen
+            val nameB = in.bytes(lrn)
+            val name = new String(nameB, 0, lrn - 1, UTF_8)
+            val ops = new Array[Int](nCigar)
+            var i = 0
+            while (i < nCigar) { ops(i) = in.i32(); i += 1 }
+            val consumed = 32 + lrn + 4 * nCigar
+            in.skip(blockSize - consumed) // seq + qual + tags
+            nextRec = BamRecord(refId, pos, mapq, flag, ops, name)
+        }
+      }
+      override def hasNext: Boolean = { if (!fetched) fetch(); nextRec != null }
+      override def next(): BamRecord = {
+        if (!hasNext) throw new NoSuchElementException
+        fetched = false
+        nextRec
+      }
+    }
+    (refs, it)
+  }
+
+  /** Parse a text CIGAR ("76M2I5D…") into packed binary ops. */
+  def packCigar(cigar: String): Array[Int] = {
+    val opIdx = "MIDNSHP=X"
+    val out = collection.mutable.ArrayBuffer[Int]()
+    var n = 0
+    var i = 0
+    while (i < cigar.length) {
+      val c = cigar.charAt(i)
+      if (c.isDigit) n = n * 10 + (c - '0')
+      else {
+        val op = opIdx.indexOf(c)
+        require(op >= 0, s"bad CIGAR op '$c' in $cigar")
+        out += (n << 4) | op
+        n = 0
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Write `df` as a directory of per-partition BAM shards (the
+    * standard sharded-BAM layout; no driver funnel). Expected columns:
+    * `chrom` (string), `start` (1-based, any integral type), `flags`,
+    * `mapping_quality` (ints), `cigar` (text CIGAR string), and
+    * optionally `read_name`. `refs` is the reference dictionary;
+    * chroms outside it fail loudly. Returns `path`. */
+  def writeShards(df: DataFrame, path: String, refs: Seq[(String, Int)]): String = {
+    val spark = df.sparkSession
+    val hconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val refIdx = refs.zipWithIndex.map { case ((n, _), i) => n -> i }.toMap
+    val fs0 = FileSystem.get(new java.net.URI(path), hconf.value)
+    fs0.delete(new Path(path), true)
+    fs0.mkdirs(new Path(path))
+    val hasName = df.columns.contains("read_name")
+    val cols = Seq(col("chrom"), col("start").cast("long"),
+      col("flags").cast("int"), col("mapping_quality").cast("int"),
+      col("cigar")) ++ (if (hasName) Seq(col("read_name")) else Nil)
+    val bRefIdx = spark.sparkContext.broadcast(refIdx)
+    df.select(cols: _*).rdd.foreachPartition { it =>
+      val tid = org.apache.spark.TaskContext.get().partitionId()
+      val fs = FileSystem.get(new java.net.URI(path), hconf.value)
+      val out = fs.create(new Path(path, f"part-$tid%05d.bam"), true)
+      val idx = bRefIdx.value
+      val recs = it.zipWithIndex.map { case (r, i) =>
+        val chrom = r.getString(0)
+        val refId = idx.getOrElse(chrom,
+          throw new IllegalArgumentException(s"chrom '$chrom' not in reference dictionary"))
+        BamRecord(refId, r.getLong(1).toInt - 1, r.getInt(3), r.getInt(2),
+          packCigar(r.getString(4)),
+          if (hasName && !r.isNullAt(5)) r.getString(5) else s"r$tid-$i")
+      }
+      write(out, refs, recs)
+    }
+    path
+  }
+}
+
+/** DataSource V2 reader for BAM (SURVEY §2 S2): one input partition
+  * per shard file, contig equality/IN pushdown at the record decoder
+  * (rows for other contigs drop before InternalRow materialization —
+  * the analogue of the reference's per-contig region queries).
+  *
+  * Usage: `spark.read.format("graft.sources.BamDataSource")
+  * .option("path", dir).load()` → `(chrom, start, end, flags, cigar
+  * BINARY packed ops, mapping_quality, read_name)`; `start`/`end`
+  * 1-based closed (weak), end derived from the CIGAR's
+  * reference-consuming ops — exactly the pileup contract, so
+  * `Pileup.depth` consumes the scan directly. */
+class BamDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = BamDataSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BamTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object BamDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("chrom", StringType),
+    StructField("start", LongType),
+    StructField("end", LongType),
+    StructField("flags", IntegerType),
+    StructField("cigar", BinaryType),
+    StructField("mapping_quality", IntegerType),
+    StructField("read_name", StringType)))
+}
+
+class BamTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"bam($path)"
+  override def schema(): StructType = BamDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BamScanBuilder(if (path != null) path else options.get("path"))
+}
+
+class BamScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilters {
+  private var chromFilter: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // same single-predicate contract as VcfScanBuilder: claim exactly
+    // one chrom equality/IN; everything else stays residual
+    val first = filters.collectFirst {
+      case f @ EqualTo("chrom", _: String) => f
+      case f @ In("chrom", vs) if vs.forall(_.isInstanceOf[String]) => f
+    }
+    first.foreach {
+      case EqualTo(_, v: String) => chromFilter = Some(Set(v))
+      case In(_, vs) => chromFilter = Some(vs.map(_.asInstanceOf[String]).toSet)
+      case _ =>
+    }
+    pushed = first.toArray
+    filters.filterNot(f => first.contains(f))
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new BamScan(path, chromFilter)
+}
+
+class BamScan(path: String, chromFilter: Option[Set[String]]) extends Scan with Batch {
+  private val hadoopConf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  override def readSchema(): StructType = BamDataSource.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"BamScan($path${chromFilter.map(c => s", chrom in ${c.toSeq.sorted.mkString(",")}").getOrElse("")})"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = FileSystem.get(new java.net.URI(path), hadoopConf.value)
+    val stat = fs.globStatus(new Path(path, "*.bam"))
+    val files =
+      if (stat != null && stat.nonEmpty) stat.toSeq
+      else Seq(fs.getFileStatus(new Path(path)))
+    files.filter(_.isFile)
+      .map(s => BamInputPartition(s.getPath.toString): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BamReaderFactory(chromFilter, hadoopConf)
+}
+
+case class BamInputPartition(file: String) extends InputPartition
+
+class BamReaderFactory(chromFilter: Option[Set[String]], hadoopConf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[BamInputPartition].file
+    new PartitionReader[InternalRow] {
+      private val fs = FileSystem.get(new java.net.URI(file), hadoopConf.value)
+      private val (refs, it) = Bam.read(fs.open(new Path(file)))
+      private val names = refs.map(_._1).toArray
+      private val keep: Int => Boolean = chromFilter match {
+        case Some(set) =>
+          val mask = names.map(set.contains)
+          id => id >= 0 && id < mask.length && mask(id)
+        case None => id => true
+      }
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val r = it.next()
+          if (keep(r.refId)) {
+            val start = r.pos.toLong + 1
+            val bytes = new Array[Byte](4 * r.cigarOps.length)
+            var i = 0
+            while (i < r.cigarOps.length) {
+              val v = r.cigarOps(i)
+              bytes(4 * i) = (v & 0xff).toByte
+              bytes(4 * i + 1) = ((v >> 8) & 0xff).toByte
+              bytes(4 * i + 2) = ((v >> 16) & 0xff).toByte
+              bytes(4 * i + 3) = ((v >> 24) & 0xff).toByte
+              i += 1
+            }
+            row = InternalRow(
+              if (r.refId >= 0 && r.refId < names.length)
+                UTF8String.fromString(names(r.refId)) else null,
+              start,
+              start + math.max(Bam.refLength(r.cigarOps), 1) - 1,
+              r.flag, bytes, r.mapq, UTF8String.fromString(r.readName))
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
