@@ -180,7 +180,14 @@ object Dedup {
       .where(col("tok") =!= "")
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5(col("tok").cast("binary")))
-    val bits = toks.select(col("id"), col("cnt"), posexplode(
+    // explicit (AQE-respected) width: the (id, token) aggregate is
+    // tiny in BYTES, so AQE coalesces its reader to one task — but
+    // this stage fans every token row out 64x and partial-aggregates
+    // the bit votes, the query's dominant CPU (profiled: one 3.5 s
+    // serial task). Repartitioning on id keeps the expansion wide;
+    // at scale the reader would be wide anyway.
+    val w = df.sparkSession.sparkContext.defaultParallelism
+    val bits = toks.repartition(w, col("id")).select(col("id"), col("cnt"), posexplode(
         expr("transform(sequence(0, 63), j -> " +
           "(CAST(conv(substr(h, (j div 4) + 1, 1), 16, 10) AS INT) >> (j % 4)) & 1)"))
       .as(Seq("bit", "v")))
