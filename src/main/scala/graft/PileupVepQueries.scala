@@ -108,6 +108,33 @@ object PileupVepQueries {
           col("id").cast("long").as("id"), col("ref"), col("alt"),
           regexp_extract(col("info"), "VID=([0-9]+)", 1).cast("long").as("vid"))
     }),
+    // S3 bgzipped-VCF source: the SAME lines serialized through this
+    // library's own BGZF writer (graft.sources.Bgzf — the container
+    // real .vcf.gz files ship in), read back through the DSv2 source's
+    // gzip arm. Pins both the .gz read path and BGZF interop (the
+    // writer's blocks must be standards-conformant gzip).
+    "s3_vcf_bgz" -> ((s, d) => {
+      val df = Tables.vcf(s, d).withColumn("vid", col("id"))
+      val path = s"/tmp/graft_vcf_bgz_${math.abs(d.hashCode).toString}"
+      val lines = Vep.toVcfLines(df, Seq("vid"))
+      val hconf = new graft.sources.SerializableHadoopConf(
+        s.sessionState.newHadoopConf())
+      val fs0 = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), hconf.value)
+      fs0.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs0.mkdirs(new org.apache.hadoop.fs.Path(path))
+      lines.coalesce(4).rdd.foreachPartition { it =>
+        val tid = org.apache.spark.TaskContext.get().partitionId()
+        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), hconf.value)
+        val out = new graft.sources.Bgzf.BlockOutputStream(
+          fs.create(new org.apache.hadoop.fs.Path(path, f"part-$tid%05d.vcf.bgz"), true))
+        try it.foreach(r => out.write((r.getString(0) + "\n").getBytes("UTF-8")))
+        finally out.close()
+      }
+      s.read.format("graft.sources.VcfDataSource").option("path", path).load()
+        .select(col("chrom"), col("start"),
+          col("id").cast("long").as("id"), col("ref"), col("alt"),
+          regexp_extract(col("info"), "VID=([0-9]+)", 1).cast("long").as("vid"))
+    }),
     "s6_vcf_roundtrip" -> ((s, d) => {
       val df = Tables.vcf(s, d).withColumn("vid", col("id"))
       val path = s"/tmp/graft_vcf_roundtrip_${math.abs(d.hashCode).toString}"
@@ -264,6 +291,8 @@ object PileupVepQueries {
     "s6_vcf_roundtrip" ->
       s"WITH $vcf SELECT chrom, start, id, ref, alt, CAST(id AS BIGINT) AS vid FROM v ORDER BY id",
     "s3_vcf_dsv2" ->
+      s"WITH $vcf SELECT chrom, start, id, ref, alt, CAST(id AS BIGINT) AS vid FROM v ORDER BY id",
+    "s3_vcf_bgz" ->
       s"WITH $vcf SELECT chrom, start, id, ref, alt, CAST(id AS BIGINT) AS vid FROM v ORDER BY id",
     "s4_kv_lookup" ->
       s"""WITH $vcf, $vepCache,

@@ -134,8 +134,18 @@ class VcfReaderFactory(chromFilter: Option[Set[String]], hadoopConf: Serializabl
     val file = partition.asInstanceOf[VcfInputPartition].file
     new PartitionReader[InternalRow] {
       private val fs = FileSystem.get(new java.net.URI(file), hadoopConf.value)
+      // .vcf.gz / .bgz: BGZF is standards-conformant multi-member
+      // gzip, so the JDK's own GZIPInputStream decodes both bgzipped
+      // (tabix-style) and plain-gzipped VCFs — the layout real VCFs
+      // ship in
+      private val raw: java.io.InputStream = {
+        val base = fs.open(new Path(file))
+        if (file.endsWith(".gz") || file.endsWith(".bgz"))
+          new java.util.zip.GZIPInputStream(base, 65536)
+        else base
+      }
       private val in = new java.io.BufferedReader(
-        new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))
+        new java.io.InputStreamReader(raw, "UTF-8"))
       private var row: InternalRow = _
 
       override def next(): Boolean = {
