@@ -297,7 +297,21 @@ object Ranges {
     val e = col(cols.end).cast("long")
     val w = Window.partitionBy(col(cols.contig)).orderBy(s, e)
     val prevMax = max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val boundary = prevMax + lit(minDist)
+    // SATURATING add, matching the reference's
+    // `cur_end.saturating_add(min_dist)` (merge.rs:291,
+    // cluster.rs:457) — its test pins intervals at the Int64 ceiling
+    // clustering TOGETHER under any positive min_dist
+    // (integration_test.rs test_cluster_udtf_large_min_dist_no_
+    // overflow); Spark's non-ANSI Long addition would silently wrap
+    // negative and split them instead
+    val boundary =
+      if (minDist == 0L) prevMax
+      else if (minDist > 0L)
+        when(prevMax > lit(Long.MaxValue - minDist), lit(Long.MaxValue))
+          .otherwise(prevMax + lit(minDist))
+      else
+        when(prevMax < lit(Long.MinValue - minDist), lit(Long.MinValue))
+          .otherwise(prevMax + lit(minDist))
     val isNew = if (op.isStrict) s >= boundary else s > boundary
     val flag = when(prevMax.isNull || isNew, lit(1L)).otherwise(lit(0L))
     // The cumulative island id uses the DEFAULT window frame (RANGE

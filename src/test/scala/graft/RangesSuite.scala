@@ -307,6 +307,45 @@ class RangesSuite extends SparkSpec {
     assert(pairsOf(Ranges.overlap(reads, targets, mode = "join")) == baseJoin)
   }
 
+  test("cluster/merge: minDist near the Int64 ceiling saturates, never wraps") {
+    // integration_test.rs test_cluster_udtf_large_min_dist_no_overflow:
+    // intervals at the Int64 ceiling must cluster TOGETHER under any
+    // positive min_dist (the reference saturating_adds the boundary);
+    // a wrapping add flips the boundary negative and splits them
+    val df = Seq(
+      ("a", Long.MaxValue - 7, Long.MaxValue - 1),
+      ("a", Long.MaxValue, Long.MaxValue),
+    ).toDF("contig", "pos_start", "pos_end")
+    val cl = Ranges.cluster(df, minDist = 100L).orderBy("pos_start").collect()
+    assert(cl.length == 2)
+    assert(cl.map(_.getLong(cl.head.fieldIndex("cluster"))).toSet == Set(0L))
+    assert(cl.head.getLong(cl.head.fieldIndex("cluster_start")) == Long.MaxValue - 7)
+    assert(cl.head.getLong(cl.head.fieldIndex("cluster_end")) == Long.MaxValue)
+    val mg = Ranges.merge(df, minDist = 100L).collect()
+    assert(mg.length == 1 && mg.head.getLong(3) == 2L)
+    // an ENORMOUS minDist saturates too
+    assert(Ranges.merge(df, minDist = Long.MaxValue).count() == 1)
+  }
+
+  test("sweep operators accept empty inputs") {
+    val empty = Seq.empty[(String, Long, Long)].toDF("contig", "pos_start", "pos_end")
+    assert(Ranges.merge(empty).count() == 0)
+    assert(Ranges.cluster(empty).count() == 0)
+    assert(Ranges.complement(empty).count() == 0)
+    assert(Ranges.subtract(empty, targets).count() == 0)
+    // empty RIGHT: subtract passes the left through intact
+    val sub = Ranges.subtract(reads, empty).collect().map(_.toSeq).toSet
+    assert(sub == reads.select("contig", "pos_start", "pos_end", "id")
+      .collect().map(_.toSeq).toSet)
+    // count_overlaps emits one row per RIGHT row: empty right -> no
+    // rows; empty LEFT -> every right row with count 0
+    assert(Ranges.countOverlaps(reads, empty).count() == 0)
+    val zeroed = Ranges.countOverlaps(empty, reads)
+    assert(zeroed.count() == reads.count())
+    assert(zeroed.agg(org.apache.spark.sql.functions.sum("count"))
+      .collect().head.getLong(0) == 0L)
+  }
+
   test("coordinates beyond i32::MAX join correctly (documented superset, SURVEY 7.4.2)") {
     // the reference's interval-join path ERRORS on coordinates above
     // i32::MAX (interval_join.rs:1963-1999); this library keeps Long
