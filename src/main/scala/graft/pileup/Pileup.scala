@@ -85,4 +85,40 @@ object Pileup {
       .select(col("contig"),
         explode(sequence(col("pos_start"), col("pos_end"))).as("pos"),
         col("coverage"))
+
+  /** Per-base depth over the FULL contig span [1, length] — the
+    * reference's `per_base = true` mode (mosdepth_compat.rs
+    * test_per_base_sql: one row per genomic position for each contig
+    * that has reads, ZERO-coverage positions included, lengths from
+    * the BAM header). `contigLengths`: `(chrom, length)` — e.g.
+    * [[graft.sources.Bam.read]]'s reference dictionary. Zero blocks
+    * derive from a per-contig lag window over the covered blocks plus
+    * one tail block, so the position explode stays bounded by read
+    * spacing and distributed at scale. */
+  def depthPerBaseFull(reads: DataFrame, contigLengths: DataFrame,
+      filterFlag: Int = 1796, minMapq: Int = 0): DataFrame = {
+    val lens = contigLengths.select(col("chrom").as("contig"),
+      col("length").cast("long").as("_len"))
+    val blocks = depth(reads, filterFlag, minMapq).join(lens, Seq("contig"))
+    val w = Window.partitionBy(col("contig")).orderBy(col("pos_start"))
+    val gapLo = coalesce(lag(col("pos_end"), 1).over(w), lit(0L)) + 1
+    val headGaps = blocks
+      .select(col("contig"), gapLo.as("pos_start"),
+        (col("pos_start") - 1).as("pos_end"))
+      .where(col("pos_start") <= col("pos_end"))
+    val tailGaps = blocks
+      .groupBy(col("contig"), col("_len"))
+      .agg(max(col("pos_end")).as("_maxe"))
+      .where(col("_maxe") < col("_len"))
+      .select(col("contig"), (col("_maxe") + 1).as("pos_start"),
+        col("_len").as("pos_end"))
+    val zeros = headGaps.unionByName(tailGaps)
+      .select(col("contig"), col("pos_start"), col("pos_end"),
+        lit(0).cast("int").as("coverage"))
+    blocks.select(col("contig"), col("pos_start"), col("pos_end"), col("coverage"))
+      .unionByName(zeros)
+      .select(col("contig"),
+        explode(sequence(col("pos_start"), col("pos_end"))).as("pos"),
+        col("coverage"))
+  }
 }

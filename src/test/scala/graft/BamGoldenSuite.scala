@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pileup.Pileup
+
+/** Third-party BAM validation: the reference ships two real
+  * (samtools-produced) BAM files with PINNED depth expectations
+  * (bio-function-pileup/tests/mosdepth_compat.rs) — files this
+  * library's writer did NOT produce, so they validate the BGZF/BAM
+  * READER and the CIGAR walker against an independent encoder and the
+  * reference's own golden numbers.
+  *
+  * mosdepth_compat.rs expectations (1-based closed blocks):
+  * - ovl.bam, MT: (1,6,1), (7,42,2), (43,80,1)
+  *   (test_ovl_fast_mode_sql_default_one_based)
+  * - overlapping-pairs.bam, contig "1": 0-based (565173,565252,2) →
+  *   1-based (565174,565253,2) — fast mode, NO mate-overlap dedup
+  *   (both mates contribute), which is also this library's model. */
+class BamGoldenSuite extends SparkSpec {
+
+  private val dataDir =
+    "/root/reference/datafusion/bio-function-pileup/tests/data"
+
+  private def depthOf(bam: String): Seq[(String, Long, Long, Int)] = {
+    val df = spark.read.format("graft.sources.BamDataSource")
+      .option("path", s"$dataDir/$bam").load()
+    Pileup.depth(df.select(col("chrom"), col("start"), col("flags"),
+        col("cigar"), col("mapping_quality")))
+      .orderBy("contig", "pos_start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+  }
+
+  test("ovl.bam: MT depth blocks match the reference's pinned goldens") {
+    val mt = depthOf("ovl.bam").filter(_._1 == "MT")
+    assert(mt == Seq(
+      ("MT", 1L, 6L, 1),
+      ("MT", 7L, 42L, 2),
+      ("MT", 43L, 80L, 1)))
+  }
+
+  test("overlapping-pairs.bam: fast mode, both mates contribute") {
+    val c1 = depthOf("overlapping-pairs.bam").filter(_._1 == "1")
+    assert(c1 == Seq(("1", 565174L, 565253L, 2)))
+  }
+
+  test("full-contig per-base matches the reference's per_base mode goldens") {
+    // mosdepth_compat.rs test_per_base_sql: per_base=true emits one
+    // row per position of each contig WITH reads, zeros included,
+    // length from the header (MT = 16569)
+    val fs = new java.io.FileInputStream(s"$dataDir/ovl.bam")
+    val refs = try graft.sources.Bam.read(fs)._1 finally fs.close()
+    val lens = {
+      import spark.implicits._
+      refs.toDF("chrom", "length")
+    }
+    val df = spark.read.format("graft.sources.BamDataSource")
+      .option("path", s"$dataDir/ovl.bam").load()
+    val mt = Pileup.depthPerBaseFull(df.select(col("chrom"), col("start"),
+        col("flags"), col("cigar"), col("mapping_quality")), lens)
+      .where(col("contig") === "MT").orderBy("pos").collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    assert(mt.length == 16569)
+    assert(mt.head._1 == 1L && mt.last._1 == 16569L)
+    assert(mt.zipWithIndex.forall { case ((p, _), i) => p == i + 1 })
+    def covAt(pos: Long): Int = mt(pos.toInt - 1)._2
+    assert(covAt(1) == 1 && covAt(6) == 1)
+    assert(covAt(7) == 2 && covAt(42) == 2)
+    assert(covAt(43) == 1 && covAt(80) == 1)
+    assert(covAt(81) == 0 && covAt(16569) == 0)
+  }
+
+  test("reference dictionary decodes (MT length 16569 per the header)") {
+    val fs = new java.io.FileInputStream(s"$dataDir/ovl.bam")
+    val (refs, it) = graft.sources.Bam.read(fs)
+    try {
+      assert(refs.exists { case (n, l) => n == "MT" && l == 16569 })
+      // records decode with plausible fields (real reads carry seq/
+      // qual/tags, which the reader must skip bytewise)
+      val recs = it.toList
+      assert(recs.nonEmpty)
+      assert(recs.forall(r => r.cigarOps.nonEmpty || (r.flag & 4) != 0))
+      assert(recs.forall(r => r.readName.nonEmpty))
+    } finally fs.close()
+  }
+}
