@@ -730,12 +730,13 @@ object Annotate {
         Vep.vepNormStartUdf(col("start").cast("long"), col("ref"), col("alt")))
       .withColumn("_norm_end",
         Vep.vepNormEndUdf(col("start").cast("long"), col("ref"), col("alt")))
-    val c = cache.select(col("chrom").as("_c_chrom"),
+      .withColumn("_bare_chrom", Vep.bareChrom(col("chrom")))
+    val c = cache.select(Vep.bareChrom(col("chrom")).as("_c_chrom"),
       col("start").cast("long").as("_c_start"), col("end").cast("long").as("_c_end"),
       col("allele_string").as("_c_as"), col("variation_name").as("_c_vn"),
       col("af").as("_c_af"))
     v.join(c,
-        v("chrom") === col("_c_chrom") &&
+        v("_bare_chrom") === col("_c_chrom") &&
         col("_norm_start") === col("_c_start") &&
         col("_norm_end") === col("_c_end") &&
         !Vep.matchAlleleUdf(v("ref"), v("alt"), col("_c_as")))

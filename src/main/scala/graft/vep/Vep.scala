@@ -454,11 +454,25 @@ object Vep {
     * @param columns cache columns to emit (`cache_*`-prefixed);
     *               default = all minus join/bookkeeping columns
     * @param relaxed use the indel-aware relaxed matcher */
+  /** Contig-name normalization for lookup joins
+    * (variant_lookup_exec.rs:979-985 + lookup_provider.rs
+    * has_chr_prefix): the reference strips the VCF side's `chr`
+    * prefix so a chr-prefixed VCF matches an Ensembl bare-name cache
+    * ("chr1" ↔ "1" — the normal real-world pairing). This library
+    * normalizes BOTH join sides (a symmetric superset: bare-VCF ×
+    * chr-cache matches too); same-convention tables are unaffected
+    * (stripped equality ≡ raw equality unless a table carries BOTH
+    * `chr1` and `1` as distinct contigs). */
+  private[vep] def bareChrom(c: Column): Column =
+    when(c.startsWith("chr"), c.substr(lit(4), lit(Integer.MAX_VALUE)))
+      .otherwise(c)
+
   def lookupVariants(
       vcf: DataFrame, cache: DataFrame,
       columns: Seq[String] = Nil,
       relaxed: Boolean = false,
-      extendedWindow: Long = 0L): DataFrame = {
+      extendedWindow: Long = 0L,
+      allowedFailed: Long = 0L): DataFrame = {
     // eager cache-contract checks (schema_contract.rs:10-90): the
     // required column/type set, then any explicitly-requested output
     // columns — schema-only, no job launched
@@ -469,15 +483,24 @@ object Vep {
     val v = vcf
       .withColumn("_norm_start", vepNormStartUdf(col("start").cast("long"), col("ref"), col("alt")))
       .withColumn("_norm_end", vepNormEndUdf(col("start").cast("long"), col("ref"), col("alt")))
-    val c = cache.select(
-      (Seq(col("chrom").as("_c_chrom"), col("start").cast("long").as("_c_start"),
+      .withColumn("_bare_chrom", bareChrom(col("chrom")))
+    // Ensembl failed-variant filter (variant_lookup_exec.rs:1210-1221,
+    // itself VEP's filter_variation): cache entries whose `failed`
+    // count exceeds `allowedFailed` (default 0) are skipped entirely;
+    // a cache without the column skips nothing
+    val cacheFiltered =
+      if (cache.columns.contains("failed"))
+        cache.where(coalesce(col("failed").cast("long"), lit(0L)) <= allowedFailed)
+      else cache
+    val c = cacheFiltered.select(
+      (Seq(bareChrom(col("chrom")).as("_c_chrom"), col("start").cast("long").as("_c_start"),
            col("end").cast("long").as("_c_end"), col("allele_string").as("_c_allele_string")) ++
        outCols.map(n => col(n).as(s"_c_out_$n"))): _*)
     val out: Seq[Column] =
       vcf.columns.toSeq.map(col) ++ outCols.map(n => col(s"_c_out_$n").as(s"cache_$n"))
     if (extendedWindow <= 0) {
       val joined = v.join(c,
-        v("chrom") === c("_c_chrom") &&
+        v("_bare_chrom") === c("_c_chrom") &&
         col("_norm_start") === col("_c_start") &&
         col("_norm_end") === col("_c_end") &&
         matcher(v("ref"), v("alt"), col("_c_allele_string")),
@@ -521,7 +544,7 @@ object Vep {
       val cb = c.withColumn("_cbkt", explode(sequence(
         floor(col("_c_start") / bw).cast("long"), floor(col("_c_end") / bw).cast("long"))))
       val matched = vb.join(cb,
-          vb("chrom") === cb("_c_chrom") && col("_bkt") === col("_cbkt") &&
+          vb("_bare_chrom") === cb("_c_chrom") && col("_bkt") === col("_cbkt") &&
           col("_c_start") <= col("_hi") && col("_c_end") >= col("_lo") &&
           floor(greatest(col("_lo"), col("_c_start")) / bw).cast("long") === col("_bkt") &&
           matcher(vb("ref"), vb("alt"), col("_c_allele_string")))

@@ -182,6 +182,46 @@ class PileupVepSuite extends SparkSpec {
     assert(got(2).isNullAt(5)) // allele_string A/G does not match A>C
   }
 
+  test("lookupVariants: chr-prefixed VCF matches an Ensembl bare-name cache; failed rows skip") {
+    // the reference's own lookup fixture (lookup_provider.rs:396-446):
+    // VCF chroms chr-prefixed, cache bare — the normal real-world
+    // pairing; its exec strips the VCF prefix (variant_lookup_exec.rs
+    // :979-985). The cache `failed` column gates entries out at
+    // failed > allowed_failed (default 0 — VEP's filter_variation).
+    val vcf = Seq(
+      ("chr1", 100L, 1L, "A", "G"),
+      ("chr1", 200L, 2L, "C", "T"),
+      ("chr2", 500L, 3L, "G", "A"),
+    ).toDF("chrom", "start", "id", "ref", "alt")
+    val cache = Seq(
+      ("1", 100L, 100L, "rs123", "A/G", 0L),
+      ("1", 200L, 200L, "rs456", "C/T", 1L), // failed=1: skipped at default
+    ).toDF("chrom", "start", "end", "variation_name", "allele_string", "failed")
+    val got = Vep.lookupVariants(vcf, cache).orderBy("id").collect()
+    assert(got.length == 3)
+    assert(got(0).getString(5) == "rs123") // chr1 matched bare 1
+    assert(got(1).isNullAt(5))             // failed-gated out
+    assert(got(2).isNullAt(5))             // no chr2 cache entry
+    // allowed_failed raises the gate
+    val lenient = Vep.lookupVariants(vcf, cache, allowedFailed = 1L)
+      .orderBy("id").collect()
+    assert(lenient(1).getString(5) == "rs456")
+    // the symmetric superset: bare VCF x chr-prefixed cache matches too
+    val bareVcf = vcf.withColumn("chrom",
+      org.apache.spark.sql.functions.regexp_replace(col("chrom"), "^chr", ""))
+    val chrCache = cache.where("failed = 0").withColumn("chrom",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("chr"), col("chrom")))
+    val sym = Vep.lookupVariants(bareVcf, chrCache).orderBy("id").collect()
+    assert(sym(0).getString(5) == "rs123")
+    // colocated normalizes the same way: a swapped-allele cache entry
+    // at the same coordinates lands in the colocated side output
+    val noise = Seq(("1", 100L, 100L, "rsX", "G/A", 0.25))
+      .toDF("chrom", "start", "end", "variation_name", "allele_string", "af")
+    val co = graft.vep.Annotate.colocated(vcf, noise).collect()
+    assert(co.length == 1 && co(0).getString(1) == "rsX")
+  }
+
   test("missWorklistFilter scopes context loads with the 50-clause fallback") {
     // context table mixing bare and chr-prefixed chrom conventions
     val ctx = Seq(
