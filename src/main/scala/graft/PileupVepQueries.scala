@@ -68,6 +68,14 @@ object PileupVepQueries {
       Vep.lookupVariants(Tables.vcf(s, d), Tables.vepCache(s, d))),
     "f10_lookup_extended" -> ((s, d) =>
       Vep.lookupVariants(Tables.vcf(s, d), Tables.vepCache(s, d), extendedWindow = 4L)),
+    // chrom-name normalization (variant_lookup_exec.rs:979-985): the
+    // chr-prefixed VCF fixture against the SAME cache with its chrom
+    // stripped to Ensembl bare names — every row must match exactly as
+    // in f10_lookup_variants (the oracle joins on the stripped form)
+    "f10_lookup_chrnorm" -> ((s, d) =>
+      Vep.lookupVariants(Tables.vcf(s, d),
+        Tables.vepCache(s, d).withColumn("chrom",
+          regexp_replace(col("chrom"), "^chr", "")))),
     "f11_annotate_regions" -> ((s, d) =>
       Vep.annotateRegions(Tables.vcf(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
     // transcript-class probe fixture: protein_altering (in-CDS MNV),
@@ -284,6 +292,17 @@ object PileupVepQueries {
          | $cacheOut
          |FROM v LEFT JOIN c ON v.chrom = c.chrom
          | AND c.start <= v.norm_end + 4 AND c."end" >= v.norm_start - 4
+         | AND (split_part(c.allele_string, '/', 1) = v.vep_ref
+         |      OR split_part(c.allele_string, '/', 1) = v.ref)
+         | AND split_part(c.allele_string, '/', 2) = v.vep_alt
+         |ORDER BY v.id""".stripMargin.replace("\n", " "),
+    "f10_lookup_chrnorm" ->
+      s"""WITH $vcf, $vepCache
+         |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
+         | $cacheOut
+         |FROM v LEFT JOIN c
+         | ON regexp_replace(v.chrom, '^chr', '') = regexp_replace(c.chrom, '^chr', '')
+         | AND v.norm_start = c.start AND v.norm_end = c."end"
          | AND (split_part(c.allele_string, '/', 1) = v.vep_ref
          |      OR split_part(c.allele_string, '/', 1) = v.ref)
          | AND split_part(c.allele_string, '/', 2) = v.vep_alt
