@@ -208,6 +208,32 @@ object Bam {
     (refs, it)
   }
 
+  /** Reference dictionary of a BAM file or shard directory as a
+    * `(chrom, length)` DataFrame — the contig-length input
+    * [[graft.pileup.Pileup.depthPerBaseFull]] takes. Header-only
+    * reads (first BGZF blocks of each shard), driver-side: the
+    * dictionary is bounded by contig count, not data. */
+  def contigLengths(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = FileSystem.get(new java.net.URI(path), conf)
+    val stat = fs.globStatus(new Path(path, "*.bam"))
+    val files =
+      if (stat != null && stat.nonEmpty) stat.toSeq
+      else Seq(fs.getFileStatus(new Path(path)))
+    val refs = files.filter(_.isFile).flatMap { s =>
+      val in = fs.open(s.getPath)
+      try read(in)._1 finally in.close()
+    }.distinct
+    spark.createDataFrame(
+      refs.map { case (n, l) => org.apache.spark.sql.Row(n, l) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("chrom",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.IntegerType))))
+  }
+
   /** Parse a text CIGAR ("76M2I5D…") into packed binary ops. */
   def packCigar(cigar: String): Array[Int] = {
     val opIdx = "MIDNSHP=X"

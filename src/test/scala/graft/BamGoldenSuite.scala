@@ -48,12 +48,7 @@ class BamGoldenSuite extends SparkSpec {
     // mosdepth_compat.rs test_per_base_sql: per_base=true emits one
     // row per position of each contig WITH reads, zeros included,
     // length from the header (MT = 16569)
-    val fs = new java.io.FileInputStream(s"$dataDir/ovl.bam")
-    val refs = try graft.sources.Bam.read(fs)._1 finally fs.close()
-    val lens = {
-      import spark.implicits._
-      refs.toDF("chrom", "length")
-    }
+    val lens = graft.sources.Bam.contigLengths(spark, s"$dataDir/ovl.bam")
     val df = spark.read.format("graft.sources.BamDataSource")
       .option("path", s"$dataDir/ovl.bam").load()
     val mt = Pileup.depthPerBaseFull(df.select(col("chrom"), col("start"),
