@@ -141,14 +141,21 @@ object IntervalJoin {
       k -> (s.toArray, e.toArray, p.toArray, t.toArray)
     }
     val schema2 = StructType(df.schema.fields :+ StructField("_lidx", IntegerType, nullable = false))
-    // _lidx rides a JoinedRow over the collected UnsafeRow — no
-    // per-field re-boxing on the driver
+    // _lidx rides a JoinedRow over the collected UnsafeRow, then the
+    // pair is flattened to ONE UnsafeRow before broadcast: UnsafeRows
+    // java-serialize as a single byte block (writeExternal), while a
+    // broadcast of JoinedRow(UnsafeRow, GenericInternalRow) wrappers
+    // crawled through ObjectOutputStream's per-object handle table
+    // (~2 s of driver time per nearest build at sf0.1, stack-sampled
+    // round 11)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema2)
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+    val idx = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
     val idxRows = new Array[InternalRow](rows.length)
     i = 0
     while (i < rows.length) {
-      val idx = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       idx.setInt(0, i)
-      idxRows(i) = new org.apache.spark.sql.catalyst.expressions.JoinedRow(rows(i), idx)
+      idxRows(i) = proj(joined(rows(i), idx)).copy()
       i += 1
     }
     // RDD-backed, NOT a LocalRelation: LocalTableScanExec keeps its rows
