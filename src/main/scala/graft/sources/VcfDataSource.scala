@@ -16,7 +16,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference wraps an external `VcfTableProvider`; this is the
   * Spark-native equivalent for the text layout `Vep.toVcfLines`
   * writes: CHROM POS ID REF ALT QUAL FILTER INFO, tab-separated,
-  * `#`-prefixed headers skipped).
+  * `#`-prefixed headers skipped). Files ending `.gz`/`.bgz` decode
+  * through the JDK's GZIPInputStream — BGZF (the container real
+  * `.vcf.gz` files ship in) is standards-conformant multi-member
+  * gzip, so both bgzipped and plain-gzipped VCFs read directly
+  * (gated by `s3_vcf_bgz` against this library's own BGZF writer).
   *
   * Usage: `spark.read.format("graft.sources.VcfDataSource")
   * .option("path", dir).load()`.
