@@ -79,12 +79,32 @@ object Pileup {
         col("coverage").cast("int").as("coverage"))
   }
 
+  /** Tile size for per-base explosion: a coverage block (an RLE run
+    * of constant depth, or a zero gap in the full-contig mode) can
+    * span megabases — `sequence(lo, hi)` materializes the WHOLE run
+    * as one in-memory array inside one row, so an unbounded run is a
+    * single-task multi-GB allocation at scale. Blocks are split into
+    * ≤1M-position tiles first; each tile explodes independently. */
+  private val PerBaseTile = 1L << 20
+
+  /** Split (pos_start, pos_end, coverage) blocks into ≤[[PerBaseTile]]
+    * tiles, then one row per position. */
+  private def explodePerBase(blocks: DataFrame): DataFrame =
+    blocks
+      .select(col("contig"), col("pos_start"), col("pos_end"), col("coverage"),
+        explode(sequence(lit(0L),
+          expr(s"(pos_end - pos_start) DIV $PerBaseTile"))).as("_tile"))
+      .select(col("contig"),
+        explode(sequence(
+          col("pos_start") + col("_tile") * PerBaseTile,
+          least(col("pos_end"),
+            col("pos_start") + col("_tile") * PerBaseTile + (PerBaseTile - 1))))
+          .as("pos"),
+        col("coverage"))
+
   /** Per-base depth: one row per covered position. */
   def depthPerBase(reads: DataFrame, filterFlag: Int = 1796, minMapq: Int = 0): DataFrame =
-    depth(reads, filterFlag, minMapq)
-      .select(col("contig"),
-        explode(sequence(col("pos_start"), col("pos_end"))).as("pos"),
-        col("coverage"))
+    explodePerBase(depth(reads, filterFlag, minMapq))
 
   /** Per-base depth over the FULL contig span [1, length] — the
     * reference's `per_base = true` mode (mosdepth_compat.rs
@@ -115,10 +135,8 @@ object Pileup {
     val zeros = headGaps.unionByName(tailGaps)
       .select(col("contig"), col("pos_start"), col("pos_end"),
         lit(0).cast("int").as("coverage"))
-    blocks.select(col("contig"), col("pos_start"), col("pos_end"), col("coverage"))
-      .unionByName(zeros)
-      .select(col("contig"),
-        explode(sequence(col("pos_start"), col("pos_end"))).as("pos"),
-        col("coverage"))
+    explodePerBase(
+      blocks.select(col("contig"), col("pos_start"), col("pos_end"), col("coverage"))
+        .unionByName(zeros))
   }
 }

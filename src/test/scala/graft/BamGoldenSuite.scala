@@ -65,6 +65,28 @@ class BamGoldenSuite extends SparkSpec {
     assert(covAt(81) == 0 && covAt(16569) == 0)
   }
 
+  test("per-base tiling: multi-megabase blocks explode across tiles exactly") {
+    import spark.implicits._
+    // one read spanning 2 tiles + 1 position (2^21 + 1 bases): the
+    // per-base output must cover every position exactly once — the
+    // single-row sequence() allocation this guards against would be
+    // the whole run in one task
+    val len = (1L << 21) + 1
+    val reads = Seq(("chrT", 5L, 0, s"${len}M", 60))
+      .toDF("chrom", "start", "flags", "cigar", "mapping_quality")
+    val pb = Pileup.depthPerBase(reads)
+    val agg = pb.agg(
+      org.apache.spark.sql.functions.count("*"),
+      org.apache.spark.sql.functions.min("pos"),
+      org.apache.spark.sql.functions.max("pos"),
+      org.apache.spark.sql.functions.countDistinct("pos"),
+      org.apache.spark.sql.functions.min("coverage"),
+      org.apache.spark.sql.functions.max("coverage")).collect().head
+    assert(agg.getLong(0) == len && agg.getLong(3) == len)
+    assert(agg.getLong(1) == 5L && agg.getLong(2) == 5L + len - 1)
+    assert(agg.getInt(4) == 1 && agg.getInt(5) == 1)
+  }
+
   test("reference dictionary decodes (MT length 16569 per the header)") {
     val fs = new java.io.FileInputStream(s"$dataDir/ovl.bam")
     val (refs, it) = graft.sources.Bam.read(fs)
