@@ -878,7 +878,7 @@ object VepSpliceQueries {
     "Gene" -> "COALESCE(t.gene_id, '')",
     "Feature_type" -> "rend.ftype",
     "Feature" -> "rend.transcript_id",
-    "BIOTYPE" -> "COALESCE(t.biotype, '')",
+    "BIOTYPE" -> "COALESCE(rend.fbt, t.biotype, '')",
     "EXON" -> "COALESCE(rend.exon, '')",
     "INTRON" -> "COALESCE(rend.intron, '')",
     "HGVSc" -> "COALESCE(rend.hgvs_c, '')",
@@ -1139,7 +1139,7 @@ object VepSpliceQueries {
        |   b.polyphen_pred, b.aas, b.cod, b.dist, b.exon, b.intron, b.hgvs_offset,
        |   'Transcript' AS ftype, CAST(NULL AS VARCHAR) AS mname,
        |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf,
-       |   CAST(NULL AS DOUBLE) AS mscore
+       |   CAST(NULL AS DOUBLE) AS mscore, CAST(NULL AS VARCHAR) AS fbt
        |  FROM bse b FULL OUTER JOIN sp s
        |   ON b.id = s.id AND b.transcript_id = s.transcript_id),
        |ud AS (SELECT v.id, t.transcript_id,
@@ -1155,7 +1155,7 @@ object VepSpliceQueries {
        |   CAST(NULL AS BIGINT) AS hgvs_offset,
        |   'Transcript' AS ftype, CAST(NULL AS VARCHAR) AS mname,
        |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf,
-       |   CAST(NULL AS DOUBLE) AS mscore
+       |   CAST(NULL AS DOUBLE) AS mscore, CAST(NULL AS VARCHAR) AS fbt
        |  FROM v JOIN t ON v.chrom = t.chrom
        |   AND t.start - ${opts.distance} <= v."end" AND t."end" + ${opts.distance} >= v.start
        |   AND NOT (v.start <= t."end" AND v."end" >= t.start)),
@@ -1174,7 +1174,7 @@ object VepSpliceQueries {
        |   CAST(NULL AS BIGINT) AS hgvs_offset,
        |   'RegulatoryFeature' AS ftype, CAST(NULL AS VARCHAR) AS mname,
        |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf,
-       |   CAST(NULL AS DOUBLE) AS mscore
+       |   CAST(NULL AS DOUBLE) AS mscore, rg.feature_type AS fbt
        |  FROM v JOIN rg ON v.chrom = rg.chrom
        |   AND rg.start <= v."end" AND rg."end" >= v.start),
        |mte AS (${
@@ -1193,7 +1193,7 @@ object VepSpliceQueries {
             |   CAST(NULL AS BIGINT) AS hgvs_offset,
             |   'MotifFeature' AS ftype, CAST(NULL AS VARCHAR) AS mname,
             |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf,
-            |   CAST(NULL AS DOUBLE) AS mscore
+            |   CAST(NULL AS DOUBLE) AS mscore, CAST(NULL AS VARCHAR) AS fbt
             |  FROM v WHERE EXISTS (SELECT 1 FROM mt WHERE v.chrom = mt.chrom
             |   AND mt.start <= v."end" AND mt."end" >= v.start)""".stripMargin
         else
@@ -1211,7 +1211,7 @@ object VepSpliceQueries {
             |   GREATEST(v.start, mt.start) - mt.start + 1 AS mpos,
             |   CASE WHEN GREATEST(v.start, mt.start) - mt.start + 1 <= 3
             |    THEN 'Y' ELSE 'N' END AS minf,
-            |   mt.score_change AS mscore
+            |   mt.score_change AS mscore, CAST(NULL AS VARCHAR) AS fbt
             |  FROM v JOIN mt ON v.chrom = mt.chrom
             |   AND mt.start <= v."end" AND mt."end" >= v.start""".stripMargin
       }),
@@ -1227,7 +1227,7 @@ object VepSpliceQueries {
        |   CAST(NULL AS BIGINT) AS hgvs_offset,
        |   '' AS ftype, CAST(NULL AS VARCHAR) AS mname,
        |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf,
-       |   CAST(NULL AS DOUBLE) AS mscore
+       |   CAST(NULL AS DOUBLE) AS mscore, CAST(NULL AS VARCHAR) AS fbt
        |  FROM v),
        |allent AS (SELECT * FROM fused UNION ALL SELECT * FROM ud
        |  UNION ALL SELECT * FROM rge UNION ALL SELECT * FROM mte
@@ -1241,7 +1241,7 @@ object VepSpliceQueries {
        |  FROM allent WHERE len(terms) > 0),
        |rend AS (SELECT id, transcript_id, cdna_pos, cds_pos, protein_pos,
        |   hgvs_c, hgvs_p, sift_pred, polyphen_pred, aas, cod, dist,
-       |   exon, intron, hgvs_offset, ftype, mname, mpos, minf, mscore, terms2,
+       |   exon, intron, hgvs_offset, ftype, mname, mpos, minf, mscore, fbt, terms2,
        |   list_contains(terms, 'mature_miRNA_variant') AS has_mirna,
        |   ${Annotate.termStrSql(D, "terms2")} AS termstr,
        |   ${Annotate.bestRankSql(D, "terms2")} AS best FROM rend0),

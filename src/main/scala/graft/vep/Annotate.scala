@@ -1267,7 +1267,7 @@ object Annotate {
         col("exon").as("_exon"), col("intron").as("_intron"),
         nullL.as("_hoff"),
         nullS.as("_mname"), nullL.as("_mpos"), nullS.as("_minf"),
-        lit(null).cast("double").as("_mscore"))
+        lit(null).cast("double").as("_mscore"), nullS.as("_fbt"))
 
     // ---- indel entries: region-term geometry + HGVS forms, FUSED ----
     // One candidate probe + one exon aggregation serves all three
@@ -1591,7 +1591,7 @@ object Annotate {
           when(col("_i_strand") === -1, -col("_i_sh")).otherwise(col("_i_sh")))
           .as("_hoff"),
         nullS.as("_mname"), nullL.as("_mpos"), nullS.as("_minf"),
-        lit(null).cast("double").as("_mscore"))
+        lit(null).cast("double").as("_mscore"), nullS.as("_fbt"))
 
     // ---- up/downstream entries (non-overlapping candidates in reach) ----
     val ut = transcripts.select(col("chrom").as("_u_tc"),
@@ -1616,7 +1616,7 @@ object Annotate {
         lit("Transcript").as("_ftype"), nullS.as("_exon"), nullS.as("_intron"),
         nullL.as("_hoff"),
         nullS.as("_mname"), nullL.as("_mpos"), nullS.as("_minf"),
-        lit(null).cast("double").as("_mscore"))
+        lit(null).cast("double").as("_mscore"), nullS.as("_fbt"))
 
     // ---- intergenic entry: VEP emits one featureless
     // intergenic_variant CSQ entry when NO transcript ASSIGNMENT was
@@ -1642,7 +1642,7 @@ object Annotate {
         lit("").as("_ftype"), nullS.as("_exon"), nullS.as("_intron"),
         nullL.as("_hoff"),
         nullS.as("_mname"), nullL.as("_mpos"), nullS.as("_minf"),
-        lit(null).cast("double").as("_mscore"))
+        lit(null).cast("double").as("_mscore"), nullS.as("_fbt"))
 
     // ---- regulatory / TF-motif feature entries (VEP emits these as
     // their own CSQ Feature rows; they join most_severe ranking) ----
@@ -1655,9 +1655,19 @@ object Annotate {
         .as("_f_nve"))
     def featureEntries(features: DataFrame, fid: String, term: String,
         ftype: String, motif: Boolean): DataFrame = {
+      // regulatory feature_type is the entry's BIOTYPE override
+      // (transcript_consequence.rs:1428 biotype_override =
+      // r.feature_type; annotate_provider.rs:4229 renders
+      // biotype_override.unwrap_or(transcript biotype)) — the column
+      // is OPTIONAL, like the reference's Option<String>
+      val fbt: Column =
+        if (ftype == "RegulatoryFeature" && features.columns.contains("feature_type"))
+          col("feature_type")
+        else lit(null).cast("string")
       val ff = features.select(
         (Seq(col("chrom").as("_f_fc"), col("start").cast("long").as("_f_fs"),
-          col("end").cast("long").as("_f_fe"), col(fid).as("_f_id")) ++
+          col("end").cast("long").as("_f_fe"), col(fid).as("_f_id"),
+          fbt.as("_f_fbt")) ++
          (if (motif) Seq(col("tf_name").as("_f_tf"),
            col("score_change").as("_f_msc")) else Nil)): _*)
       // VEP's motif CSQ fields: MOTIF_POS = 1-based offset of the
@@ -1692,7 +1702,8 @@ object Annotate {
           (if (motif) col("_f_tf") else nullS).as("_mname"),
           (if (motif) mPos else nullL).as("_mpos"),
           (if (motif) when(mPos <= 3, lit("Y")).otherwise(lit("N")) else nullS).as("_minf"),
-          (if (motif) col("_f_msc") else lit(null)).cast("double").as("_mscore"))
+          (if (motif) col("_f_msc") else lit(null)).cast("double").as("_mscore"),
+          col("_f_fbt").as("_fbt"))
     }
     val regEntries = featureEntries(regulatory, "feature_id",
       "regulatory_region_variant", "RegulatoryFeature", motif = false)
@@ -1724,7 +1735,7 @@ object Annotate {
             lit("MotifFeature").as("_ftype"), nullS.as("_exon"),
             nullS.as("_intron"), nullL.as("_hoff"),
             nullS.as("_mname"), nullL.as("_mpos"), nullS.as("_minf"),
-            lit(null).cast("double").as("_mscore"))
+            lit(null).cast("double").as("_mscore"), nullS.as("_fbt"))
       }
 
     // ---- per-entry rendering: the FULL 80-field --everything CSQ in
@@ -1786,7 +1797,7 @@ object Annotate {
       "Gene" -> f(col("_e_gene")),
       "Feature_type" -> col("_ftype"),
       "Feature" -> f(col("transcript_id")),
-      "BIOTYPE" -> f(col("_e_bt")),
+      "BIOTYPE" -> f(coalesce(col("_fbt"), col("_e_bt"))),
       "EXON" -> f(col("_exon")),
       "INTRON" -> f(col("_intron")),
       "HGVSc" -> f(col("hgvs_c")),

@@ -131,6 +131,13 @@ class AnnotateSuite extends SparkSpec {
     val regIdx = e1.indexWhere(_(FEATURE) == "R1")
     assert(arr(1L, "consequences")(regIdx) == "regulatory_region_variant")
     assert(arr(1L, "impact")(regIdx) == "MODIFIER")
+    // regulatory BIOTYPE override: the feature's type renders in the
+    // BIOTYPE slot (transcript_consequence.rs:1428 biotype_override;
+    // annotate_provider.rs:4229) — the fixture's R1 is a promoter
+    val BIOTYPE = 7
+    assert(e1(regIdx)(BIOTYPE) == "promoter")
+    assert(e1.find(_(FEATURE) == "T1").get(BIOTYPE) == "protein_coding")
+    assert(e1.find(_(FTYPE) == "MotifFeature").get(BIOTYPE) == "")
     val motIdx = e1.indexWhere(_(FTYPE) == "MotifFeature")
     assert(arr(1L, "consequences")(motIdx) == "TF_binding_site_variant")
     // variant-level columns agree between the two shapes
