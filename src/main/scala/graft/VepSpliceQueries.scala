@@ -904,7 +904,7 @@ object VepSpliceQueries {
     "MANE_SELECT" -> "COALESCE(t.mane_select, '')",
     "MANE_PLUS_CLINICAL" -> "COALESCE(t.mane_plus_clinical, '')",
     "TSL" -> "COALESCE(CAST(t.tsl AS VARCHAR), '')",
-    "APPRIS" -> "COALESCE(t.appris, '')",
+    "APPRIS" -> "COALESCE(replace(replace(t.appris, 'principal', 'P'), 'alternative', 'A'), '')",
     "CCDS" -> "COALESCE(t.ccds, '')",
     "ENSP" -> ("CASE WHEN t.biotype IN ('protein_coding', 'nonsense_mediated_decay') " +
       "THEN concat('P', substr(rend.transcript_id, 2)) ELSE '' END"),
@@ -915,7 +915,7 @@ object VepSpliceQueries {
     "GENE_PHENO" -> "COALESCE(t.gene_pheno, '')",
     "SIFT" -> "COALESCE(rend.sift_pred, '')",
     "PolyPhen" -> "COALESCE(rend.polyphen_pred, '')",
-    "DOMAINS" -> "COALESCE(t.domains, '')",
+    "DOMAINS" -> "COALESCE(translate(t.domains, ' ;=', '___'), '')",
     "miRNA" -> "CASE WHEN rend.has_mirna THEN COALESCE(t.mirna, '') ELSE '' END",
     "HGVS_OFFSET" -> "COALESCE(CAST(rend.hgvs_offset AS VARCHAR), '')",
     "MOTIF_NAME" -> "COALESCE(rend.mname, '')",

@@ -1823,7 +1823,11 @@ object Annotate {
       "MANE_SELECT" -> f(col("_e_mane_select")),
       "MANE_PLUS_CLINICAL" -> f(col("_e_mane_plus_clinical")),
       "TSL" -> f(col("_e_tsl")),
-      "APPRIS" -> f(col("_e_appris")),
+      // Ensembl APPRIS attribute values render abbreviated:
+      // principal1 -> P1, alternative2 -> A2, others pass through
+      // (annotate_provider.rs:1970-1972 format_appris, unit-pinned)
+      "APPRIS" -> f(regexp_replace(regexp_replace(col("_e_appris"),
+        "principal", "P"), "alternative", "A")),
       "CCDS" -> f(col("_e_ccds")),
       "ENSP" -> ensp,
       "SWISSPROT" -> f(col("_e_swissprot")),
@@ -1833,7 +1837,9 @@ object Annotate {
       "GENE_PHENO" -> f(col("_e_gene_pheno")),
       "SIFT" -> f(col("_sift")),
       "PolyPhen" -> f(col("_polyphen")),
-      "DOMAINS" -> f(col("_e_domains")),
+      // domain labels normalize spaces/';'/'=' to '_' — the CSQ field
+      // and INFO-pair delimiters (annotate_provider.rs:6051)
+      "DOMAINS" -> f(translate(col("_e_domains"), " ;=", "___")),
       "miRNA" ->
         when(array_contains(col("_terms"), rk("mature_miRNA_variant")),
           f(col("_e_mirna"))).otherwise(lit("")),

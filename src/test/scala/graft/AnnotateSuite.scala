@@ -67,10 +67,13 @@ class AnnotateSuite extends SparkSpec {
       "cds_start", "cds_end", "gene_id", "symbol", "canonical", "flags")
       .selectExpr("*",
         "'NM_1.1' AS mane_select", "'' AS mane_plus_clinical",
-        "1 AS tsl", "'P1' AS appris", "'CCDS1.1' AS ccds",
+        // Ensembl-style raw attribute values: the renderer must
+        // abbreviate APPRIS (principal1 -> P1) and underscore-escape
+        // domain labels (spaces/;/= are CSQ/INFO delimiters)
+        "1 AS tsl", "'principal1' AS appris", "'CCDS1.1' AS ccds",
         "'SPQ1' AS swissprot", "'' AS trembl", "'UPI1' AS uniparc",
         "'SPQ1-1' AS uniprot_isoform", "'1' AS gene_pheno",
-        "'Pfam:PF1' AS domains", "'' AS mirna")
+        "'Pfam:PF1&Gene3D db' AS domains", "'' AS mirna")
     val ex = Seq(("T1", 1000L, 1399L), ("T1", 1400L, 1699L), ("T1", 1700L, 1999L))
       .toDF("transcript_id", "start", "end")
     val sift = Seq(("T1", 1L, "A", 0.5)).toDF("transcript_id", "protein_pos", "aa", "sift_score")
@@ -138,6 +141,11 @@ class AnnotateSuite extends SparkSpec {
     assert(e1(regIdx)(BIOTYPE) == "promoter")
     assert(e1.find(_(FEATURE) == "T1").get(BIOTYPE) == "protein_coding")
     assert(e1.find(_(FTYPE) == "MotifFeature").get(BIOTYPE) == "")
+    // APPRIS abbreviation + DOMAINS delimiter escaping
+    // (annotate_provider.rs:1970 format_appris, :6051 label cleanup)
+    val APPRIS = 29; val DOMAINS = 39
+    assert(t1e(APPRIS) == "P1")
+    assert(t1e(DOMAINS) == "Pfam:PF1&Gene3D_db")
     val motIdx = e1.indexWhere(_(FTYPE) == "MotifFeature")
     assert(arr(1L, "consequences")(motIdx) == "TF_binding_site_variant")
     // variant-level columns agree between the two shapes
