@@ -218,7 +218,15 @@ object Tables {
       "uniprot_isoform" -> s"CASE WHEN $coding AND $k % 2 = 0 THEN concat('SPQ', CAST(s_suppkey AS STRING), '-1') ELSE '' END",
       "gene_pheno" -> "CASE WHEN (s_suppkey - s_suppkey % 30) % 60 = 0 THEN '1' ELSE '' END",
       "domains" -> s"CASE WHEN $coding THEN concat('Pfam:PF', CAST(s_suppkey % 1000 AS STRING), '&PANTHER:PTHR', CAST(s_suppkey % 97 AS STRING)) ELSE '' END",
-      "mirna" -> s"CASE WHEN s_suppkey % 3 <> 0 AND s_suppkey % 7 = 5 THEN concat('hsa-mir-', CAST(s_suppkey AS STRING)) ELSE '' END")
+      // ncRNA secondary structure in Ensembl's attribute form:
+      // "start:end structure" with RLE dot-bracket ("(o.l)c" = o
+      // stems, l loops, c closing stems, spanning cDNA 1..2000) —
+      // [[graft.vep.Vep.mirnaStructureField]] computes the miRNA CSQ
+      // field from it; o + l + c = 2000 by construction
+      "mirna" -> (s"CASE WHEN s_suppkey % 3 <> 0 AND s_suppkey % 7 = 5 THEN " +
+        s"concat('1:2000 (', CAST(600 + $k % 250 AS STRING), '.', " +
+        s"CAST(400 + $k % 150 AS STRING), ')', " +
+        s"CAST(1000 - ($k % 250) - ($k % 150) AS STRING)) ELSE '' END"))
   }
 
   def transcripts(spark: SparkSession, dir: String): DataFrame =

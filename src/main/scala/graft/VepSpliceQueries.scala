@@ -916,7 +916,20 @@ object VepSpliceQueries {
     "SIFT" -> "COALESCE(rend.sift_pred, '')",
     "PolyPhen" -> "COALESCE(rend.polyphen_pred, '')",
     "DOMAINS" -> "COALESCE(translate(t.domains, ' ;=', '___'), '')",
-    "miRNA" -> "CASE WHEN rend.has_mirna THEN COALESCE(t.mirna, '') ELSE '' END",
+    // mirna_structure_field over the fixture's "start:end structure"
+    // attribute: RLE-expand the dot-bracket, index with the entry's
+    // cDNA position, map (/) -> miRNA_stem and . -> miRNA_loop (a
+    // single position touches one char, so the dual-stem arm of the
+    // Scala function never fires here — it is spec-tested instead)
+    "miRNA" -> ("CASE WHEN t.biotype = 'miRNA' AND COALESCE(t.mirna, '') <> '' " +
+      "AND rend.cdna_pos IS NOT NULL " +
+      "AND rend.cdna_pos >= CAST(split_part(t.mirna, ':', 1) AS BIGINT) THEN " +
+      "CASE substr(array_to_string(list_transform(" +
+      "regexp_extract_all(split_part(t.mirna, ' ', 2), '[().][0-9]*'), " +
+      "x -> repeat(x[1], COALESCE(TRY_CAST(x[2:] AS INT), 1))), ''), " +
+      "CAST(rend.cdna_pos - CAST(split_part(t.mirna, ':', 1) AS BIGINT) + 1 AS INT), 1) " +
+      "WHEN '(' THEN 'miRNA_stem' WHEN ')' THEN 'miRNA_stem' " +
+      "WHEN '.' THEN 'miRNA_loop' ELSE '' END ELSE '' END"),
     "HGVS_OFFSET" -> "COALESCE(CAST(rend.hgvs_offset AS VARCHAR), '')",
     "MOTIF_NAME" -> "COALESCE(rend.mname, '')",
     "MOTIF_POS" -> "COALESCE(CAST(rend.mpos AS VARCHAR), '')",

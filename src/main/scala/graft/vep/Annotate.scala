@@ -1840,9 +1840,11 @@ object Annotate {
       // domain labels normalize spaces/';'/'=' to '_' — the CSQ field
       // and INFO-pair delimiters (annotate_provider.rs:6051)
       "DOMAINS" -> f(translate(col("_e_domains"), " ;=", "___")),
-      "miRNA" ->
-        when(array_contains(col("_terms"), rk("mature_miRNA_variant")),
-          f(col("_e_mirna"))).otherwise(lit("")),
+      // COMPUTED from the ncRNA secondary structure + the entry's
+      // cDNA position ([[Vep.mirnaStructureField]] — the reference's
+      // mirna_structure_field, not an attribute passthrough)
+      "miRNA" -> Vep.mirnaStructureUdf(col("_e_mirna"), col("_e_bt"),
+        col("_cdna"), col("_cdna")),
       "HGVS_OFFSET" -> f(col("_hoff")),
       "MOTIF_NAME" -> f(col("_mname")),
       "MOTIF_POS" -> f(col("_mpos")),

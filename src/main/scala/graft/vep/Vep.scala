@@ -41,6 +41,68 @@ object Vep {
     Allele.vcfToVepAllele(ref, alt)._1).asNonNullable()
   val vepAltUdf = udf((ref: String, alt: String) =>
     Allele.vcfToVepAllele(ref, alt)._2).asNonNullable()
+  /** The miRNA CSQ field computed from the transcript's ncRNA
+    * secondary structure and the variant's cDNA span —
+    * annotate_provider.rs:1974-2095 `mirna_structure_field` (itself
+    * Ensembl OutputFactory L1572-1612), unit-pinned there. Structure
+    * format: optional `"start:end "` prefix, then dot-bracket with
+    * RLE counts (`(19` = 19 stems, `.6` = 6 loops, bare char = 1).
+    * Variant cDNA positions map to `pos - struct_start`; `(`/`)` →
+    * miRNA_stem (emitted once PER SIDE — a span touching both stem
+    * sides yields the term twice), `.` → miRNA_loop; sorted '&'-join.
+    * Empty unless biotype is miRNA and a cDNA position is known. */
+  private[graft] def mirnaStructureField(raw: String, biotype: String,
+      cdnaStart: java.lang.Long, cdnaEnd: java.lang.Long): String = {
+    if (biotype == null || biotype != "miRNA" || raw == null || raw.isEmpty ||
+      cdnaStart == null || cdnaEnd == null) return ""
+    val parts = raw.split("[\\s:]", 3)
+    val (structStart, structStr) =
+      if (parts.length >= 3 && parts(0).nonEmpty && parts(0).forall(_.isDigit) &&
+        parts(1).nonEmpty && parts(1).forall(_.isDigit))
+        (parts(0).toLong, parts(2))
+      else (1L, raw)
+    val expanded = new java.lang.StringBuilder
+    var i = 0
+    while (i < structStr.length) {
+      val ch = structStr.charAt(i)
+      if (ch == '(' || ch == ')' || ch == '.') {
+        var count = 0
+        var j = i + 1
+        while (j < structStr.length && structStr.charAt(j).isDigit) {
+          count = count * 10 + (structStr.charAt(j) - '0')
+          j += 1
+        }
+        if (count == 0) count = 1
+        var c = 0
+        while (c < count) { expanded.append(ch); c += 1 }
+        i = j
+      } else i += 1
+    }
+    val cs = math.min(cdnaStart, cdnaEnd)
+    val ce = math.max(cdnaStart, cdnaEnd)
+    var open = false; var close = false; var loop = false
+    var pos = cs
+    while (pos <= ce) {
+      if (pos >= structStart) {
+        val idx = pos - structStart
+        if (idx < expanded.length) expanded.charAt(idx.toInt) match {
+          case '(' => open = true
+          case ')' => close = true
+          case '.' => loop = true
+          case _ =>
+        }
+      }
+      pos += 1
+    }
+    val terms = collection.mutable.ArrayBuffer[String]()
+    if (open) terms += "miRNA_stem"
+    if (close) terms += "miRNA_stem"
+    if (loop) terms += "miRNA_loop"
+    terms.sorted.mkString("&")
+  }
+
+  val mirnaStructureUdf = udf(mirnaStructureField _).asNonNullable()
+
   val matchAlleleUdf = udf((ref: String, alt: String, alleleString: String) =>
     Allele.matches(ref, alt, alleleString)).asNonNullable()
   val matchAlleleRelaxedUdf = udf((ref: String, alt: String, alleleString: String) =>

@@ -222,6 +222,26 @@ class PileupVepSuite extends SparkSpec {
     assert(co.length == 1 && co(0).getString(1) == "rsX")
   }
 
+  test("mirnaStructureField reproduces the reference's pinned cases") {
+    // annotate_provider.rs mirna_structure_field unit tests
+    def f(s: String, bt: String, cs: Long, ce: Long): String =
+      Vep.mirnaStructureField(s, bt, cs, ce)
+    // distinct stem sides each emit the term (VEP quirk preserved)
+    assert(f("(.).", "miRNA", 1, 4) == "miRNA_loop&miRNA_stem&miRNA_stem")
+    assert(f("()", "miRNA", 1, 2) == "miRNA_stem&miRNA_stem")
+    assert(f("(.).", "protein_coding", 1, 4) == "")          // non-miRNA
+    assert(f("(19.6)19", "miRNA", 1, 1) == "miRNA_stem")     // RLE stems
+    assert(f("(19.6)19", "miRNA", 20, 20) == "miRNA_loop")   // RLE loops
+    assert(f("(19.6)19", "miRNA", 26, 26) == "miRNA_stem")   // close side
+    // "start:end structure" prefix offsets the index space
+    assert(f("10:13 (.).", "miRNA", 10, 10) == "miRNA_stem")
+    assert(f("10:13 (.).", "miRNA", 11, 11) == "miRNA_loop")
+    assert(f("10:13 (.).", "miRNA", 9, 9) == "")             // before start
+    assert(f("10:13 (.).", "miRNA", 50, 50) == "")           // past the end
+    assert(f("", "miRNA", 1, 1) == "")
+    assert(f("(.).", "miRNA", 2, 3) == "miRNA_loop&miRNA_stem") // span
+  }
+
   test("missWorklistFilter scopes context loads with the 50-clause fallback") {
     // context table mixing bare and chr-prefixed chrom conventions
     val ctx = Seq(
