@@ -612,7 +612,7 @@ object VepSpliceQueries {
        |   CASE WHEN strand = 1 THEN va ELSE reverse(translate(va, 'ACGT', 'TGCA')) END AS altadj,
        |   concat(agg.tid, ':', CASE WHEN biotype IN ('protein_coding', 'nonsense_mediated_decay') THEN 'c.' ELSE 'n.' END) AS pfx
        |  FROM agg JOIN cb ON agg.tid = cb.tid WHERE in0 = 1 AND in1 = 1)
-       |SELECT id, tid AS transcript_id, kind, lo AS cdna_pos,
+       |SELECT id, tid AS transcript_id, kind, lo AS cdna_pos, hi AS cdna_end,
        | CASE WHEN kind IN ('del', 'dup') THEN concat(pfx, $coords, kind)
        |  ELSE concat(pfx, $coords, kind, altadj) END AS hgvs_c,
        | CASE WHEN sh > 0 THEN (CASE WHEN strand = -1 THEN -sh ELSE sh END) END AS hgvs_offset
@@ -917,19 +917,28 @@ object VepSpliceQueries {
     "PolyPhen" -> "COALESCE(rend.polyphen_pred, '')",
     "DOMAINS" -> "COALESCE(translate(t.domains, ' ;=', '___'), '')",
     // mirna_structure_field over the fixture's "start:end structure"
-    // attribute: RLE-expand the dot-bracket, index with the entry's
-    // cDNA position, map (/) -> miRNA_stem and . -> miRNA_loop (a
-    // single position touches one char, so the dual-stem arm of the
-    // Scala function never fires here — it is spec-tested instead)
-    "miRNA" -> ("CASE WHEN t.biotype = 'miRNA' AND COALESCE(t.mirna, '') <> '' " +
-      "AND rend.cdna_pos IS NOT NULL " +
-      "AND rend.cdna_pos >= CAST(split_part(t.mirna, ':', 1) AS BIGINT) THEN " +
-      "CASE substr(array_to_string(list_transform(" +
-      "regexp_extract_all(split_part(t.mirna, ' ', 2), '[().][0-9]*'), " +
-      "x -> repeat(x[1], COALESCE(TRY_CAST(x[2:] AS INT), 1))), ''), " +
-      "CAST(rend.cdna_pos - CAST(split_part(t.mirna, ':', 1) AS BIGINT) + 1 AS INT), 1) " +
-      "WHEN '(' THEN 'miRNA_stem' WHEN ')' THEN 'miRNA_stem' " +
-      "WHEN '.' THEN 'miRNA_loop' ELSE '' END ELSE '' END"),
+    // attribute: RLE-expand the dot-bracket, slice the entry's FULL
+    // cDNA span [cdna_pos, cdna_end] (the reference parses the "N-M"
+    // cDNA_position range, annotate_provider.rs:4404-4421), map
+    // (/) -> miRNA_stem (once PER SIDE) and . -> miRNA_loop, and
+    // emit the sorted '&'-join (loop sorts before stem, so the fixed
+    // concat order below IS the sorted order)
+    "miRNA" -> {
+      val off = "CAST(split_part(t.mirna, ':', 1) AS BIGINT)"
+      val ce = "COALESCE(rend.cdna_end, rend.cdna_pos)"
+      val seg = "substr(array_to_string(list_transform(" +
+        "regexp_extract_all(split_part(t.mirna, ' ', 2), '[().][0-9]*'), " +
+        "x -> repeat(x[1], COALESCE(TRY_CAST(x[2:] AS INT), 1))), ''), " +
+        s"CAST(GREATEST(rend.cdna_pos, $off) - $off + 1 AS INT), " +
+        s"CAST($ce - GREATEST(rend.cdna_pos, $off) + 1 AS INT))"
+      "CASE WHEN t.biotype = 'miRNA' AND COALESCE(t.mirna, '') <> '' " +
+        s"AND rend.cdna_pos IS NOT NULL AND $ce >= $off THEN " +
+        "concat_ws('&', " +
+        s"CASE WHEN contains($seg, '.') THEN 'miRNA_loop' END, " +
+        s"CASE WHEN contains($seg, '(') THEN 'miRNA_stem' END, " +
+        s"CASE WHEN contains($seg, ')') THEN 'miRNA_stem' END) " +
+        "ELSE '' END"
+    },
     "HGVS_OFFSET" -> "COALESCE(CAST(rend.hgvs_offset AS VARCHAR), '')",
     "MOTIF_NAME" -> "COALESCE(rend.mname, '')",
     "MOTIF_POS" -> "COALESCE(CAST(rend.mpos AS VARCHAR), '')",
@@ -1037,7 +1046,7 @@ object VepSpliceQueries {
        |     AND v.start >= i.istart + 2 AND v.start <= i.iend - 2) AS ibody,
        |   CAST(NULL AS VARCHAR) AS ut5, CAST(NULL AS VARCHAR) AS ut3,
        |   FALSE AS itc,
-       |   cdna.cdna_pos, cdna.cds_pos, cdna.protein_pos, cdna.hgvs_c, csx.hgvs_p,
+       |   cdna.cdna_pos, cdna.cdna_pos AS cdna_end, cdna.cds_pos, cdna.protein_pos, cdna.hgvs_c, csx.hgvs_p,
        |   csx.sift_pred, csx.polyphen_pred, csx.aas, csx.cod,
        |   CAST(NULL AS BIGINT) AS dist, cdna.exon, cdna.intron,
        |   CAST(NULL AS BIGINT) AS hgvs_offset
@@ -1119,13 +1128,13 @@ object VepSpliceQueries {
        |     CAST(CASE WHEN strand = 1 THEN nprev ELSE nex - nprev END AS VARCHAR),
        |     '/', CAST(nex - 1 AS VARCHAR)) END AS intron
        |  FROM igeo LEFT JOIN cbx ON igeo.tid = cbx.cbtid),
-       |ihx AS (SELECT id, transcript_id, cdna_pos, hgvs_c, hgvs_offset
+       |ihx AS (SELECT id, transcript_id, cdna_pos, cdna_end, hgvs_c, hgvs_offset
        |  FROM (${indelHgvsSqlFor(vcfCte, "v", opts.shiftHgvs, exCte)}) q3),
        |ihp AS (SELECT id, transcript_id, hgvs_p AS hp9
        |  FROM (${graft.vep.Hgvsp.oracleSql(s"${Oracle.transcripts}, $vcfCte", "v", opts.shiftHgvs, exCte)}) q9),
        |ind AS (SELECT iterm.id, iterm.transcript_id, iterm.term, iterm.nmd, iterm.nc,
        |   iterm.ibody, iterm.ut5, iterm.ut3, iterm.itc,
-       |   ihx.cdna_pos, CAST(NULL AS BIGINT) AS cds_pos, CAST(NULL AS BIGINT) AS protein_pos,
+       |   ihx.cdna_pos, ihx.cdna_end, CAST(NULL AS BIGINT) AS cds_pos, CAST(NULL AS BIGINT) AS protein_pos,
        |   ihx.hgvs_c, ihp.hp9 AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
        |   CAST(NULL AS VARCHAR) AS polyphen_pred,
        |   CAST(NULL AS VARCHAR) AS aas, CAST(NULL AS VARCHAR) AS cod,
@@ -1148,7 +1157,7 @@ object VepSpliceQueries {
        |     CASE WHEN b.nmd THEN 'NMD_transcript_variant' END,
        |     CASE WHEN b.nc THEN 'non_coding_transcript_variant' END], x -> x IS NOT NULL),
        |    COALESCE(s.sterms, CAST([] AS VARCHAR[]))) AS terms,
-       |   b.cdna_pos, b.cds_pos, b.protein_pos, b.hgvs_c, b.hgvs_p, b.sift_pred,
+       |   b.cdna_pos, b.cdna_end, b.cds_pos, b.protein_pos, b.hgvs_c, b.hgvs_p, b.sift_pred,
        |   b.polyphen_pred, b.aas, b.cod, b.dist, b.exon, b.intron, b.hgvs_offset,
        |   'Transcript' AS ftype, CAST(NULL AS VARCHAR) AS mname,
        |   CAST(NULL AS BIGINT) AS mpos, CAST(NULL AS VARCHAR) AS minf,
@@ -1158,7 +1167,7 @@ object VepSpliceQueries {
        |ud AS (SELECT v.id, t.transcript_id,
        |   [CASE WHEN (t.strand = 1 AND v."end" < t.start) OR (t.strand = -1 AND v.start > t."end")
        |     THEN 'upstream_gene_variant' ELSE 'downstream_gene_variant' END] AS terms,
-       |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
+       |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cdna_end, CAST(NULL AS BIGINT) AS cds_pos,
        |   CAST(NULL AS BIGINT) AS protein_pos, CAST(NULL AS VARCHAR) AS hgvs_c,
        |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
        |   CAST(NULL AS VARCHAR) AS polyphen_pred,
@@ -1177,7 +1186,7 @@ object VepSpliceQueries {
        |      AND v.norm_start <= rg.start AND v.norm_end >= rg."end"
        |      THEN 'regulatory_region_ablation' END,
        |     'regulatory_region_variant'], x -> x IS NOT NULL) AS terms,
-       |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
+       |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cdna_end, CAST(NULL AS BIGINT) AS cds_pos,
        |   CAST(NULL AS BIGINT) AS protein_pos, CAST(NULL AS VARCHAR) AS hgvs_c,
        |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
        |   CAST(NULL AS VARCHAR) AS polyphen_pred,
@@ -1196,7 +1205,7 @@ object VepSpliceQueries {
           // variant overlapping any motif; five motif slots empty
           """SELECT v.id, '' AS transcript_id,
             |   ['TF_binding_site_variant'] AS terms,
-            |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
+            |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cdna_end, CAST(NULL AS BIGINT) AS cds_pos,
             |   CAST(NULL AS BIGINT) AS protein_pos, CAST(NULL AS VARCHAR) AS hgvs_c,
             |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
             |   CAST(NULL AS VARCHAR) AS polyphen_pred,
@@ -1212,7 +1221,7 @@ object VepSpliceQueries {
         else
           """SELECT v.id, mt.motif_id AS transcript_id,
             |   ['TF_binding_site_variant'] AS terms,
-            |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
+            |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cdna_end, CAST(NULL AS BIGINT) AS cds_pos,
             |   CAST(NULL AS BIGINT) AS protein_pos, CAST(NULL AS VARCHAR) AS hgvs_c,
             |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
             |   CAST(NULL AS VARCHAR) AS polyphen_pred,
@@ -1230,7 +1239,7 @@ object VepSpliceQueries {
       }),
        |itg AS (SELECT v.id, '' AS transcript_id,
        |   ['intergenic_variant'] AS terms,
-       |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cds_pos,
+       |   CAST(NULL AS BIGINT) AS cdna_pos, CAST(NULL AS BIGINT) AS cdna_end, CAST(NULL AS BIGINT) AS cds_pos,
        |   CAST(NULL AS BIGINT) AS protein_pos, CAST(NULL AS VARCHAR) AS hgvs_c,
        |   CAST(NULL AS VARCHAR) AS hgvs_p, CAST(NULL AS VARCHAR) AS sift_pred,
        |   CAST(NULL AS VARCHAR) AS polyphen_pred,
@@ -1252,7 +1261,7 @@ object VepSpliceQueries {
        |rend0 AS (SELECT *,
        |   ${Annotate.stripParentsSql(D, "terms", prefixed = false)} AS terms2
        |  FROM allent WHERE len(terms) > 0),
-       |rend AS (SELECT id, transcript_id, cdna_pos, cds_pos, protein_pos,
+       |rend AS (SELECT id, transcript_id, cdna_pos, cdna_end, cds_pos, protein_pos,
        |   hgvs_c, hgvs_p, sift_pred, polyphen_pred, aas, cod, dist,
        |   exon, intron, hgvs_offset, ftype, mname, mpos, minf, mscore, fbt, terms2,
        |   list_contains(terms, 'mature_miRNA_variant') AS has_mirna,

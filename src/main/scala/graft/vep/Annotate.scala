@@ -1236,7 +1236,9 @@ object Annotate {
               rkLit("non_coding_transcript_variant"))),
             x => x.isNotNull),
           coalesce(snvSterms, emptyTerms)).as("_terms"),
-        col("cdna_pos").cast("long").as("_cdna"), col("cds_pos").cast("long").as("_cds"),
+        col("cdna_pos").cast("long").as("_cdna"),
+        col("cdna_pos").cast("long").as("_cdna_end"),
+        col("cds_pos").cast("long").as("_cds"),
         col("protein_pos").cast("long").as("_pp"),
         col("hgvs_c"), col("hgvs_p"),
         // --everything renders prediction(score)
@@ -1576,7 +1578,14 @@ object Annotate {
               rkLit("non_coding_transcript_variant"))),
             x => x.isNotNull),
           col("_sterms")).as("_terms"),
-        when(col("_irawov") && hok, ilo).as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
+        when(col("_irawov") && hok, ilo).as("_cdna"),
+        // the full cDNA span (both indel endpoints mapped to cDNA):
+        // the reference's mirna_structure_field consumes the "N-M"
+        // cDNA_position RANGE (annotate_provider.rs:4404-4421), so a
+        // multi-base indel spanning a stem/loop boundary must probe
+        // every position in [ilo, ihi], not just the start
+        when(col("_irawov") && hok, ihi).as("_cdna_end"),
+        nullL.as("_cds"), nullL.as("_pp"),
         when(col("_irawov") && hok, ihgvsC).as("hgvs_c"),
         when(col("_irawov"), ihgvsP).as("hgvs_p"), nullS.as("_sift"),
         nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"), nullL.as("_dist"),
@@ -1609,7 +1618,7 @@ object Annotate {
             (col("_u_strand") === -1 && col("_u_vs") > col("_u_te")),
           rkLit("upstream_gene_variant")).otherwise(rkLit("downstream_gene_variant")))
           .as("_terms"),
-        nullL.as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
+        nullL.as("_cdna"), nullL.as("_cdna_end"), nullL.as("_cds"), nullL.as("_pp"),
         nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
         nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"),
         greatest(col("_u_ts") - col("_u_ve"), col("_u_vs") - col("_u_te")).as("_dist"),
@@ -1635,7 +1644,7 @@ object Annotate {
     val intergenic = vcf
       .select(col("id"), lit("").as("transcript_id"),
         array(rkLit("intergenic_variant")).as("_terms"),
-        nullL.as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
+        nullL.as("_cdna"), nullL.as("_cdna_end"), nullL.as("_cds"), nullL.as("_pp"),
         nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
         nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"),
         nullL.as("_dist"),
@@ -1694,7 +1703,7 @@ object Annotate {
             col("_f_fs") <= col("_f_ve") && col("_f_fe") >= col("_f_vs"))
         .select(col("_f_vid").as("id"), col("_f_id").as("transcript_id"),
           terms.as("_terms"),
-          nullL.as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
+          nullL.as("_cdna"), nullL.as("_cdna_end"), nullL.as("_cds"), nullL.as("_pp"),
           nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
           nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"), nullL.as("_dist"),
           lit(ftype).as("_ftype"), nullS.as("_exon"), nullS.as("_intron"),
@@ -1728,7 +1737,7 @@ object Annotate {
             "left_semi")
           .select(col("_f_vid").as("id"), lit("").as("transcript_id"),
             array(rkLit("TF_binding_site_variant")).as("_terms"),
-            nullL.as("_cdna"), nullL.as("_cds"), nullL.as("_pp"),
+            nullL.as("_cdna"), nullL.as("_cdna_end"), nullL.as("_cds"), nullL.as("_pp"),
             nullS.as("hgvs_c"), nullS.as("hgvs_p"), nullS.as("_sift"),
             nullS.as("_polyphen"), nullS.as("_aas"), nullS.as("_cod"),
             nullL.as("_dist"),
@@ -1844,7 +1853,7 @@ object Annotate {
       // cDNA position ([[Vep.mirnaStructureField]] — the reference's
       // mirna_structure_field, not an attribute passthrough)
       "miRNA" -> Vep.mirnaStructureUdf(col("_e_mirna"), col("_e_bt"),
-        col("_cdna"), col("_cdna")),
+        col("_cdna"), coalesce(col("_cdna_end"), col("_cdna"))),
       "HGVS_OFFSET" -> f(col("_hoff")),
       "MOTIF_NAME" -> f(col("_mname")),
       "MOTIF_POS" -> f(col("_mpos")),

@@ -729,7 +729,8 @@ object Splice {
       .otherwise(concat(prefix, coords, col("_kind"), altAdj))
     agg.where(col("_in0") === 1 && col("_in1") === 1)
       .select(col("_vid").as("id"), col("_tid").as("transcript_id"),
-        col("_kind").as("kind"), lo.as("cdna_pos"), hgvs.as("hgvs_c"),
+        col("_kind").as("kind"), lo.as("cdna_pos"), hi.as("cdna_end"),
+        hgvs.as("hgvs_c"),
         // HGVS_OFFSET (hgvs.rs:326-344): the applied genomic 3'-shift,
         // signed transcript-ward ('-' strand negates), only when an
         // actual shift happened

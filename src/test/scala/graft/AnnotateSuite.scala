@@ -521,4 +521,56 @@ class AnnotateSuite extends SparkSpec {
     assert(e2.length == 1 && e2.head(CONSEQUENCE) == "upstream_gene_variant")
     assert(e2.head(DIST) == "100")
   }
+
+  test("miRNA CSQ field probes the full cDNA span of a multi-base indel") {
+    // the reference parses the "N-M" cDNA_position RANGE into
+    // mirna_structure_field (annotate_provider.rs:4404-4421); a
+    // deletion spanning stem -> loop -> stem must emit all three
+    // structure terms, not just the start position's
+    val vcf = Seq(
+      // anchor at 1000, deleting 1001..1005 -> cDNA span 2..6 of the
+      // single exon starting at 1000 (cdna(p) = p - 1000 + 1)
+      ("chr1", 1000L, 1005L, 1L, "TAAAAA", "T"),
+      // SNV control at 1003 -> cDNA 4, a loop position
+      ("chr1", 1003L, 1003L, 2L, "A", "G"),
+    ).toDF("chrom", "start", "end", "id", "ref", "alt")
+    val afCols = Annotate.afCsq.map(_._2)
+    val cache = Seq.empty[(String, Long, Long, String, String)]
+      .toDF("chrom", "start", "end", "variation_name", "allele_string")
+      .selectExpr(Seq("*") ++ afCols.map(c => s"CAST(NULL AS DOUBLE) AS $c") ++
+        Seq("'0' AS somatic", "'0' AS pheno",
+          "CAST(NULL AS STRING) AS pubmed", "CAST(NULL AS STRING) AS clin_sig"): _*)
+    // dot-bracket "((...))": stems at cDNA 1-2 and 6-7, loop at 3-5
+    val tx = Seq(
+      ("chr1", 1000L, 1099L, "T1", 1, "miRNA", 0L, 0L, "G1", "MIR1", "YES", ""),
+    ).toDF("chrom", "start", "end", "transcript_id", "strand", "biotype",
+      "cds_start", "cds_end", "gene_id", "symbol", "canonical", "flags")
+      .selectExpr("*",
+        "'' AS mane_select", "'' AS mane_plus_clinical", "1 AS tsl",
+        "'' AS appris", "'' AS ccds", "'' AS swissprot", "'' AS trembl",
+        "'' AS uniparc", "'' AS uniprot_isoform", "'0' AS gene_pheno",
+        "'' AS domains", "'(2.3)2' AS mirna")
+    val ex = Seq(("T1", 1000L, 1099L)).toDF("transcript_id", "start", "end")
+    val sift = Seq.empty[(String, Long, String, Double)]
+      .toDF("transcript_id", "protein_pos", "aa", "sift_score")
+    val pp = Seq.empty[(String, Long, String, Double)]
+      .toDF("transcript_id", "protein_pos", "aa", "polyphen_score")
+    val reg = Seq.empty[(String, Long, Long, String)]
+      .toDF("chrom", "start", "end", "feature_id")
+    val mot = Seq.empty[(String, Long, Long, String, String, Double)]
+      .toDF("chrom", "start", "end", "motif_id", "tf_name", "score_change")
+
+    val out = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot)
+      .collect().map(r => r.getLong(r.fieldIndex("id")) -> r).toMap
+    def entries(id: Long): Array[Array[String]] = {
+      val csq = out(id).getString(out(id).fieldIndex("csq"))
+      if (csq.isEmpty) Array.empty else csq.split(",").map(_.split("\\|", -1))
+    }
+    val MIRNA = 40
+    val t1 = entries(1L).find(_(FEATURE) == "T1").get
+    // span 2..6 of "((...))" touches '(' (open), '.' (loop), ')' (close)
+    assert(t1(MIRNA) == "miRNA_loop&miRNA_stem&miRNA_stem", t1(MIRNA))
+    val t2 = entries(2L).find(_(FEATURE) == "T1").get
+    assert(t2(MIRNA) == "miRNA_loop", t2(MIRNA))
+  }
 }
