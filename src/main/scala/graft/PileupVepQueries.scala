@@ -68,14 +68,19 @@ object PileupVepQueries {
       Vep.lookupVariants(Tables.vcf(s, d), Tables.vepCache(s, d))),
     "f10_lookup_extended" -> ((s, d) =>
       Vep.lookupVariants(Tables.vcf(s, d), Tables.vepCache(s, d), extendedWindow = 4L)),
-    // chrom-name normalization (variant_lookup_exec.rs:979-985): the
-    // chr-prefixed VCF fixture against the SAME cache with its chrom
-    // stripped to Ensembl bare names — every row must match exactly as
-    // in f10_lookup_variants (the oracle joins on the stripped form)
+    // chrom-name normalization is ONE-SIDED (variant_lookup_exec.rs
+    // :979-985): only the VCF side strips its 'chr' prefix; the cache
+    // is probed raw. The DEFAULT f10_lookup_variants now exercises the
+    // match direction (chr-VCF × bare-cache, the real-world pairing);
+    // this gate pins the NON-match direction — a bare-name VCF against
+    // a chr-prefixed cache matches NOTHING (the old symmetric
+    // normalization would have matched every row)
     "f10_lookup_chrnorm" -> ((s, d) =>
-      Vep.lookupVariants(Tables.vcf(s, d),
+      Vep.lookupVariants(
+        Tables.vcf(s, d).withColumn("chrom",
+          regexp_replace(col("chrom"), "^chr", "")),
         Tables.vepCache(s, d).withColumn("chrom",
-          regexp_replace(col("chrom"), "^chr", "")))),
+          concat(lit("chr"), col("chrom"))))),
     "f11_annotate_regions" -> ((s, d) =>
       Vep.annotateRegions(Tables.vcf(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
     // transcript-class probe fixture: protein_altering (in-CDS MNV),
@@ -280,7 +285,7 @@ object PileupVepQueries {
       s"""WITH $vcf, $vepCache
          |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
          | $cacheOut
-         |FROM v LEFT JOIN c ON v.chrom = c.chrom
+         |FROM v LEFT JOIN c ON v.bare_chrom = c.chrom
          | AND v.norm_start = c.start AND v.norm_end = c."end"
          | AND (split_part(c.allele_string, '/', 1) = v.vep_ref
          |      OR split_part(c.allele_string, '/', 1) = v.ref)
@@ -290,7 +295,7 @@ object PileupVepQueries {
       s"""WITH $vcf, $vepCache
          |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
          | $cacheOut
-         |FROM v LEFT JOIN c ON v.chrom = c.chrom
+         |FROM v LEFT JOIN c ON v.bare_chrom = c.chrom
          | AND c.start <= v.norm_end + 4 AND c."end" >= v.norm_start - 4
          | AND (split_part(c.allele_string, '/', 1) = v.vep_ref
          |      OR split_part(c.allele_string, '/', 1) = v.ref)
@@ -298,10 +303,10 @@ object PileupVepQueries {
          |ORDER BY v.id""".stripMargin.replace("\n", " "),
     "f10_lookup_chrnorm" ->
       s"""WITH $vcf, $vepCache
-         |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
+         |SELECT v.bare_chrom AS chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
          | $cacheOut
          |FROM v LEFT JOIN c
-         | ON regexp_replace(v.chrom, '^chr', '') = regexp_replace(c.chrom, '^chr', '')
+         | ON v.bare_chrom = concat('chr', c.chrom)
          | AND v.norm_start = c.start AND v.norm_end = c."end"
          | AND (split_part(c.allele_string, '/', 1) = v.vep_ref
          |      OR split_part(c.allele_string, '/', 1) = v.ref)
@@ -315,7 +320,7 @@ object PileupVepQueries {
       s"WITH $vcf SELECT chrom, start, id, ref, alt, CAST(id AS BIGINT) AS vid FROM v ORDER BY id",
     "s4_kv_lookup" ->
       s"""WITH $vcf, $vepCache,
-         |k AS (SELECT DISTINCT chrom, norm_start FROM v WHERE id % 50 = 0)
+         |k AS (SELECT DISTINCT bare_chrom AS chrom, norm_start FROM v WHERE id % 50 = 0)
          |SELECT c.chrom, c.start, c."end" AS "end", c.variation_name,
          | c.allele_string, c.af, c.clin_sig
          |FROM c JOIN k ON c.chrom = k.chrom AND c.start = k.norm_start

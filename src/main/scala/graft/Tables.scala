@@ -147,7 +147,11 @@ object Tables {
   def vepCache(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "part").where("p_partkey % 4 < 2").selectExpr(
       (Seq(
-      "concat('chr', CAST(p_partkey % 2 AS STRING)) AS chrom",
+      // Ensembl BARE contig names — the reference's real-world pairing
+      // is a chr-prefixed VCF against a bare-named variation cache,
+      // matched by stripping the VCF side only
+      // (variant_lookup_exec.rs:979-985; [[graft.vep.Vep.bareChrom]])
+      "CAST(p_partkey % 2 AS STRING) AS chrom",
       """CAST((p_partkey * 9176) % 100000 + 1
          + CASE WHEN p_partkey % 3 = 0 THEN 0 ELSE 1 END
          + CASE WHEN p_partkey % 10 = 1 THEN 3 ELSE 0 END AS BIGINT) AS start""",
@@ -547,6 +551,7 @@ object Oracle {
     * vep_norm_start/end UDFs — kinds are known by construction). */
   val vcf: String =
     s"""v AS (SELECT concat('chr', CAST(p_partkey % 2 AS VARCHAR)) AS chrom,
+       | CAST(p_partkey % 2 AS VARCHAR) AS bare_chrom,
        | CAST((p_partkey * 9176) % 100000 + 1 AS BIGINT) AS start,
        | CAST((p_partkey * 9176) % 100000 + 1
        |   + CASE WHEN p_partkey % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS "end",
@@ -665,7 +670,7 @@ object Oracle {
 
   /** DuckDB mirror of [[Tables.vepCache]]. */
   val vepCache: String =
-    s"""c AS (SELECT concat('chr', CAST(p_partkey % 2 AS VARCHAR)) AS chrom,
+    s"""c AS (SELECT CAST(p_partkey % 2 AS VARCHAR) AS chrom,
        | CAST((p_partkey * 9176) % 100000 + 1
        |  + CASE WHEN p_partkey % 3 = 0 THEN 0 ELSE 1 END
        |  + CASE WHEN p_partkey % 10 = 1 THEN 3 ELSE 0 END AS BIGINT) AS start,

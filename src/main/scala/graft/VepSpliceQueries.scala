@@ -706,7 +706,7 @@ object VepSpliceQueries {
     s"""WITH ${Oracle.vcf}, ${Oracle.vepCache},
        |miss AS (SELECT v.chrom AS contig, v.norm_start AS pos_start,
        |   v.norm_start AS pos_end FROM v WHERE NOT EXISTS
-       |  (SELECT 1 FROM c WHERE v.chrom = c.chrom
+       |  (SELECT 1 FROM c WHERE v.bare_chrom = c.chrom
        |    AND v.norm_start = c.start AND v.norm_end = c."end"
        |    AND (split_part(c.allele_string, '/', 1) = v.vep_ref
        |         OR split_part(c.allele_string, '/', 1) = v.ref)
@@ -731,7 +731,7 @@ object VepSpliceQueries {
     s"""WITH ${Oracle.vcf}, ${Oracle.vepCache}
        |SELECT v.id, c.variation_name AS colocated_name,
        | c.allele_string AS colocated_allele_string, c.af AS colocated_af
-       |FROM v JOIN c ON v.chrom = c.chrom
+       |FROM v JOIN c ON v.bare_chrom = c.chrom
        | AND v.norm_start = c.start AND v.norm_end = c."end"
        | AND NOT ((split_part(c.allele_string, '/', 1) = v.vep_ref
        |           OR split_part(c.allele_string, '/', 1) = v.ref)
@@ -743,7 +743,7 @@ object VepSpliceQueries {
     val g = s"GREATEST(${Annotate.maxAfPopCols.map(_._2).mkString(", ")})"
     s"""WITH ${Oracle.vcf}, ${Oracle.vepCache},
        |x AS (SELECT v.id, ${Annotate.afCsq.map { case (_, c) => s"c.$c" }.mkString(", ")}
-       |  FROM v JOIN c ON v.chrom = c.chrom
+       |  FROM v JOIN c ON v.bare_chrom = c.chrom
        |   AND v.norm_start = c.start AND v.norm_end = c."end"
        |   AND (split_part(c.allele_string, '/', 1) = v.vep_ref
        |        OR split_part(c.allele_string, '/', 1) = v.ref)
@@ -797,7 +797,7 @@ object VepSpliceQueries {
        |     somatic := $cc.somatic, pheno := $cc.pheno, pubmed := $cc.pubmed,
        |     cs := $cc.clin_sig, csa := $cc.clin_sig_allele)
        |    ORDER BY $exvOrd) AS ents
-       |  FROM v JOIN $cc ON v.chrom = $cc.chrom
+       |  FROM v JOIN $cc ON v.bare_chrom = $cc.chrom
        |   AND $cc.variation_name IS NOT NULL AND $cc.variation_name <> ''
        |   AND v.norm_start = $cc.start AND v.norm_end = $cc."end"
        |   AND (split_part($cc.allele_string, '/', 1) = v.vep_ref
@@ -1413,7 +1413,8 @@ object VepSpliceQueries {
     val probes = Oracle.spliceProbesFrom("spx").replaceFirst("sp AS ", "spv AS ")
     s"""$exCte, $probes,
        |v AS (SELECT DISTINCT spv.* REPLACE (spv.id * 2
-       |  + CASE WHEN spv.chrom = 'chr1' THEN 1 ELSE 0 END AS id) FROM spv)"""
+       |  + CASE WHEN spv.chrom = 'chr1' THEN 1 ELSE 0 END AS id),
+       |  regexp_replace(spv.chrom, '^chr', '') AS bare_chrom FROM spv)"""
       .stripMargin.replace("\n", " ")
   }
 
@@ -1520,7 +1521,7 @@ object VepSpliceQueries {
        |     c.clinical_impact NULLS FIRST, c.minor_allele NULLS FIRST,
        |     c.minor_allele_freq NULLS FIRST, c.clinvar_id NULLS FIRST,
        |     c.cosmic_id NULLS FIRST, c.dbsnp_id NULLS FIRST) AS rn
-       |  FROM v JOIN c ON v.chrom = c.chrom
+       |  FROM v JOIN c ON v.bare_chrom = c.chrom
        |   AND v.norm_start = c.start AND v.norm_end = c."end"
        |   AND (split_part(c.allele_string, '/', 1) = v.vep_ref
        |        OR split_part(c.allele_string, '/', 1) = v.ref)

@@ -281,7 +281,15 @@ object Bam {
         val chrom = r.getString(0)
         val refId = idx.getOrElse(chrom,
           throw new IllegalArgumentException(s"chrom '$chrom' not in reference dictionary"))
-        BamRecord(refId, r.getLong(1).toInt - 1, r.getInt(3), r.getInt(2),
+        // the library is i64-coordinate end-to-end (SURVEY §7.4.2) but
+        // BAM positions are i32 on disk — fail loudly instead of
+        // silently wrapping a record negative. start 0 is allowed: it
+        // encodes as pos -1 (the BAM unplaced convention) and
+        // round-trips back to 0 through the reader's pos+1.
+        val start = r.getLong(1)
+        require(start >= 0 && start <= Int.MaxValue,
+          s"BAM positions are i32: start $start at $chrom out of [0, ${Int.MaxValue}]")
+        BamRecord(refId, start.toInt - 1, r.getInt(3), r.getInt(2),
           packCigar(r.getString(4)),
           if (hasName && !r.isNullAt(5)) r.getString(5) else s"r$tid-$i")
       }
@@ -380,7 +388,8 @@ class BamReaderFactory(chromFilter: Option[Set[String]], hadoopConf: Serializabl
     val file = partition.asInstanceOf[BamInputPartition].file
     new PartitionReader[InternalRow] {
       private val fs = FileSystem.get(new java.net.URI(file), hadoopConf.value)
-      private val (refs, it) = Bam.read(fs.open(new Path(file)))
+      private val stream = fs.open(new Path(file))
+      private val (refs, it) = Bam.read(stream)
       private val names = refs.map(_._1).toArray
       private val keep: Int => Boolean = chromFilter match {
         case Some(set) =>
@@ -416,7 +425,10 @@ class BamReaderFactory(chromFilter: Option[Set[String]], hadoopConf: Serializabl
         false
       }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      // long-lived executors scan many shards per task lifetime: an
+      // unclosed FSDataInputStream is a leaked fd per shard (worst
+      // with contig pushdown, where whole files are read and dropped)
+      override def close(): Unit = stream.close()
     }
   }
 }

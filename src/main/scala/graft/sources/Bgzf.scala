@@ -93,6 +93,38 @@ object Bgzf {
     }
   }
 
+  /** Sniff whether `in` (positioned at a gzip member start) is BGZF:
+    * gzip magic + FEXTRA flag + a `BC` subfield somewhere in the extra
+    * field. Resets the stream to its entry position either way. BGZF
+    * files are many-member by construction, and the JDK's
+    * GZIPInputStream can silently stop at a member boundary when the
+    * underlying stream's available() returns 0 with <27 bytes buffered
+    * (the classic concatenated-gzip pitfall) — so BGZF must be routed
+    * to [[BlockInputStream]], which walks BSIZE and checks CRCs. */
+  def sniffBgzf(in: java.io.BufferedInputStream): Boolean = {
+    in.mark(12 + 65536)
+    try {
+      val hdr = new Array[Byte](12)
+      var n = 0; var r = 0
+      while (n < 12 && r >= 0) { r = in.read(hdr, n, 12 - n); if (r > 0) n += r }
+      if (n < 12 || (hdr(0) & 0xff) != 0x1f || (hdr(1) & 0xff) != 0x8b ||
+        (hdr(3) & 4) == 0) return false
+      val xlen = (hdr(10) & 0xff) | ((hdr(11) & 0xff) << 8)
+      val extra = new Array[Byte](xlen)
+      n = 0; r = 0
+      while (n < xlen && r >= 0) { r = in.read(extra, n, xlen - n); if (r > 0) n += r }
+      if (n < xlen) return false
+      var i = 0
+      while (i + 4 <= xlen) {
+        val slen = (extra(i + 2) & 0xff) | ((extra(i + 3) & 0xff) << 8)
+        if ((extra(i) & 0xff) == 'B' && (extra(i + 1) & 0xff) == 'C' && slen == 2)
+          return true
+        i += 4 + slen
+      }
+      false
+    } finally in.reset()
+  }
+
   /** InputStream over the inflated bytes of a BGZF stream. Walks
     * blocks via BSIZE (no speculative inflation); tolerates the EOF
     * marker and plain stream end. */

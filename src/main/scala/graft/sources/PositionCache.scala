@@ -27,19 +27,31 @@ object PositionCache {
       .sortWithinPartitions(col("start"))
       .write.mode("overwrite").partitionBy("chrom").parquet(path)
 
+  /** Partition-column type inference would turn all-numeric contig
+    * directory names (Ensembl bare "0"/"1"/…) into ints — pin chrom
+    * back to the stored string type. */
   def open(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(path).withColumn("chrom", col("chrom").cast("string"))
+
+  /** Probe-side contig normalization — the reference's KV cache exec
+    * strips the VCF side's `chr` prefix before key encoding
+    * (kv_cache/cache_exec.rs:565-569); the stored cache keys are
+    * always Ensembl bare names and are probed raw. */
+  private def bareChrom(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.startsWith("chr"), c.substr(lit(4), lit(Integer.MAX_VALUE))).otherwise(c)
 
   /** Single-position point lookup: both predicates reach the scan
     * (partition filter + pushed row-group filter). */
   def lookup(stored: DataFrame, chrom: String, start: Long): DataFrame =
-    stored.where(col("chrom") === chrom && col("start") === start)
+    stored.where(col("chrom") === chrom.stripPrefix("chr") && col("start") === start)
 
   /** Batched lookup: inner join against a (chrom, start) key set —
-    * broadcast when small, shuffled hash join at scale. */
+    * broadcast when small, shuffled hash join at scale. Probe chroms
+    * normalize to bare names; stored chroms are used raw. */
   def lookupBatch(stored: DataFrame, keys: DataFrame): DataFrame =
     stored.join(broadcast(keys.select(
-        col("chrom").as("_k_chrom"), col("start").cast("long").as("_k_start")).distinct()),
+        bareChrom(col("chrom")).as("_k_chrom"),
+        col("start").cast("long").as("_k_start")).distinct()),
       stored("chrom") === col("_k_chrom") && stored("start") === col("_k_start"))
       .drop("_k_chrom", "_k_start")
 }

@@ -138,15 +138,20 @@ class VcfReaderFactory(chromFilter: Option[Set[String]], hadoopConf: Serializabl
     val file = partition.asInstanceOf[VcfInputPartition].file
     new PartitionReader[InternalRow] {
       private val fs = FileSystem.get(new java.net.URI(file), hadoopConf.value)
-      // .vcf.gz / .bgz: BGZF is standards-conformant multi-member
-      // gzip, so the JDK's own GZIPInputStream decodes both bgzipped
-      // (tabix-style) and plain-gzipped VCFs — the layout real VCFs
-      // ship in
+      // .vcf.gz / .bgz: sniff the FEXTRA/BC header — bgzipped
+      // (tabix-style) VCFs route through Bgzf.BlockInputStream, which
+      // walks BSIZE and CRC-checks every member; GZIPInputStream is
+      // kept only for plain gzip, because the JDK decoder silently
+      // stops at a member boundary when the underlying stream's
+      // available() returns 0 (BGZF is many-member by construction, so
+      // that pitfall would truncate rows instead of erroring)
       private val raw: java.io.InputStream = {
         val base = fs.open(new Path(file))
-        if (file.endsWith(".gz") || file.endsWith(".bgz"))
-          new java.util.zip.GZIPInputStream(base, 65536)
-        else base
+        if (file.endsWith(".gz") || file.endsWith(".bgz")) {
+          val buf = new java.io.BufferedInputStream(base, 131072)
+          if (Bgzf.sniffBgzf(buf)) new Bgzf.BlockInputStream(buf)
+          else new java.util.zip.GZIPInputStream(buf, 65536)
+        } else base
       }
       private val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(raw, "UTF-8"))

@@ -731,7 +731,9 @@ object Annotate {
       .withColumn("_norm_end",
         Vep.vepNormEndUdf(col("start").cast("long"), col("ref"), col("alt")))
       .withColumn("_bare_chrom", Vep.bareChrom(col("chrom")))
-    val c = cache.select(Vep.bareChrom(col("chrom")).as("_c_chrom"),
+    // cache chrom probed RAW — only the VCF side normalizes
+    // ([[Vep.bareChrom]]; variant_lookup_exec.rs strips vcf rows only)
+    val c = cache.select(col("chrom").as("_c_chrom"),
       col("start").cast("long").as("_c_start"), col("end").cast("long").as("_c_end"),
       col("allele_string").as("_c_as"), col("variation_name").as("_c_vn"),
       col("af").as("_c_af"))

@@ -516,15 +516,17 @@ object Vep {
     * @param columns cache columns to emit (`cache_*`-prefixed);
     *               default = all minus join/bookkeeping columns
     * @param relaxed use the indel-aware relaxed matcher */
-  /** Contig-name normalization for lookup joins
+  /** Contig-name normalization for lookup joins — the VCF SIDE ONLY
     * (variant_lookup_exec.rs:979-985 + lookup_provider.rs
-    * has_chr_prefix): the reference strips the VCF side's `chr`
-    * prefix so a chr-prefixed VCF matches an Ensembl bare-name cache
-    * ("chr1" ↔ "1" — the normal real-world pairing). This library
-    * normalizes BOTH join sides (a symmetric superset: bare-VCF ×
-    * chr-cache matches too); same-convention tables are unaffected
-    * (stripped equality ≡ raw equality unless a table carries BOTH
-    * `chr1` and `1` as distinct contigs). */
+    * has_chr_prefix): the reference samples the VCF's convention and
+    * strips its `chr` prefix so a chr-prefixed VCF matches an Ensembl
+    * bare-name cache ("chr1" ↔ "1" — the normal real-world pairing);
+    * the CACHE chrom is always probed raw, so a bare-name VCF never
+    * matches a chr-prefixed cache, and a cache carrying both "chr1"
+    * and "1" keeps them distinct. This library applies the strip
+    * per-row rather than per-table (the reference's table-level
+    * `vcf_has_chr` flag is a one-row sample; per-row is identical for
+    * any single-convention VCF and strictly saner for a mixed one). */
   private[vep] def bareChrom(c: Column): Column =
     when(c.startsWith("chr"), c.substr(lit(4), lit(Integer.MAX_VALUE)))
       .otherwise(c)
@@ -555,7 +557,7 @@ object Vep {
         cache.where(coalesce(col("failed").cast("long"), lit(0L)) <= allowedFailed)
       else cache
     val c = cacheFiltered.select(
-      (Seq(bareChrom(col("chrom")).as("_c_chrom"), col("start").cast("long").as("_c_start"),
+      (Seq(col("chrom").as("_c_chrom"), col("start").cast("long").as("_c_start"),
            col("end").cast("long").as("_c_end"), col("allele_string").as("_c_allele_string")) ++
        outCols.map(n => col(n).as(s"_c_out_$n"))): _*)
     val out: Seq[Column] =

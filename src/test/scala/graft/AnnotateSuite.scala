@@ -55,7 +55,9 @@ class AnnotateSuite extends SparkSpec {
         "af_gnomad").contains)
       .map(c => s"CAST(0.05 AS DOUBLE) AS $c")
     val cache = Seq(
-      ("chr1", 1205L, 1205L, "rs1", "A/C", 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, "benign"),
+      // Ensembl bare contig name — matched from the chr-prefixed VCF
+      // by the one-sided VCF strip (variant_lookup_exec.rs:979-985)
+      ("1", 1205L, 1205L, "rs1", "A/C", 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, "benign"),
     ).toDF("chrom", "start", "end", "variation_name", "allele_string",
       "af", "af_afr", "af_amr", "af_eas", "af_eur", "af_sas", "af_gnomad", "clin_sig")
       .selectExpr(Seq("*") ++ gnomadExt ++ Seq(
@@ -416,7 +418,7 @@ class AnnotateSuite extends SparkSpec {
       .toDF("chrom", "start", "end", "id", "ref", "alt")
     val afCols = Annotate.afCsq.map(_._2)
     def mk(name: String, sas: String): org.apache.spark.sql.DataFrame =
-      Seq(("chr1", 100L, 100L, name, "A/C"))
+      Seq(("1", 100L, 100L, name, "A/C"))
         .toDF("chrom", "start", "end", "variation_name", "allele_string")
         .selectExpr(Seq("*") ++ afCols.map {
           case "af_sas" => s"CAST($sas AS DOUBLE) AS af_sas"

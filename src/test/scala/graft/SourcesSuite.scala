@@ -34,20 +34,28 @@ class SourcesSuite extends SparkSpec {
 
   test("position-cache point lookup prunes partitions and pushes start") {
     import graft.sources.PositionCache
+    // cache keys are Ensembl BARE names; the chr-prefixed PROBE is
+    // normalized like the reference's KV exec strips the VCF side
+    // (kv_cache/cache_exec.rs:565-569)
     val cache = Seq(
-      ("chr0", 100L, 100L, "rs1", "A/G", 0.5),
-      ("chr0", 200L, 200L, "rs2", "C/T", 0.1),
-      ("chr1", 100L, 100L, "rs3", "G/A", 0.9))
+      ("0", 100L, 100L, "rs1", "A/G", 0.5),
+      ("0", 200L, 200L, "rs2", "C/T", 0.1),
+      ("1", 100L, 100L, "rs3", "G/A", 0.9))
       .toDF("chrom", "start", "end", "variation_name", "allele_string", "af")
     val path = "/tmp/graft_test_kvcache"
     PositionCache.write(cache, path)
     val hit = PositionCache.lookup(PositionCache.open(spark, path), "chr0", 200L)
     assert(hit.collect().map(_.getAs[String]("variation_name")).toSeq == Seq("rs2"))
     val plan = hit.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("chr0"),
+    assert(plan.contains("PartitionFilters") && plan.contains("= 0)"),
       s"partition pruning missing:\n$plan")
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(start,200)"),
       s"start pushdown missing:\n$plan")
+    // batched probe: chr-prefixed keys hit the bare-named store
+    val keys = Seq(("chr0", 100L), ("chr1", 100L)).toDF("chrom", "start")
+    val got = PositionCache.lookupBatch(PositionCache.open(spark, path), keys)
+      .collect().map(_.getAs[String]("variation_name")).toSet
+    assert(got == Set("rs1", "rs3"))
   }
 
   test("chrom equality pushes into the reader (PushedFilters visible)") {

@@ -148,14 +148,17 @@ class SpliceSuite extends SparkSpec {
     Splice.indelHgvs(
       Seq(("c1", pos, pos, 1L, ref, alt)).toDF("chrom", "start", "end", "id", "ref", "alt"),
       transcripts, exons)
-      .collect().map(r => r.getString(1) -> (r.getString(2), r.getString(4))).toMap
+      .collect().map(r => r.getString(1) ->
+        (r.getAs[String]("kind"), r.getAs[String]("hgvs_c"))).toMap
 
   private def indelOffsets(pos: Long, ref: String, alt: String) =
     Splice.indelHgvs(
       Seq(("c1", pos, pos, 1L, ref, alt)).toDF("chrom", "start", "end", "id", "ref", "alt"),
       transcripts, exons)
-      .collect().map(r => r.getString(1) ->
-        (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+      .collect().map { r =>
+        val i = r.fieldIndex("hgvs_offset")
+        r.getString(1) -> (if (r.isNullAt(i)) None else Some(r.getLong(i)))
+      }.toMap
 
   test("indel kinds: insertion equal to its 5' context is a dup") {
     import graft.vep.CodonLogic.baseAt
