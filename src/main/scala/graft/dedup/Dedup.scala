@@ -209,14 +209,40 @@ object Dedup {
     * values (262,144 keys), so the quadratic per-group expansion
     * spreads across the cluster instead of 64 coarse buckets. The
     * chunk mask (& 65535) makes arithmetic-vs-logical shift of the
-    * sign bit irrelevant. Output: (id1, id2, hamming), id1 < id2. */
+    * sign bit irrelevant. Output: (id1, id2, hamming), id1 < id2.
+    *
+    * Hot-group guard (the 100 TB degenerate case): a signature shared
+    * VERBATIM by a huge document class — boilerplate pages, template
+    * spam — would put all its members in the same four (band, chunk)
+    * groups and expand |class|²/2 pairs on single keys, a job-killer
+    * at corpus scale. Identical-signature classes larger than
+    * `identicalCliqueCap` therefore emit a linear STAR instead of the
+    * full clique — every member pairs with the class minimum id at
+    * Hamming 0 — and only the class representative enters the banded
+    * join (cross-signature candidates connect through it). Connected
+    * components, and thus [[duplicateClusters]] output, are identical
+    * to the clique formulation; only the explicit pair list is
+    * star-compressed, and ONLY above the cap (small classes keep
+    * emitting full cliques, so fixed-scale gates are unchanged). */
   def simhash64Pairs(
       df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, identicalCliqueCap: Int = 1024): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4 bands of 16 bits guarantee full recall only for maxHamming <= 3, got $maxHamming")
+    require(identicalCliqueCap >= 1, s"identicalCliqueCap must be >= 1")
     val sig = simhash64Df(df, textCol, idCol)
-    val banded = sig.select(col("id"), col("simhash"),
+    // per-signature class size + representative (min id), one window
+    // over the signature hash — shuffles on simhash, never a key with
+    // more rows than the class itself
+    val sw = org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))
+    val g = sig.withColumn("_rep", min(col("id")).over(sw))
+      .withColumn("_n", count(lit(1)).over(sw))
+    val star = g.where(col("_n") > identicalCliqueCap && col("id") =!= col("_rep"))
+      .select(col("_rep").as("id1"), col("id").as("id2"),
+        lit(0).cast("int").as("hamming"))
+    val kept = g.where(col("_n") <= identicalCliqueCap || col("id") === col("_rep"))
+      .select(col("id"), col("simhash"))
+    val banded = kept.select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("ck", expr("(simhash >> (band * 16)) & 65535"))
     // explicit width for the same reason as [[simhashPairs]]: the
@@ -234,6 +260,7 @@ object Dedup {
         expr("CAST(bit_count(_s1 ^ _s2) AS INT)").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+      .unionByName(star)
   }
 
   /** 64-bit SimHash computed from md5 bytes in Scala (per-row library

@@ -70,6 +70,33 @@ class MlSuite extends SparkSpec {
     assert(s1 == s2) // order-independent
   }
 
+  test("simhash64Pairs: a huge identical-signature class emits a linear star, not a clique") {
+    // the 100 TB degenerate case (round-11 verdict #5): 100K documents
+    // with VERBATIM-identical text share one signature; the clique
+    // formulation would materialize ~5e9 pairs on four hot
+    // (band, chunk) keys. The guard emits |class|-1 star pairs at
+    // Hamming 0 instead, and a near-miss outsider still connects
+    // through the class representative.
+    val n = 100000
+    val hot = spark.range(0, n).selectExpr("id AS doc_id",
+      "'spark spark engines engines graft' AS text")
+    val out = Dedup.simhash64Pairs(hot, "text", "doc_id")
+    assert(out.count() == (n - 1).toLong)
+    val sample = out.limit(5).collect()
+    assert(sample.forall(r => r.getLong(0) == 0L && r.getInt(2) == 0))
+    // below the cap the full clique is preserved (gate semantics)
+    val small = spark.range(0, 5).selectExpr("id AS doc_id",
+      "'spark spark engines engines graft' AS text")
+    assert(Dedup.simhash64Pairs(small, "text", "doc_id").count() == 10L)
+    // connected components are unchanged by star compression
+    val clusters = Dedup.duplicateClusters(
+      Dedup.simhash64Pairs(hot.limit(3000).union(
+        spark.range(n, n + 1).selectExpr("id AS doc_id",
+          "'completely different text entirely' AS text")), "text", "doc_id"))
+      .agg(countDistinct(col("cluster_id"))).head().getLong(0)
+    assert(clusters == 1L)
+  }
+
   test("brute-force cosine top-k ranks an exact duplicate first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
