@@ -35,11 +35,12 @@ final case class BamRecord(
   *
   * Scale shape: writing is per-partition sharded (`writeShards` — one
   * `part-NNNNN.bam` per task, the standard sharded-BAM layout, no
-  * driver funnel); reading parallelizes per shard file
-  * ([[BamDataSource]]). Single large .bam files could additionally
-  * split WITHIN a file at BGZF block boundaries (BSIZE walking needs
-  * no inflation) given a record-boundary index (.bai/virtual
-  * offsets) — documented, not needed for the sharded layout. */
+  * driver funnel); reading parallelizes per shard file AND within
+  * files ([[BamDataSource]]): a `.gbi` sidecar of record-aligned BGZF
+  * virtual offsets ([[buildIndex]] for foreign BAMs, emitted inline by
+  * [[writeShards]]) lets the scan cut a monolithic multi-GB .bam —
+  * the reference's own benchmark shape (NA12878 chr1, 2.0 GB,
+  * README.md:683-685) — into record-exact ranges. */
 object Bam {
 
   /** SAM spec reg2bin (§5.3): the R-tree bin for [beg, end) 0-based. */
@@ -152,60 +153,134 @@ object Bam {
     }
   }
 
-  /** Read a BAM stream: (reference dictionary, record iterator). The
-    * iterator decodes lazily; seq/qual/tags are skipped bytewise. */
-  def read(source: InputStream): (Seq[(String, Int)], Iterator[BamRecord]) = {
-    val in = new LeReader(new Bgzf.BlockInputStream(source))
+  private def readRefs(in: LeReader): Seq[(String, Int)] = {
     val magic = in.bytes(4)
     require(magic(0) == 'B' && magic(1) == 'A' && magic(2) == 'M' && magic(3) == 1,
       "not a BAM stream (bad magic)")
     val lText = in.i32()
     in.skip(lText)
     val nRef = in.i32()
-    val refs = (0 until nRef).map { _ =>
+    (0 until nRef).map { _ =>
       val lName = in.i32()
       val nameB = in.bytes(lName)
       val name = new String(nameB, 0, lName - 1, UTF_8) // strip NUL
       val lRef = in.i32()
       (name, lRef)
     }
-    val it = new Iterator[BamRecord] {
-      private var nextRec: BamRecord = _
-      private var fetched = false
-      private def fetch(): Unit = {
-        fetched = true
-        nextRec = null
-        in.tryI32() match {
-          case None => ()
-          case Some(blockSize) =>
-            val refId = in.i32()
-            val pos = in.i32()
-            val lReadName = in.i32() // packs l_read_name(u8), mapq(u8), bin(u16)
-            val lrn = lReadName & 0xff
-            val mapq = (lReadName >> 8) & 0xff
-            val flagNc = in.i32() // n_cigar_op(u16) | flag(u16) << 16
-            val nCigar = flagNc & 0xffff
-            val flag = (flagNc >>> 16) & 0xffff
-            val lSeq = in.i32()
-            in.skip(12) // next_refID, next_pos, tlen
-            val nameB = in.bytes(lrn)
-            val name = new String(nameB, 0, lrn - 1, UTF_8)
-            val ops = new Array[Int](nCigar)
-            var i = 0
-            while (i < nCigar) { ops(i) = in.i32(); i += 1 }
-            val consumed = 32 + lrn + 4 * nCigar
-            in.skip(blockSize - consumed) // seq + qual + tags
-            nextRec = BamRecord(refId, pos, mapq, flag, ops, name)
-        }
-      }
-      override def hasNext: Boolean = { if (!fetched) fetch(); nextRec != null }
-      override def next(): BamRecord = {
-        if (!hasNext) throw new NoSuchElementException
-        fetched = false
-        nextRec
+  }
+
+  /** Record iterator over `in`, stopping BEFORE the record whose
+    * virtual offset (per `blockIn`) reaches `endVirtual` — the ranged
+    * half of intra-file splitting: a split point is always a record
+    * start, so [start, end) ranges partition a file's records exactly
+    * (no duplication, no loss). */
+  private def records(in: LeReader, blockIn: Bgzf.BlockInputStream,
+      endVirtual: Long): Iterator[BamRecord] = new Iterator[BamRecord] {
+    private var nextRec: BamRecord = _
+    private var fetched = false
+    private def fetch(): Unit = {
+      fetched = true
+      nextRec = null
+      if (blockIn.nextVirtualOffset >= endVirtual) return
+      in.tryI32() match {
+        case None => ()
+        case Some(blockSize) =>
+          val refId = in.i32()
+          val pos = in.i32()
+          val lReadName = in.i32() // packs l_read_name(u8), mapq(u8), bin(u16)
+          val lrn = lReadName & 0xff
+          val mapq = (lReadName >> 8) & 0xff
+          val flagNc = in.i32() // n_cigar_op(u16) | flag(u16) << 16
+          val nCigar = flagNc & 0xffff
+          val flag = (flagNc >>> 16) & 0xffff
+          val lSeq = in.i32()
+          in.skip(12) // next_refID, next_pos, tlen
+          val nameB = in.bytes(lrn)
+          val name = new String(nameB, 0, lrn - 1, UTF_8)
+          val ops = new Array[Int](nCigar)
+          var i = 0
+          while (i < nCigar) { ops(i) = in.i32(); i += 1 }
+          val consumed = 32 + lrn + 4 * nCigar
+          in.skip(blockSize - consumed) // seq + qual + tags
+          nextRec = BamRecord(refId, pos, mapq, flag, ops, name)
       }
     }
-    (refs, it)
+    override def hasNext: Boolean = { if (!fetched) fetch(); nextRec != null }
+    override def next(): BamRecord = {
+      if (!hasNext) throw new NoSuchElementException
+      fetched = false
+      nextRec
+    }
+  }
+
+  /** Read a BAM stream: (reference dictionary, record iterator). The
+    * iterator decodes lazily; seq/qual/tags are skipped bytewise. */
+  def read(source: InputStream): (Seq[(String, Int)], Iterator[BamRecord]) = {
+    val blockIn = new Bgzf.BlockInputStream(source)
+    val in = new LeReader(blockIn)
+    (readRefs(in), records(in, blockIn, Long.MaxValue))
+  }
+
+  /** Decode the records of the virtual-offset range [startVirtual,
+    * endVirtual) from `source`, which MUST already be seeked to
+    * `startVirtual`'s compressed block offset. Both bounds must be
+    * record starts (sidecar split points — [[indexFile]]). */
+  def readRange(source: InputStream, startVirtual: Long, endVirtual: Long)
+      : Iterator[BamRecord] = {
+    val blockIn = new Bgzf.BlockInputStream(source, startVirtual >>> 16)
+    val in = new LeReader(blockIn)
+    val inBlock = (startVirtual & 0xffff).toInt
+    if (inBlock > 0) in.skip(inBlock)
+    records(in, blockIn, endVirtual)
+  }
+
+  /** One linear pass over a .bam: the virtual offsets of every
+    * `every`-th record start (the first record always included),
+    * ascending — the split points intra-file parallel scans cut on.
+    * The analogue of a .bai's virtual-offset chunks, shape-only (no
+    * bins: this index exists for SPLITTING, not region queries). */
+  def indexOffsets(source: InputStream, every: Int): Seq[Long] = {
+    require(every >= 1, s"index stride must be >= 1, got $every")
+    val blockIn = new Bgzf.BlockInputStream(source)
+    val in = new LeReader(blockIn)
+    readRefs(in)
+    val out = collection.mutable.ArrayBuffer[Long]()
+    var n = 0L
+    var voff = blockIn.nextVirtualOffset
+    while (voff != Long.MaxValue) {
+      in.tryI32() match {
+        case None => voff = Long.MaxValue
+        case Some(blockSize) =>
+          if (n % every == 0) out += voff
+          in.skip(blockSize)
+          n += 1
+          voff = blockIn.nextVirtualOffset
+      }
+    }
+    out.toSeq
+  }
+
+  /** Sidecar split-index path for a .bam file. */
+  def indexPath(bam: Path): Path = new Path(bam.getParent, bam.getName + ".gbi")
+
+  /** Build the `.gbi` sidecar for every .bam under `path` (or the
+    * single file) — one linear scan per file, the same cost profile as
+    * `samtools index`. Foreign BAMs (any producer) index the same way:
+    * virtual offsets need no cooperation from the writer. */
+  def buildIndex(spark: SparkSession, path: String, every: Int = 4096): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = FileSystem.get(new java.net.URI(path), conf)
+    val stat = fs.globStatus(new Path(path, "*.bam"))
+    val files =
+      if (stat != null && stat.nonEmpty) stat.toSeq
+      else Seq(fs.getFileStatus(new Path(path)))
+    for (s <- files if s.isFile) {
+      val in = fs.open(s.getPath)
+      val offsets = try indexOffsets(in, every) finally in.close()
+      val w = fs.create(indexPath(s.getPath), true)
+      try w.write(offsets.mkString("", "\n", "\n").getBytes(UTF_8))
+      finally w.close()
+    }
   }
 
   /** Reference dictionary of a BAM file or shard directory as a
@@ -259,8 +334,15 @@ object Bam {
     * `chrom` (string), `start` (1-based, any integral type), `flags`,
     * `mapping_quality` (ints), `cigar` (text CIGAR string), and
     * optionally `read_name`. `refs` is the reference dictionary;
-    * chroms outside it fail loudly. Returns `path`. */
-  def writeShards(df: DataFrame, path: String, refs: Seq[(String, Int)]): String = {
+    * chroms outside it fail loudly. Returns `path`.
+    *
+    * Each task also emits its shard's `.gbi` split sidecar
+    * (`indexEvery`-record virtual-offset stride; <= 0 disables) — one
+    * extra sequential read of the bytes the task just wrote, so a
+    * later scan can split WITHIN a shard too (a skewed task can
+    * produce a multi-GB shard even in the sharded layout). */
+  def writeShards(df: DataFrame, path: String, refs: Seq[(String, Int)],
+      indexEvery: Int = 4096): String = {
     val spark = df.sparkSession
     val hconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val refIdx = refs.zipWithIndex.map { case ((n, _), i) => n -> i }.toMap
@@ -275,7 +357,8 @@ object Bam {
     df.select(cols: _*).rdd.foreachPartition { it =>
       val tid = org.apache.spark.TaskContext.get().partitionId()
       val fs = FileSystem.get(new java.net.URI(path), hconf.value)
-      val out = fs.create(new Path(path, f"part-$tid%05d.bam"), true)
+      val shard = new Path(path, f"part-$tid%05d.bam")
+      val out = fs.create(shard, true)
       val idx = bRefIdx.value
       val recs = it.zipWithIndex.map { case (r, i) =>
         val chrom = r.getString(0)
@@ -294,6 +377,13 @@ object Bam {
           if (hasName && !r.isNullAt(5)) r.getString(5) else s"r$tid-$i")
       }
       write(out, refs, recs)
+      if (indexEvery > 0) {
+        val in = fs.open(shard)
+        val offsets = try indexOffsets(in, indexEvery) finally in.close()
+        val w = fs.create(indexPath(shard), true)
+        try w.write(offsets.mkString("", "\n", "\n").getBytes(UTF_8))
+        finally w.close()
+      }
     }
     path
   }
@@ -335,10 +425,12 @@ class BamTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BamScanBuilder(if (path != null) path else options.get("path"))
+    new BamScanBuilder(if (path != null) path else options.get("path"),
+      Option(options.get("splits")).map(_.toInt))
 }
 
-class BamScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilters {
+class BamScanBuilder(path: String, splits: Option[Int] = None)
+    extends ScanBuilder with SupportsPushDownFilters {
   private var chromFilter: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -357,39 +449,94 @@ class BamScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilt
     filters.filterNot(f => first.contains(f))
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new BamScan(path, chromFilter)
+  override def build(): Scan = new BamScan(path, chromFilter, splits)
 }
 
-class BamScan(path: String, chromFilter: Option[Set[String]]) extends Scan with Batch {
+class BamScan(path: String, chromFilter: Option[Set[String]],
+    splits: Option[Int] = None) extends Scan with Batch {
   private val hadoopConf = new SerializableHadoopConf(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  private val maxPartitionBytes =
+    try org.apache.spark.sql.SparkSession.active.sessionState.conf.filesMaxPartitionBytes
+    catch { case _: Exception => 128L * 1024 * 1024 }
   override def readSchema(): StructType = BamDataSource.schema
   override def toBatch: Batch = this
   override def description(): String =
     s"BamScan($path${chromFilter.map(c => s", chrom in ${c.toSeq.sorted.mkString(",")}").getOrElse("")})"
+
+  /** A monolithic multi-GB .bam no longer scans on one task: when a
+    * `.gbi` sidecar exists ([[Bam.buildIndex]] / [[Bam.writeShards]]),
+    * the file splits WITHIN itself on record-aligned virtual offsets —
+    * grouped to `spark.sql.files.maxPartitionBytes` of compressed
+    * bytes, or into exactly `splits` ranges when the read option is
+    * set. Files without a sidecar scan whole, as before. */
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = FileSystem.get(new java.net.URI(path), hadoopConf.value)
     val stat = fs.globStatus(new Path(path, "*.bam"))
     val files =
       if (stat != null && stat.nonEmpty) stat.toSeq
       else Seq(fs.getFileStatus(new Path(path)))
-    files.filter(_.isFile)
-      .map(s => BamInputPartition(s.getPath.toString): InputPartition).toArray
+    files.filter(_.isFile).flatMap { s =>
+      val gbi = Bam.indexPath(s.getPath)
+      val offsets: Seq[Long] =
+        if (fs.exists(gbi)) {
+          val in = fs.open(gbi)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).map(_.toLong).toVector
+          finally in.close()
+        } else Nil
+      val endV = s.getLen << 16
+      if (offsets.size <= 1)
+        Seq(BamInputPartition(s.getPath.toString, -1L, endV): InputPartition)
+      else {
+        // cut points: every Nth offset for an explicit split count,
+        // else the first offset whose compressed distance from the
+        // range start reaches maxPartitionBytes
+        val starts = splits match {
+          case Some(k) if k >= 1 =>
+            val step = math.max(1, math.ceil(offsets.size.toDouble / k).toInt)
+            offsets.grouped(step).map(_.head).toVector
+          case _ =>
+            val cuts = collection.mutable.ArrayBuffer(offsets.head)
+            for (o <- offsets.tail)
+              if ((o >>> 16) - (cuts.last >>> 16) >= maxPartitionBytes) cuts += o
+            cuts.toVector
+        }
+        starts.zipWithIndex.map { case (st, i) =>
+          val en = if (i + 1 < starts.size) starts(i + 1) else endV
+          BamInputPartition(s.getPath.toString, st, en): InputPartition
+        }
+      }
+    }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new BamReaderFactory(chromFilter, hadoopConf)
 }
 
-case class BamInputPartition(file: String) extends InputPartition
+/** `startVirtual` < 0 means the legacy whole-file scan (no sidecar);
+  * otherwise [startVirtual, endVirtual) is a record-aligned range. */
+case class BamInputPartition(file: String, startVirtual: Long, endVirtual: Long)
+    extends InputPartition
 
 class BamReaderFactory(chromFilter: Option[Set[String]], hadoopConf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[BamInputPartition].file
+    val part = partition.asInstanceOf[BamInputPartition]
+    val file = part.file
     new PartitionReader[InternalRow] {
       private val fs = FileSystem.get(new java.net.URI(file), hadoopConf.value)
       private val stream = fs.open(new Path(file))
-      private val (refs, it) = Bam.read(stream)
+      private val (refs, it) =
+        if (part.startVirtual < 0) Bam.read(stream)
+        else {
+          // ranged scan: decode the header for the dictionary (first
+          // blocks only — the record iterator is never touched), then
+          // seek to the range's compressed block start and decode
+          // records until the end virtual offset
+          val (r, _) = Bam.read(stream)
+          stream.seek(part.startVirtual >>> 16)
+          (r, Bam.readRange(stream, part.startVirtual, part.endVirtual))
+        }
       private val names = refs.map(_._1).toArray
       private val keep: Int => Boolean = chromFilter match {
         case Some(set) =>

@@ -127,11 +127,20 @@ object Bgzf {
 
   /** InputStream over the inflated bytes of a BGZF stream. Walks
     * blocks via BSIZE (no speculative inflation); tolerates the EOF
-    * marker and plain stream end. */
-  final class BlockInputStream(source: InputStream) extends InputStream {
+    * marker and plain stream end.
+    *
+    * `baseOffset` is the COMPRESSED offset of the source's current
+    * position in its containing file, letting [[nextVirtualOffset]]
+    * report absolute BGZF virtual offsets
+    * (`compressed block start << 16 | offset within inflated block` —
+    * the .bai convention) for a stream opened mid-file via seek. */
+  final class BlockInputStream(source: InputStream, baseOffset: Long = 0L)
+      extends InputStream {
     private var block: Array[Byte] = Array.emptyByteArray
     private var pos = 0
     private var done = false
+    private var consumed = 0L      // compressed bytes read from source
+    private var blockStart = baseOffset // file offset of the current block
 
     private def readFully(buf: Array[Byte], off: Int, len: Int): Boolean = {
       var o = off; var remaining = len
@@ -141,12 +150,23 @@ object Bgzf {
           if (o == off) return false // clean block boundary EOF
           throw new EOFException("truncated BGZF block")
         }
+        consumed += n
         o += n; remaining -= n
       }
       true
     }
 
+    /** Absolute virtual offset of the NEXT byte this stream will
+      * return; Long.MaxValue at EOF. Loads the next block if the
+      * current one is exhausted, so the offset is always canonical
+      * (in-block position < block length). */
+    def nextVirtualOffset: Long = {
+      while (pos >= block.length) { if (done || !nextBlock()) return Long.MaxValue }
+      (blockStart << 16) | pos.toLong
+    }
+
     private def nextBlock(): Boolean = {
+      val startAbs = baseOffset + consumed
       val header = new Array[Byte](18)
       if (!readFully(header, 0, 12)) { done = true; return false }
       if ((header(0) & 0xff) != 0x1f || (header(1) & 0xff) != 0x8b)
@@ -191,7 +211,7 @@ object Bgzf {
       val want = (body(rest - 8) & 0xffL) | ((body(rest - 7) & 0xffL) << 8) |
         ((body(rest - 6) & 0xffL) << 16) | ((body(rest - 5) & 0xffL) << 24)
       if (crc.getValue != want) throw new IOException("BGZF CRC mismatch")
-      block = out; pos = 0
+      block = out; pos = 0; blockStart = startAbs
       true
     }
 
