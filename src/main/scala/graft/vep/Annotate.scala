@@ -1221,10 +1221,22 @@ object Annotate {
     // SNVs: normalized coords = the position itself, never an insertion
     val snvBody = coalesce(col("_sscan").getField("body"), lit(false))
     val snvSterms = coalesce(col("_sscan").getField("terms"), emptyTerms)
+    // the empty-terms drop (a trimmed event whose candidacy was
+    // raw-span only produces no terms and no CSQ row) runs PER BRANCH,
+    // pinned above the entry projection by [[graft.plans.NoPushdown]]:
+    // pushing `size(_terms) > 0` below the projection re-inlined the
+    // staged term trees into the filter (984/798-node filter copies,
+    // round-11 PERF.md — the single largest plan-mass concentration).
+    // The other entry branches build non-empty term arrays by
+    // construction, so only the snv/indel streams filter at all.
     val snvEntries = snvStaged
       .select(col("*"), snvTerm.as("_sterm"))
       .select(col("id"), col("transcript_id"),
-        concat(
+        // the terms alias is wrapped in [[graft.plans.NoPushdown]]:
+        // a nondeterministic projection field blocks the empty-terms
+        // filter below from being pushed through with the whole term
+        // tree substituted into it (see the branch filter note above)
+        graft.plans.PlanBarrier.noPushdown(concat(
           filter(array(col("_sterm"),
             // incomplete_terminal_codon co-occurs WITH its parent
             // coding_sequence_variant (strip_parent_terms explicitly
@@ -1237,7 +1249,7 @@ object Annotate {
             when(col("region") === "intronic" && instr(col("hgvs_c"), ":n.") > 0,
               rkLit("non_coding_transcript_variant"))),
             x => x.isNotNull),
-          coalesce(snvSterms, emptyTerms)).as("_terms"),
+          coalesce(snvSterms, emptyTerms))).as("_terms"),
         col("cdna_pos").cast("long").as("_cdna"),
         col("cdna_pos").cast("long").as("_cdna_end"),
         col("cds_pos").cast("long").as("_cds"),
@@ -1272,6 +1284,7 @@ object Annotate {
         nullL.as("_hoff"),
         nullS.as("_mname"), nullL.as("_mpos"), nullS.as("_minf"),
         lit(null).cast("double").as("_mscore"), nullS.as("_fbt"))
+      .where(graft.plans.PlanBarrier.noPushdown(size(col("_terms")) > 0))
 
     // ---- indel entries: region-term geometry + HGVS forms, FUSED ----
     // One candidate probe + one exon aggregation serves all three
@@ -1296,7 +1309,12 @@ object Annotate {
     // the scan a no-op: sh=0, HGVS_OFFSET never emits). VEP-normalized
     // coords + insertion flag feed the fused splice lambdas (the
     // former separate splice stream's probe keys).
-    val iv = vcf.where(!(length(col("ref")) === 1 && length(col("alt")) === 1))
+    // pinnedWhere: pushing this kind-split below the vcf projection
+    // inlines the (possibly derived) ref/alt trees into the scan
+    // filter — hundreds of expression nodes of plan mass for a
+    // predicate no row-group statistic can evaluate anyway
+    val iv = graft.plans.PlanBarrier.pinnedWhere(vcf,
+        !(length(col("ref")) === 1 && length(col("alt")) === 1))
       .select(col("*"),
         Splice.indelCoordsUdf(if (opts.shiftHgvs) 16 else 0)(
           col("chrom"), col("ref"), col("alt"), col("start").cast("long")).as("_ic"),
@@ -1560,7 +1578,8 @@ object Annotate {
         iSterms.as("_sterms"))
       .where(geomOk)
       .select(col("_i_vid").as("id"), col("_i_tid").as("transcript_id"),
-        concat(
+        // NoPushdown for the same reason as the snv branch
+        graft.plans.PlanBarrier.noPushdown(concat(
           filter(array(when(geomOk, col("_iterm")),
             // deletion reaching past the CDS into the UTR carries the
             // UTR term(s) BESIDE its coding term (add_coding_terms'
@@ -1579,7 +1598,7 @@ object Annotate {
             when(geomOk && !iCoding && col("_i_inex") === 0,
               rkLit("non_coding_transcript_variant"))),
             x => x.isNotNull),
-          col("_sterms")).as("_terms"),
+          col("_sterms"))).as("_terms"),
         when(col("_irawov") && hok, ilo).as("_cdna"),
         // the full cDNA span (both indel endpoints mapped to cDNA):
         // the reference's mirna_structure_field consumes the "N-M"
@@ -1603,6 +1622,7 @@ object Annotate {
           .as("_hoff"),
         nullS.as("_mname"), nullL.as("_mpos"), nullS.as("_minf"),
         lit(null).cast("double").as("_mscore"), nullS.as("_fbt"))
+      .where(graft.plans.PlanBarrier.noPushdown(size(col("_terms")) > 0))
 
     // ---- up/downstream entries (non-overlapping candidates in reach) ----
     val ut = transcripts.select(col("chrom").as("_u_tc"),
@@ -1874,12 +1894,11 @@ object Annotate {
     // off — the reference skips the computation, this library skips
     // the emission; same output.
     // an entry with an empty term set is NOT an assignment in VEP —
-    // e.g. a trimmed event whose candidacy was raw-span only (an
-    // insertion one past the transcript end) produces no terms and no
-    // CSQ row
+    // the drop is applied inside the snv/indel branches (pinned by
+    // NoPushdown, see the snvEntries comment); the remaining branches
+    // construct non-empty term arrays unconditionally
     val unioned0 = snvEntries.unionByName(indelEntries).unionByName(updown)
       .unionByName(regEntries).unionByName(motEntries).unionByName(intergenic)
-      .where(size(col("_terms")) > 0)
     // flag gating only rewrites columns when a flag is actually off —
     // the default (all on) path adds no projection layer
     val unioned =

@@ -357,7 +357,8 @@ object Hgvsp {
       maxShift: Int = 16): DataFrame = {
     graft.plans.Graft.enable(vcf.sparkSession)
     val v = graft.core.Parallelism.ensure(
-        vcf.where(!(length(col("ref")) === 1 && length(col("alt")) === 1)))
+        graft.plans.PlanBarrier.pinnedWhere(vcf,
+          !(length(col("ref")) === 1 && length(col("alt")) === 1)))
       .withColumn("_ic", Splice.indelCoordsUdf(maxShift)(
         col("chrom"), col("ref"), col("alt"), col("start").cast("long")))
       .select(col("chrom").as("_hc"), col("id").as("_hid"),

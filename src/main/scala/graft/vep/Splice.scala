@@ -122,7 +122,10 @@ object Splice {
       expr(CodonLogic.seq(CodonLogic.SparkD, "chrom",
         s"(CAST(start AS BIGINT) + ($o))"))
     }
-    val v = vcf.where(length(col("ref")) === 1 && length(col("alt")) === 1)
+    // pinnedWhere: see [[graft.plans.PlanBarrier]] — keeps the derived
+    // ref/alt trees out of the scan filter
+    val v = graft.plans.PlanBarrier.pinnedWhere(vcf,
+        length(col("ref")) === 1 && length(col("alt")) === 1)
       .select(col("chrom").as("_vc"), col("start").cast("long").as("_vp"),
         col("id").as("_vid"), col("ref").as("_vref"), col("alt").as("_valt"),
         array(winExprs: _*).as("_wb"))
@@ -683,7 +686,8 @@ object Splice {
       maxShift: Int = 16): DataFrame = {
     graft.plans.Graft.enable(vcf.sparkSession)
     val v = graft.core.Parallelism.ensure(
-        vcf.where(!(length(col("ref")) === 1 && length(col("alt")) === 1)))
+        graft.plans.PlanBarrier.pinnedWhere(vcf,
+          !(length(col("ref")) === 1 && length(col("alt")) === 1)))
       .withColumn("_ic", indelCoordsUdf(maxShift)(
         col("chrom"), col("ref"), col("alt"), col("start").cast("long")))
       .select(col("chrom").as("_vc"), col("id").as("_vid"),
