@@ -843,94 +843,38 @@ object Annotate {
     * separate aggregate). Extra input columns pass through — shared
     * by [[existingVar]] and the union-aggregate [[variantTail]]. */
   private def exvAppend(withEnts: DataFrame, opts: VepOptions): DataFrame = {
-    val emaxSql = "greatest(" + maxAfPopCols.map { case (_, c) =>
-      s"CAST(x.$c AS DECIMAL(5,4))" }.mkString(", ") + ")"
-    val popCases = maxAfPopCols.map { case (n, c) =>
-      s"CASE WHEN CAST(x.$c AS DECIMAL(5,4)) = _exm THEN '$n' END"
-    }.mkString(", ")
-    val chunkCond =
-      "ch -> instr(ch, ':') > 0 AND substring_index(ch, ':', 1) = _va"
-    val staged = withEnts.select(
-      (Seq(col("*"),
-        expr(s"array_max(transform(_ents, x -> $emaxSql))").as("_exm")) ++
-        afCsq.map { case (_, c) =>
-          expr(s"array_distinct(transform(filter(_ents, x -> x.$c IS NOT NULL), " +
-            s"x -> CAST(CAST(x.$c AS DECIMAL(5,4)) AS STRING)))").as(s"_afl_$c")
-        }): _*)
-      // per-entry dedup ONLY (push_unique_value dedups within an entry,
-      // automatic here since each pop name maps to one column; entries
-      // EXTEND without cross-entry dedup, :1800-1830) — two entries
-      // tying at the global max on the same population repeat its name.
-      // Two selects, one per dependency layer (each withColumn was an
-      // eager analyzer pass over this wide aggregate subtree)
-      .select(col("*"),
-        expr("flatten(transform(_ents, " +
-          s"x -> filter(array($popCases), p -> p IS NOT NULL)))").as("_pops"),
-        expr(
-          "array_distinct(transform(filter(_ents, x -> x.csa IS NOT NULL AND " +
-            s"size(filter(split(x.csa, ';'), $chunkCond)) > 0), " +
-            s"x -> array_join(transform(filter(split(x.csa, ';'), $chunkCond), " +
-            "ch -> substr(ch, instr(ch, ':') + 1)), ',')))").as("_csaVals"),
-        // fallback clin_sig scope anchor: position of the first
-        // clin_sig_allele-bearing entry (the reference checks the
-        // exists flag AFTER setting it within the same entry)
-        expr("array_position(transform(_ents, x -> x.csa IS NOT NULL), true)")
-          .as("_csaPos"),
-        expr("flatten(transform(_ents, " +
-          "x -> filter(split(coalesce(x.pubmed, ''), ','), v -> v <> '')))")
-          .as("_pbVals"))
-      .select(col("*"),
-        expr("flatten(transform(filter(slice(_ents, 1, " +
-          "CASE WHEN _csaPos IS NULL OR _csaPos = 0 THEN size(_ents) " +
-          "ELSE CAST(_csaPos - 1 AS INT) END), x -> x.cs IS NOT NULL), " +
-          "x -> filter(split(x.cs, ','), v -> v <> '')))").as("_fbVals"))
-    def gatedFlags(field: String): Column =
-      when(expr(s"exists(_ents, x -> x.$field = '1')"),
-        expr(s"array_join(transform(_ents, " +
-          s"x -> CASE WHEN x.$field = '1' THEN '1' ELSE '0' END), '&')"))
-        .otherwise(lit(""))
-    val clinField =
-      when(size(col("_csaVals")) > 0, csqEscape(array_join(col("_csaVals"), ";")))
-        .when(size(col("_fbVals")) > 0, csqEscape(array_join(col("_fbVals"), "&")))
-        .otherwise(lit(""))
-    val pubField =
-      when(size(col("_pbVals")) > 0, csqEscape(array_join(col("_pbVals"), "&")))
-        .otherwise(lit(""))
-    val exvar = expr("array_join(transform(filter(_ents, x -> x.vn <> ''), x -> x.vn), '&')")
-    // the 33 colocated-family CSQ fields (AF slots..PUBMED) are
-    // per-VARIANT constants: pre-join them into ONE suffix string
-    // here, so the per-entry join ships one column instead of 35 and
-    // the entry concat takes one argument for the whole block. Every
-    // argument is non-null by construction (concat_ws SKIPS nulls,
-    // which would SHIFT the following CSQ fields).
-    val suffix = concat_ws("|",
-      (afCsq.map { case (_, c) =>
-        if (opts.groupOn(c)) array_join(col(s"_afl_$c"), "&") else lit("")
-      } ++ Seq(
-        if (opts.maxAfOn) coalesce(col("_exm").cast("string"), lit("")) else lit(""),
-        if (opts.maxAfOn) array_join(col("_pops"), "&") else lit(""),
-        clinField, gatedFlags("somatic"), gatedFlags("pheno"),
-        if (opts.pubmedOn) pubField else lit(""))): _*)
-    val hasExv = size(col("_ents")) > 0
-    staged.select(
-      (Seq(col("*"),
-        when(hasExv, exvar).as("_exvar"),
-        when(hasExv, suffix).as("_exsuffix"),
-        when(hasExv, exvar).as("variation_name")) ++
-        afCsq.map { case (_, c) =>
-          if (opts.groupOn(c))
-            when(size(col(s"_afl_$c")) === 1,
-              element_at(col(s"_afl_$c"), 1).cast("double")).as(c)
-          else lit(null).cast("double").as(c)
-        } ++
-        Seq(
-          (if (opts.maxAfOn) col("_exm").cast("double")
-           else lit(null).cast("double")).as("max_af"),
-          (if (opts.maxAfOn)
-             when(size(col("_pops")) > 0, array_join(col("_pops"), "&"))
-           else lit(null).cast("string")).as("max_af_pops"))): _*)
-      .drop((Seq("_exm", "_pops", "_csaVals", "_csaPos", "_pbVals", "_fbVals") ++
-        afCsq.map { case (_, c) => s"_afl_$c" }): _*)
+    // the whole colocated fold — per-column distinct AF slots (the
+    // per-entry dedup of push_unique_value), the entry-major
+    // MAX_AF/MAX_AF_POPS fold, clin_sig_allele preference with the
+    // before-first-csa clin_sig fallback, pubmed splitting, flag
+    // gating, the pre-joined 33-field suffix — runs as ONE compiled
+    // expression ([[graft.plans.ExvFold]]): the former two-layer HOF
+    // chain evaluated ~30 CodegenFallback lambdas interpreted per
+    // entry AND carried ~1,900 expression nodes of plan mass per call
+    // (the largest residual after the union filters, round-11 verdict
+    // #2). The DuckDB oracle keeps the SQL formulation (exvCtes), so
+    // the engines cross-check.
+    import org.apache.spark.sql.GraftColumnBridge
+    val conf = graft.plans.ExvConf(
+      groupOn = afCsq.map { case (_, c) => opts.groupOn(c) },
+      popNames = maxAfPopCols.map(_._1),
+      popFieldIdx = maxAfPopCols.map { case (_, c) =>
+        3 + afCsq.indexWhere(_._2 == c) },
+      maxAfOn = opts.maxAfOn, pubmedOn = opts.pubmedOn)
+    val fold = GraftColumnBridge.column(graft.plans.ExvFold(
+      GraftColumnBridge.expression(col("_ents")),
+      GraftColumnBridge.expression(col("_va")), conf))
+    withEnts.select(col("*"), fold.as("_exv"))
+      .select(
+        (Seq(col("*"),
+          col("_exv.exvar").as("_exvar"),
+          col("_exv.exsuffix").as("_exsuffix"),
+          col("_exv.exvar").as("variation_name")) ++
+          afCsq.zipWithIndex.map { case ((_, c), i) =>
+            element_at(col("_exv.afs"), i + 1).as(c) } ++
+          Seq(col("_exv.max_af").as("max_af"),
+            col("_exv.max_af_pops").as("max_af_pops"))): _*)
+      .drop("_exv")
   }
 
   /** See the Scaladoc above [[lookedEntStruct]]/[[exvAppend]] — the
