@@ -263,6 +263,29 @@ object Bam {
   /** Sidecar split-index path for a .bam file. */
   def indexPath(bam: Path): Path = new Path(bam.getParent, bam.getName + ".gbi")
 
+  /** Serialize a `.gbi` sidecar: a `#len=<bam bytes>` staleness header
+    * (a rewritten BAM with a leftover sidecar would otherwise cut on
+    * mis-aligned virtual offsets — usually a CRC error, but offsets
+    * landing on plausible block boundaries could drop or duplicate
+    * records silently) followed by one ascending virtual offset per
+    * line. */
+  def renderIndex(offsets: Seq[Long], bamLen: Long): Array[Byte] =
+    (s"#len=$bamLen\n" + offsets.mkString("", "\n", "\n")).getBytes(UTF_8)
+
+  /** Parse a `.gbi` sidecar; `None` when its `#len=` header no longer
+    * matches the BAM's current byte length (stale — caller must fall
+    * back to the whole-file partition). Headerless legacy sidecars
+    * are accepted as-is. */
+  def parseIndex(lines: Iterator[String], bamLen: Long): Option[Seq[Long]] = {
+    val all = lines.filter(_.nonEmpty).toVector
+    val (hdr, offs) = all.partition(_.startsWith("#"))
+    val recordedLen = hdr.collectFirst {
+      case h if h.startsWith("#len=") => h.stripPrefix("#len=").toLong
+    }
+    if (recordedLen.exists(_ != bamLen)) None
+    else Some(offs.map(_.toLong))
+  }
+
   /** Build the `.gbi` sidecar for every .bam under `path` (or the
     * single file) — one linear scan per file, the same cost profile as
     * `samtools index`. Foreign BAMs (any producer) index the same way:
@@ -278,7 +301,7 @@ object Bam {
       val in = fs.open(s.getPath)
       val offsets = try indexOffsets(in, every) finally in.close()
       val w = fs.create(indexPath(s.getPath), true)
-      try w.write(offsets.mkString("", "\n", "\n").getBytes(UTF_8))
+      try w.write(renderIndex(offsets, s.getLen))
       finally w.close()
     }
   }
@@ -378,10 +401,11 @@ object Bam {
       }
       write(out, refs, recs)
       if (indexEvery > 0) {
+        val len = fs.getFileStatus(shard).getLen
         val in = fs.open(shard)
         val offsets = try indexOffsets(in, indexEvery) finally in.close()
         val w = fs.create(indexPath(shard), true)
-        try w.write(offsets.mkString("", "\n", "\n").getBytes(UTF_8))
+        try w.write(renderIndex(offsets, len))
         finally w.close()
       }
     }
@@ -481,8 +505,10 @@ class BamScan(path: String, chromFilter: Option[Set[String]],
       val offsets: Seq[Long] =
         if (fs.exists(gbi)) {
           val in = fs.open(gbi)
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-            .filter(_.nonEmpty).map(_.toLong).toVector
+          // stale sidecar (BAM rewritten since indexing) → whole-file
+          try Bam.parseIndex(
+            scala.io.Source.fromInputStream(in, "UTF-8").getLines(), s.getLen)
+            .getOrElse(Nil)
           finally in.close()
         } else Nil
       val endV = s.getLen << 16

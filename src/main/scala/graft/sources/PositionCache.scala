@@ -21,9 +21,16 @@ import org.apache.spark.sql.functions._
 object PositionCache {
 
   /** Write `cache` in point-lookup layout. Sorting within each chrom
-    * partition keeps row-group stats tight at any scale. */
+    * partition keeps row-group stats tight at any scale.
+    *
+    * Chrom keys are normalized to bare names at WRITE time, mirroring
+    * the reference's key encoding which strips at both build and probe
+    * (kv_cache/key_encoding.rs:61 chrom_to_code): a chr-prefixed input
+    * frame written here must still be hit by the bare-probing
+    * lookup/lookupBatch below. */
   def write(cache: DataFrame, path: String): Unit =
-    cache.repartition(col("chrom"))
+    cache.withColumn("chrom", bareChrom(col("chrom")))
+      .repartition(col("chrom"))
       .sortWithinPartitions(col("start"))
       .write.mode("overwrite").partitionBy("chrom").parquet(path)
 

@@ -821,7 +821,10 @@ object Annotate {
     struct(
       (Seq(sm.as("sm"), pr.as("pr"),
         stripCtl(col("variation_name")).as("vn")) ++
-        afCsq.map(_._2).map(c => col(c).as(c)) ++
+        // ExvFold reads these slots with getDouble; the cast makes that
+        // assumption plan-enforced for caches whose AF columns arrive
+        // as float/decimal/string (the replaced SQL had CAST AS DECIMAL)
+        afCsq.map(_._2).map(c => col(c).cast("double").as(c)) ++
         Seq(stripCtl(col("somatic").cast("string")).as("somatic"),
           stripCtl(col("pheno").cast("string")).as("pheno"),
           stripCtl(col("pubmed")).as("pubmed"),

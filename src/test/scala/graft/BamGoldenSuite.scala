@@ -129,6 +129,41 @@ class BamGoldenSuite extends SparkSpec {
     }
   }
 
+  test("a stale .gbi sidecar falls back to the whole-file partition") {
+    // round-12 ADVICE: a rewritten BAM with a leftover sidecar would
+    // cut on mis-aligned virtual offsets — the #len= header detects
+    // the mismatch and the planner scans the file whole instead.
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(hconf).getRawFileSystem
+    val tmp = "/tmp/graft_test_bam_stale"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tmp))
+    org.apache.hadoop.fs.FileUtil.copy(
+      new java.io.File(s"$dataDir/ovl.bam"),
+      fs, new org.apache.hadoop.fs.Path(s"$tmp/ovl.bam"), false, hconf)
+    graft.sources.Bam.buildIndex(spark, tmp, every = 1)
+    def partsAt(k: Int) =
+      new graft.sources.BamScan(tmp, None, Some(k)).planInputPartitions()
+    assert(partsAt(4).length > 1, "fresh sidecar must split")
+    // "rewrite" the BAM: replace it with the other reference file so
+    // the recorded #len= no longer matches
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/ovl.bam"), false)
+    org.apache.hadoop.fs.FileUtil.copy(
+      new java.io.File(s"$dataDir/overlapping-pairs.bam"),
+      fs, new org.apache.hadoop.fs.Path(s"$tmp/ovl.bam"), false, hconf)
+    val stale = partsAt(4)
+    assert(stale.length == 1 &&
+      stale.head.asInstanceOf[graft.sources.BamInputPartition].startVirtual < 0,
+      s"stale sidecar must scan whole-file, got ${stale.toSeq}")
+    // the replaced file still reads correctly end-to-end
+    val rows = spark.read.format("graft.sources.BamDataSource")
+      .option("path", tmp).load().count()
+    assert(rows > 0)
+    // headerless legacy sidecars parse as-is
+    assert(graft.sources.Bam.parseIndex(Iterator("36", "1024"), 999L)
+      .contains(Seq(36L, 1024L)))
+  }
+
   test("reference dictionary decodes (MT length 16569 per the header)") {
     val fs = new java.io.FileInputStream(s"$dataDir/ovl.bam")
     val (refs, it) = graft.sources.Bam.read(fs)

@@ -58,6 +58,27 @@ class SourcesSuite extends SparkSpec {
     assert(got == Set("rs1", "rs3"))
   }
 
+  test("position-cache write normalizes chr-prefixed chroms to bare keys") {
+    import graft.sources.PositionCache
+    // the reference strips at key ENCODING on both build and probe
+    // (kv_cache/key_encoding.rs:61) — a chr-prefixed input frame must
+    // still be hit by the bare-probing lookups
+    val cache = Seq(
+      ("chr7", 100L, "rs10"),
+      ("12", 200L, "rs11"))
+      .toDF("chrom", "start", "variation_name")
+    val path = "/tmp/graft_test_kvcache_chr"
+    PositionCache.write(cache, path)
+    val stored = PositionCache.open(spark, path)
+    assert(stored.select("chrom").distinct().collect().map(_.getString(0)).toSet
+      == Set("7", "12"), "stored keys must be bare")
+    assert(PositionCache.lookup(stored, "chr7", 100L)
+      .collect().map(_.getAs[String]("variation_name")).toSeq == Seq("rs10"))
+    val keys = Seq(("chr7", 100L), ("12", 200L)).toDF("chrom", "start")
+    assert(PositionCache.lookupBatch(stored, keys)
+      .collect().map(_.getAs[String]("variation_name")).toSet == Set("rs10", "rs11"))
+  }
+
   test("chrom equality pushes into the reader (PushedFilters visible)") {
     val path = "/tmp/graft_test_vcf_dsv2"
     writeVcf(path)
