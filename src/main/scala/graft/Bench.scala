@@ -78,6 +78,11 @@ object Bench {
       // suite, warm samples measure the operators: e2e 7.2-8.4 ->
       // 4.6-5.4 s, executor task time 63-73 -> 17-21 s
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // broadcast reaping must not wait for the default 30-MIN
+      // periodic GC: a long sweep otherwise accumulates every query's
+      // build-side broadcasts (runOnce's explicit gc is the primary
+      // mechanism; this is the backstop for in-query buildup)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1053,10 +1053,49 @@ object Annotate {
     * estimate exceeds the [[graft.ranges.BuildGuard]] broadcast cap
     * skips localization and keeps its plain broadcast subtree
     * (same results, no driver materialization at plan build). */
+  /** Session dim cache: the reference provider loads its caches ONCE
+    * per session and streams batches through
+    * (annotate_provider.rs load-once lifecycle); re-collecting the
+    * same dim subtree on every annotate call paid its Spark jobs and
+    * driver copies per call. Keyed by the dim's canonicalized plan
+    * (same table + same derivation → same rows for a deterministic
+    * plan), bounded LRU so pathological callers cannot pin unbounded
+    * driver memory. */
+  private val dimCache =
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]) =
+        size() > 64
+    }
+
+  /** A dim plan is cacheable only when every leaf is a file-backed
+    * relation: a LocalRelation/LogicalRDD leaf canonicalizes WITHOUT
+    * its data, so two distinct in-memory dims sharing one schema would
+    * collide on the cache key (file relations carry their location in
+    * the canonical form, and cache entries die with their session). */
+  private def fileBackedOnly(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    plan.collectLeaves().forall {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case _ => false
+    }
+
   private def localize(df: DataFrame): DataFrame =
     if (!graft.ranges.BuildGuard.fits(df)) df
-    else df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(df.collect(): _*), df.schema)
+    else if (!fileBackedOnly(df.queryExecution.analyzed))
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    else {
+      // the cached Dataset is bound to its creating session — key on
+      // it so a fresh session (tests, restarts) never reuses a stale one
+      val key = System.identityHashCode(df.sparkSession) + " " +
+        df.queryExecution.analyzed.canonicalized.toString
+      dimCache.synchronized(Option(dimCache.get(key))).getOrElse {
+        val local = df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(df.collect(): _*), df.schema)
+        dimCache.synchronized(dimCache.put(key, local))
+        local
+      }
+    }
 
   /** [[localize]] over several dims with the collects running
     * CONCURRENTLY (independent Spark actions): the construction-time

@@ -58,6 +58,42 @@ class SourcesSuite extends SparkSpec {
     assert(got == Set("rs1", "rs3"))
   }
 
+  test("many-member BGZF survives a stream whose available() is 0") {
+    import graft.sources.Bgzf
+    // the failure mode the sniff routing exists for: the JDK's
+    // GZIPInputStream silently STOPS at a gzip member boundary when
+    // the underlying stream's available() returns 0 — on a BGZF file
+    // (many-member by construction) that truncates rows instead of
+    // erroring. Pin that the BlockInputStream route decodes EVERY
+    // member under an adversarial available()==0 stream.
+    val bytes = new java.io.ByteArrayOutputStream()
+    val out = new Bgzf.BlockOutputStream(bytes)
+    val n = 3000
+    for (i <- 0 until n) {
+      out.write(s"chr1\t${i + 1}\tv$i\tA\tG\t.\tPASS\tVID=$i\n".getBytes("UTF-8"))
+      out.flush() // one BGZF member per line: n-member file
+    }
+    out.close()
+    val starved = new java.io.ByteArrayInputStream(bytes.toByteArray) {
+      override def available(): Int = 0
+    }
+    val buf = new java.io.BufferedInputStream(starved, 131072)
+    assert(Bgzf.sniffBgzf(buf), "BGZF member must sniff as BGZF")
+    val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new Bgzf.BlockInputStream(buf), "UTF-8"))
+    var rows = 0
+    var line = reader.readLine()
+    while (line != null) { rows += 1; line = reader.readLine() }
+    assert(rows == n, s"expected $n rows across $n BGZF members, got $rows")
+    // contrast: a plain single-member gzip of the same text sniffs as
+    // NOT BGZF (routes to GZIPInputStream)
+    val plain = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(plain)
+    gz.write("chr1\t1\tv0\tA\tG\t.\tPASS\tVID=0\n".getBytes("UTF-8")); gz.close()
+    assert(!Bgzf.sniffBgzf(new java.io.BufferedInputStream(
+      new java.io.ByteArrayInputStream(plain.toByteArray))))
+  }
+
   test("position-cache write normalizes chr-prefixed chroms to bare keys") {
     import graft.sources.PositionCache
     // the reference strips at key ENCODING on both build and probe
