@@ -151,8 +151,12 @@ object PileupVepQueries {
     "s6_vcf_roundtrip" -> ((s, d) => {
       val df = Tables.vcf(s, d).withColumn("vid", col("id"))
       val path = s"/tmp/graft_vcf_roundtrip_${math.abs(d.hashCode).toString}"
-      Vep.toVcfLines(df, Seq("vid")).coalesce(4)
-        .write.mode("overwrite").text(path)
+      // the progress-callback sink (S6's last reference-surface piece:
+      // vcf_sink.rs rows-written hook) — gate-covered here; the header
+      // lines it writes are filtered by the '#' predicate below, so
+      // the round-trip contract is unchanged
+      Vep.writeVcf(Vep.toVcfLines(df, Seq("vid")).coalesce(4), path,
+        Vep.vcfHeader(Seq("vid")))
       val p = split(col("value"), "\t")
       s.read.text(path)
         .where(!col("value").startsWith("#"))

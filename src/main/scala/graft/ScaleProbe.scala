@@ -178,6 +178,9 @@ object ScaleProbe {
       System.gc()
       Thread.sleep(200)
     }
+    // per-scale quiet-pass aggregation for the summary line: a pass
+    // with material steal measured the hypervisor, not the engine
+    val taskSecs = collection.mutable.LinkedHashMap[String, Vector[(Double, Double, Double)]]()
     def run(label: String, k: Int): Unit = {
       // materialize the k× table OUTSIDE the timed region (one-time
       // parquet write), and run ONE untimed warm pass: the first pass
@@ -232,10 +235,24 @@ object ScaleProbe {
         }
         val jitSec = { val j1 = jitMs; if (jit0 >= 0 && j1 >= 0) (j1 - jit0) / 1e3 else -1.0 }
         println(f"""{"probe":"$label","factor":$k,"pass":$p,"wall":$wall%.2f,"taskSec":$tSec%.1f,"cpuSec":$cSec%.1f,"gcSec":$gSec%.1f,"jvmGcSec":$jvmGc%.1f,"fetchSec":$fSec%.1f,"shufWSec":$wSec%.1f,"deserSec":$dSec%.1f,"busyWall":$busy%.2f,"idleWall":${math.max(wall - busy, 0)}%.2f,"jobs":$nJobs,"jobWall":$jobWall%.2f,"conc":${if (busy > 0) tSec / busy else 0}%.1f,"heapStartMB":$heap0,"heapEndMB":$heapEnd,"maxHeapMB":$maxHeapMb,"bcBlocksStart":$bc0Count,"bcBlocksEnd":$bcEnd,"stealSec":$stealSec%.1f,"jitSec":$jitSec%.1f}""")
+        taskSecs(label) = taskSecs.getOrElse(label, Vector.empty) :+ ((tSec, wall, stealSec))
       }
     }
     run("e2e_1x", 1)
     run(s"e2e_${factor}x", factor)
+    // summary: quiet-pass (steal < 3 s) medians per scale + the
+    // linearity ratio the stability claim is judged on
+    def med(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1 else xs.sorted.apply(xs.size / 2)
+    def quiet(label: String): (Double, Double, Int) = {
+      val all = taskSecs.getOrElse(label, Vector.empty)
+      val q = all.filter(_._3 < 3.0)
+      val use = if (q.size >= 2) q else all
+      (med(use.map(_._1)), med(use.map(_._2)), use.size)
+    }
+    val (t1, w1, n1) = quiet("e2e_1x")
+    val (tk, wk, nk) = quiet(s"e2e_${factor}x")
+    println(f"""{"probe":"summary","factor":$factor,"oneXTaskMed":$t1%.1f,"oneXWallMed":$w1%.2f,"kXTaskMed":$tk%.1f,"kXWallMed":$wk%.2f,"taskRatioVsLinear":${if (t1 > 0) tk / (t1 * factor) else -1}%.2f,"quietPasses1x":$n1,"quietPassesKx":$nk}""")
     spark.stop()
   }
 }

@@ -131,6 +131,50 @@ object Vep {
     infoCols.map(c => s"""##INFO=<ID=${c.toUpperCase},Number=1,Type=String,Description="$c">""") :+
     "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
 
+  /** Sharded VCF file sink with a LIVE progress callback — the last
+    * piece of the reference's vcf_sink surface (vcf_sink.rs:19-20,
+    * 65-69: a rows-written callback that drives tqdm in the Python
+    * wrappers). Spark's distributed equivalent of that hook is a
+    * LongAccumulator: every partition adds as it writes, the driver
+    * polls the live value on a daemon thread and invokes `onProgress`
+    * until the job completes (accumulator reads are driver-local —
+    * no job, no shuffle, safe at any poll rate). Each shard carries
+    * the full header, so every part-NNNNN.vcf is a valid standalone
+    * VCF (the standard sharded layout, same as [[graft.sources.Bam
+    * .writeShards]]). Returns total rows written. */
+  def writeVcf(lines: DataFrame, path: String, header: Seq[String],
+      onProgress: Long => Unit = null, pollMs: Long = 200): Long = {
+    val spark = lines.sparkSession
+    val acc = spark.sparkContext.longAccumulator("vcf_rows_written")
+    val hconf = new graft.sources.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), hconf.value)
+    fs0.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs0.mkdirs(new org.apache.hadoop.fs.Path(path))
+    val poller = Option(onProgress).map { cb =>
+      val t = new Thread(() => {
+        try { while (true) { cb(acc.value); Thread.sleep(pollMs) } }
+        catch { case _: InterruptedException => }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    try {
+      val hdr = header
+      lines.select(col("line")).rdd.foreachPartition { it =>
+        val tid = org.apache.spark.TaskContext.get().partitionId()
+        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), hconf.value)
+        val out = fs.create(new org.apache.hadoop.fs.Path(path, f"part-$tid%05d.vcf"), true)
+        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(out, "UTF-8"))
+        try {
+          hdr.foreach { h => w.write(h); w.write('\n') }
+          it.foreach { r => w.write(r.getString(0)); w.write('\n'); acc.add(1) }
+        } finally w.close()
+      }
+    } finally poller.foreach(_.interrupt())
+    Option(onProgress).foreach(_(acc.value)) // final count, post-join
+    acc.value
+  }
+
   /** Annotated-VCF serialization (the reference's annotate output
     * writer): joins [[Annotate.annotate]]'s per-variant result back
     * onto the variant coordinates and renders `CSQ=` INFO lines, with

@@ -58,6 +58,34 @@ class SourcesSuite extends SparkSpec {
     assert(got == Set("rs1", "rs3"))
   }
 
+  test("writeVcf reports live progress and writes standalone shards") {
+    val df = (1 to 500).map(i => ("1", i.toLong, i.toLong, s"v$i", "A", "G"))
+      .toDF("chrom", "start", "end", "id", "ref", "alt")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val path = "/tmp/graft_test_vcf_progress"
+    val total = Vep.writeVcf(
+      Vep.toVcfLines(df.repartition(4), Seq()), path,
+      Vep.vcfHeader(Seq()), onProgress = seen.add(_), pollMs = 10)
+    assert(total == 500)
+    val values = {
+      import scala.jdk.CollectionConverters._
+      seen.iterator().asScala.toVector
+    }
+    // the callback fired, monotonically, and ended on the exact count
+    assert(values.nonEmpty && values.last == 500)
+    assert(values.zip(values.tail).forall { case (a, b) => a <= b })
+    // every shard is a standalone VCF: header first, then rows
+    val shards = new java.io.File(path).listFiles().filter(_.getName.endsWith(".vcf"))
+    assert(shards.length == 4)
+    val rows = shards.map { f =>
+      val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
+      assert(lines.head == "##fileformat=VCFv4.2", f.getName)
+      assert(lines.exists(_.startsWith("#CHROM")))
+      lines.count(!_.startsWith("#"))
+    }.sum
+    assert(rows == 500)
+  }
+
   test("many-member BGZF survives a stream whose available() is 0") {
     import graft.sources.Bgzf
     // the failure mode the sniff routing exists for: the JDK's
