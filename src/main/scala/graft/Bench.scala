@@ -310,5 +310,8 @@ object Bench {
       s"final bench line ${compact.length} chars overflows the ~1.9 KB tail window")
     println(compact)
     spark.stop()
+    // once more AFTER stop: if shutdown emits log noise, the copy
+    // below is still the last complete line in the capture window
+    println(compact)
   }
 }

@@ -176,4 +176,26 @@ class MlSuite extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("prepared registry: memoized queries re-execute; checkpointed plans rebuild") {
+    // round-13 regression: the FIRST registry implementation memoized
+    // every Dataset, and d_dup_clusters (checkpointed iteration state
+    // in its plan leaves) FAILED on re-invocation once inter-query
+    // cleanup reclaimed its blocks — two consecutive invocations must
+    // both produce rows, and file-backed queries must reuse one plan
+    val d = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries
+    val dup1 = q("d_dup_clusters")(spark, d)
+    val n1 = dup1.count()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    System.gc()
+    val dup2 = q("d_dup_clusters")(spark, d)
+    assert(dup2.count() == n1, "checkpointed query must survive re-invocation")
+    assert(!(dup1 eq dup2), "checkpointed plans must NOT be memoized")
+    val a1 = q("f11_maxaf")(spark, d)
+    val a2 = q("f11_maxaf")(spark, d)
+    assert(a1 eq a2, "file-backed queries must return the prepared Dataset")
+    assert(a2.count() > 0)
+  }
 }
