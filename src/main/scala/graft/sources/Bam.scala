@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
 final case class BamRecord(
     refId: Int, pos: Int, mapq: Int, flag: Int,
     cigarOps: Array[Int], readName: String,
-    seq: String = null, qual: String = null)
+    seq: String = null, qual: String = null,
+    tags: Array[(String, String)] = null)
 
 /** Pure-JDK BAM binary codec (SAMv1 spec §4: BGZF container +
   * little-endian record layout) — closes SURVEY §2 S2: the reference
@@ -173,6 +174,54 @@ object Bam {
   /** 4-bit base codes of the SAM spec's seq encoding (§4.2.3). */
   private val SeqCodes = "=ACMGRSVTWYHKDBN".toCharArray
 
+  /** Decode a record's aux-field region into SAM-rendered
+    * (tag, "TYPE:VALUE") pairs (SAMv1 §4.2.4; samtools convention:
+    * every integer width renders as `i`, B arrays as
+    * `B:<subtype>,v1,v2,…`). */
+  def parseAux(aux: Array[Byte]): Array[(String, String)] = {
+    val out = collection.mutable.ArrayBuffer[(String, String)]()
+    var p = 0
+    def u8 = { val v = aux(p) & 0xff; p += 1; v }
+    def i16 = { val v = ((aux(p) & 0xff) | ((aux(p + 1) & 0xff) << 8)).toShort.toInt; p += 2; v }
+    def u16 = { val v = (aux(p) & 0xff) | ((aux(p + 1) & 0xff) << 8); p += 2; v }
+    def i32 = { val v = (aux(p) & 0xff) | ((aux(p + 1) & 0xff) << 8) |
+      ((aux(p + 2) & 0xff) << 16) | ((aux(p + 3) & 0xff) << 24); p += 4; v }
+    def zstr = { val e = aux.indexOf(0, p); val s = new String(aux, p, e - p, UTF_8); p = e + 1; s }
+    def one(t: Char): String = t match {
+      case 'A' => "A:" + u8.toChar
+      case 'c' => "i:" + u8.toByte
+      case 'C' => "i:" + u8
+      case 's' => "i:" + i16
+      case 'S' => "i:" + u16
+      case 'i' => "i:" + i32
+      case 'I' => "i:" + (i32.toLong & 0xffffffffL)
+      case 'f' => "f:" + java.lang.Float.intBitsToFloat(i32)
+      case 'Z' => "Z:" + zstr
+      case 'H' => "H:" + zstr
+      case 'B' =>
+        val st = u8.toChar
+        val n = i32
+        val vs = (0 until n).map { _ =>
+          st match {
+            case 'c' => u8.toByte.toString
+            case 'C' => u8.toString
+            case 's' => i16.toString
+            case 'S' => u16.toString
+            case 'i' => i32.toString
+            case 'I' => (i32.toLong & 0xffffffffL).toString
+            case 'f' => java.lang.Float.intBitsToFloat(i32).toString
+          }
+        }
+        s"B:$st," + vs.mkString(",")
+    }
+    while (p < aux.length) {
+      val tag = new String(aux, p, 2, UTF_8); p += 2
+      val t = u8.toChar
+      out += ((tag, one(t)))
+    }
+    out.toArray
+  }
+
   /** Record iterator over `in`, stopping BEFORE the record whose
     * virtual offset (per `blockIn`) reaches `endVirtual` — the ranged
     * half of intra-file splitting: a split point is always a record
@@ -180,7 +229,8 @@ object Bam {
     * (no duplication, no loss). `wantSeq` decodes seq/qual (otherwise
     * skipped bytewise with the tags). */
   private def records(in: LeReader, blockIn: Bgzf.BlockInputStream,
-      endVirtual: Long, wantSeq: Boolean = false): Iterator[BamRecord] = new Iterator[BamRecord] {
+      endVirtual: Long, wantSeq: Boolean = false,
+      wantTags: Boolean = false): Iterator[BamRecord] = new Iterator[BamRecord] {
     private var nextRec: BamRecord = _
     private var fetched = false
     private def fetch(): Unit = {
@@ -206,10 +256,10 @@ object Bam {
           var i = 0
           while (i < nCigar) { ops(i) = in.i32(); i += 1 }
           val consumed = 32 + lrn + 4 * nCigar
-          if (!wantSeq || lSeq == 0) {
-            in.skip(blockSize - consumed) // seq + qual + tags
-            nextRec = BamRecord(refId, pos, mapq, flag, ops, name)
-          } else {
+          val seqQualBytes = (lSeq + 1) / 2 + lSeq
+          val auxBytes = blockSize - consumed - seqQualBytes
+          var seqS: String = null; var qualS: String = null
+          if (wantSeq && lSeq > 0) {
             // seq: 4-bit codes, high nibble first; qual: raw phred
             // scores, 0xff in byte 0 = unavailable (SAM '*')
             val seqB = in.bytes((lSeq + 1) / 2)
@@ -220,19 +270,28 @@ object Bam {
               seqC(b) = SeqCodes(if ((b & 1) == 0) v >>> 4 else v & 0xf)
               b += 1
             }
+            seqS = new String(seqC)
             val qualB = in.bytes(lSeq)
-            val qual =
-              if ((qualB(0) & 0xff) == 0xff) null
-              else {
-                val qc = new Array[Char](lSeq)
-                var i = 0
-                while (i < lSeq) { qc(i) = ((qualB(i) & 0xff) + 33).toChar; i += 1 }
-                new String(qc)
-              }
-            in.skip(blockSize - consumed - (lSeq + 1) / 2 - lSeq) // tags
-            nextRec = BamRecord(refId, pos, mapq, flag, ops, name,
-              new String(seqC), qual)
+            if ((qualB(0) & 0xff) != 0xff) {
+              val qc = new Array[Char](lSeq)
+              var i = 0
+              while (i < lSeq) { qc(i) = ((qualB(i) & 0xff) + 33).toChar; i += 1 }
+              qualS = new String(qc)
+            }
           }
+          // stream position: after qual when seq was decoded, else
+          // still before seq — skip to the aux region or past the rest
+          val seqDecoded = wantSeq && lSeq > 0
+          var tags: Array[(String, String)] = null
+          if (wantTags) {
+            if (!seqDecoded) in.skip(seqQualBytes)
+            tags =
+              if (auxBytes > 0) parseAux(in.bytes(auxBytes))
+              else Array.empty[(String, String)]
+          } else {
+            in.skip(auxBytes + (if (seqDecoded) 0 else seqQualBytes))
+          }
+          nextRec = BamRecord(refId, pos, mapq, flag, ops, name, seqS, qualS, tags)
       }
     }
     override def hasNext: Boolean = { if (!fetched) fetch(); nextRec != null }
@@ -245,11 +304,11 @@ object Bam {
 
   /** Read a BAM stream: (reference dictionary, record iterator). The
     * iterator decodes lazily; seq/qual/tags are skipped bytewise. */
-  def read(source: InputStream, wantSeq: Boolean = false)
-      : (Seq[(String, Int)], Iterator[BamRecord]) = {
+  def read(source: InputStream, wantSeq: Boolean = false,
+      wantTags: Boolean = false): (Seq[(String, Int)], Iterator[BamRecord]) = {
     val blockIn = new Bgzf.BlockInputStream(source)
     val in = new LeReader(blockIn)
-    (readRefs(in), records(in, blockIn, Long.MaxValue, wantSeq))
+    (readRefs(in), records(in, blockIn, Long.MaxValue, wantSeq, wantTags))
   }
 
   /** Decode the records of the virtual-offset range [startVirtual,
@@ -257,12 +316,12 @@ object Bam {
     * `startVirtual`'s compressed block offset. Both bounds must be
     * record starts (sidecar split points — [[indexFile]]). */
   def readRange(source: InputStream, startVirtual: Long, endVirtual: Long,
-      wantSeq: Boolean = false): Iterator[BamRecord] = {
+      wantSeq: Boolean = false, wantTags: Boolean = false): Iterator[BamRecord] = {
     val blockIn = new Bgzf.BlockInputStream(source, startVirtual >>> 16)
     val in = new LeReader(blockIn)
     val inBlock = (startVirtual & 0xffff).toInt
     if (inBlock > 0) in.skip(inBlock)
-    records(in, blockIn, endVirtual, wantSeq)
+    records(in, blockIn, endVirtual, wantSeq, wantTags)
   }
 
   /** One linear pass over a .bam: the virtual offsets of every
@@ -477,7 +536,8 @@ object BamDataSource {
     StructField("mapping_quality", IntegerType),
     StructField("read_name", StringType),
     StructField("seq", StringType),
-    StructField("qual", StringType)))
+    StructField("qual", StringType),
+    StructField("tags", MapType(StringType, StringType))))
 }
 
 class BamTable(path: String) extends Table with SupportsRead {
@@ -595,11 +655,12 @@ class BamReaderFactory(chromFilter: Option[Set[String]], hadoopConf: Serializabl
     // pruned scan: seq/qual bytes decode only when one of them is
     // projected; every other column evaluates only into its own slot
     val wantSeq = requiredSchema.fieldNames.exists(f => f == "seq" || f == "qual")
+    val wantTags = requiredSchema.fieldNames.contains("tags")
     new PartitionReader[InternalRow] {
       private val fs = FileSystem.get(new java.net.URI(file), hadoopConf.value)
       private val stream = fs.open(new Path(file))
       private val (refs, it) =
-        if (part.startVirtual < 0) Bam.read(stream, wantSeq)
+        if (part.startVirtual < 0) Bam.read(stream, wantSeq, wantTags)
         else {
           // ranged scan: decode the header for the dictionary (first
           // blocks only — the record iterator is never touched), then
@@ -607,7 +668,7 @@ class BamReaderFactory(chromFilter: Option[Set[String]], hadoopConf: Serializabl
           // records until the end virtual offset
           val (r, _) = Bam.read(stream)
           stream.seek(part.startVirtual >>> 16)
-          (r, Bam.readRange(stream, part.startVirtual, part.endVirtual, wantSeq))
+          (r, Bam.readRange(stream, part.startVirtual, part.endVirtual, wantSeq, wantTags))
         }
       private val names = refs.map(_._1).toArray
       private val keep: Int => Boolean = chromFilter match {
@@ -643,6 +704,11 @@ class BamReaderFactory(chromFilter: Option[Set[String]], hadoopConf: Serializabl
           case "read_name" => r => UTF8String.fromString(r.readName)
           case "seq" => r => if (r.seq == null) null else UTF8String.fromString(r.seq)
           case "qual" => r => if (r.qual == null) null else UTF8String.fromString(r.qual)
+          case "tags" => r =>
+            if (r.tags == null) null
+            else org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+              r.tags.map(t => UTF8String.fromString(t._1)),
+              r.tags.map(t => UTF8String.fromString(t._2)))
           case other => throw new IllegalArgumentException(s"unknown BAM column '$other'")
         }
       private var row: InternalRow = _

@@ -157,6 +157,25 @@ class BamGoldenSuite extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(depthPlan.contains("cols=") && !depthPlan.contains("seq"),
       s"seq/qual must not reach a depth scan:\n$depthPlan")
+    // aux tags (SAM-rendered TYPE:VALUE; integer widths fold to `i`
+    // per samtools convention) — same independent python-stdlib
+    // expectations; C-typed NM/MQ/AS/XS and Z-typed MC/MD/RG/XA
+    val tagRows = df.select("start", "tags").orderBy("start").collect()
+    val t0 = tagRows(0).getMap[String, String](1)
+    assert(t0("MC") == "Z:74M" && t0("MD") == "Z:42" && t0("NM") == "i:0" &&
+      t0("MQ") == "i:60" && t0("AS") == "i:42" && t0("XS") == "i:54" &&
+      t0("RG") == "Z:GT04008021_119" && t0("XA") == "Z:17,+22020695,74M,4;",
+      s"rec0 tags: $t0")
+    val t1 = tagRows(1).getMap[String, String](1)
+    assert(t1("MC") == "Z:32S42M" && t1("MD") == "Z:65T8" && t1("NM") == "i:1" &&
+      t1("MQ") == "i:21" && t1("AS") == "i:69" && t1("XS") == "i:39",
+      s"rec1 tags: $t1")
+    assert(!depthPlan.contains("tags"), "tags must not reach a depth scan")
+    // combined projection exercises the decode path where the stream
+    // sits after qual when the aux region begins
+    val both = df.select("start", "seq", "tags").orderBy("start").collect()
+    assert(both(0).getString(1).startsWith("CACACGTT") &&
+      both(0).getMap[String, String](2)("MD") == "Z:42")
     // this library's own BAMs store no bases: seq/qual read back null
     val own = {
       val tmp = "/tmp/graft_test_bam_noseq"
