@@ -151,6 +151,29 @@ object ScaleProbe {
     def jitMs: Long =
       if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
         jitBean.getTotalCompilationTime else -1L
+    /** Fixed-work CPU calibration: 32 threads each run a constant
+      * spin (LCG, unoptimizable result sink). On an unthrottled host
+      * this takes a CONSTANT wall time; host cgroup-quota throttling
+      * — which inflates guest cpu-time per unit work while showing
+      * ZERO steal — stretches it proportionally. Run off-the-clock
+      * before every pass so each record carries a ground-truth host
+      * health number (calibSec). */
+    def calibrate(): Double = {
+      val threads = 32
+      val sink = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { i =>
+        val t = new Thread(() => {
+          var x = 12345L + i
+          var n = 0
+          while (n < 60000000) { x = x * 6364136223846793005L + 1442695040888963407L; n += 1 }
+          sink.addAndGet(x)
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
     def heapUsedMb: Long = memBean.getHeapMemoryUsage.getUsed >> 20
     val maxHeapMb = Runtime.getRuntime.maxMemory >> 20
@@ -206,6 +229,7 @@ object ScaleProbe {
         }
         val heap0 = heapUsedMb
         val bc0Count = liveBroadcasts.synchronized(liveBroadcasts.size)
+        val calibSec = calibrate()
         val steal0 = stealJiffies
         val jit0 = jitMs
         val gc0 = jvmGcMs
@@ -234,7 +258,7 @@ object ScaleProbe {
           if (steal0 >= 0 && s1 >= 0) (s1 - steal0) / 100.0 else -1.0
         }
         val jitSec = { val j1 = jitMs; if (jit0 >= 0 && j1 >= 0) (j1 - jit0) / 1e3 else -1.0 }
-        println(f"""{"probe":"$label","factor":$k,"pass":$p,"wall":$wall%.2f,"taskSec":$tSec%.1f,"cpuSec":$cSec%.1f,"gcSec":$gSec%.1f,"jvmGcSec":$jvmGc%.1f,"fetchSec":$fSec%.1f,"shufWSec":$wSec%.1f,"deserSec":$dSec%.1f,"busyWall":$busy%.2f,"idleWall":${math.max(wall - busy, 0)}%.2f,"jobs":$nJobs,"jobWall":$jobWall%.2f,"conc":${if (busy > 0) tSec / busy else 0}%.1f,"heapStartMB":$heap0,"heapEndMB":$heapEnd,"maxHeapMB":$maxHeapMb,"bcBlocksStart":$bc0Count,"bcBlocksEnd":$bcEnd,"stealSec":$stealSec%.1f,"jitSec":$jitSec%.1f}""")
+        println(f"""{"probe":"$label","factor":$k,"pass":$p,"wall":$wall%.2f,"taskSec":$tSec%.1f,"cpuSec":$cSec%.1f,"gcSec":$gSec%.1f,"jvmGcSec":$jvmGc%.1f,"fetchSec":$fSec%.1f,"shufWSec":$wSec%.1f,"deserSec":$dSec%.1f,"busyWall":$busy%.2f,"idleWall":${math.max(wall - busy, 0)}%.2f,"jobs":$nJobs,"jobWall":$jobWall%.2f,"conc":${if (busy > 0) tSec / busy else 0}%.1f,"heapStartMB":$heap0,"heapEndMB":$heapEnd,"maxHeapMB":$maxHeapMb,"bcBlocksStart":$bc0Count,"bcBlocksEnd":$bcEnd,"stealSec":$stealSec%.1f,"jitSec":$jitSec%.1f,"calibSec":$calibSec%.2f}""")
         taskSecs(label) = taskSecs.getOrElse(label, Vector.empty) :+ ((tSec, wall, stealSec))
       }
     }
@@ -244,15 +268,16 @@ object ScaleProbe {
     // linearity ratio the stability claim is judged on
     def med(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1 else xs.sorted.apply(xs.size / 2)
-    def quiet(label: String): (Double, Double, Int) = {
+    def quiet(label: String): (Double, Double, Int, Boolean) = {
       val all = taskSecs.getOrElse(label, Vector.empty)
       val q = all.filter(_._3 < 3.0)
-      val use = if (q.size >= 2) q else all
-      (med(use.map(_._1)), med(use.map(_._2)), use.size)
+      val fallback = q.size < 2 // every pass steal-poisoned: medians are over ALL passes
+      val use = if (fallback) all else q
+      (med(use.map(_._1)), med(use.map(_._2)), q.size, fallback)
     }
-    val (t1, w1, n1) = quiet("e2e_1x")
-    val (tk, wk, nk) = quiet(s"e2e_${factor}x")
-    println(f"""{"probe":"summary","factor":$factor,"oneXTaskMed":$t1%.1f,"oneXWallMed":$w1%.2f,"kXTaskMed":$tk%.1f,"kXWallMed":$wk%.2f,"taskRatioVsLinear":${if (t1 > 0) tk / (t1 * factor) else -1}%.2f,"quietPasses1x":$n1,"quietPassesKx":$nk}""")
+    val (t1, w1, n1, f1) = quiet("e2e_1x")
+    val (tk, wk, nk, fk) = quiet(s"e2e_${factor}x")
+    println(f"""{"probe":"summary","factor":$factor,"oneXTaskMed":$t1%.1f,"oneXWallMed":$w1%.2f,"kXTaskMed":$tk%.1f,"kXWallMed":$wk%.2f,"taskRatioVsLinear":${if (t1 > 0) tk / (t1 * factor) else -1}%.2f,"quietPasses1x":$n1,"quietPassesKx":$nk,"allPoisonedFallback":${f1 || fk}}""")
     spark.stop()
   }
 }
