@@ -1722,7 +1722,20 @@ object Annotate {
           (if (motif) col("_f_msc") else lit(null)).cast("double").as("_mscore"),
           col("_f_fbt").as("_fbt"))
     }
-    val regEntries = featureEntries(regulatory, "feature_id",
+    // the reference deduplicates regulatory context rows BY STABLE ID
+    // before term evaluation (transcript_consequence.rs:1369-1371 —
+    // "our cache can contain duplicate regulatory rows for the same
+    // stable_id"; VEP emits one entry per RegulatoryFeature) — pick a
+    // deterministic representative per feature_id so duplicate cache
+    // rows cannot double a variant's regulatory entry
+    val regDedup = localize {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("feature_id"))
+        .orderBy(regulatory.columns.map(col).toSeq: _*)
+      regulatory.withColumn("_rdn", row_number().over(w))
+        .where(col("_rdn") === 1).drop("_rdn")
+    }
+    val regEntries = featureEntries(regDedup, "feature_id",
       "regulatory_region_variant", "RegulatoryFeature", motif = false)
     // motif entries: the DEFAULT is the reference's shape — ONE
     // anonymous MotifFeature entry per variant overlapping any motif,

@@ -575,4 +575,47 @@ class AnnotateSuite extends SparkSpec {
     val t2 = entries(2L).find(_(FEATURE) == "T1").get
     assert(t2(MIRNA) == "miRNA_loop", t2(MIRNA))
   }
+
+  test("duplicate regulatory cache rows yield ONE entry per stable id") {
+    // transcript_consequence.rs:1369-1371 + its
+    // prepared_context_deduplicates_duplicate_regulatory_stable_ids /
+    // annotate_table_function.rs test_annotate_vep_deduplicates_...:
+    // VEP emits one CSQ entry per RegulatoryFeature stable id, and the
+    // reference dedups its context rows to preserve that — a cache
+    // with the same ENSR row twice must not double the entry
+    val vcf = Seq(("chr1", 155L, 155L, 1L, "A", "G"))
+      .toDF("chrom", "start", "end", "id", "ref", "alt")
+    val afCols2 = Annotate.afCsq.map(_._2)
+    val cache = Seq.empty[(String, Long, Long, String, String)]
+      .toDF("chrom", "start", "end", "variation_name", "allele_string")
+      .selectExpr(Seq("*") ++ afCols2.map(c => s"CAST(NULL AS DOUBLE) AS $c") ++
+        Seq("'0' AS somatic", "'0' AS pheno",
+          "CAST(NULL AS STRING) AS pubmed", "CAST(NULL AS STRING) AS clin_sig"): _*)
+    val tx = Seq.empty[(String, Long, Long, String, Int, String, Long, Long)]
+      .toDF("chrom", "start", "end", "transcript_id", "strand", "biotype",
+        "cds_start", "cds_end")
+      .selectExpr("*", "'' AS gene_id", "'' AS symbol", "'' AS canonical",
+        "'' AS flags", "'' AS mane_select", "'' AS mane_plus_clinical",
+        "1 AS tsl", "'' AS appris", "'' AS ccds", "'' AS swissprot",
+        "'' AS trembl", "'' AS uniparc", "'' AS uniprot_isoform",
+        "'0' AS gene_pheno", "'' AS domains", "'' AS mirna")
+    val ex = Seq.empty[(String, Long, Long)].toDF("transcript_id", "start", "end")
+    val sift = Seq.empty[(String, Long, String, Double)]
+      .toDF("transcript_id", "protein_pos", "aa", "sift_score")
+    val pp = Seq.empty[(String, Long, String, Double)]
+      .toDF("transcript_id", "protein_pos", "aa", "polyphen_score")
+    val reg = Seq(
+      ("chr1", 150L, 160L, "ENSR_DUP", "promoter"),
+      ("chr1", 150L, 160L, "ENSR_DUP", "promoter"))
+      .toDF("chrom", "start", "end", "feature_id", "feature_type")
+    val mot = Seq.empty[(String, Long, Long, String, String, Double)]
+      .toDF("chrom", "start", "end", "motif_id", "tf_name", "score_change")
+    val out = Annotate.annotate(vcf, cache, tx, ex, sift, pp, reg, mot).collect()
+    assert(out.length == 1)
+    val csq = out.head.getString(out.head.fieldIndex("csq"))
+    val regEntries = csq.split(",").filter(_.contains("RegulatoryFeature"))
+    assert(regEntries.length == 1, s"expected one regulatory entry, csq=$csq")
+    assert(regEntries.head.split("\\|", -1)(5) == "RegulatoryFeature")
+    assert(regEntries.head.split("\\|", -1)(6) == "ENSR_DUP")
+  }
 }
