@@ -588,9 +588,15 @@ object Vep {
     SchemaContract.validateRequestedColumns(cache, columns)
     val outCols = if (columns.nonEmpty) columns else defaultCacheCols(cache)
     val matcher = if (relaxed) matchAlleleRelaxedUdf else matchAlleleUdf
+    // coordinate-system alignment (coordinate.rs:34-66 + the
+    // lookup_provider metadata tests): both sides normalize to
+    // 1-BASED starts before matching — a `bio.coordinate_system_zero_
+    // based` tag shifts start up one, `end` is identical in both
+    // conventions ([s, e) == [s+1, e]). Untagged frames are 1-based,
+    // so metadata-free behavior is byte-identical.
     val v = vcf
-      .withColumn("_norm_start", vepNormStartUdf(col("start").cast("long"), col("ref"), col("alt")))
-      .withColumn("_norm_end", vepNormEndUdf(col("start").cast("long"), col("ref"), col("alt")))
+      .withColumn("_norm_start", vepNormStartUdf(graft.core.Coord.oneBasedStart(vcf), col("ref"), col("alt")))
+      .withColumn("_norm_end", vepNormEndUdf(graft.core.Coord.oneBasedStart(vcf), col("ref"), col("alt")))
       .withColumn("_bare_chrom", bareChrom(col("chrom")))
     // Ensembl failed-variant filter (variant_lookup_exec.rs:1210-1221,
     // itself VEP's filter_variation): cache entries whose `failed`
@@ -601,7 +607,8 @@ object Vep {
         cache.where(coalesce(col("failed").cast("long"), lit(0L)) <= allowedFailed)
       else cache
     val c = cacheFiltered.select(
-      (Seq(col("chrom").as("_c_chrom"), col("start").cast("long").as("_c_start"),
+      (Seq(col("chrom").as("_c_chrom"),
+           graft.core.Coord.oneBasedStart(cacheFiltered).as("_c_start"),
            col("end").cast("long").as("_c_end"), col("allele_string").as("_c_allele_string")) ++
        outCols.map(n => col(n).as(s"_c_out_$n"))): _*)
     val out: Seq[Column] =

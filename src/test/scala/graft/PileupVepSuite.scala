@@ -182,6 +182,35 @@ class PileupVepSuite extends SparkSpec {
     assert(got(2).isNullAt(5)) // allele_string A/G does not match A>C
   }
 
+  test("lookupVariants converts a zero-based-tagged cache to the input's system") {
+    // lookup_provider.rs test_lookup_one_based_input_to_zero_based_
+    // cache_uses_metadata: a 1-based VCF at pos 100 must hit the
+    // 0-based half-open cache row [99, 100) — rs100 — and NOT [100,
+    // 101) — rs101. Untagged frames default to 1-based, so the
+    // metadata-free suite behavior is unchanged.
+    import graft.core.Coord
+    val vcf = Seq(("1", 100L, 100L, 1L, "A", "G"))
+      .toDF("chrom", "start", "end", "id", "ref", "alt")
+    val cache0 = Seq(
+      ("1", 99L, 100L, "rs100", "A/G", 0.5),
+      ("1", 100L, 101L, "rs101", "A/G", 0.5))
+      .toDF("chrom", "start", "end", "variation_name", "allele_string", "af")
+    assert(!Coord.isZeroBased(cache0) && Coord.isZeroBased(Coord.mark(cache0, true)))
+    val got = Vep.lookupVariants(vcf, Coord.mark(cache0, true),
+      columns = Seq("variation_name")).collect()
+    assert(got.length == 1 && got.head.getString(got.head.length - 1) == "rs100",
+      got.mkString(";"))
+    // and the reverse direction: a 0-based input probing a 1-based
+    // cache converts the cache DOWN one
+    val vcf0 = Coord.mark(Seq(("1", 99L, 100L, 1L, "A", "G"))
+      .toDF("chrom", "start", "end", "id", "ref", "alt"), true)
+    val cache1 = Seq(("1", 100L, 100L, "rs100", "A/G", 0.5))
+      .toDF("chrom", "start", "end", "variation_name", "allele_string", "af")
+    val got0 = Vep.lookupVariants(vcf0, cache1, columns = Seq("variation_name")).collect()
+    assert(got0.length == 1 && got0.head.getString(got0.head.length - 1) == "rs100",
+      got0.mkString(";"))
+  }
+
   test("lookupVariants: chr-prefixed VCF matches an Ensembl bare-name cache; failed rows skip") {
     // the reference's own lookup fixture (lookup_provider.rs:396-446):
     // VCF chroms chr-prefixed, cache bare — the normal real-world
