@@ -158,21 +158,42 @@ object ScaleProbe {
       * ZERO steal — stretches it proportionally. Run off-the-clock
       * before every pass so each record carries a ground-truth host
       * health number (calibSec). */
-    def calibrate(): Double = {
+    def calibrate(): (Double, Double) = {
       val threads = 32
       val sink = new java.util.concurrent.atomic.AtomicLong()
-      val t0 = System.nanoTime()
-      val ts = (0 until threads).map { i =>
-        val t = new Thread(() => {
-          var x = 12345L + i
-          var n = 0
-          while (n < 60000000) { x = x * 6364136223846793005L + 1442695040888963407L; n += 1 }
-          sink.addAndGet(x)
-        })
-        t.start(); t
+      def run(body: Int => Long): Double = {
+        val t0 = System.nanoTime()
+        val ts = (0 until threads).map { i =>
+          val t = new Thread(() => sink.addAndGet(body(i)))
+          t.start(); t
+        }
+        ts.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
       }
-      ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
+      // ALU phase: register-only LCG — sensitive to cpu-quota
+      // throttling, BLIND to memory-bandwidth contention
+      val alu = run { i =>
+        var x = 12345L + i; var n = 0
+        while (n < 60000000) { x = x * 6364136223846793005L + 1442695040888963407L; n += 1 }
+        x
+      }
+      // MEMORY phase: strided walks over a per-thread 16 MB array —
+      // a co-tenant hammering the memory bus stretches exactly this
+      // (the round-13 uncaptured signature: 4x cpu-time passes with
+      // zero steal, zero gc, flat ALU calibration)
+      val mem = run { i =>
+        val a = new Array[Long](2097152) // 16 MB
+        var x = 0L; var r = 0
+        while (r < 8) {
+          var j = 0
+          while (j < a.length) { a(j) = a(j) + j + i; j += 64 } // one touch per cache line
+          var k = (i * 97) % 64
+          while (k < a.length) { x += a(k); k += 512 }
+          r += 1
+        }
+        x
+      }
+      (alu, mem)
     }
     val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
     def heapUsedMb: Long = memBean.getHeapMemoryUsage.getUsed >> 20
@@ -229,7 +250,7 @@ object ScaleProbe {
         }
         val heap0 = heapUsedMb
         val bc0Count = liveBroadcasts.synchronized(liveBroadcasts.size)
-        val calibSec = calibrate()
+        val (calibSec, calibMemSec) = calibrate()
         val steal0 = stealJiffies
         val jit0 = jitMs
         val gc0 = jvmGcMs
@@ -258,7 +279,7 @@ object ScaleProbe {
           if (steal0 >= 0 && s1 >= 0) (s1 - steal0) / 100.0 else -1.0
         }
         val jitSec = { val j1 = jitMs; if (jit0 >= 0 && j1 >= 0) (j1 - jit0) / 1e3 else -1.0 }
-        println(f"""{"probe":"$label","factor":$k,"pass":$p,"wall":$wall%.2f,"taskSec":$tSec%.1f,"cpuSec":$cSec%.1f,"gcSec":$gSec%.1f,"jvmGcSec":$jvmGc%.1f,"fetchSec":$fSec%.1f,"shufWSec":$wSec%.1f,"deserSec":$dSec%.1f,"busyWall":$busy%.2f,"idleWall":${math.max(wall - busy, 0)}%.2f,"jobs":$nJobs,"jobWall":$jobWall%.2f,"conc":${if (busy > 0) tSec / busy else 0}%.1f,"heapStartMB":$heap0,"heapEndMB":$heapEnd,"maxHeapMB":$maxHeapMb,"bcBlocksStart":$bc0Count,"bcBlocksEnd":$bcEnd,"stealSec":$stealSec%.1f,"jitSec":$jitSec%.1f,"calibSec":$calibSec%.2f}""")
+        println(f"""{"probe":"$label","factor":$k,"pass":$p,"wall":$wall%.2f,"taskSec":$tSec%.1f,"cpuSec":$cSec%.1f,"gcSec":$gSec%.1f,"jvmGcSec":$jvmGc%.1f,"fetchSec":$fSec%.1f,"shufWSec":$wSec%.1f,"deserSec":$dSec%.1f,"busyWall":$busy%.2f,"idleWall":${math.max(wall - busy, 0)}%.2f,"jobs":$nJobs,"jobWall":$jobWall%.2f,"conc":${if (busy > 0) tSec / busy else 0}%.1f,"heapStartMB":$heap0,"heapEndMB":$heapEnd,"maxHeapMB":$maxHeapMb,"bcBlocksStart":$bc0Count,"bcBlocksEnd":$bcEnd,"stealSec":$stealSec%.1f,"jitSec":$jitSec%.1f,"calibSec":$calibSec%.2f,"calibMemSec":$calibMemSec%.2f}""")
         taskSecs(label) = taskSecs.getOrElse(label, Vector.empty) :+ ((tSec, wall, stealSec))
       }
     }
