@@ -25,6 +25,12 @@ object PileupVepQueries {
       Pileup.depthPerBase(Tables.reads(s, d)).orderBy("contig", "pos")),
     "f9_depth_mapq" -> ((s, d) =>
       Pileup.depth(Tables.reads(s, d), minMapq = 30).orderBy("contig", "pos_start")),
+    // the reference UDTF's zero_based=true mode: every block boundary
+    // one below the 1-based run (table_function.rs:97-109); the output
+    // tag itself is asserted in PileupVepSuite (DuckDB drops metadata)
+    "f9_depth_zerobased" -> ((s, d) =>
+      Pileup.depth(Tables.reads(s, d), zeroBased = true)
+        .orderBy("contig", "pos_start")),
     // S2 binary-CIGAR contract end-to-end: repack the text CIGARs into
     // the BAM binary layout (LE u32 = len<<4|op); the depth operator
     // detects the binary column and must produce the identical blocks
@@ -283,6 +289,8 @@ object PileupVepQueries {
       s"WITH ${blocksCte()} SELECT contig, UNNEST(generate_series(pos_start, pos_end)) AS pos, coverage FROM blocks ORDER BY contig, pos",
     "f9_depth_mapq" ->
       s"WITH ${blocksCte(" AND mapping_quality >= 30")} SELECT contig, pos_start, pos_end, coverage FROM blocks ORDER BY contig, pos_start",
+    "f9_depth_zerobased" ->
+      s"WITH ${blocksCte()} SELECT contig, pos_start - 1 AS pos_start, pos_end - 1 AS pos_end, coverage FROM blocks ORDER BY contig, pos_start",
     "f10_vep_allele" ->
       s"WITH $vcf SELECT id, vep_ref, vep_alt, norm_start, norm_end FROM v ORDER BY id",
     "f10_lookup_variants" ->

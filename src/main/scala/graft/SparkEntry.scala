@@ -21,10 +21,24 @@ object SparkEntry {
     * table-function providers are similarly built once and streamed
     * through). Each execution still runs its own optimizer + AQE pass
     * over the cached analyzed tree, so runtime re-planning is intact;
-    * only the construction is shared. Keyed by session identity so a
-    * fresh session never sees another session's plan. */
+    * only the construction is shared. Keyed on the session itself via
+    * a WeakHashMap so a stopped session's plans (and the session)
+    * become collectable — an identity-hash key would survive
+    * `session.stop()` and keep handing out Datasets bound to a dead
+    * session (round-13 ADVICE). */
   private val prepared =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+
+  private def preparedFor(s: SparkSession) =
+    prepared.synchronized {
+      var m = prepared.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        prepared.put(s, m)
+      }
+      m
+    }
 
   /** A plan is re-executable from its analyzed tree only when every
     * leaf re-reads a durable source. File relations and literal
@@ -45,12 +59,13 @@ object SparkEntry {
       : Map[String, (SparkSession, String) => DataFrame] =
     m.map { case (n, fn) =>
       n -> ((s: SparkSession, d: String) => {
-        val key = (System.identityHashCode(s), n, d)
-        val hit = prepared.get(key)
+        val reg = preparedFor(s)
+        val key = (n, d)
+        val hit = reg.get(key)
         if (hit != null) hit
         else {
           val df = fn(s, d)
-          if (reExecutable(df)) prepared.putIfAbsent(key, df)
+          if (reExecutable(df)) reg.putIfAbsent(key, df)
           df
         }
       })

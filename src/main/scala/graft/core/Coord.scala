@@ -20,15 +20,24 @@ object Coord {
   val MetadataKey = "bio.coordinate_system_zero_based"
 
   /** Tag `df`'s `start` field with its coordinate system. */
-  def mark(df: DataFrame, zeroBased: Boolean): DataFrame = {
+  def mark(df: DataFrame, zeroBased: Boolean): DataFrame =
+    mark(df, zeroBased, "start")
+
+  /** Tag an arbitrary start-like field (`pos_start`, `pos`) — the
+    * reference stamps the SCHEMA of every provider output
+    * (pileup/src/schema.rs:28-60); field-level is the Spark-durable
+    * equivalent (schema-level metadata dies at the first projection). */
+  def mark(df: DataFrame, zeroBased: Boolean, startField: String): DataFrame = {
     val m = new MetadataBuilder().putString(MetadataKey, zeroBased.toString).build()
-    df.withColumn("start", col("start").as("start", m))
+    df.withColumn(startField, col(startField).as(startField, m))
   }
 
   /** Read the tag; untagged frames default to 1-based, exactly like
     * the reference's `is_zero_based` (absent metadata → false). */
-  def isZeroBased(df: DataFrame): Boolean =
-    df.schema.fields.find(_.name == "start").exists(f =>
+  def isZeroBased(df: DataFrame): Boolean = isZeroBased(df, "start")
+
+  def isZeroBased(df: DataFrame, startField: String): Boolean =
+    df.schema.fields.find(_.name == startField).exists(f =>
       f.metadata.contains(MetadataKey) &&
         f.metadata.getString(MetadataKey) == "true")
 

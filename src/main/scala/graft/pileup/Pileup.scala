@@ -27,11 +27,25 @@ import org.apache.spark.sql.functions._
   * range-partitioned by (chrom, pos-bucket) with boundary fix-up —
   * documented trade-off, not needed at current scales.
   *
-  * Output (block mode): `(contig, pos_start, pos_end, coverage)` with
-  * 0-based inclusive positions; per-base mode explodes blocks into
-  * `(contig, pos, coverage)` (pileup/src/schema.rs:28-60).
+  * Output (block mode): `(contig, pos_start, pos_end, coverage)`,
+  * 1-based inclusive by default or 0-based with `zeroBased = true`
+  * (the reference UDTF's second argument,
+  * pileup/src/table_function.rs:97-109); per-base mode explodes
+  * blocks into `(contig, pos, coverage)`. Either way the start-like
+  * field carries the `bio.coordinate_system_zero_based` tag
+  * (pileup/src/schema.rs:28-60).
   */
 object Pileup {
+
+  /** A reads frame tagged 0-based (bio.coordinate_system_zero_based
+    * on its `start` field) walks CIGARs from `start + 1` — the same
+    * input normalization the reference applies by constructing its
+    * BAM provider with the caller's `zero_based`
+    * (pileup/src/table_function.rs:97-109). */
+  private def oneBasedStart(reads: DataFrame) = {
+    val s = col("start").cast("long")
+    if (graft.core.Coord.isZeroBased(reads)) s + 1L else s
+  }
 
   /** Coverage events (chrom, pos, delta) after read filtering. The
     * CIGAR column may be text ("50M2D8M") or the BAM-packed binary
@@ -47,13 +61,13 @@ object Pileup {
       reads.schema("cigar").dataType == org.apache.spark.sql.types.BinaryType
     val segs =
       if (isBinary)
-        filtered.select($"chrom", $"start".cast("long").as("start"), $"cigar")
+        filtered.select($"chrom", oneBasedStart(reads).as("start"), $"cigar")
           .as[(String, Long, Array[Byte])]
           .flatMap { case (chrom, start, cigar) =>
             Cigar.coveredSegmentsBinary(start, cigar).map { case (s, e) => (chrom, s, e) }
           }
       else
-        filtered.select($"chrom", $"start".cast("long").as("start"), $"cigar")
+        filtered.select($"chrom", oneBasedStart(reads).as("start"), $"cigar")
           .as[(String, Long, String)]
           .flatMap { case (chrom, start, cigar) =>
             Cigar.coveredSegments(start, cigar).map { case (s, e) => (chrom, s, e) }
@@ -62,21 +76,32 @@ object Pileup {
       .toDF("chrom", "pos", "delta")
   }
 
-  /** Block-mode depth. */
-  def depth(reads: DataFrame, filterFlag: Int = 1796, minMapq: Int = 0): DataFrame = {
+  /** Block-mode depth. `zeroBased` mirrors the reference UDTF's second
+    * argument (pileup/src/table_function.rs:97-109, default false =
+    * 1-based): a 0-based run is the 1-based run with BOTH boundaries
+    * down one (the reference's block boundaries derive from read
+    * starts, which its provider shifts at the source —
+    * coverage.rs:25-64 emits `[block_start, pos-1]` in whichever
+    * system the reads arrived). The output's `pos_start` field carries
+    * the `bio.coordinate_system_zero_based` tag either way, exactly
+    * like the reference's output schema (pileup/src/schema.rs:28-44). */
+  def depth(reads: DataFrame, filterFlag: Int = 1796, minMapq: Int = 0,
+      zeroBased: Boolean = false): DataFrame = {
     val ev = events(reads, filterFlag, minMapq)
       .groupBy(col("chrom"), col("pos"))
       .agg(sum(col("delta")).as("delta"))
     val w = Window.partitionBy(col("chrom")).orderBy(col("pos"))
-    ev
+    val shift = if (zeroBased) 1L else 0L
+    val out = ev
       .withColumn("coverage", sum(col("delta")).over(w))
       .withColumn("next_pos", lead(col("pos"), 1).over(w))
       .where(col("coverage") =!= 0 && col("next_pos").isNotNull)
       .select(
         col("chrom").as("contig"),
-        col("pos").as("pos_start"),
-        (col("next_pos") - 1).as("pos_end"),
+        (col("pos") - shift).as("pos_start"),
+        (col("next_pos") - 1 - shift).as("pos_end"),
         col("coverage").cast("int").as("coverage"))
+    graft.core.Coord.mark(out, zeroBased, "pos_start")
   }
 
   /** Tile size for per-base explosion: a coverage block (an RLE run
@@ -102,9 +127,14 @@ object Pileup {
           .as("pos"),
         col("coverage"))
 
-  /** Per-base depth: one row per covered position. */
-  def depthPerBase(reads: DataFrame, filterFlag: Int = 1796, minMapq: Int = 0): DataFrame =
-    explodePerBase(depth(reads, filterFlag, minMapq))
+  /** Per-base depth: one row per covered position. `zeroBased` labels
+    * positions `[0..len)` instead of `[1..len]`
+    * (coverage.rs:291-301) and tags the output's `pos` field. */
+  def depthPerBase(reads: DataFrame, filterFlag: Int = 1796, minMapq: Int = 0,
+      zeroBased: Boolean = false): DataFrame =
+    graft.core.Coord.mark(
+      explodePerBase(depth(reads, filterFlag, minMapq, zeroBased)),
+      zeroBased, "pos")
 
   /** Per-base depth over the FULL contig span [1, length] — the
     * reference's `per_base = true` mode (mosdepth_compat.rs
@@ -116,9 +146,13 @@ object Pileup {
     * one tail block, so the position explode stays bounded by read
     * spacing and distributed at scale. */
   def depthPerBaseFull(reads: DataFrame, contigLengths: DataFrame,
-      filterFlag: Int = 1796, minMapq: Int = 0): DataFrame = {
+      filterFlag: Int = 1796, minMapq: Int = 0,
+      zeroBased: Boolean = false): DataFrame = {
     val lens = contigLengths.select(col("chrom").as("contig"),
       col("length").cast("long").as("_len"))
+    // gap math stays 1-based ([1, length] spans); the system shift is
+    // a label applied once at the end, like PerBaseEmitter's index
+    // offset (coverage.rs:291-301)
     val blocks = depth(reads, filterFlag, minMapq).join(lens, Seq("contig"))
     val w = Window.partitionBy(col("contig")).orderBy(col("pos_start"))
     val gapLo = coalesce(lag(col("pos_end"), 1).over(w), lit(0L)) + 1
@@ -135,8 +169,11 @@ object Pileup {
     val zeros = headGaps.unionByName(tailGaps)
       .select(col("contig"), col("pos_start"), col("pos_end"),
         lit(0).cast("int").as("coverage"))
-    explodePerBase(
+    val perBase = explodePerBase(
       blocks.select(col("contig"), col("pos_start"), col("pos_end"), col("coverage"))
         .unionByName(zeros))
+    val shifted =
+      if (zeroBased) perBase.withColumn("pos", col("pos") - 1L) else perBase
+    graft.core.Coord.mark(shifted, zeroBased, "pos")
   }
 }

@@ -21,6 +21,17 @@ import graft.core.{FilterOp, IntervalCols}
   */
 object Ranges {
 
+  /** Carry the input frame's coordinate system onto the output's
+    * start-like field, made EXPLICIT (the reference stamps
+    * `bio.coordinate_system_zero_based` on every provider output
+    * schema — pileup/src/schema.rs:22-44, coordinate.rs:18 — so a
+    * chained pipeline never has to guess; these operators compute in
+    * whatever system their input uses and never convert). */
+  private def carryCoord(out: DataFrame, in: DataFrame,
+      inStart: String, outStart: String): DataFrame =
+    graft.core.Coord.mark(out,
+      graft.core.Coord.isZeroBased(in, inStart), outStart)
+
   /** F1 `overlap`: mode ∈ join | left | left_distinct
     * (overlap.rs:154-226). `join` output = `left_*` ++ `right_*`.
     *
@@ -333,13 +344,15 @@ object Ranges {
       cols: IntervalCols = IntervalCols.default,
       minDist: Long = 0L,
       op: FilterOp = FilterOp.Weak): DataFrame =
-    withIslands(df, cols, minDist, op)
-      .groupBy(col(cols.contig), col("_gid"))
-      .agg(
-        min(col(cols.start).cast("long")).as(cols.start),
-        max(col(cols.end).cast("long")).as(cols.end),
-        count(lit(1)).as("n_intervals"))
-      .select(col(cols.contig), col(cols.start), col(cols.end), col("n_intervals"))
+    carryCoord(
+      withIslands(df, cols, minDist, op)
+        .groupBy(col(cols.contig), col("_gid"))
+        .agg(
+          min(col(cols.start).cast("long")).as(cols.start),
+          max(col(cols.end).cast("long")).as(cols.end),
+          count(lit(1)).as("n_intervals"))
+        .select(col(cols.contig), col(cols.start), col(cols.end), col("n_intervals")),
+      df, cols.start, cols.start)
 
   /** F6 `cluster`: every input row annotated with a globally
     * consecutive 0-based `cluster` id (numbered in contig sort order —
@@ -371,7 +384,7 @@ object Ranges {
       df.columns.toSeq.map(col) :+
       (col("_off") + col("_gid") - lit(1L)).as("cluster") :+
       col("cluster_start") :+ col("cluster_end")
-    joined.select(outCols: _*)
+    carryCoord(joined.select(outCols: _*), df, cols.start, cols.start)
   }
 
   /** F7 `complement`: gaps not covered by the (merged) input intervals,
@@ -426,7 +439,8 @@ object Ranges {
         views("_vc") === merged("_mc") && col("_me") > col("_vs") && col("_ms") < col("_ve"),
         "left_anti")
       .select(col("_vc").as(cols.contig), col("_vs").as(cols.start), col("_ve").as(cols.end))
-    gaps.unionByName(trailing).unionByName(untouched)
+    carryCoord(gaps.unionByName(trailing).unionByName(untouched),
+      df, cols.start, cols.start)
   }
 
   /** F8 `subtract`: basepair set difference — each left interval
@@ -449,8 +463,10 @@ object Ranges {
     // over-cap subtrahend fails over to the contig co-shuffle
     // Partitioned mode ([[PartitionedJoin.subtractPartitioned]]) with
     // the same merged-run kernel
-    if (BuildGuard.fits(right))
-      IntervalJoin.subtractFragments(left, right, lcols, rcols, op)
-    else
-      PartitionedJoin.subtractPartitioned(left, right, lcols, rcols, op)
+    carryCoord(
+      if (BuildGuard.fits(right))
+        IntervalJoin.subtractFragments(left, right, lcols, rcols, op)
+      else
+        PartitionedJoin.subtractPartitioned(left, right, lcols, rcols, op),
+      left, lcols.start, lcols.start)
 }

@@ -1057,21 +1057,39 @@ object Annotate {
     * per session and streams batches through
     * (annotate_provider.rs load-once lifecycle); re-collecting the
     * same dim subtree on every annotate call paid its Spark jobs and
-    * driver copies per call. Keyed by the dim's canonicalized plan
-    * (same table + same derivation → same rows for a deterministic
-    * plan), bounded LRU so pathological callers cannot pin unbounded
-    * driver memory. */
+    * driver copies per call. Keyed per SESSION through a WeakHashMap
+    * (a stopped session's dims become collectable, and two sessions
+    * can never share an entry) and, within a session, by the dim's
+    * canonicalized plan PLUS every leaf's physical identity. The leaf
+    * identity is load-bearing: a V1 parquet LogicalRelation
+    * canonicalizes WITHOUT its location — two different dirs with
+    * one schema both render `Relation [none#0,…] parquet` — so the
+    * canonical string alone would hand a caller the OTHER dir's
+    * collected rows. Bounded LRU per session so pathological callers
+    * cannot pin unbounded driver memory. */
   private val dimCache =
-    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]) =
-        size() > 64
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.LinkedHashMap[String, DataFrame]]()
+
+  private def sessionCache(s: org.apache.spark.sql.SparkSession) =
+    dimCache.synchronized {
+      var m = dimCache.get(s)
+      if (m == null) {
+        m = new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+          override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]) =
+            size() > 64
+        }
+        dimCache.put(s, m)
+      }
+      m
     }
 
   /** A dim plan is cacheable only when every leaf is a file-backed
-    * relation: a LocalRelation/LogicalRDD leaf canonicalizes WITHOUT
-    * its data, so two distinct in-memory dims sharing one schema would
-    * collide on the cache key (file relations carry their location in
-    * the canonical form, and cache entries die with their session). */
+    * relation: a LocalRelation/LogicalRDD leaf neither canonicalizes
+    * with its data nor carries a durable identity, so two distinct
+    * in-memory dims sharing one schema would collide on the cache
+    * key. File-backed leaves get their identity from
+    * [[leafIdentities]]. */
   private def fileBackedOnly(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
     plan.collectLeaves().forall {
       case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
@@ -1079,20 +1097,40 @@ object Annotate {
       case _ => false
     }
 
-  private def localize(df: DataFrame): DataFrame =
+  /** The physical identity a leaf's canonical form drops: V1 file
+    * relations list their root paths (HadoopFsRelation's toString is
+    * just the format short name, so the canonical plan is path-blind),
+    * V2 tables their name (the bam/vcf providers build it from the
+    * path). Leaves of any other kind are rejected by
+    * [[fileBackedOnly]] before this runs. */
+  private def leafIdentities(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
+    plan.collectLeaves().map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+      case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        v2.table.name()
+      case other => other.nodeName
+    }.mkString(";")
+
+  private[graft] def localize(df: DataFrame): DataFrame =
     if (!graft.ranges.BuildGuard.fits(df)) df
     else if (!fileBackedOnly(df.queryExecution.analyzed))
       df.sparkSession.createDataFrame(
         java.util.Arrays.asList(df.collect(): _*), df.schema)
     else {
-      // the cached Dataset is bound to its creating session — key on
-      // it so a fresh session (tests, restarts) never reuses a stale one
-      val key = System.identityHashCode(df.sparkSession) + " " +
-        df.queryExecution.analyzed.canonicalized.toString
-      dimCache.synchronized(Option(dimCache.get(key))).getOrElse {
+      val analyzed = df.queryExecution.analyzed
+      val key =
+        leafIdentities(analyzed) + "\u001F" + analyzed.canonicalized.toString
+      val cache = sessionCache(df.sparkSession)
+      cache.synchronized(Option(cache.get(key))).getOrElse {
         val local = df.sparkSession.createDataFrame(
           java.util.Arrays.asList(df.collect(): _*), df.schema)
-        dimCache.synchronized(dimCache.put(key, local))
+        cache.synchronized(cache.put(key, local))
         local
       }
     }
