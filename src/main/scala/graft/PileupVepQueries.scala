@@ -72,6 +72,18 @@ object PileupVepQueries {
         Vep.vepNormEndUdf(col("start"), col("ref"), col("alt")).as("norm_end"))),
     "f10_lookup_variants" -> ((s, d) =>
       Vep.lookupVariants(Tables.vcf(s, d), Tables.vepCache(s, d))),
+    // cache_builder round trip (the writer half of the reference's
+    // raw-cache ETL, cache_builder.rs:1-30): the variation table goes
+    // THROUGH CacheBuilder's partitioned layout on disk and the
+    // standard lookup runs over the rebuilt directory — oracle and
+    // result hash identical to f10_lookup_variants
+    "c_cachebuild_lookup" -> ((s, d) => {
+      val out = graft.vep.CacheBuilder.roundTripDir(d)
+      graft.vep.CacheBuilder.buildAll(
+        Map("variation" -> Tables.vepCache(s, d)), out)
+      Vep.lookupVariants(Tables.vcf(s, d),
+        graft.vep.CacheBuilder.openEntity(s, out, "variation"))
+    }),
     "f10_lookup_extended" -> ((s, d) =>
       Vep.lookupVariants(Tables.vcf(s, d), Tables.vepCache(s, d), extendedWindow = 4L)),
     // chrom-name normalization is ONE-SIDED (variant_lookup_exec.rs
@@ -276,6 +288,17 @@ object PileupVepQueries {
       .stripMargin.replace("\n", " ")
   }
 
+  private lazy val lookupVariantsSql: String =
+    s"""WITH $vcf, $vepCache
+       |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
+       | $cacheOut
+       |FROM v LEFT JOIN c ON v.bare_chrom = c.chrom
+       | AND v.norm_start = c.start AND v.norm_end = c."end"
+       | AND (split_part(c.allele_string, '/', 1) = v.vep_ref
+       |      OR split_part(c.allele_string, '/', 1) = v.ref)
+       | AND split_part(c.allele_string, '/', 2) = v.vep_alt
+       |ORDER BY v.id""".stripMargin.replace("\n", " ")
+
   val oracleSql: Map[String, String] = Map(
     "f11_annotate_regions" -> annotateRegionsSqlFor(Oracle.vcf, "v"),
     "f11_term_probes" -> annotateRegionsSqlFor(Oracle.termProbes, "tp"),
@@ -293,16 +316,9 @@ object PileupVepQueries {
       s"WITH ${blocksCte()} SELECT contig, pos_start - 1 AS pos_start, pos_end - 1 AS pos_end, coverage FROM blocks ORDER BY contig, pos_start",
     "f10_vep_allele" ->
       s"WITH $vcf SELECT id, vep_ref, vep_alt, norm_start, norm_end FROM v ORDER BY id",
-    "f10_lookup_variants" ->
-      s"""WITH $vcf, $vepCache
-         |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,
-         | $cacheOut
-         |FROM v LEFT JOIN c ON v.bare_chrom = c.chrom
-         | AND v.norm_start = c.start AND v.norm_end = c."end"
-         | AND (split_part(c.allele_string, '/', 1) = v.vep_ref
-         |      OR split_part(c.allele_string, '/', 1) = v.ref)
-         | AND split_part(c.allele_string, '/', 2) = v.vep_alt
-         |ORDER BY v.id""".stripMargin.replace("\n", " "),
+    "f10_lookup_variants" -> lookupVariantsSql,
+    // identical result contract over the CacheBuilder-rebuilt layout
+    "c_cachebuild_lookup" -> lookupVariantsSql,
     "f10_lookup_extended" ->
       s"""WITH $vcf, $vepCache
          |SELECT v.chrom, v.start, v."end" AS "end", v.id, v.ref, v.alt,

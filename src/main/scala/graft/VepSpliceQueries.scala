@@ -149,6 +149,25 @@ object VepSpliceQueries {
             when(col(s"cache_$c") === mx, lit(n))
           }: _*).as("max_af_pops")): _*)
     }),
+    // the same AF family computed over a CacheBuilder-rebuilt
+    // variation directory (the f11 half of the cache_builder
+    // round-trip gate: hashes must match f11_maxaf's oracle exactly)
+    "c_cachebuild_maxaf" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.vep.{Annotate, CacheBuilder}
+      val out = CacheBuilder.roundTripDir(d)
+      CacheBuilder.buildAll(Map("variation" -> Tables.vepCache(s, d)), out)
+      val looked = graft.vep.Vep.lookupVariants(Tables.vcf(s, d),
+          CacheBuilder.openEntity(s, out, "variation"))
+        .where(col("cache_variation_name").isNotNull)
+      val mx = greatest(Annotate.maxAfPopCols.map { case (_, c) => col(s"cache_$c") }: _*)
+      looked.select((col("id") +:
+        Annotate.afCsq.map { case (_, c) => col(s"cache_$c").as(c) }) ++
+        Seq(mx.as("max_af"),
+          concat_ws("&", Annotate.maxAfPopCols.map { case (n, c) =>
+            when(col(s"cache_$c") === mx, lit(n))
+          }: _*).as("max_af_pops")): _*)
+    }),
     // Multi-entry colocated semantics (annotate_provider.rs:1600-1860
     // over >1 matched cache entry per variant): a satellite cache copy
     // shares every variant's matched coordinates + allele string under
@@ -1643,6 +1662,7 @@ object VepSpliceQueries {
     "f11_miss_worklist" -> missWorklistSql,
     "f11_sift" -> siftSql,
     "f11_maxaf" -> maxAfSql,
+    "c_cachebuild_maxaf" -> maxAfSql,
     "f11_colocated" -> colocatedSql,
     "f11_existing_multi" -> existingMultiSql,
     "f11_annotate_default" -> annotateDefaultSql,

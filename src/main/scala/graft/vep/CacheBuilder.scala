@@ -1,0 +1,157 @@
+package graft.vep
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The WRITER half of the reference's raw-Ensembl-cache ETL
+  * (bio-function-vep/src/cache_builder.rs:1-30): emits the per-entity
+  * partitioned parquet layout every lookup/annotate query consumes —
+  * main chromosomes in their own partition (`chr1` … `chr22`, `X`, `Y`,
+  * `MT` → the reference's `variation/chr{c}.parquet`), every other
+  * contig pooled into one `other` partition (`other.parquet`,
+  * cache_builder.rs:296-320), rows start-sorted within each file so
+  * row-group min/max statistics stay tight, plus the dual KV sink for
+  * `variation` ([[graft.sources.PositionCache]] — the fjall analogue,
+  * built FROM the written parquet exactly like
+  * `build_variation_fjall_from_parquet`). A live rows-written progress
+  * callback mirrors the reference's `OnProgress`
+  * (cache_builder.rs:43-50), fed from Spark task output metrics.
+  *
+  * The READER half of the reference ETL — parsing the raw Ensembl
+  * cache serialization — lives in an external crate
+  * (`datafusion_bio_format_ensembl_cache`) with no fixture in this
+  * sandbox; this builder starts from any DataFrame holding the entity
+  * rows (schema-contract-checked) and is gated by round-tripping the
+  * repo's own cache tables through it.
+  */
+object CacheBuilder {
+
+  /** Progress callback: (entity, format, cumulative rows written).
+    * `format` ∈ "parquet" | "kv" (the reference's "parquet"/"fjall"). */
+  type OnProgress = (String, String, Long) => Unit
+
+  /** Main chromosomes that get their own partition
+    * (cache_builder.rs:53-57 MAIN_CHROMS). */
+  val MainChroms: Seq[String] = (1 to 22).map(_.toString) ++ Seq("X", "Y", "MT")
+
+  /** Deterministic scratch dir for round-trip gates, keyed by the
+    * source data dir (no timestamps — every build overwrites, so a
+    * stale artifact can never feed a later run). */
+  def roundTripDir(sourceDir: String): String =
+    "/tmp/graft_built_cache_" +
+      java.lang.Integer.toHexString(sourceDir.hashCode)
+
+  /** Directory-partition key: `chr{c}` for main chromosomes (bare or
+    * already chr-prefixed input), `other` for every other contig —
+    * chrom names normalize to Ensembl bare form at write, the same
+    * two-sided normalization as [[graft.sources.PositionCache.write]]
+    * (kv_cache/key_encoding.rs chrom_to_code strips at build AND
+    * probe). */
+  private def shardCol(chrom: org.apache.spark.sql.Column) = {
+    val bare = when(chrom.startsWith("chr"),
+      chrom.substr(lit(4), lit(Integer.MAX_VALUE))).otherwise(chrom)
+    when(bare.isin(MainChroms: _*), concat(lit("chr"), bare)).otherwise(lit("other"))
+  }
+
+  private def bare(chrom: org.apache.spark.sql.Column) =
+    when(chrom.startsWith("chr"),
+      chrom.substr(lit(4), lit(Integer.MAX_VALUE))).otherwise(chrom)
+
+  /** Write one entity. Positional entities (those with a `chrom`
+    * column) shard per main chromosome and sort by `start` within each
+    * file; keyed entities (translations: SIFT/PolyPhen matrices) have
+    * no position — they cluster and sort by `transcript_id`, the
+    * reference's re-sorted second pass (cache_builder.rs:5-6,
+    * 1038-1123). Returns rows written. */
+  def buildEntity(df: DataFrame, outDir: String, entity: String,
+      onProgress: OnProgress = null): Long = {
+    val path = s"$outDir/$entity"
+    val positional = df.columns.contains("chrom")
+    if (positional) {
+      require(df.columns.contains("start"),
+        s"entity '$entity' has chrom but no start column; cache layout needs both " +
+        s"(got: ${df.columns.mkString(", ")})")
+    } else {
+      require(df.columns.contains("transcript_id"),
+        s"entity '$entity' has neither chrom nor transcript_id; no layout key " +
+        s"(got: ${df.columns.mkString(", ")})")
+    }
+    withRowProgress(df.sparkSession, entity, "parquet", onProgress) {
+      if (positional)
+        // _shard leads the sort so the write's required ordering
+        // (partition columns first) is already satisfied and the
+        // planner does NOT insert its own partition-only sort, which
+        // would destroy the start order inside each file
+        df.withColumn("chrom", bare(col("chrom")))
+          .withColumn("_shard", shardCol(col("chrom")))
+          .repartition(col("_shard"))
+          .sortWithinPartitions(col("_shard"), col("chrom"), col("start"))
+          .write.mode("overwrite").partitionBy("_shard").parquet(path)
+      else
+        df.repartition(col("transcript_id"))
+          .sortWithinPartitions(col("transcript_id"))
+          .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** Build every entity, then the `variation` KV sink from the
+    * just-written parquet (the reference's dual-sink lifecycle). */
+  def buildAll(entities: Map[String, DataFrame], outDir: String,
+      buildKv: Boolean = true, onProgress: OnProgress = null): Map[String, Long] = {
+    val written = entities.map { case (entity, df) =>
+      entity -> buildEntity(df, outDir, entity, onProgress)
+    }
+    if (buildKv) entities.get("variation").foreach { v =>
+      val rebuilt = openEntity(v.sparkSession, outDir, "variation")
+      withRowProgress(v.sparkSession, "variation", "kv", onProgress) {
+        graft.sources.PositionCache.write(rebuilt, s"$outDir/variation.kv")
+      }
+    }
+    written
+  }
+
+  /** Read an entity back. The `_shard` directory key is layout, not
+    * data — dropped; chrom stays the stored string column. */
+  def openEntity(spark: SparkSession, outDir: String, entity: String): DataFrame = {
+    val df = spark.read.parquet(s"$outDir/$entity")
+    if (df.columns.contains("_shard")) df.drop("_shard") else df
+  }
+
+  /** Run `write` with a listener summing task output records —
+    * Spark's driver-side equivalent of the reference's per-batch
+    * progress hook; zero cost on the write path itself. Rows from
+    * unrelated concurrent jobs in the same SparkContext would be
+    * counted too — acceptable for a build utility, documented. */
+  private def withRowProgress(spark: SparkSession, entity: String,
+      format: String, onProgress: OnProgress)(write: => Unit): Long = {
+    val total = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null && m.outputMetrics != null) {
+          val n = m.outputMetrics.recordsWritten
+          if (n > 0) {
+            val cum = total.addAndGet(n)
+            if (onProgress != null) onProgress(entity, format, cum)
+          }
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try write
+    finally {
+      // the listener bus is async: wait for the queued task-end
+      // events to settle before detaching (two consecutive equal
+      // reads), so the returned total is complete
+      var prev = -1L
+      var spins = 0
+      while (total.get() != prev && spins < 200) {
+        prev = total.get(); Thread.sleep(25); spins += 1
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    if (onProgress != null) onProgress(entity, format, total.get())
+    total.get()
+  }
+}

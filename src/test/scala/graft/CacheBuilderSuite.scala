@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.PositionCache
+import graft.vep.CacheBuilder
+
+/** The writer half of the reference's raw-cache ETL
+  * (cache_builder.rs:1-30): per-entity partitioned parquet — own
+  * partition per main chromosome, everything else pooled into `other`
+  * (cache_builder.rs:296-320), bare chrom names, start-sorted files —
+  * plus the variation KV dual sink and the `OnProgress` callback
+  * contract (cache_builder.rs:43-50). */
+class CacheBuilderSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) = Files.createTempDirectory(s"graft_cb_$tag").toString
+
+  test("positional entity: main chroms shard individually, other contigs pool, chroms go bare") {
+    val out = tmp("layout")
+    val df = Seq(
+      ("chr1", 30L, 35L, "v3"), ("chr1", 10L, 15L, "v1"), ("1", 20L, 25L, "v2"),
+      ("X", 5L, 6L, "vx"),
+      ("GL000194.1", 7L, 8L, "vo1"), ("KI270713.1", 9L, 10L, "vo2"))
+      .toDF("chrom", "start", "end", "variation_name")
+    val n = CacheBuilder.buildEntity(df, out, "variation")
+    assert(n == 6)
+    val shards = new java.io.File(s"$out/variation").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(shards == Seq("_shard=chr1", "_shard=chrX", "_shard=other"))
+    val back = CacheBuilder.openEntity(spark, out, "variation")
+    assert(back.columns.toSeq == df.columns.toSeq)
+    // chr-prefixed and bare spellings of chromosome 1 landed together, bare
+    assert(back.where($"chrom" === "1").count() == 3)
+    assert(back.where($"chrom".startsWith("chr")).count() == 0)
+    val others = back.where($"chrom".isin("GL000194.1", "KI270713.1"))
+    assert(others.count() == 2)
+  }
+
+  test("rows are start-sorted within each written file (tight row-group stats)") {
+    val out = tmp("sorted")
+    val df = (1 to 500).map(i => ("1", (997L * i) % 10000L, 1L, s"v$i"))
+      .toDF("chrom", "start", "end", "variation_name")
+    CacheBuilder.buildEntity(df, out, "variation")
+    val files = new java.io.File(s"$out/variation/_shard=chr1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val starts = spark.read.parquet(f.getAbsolutePath)
+        .select($"start").as[Long].collect()
+      assert(starts.sameElements(starts.sorted), s"${f.getName} not start-sorted")
+    }
+  }
+
+  test("keyed entity (no chrom) clusters and sorts by transcript_id") {
+    val out = tmp("keyed")
+    val df = Seq(("T9", 1, 0.1), ("T1", 2, 0.2), ("T9", 3, 0.3), ("T1", 1, 0.9))
+      .toDF("transcript_id", "protein_pos", "sift_score")
+    assert(CacheBuilder.buildEntity(df, out, "translation_sift") == 4)
+    val back = CacheBuilder.openEntity(spark, out, "translation_sift")
+    assert(back.count() == 4)
+    val files = new java.io.File(s"$out/translation_sift").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    for (f <- files) {
+      val tids = spark.read.parquet(f.getAbsolutePath)
+        .select($"transcript_id").as[String].collect()
+      assert(tids.sameElements(tids.sorted), s"${f.getName} not id-sorted")
+    }
+  }
+
+  test("an entity with neither chrom nor transcript_id fails loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      CacheBuilder.buildEntity(Seq((1, 2)).toDF("a", "b"), tmp("bad"), "mystery")
+    }
+    assert(ex.getMessage.contains("mystery"))
+  }
+
+  test("buildAll writes the variation KV dual sink, probe-able via PositionCache") {
+    val out = tmp("kv")
+    val df = Seq(("chr2", 100L, 101L, "A/T", "rs1"), ("2", 200L, 202L, "C/G", "rs2"))
+      .toDF("chrom", "start", "end", "allele_string", "variation_name")
+    CacheBuilder.buildAll(Map("variation" -> df), out)
+    val stored = PositionCache.open(spark, s"$out/variation.kv")
+    val hit = PositionCache.lookup(stored, "chr2", 100L)
+      .select($"variation_name").as[String].collect()
+    assert(hit.toSeq == Seq("rs1"))
+    val batch = PositionCache.lookupBatch(stored,
+      Seq(("2", 200L)).toDF("chrom", "start"))
+    assert(batch.select($"variation_name").as[String].collect().toSeq == Seq("rs2"))
+  }
+
+  test("progress callback is per-entity, monotone, and ends at the written total") {
+    val out = tmp("prog")
+    val df = (1 to 100).map(i => ("1", i.toLong, i + 1L, s"v$i"))
+      .toDF("chrom", "start", "end", "variation_name")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val totals = CacheBuilder.buildAll(Map("variation" -> df), out,
+      onProgress = (e, f, n) => seen.synchronized { seen += ((e, f, n)) })
+    assert(totals == Map("variation" -> 100L))
+    val parquetTicks = seen.filter(t => t._1 == "variation" && t._2 == "parquet").map(_._3)
+    assert(parquetTicks.nonEmpty && parquetTicks.last == 100L)
+    assert(parquetTicks == parquetTicks.sorted, "progress must be monotone")
+    val kvTicks = seen.filter(_._2 == "kv").map(_._3)
+    assert(kvTicks.nonEmpty && kvTicks.last == 100L)
+  }
+}
