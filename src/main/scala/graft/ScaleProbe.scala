@@ -108,7 +108,16 @@ object ScaleProbe {
           col("ref"), col("alt"))
       if (k == 1) base
       else {
-        val path = s"/tmp/graft_scaleprobe_${k}x.parquet"
+        // the artifact path carries a fingerprint of the source dir +
+        // its mtime + the jitter formula (round-13 ADVICE: a stale
+        // k-keyed artifact from older base data or an older formula
+        // silently fed every timed pass)
+        val srcFp = {
+          val f = new java.io.File(s"$d/lineitem.parquet")
+          java.lang.Long.toHexString(
+            (d + "|" + f.lastModified + "|jitter=i*13%97,id+i*1e7").hashCode.toLong & 0xffffffffL)
+        }
+        val path = s"/tmp/graft_scaleprobe_${k}x_$srcFp.parquet"
         if (!new java.io.File(path).exists()) {
           (0 until k).map { i =>
             base.select(col("chrom"),

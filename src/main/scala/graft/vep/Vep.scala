@@ -161,14 +161,32 @@ object Vep {
     try {
       val hdr = header
       lines.select(col("line")).rdd.foreachPartition { it =>
-        val tid = org.apache.spark.TaskContext.get().partitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val tid = tc.partitionId()
         val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), hconf.value)
-        val out = fs.create(new org.apache.hadoop.fs.Path(path, f"part-$tid%05d.vcf"), true)
+        // task-attempt commit protocol (round-13 ADVICE): write to an
+        // attempt-unique temp name and rename into place only on
+        // success — a speculative or zombie second attempt of this
+        // partition can never interleave bytes into the final shard,
+        // and a mid-write failure leaves only a .tmp file behind
+        val fin = new org.apache.hadoop.fs.Path(path, f"part-$tid%05d.vcf")
+        val tmp = new org.apache.hadoop.fs.Path(path,
+          f".part-$tid%05d-attempt-${tc.taskAttemptId()}.vcf.tmp")
+        val out = fs.create(tmp, true)
         val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(out, "UTF-8"))
+        var ok = false
         try {
           hdr.foreach { h => w.write(h); w.write('\n') }
           it.foreach { r => w.write(r.getString(0)); w.write('\n'); acc.add(1) }
-        } finally w.close()
+          ok = true
+        } finally {
+          w.close()
+          if (ok) {
+            fs.delete(fin, false) // a prior attempt's output, if any
+            if (!fs.rename(tmp, fin))
+              throw new java.io.IOException(s"could not commit $tmp -> $fin")
+          } else fs.delete(tmp, false)
+        }
       }
     } finally poller.foreach(_.interrupt())
     Option(onProgress).foreach(_(acc.value)) // final count, post-join
