@@ -204,6 +204,41 @@ object ScaleProbe {
       }
       (alu, mem)
     }
+    /** In-band contention canary: one daemon thread runs a fixed
+      * 2M-iteration LCG burst every 50 ms FOR THE DURATION of the
+      * timed pass. The off-clock calibration around a pass cannot see
+      * contention that starts and ends INSIDE it — observed round 14:
+      * a 2.9x-taskSec pass with flat calibration on both sides,
+      * jvmGcSec 0.4, steal 2.5. The canary's per-burst times attribute
+      * exactly that window: a contended pass's canaryP50/P90 jump
+      * relative to the other passes' (the canary competes as thread 33
+      * against 32 busy executor threads, so its ABSOLUTE time is
+      * scheduling-inflated even quiet — compare across passes, not to
+      * the off-clock calibration). Cost: ~4% of one core. */
+    final class Canary {
+      private val bursts = collection.mutable.ArrayBuffer[Double]()
+      @volatile private var stopped = false
+      private var sink = 987654321L
+      private val t = new Thread(() => {
+        while (!stopped) {
+          val b0 = System.nanoTime()
+          var x = sink; var n = 0
+          while (n < 2000000) { x = x * 6364136223846793005L + 1442695040888963407L; n += 1 }
+          sink = x
+          bursts.synchronized { bursts += (System.nanoTime() - b0) / 1e9 }
+          try Thread.sleep(50) catch { case _: InterruptedException => stopped = true }
+        }
+      })
+      t.setDaemon(true)
+      def start(): Canary = { t.start(); this }
+      /** (p50, p90, max) over bursts, first five dropped (JIT warm). */
+      def finish(): (Double, Double, Double) = {
+        stopped = true; t.interrupt(); t.join(1000)
+        val xs = bursts.synchronized(bursts.toVector).drop(5).sorted
+        if (xs.isEmpty) (-1.0, -1.0, -1.0)
+        else (xs(xs.size / 2), xs(math.min((xs.size * 9) / 10, xs.size - 1)), xs.last)
+      }
+    }
     val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
     def heapUsedMb: Long = memBean.getHeapMemoryUsage.getUsed >> 20
     val maxHeapMb = Runtime.getRuntime.maxMemory >> 20
@@ -263,6 +298,7 @@ object ScaleProbe {
         val steal0 = stealJiffies
         val jit0 = jitMs
         val gc0 = jvmGcMs
+        val canary = new Canary().start()
         val t0 = System.nanoTime()
         graft.vep.Annotate.annotate(vcfAt(k), Tables.vepCache(spark, d),
           Tables.transcripts(spark, d), Tables.exons(spark, d),
@@ -270,6 +306,7 @@ object ScaleProbe {
           Tables.regulatory(spark, d), Tables.motifs(spark, d))
           .write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
+        val (canP50, canP90, canMax) = canary.finish()
         // drain the listener bus so the pass's own events are counted
         // (listenerBus is private[spark]; a short settle suffices for
         // the async queue at this event volume)
@@ -288,7 +325,7 @@ object ScaleProbe {
           if (steal0 >= 0 && s1 >= 0) (s1 - steal0) / 100.0 else -1.0
         }
         val jitSec = { val j1 = jitMs; if (jit0 >= 0 && j1 >= 0) (j1 - jit0) / 1e3 else -1.0 }
-        println(f"""{"probe":"$label","factor":$k,"pass":$p,"wall":$wall%.2f,"taskSec":$tSec%.1f,"cpuSec":$cSec%.1f,"gcSec":$gSec%.1f,"jvmGcSec":$jvmGc%.1f,"fetchSec":$fSec%.1f,"shufWSec":$wSec%.1f,"deserSec":$dSec%.1f,"busyWall":$busy%.2f,"idleWall":${math.max(wall - busy, 0)}%.2f,"jobs":$nJobs,"jobWall":$jobWall%.2f,"conc":${if (busy > 0) tSec / busy else 0}%.1f,"heapStartMB":$heap0,"heapEndMB":$heapEnd,"maxHeapMB":$maxHeapMb,"bcBlocksStart":$bc0Count,"bcBlocksEnd":$bcEnd,"stealSec":$stealSec%.1f,"jitSec":$jitSec%.1f,"calibSec":$calibSec%.2f,"calibMemSec":$calibMemSec%.2f}""")
+        println(f"""{"probe":"$label","factor":$k,"pass":$p,"wall":$wall%.2f,"taskSec":$tSec%.1f,"cpuSec":$cSec%.1f,"gcSec":$gSec%.1f,"jvmGcSec":$jvmGc%.1f,"fetchSec":$fSec%.1f,"shufWSec":$wSec%.1f,"deserSec":$dSec%.1f,"busyWall":$busy%.2f,"idleWall":${math.max(wall - busy, 0)}%.2f,"jobs":$nJobs,"jobWall":$jobWall%.2f,"conc":${if (busy > 0) tSec / busy else 0}%.1f,"heapStartMB":$heap0,"heapEndMB":$heapEnd,"maxHeapMB":$maxHeapMb,"bcBlocksStart":$bc0Count,"bcBlocksEnd":$bcEnd,"stealSec":$stealSec%.1f,"jitSec":$jitSec%.1f,"calibSec":$calibSec%.2f,"calibMemSec":$calibMemSec%.2f,"canaryP50":$canP50%.4f,"canaryP90":$canP90%.4f,"canaryMax":$canMax%.4f}""")
         taskSecs(label) = taskSecs.getOrElse(label, Vector.empty) :+ ((tSec, wall, stealSec))
       }
     }
