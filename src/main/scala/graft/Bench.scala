@@ -170,9 +170,10 @@ object Bench {
       }
       (alu, mem)
     }
-    // JIT-warm the calibration loops so the first samples aren't
-    // judged against interpreter-speed probes
+    // JIT-warm the calibration + canary loops so the first samples
+    // aren't judged against interpreter-speed probes
     (1 to 3).foreach(_ => calibrate())
+    graft.core.Canary.warm()
     val calSeq = collection.mutable.ArrayBuffer[(Double, Double)]()
     def cleanup(): Unit = {
       // off-the-clock cleanup between queries: release any blocks the
@@ -186,8 +187,16 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
     }
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Diag) = {
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Diag, Double) = {
       val gc0 = jvmGcMs; val (busy0, steal0) = procStat; val pc0 = procCpuNs
+      // in-band canary (graft.core.Canary): the surrounding
+      // calibration cannot see contention that starts and ends INSIDE
+      // the sample — the round-14 first full run shipped 13-27 s heavy
+      // samples marked clean by every off-clock instrument. Judged per
+      // QUERY below (p50 vs the query's best sample p50): within one
+      // query the workload's thread profile is comparable, across
+      // queries it is not.
+      val canary = new graft.core.Canary(25).start()
       val t0 = System.nanoTime()
       val sec =
         try {
@@ -198,13 +207,14 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
         }
+      val canP50 = canary.finish()._1
       val (busy1, steal1) = procStat
       val ext =
         if (busy0 >= 0 && pc0 >= 0)
           math.max((busy1 - busy0) / 100.0 - (procCpuNs - pc0) / 1e9, 0)
         else -1.0
       (sec, Diag((jvmGcMs - gc0) / 1e3,
-        if (steal0 >= 0) (steal1 - steal0) / 100.0 else -1.0, ext))
+        if (steal0 >= 0) (steal1 - steal0) / 100.0 else -1.0, ext), canP50)
     }
     // schedule: `repeats` full rounds over every query, with the
     // extra heavy-only passes SPREAD BETWEEN them (not back-to-back)
@@ -228,7 +238,8 @@ object Bench {
     // attribution (gc / steal / external cpu) — round-12 verdict #4:
     // load average alone could not identify poisoned samples (it
     // trails, and the bench inflates it itself)
-    final case class Sample(sec: Double, load: Double, d: Diag, calIdx: Int) {
+    final case class Sample(sec: Double, load: Double, d: Diag, calIdx: Int,
+        canP50: Double) {
       // externally contended: >1.5 cores of NON-bench host CPU ran
       // during this sample (steal counts double — it stalls us)
       def contended: Boolean =
@@ -266,8 +277,17 @@ object Bench {
       cleanup()
       calSeq += calibrate()
       val idx = calSeq.size - 1
-      val (sec, d) = runOnce(name, fn)
-      acc(name) = acc.getOrElse(name, Vector.empty) :+ Sample(sec, load, d, idx)
+      val (sec, d, canP50) = runOnce(name, fn)
+      acc(name) = acc.getOrElse(name, Vector.empty) :+ Sample(sec, load, d, idx, canP50)
+    }
+    // canary-poisoned: this sample's in-band burst median exceeds 1.5x
+    // the BEST burst median any sample of the SAME query achieved
+    // (same workload = comparable scheduling pressure on the canary);
+    // unjudgeable (too-short) samples never poison
+    def canaryPoisoned(name: String, s: Sample): Boolean = {
+      if (s.canP50 <= 0) return false
+      val best = acc.getOrElse(name, Vector.empty).map(_.canP50).filter(_ > 0)
+      best.nonEmpty && s.canP50 > 1.5 * best.min
     }
     for (block <- blocks) {
       val load = osBean.getSystemLoadAverage
@@ -302,11 +322,14 @@ object Bench {
       }
     }
     // a sample is DIRTY when any instrument attributes host
-    // interference to it: external cpu / steal (contended) or a
+    // interference to it: external cpu / steal (contended), a
     // degraded surrounding calibration (the round-13 signature:
-    // zero-steal zero-extcpu memory-bandwidth contention). Dirty
-    // samples measure the host, not the operator.
-    def dirty(s: Sample): Boolean = s.contended || calPoisoned(s)
+    // zero-steal zero-extcpu memory-bandwidth contention), or an
+    // in-band canary stretch (round-14: mid-sample bursts invisible
+    // to every off-clock instrument). Dirty samples measure the host,
+    // not the operator.
+    def dirty(name: String, s: Sample): Boolean =
+      s.contended || calPoisoned(s) || canaryPoisoned(name, s)
     // contention-aware re-sample (round-12 verdict #4, widened to the
     // calibration instrument in round 14): spread alone cannot catch
     // UNIFORM contention — five rounds of official heavy-family
@@ -315,8 +338,8 @@ object Bench {
     // now, recorded alongside the originals.
     val loadResampled = collection.mutable.LinkedHashSet[String]()
     for (pass <- 1 to 2) {
-      val needy = acc.filter { case (_, xs) =>
-        xs.nonEmpty && xs.count(s => s.sec > 0 && !dirty(s)) < 2
+      val needy = acc.filter { case (n, xs) =>
+        xs.nonEmpty && xs.count(s => s.sec > 0 && !dirty(n, s)) < 2
       }.keys.toSeq
       if (needy.nonEmpty) {
         val load = osBean.getSystemLoadAverage
@@ -332,7 +355,7 @@ object Bench {
     // least two exist (the full sample set, with each sample's
     // attribution, ships in the samples record regardless)
     val samples: Seq[(String, Seq[Double])] = acc.toSeq.map { case (n, xs) =>
-      val clean = xs.filter(s => s.sec > 0 && !dirty(s))
+      val clean = xs.filter(s => s.sec > 0 && !dirty(n, s))
       n -> (if (clean.size >= 2) clean.map(_.sec) else xs.map(_.sec))
     }
     def median(xs: Seq[Double]): Double = {
@@ -356,7 +379,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val calMin = f"""[${calBaseline._1}%.3f,${calBaseline._2}%.3f]"""
     val samplesLine =
-      s"""{"metric":"samples","samples":$rawAll,"sample_loads":${diagMap(_.load, "%.1f")},"sample_gc":${diagMap(_.d.gcSec, "%.2f")},"sample_steal":${diagMap(_.d.stealSec, "%.2f")},"sample_extcpu":${diagMap(_.d.extCpuSec, "%.2f")},"sample_calib":${diagMap(_.calBefore._1, "%.3f")},"sample_calibmem":${diagMap(_.calBefore._2, "%.3f")},"sample_dirty":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(x => if (dirty(x)) "1" else "0").mkString(",") + "]" }.mkString("{", ",", "}")},"calib_best":$calMin,"load":$loadArr,"repeats":$repeats,"heavy_repeats":$heavyRepeats,"resampled":$resampledArr,"contention_resampled":$loadResampledArr}"""
+      s"""{"metric":"samples","samples":$rawAll,"sample_loads":${diagMap(_.load, "%.1f")},"sample_gc":${diagMap(_.d.gcSec, "%.2f")},"sample_steal":${diagMap(_.d.stealSec, "%.2f")},"sample_extcpu":${diagMap(_.d.extCpuSec, "%.2f")},"sample_calib":${diagMap(_.calBefore._1, "%.3f")},"sample_calibmem":${diagMap(_.calBefore._2, "%.3f")},"sample_canary":${diagMap(_.canP50, "%.4f")},"sample_dirty":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(x => if (dirty(k, x)) "1" else "0").mkString(",") + "]" }.mkString("{", ",", "}")},"calib_best":$calMin,"load":$loadArr,"repeats":$repeats,"heavy_repeats":$heavyRepeats,"resampled":$resampledArr,"contention_resampled":$loadResampledArr}"""
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"repeats":$repeats,"sf":"$sfDir"}"""
     // 1. the complete record goes to FILES — the canonical per-query

@@ -204,41 +204,12 @@ object ScaleProbe {
       }
       (alu, mem)
     }
-    /** In-band contention canary: one daemon thread runs a fixed
-      * 2M-iteration LCG burst every 50 ms FOR THE DURATION of the
-      * timed pass. The off-clock calibration around a pass cannot see
-      * contention that starts and ends INSIDE it — observed round 14:
-      * a 2.9x-taskSec pass with flat calibration on both sides,
-      * jvmGcSec 0.4, steal 2.5. The canary's per-burst times attribute
-      * exactly that window: a contended pass's canaryP50/P90 jump
-      * relative to the other passes' (the canary competes as thread 33
-      * against 32 busy executor threads, so its ABSOLUTE time is
-      * scheduling-inflated even quiet — compare across passes, not to
-      * the off-clock calibration). Cost: ~4% of one core. */
-    final class Canary {
-      private val bursts = collection.mutable.ArrayBuffer[Double]()
-      @volatile private var stopped = false
-      private var sink = 987654321L
-      private val t = new Thread(() => {
-        while (!stopped) {
-          val b0 = System.nanoTime()
-          var x = sink; var n = 0
-          while (n < 2000000) { x = x * 6364136223846793005L + 1442695040888963407L; n += 1 }
-          sink = x
-          bursts.synchronized { bursts += (System.nanoTime() - b0) / 1e9 }
-          try Thread.sleep(50) catch { case _: InterruptedException => stopped = true }
-        }
-      })
-      t.setDaemon(true)
-      def start(): Canary = { t.start(); this }
-      /** (p50, p90, max) over bursts, first five dropped (JIT warm). */
-      def finish(): (Double, Double, Double) = {
-        stopped = true; t.interrupt(); t.join(1000)
-        val xs = bursts.synchronized(bursts.toVector).drop(5).sorted
-        if (xs.isEmpty) (-1.0, -1.0, -1.0)
-        else (xs(xs.size / 2), xs(math.min((xs.size * 9) / 10, xs.size - 1)), xs.last)
-      }
-    }
+    // in-band contention canary per pass (see graft.core.Canary):
+    // attributes contention that starts and ends INSIDE a timed pass,
+    // which the off-clock calibration around it cannot see (round 14:
+    // a 2.9x-taskSec pass with flat calibration both sides, jvmGcSec
+    // 0.4, steal 2.5)
+    graft.core.Canary.warm()
     val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
     def heapUsedMb: Long = memBean.getHeapMemoryUsage.getUsed >> 20
     val maxHeapMb = Runtime.getRuntime.maxMemory >> 20
@@ -298,7 +269,7 @@ object ScaleProbe {
         val steal0 = stealJiffies
         val jit0 = jitMs
         val gc0 = jvmGcMs
-        val canary = new Canary().start()
+        val canary = new graft.core.Canary().start()
         val t0 = System.nanoTime()
         graft.vep.Annotate.annotate(vcfAt(k), Tables.vepCache(spark, d),
           Tables.transcripts(spark, d), Tables.exons(spark, d),
