@@ -117,7 +117,75 @@ object Bench {
       case m: com.sun.management.OperatingSystemMXBean => m.getProcessCpuTime
       case _ => -1L
     }
-    final case class Diag(gcSec: Double, stealSec: Double, extCpuSec: Double)
+    final case class Diag(gcSec: Double, stealSec: Double, extCpuSec: Double,
+      taskSec: Double, busyWall: Double, cgN: Long, jitSec: Double,
+      cpuSec: Double, tasks: Long, jobsN: Long, rowsIn: Long, maxTask: Double)
+    // per-sample whole-stage-codegen compile count + JVM JIT time:
+    // a sample whose taskSec multiplies with flat canary/gc/steal and
+    // a compile burst is a janino recompile storm (executor threads
+    // serialize on the compile KeyLock, and blocked time lands in
+    // executorRunTime — the round-11 signature)
+    def cgCount: Long =
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMs: Long =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime else -1L
+    // per-sample executor accounting (the ScaleProbe decomposition,
+    // reset per sample): taskSec = summed executor run time, busyWall
+    // = wall covered by >= 1 running task. A slow sample with LOW
+    // taskSec/busyWall relative to its siblings stalled on the DRIVER
+    // (planning, compile locks, cleaner) — round-14: heavy samples
+    // varied 3.4 -> 39 s with flat canary/gc/steal/extcpu, i.e.
+    // executor threads blocked, not CPU-starved
+    val metricsLock = new Object
+    var taskMsAcc = 0L
+    var taskCpuNsAcc = 0L
+    var maxTaskMs = 0L
+    var nTasks = 0L
+    var nJobs = 0L
+    var inputRows = 0L
+    val taskIntervals = collection.mutable.ArrayBuffer[(Long, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        metricsLock.synchronized {
+          nTasks += 1
+          if (e.taskMetrics != null) {
+            taskMsAcc += e.taskMetrics.executorRunTime
+            taskCpuNsAcc += e.taskMetrics.executorCpuTime
+            maxTaskMs = math.max(maxTaskMs, e.taskMetrics.executorRunTime)
+            inputRows += e.taskMetrics.inputMetrics.recordsRead +
+              e.taskMetrics.shuffleReadMetrics.recordsRead
+          }
+          if (e.taskInfo != null)
+            taskIntervals += ((e.taskInfo.launchTime, e.taskInfo.finishTime))
+        }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        metricsLock.synchronized { nJobs += 1 }
+    })
+    def busyWallOf(iv: Seq[(Long, Long)]): Double = {
+      val sorted = iv.sortBy(_._1)
+      var total = 0L; var curS = -1L; var curE = -1L
+      for ((s, e) <- sorted) {
+        if (s > curE) { if (curE > curS) total += curE - curS; curS = s; curE = e }
+        else if (e > curE) curE = e
+      }
+      if (curE > curS) total += curE - curS
+      total / 1e3
+    }
+    // live broadcast-block population (adds = valid-level block
+    // updates, ContextCleaner removals = NONE-level updates)
+    val liveBroadcasts = collection.mutable.HashSet[Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onBlockUpdated(e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit =
+        e.blockUpdatedInfo.blockId match {
+          case b: org.apache.spark.storage.BroadcastBlockId => liveBroadcasts.synchronized {
+            if (e.blockUpdatedInfo.storageLevel.isValid) liveBroadcasts += b.broadcastId
+            else liveBroadcasts -= b.broadcastId
+          }
+          case _ =>
+        }
+    })
     // two-phase host calibration (the ScaleProbe instrument, scaled to
     // per-sample cost — round-13 verdict #1: five rounds of official
     // heavy medians shipped ~2x inflated by contention that shows ZERO
@@ -183,11 +251,25 @@ object Bench {
       // queries 1.4-1.6x slower from accumulated resident blocks).
       // Runs BEFORE the calibration probes so the previous query's
       // collection never overlaps (and spuriously inflates) them.
+      // WAITS for the ContextCleaner's async broadcast reaping to
+      // drain (the ScaleProbe reap contract): without the wait, the
+      // previous heavy query's 30+ broadcast removals run INSIDE the
+      // next sample — driver/block-manager work charged to whichever
+      // query is on the clock.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      System.gc()
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var live = liveBroadcasts.synchronized(liveBroadcasts.size)
+      var prev = -1
+      while (live > 0 && live != prev && System.nanoTime() < deadline) {
+        prev = live
+        System.gc()
+        Thread.sleep(150)
+        live = liveBroadcasts.synchronized(liveBroadcasts.size)
+      }
+      if (live == 0 || prev < 0) System.gc()
     }
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Diag, Double) = {
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Diag, Double, Double) = {
       val gc0 = jvmGcMs; val (busy0, steal0) = procStat; val pc0 = procCpuNs
       // in-band canary (graft.core.Canary): the surrounding
       // calibration cannot see contention that starts and ends INSIDE
@@ -196,6 +278,12 @@ object Bench {
       // QUERY below (p50 vs the query's best sample p50): within one
       // query the workload's thread profile is comparable, across
       // queries it is not.
+      metricsLock.synchronized {
+        taskMsAcc = 0; taskCpuNsAcc = 0; maxTaskMs = 0; nTasks = 0; nJobs = 0
+        inputRows = 0
+        taskIntervals.clear()
+      }
+      val cg0 = cgCount; val jit0 = jitMs
       val canary = new graft.core.Canary(25).start()
       val t0 = System.nanoTime()
       val sec =
@@ -207,14 +295,21 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
         }
-      val canP50 = canary.finish()._1
+      val (canP50, canMemP50) = { val r = canary.finish(); (r._1._1, r._2._1) }
       val (busy1, steal1) = procStat
       val ext =
         if (busy0 >= 0 && pc0 >= 0)
           math.max((busy1 - busy0) / 100.0 - (procCpuNs - pc0) / 1e9, 0)
         else -1.0
+      val (tSec, bWall, tCpu, tN, jN, rIn, mxT) = metricsLock.synchronized {
+        (taskMsAcc / 1e3, busyWallOf(taskIntervals.toSeq), taskCpuNsAcc / 1e9,
+         nTasks, nJobs, inputRows, maxTaskMs / 1e3)
+      }
       (sec, Diag((jvmGcMs - gc0) / 1e3,
-        if (steal0 >= 0) (steal1 - steal0) / 100.0 else -1.0, ext), canP50)
+        if (steal0 >= 0) (steal1 - steal0) / 100.0 else -1.0, ext,
+        tSec, bWall, cgCount - cg0,
+        { val j1 = jitMs; if (jit0 >= 0 && j1 >= 0) (j1 - jit0) / 1e3 else -1.0 },
+        tCpu, tN, jN, rIn, mxT), canP50, canMemP50)
     }
     // schedule: `repeats` full rounds over every query, with the
     // extra heavy-only passes SPREAD BETWEEN them (not back-to-back)
@@ -239,7 +334,7 @@ object Bench {
     // load average alone could not identify poisoned samples (it
     // trails, and the bench inflates it itself)
     final case class Sample(sec: Double, load: Double, d: Diag, calIdx: Int,
-        canP50: Double) {
+        canP50: Double, canMemP50: Double) {
       // externally contended: >1.5 cores of NON-bench host CPU ran
       // during this sample (steal counts double — it stalls us)
       def contended: Boolean =
@@ -277,17 +372,23 @@ object Bench {
       cleanup()
       calSeq += calibrate()
       val idx = calSeq.size - 1
-      val (sec, d, canP50) = runOnce(name, fn)
-      acc(name) = acc.getOrElse(name, Vector.empty) :+ Sample(sec, load, d, idx, canP50)
+      val (sec, d, canP50, canMemP50) = runOnce(name, fn)
+      acc(name) = acc.getOrElse(name, Vector.empty) :+
+        Sample(sec, load, d, idx, canP50, canMemP50)
     }
     // canary-poisoned: this sample's in-band burst median exceeds 1.5x
     // the BEST burst median any sample of the SAME query achieved
     // (same workload = comparable scheduling pressure on the canary);
     // unjudgeable (too-short) samples never poison
     def canaryPoisoned(name: String, s: Sample): Boolean = {
-      if (s.canP50 <= 0) return false
-      val best = acc.getOrElse(name, Vector.empty).map(_.canP50).filter(_ > 0)
-      best.nonEmpty && s.canP50 > 1.5 * best.min
+      val sibs = acc.getOrElse(name, Vector.empty)
+      def bad(v: Double, of: Sample => Double, k: Double) = {
+        val best = sibs.map(of).filter(_ > 0)
+        v > 0 && best.nonEmpty && v > k * best.min
+      }
+      // ALU phase: scheduling/quota; MEMORY phase: bus contention —
+      // the round-14 7-10x cpuSec excursions stretch only the latter
+      bad(s.canP50, _.canP50, 1.5) || bad(s.canMemP50, _.canMemP50, 1.5)
     }
     for (block <- blocks) {
       val load = osBean.getSystemLoadAverage
@@ -330,6 +431,13 @@ object Bench {
     // not the operator.
     def dirty(name: String, s: Sample): Boolean =
       s.contended || calPoisoned(s) || canaryPoisoned(name, s)
+    // cold: the sample paid a whole-stage-codegen compile storm (the
+    // first execution of a query in the session; blocked-on-compile
+    // time lands in executorRunTime). Steady-state is the metric the
+    // record claims — the registry + codegen cache make every later
+    // call warm — so cold samples are excluded like dirty ones when
+    // enough warm samples exist.
+    def cold(s: Sample): Boolean = s.d.cgN > 5
     // contention-aware re-sample (round-12 verdict #4, widened to the
     // calibration instrument in round 14): spread alone cannot catch
     // UNIFORM contention — five rounds of official heavy-family
@@ -339,7 +447,7 @@ object Bench {
     val loadResampled = collection.mutable.LinkedHashSet[String]()
     for (pass <- 1 to 2) {
       val needy = acc.filter { case (n, xs) =>
-        xs.nonEmpty && xs.count(s => s.sec > 0 && !dirty(n, s)) < 2
+        xs.nonEmpty && xs.count(s => s.sec > 0 && !dirty(n, s) && !cold(s)) < 2
       }.keys.toSeq
       if (needy.nonEmpty) {
         val load = osBean.getSystemLoadAverage
@@ -355,8 +463,11 @@ object Bench {
     // least two exist (the full sample set, with each sample's
     // attribution, ships in the samples record regardless)
     val samples: Seq[(String, Seq[Double])] = acc.toSeq.map { case (n, xs) =>
+      val warm = xs.filter(s => s.sec > 0 && !dirty(n, s) && !cold(s))
       val clean = xs.filter(s => s.sec > 0 && !dirty(n, s))
-      n -> (if (clean.size >= 2) clean.map(_.sec) else xs.map(_.sec))
+      n -> (if (warm.size >= 2) warm.map(_.sec)
+            else if (clean.size >= 2) clean.map(_.sec)
+            else xs.map(_.sec))
     }
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
@@ -379,7 +490,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val calMin = f"""[${calBaseline._1}%.3f,${calBaseline._2}%.3f]"""
     val samplesLine =
-      s"""{"metric":"samples","samples":$rawAll,"sample_loads":${diagMap(_.load, "%.1f")},"sample_gc":${diagMap(_.d.gcSec, "%.2f")},"sample_steal":${diagMap(_.d.stealSec, "%.2f")},"sample_extcpu":${diagMap(_.d.extCpuSec, "%.2f")},"sample_calib":${diagMap(_.calBefore._1, "%.3f")},"sample_calibmem":${diagMap(_.calBefore._2, "%.3f")},"sample_canary":${diagMap(_.canP50, "%.4f")},"sample_dirty":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(x => if (dirty(k, x)) "1" else "0").mkString(",") + "]" }.mkString("{", ",", "}")},"calib_best":$calMin,"load":$loadArr,"repeats":$repeats,"heavy_repeats":$heavyRepeats,"resampled":$resampledArr,"contention_resampled":$loadResampledArr}"""
+      s"""{"metric":"samples","samples":$rawAll,"sample_loads":${diagMap(_.load, "%.1f")},"sample_gc":${diagMap(_.d.gcSec, "%.2f")},"sample_steal":${diagMap(_.d.stealSec, "%.2f")},"sample_extcpu":${diagMap(_.d.extCpuSec, "%.2f")},"sample_calib":${diagMap(_.calBefore._1, "%.3f")},"sample_calibmem":${diagMap(_.calBefore._2, "%.3f")},"sample_canary":${diagMap(_.canP50, "%.4f")},"sample_canarymem":${diagMap(_.canMemP50, "%.4f")},"sample_tasksec":${diagMap(_.d.taskSec, "%.1f")},"sample_busywall":${diagMap(_.d.busyWall, "%.2f")},"sample_cgn":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(_.d.cgN.toString).mkString(",") + "]" }.mkString("{", ",", "}")},"sample_jit":${diagMap(_.d.jitSec, "%.2f")},"sample_cpusec":${diagMap(_.d.cpuSec, "%.1f")},"sample_tasks":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(_.d.tasks.toString).mkString(",") + "]" }.mkString("{", ",", "}")},"sample_jobs":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(_.d.jobsN.toString).mkString(",") + "]" }.mkString("{", ",", "}")},"sample_rowsin":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(_.d.rowsIn.toString).mkString(",") + "]" }.mkString("{", ",", "}")},"sample_maxtask":${diagMap(_.d.maxTask, "%.2f")},"sample_dirty":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(x => if (dirty(k, x)) "1" else "0").mkString(",") + "]" }.mkString("{", ",", "}")},"calib_best":$calMin,"load":$loadArr,"repeats":$repeats,"heavy_repeats":$heavyRepeats,"resampled":$resampledArr,"contention_resampled":$loadResampledArr}"""
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"repeats":$repeats,"sf":"$sfDir"}"""
     // 1. the complete record goes to FILES — the canonical per-query

@@ -277,7 +277,7 @@ object ScaleProbe {
           Tables.regulatory(spark, d), Tables.motifs(spark, d))
           .write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        val (canP50, canP90, canMax) = canary.finish()
+        val ((canP50, canP90, canMax), (canMemP50, _, canMemMax)) = canary.finish()
         // drain the listener bus so the pass's own events are counted
         // (listenerBus is private[spark]; a short settle suffices for
         // the async queue at this event volume)
@@ -296,7 +296,7 @@ object ScaleProbe {
           if (steal0 >= 0 && s1 >= 0) (s1 - steal0) / 100.0 else -1.0
         }
         val jitSec = { val j1 = jitMs; if (jit0 >= 0 && j1 >= 0) (j1 - jit0) / 1e3 else -1.0 }
-        println(f"""{"probe":"$label","factor":$k,"pass":$p,"wall":$wall%.2f,"taskSec":$tSec%.1f,"cpuSec":$cSec%.1f,"gcSec":$gSec%.1f,"jvmGcSec":$jvmGc%.1f,"fetchSec":$fSec%.1f,"shufWSec":$wSec%.1f,"deserSec":$dSec%.1f,"busyWall":$busy%.2f,"idleWall":${math.max(wall - busy, 0)}%.2f,"jobs":$nJobs,"jobWall":$jobWall%.2f,"conc":${if (busy > 0) tSec / busy else 0}%.1f,"heapStartMB":$heap0,"heapEndMB":$heapEnd,"maxHeapMB":$maxHeapMb,"bcBlocksStart":$bc0Count,"bcBlocksEnd":$bcEnd,"stealSec":$stealSec%.1f,"jitSec":$jitSec%.1f,"calibSec":$calibSec%.2f,"calibMemSec":$calibMemSec%.2f,"canaryP50":$canP50%.4f,"canaryP90":$canP90%.4f,"canaryMax":$canMax%.4f}""")
+        println(f"""{"probe":"$label","factor":$k,"pass":$p,"wall":$wall%.2f,"taskSec":$tSec%.1f,"cpuSec":$cSec%.1f,"gcSec":$gSec%.1f,"jvmGcSec":$jvmGc%.1f,"fetchSec":$fSec%.1f,"shufWSec":$wSec%.1f,"deserSec":$dSec%.1f,"busyWall":$busy%.2f,"idleWall":${math.max(wall - busy, 0)}%.2f,"jobs":$nJobs,"jobWall":$jobWall%.2f,"conc":${if (busy > 0) tSec / busy else 0}%.1f,"heapStartMB":$heap0,"heapEndMB":$heapEnd,"maxHeapMB":$maxHeapMb,"bcBlocksStart":$bc0Count,"bcBlocksEnd":$bcEnd,"stealSec":$stealSec%.1f,"jitSec":$jitSec%.1f,"calibSec":$calibSec%.2f,"calibMemSec":$calibMemSec%.2f,"canaryP50":$canP50%.4f,"canaryP90":$canP90%.4f,"canaryMax":$canMax%.4f,"canaryMemP50":$canMemP50%.4f,"canaryMemMax":$canMemMax%.4f}""")
         taskSecs(label) = taskSecs.getOrElse(label, Vector.empty) :+ ((tSec, wall, stealSec))
       }
     }
