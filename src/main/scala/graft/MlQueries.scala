@@ -33,6 +33,10 @@ object MlQueries {
       col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))),
     "t_fingerprint" -> ((s, d) => docs(s, d).select(
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))),
+    "t_repetition" -> ((s, d) => docs(s, d).select(
+      col("doc_id"),
+      TextFunctions.repetitionRatio(col("text")).as("rep_ratio"))
+      .orderBy("doc_id")),
     "d_exact_dups" -> ((s, d) =>
       Dedup.exactDuplicates(corpus(s, d), "text", "doc_id")),
     "d_lsh_pairs" -> ((s, d) =>
@@ -195,6 +199,16 @@ object MlQueries {
        |  FROM bits GROUP BY doc_id)""".stripMargin.replace("\n", " ")
 
   val oracleSql: Map[String, String] = Map(
+    "t_repetition" ->
+      ("SELECT doc_id, CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 THEN 0.0 " +
+       "ELSE 1.0 - CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE) " +
+       "/ CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) END AS rep_ratio " +
+       "FROM documents ORDER BY doc_id"),
+    "t_repetition" ->
+      ("SELECT doc_id, CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 THEN 0.0 " +
+       "ELSE 1.0 - CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE) " +
+       "/ CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) END AS rep_ratio " +
+       "FROM documents ORDER BY doc_id"),
     "t_token_count" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, " +
        "CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}|[^\\s\\p{L}\\p{N}]')) AS BIGINT) AS n_bpe " +

@@ -239,7 +239,7 @@ object ScaleProbe {
     }
     // per-scale quiet-pass aggregation for the summary line: a pass
     // with material steal measured the hypervisor, not the engine
-    val taskSecs = collection.mutable.LinkedHashMap[String, Vector[(Double, Double, Double)]]()
+    val taskSecs = collection.mutable.LinkedHashMap[String, Vector[(Double, Double, Double, Double)]]()
     def run(label: String, k: Int): Unit = {
       // materialize the k× table OUTSIDE the timed region (one-time
       // parquet write), and run ONE untimed warm pass: the first pass
@@ -297,19 +297,25 @@ object ScaleProbe {
         }
         val jitSec = { val j1 = jitMs; if (jit0 >= 0 && j1 >= 0) (j1 - jit0) / 1e3 else -1.0 }
         println(f"""{"probe":"$label","factor":$k,"pass":$p,"wall":$wall%.2f,"taskSec":$tSec%.1f,"cpuSec":$cSec%.1f,"gcSec":$gSec%.1f,"jvmGcSec":$jvmGc%.1f,"fetchSec":$fSec%.1f,"shufWSec":$wSec%.1f,"deserSec":$dSec%.1f,"busyWall":$busy%.2f,"idleWall":${math.max(wall - busy, 0)}%.2f,"jobs":$nJobs,"jobWall":$jobWall%.2f,"conc":${if (busy > 0) tSec / busy else 0}%.1f,"heapStartMB":$heap0,"heapEndMB":$heapEnd,"maxHeapMB":$maxHeapMb,"bcBlocksStart":$bc0Count,"bcBlocksEnd":$bcEnd,"stealSec":$stealSec%.1f,"jitSec":$jitSec%.1f,"calibSec":$calibSec%.2f,"calibMemSec":$calibMemSec%.2f,"canaryP50":$canP50%.4f,"canaryP90":$canP90%.4f,"canaryMax":$canMax%.4f,"canaryMemP50":$canMemP50%.4f,"canaryMemMax":$canMemMax%.4f}""")
-        taskSecs(label) = taskSecs.getOrElse(label, Vector.empty) :+ ((tSec, wall, stealSec))
+        taskSecs(label) = taskSecs.getOrElse(label, Vector.empty) :+
+          ((tSec, wall, stealSec, canMemP50))
       }
     }
     run("e2e_1x", 1)
     run(s"e2e_${factor}x", factor)
-    // summary: quiet-pass (steal < 3 s) medians per scale + the
-    // linearity ratio the stability claim is judged on
+    // summary: quiet-pass medians per scale + the linearity ratio the
+    // stability claim is judged on. Quiet = steal < 3 s AND this
+    // pass's in-band memory-canary p50 within 1.5x the run's best
+    // (round 14: a 3x-taskSec pass burned real cpu with zero steal —
+    // co-tenant bus contention only the in-band canary attributes)
     def med(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1 else xs.sorted.apply(xs.size / 2)
     def quiet(label: String): (Double, Double, Int, Boolean) = {
       val all = taskSecs.getOrElse(label, Vector.empty)
-      val q = all.filter(_._3 < 3.0)
-      val fallback = q.size < 2 // every pass steal-poisoned: medians are over ALL passes
+      val mems = all.map(_._4).filter(_ > 0)
+      def memQuiet(m: Double) = m <= 0 || mems.isEmpty || m <= 1.5 * mems.min
+      val q = all.filter(p => p._3 < 3.0 && memQuiet(p._4))
+      val fallback = q.size < 2 // every pass poisoned: medians are over ALL passes
       val use = if (fallback) all else q
       (med(use.map(_._1)), med(use.map(_._2)), q.size, fallback)
     }

@@ -69,4 +69,16 @@ object TextFunctions {
   /** Content fingerprint: md5 of the normalized text (stable across
     * whitespace/case variation — the rolling-hash fingerprint role). */
   def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
+
+  /** Repetition ratio: fraction of whitespace tokens that are repeats
+    * of an earlier token, `1 - distinct/total` (0 for empty text) — a
+    * standard training-data quality signal (boilerplate, keyword
+    * stuffing, decoding loops score high). Pure Column expression,
+    * map-only at any corpus size. */
+  def repetitionRatio(text: Column): Column = {
+    val toks = regexp_extract_all(text, lit("\\S+"), lit(0))
+    val n = size(toks).cast("double")
+    when(n <= 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / n)
+  }
 }

@@ -29,6 +29,16 @@ class MlSuite extends SparkSpec {
     assert(b == 5) // ab, 3, c, !, d
   }
 
+  test("repetition ratio: 1 - distinct/total tokens, 0 for empty") {
+    def rr(t: String): Double = Seq((1L, t)).toDF("doc_id", "text")
+      .select(TextFunctions.repetitionRatio($"text")).head().getDouble(0)
+    assert(rr("a b c d") == 0.0)
+    assert(math.abs(rr("spam spam spam spam") - 0.75) < 1e-9)
+    assert(math.abs(rr("the cat the dog") - 0.25) < 1e-9)
+    assert(rr("") == 0.0)
+    assert(rr("   ") == 0.0)
+  }
+
   test("langId picks stopword-dominant language") {
     val r = docsDf.select($"doc_id", TextFunctions.langId($"text")).collect()
       .map(x => x.getLong(0) -> x.getString(1)).toMap
