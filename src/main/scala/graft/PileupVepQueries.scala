@@ -78,7 +78,7 @@ object PileupVepQueries {
     // standard lookup runs over the rebuilt directory — oracle and
     // result hash identical to f10_lookup_variants
     "c_cachebuild_lookup" -> ((s, d) => {
-      val out = graft.vep.CacheBuilder.roundTripDir(d)
+      val out = graft.vep.CacheBuilder.roundTripDir(d, "lookup")
       graft.vep.CacheBuilder.buildAll(
         Map("variation" -> Tables.vepCache(s, d)), out)
       Vep.lookupVariants(Tables.vcf(s, d),

@@ -155,7 +155,7 @@ object VepSpliceQueries {
     "c_cachebuild_maxaf" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import graft.vep.{Annotate, CacheBuilder}
-      val out = CacheBuilder.roundTripDir(d)
+      val out = CacheBuilder.roundTripDir(d, "maxaf")
       CacheBuilder.buildAll(Map("variation" -> Tables.vepCache(s, d)), out)
       val looked = graft.vep.Vep.lookupVariants(Tables.vcf(s, d),
           CacheBuilder.openEntity(s, out, "variation"))
