@@ -305,15 +305,18 @@ object ScaleProbe {
     run(s"e2e_${factor}x", factor)
     // summary: quiet-pass medians per scale + the linearity ratio the
     // stability claim is judged on. Quiet = steal < 3 s AND this
-    // pass's in-band memory-canary p50 within 1.5x the run's best
+    // pass's in-band memory-canary p50 within 1.75x the run's best
     // (round 14: a 3x-taskSec pass burned real cpu with zero steal —
-    // co-tenant bus contention only the in-band canary attributes)
+    // co-tenant bus contention only the in-band canary attributes;
+    // threshold 1.75x because clean passes already spread ~1.4x on
+    // this probe — pass-length p50s dilute mid-pass bursts, and the
+    // median over quiet passes absorbs what the filter misses)
     def med(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1 else xs.sorted.apply(xs.size / 2)
     def quiet(label: String): (Double, Double, Int, Boolean) = {
       val all = taskSecs.getOrElse(label, Vector.empty)
       val mems = all.map(_._4).filter(_ > 0)
-      def memQuiet(m: Double) = m <= 0 || mems.isEmpty || m <= 1.5 * mems.min
+      def memQuiet(m: Double) = m <= 0 || mems.isEmpty || m <= 1.75 * mems.min
       val q = all.filter(p => p._3 < 3.0 && memQuiet(p._4))
       val fallback = q.size < 2 // every pass poisoned: medians are over ALL passes
       val use = if (fallback) all else q
