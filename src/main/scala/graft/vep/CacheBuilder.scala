@@ -83,17 +83,25 @@ object CacheBuilder {
     }
     withRowProgress(df.sparkSession, entity, "parquet", onProgress) {
       if (positional)
-        // _shard leads the sort so the write's required ordering
-        // (partition columns first) is already satisfied and the
-        // planner does NOT insert its own partition-only sort, which
-        // would destroy the start order inside each file
+        // RANGE-partitioned by (_shard, chrom, start): a hash
+        // repartition on _shard alone would put a whole chromosome's
+        // rows in ONE partition — a single writer task per chrom,
+        // which at 100 TB is the job's wall clock. Range partitioning
+        // splits big chroms across many writers AND makes each
+        // output file a disjoint, sorted start range (file-level
+        // min/max pruning on top of row-group pruning — stronger
+        // than the reference's one-file-per-chrom layout). _shard
+        // leads the sort so the write's required ordering (partition
+        // columns first) is already satisfied and the planner does
+        // NOT insert its own partition-only sort, which is not
+        // order-preserving for the trailing keys.
         df.withColumn("chrom", bare(col("chrom")))
           .withColumn("_shard", shardCol(col("chrom")))
-          .repartition(col("_shard"))
+          .repartitionByRange(col("_shard"), col("chrom"), col("start"))
           .sortWithinPartitions(col("_shard"), col("chrom"), col("start"))
           .write.mode("overwrite").partitionBy("_shard").parquet(path)
       else
-        df.repartition(col("transcript_id"))
+        df.repartitionByRange(col("transcript_id"))
           .sortWithinPartitions(col("transcript_id"))
           .write.mode("overwrite").parquet(path)
     }

@@ -47,11 +47,17 @@ class CacheBuilderSuite extends SparkSpec {
     val files = new java.io.File(s"$out/variation/_shard=chr1").listFiles()
       .filter(_.getName.endsWith(".parquet"))
     assert(files.nonEmpty)
-    for (f <- files) {
+    val ranges = for (f <- files) yield {
       val starts = spark.read.parquet(f.getAbsolutePath)
         .select($"start").as[Long].collect()
       assert(starts.sameElements(starts.sorted), s"${f.getName} not start-sorted")
+      (starts.head, starts.last)
     }
+    // range partitioning: non-empty files cover DISJOINT start ranges
+    // (file-level min/max pruning on top of row-group pruning)
+    val nonEmpty = ranges.filter(r => r._1 <= r._2).sortBy(_._1).toSeq
+    for (pair <- nonEmpty.sliding(2) if pair.size == 2)
+      assert(pair(0)._2 <= pair(1)._1, s"file start ranges overlap: $nonEmpty")
   }
 
   test("keyed entity (no chrom) clusters and sorts by transcript_id") {
