@@ -100,11 +100,51 @@ object CacheBuilder {
           .repartitionByRange(col("_shard"), col("chrom"), col("start"))
           .sortWithinPartitions(col("_shard"), col("chrom"), col("start"))
           .write.mode("overwrite").partitionBy("_shard").parquet(path)
-      else
-        df.repartitionByRange(col("transcript_id"))
+      else {
+        // only the `translation` entity dedups to one row per
+        // transcript (cache_builder.rs build_translation_*); sift/
+        // polyphen matrices are many rows per transcript and only
+        // re-sort (the reference's translation_sift second pass)
+        val rows = if (entity == "translation") dedupTranslations(df) else df
+        rows
+          .repartitionByRange(col("transcript_id"))
           .sortWithinPartitions(col("transcript_id"))
           .write.mode("overwrite").parquet(path)
+      }
     }
+  }
+
+  /** Ensembl VEP caches duplicate a transcript whose span crosses a
+    * region boundary into BOTH region files; the reference's
+    * translation build keeps ONE row per transcript_id, preferring
+    * the row from the transcript's HOME region file, then the lowest
+    * cdna_coding_start (NULLS LAST), then source_file
+    * (cache_builder.rs:77-88 build_translation_dedup_query). The
+    * region-preference term needs the raw cache's `source_file`
+    * provenance — applied when the column is present, and the whole
+    * dedup is skipped for inputs without duplicates either way.
+    * Region size is the public Ensembl cache convention: 1 Mb files
+    * named `{start}-{end}.gz`. */
+  private val RegionSizeBp = 1000000L
+
+  private def dedupTranslations(df: DataFrame): DataFrame = {
+    val ord = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
+    if (df.columns.contains("source_file") && df.columns.contains("start")) {
+      val rs = floor((col("start") - 1) / RegionSizeBp.toDouble).cast("long") *
+        RegionSizeBp + 1
+      val re = rs + (RegionSizeBp - 1)
+      ord += when(col("source_file").endsWith(concat(lit("/"),
+        rs.cast("string"), lit("-"), re.cast("string"), lit(".gz"))), 0)
+        .otherwise(1)
+    }
+    if (df.columns.contains("cdna_coding_start"))
+      ord += col("cdna_coding_start").asc_nulls_last
+    if (df.columns.contains("source_file")) ord += col("source_file")
+    if (ord.isEmpty) ord += col("transcript_id") // constant within the partition
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("transcript_id")).orderBy(ord.toSeq: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
   }
 
   /** Build every entity, then the `variation` KV sink from the

@@ -76,6 +76,27 @@ class CacheBuilderSuite extends SparkSpec {
     }
   }
 
+  test("translation entity dedups to one row per transcript, home region first") {
+    val out = tmp("xdedup")
+    // T1 spans a 1 Mb region boundary: Ensembl caches write it into
+    // BOTH region files; the home-region row (the one whose file name
+    // covers its start) must win (cache_builder.rs:77-88)
+    val df = Seq(
+      ("T1", 999500L, 10L, "/cache/1/1-1000000.gz"),
+      ("T1", 999500L, 20L, "/cache/1/1000001-2000000.gz"),
+      ("T2", 5L, 30L, "/cache/1/1-1000000.gz"))
+      .toDF("transcript_id", "start", "cdna_coding_start", "source_file")
+    assert(CacheBuilder.buildEntity(df, out, "translation") == 2)
+    val back = CacheBuilder.openEntity(spark, out, "translation")
+      .select($"transcript_id", $"cdna_coding_start").as[(String, Long)]
+      .collect().toMap
+    assert(back == Map("T1" -> 10L, "T2" -> 30L))
+    // sift matrices are NOT deduped (many rows per transcript)
+    val sift = Seq(("T1", 1, 0.1), ("T1", 2, 0.2))
+      .toDF("transcript_id", "protein_pos", "sift_score")
+    assert(CacheBuilder.buildEntity(sift, tmp("xsift"), "translation_sift") == 2)
+  }
+
   test("an entity with neither chrom nor transcript_id fails loudly") {
     val ex = intercept[IllegalArgumentException] {
       CacheBuilder.buildEntity(Seq((1, 2)).toDF("a", "b"), tmp("bad"), "mystery")
