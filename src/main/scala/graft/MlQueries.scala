@@ -204,11 +204,6 @@ object MlQueries {
        "ELSE 1.0 - CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE) " +
        "/ CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) END AS rep_ratio " +
        "FROM documents ORDER BY doc_id"),
-    "t_repetition" ->
-      ("SELECT doc_id, CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 THEN 0.0 " +
-       "ELSE 1.0 - CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS DOUBLE) " +
-       "/ CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) END AS rep_ratio " +
-       "FROM documents ORDER BY doc_id"),
     "t_token_count" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, " +
        "CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}|[^\\s\\p{L}\\p{N}]')) AS BIGINT) AS n_bpe " +

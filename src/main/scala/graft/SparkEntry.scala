@@ -21,17 +21,26 @@ object SparkEntry {
     * table-function providers are similarly built once and streamed
     * through). Each execution still runs its own optimizer + AQE pass
     * over the cached analyzed tree, so runtime re-planning is intact;
-    * only the construction is shared. Keyed on the session itself via
-    * a WeakHashMap so a stopped session's plans (and the session)
-    * become collectable — an identity-hash key would survive
-    * `session.stop()` and keep handing out Datasets bound to a dead
-    * session (round-13 ADVICE). */
+    * only the construction is shared. Keyed on the session itself (so
+    * two concurrent sessions never share plans); a stopped session's
+    * entry is evicted EXPLICITLY — weak keys alone cannot reclaim it,
+    * because each cached Dataset strongly references its session and so
+    * the value map pins the key for the JVM lifetime (round-14 ADVICE;
+    * the WeakHashMap javadoc's value-refers-to-key caveat). Every
+    * access sweeps entries whose SparkContext has stopped, and
+    * [[invalidate]] is the direct hook for tests/benches. */
   private val prepared =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.HashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+
+  /** Drop a session's prepared plans (idempotent; called implicitly for
+    * stopped sessions on the next access from any session). */
+  def invalidate(s: SparkSession): Unit =
+    prepared.synchronized { prepared.remove(s) }
 
   private def preparedFor(s: SparkSession) =
     prepared.synchronized {
+      prepared.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
       var m = prepared.get(s)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()

@@ -4,9 +4,10 @@ package graft.core
   * fixed-work bursts every `periodMs` for the lifetime of a timed
   * region — a register-only ALU burst (2M LCG iterations: stretched by
   * cpu-quota throttling and scheduling starvation) and a strided walk
-  * over a 4 MB array (one touch per cache line: stretched by
-  * MEMORY-BANDWIDTH contention, which leaves the cache-resident ALU
-  * burst flat). Off-the-clock calibration AROUND a region cannot
+  * over a shared 64 MB array (one touch per cache line: larger than
+  * L3, so the walk is DRAM-bound and stretched by MEMORY-BANDWIDTH
+  * contention, which leaves the cache-resident ALU burst flat — a
+  * 4 MB walk fits in cache and measures nothing, PERF.md round 14). Off-the-clock calibration AROUND a region cannot
   * attribute contention that starts and ends INSIDE it, and round-14
   * measurements showed exactly that gap twice: first 2-5x wall samples
   * invisible to surrounding calibration, then 7-10x cpuSec samples

@@ -32,15 +32,34 @@ object Materialize {
 
   /** Materialize eagerly and return the persisted RDD for explicit
     * release (`rdd.unpersist(false)` — safe once superseded, i.e. the
-    * RDD is never read again). localCheckpoint rather than a plain
+    * RDD is never read again). Checkpoint rather than a plain
     * persist: it truncates the RDD LINEAGE too, so iterative callers
     * don't grow task binaries linearly with the round count (each
     * round's shuffle-dependency chain would otherwise reference the
-    * previous round's whole graph). */
-  def handle(df: DataFrame): (DataFrame, RDD[Row]) = {
+    * previous round's whole graph).
+    *
+    * `reliable = false` (default) local-checkpoints: blocks live on
+    * executors, gone with a lost executor AND its lineage — correct
+    * single-process, fatal mid-loop on a real cluster. `reliable =
+    * true` writes the checkpoint to the SparkContext's checkpoint dir
+    * (set `sc.setCheckpointDir` to a durable FS first — required
+    * loudly): executor loss recovers by re-reading the files, and a
+    * superseded generation's `unpersist` releases only the block
+    * cache, never the durable copy. */
+  def handle(df: DataFrame, reliable: Boolean = false): (DataFrame, RDD[Row]) = {
     val rdd = df.rdd
-    rdd.localCheckpoint()
-    rdd.count()
+    if (reliable) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable materialization needs sc.setCheckpointDir(<durable fs path>)")
+      // persist first so the checkpoint job reads the computed blocks
+      // instead of recomputing the whole plan a second time
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.checkpoint()
+      rdd.count()
+    } else {
+      rdd.localCheckpoint()
+      rdd.count()
+    }
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 }

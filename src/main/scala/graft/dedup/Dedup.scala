@@ -300,7 +300,8 @@ object Dedup {
     * the fixpoint is the component-minimum id regardless of iteration
     * order. Output: (id, cluster_id) for every vertex in `pairs`.
     */
-  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 64,
+      reliable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     val edges = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
       .unionByName(pairs.select(col("id2").cast("long").as("a"), col("id1").cast("long").as("b")))
@@ -313,10 +314,13 @@ object Dedup {
     // round's plan is constant size, and the returned RDD handle lets
     // the loop RELEASE the superseded generation (round 6 accumulated
     // one resident localCheckpoint per round for the whole session).
-    // On a real cluster swap this for reliable checkpointing if
-    // executor loss during the loop matters.
+    // `reliable = true` routes every materialization through a
+    // durable RDD.checkpoint (sc.setCheckpointDir required): on a real
+    // cluster a local checkpoint dies WITH a lost executor — and its
+    // truncated lineage cannot recompute — killing the whole loop.
     var (labels, labelsRdd) = graft.core.Materialize.handle(
-      edges.select(col("a").as("id")).distinct().withColumn("lbl", col("id")))
+      edges.select(col("a").as("id")).distinct().withColumn("lbl", col("id")),
+      reliable)
     var changed = 1L
     var round = 0
     // THREE propagation hops compose lazily between materializations:
@@ -344,7 +348,7 @@ object Dedup {
           .select(next("id"),
             least(next("lbl"), coalesce(col("_nlbl"), next("lbl"))).as("lbl"))
       }
-      val (mat, matRdd) = graft.core.Materialize.handle(next)
+      val (mat, matRdd) = graft.core.Materialize.handle(next, reliable)
       changed = mat.join(labels.withColumnRenamed("lbl", "_olbl"), Seq("id"))
         .where(col("lbl") =!= col("_olbl")).count()
       labelsRdd.unpersist(false)

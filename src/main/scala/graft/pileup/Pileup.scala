@@ -20,12 +20,17 @@ import org.apache.spark.sql.functions._
   *   4. per-chrom prefix sum (window) → RLE blocks where coverage
   *      changes; zero-coverage gaps skipped (coverage.rs:25-64).
   *
-  * Scale: the shuffle key is (chrom, pos) — fully parallel; only the
-  * final prefix-sum window is per-chrom. The reference coalesces to ONE
-  * output partition (physical_exec.rs:100); a per-chrom window is
-  * strictly more parallel. For 100 TB inputs the window stage can be
-  * range-partitioned by (chrom, pos-bucket) with boundary fix-up —
-  * documented trade-off, not needed at current scales.
+  * Scale: the shuffle key is (chrom, pos) — fully parallel — and the
+  * prefix-sum window is partitioned by (chrom, pos-bucket) with a
+  * boundary fix-up, so the window stage's parallelism is
+  * #non-empty-buckets (position-range slices of each chromosome), not
+  * #contigs: a per-chrom window caps at ~25 concurrent tasks on a
+  * human genome regardless of cluster size. The fix-up is one tiny
+  * aggregate row per bucket (carry-in coverage = sum of all earlier
+  * buckets' deltas; cross-bucket next_pos = the next non-empty
+  * bucket's first event), broadcast back onto the bucketed frame. The
+  * reference coalesces to ONE output partition
+  * (physical_exec.rs:100); this plan stays fully distributed.
   *
   * Output (block mode): `(contig, pos_start, pos_end, coverage)`,
   * 1-based inclusive by default or 0-based with `zeroBased = true`
@@ -85,16 +90,57 @@ object Pileup {
     * system the reads arrived). The output's `pos_start` field carries
     * the `bio.coordinate_system_zero_based` tag either way, exactly
     * like the reference's output schema (pileup/src/schema.rs:28-44). */
+  /** Position-bucket width for the prefix-sum window stage — each
+    * (chrom, pos DIV width) slice runs as its own window partition, so
+    * parallelism scales with data span instead of capping at #contigs
+    * (a human genome has ~25 real ones; a 1000-executor cluster would
+    * idle 97% of its slots on a per-chrom window). Default 2^26
+    * (~67 Mbp ≈ 46 buckets per human chromosome 1); overridable via
+    * `spark.bio.depth.posBucketWidth` (the partition-invariance spec
+    * sweeps it). */
+  private val DefaultPosBucketWidth = 1L << 26
+
+  private def posBucketWidth(spark: SparkSession): Long = {
+    val w = spark.conf.getOption("spark.bio.depth.posBucketWidth")
+      .map(_.toLong).getOrElse(DefaultPosBucketWidth)
+    require(w > 0, s"spark.bio.depth.posBucketWidth must be positive, got $w")
+    w
+  }
+
   def depth(reads: DataFrame, filterFlag: Int = 1796, minMapq: Int = 0,
       zeroBased: Boolean = false): DataFrame = {
     val ev = events(reads, filterFlag, minMapq)
       .groupBy(col("chrom"), col("pos"))
       .agg(sum(col("delta")).as("delta"))
-    val w = Window.partitionBy(col("chrom")).orderBy(col("pos"))
+    // range-partitioned prefix sum with boundary fix-up: the running
+    // coverage and the next-event position are computed per (chrom,
+    // bucket) window — fully parallel — then corrected by a TINY
+    // per-bucket frame (one row per non-empty bucket): carry-in
+    // coverage = sum of all earlier buckets' deltas, and the bucket's
+    // last event takes the NEXT non-empty bucket's first position as
+    // its next_pos. Both branches hang off the same (chrom, pos)
+    // aggregate exchange, so Catalyst's ReuseExchange runs the CIGAR
+    // walk once; the fix-up frame joins back as a broadcast (≤ one row
+    // per ~67 Mbp of genome — metadata-scale at any input size).
+    val width = posBucketWidth(reads.sparkSession)
+    val bucketed = ev.withColumn("_bkt", expr(s"pos DIV $width"))
+    val wb = Window.partitionBy(col("chrom"), col("_bkt")).orderBy(col("pos"))
+    val local = bucketed
+      .withColumn("_lcov", sum(col("delta")).over(wb))
+      .withColumn("_lnext", lead(col("pos"), 1).over(wb))
+    val wc = Window.partitionBy(col("chrom")).orderBy(col("_bkt"))
+    val fixup = bucketed
+      .groupBy(col("chrom"), col("_bkt"))
+      .agg(sum(col("delta")).as("_bdelta"), min(col("pos")).as("_bfirst"))
+      .select(col("chrom"), col("_bkt"),
+        coalesce(sum(col("_bdelta"))
+          .over(wc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("_carry"),
+        lead(col("_bfirst"), 1).over(wc).as("_nextfirst"))
     val shift = if (zeroBased) 1L else 0L
-    val out = ev
-      .withColumn("coverage", sum(col("delta")).over(w))
-      .withColumn("next_pos", lead(col("pos"), 1).over(w))
+    val out = local.join(broadcast(fixup), Seq("chrom", "_bkt"))
+      .withColumn("coverage", col("_lcov") + col("_carry"))
+      .withColumn("next_pos", coalesce(col("_lnext"), col("_nextfirst")))
       .where(col("coverage") =!= 0 && col("next_pos").isNotNull)
       .select(
         col("chrom").as("contig"),

@@ -1057,9 +1057,12 @@ object Annotate {
     * per session and streams batches through
     * (annotate_provider.rs load-once lifecycle); re-collecting the
     * same dim subtree on every annotate call paid its Spark jobs and
-    * driver copies per call. Keyed per SESSION through a WeakHashMap
-    * (a stopped session's dims become collectable, and two sessions
-    * can never share an entry) and, within a session, by the dim's
+    * driver copies per call. Keyed per SESSION (two sessions can never
+    * share an entry); a stopped session's dims are evicted EXPLICITLY
+    * on the next access — weak keys cannot reclaim them because each
+    * cached localized DataFrame strongly references its session, so
+    * the value map would pin the weak key forever (round-14 ADVICE) —
+    * and, within a session, by the dim's
     * canonicalized plan PLUS every leaf's physical identity. The leaf
     * identity is load-bearing: a V1 parquet LogicalRelation
     * canonicalizes WITHOUT its location — two different dirs with
@@ -1068,11 +1071,17 @@ object Annotate {
     * collected rows. Bounded LRU per session so pathological callers
     * cannot pin unbounded driver memory. */
   private val dimCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+    new java.util.HashMap[org.apache.spark.sql.SparkSession,
       java.util.LinkedHashMap[String, DataFrame]]()
+
+  /** Drop a session's localized dims (idempotent; stopped sessions are
+    * also swept implicitly on the next access from any session). */
+  private[graft] def invalidateDims(s: org.apache.spark.sql.SparkSession): Unit =
+    dimCache.synchronized { dimCache.remove(s) }
 
   private def sessionCache(s: org.apache.spark.sql.SparkSession) =
     dimCache.synchronized {
+      dimCache.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
       var m = dimCache.get(s)
       if (m == null) {
         m = new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {

@@ -62,6 +62,36 @@ object CacheBuilder {
     when(chrom.startsWith("chr"),
       chrom.substr(lit(4), lit(Integer.MAX_VALUE))).otherwise(chrom)
 
+  /** Per-entity max rows per parquet row group, mirroring the
+    * reference's `row_group_size()` (cache_builder.rs:1863-1872;
+    * pinned by its `test_row_group_size`). The `translation_sift` /
+    * `translation_polyphen` matrix entities inherit the translation
+    * size; unknown entities keep the parquet default. */
+  private[graft] def rowGroupRows(entity: String): Option[Int] = entity match {
+    case "variation" => Some(100000)
+    case "transcript" => Some(8000)
+    case "exon" => Some(45000)
+    case e if e.startsWith("translation") => Some(6000)
+    case "regulatory" => Some(9000)
+    case "motif" => Some(10000)
+    case _ => None
+  }
+
+  /** Writer with the reference's physical file parameters
+    * (cache_builder.rs:449-451 and 1903-1909): ZSTD compression and
+    * the per-entity row-group cap — expressed through parquet-hadoop's
+    * exact row-count limit (`parquet.block.row.count.limit`), which
+    * Spark forwards to the job Configuration. The one parameter
+    * Spark's writer cannot reproduce is the `SortingColumn` footer
+    * stamp (cache_builder.rs:1881-1906): the physical order is already
+    * sorted identically, so row-group min/max pruning behaves the
+    * same; only the footer DECLARATION is absent. */
+  private def writerFor(df: DataFrame, entity: String) = {
+    val w = df.write.mode("overwrite").option("compression", "zstd")
+    rowGroupRows(entity).fold(w)(n =>
+      w.option("parquet.block.row.count.limit", n.toString))
+  }
+
   /** Write one entity. Positional entities (those with a `chrom`
     * column) shard per main chromosome and sort by `start` within each
     * file; keyed entities (translations: SIFT/PolyPhen matrices) have
@@ -82,34 +112,42 @@ object CacheBuilder {
         s"(got: ${df.columns.mkString(", ")})")
     }
     withRowProgress(df.sparkSession, entity, "parquet", onProgress) {
-      if (positional)
-        // RANGE-partitioned by (_shard, chrom, start): a hash
+      if (positional) {
+        // RANGE-partitioned by (_shard, <sort key>): a hash
         // repartition on _shard alone would put a whole chromosome's
         // rows in ONE partition — a single writer task per chrom,
         // which at 100 TB is the job's wall clock. Range partitioning
         // splits big chroms across many writers AND makes each
-        // output file a disjoint, sorted start range (file-level
+        // output file a disjoint, sorted key range (file-level
         // min/max pruning on top of row-group pruning — stronger
         // than the reference's one-file-per-chrom layout). _shard
         // leads the sort so the write's required ordering (partition
         // columns first) is already satisfied and the planner does
         // NOT insert its own partition-only sort, which is not
-        // order-preserving for the trailing keys.
-        df.withColumn("chrom", bare(col("chrom")))
+        // order-preserving for the trailing keys. The in-file sort
+        // key is (chrom, start) for every positional entity EXCEPT
+        // exon, which the reference sorts by (transcript_id, start)
+        // inside its chrom shards (cache_builder.rs:1874-1879
+        // sort_key — exon lookups probe by transcript).
+        val sortKey: Seq[org.apache.spark.sql.Column] =
+          if (entity == "exon" && df.columns.contains("transcript_id"))
+            Seq(col("transcript_id"), col("start"))
+          else Seq(col("chrom"), col("start"))
+        val keyed = df.withColumn("chrom", bare(col("chrom")))
           .withColumn("_shard", shardCol(col("chrom")))
-          .repartitionByRange(col("_shard"), col("chrom"), col("start"))
-          .sortWithinPartitions(col("_shard"), col("chrom"), col("start"))
-          .write.mode("overwrite").partitionBy("_shard").parquet(path)
-      else {
+          .repartitionByRange((col("_shard") +: sortKey): _*)
+          .sortWithinPartitions((col("_shard") +: sortKey): _*)
+        writerFor(keyed, entity).partitionBy("_shard").parquet(path)
+      } else {
         // only the `translation` entity dedups to one row per
         // transcript (cache_builder.rs build_translation_*); sift/
         // polyphen matrices are many rows per transcript and only
         // re-sort (the reference's translation_sift second pass)
         val rows = if (entity == "translation") dedupTranslations(df) else df
-        rows
+        val keyed = rows
           .repartitionByRange(col("transcript_id"))
           .sortWithinPartitions(col("transcript_id"))
-          .write.mode("overwrite").parquet(path)
+        writerFor(keyed, entity).parquet(path)
       }
     }
   }
@@ -140,7 +178,16 @@ object CacheBuilder {
     if (df.columns.contains("cdna_coding_start"))
       ord += col("cdna_coding_start").asc_nulls_last
     if (df.columns.contains("source_file")) ord += col("source_file")
-    if (ord.isEmpty) ord += col("transcript_id") // constant within the partition
+    if (ord.isEmpty) {
+      // the reference's dedup query always has both tie-break columns
+      // (cache_builder.rs:77-88); without them the partition key alone
+      // would let row_number pick an ARBITRARY row per transcript —
+      // order by every remaining column (name-sorted) so the pick is a
+      // pure function of the data, invariant under partitioning
+      ord ++= df.columns.filter(_ != "transcript_id").sorted
+        .map(c => col(c).asc_nulls_last)
+      if (ord.isEmpty) ord += col("transcript_id") // single-column frame
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("transcript_id")).orderBy(ord.toSeq: _*)
     df.withColumn("_rn", row_number().over(w))
@@ -193,13 +240,33 @@ object CacheBuilder {
     spark.sparkContext.addSparkListener(listener)
     try write
     finally {
-      // the listener bus is async: wait for the queued task-end
-      // events to settle before detaching (two consecutive equal
-      // reads), so the returned total is complete
-      var prev = -1L
-      var spins = 0
-      while (total.get() != prev && spins < 200) {
-        prev = total.get(); Thread.sleep(25); spins += 1
+      // the listener bus is async: the queued task-end events must
+      // drain before detaching or the returned total undercounts. Two
+      // equal reads 25 ms apart were NOT a drain proof — a loaded
+      // driver's bus can lull longer than that mid-queue (round-14
+      // ADVICE: latent flake) — so ask the bus itself:
+      // LiveListenerBus.waitUntilEmpty blocks until every queue is
+      // drained (private[spark] in source, public in bytecode —
+      // invoked reflectively; zero wait when already empty). Fallback
+      // if the accessor ever moves: counter stable across four reads
+      // 50 ms apart.
+      val drained =
+        try {
+          val sc = spark.sparkContext
+          val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+          bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+            .invoke(bus, java.lang.Long.valueOf(20000L))
+          true
+        } catch { case _: Throwable => false }
+      if (!drained) {
+        var prev = -1L
+        var stable = 0
+        var spins = 0
+        while (stable < 3 && spins < 400) {
+          val cur = total.get()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+          Thread.sleep(50); spins += 1
+        }
       }
       spark.sparkContext.removeSparkListener(listener)
     }

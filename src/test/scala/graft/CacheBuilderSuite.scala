@@ -118,6 +118,76 @@ class CacheBuilderSuite extends SparkSpec {
     assert(batch.select($"variation_name").as[String].collect().toSeq == Seq("rs2"))
   }
 
+  test("written files carry the reference's physical parameters: zstd + row-group caps") {
+    // cache_builder.rs:449-451,1903-1909: ZSTD compression and
+    // per-entity max row-group sizes (row_group_size(), pinned by the
+    // reference's test_row_group_size: transcript = 8_000). 34k rows
+    // over the 4-way test range partition gives ~8.5k rows per file —
+    // every file must split its groups at the 8k cap.
+    val out = tmp("phys")
+    val df = (1 to 34000).map(i => ("1", i.toLong, i + 50L, s"T$i"))
+      .toDF("chrom", "start", "end", "transcript_id")
+    CacheBuilder.buildEntity(df, out, "transcript")
+    val files = new java.io.File(s"$out/transcript").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val conf = spark.sessionState.newHadoopConf()
+    var multiGroupFiles = 0
+    var totalRows = 0L
+    for (f <- files) {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = r.getFooter.getBlocks
+        if (blocks.size() > 1) multiGroupFiles += 1
+        blocks.forEach { b =>
+          totalRows += b.getRowCount
+          assert(b.getRowCount <= 8000,
+            s"${f.getName}: row group of ${b.getRowCount} rows exceeds the 8k transcript cap")
+          b.getColumns.forEach(c => assert(c.getCodec.name == "ZSTD",
+            s"${f.getName}: codec ${c.getCodec.name}, expected ZSTD"))
+        }
+      } finally r.close()
+    }
+    assert(totalRows == 34000)
+    assert(multiGroupFiles > 0, "no file exercised the row-group cap")
+    // the per-entity table mirrors the reference exactly
+    assert(CacheBuilder.rowGroupRows("variation").contains(100000))
+    assert(CacheBuilder.rowGroupRows("transcript").contains(8000))
+    assert(CacheBuilder.rowGroupRows("exon").contains(45000))
+    assert(CacheBuilder.rowGroupRows("translation").contains(6000))
+    assert(CacheBuilder.rowGroupRows("translation_sift").contains(6000))
+    assert(CacheBuilder.rowGroupRows("regulatory").contains(9000))
+    assert(CacheBuilder.rowGroupRows("motif").contains(10000))
+    assert(CacheBuilder.rowGroupRows("unknown_entity").isEmpty)
+  }
+
+  test("translation dedup without tie-break columns is deterministic across partitioning") {
+    // the reference's dedup query always has source_file +
+    // cdna_coding_start; without them the pick must still be a pure
+    // function of the data (order by all remaining columns), invariant
+    // under spark.sql.shuffle.partitions
+    def run(parts: String): Map[String, Long] = {
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val out = tmp(s"xdet$parts")
+        val df = Seq(("T1", 30L), ("T1", 10L), ("T1", 20L), ("T2", 5L))
+          .toDF("transcript_id", "protein_start")
+        assert(CacheBuilder.buildEntity(df, out, "translation") == 2)
+        CacheBuilder.openEntity(spark, out, "translation")
+          .select($"transcript_id", $"protein_start").as[(String, Long)]
+          .collect().toMap
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+    val one = run("1")
+    val seven = run("7")
+    assert(one == seven)
+    assert(one == Map("T1" -> 10L, "T2" -> 5L)) // lowest remaining-column order wins
+  }
+
   test("progress callback is per-entity, monotone, and ends at the written total") {
     val out = tmp("prog")
     val df = (1 to 100).map(i => ("1", i.toLong, i + 1L, s"v$i"))

@@ -178,6 +178,28 @@ class MlSuite extends SparkSpec {
     assert(got.length == 31 && got.forall(_.getLong(1) == 1L))
   }
 
+  test("duplicate clusters: reliable checkpoint mode matches and requires a dir") {
+    import graft.dedup.Dedup
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    // without a checkpoint dir the reliable path must refuse loudly —
+    // a silent local-checkpoint fallback would keep the executor-loss
+    // fragility the flag exists to remove
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.duplicateClusters(pairs, reliable = true).collect()
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val expected = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.duplicateClusters(pairs, reliable = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("duplicate clusters: runaway guard fails loudly") {
     import graft.dedup.Dedup
     val pairs = (1L until 31L).map(i => (i, i + 1)).toDF("id1", "id2")
@@ -207,5 +229,12 @@ class MlSuite extends SparkSpec {
     val a2 = q("f11_maxaf")(spark, d)
     assert(a1 eq a2, "file-backed queries must return the prepared Dataset")
     assert(a2.count() > 0)
+    // explicit eviction (round-14 ADVICE: weak keys can never reclaim
+    // an entry whose cached Datasets reference the session) — after
+    // invalidate, the registry hands out a freshly-built plan
+    SparkEntry.invalidate(spark)
+    val a3 = q("f11_maxaf")(spark, d)
+    assert(!(a2 eq a3), "invalidate must drop the session's prepared plans")
+    assert(a3.count() > 0)
   }
 }

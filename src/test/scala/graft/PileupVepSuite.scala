@@ -50,6 +50,36 @@ class PileupVepSuite extends SparkSpec {
     assert(perBase.where($"pos" === 107).head().getInt(2) == 2)
   }
 
+  test("depth is invariant under the prefix-sum position-bucket width") {
+    // the window stage range-partitions by (chrom, pos DIV width) with
+    // a per-bucket boundary fix-up; any width must produce the same
+    // blocks — including blocks that CROSS bucket boundaries and
+    // buckets whose next event lives several empty buckets away
+    val reads = Seq(
+      ("c1", 100, 0, "10M", 60),
+      ("c1", 105, 0, "10M", 60),
+      ("c1", 95, 0, "30M", 60),    // spans several 8-wide buckets
+      ("c1", 500, 0, "5M", 60),    // far gap: next bucket is not bucket+1
+      ("c2", 7, 0, "20M", 60),
+      ("c1", 200, 0, "5M5D5M", 60),
+    ).toDF("chrom", "start", "flags", "cigar", "mapping_quality")
+    def run(width: Long): Seq[Seq[Any]] = {
+      spark.conf.set("spark.bio.depth.posBucketWidth", width.toString)
+      try sortedRows(Pileup.depth(reads))
+      finally spark.conf.unset("spark.bio.depth.posBucketWidth")
+    }
+    val baseline = run(1L << 62)          // one bucket: the old per-chrom window
+    for (width <- Seq(8L, 64L, 256L))     // many / several / few buckets
+      assert(run(width) == baseline, s"width=$width diverged")
+    // at width 8 the window-stage parallelism exceeds the contig count:
+    // distinct (chrom, bucket) groups > distinct chroms — the 100 TB
+    // scale property the bucketing exists for
+    val ev = reads.where($"flags" === 0)
+      .select($"chrom", $"start".cast("long").as("pos"))
+    val buckets = ev.select($"chrom", ($"pos" / 8).cast("long")).distinct().count()
+    assert(buckets > 2)
+  }
+
   test("allele trim: SNV / MNV / indel semantics") {
     assert(Allele.vcfToVepAllele("A", "G") == ("A", "G"))
     // MNV: prefix trimmed, NO suffix trim (same length)
