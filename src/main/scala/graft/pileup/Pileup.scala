@@ -200,9 +200,21 @@ object Pileup {
     // a label applied once at the end, like PerBaseEmitter's index
     // offset (coverage.rs:291-301)
     val blocks = depth(reads, filterFlag, minMapq).join(lens, Seq("contig"))
-    val w = Window.partitionBy(col("contig")).orderBy(col("pos_start"))
-    val gapLo = coalesce(lag(col("pos_end"), 1).over(w), lit(0L)) + 1
-    val headGaps = blocks
+    // the zero-gap lag window buckets like the prefix sum in [[depth]]
+    // (same per-contig ceiling otherwise): blocks are disjoint and
+    // pos_start-ordered, so the only cross-bucket dependency is the
+    // previous non-empty bucket's LAST block end — one aggregate row
+    // per bucket, broadcast back
+    val width = posBucketWidth(reads.sparkSession)
+    val blocksB = blocks.withColumn("_bkt", expr(s"pos_start DIV $width"))
+    val wB = Window.partitionBy(col("contig"), col("_bkt")).orderBy(col("pos_start"))
+    val wcB = Window.partitionBy(col("contig")).orderBy(col("_bkt"))
+    val carry = blocksB.groupBy(col("contig"), col("_bkt"))
+      .agg(max(col("pos_end")).as("_bend"))
+      .select(col("contig"), col("_bkt"),
+        lag(col("_bend"), 1).over(wcB).as("_prevEnd"))
+    val gapLo = coalesce(lag(col("pos_end"), 1).over(wB), col("_prevEnd"), lit(0L)) + 1
+    val headGaps = blocksB.join(broadcast(carry), Seq("contig", "_bkt"))
       .select(col("contig"), gapLo.as("pos_start"),
         (col("pos_start") - 1).as("pos_end"))
       .where(col("pos_start") <= col("pos_end"))

@@ -63,12 +63,15 @@ class PileupVepSuite extends SparkSpec {
       ("c2", 7, 0, "20M", 60),
       ("c1", 200, 0, "5M5D5M", 60),
     ).toDF("chrom", "start", "flags", "cigar", "mapping_quality")
-    def run(width: Long): Seq[Seq[Any]] = {
+    val lens = Seq(("c1", 600L), ("c2", 40L)).toDF("chrom", "length")
+    def run(width: Long): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
       spark.conf.set("spark.bio.depth.posBucketWidth", width.toString)
-      try sortedRows(Pileup.depth(reads))
+      try (sortedRows(Pileup.depth(reads)),
+           sortedRows(Pileup.depthPerBaseFull(reads, lens)))
       finally spark.conf.unset("spark.bio.depth.posBucketWidth")
     }
     val baseline = run(1L << 62)          // one bucket: the old per-chrom window
+    assert(baseline._2.size == 640)       // full-contig mode: every position
     for (width <- Seq(8L, 64L, 256L))     // many / several / few buckets
       assert(run(width) == baseline, s"width=$width diverged")
     // at width 8 the window-stage parallelism exceeds the contig count:
