@@ -181,6 +181,41 @@ class PropertySuite extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", p0)
   }
 
+  test("property: depth == naive pileup for random reads, any bucket width") {
+    // random multi-segment CIGARs against a per-position counting
+    // model, swept across prefix-sum bucket widths AND shuffle
+    // partition counts — the boundary fix-up must be invisible at
+    // every slicing
+    val r = new Random(11)
+    val reads = (0 until 200).map { _ =>
+      val nOps = 1 + r.nextInt(3)
+      val cigar = (0 until nOps).map { k =>
+        val len = 1 + r.nextInt(40)
+        val op = if (k % 2 == 0) "M" else Seq("D", "N", "I")(r.nextInt(3))
+        s"$len$op"
+      }.mkString + "1M" // ensure it ends covering
+      ("c" + r.nextInt(3), 1 + r.nextInt(900), 0, cigar, 60)
+    }.toDF("chrom", "start", "flags", "cigar", "mapping_quality")
+    // naive model: count coverage per position from the CIGAR walker
+    val naive = reads.collect().flatMap { row =>
+      graft.pileup.Cigar.coveredSegments(row.getInt(1).toLong, row.getString(3))
+        .flatMap { case (s, e) => (s until e).map(p => (row.getString(0), p)) }
+    }.groupBy(identity).map { case ((c, p), xs) => (c, p, xs.length) }.toSet
+    val p0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (width <- Seq(16L, 128L, 1L << 62); p <- Seq("1", "7")) {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        spark.conf.set("spark.bio.depth.posBucketWidth", width.toString)
+        val got = graft.pileup.Pileup.depthPerBase(reads).collect()
+          .map(r2 => (r2.getString(0), r2.getLong(1), r2.getInt(2))).toSet
+        assert(got == naive, s"width=$width partitions=$p")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", p0)
+      spark.conf.unset("spark.bio.depth.posBucketWidth")
+    }
+  }
+
   // NOTE: the integrated annotate pipeline's invariance is covered by
   // the driver gate itself (Verify runs at a different shuffle-
   // partition count than Bench and both hash-match the same oracle);
