@@ -79,8 +79,11 @@ object PileupVepQueries {
     // result hash identical to f10_lookup_variants
     "c_cachebuild_lookup" -> ((s, d) => {
       val out = graft.vep.CacheBuilder.roundTripDir(d, "lookup")
+      // overwrite = true: the gate measures the BUILD pipeline every
+      // execution and must never serve a stale scratch dir; the
+      // reference's skip-existing default is for user resumable builds
       graft.vep.CacheBuilder.buildAll(
-        Map("variation" -> Tables.vepCache(s, d)), out)
+        Map("variation" -> Tables.vepCache(s, d)), out, overwrite = true)
       Vep.lookupVariants(Tables.vcf(s, d),
         graft.vep.CacheBuilder.openEntity(s, out, "variation"))
     }),

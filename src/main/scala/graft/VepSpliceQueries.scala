@@ -156,7 +156,10 @@ object VepSpliceQueries {
       import org.apache.spark.sql.functions._
       import graft.vep.{Annotate, CacheBuilder}
       val out = CacheBuilder.roundTripDir(d, "maxaf")
-      CacheBuilder.buildAll(Map("variation" -> Tables.vepCache(s, d)), out)
+      // overwrite = true: gate rebuilds every execution (see the
+      // c_cachebuild_lookup note)
+      CacheBuilder.buildAll(Map("variation" -> Tables.vepCache(s, d)), out,
+        overwrite = true)
       val looked = graft.vep.Vep.lookupVariants(Tables.vcf(s, d),
           CacheBuilder.openEntity(s, out, "variation"))
         .where(col("cache_variation_name").isNotNull)

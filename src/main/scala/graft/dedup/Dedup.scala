@@ -340,19 +340,24 @@ object Dedup {
           s"(${3 * maxRounds} hops) — component diameter exceeds the guard; " +
           "raise maxRounds")
       }
-      var next = labels
+      // thread the round-start label through the hops so convergence
+      // is a map-only count over the materialized output — labels only
+      // ever DECREASE (least), so changed == rows where lbl != lbl0;
+      // the old check joined the new generation against the previous
+      // one, a full shuffle of both cached RDDs every round
+      var next = labels.withColumn("lbl0", col("lbl"))
       for (_ <- 0 until 3) {
         val prop = edges.join(next.withColumnRenamed("id", "_nid"), col("b") === col("_nid"))
           .groupBy(col("a")).agg(min(col("lbl")).as("_nlbl"))
         next = next.join(prop, next("id") === prop("a"), "left")
-          .select(next("id"),
+          .select(next("id"), next("lbl0"),
             least(next("lbl"), coalesce(col("_nlbl"), next("lbl"))).as("lbl"))
       }
-      val (mat, matRdd) = graft.core.Materialize.handle(next, reliable)
-      changed = mat.join(labels.withColumnRenamed("lbl", "_olbl"), Seq("id"))
-        .where(col("lbl") =!= col("_olbl")).count()
+      val (mat, matRdd) = graft.core.Materialize.handle(
+        next.select(col("id"), col("lbl"), col("lbl0")), reliable)
+      changed = mat.where(col("lbl") =!= col("lbl0")).count()
       labelsRdd.unpersist(false)
-      labels = mat
+      labels = mat.select(col("id"), col("lbl"))
       labelsRdd = matRdd
       round += 1
     }

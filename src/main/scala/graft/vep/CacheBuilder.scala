@@ -92,15 +92,37 @@ object CacheBuilder {
       w.option("parquet.block.row.count.limit", n.toString))
   }
 
+  /** True when the directory already holds at least one parquet part
+    * (the reference's `dir_has_parquet_files` skip probe,
+    * cache_builder.rs:3431-3455 — subdirectories too, for the
+    * `_shard=` layout). */
+  private[graft] def dirHasParquet(path: String): Boolean = {
+    def walk(f: java.io.File): Boolean =
+      f.isFile && f.getName.endsWith(".parquet") ||
+        (f.isDirectory && Option(f.listFiles()).exists(_.exists(walk)))
+    walk(new java.io.File(path))
+  }
+
   /** Write one entity. Positional entities (those with a `chrom`
     * column) shard per main chromosome and sort by `start` within each
     * file; keyed entities (translations: SIFT/PolyPhen matrices) have
     * no position — they cluster and sort by `transcript_id`, the
     * reference's re-sorted second pass (cache_builder.rs:5-6,
-    * 1038-1123). Returns rows written. */
+    * 1038-1123). Entity dedup follows the reference's export queries
+    * (pinned by its tests even though the builder function lives in
+    * the external format crate): transcript keeps one row per
+    * `stable_id` (cache_builder.rs:2421-2434), exon one per
+    * (transcript_id, exon_number) (rs:2470-2477), translation one per
+    * transcript_id with the home-region preference (rs:77-88).
+    *
+    * `overwrite = false` (the reference's default,
+    * cache_builder.rs:3460-3464) SKIPS an entity whose directory
+    * already holds parquet — resumable builds; returns 0 for a
+    * skipped entity. Returns rows written otherwise. */
   def buildEntity(df: DataFrame, outDir: String, entity: String,
-      onProgress: OnProgress = null): Long = {
+      onProgress: OnProgress = null, overwrite: Boolean = false): Long = {
     val path = s"$outDir/$entity"
+    if (!overwrite && dirHasParquet(path)) return 0L
     val positional = df.columns.contains("chrom")
     if (positional) {
       require(df.columns.contains("start"),
@@ -133,17 +155,24 @@ object CacheBuilder {
           if (entity == "exon" && df.columns.contains("transcript_id"))
             Seq(col("transcript_id"), col("start"))
           else Seq(col("chrom"), col("start"))
-        val keyed = df.withColumn("chrom", bare(col("chrom")))
+        val rows = dedupKeys(entity, df) match {
+          case Some(keys) => dedupBy(df, keys)
+          case None => df
+        }
+        val keyed = rows.withColumn("chrom", bare(col("chrom")))
           .withColumn("_shard", shardCol(col("chrom")))
           .repartitionByRange((col("_shard") +: sortKey): _*)
           .sortWithinPartitions((col("_shard") +: sortKey): _*)
         writerFor(keyed, entity).partitionBy("_shard").parquet(path)
       } else {
-        // only the `translation` entity dedups to one row per
-        // transcript (cache_builder.rs build_translation_*); sift/
-        // polyphen matrices are many rows per transcript and only
-        // re-sort (the reference's translation_sift second pass)
-        val rows = if (entity == "translation") dedupTranslations(df) else df
+        // the `translation` entity dedups to one row per transcript
+        // (cache_builder.rs build_translation_*); sift/polyphen
+        // matrices are many rows per transcript and only re-sort
+        // (the reference's translation_sift second pass)
+        val rows = dedupKeys(entity, df) match {
+          case Some(keys) => dedupBy(df, keys)
+          case None => df
+        }
         val keyed = rows
           .repartitionByRange(col("transcript_id"))
           .sortWithinPartitions(col("transcript_id"))
@@ -165,7 +194,29 @@ object CacheBuilder {
     * named `{start}-{end}.gz`. */
   private val RegionSizeBp = 1000000L
 
-  private def dedupTranslations(df: DataFrame): DataFrame = {
+  /** Dedup partition keys per entity, or None for entities that keep
+    * every row. Pinned by the reference's export-query tests (the
+    * builder function itself lives in the external format crate):
+    * transcript -> stable_id (cache_builder.rs:2421-2434;
+    * `transcript_id` accepted as the synonym when the frame uses the
+    * repo's column convention), exon -> (transcript_id, exon_number)
+    * (rs:2470-2477), translation -> transcript_id (rs:77-88);
+    * variation is `SELECT *` — never deduped (rs:2406-2409), and the
+    * sift/polyphen matrices are many rows per transcript. Keys only
+    * apply when the frame actually has them. */
+  private def dedupKeys(entity: String, df: DataFrame): Option[Seq[String]] = {
+    def has(c: String) = df.columns.contains(c)
+    entity match {
+      case "transcript" if has("stable_id") => Some(Seq("stable_id"))
+      case "transcript" if has("transcript_id") => Some(Seq("transcript_id"))
+      case "exon" if has("transcript_id") && has("exon_number") =>
+        Some(Seq("transcript_id", "exon_number"))
+      case "translation" => Some(Seq("transcript_id"))
+      case _ => None
+    }
+  }
+
+  private def dedupBy(df: DataFrame, keys: Seq[String]): DataFrame = {
     val ord = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
     if (df.columns.contains("source_file") && df.columns.contains("start")) {
       val rs = floor((col("start") - 1) / RegionSizeBp.toDouble).cast("long") *
@@ -179,34 +230,41 @@ object CacheBuilder {
       ord += col("cdna_coding_start").asc_nulls_last
     if (df.columns.contains("source_file")) ord += col("source_file")
     if (ord.isEmpty) {
-      // the reference's dedup query always has both tie-break columns
+      // the reference's dedup queries always carry tie-break columns
       // (cache_builder.rs:77-88); without them the partition key alone
-      // would let row_number pick an ARBITRARY row per transcript —
-      // order by every remaining column (name-sorted) so the pick is a
-      // pure function of the data, invariant under partitioning
-      ord ++= df.columns.filter(_ != "transcript_id").sorted
+      // would let row_number pick an ARBITRARY row per key — order by
+      // every remaining column (name-sorted) so the pick is a pure
+      // function of the data, invariant under partitioning
+      ord ++= df.columns.filterNot(keys.contains).sorted
         .map(c => col(c).asc_nulls_last)
-      if (ord.isEmpty) ord += col("transcript_id") // single-column frame
+      if (ord.isEmpty) ord += col(keys.head) // keys-only frame
     }
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("transcript_id")).orderBy(ord.toSeq: _*)
+      .partitionBy(keys.map(col): _*).orderBy(ord.toSeq: _*)
     df.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn")
   }
 
   /** Build every entity, then the `variation` KV sink from the
-    * just-written parquet (the reference's dual-sink lifecycle). */
+    * written parquet (the reference's dual-sink lifecycle). Skip
+    * semantics mirror the reference (cache_builder.rs:3518-3556):
+    * with `overwrite = false`, an entity with existing parquet skips,
+    * and the KV sink skips only when IT exists too — existing parquet
+    * with a missing KV store rebuilds the KV FROM that parquet. */
   def buildAll(entities: Map[String, DataFrame], outDir: String,
-      buildKv: Boolean = true, onProgress: OnProgress = null): Map[String, Long] = {
+      buildKv: Boolean = true, onProgress: OnProgress = null,
+      overwrite: Boolean = false): Map[String, Long] = {
     val written = entities.map { case (entity, df) =>
-      entity -> buildEntity(df, outDir, entity, onProgress)
+      entity -> buildEntity(df, outDir, entity, onProgress, overwrite)
     }
-    if (buildKv) entities.get("variation").foreach { v =>
-      val rebuilt = openEntity(v.sparkSession, outDir, "variation")
-      withRowProgress(v.sparkSession, "variation", "kv", onProgress) {
-        graft.sources.PositionCache.write(rebuilt, s"$outDir/variation.kv")
+    val kvPath = s"$outDir/variation.kv"
+    if (buildKv && (overwrite || !dirHasParquet(kvPath)))
+      entities.get("variation").foreach { v =>
+        val rebuilt = openEntity(v.sparkSession, outDir, "variation")
+        withRowProgress(v.sparkSession, "variation", "kv", onProgress) {
+          graft.sources.PositionCache.write(rebuilt, kvPath)
+        }
       }
-    }
     written
   }
 

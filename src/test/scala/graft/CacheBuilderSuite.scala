@@ -97,6 +97,64 @@ class CacheBuilderSuite extends SparkSpec {
     assert(CacheBuilder.buildEntity(sift, tmp("xsift"), "translation_sift") == 2)
   }
 
+  test("transcript dedups per stable_id, exon per (transcript_id, exon_number)") {
+    // pinned by the reference's export-query tests
+    // (cache_builder.rs:2421-2434, 2470-2477): transcript keeps one
+    // row per stable_id, exon one per (transcript_id, exon_number);
+    // variation never dedups (rs:2406-2409, covered by the layout test
+    // above writing duplicate-free counts verbatim)
+    import spark.implicits._
+    val tx = Seq(
+      ("1", 100L, "ENST1", 5L), ("1", 100L, "ENST1", 9L), ("1", 300L, "ENST2", 7L))
+      .toDF("chrom", "start", "stable_id", "cdna_coding_start")
+    val outTx = tmp("txdedup")
+    assert(CacheBuilder.buildEntity(tx, outTx, "transcript") == 2)
+    val backTx = CacheBuilder.openEntity(spark, outTx, "transcript")
+      .select($"stable_id", $"cdna_coding_start").as[(String, Long)].collect().toMap
+    assert(backTx == Map("ENST1" -> 5L, "ENST2" -> 7L)) // lowest cdna_coding_start wins
+    val ex = Seq(
+      ("1", 100L, "ENST1", 1, "a"), ("1", 100L, "ENST1", 1, "b"),
+      ("1", 200L, "ENST1", 2, "c"), ("1", 100L, "ENST2", 1, "d"))
+      .toDF("chrom", "start", "transcript_id", "exon_number", "tag")
+    val outEx = tmp("exdedup")
+    assert(CacheBuilder.buildEntity(ex, outEx, "exon") == 3)
+    val backEx = CacheBuilder.openEntity(spark, outEx, "exon")
+      .select($"transcript_id", $"exon_number", $"tag").as[(String, Int, String)]
+      .collect().toSet
+    assert(backEx == Set(("ENST1", 1, "a"), ("ENST1", 2, "c"), ("ENST2", 1, "d")))
+  }
+
+  test("overwrite=false skips existing parquet; buildAll rebuilds only a missing KV") {
+    // the reference's resumable-build semantics
+    // (cache_builder.rs:3460-3556): existing parquet skips, existing
+    // parquet + missing KV rebuilds the KV FROM that parquet
+    import spark.implicits._
+    val out = tmp("skip")
+    val v1 = Seq(("1", 100L, 101L, "A/T", "rs1"))
+      .toDF("chrom", "start", "end", "allele_string", "variation_name")
+    assert(CacheBuilder.buildEntity(v1, out, "variation") == 1)
+    val v2 = Seq(("1", 100L, 101L, "A/T", "rs1"), ("1", 200L, 201L, "C/G", "rs2"))
+      .toDF("chrom", "start", "end", "allele_string", "variation_name")
+    // default: skip — dir content unchanged
+    assert(CacheBuilder.buildEntity(v2, out, "variation") == 0)
+    assert(CacheBuilder.openEntity(spark, out, "variation").count() == 1)
+    // overwrite: rebuild
+    assert(CacheBuilder.buildEntity(v2, out, "variation", overwrite = true) == 2)
+    assert(CacheBuilder.openEntity(spark, out, "variation").count() == 2)
+    // buildAll over existing parquet: entity skips (0 written) but the
+    // MISSING KV store is built from the existing parquet
+    val totals = CacheBuilder.buildAll(Map("variation" -> v1), out)
+    assert(totals == Map("variation" -> 0L))
+    val stored = graft.sources.PositionCache.open(spark, s"$out/variation.kv")
+    val hit = graft.sources.PositionCache.lookup(stored, "1", 200L)
+      .select($"variation_name").as[String].collect()
+    assert(hit.toSeq == Seq("rs2")) // KV reflects the PARQUET, not v1
+    // second buildAll: both exist now — everything skips (rs2 still there)
+    CacheBuilder.buildAll(Map("variation" -> v1), out)
+    val stored2 = graft.sources.PositionCache.open(spark, s"$out/variation.kv")
+    assert(graft.sources.PositionCache.lookup(stored2, "1", 200L).count() == 1)
+  }
+
   test("an entity with neither chrom nor transcript_id fails loudly") {
     val ex = intercept[IllegalArgumentException] {
       CacheBuilder.buildEntity(Seq((1, 2)).toDF("a", "b"), tmp("bad"), "mystery")
