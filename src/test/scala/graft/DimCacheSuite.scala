@@ -53,4 +53,16 @@ class DimCacheSuite extends SparkSpec {
     assert(!(d1 eq d2), "sessions must not share cache entries")
     assert(d2.sparkSession eq s2)
   }
+
+  test("invalidateDims drops a session's cache; next localize rebuilds") {
+    // explicit eviction (round-14 ADVICE: weak keys can never collect
+    // an entry whose cached frames reference the session)
+    val dir = writeDir("epsilon")
+    val d1 = Annotate.localize(spark.read.parquet(dir))
+    Annotate.invalidateDims(spark)
+    val d2 = Annotate.localize(spark.read.parquet(dir))
+    assert(!(d1 eq d2), "invalidateDims must drop the cached localization")
+    assert(d2.select("name").as[String].collect().sorted.toSeq ==
+      Seq("epsilon", "epsilon_b"))
+  }
 }
