@@ -26,6 +26,33 @@ object VepSpliceQueries {
       Splice.indelHgvs(Tables.termProbes(s, d), Tables.transcripts(s, d), Tables.exons(s, d))),
     "f11_regulatory" -> ((s, d) =>
       graft.vep.Vep.annotateRegulatory(Tables.vcf(s, d), Tables.regulatory(s, d))),
+    // runtime HGNC propagation (annotate_provider.rs:7477-7548 —
+    // deliberately NOT in the cache build, rs:2445-2467): derive a
+    // partial-metadata transcript set from the gene family structure
+    // (donor member k%30=0 carries the native id; k%30=10 members of
+    // even genes carry a cache-promoted effective id, odd genes none;
+    // k%30=20 members lack symbol/source entirely) and fill it
+    "f11_hgnc_propagation" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val k = expr("CAST(substring(transcript_id, 2) AS BIGINT)")
+      val gene = k - (k % 30)
+      val tx = Tables.transcripts(s, d).select(
+        col("chrom"), col("start"), col("transcript_id"),
+        col("gene_id").as("gene_stable_id"),
+        when(k % 30 === 20, lit(null: String)).otherwise(col("symbol"))
+          .as("gene_symbol"),
+        when(k % 30 === 20, lit(null: String))
+          .otherwise(when(k % 30 === 0, lit("HGNC")).otherwise(lit("EntrezGene")))
+          .as("gene_symbol_source"),
+        when(k % 30 === 0, concat(lit("HGNC:"), gene.cast("string")))
+          .as("gene_hgnc_id_native"),
+        when(k % 30 === 10 && gene % 60 === 0, concat(lit("HGNC:P"), k.cast("string")))
+          .as("gene_hgnc_id"))
+      graft.vep.HgncPropagation.propagateHgnc(tx)
+        .select(col("chrom"), col("transcript_id"), col("gene_symbol"),
+          col("gene_symbol_source"), col("gene_hgnc_id"))
+        .orderBy(col("transcript_id"))
+    }),
     // gap=50 rather than the 1 Mb-analog default: the derived misses
     // are dense enough that a large reach degenerates to one interval
     // per chrom, which would gate nothing
@@ -1662,6 +1689,38 @@ object VepSpliceQueries {
     "f11_splice_site" -> spliceTermsSql(Oracle.vcf, "v"),
     "f11_splice_probes" -> spliceTermsSql(Oracle.spliceProbes, "sp"),
     "f11_regulatory" -> regulatorySql,
+    "f11_hgnc_propagation" ->
+      s"""WITH ${Oracle.transcripts},
+         |h AS (SELECT chrom, start, transcript_id, gene_id AS gene_stable_id,
+         | CASE WHEN k % 30 = 20 THEN NULL ELSE symbol END AS gene_symbol,
+         | CASE WHEN k % 30 = 20 THEN NULL
+         |  WHEN k % 30 = 0 THEN 'HGNC' ELSE 'EntrezGene' END AS gene_symbol_source,
+         | CASE WHEN k % 30 = 0
+         |  THEN concat('HGNC:', CAST(k - k % 30 AS VARCHAR)) END AS gene_hgnc_id_native,
+         | CASE WHEN k % 30 = 10 AND (k - k % 30) % 60 = 0
+         |  THEN concat('HGNC:P', CAST(k AS VARCHAR)) END AS gene_hgnc_id
+         | FROM (SELECT *, CAST(substr(transcript_id, 2) AS BIGINT) AS k FROM t)),
+         |dnr AS (SELECT chrom, gene_symbol,
+         | arg_min(gene_hgnc_id_native, printf('%020d|%s', start, transcript_id)) AS sym_hgnc
+         | FROM h WHERE gene_hgnc_id_native IS NOT NULL AND gene_symbol IS NOT NULL
+         | GROUP BY 1, 2),
+         |gf AS (SELECT chrom, gene_stable_id,
+         | arg_min(gene_symbol, printf('%020d|%s', start, transcript_id))
+         |   FILTER (WHERE gene_symbol IS NOT NULL) AS g_sym,
+         | arg_min(gene_symbol_source, printf('%020d|%s', start, transcript_id))
+         |   FILTER (WHERE gene_symbol_source IS NOT NULL) AS g_src,
+         | arg_min(gene_hgnc_id_native, printf('%020d|%s', start, transcript_id))
+         |   FILTER (WHERE gene_hgnc_id_native IS NOT NULL) AS g_hgnc
+         | FROM h GROUP BY 1, 2)
+         |SELECT h.chrom, h.transcript_id,
+         | COALESCE(h.gene_symbol, gf.g_sym) AS gene_symbol,
+         | COALESCE(h.gene_symbol_source, gf.g_src) AS gene_symbol_source,
+         | COALESCE(h.gene_hgnc_id_native, h.gene_hgnc_id, dnr.sym_hgnc, gf.g_hgnc)
+         |  AS gene_hgnc_id
+         |FROM h
+         | LEFT JOIN dnr ON h.chrom = dnr.chrom AND h.gene_symbol = dnr.gene_symbol
+         | LEFT JOIN gf ON h.chrom = gf.chrom AND h.gene_stable_id = gf.gene_stable_id
+         |ORDER BY transcript_id""".stripMargin.replace("\n", " "),
     "f11_miss_worklist" -> missWorklistSql,
     "f11_sift" -> siftSql,
     "f11_maxaf" -> maxAfSql,
