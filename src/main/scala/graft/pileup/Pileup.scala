@@ -60,8 +60,17 @@ object Pileup {
   private def events(reads: DataFrame, filterFlag: Int, minMapq: Int): DataFrame = {
     val spark = reads.sparkSession
     import spark.implicits._
+    // reference skip rules BEFORE the flag/MAPQ filter
+    // (events.rs:114-152): a NULL chrom or start contributes nothing,
+    // a text CIGAR of "*" (alignment unavailable per SAM) and an empty
+    // binary CIGAR are skipped — none of these are errors
+    val present = col("chrom").isNotNull && col("start").isNotNull &&
+      col("cigar").isNotNull &&
+      (if (reads.schema("cigar").dataType ==
+           org.apache.spark.sql.types.BinaryType) length(col("cigar")) > 0
+       else col("cigar") =!= "*")
     val filtered = graft.core.Parallelism.ensure(reads)
-      .where(expr(s"(flags & $filterFlag) = 0 AND mapping_quality >= $minMapq"))
+      .where(present && expr(s"(flags & $filterFlag) = 0 AND mapping_quality >= $minMapq"))
     val isBinary =
       reads.schema("cigar").dataType == org.apache.spark.sql.types.BinaryType
     val segs =

@@ -50,6 +50,22 @@ class PileupVepSuite extends SparkSpec {
     assert(perBase.where($"pos" === 107).head().getInt(2) == 2)
   }
 
+  test("depth skips null-chrom/null-start reads and '*' CIGARs") {
+    // reference events.rs:114-152 (test_null_chroms_skipped,
+    // test_star_cigar_skipped): these reads contribute nothing and
+    // are not errors
+    val reads = Seq(
+      (null.asInstanceOf[String], java.lang.Integer.valueOf(100), 0, "10M", 60),
+      ("c1", null.asInstanceOf[java.lang.Integer], 0, "10M", 60),
+      ("c1", java.lang.Integer.valueOf(100), 0, "*", 60),
+      ("c1", java.lang.Integer.valueOf(100), 0, null.asInstanceOf[String], 60),
+      ("c1", java.lang.Integer.valueOf(100), 0, "10M", 60),
+    ).toDF("chrom", "start", "flags", "cigar", "mapping_quality")
+    val got = Pileup.depth(reads).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == Seq(("c1", 100L, 109L, 1)))
+  }
+
   test("depth is invariant under the prefix-sum position-bucket width") {
     // the window stage range-partitions by (chrom, pos DIV width) with
     // a per-bucket boundary fix-up; any width must produce the same
