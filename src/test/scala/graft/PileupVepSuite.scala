@@ -135,6 +135,31 @@ class PileupVepSuite extends SparkSpec {
     assert(!Allele.matches("A", "", "A/G"))
   }
 
+  test("trim_sequences: direction changes the surviving coordinate") {
+    // allele.rs:878-893: left-first deletion trims to the inner
+    // coordinates; end-first homopolymer keeps the START coordinate
+    assert(Allele.trimSequencesEnsembl("ACGT", "A", 100, endFirst = false, 1) ==
+      (("CGT", "-", 101L, 103L, true)))
+    assert(Allele.trimSequencesEnsembl("AAAA", "AAA", 100, endFirst = true, 1) ==
+      (("A", "-", 100L, 100L, true)))
+  }
+
+  test("get_matched_variant_alleles: repeat-shifted deletion and multi-allelic") {
+    // allele.rs:896-947 (itself Ensembl Sequence.pm:1098-1258):
+    // position-aware matching — AAA/A @100 and AA/- @101 are one event
+    assert(Allele.getMatchedVariantAlleles("AAA/A", 100, 1, "AA/-", 101, 1) ==
+      Seq(("A", 0, "-", 0)))
+    // multi-allelic: only the shared T alt matches, at its own index
+    assert(Allele.getMatchedVariantAlleles("A/G/T", 100, 1, "A/C/T", 100, 1) ==
+      Seq(("T", 1, "T", 1)))
+    // opposite strands reverse-complement the a side
+    assert(Allele.getMatchedVariantAlleles("A/G", 100, 1, "T/C", 100, -1) ==
+      Seq(("G", 0, "C", 0)))
+    // malformed strings and pos 0 match nothing
+    assert(Allele.getMatchedVariantAlleles("/G", 100, 1, "A/G", 100, 1).isEmpty)
+    assert(Allele.getMatchedVariantAlleles("A/G", 0, 1, "A/G", 100, 1).isEmpty)
+  }
+
   test("match_allele_relaxed: indel class + length compatibility") {
     // deletion of 2bp matches any 2bp deletion representation
     assert(Allele.matchesRelaxed("ATT", "A", "GCC/G"))
