@@ -27,10 +27,15 @@ import org.apache.spark.sql.functions._
   *      same-gene transcripts that lack them (rs:9525-9545).
   *
   * "Buffer" scope: the reference buffers one contig region window at
-  * a time; relationally the scope is the `bufferCols` grouping
-  * (default per chrom — a superset window changes nothing because
-  * donor/fill maps key on symbol/gene, which never span chroms in an
-  * Ensembl cache). "First" is the reference's buffer order — cache
+  * a time with stateful carry/prune rules across adjacent buffers
+  * (annotate_provider.rs:9546+ `stateful_buffer_local_*` tests);
+  * relationally the scope is the `bufferCols` grouping (default per
+  * chrom — a superset of any buffer chain, equivalent for real
+  * Ensembl data because a symbol belongs to one gene and a gene's
+  * transcripts are co-located, so a chrom-wide donor map contains
+  * exactly the region-windowed ones; callers needing literal region
+  * scoping pass (chrom, region) bufferCols). "First" is the
+  * reference's buffer order — cache
   * files are position-sorted — expressed deterministically as
   * (start, transcript_id). Aggregations are min_by over that key:
   * two small map-side-combined aggregates broadcast back onto the
