@@ -298,16 +298,68 @@ object Ranges {
         throw new IllegalStateException("unreachable")
     }
 
+  /** Position-bucket width for the island-sweep window stage — same
+    * rationale as the depth prefix sum ([[graft.pileup.Pileup]]): a
+    * per-contig window caps at #contigs concurrent tasks (~25 on a
+    * human genome) regardless of cluster size; bucketing by
+    * `(contig, start DIV width)` scales the sweep's parallelism with
+    * data span. Default 2^26 (~67 Mbp); overridable via
+    * `spark.bio.sweep.posBucketWidth` (the invariance spec sweeps it). */
+  private val DefaultSweepBucketWidth = 1L << 26
+
+  private def sweepBucketWidth(df: DataFrame): Long = {
+    val w = df.sparkSession.conf.getOption("spark.bio.sweep.posBucketWidth")
+      .map(_.toLong).getOrElse(DefaultSweepBucketWidth)
+    require(w > 0, s"spark.bio.sweep.posBucketWidth must be positive, got $w")
+    w
+  }
+
   /** Island flag + id columns shared by merge/cluster: a new island
     * starts where `start > prevMaxEnd + minDist` (weak) or `>=`
     * (strict) — merge.rs:290-297. Returns df + `_gid` (1-based island
-    * id per contig). */
+    * id per contig).
+    *
+    * The sweep is range-partitioned like the depth prefix sum: the
+    * running prev-max-end is computed per `(contig, start DIV width)`
+    * window — fully parallel — then corrected by a TINY per-bucket
+    * carry frame (one row per non-empty bucket; carry-in = max end
+    * over ALL earlier buckets of the contig, a running max over the
+    * aggregate). The carry joins back PER ROW, not just at bucket
+    * heads: an earlier-bucket interval spanning deep past a bucket's
+    * local prefix max can flip island flags anywhere inside it. The
+    * global island id is the local flag cumsum plus a per-bucket
+    * flag-sum prefix offset (second tiny broadcast frame) — a bucket
+    * that only continues a prior island contributes offset-only ids,
+    * which is exactly the continued island's id. */
   private def withIslands(
       df: DataFrame, cols: IntervalCols, minDist: Long, op: FilterOp): DataFrame = {
     val s = col(cols.start).cast("long")
     val e = col(cols.end).cast("long")
-    val w = Window.partitionBy(col(cols.contig)).orderBy(s, e)
-    val prevMax = max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val width = sweepBucketWidth(df)
+    // trunc-toward-zero integer DIV is monotone in start, and start
+    // ties never split across buckets — the two properties the sweep
+    // needs (double-based division would lose precision at the Int64
+    // ceiling the saturating tests pin)
+    val bucketed = df.withColumn("_bkt",
+      expr(s"CAST(`${cols.start}` AS BIGINT) DIV $width"))
+    val wb = Window.partitionBy(col(cols.contig), col("_bkt")).orderBy(s, e)
+    val wc = Window.partitionBy(col(cols.contig)).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // carry-in: max end across all rows of earlier buckets (null for
+    // the contig's first non-empty bucket). Null-safe join keys keep
+    // null-contig/null-start rows grouped exactly as the old
+    // per-contig window did instead of silently dropping them.
+    val carry = bucketed.groupBy(col(cols.contig), col("_bkt"))
+      .agg(max(e).as("_bmax"))
+      .select(col(cols.contig).as("_cc"), col("_bkt").as("_cb"),
+        max(col("_bmax")).over(wc).as("_carryMax"))
+    val withCarry = bucketed.join(broadcast(carry),
+      col(cols.contig) <=> col("_cc") && col("_bkt") <=> col("_cb"))
+      .drop("_cc", "_cb")
+    val localPrevMax = max(e).over(wb.rowsBetween(Window.unboundedPreceding, -1))
+    // greatest() skips nulls: null iff BOTH the local prefix and the
+    // carry are null — the first row of the contig's first bucket
+    val prevMax = greatest(localPrevMax, col("_carryMax"))
     // SATURATING add, matching the reference's
     // `cur_end.saturating_add(min_dist)` (merge.rs:291,
     // cluster.rs:457) — its test pins intervals at the Int64 ceiling
@@ -331,9 +383,19 @@ object Ranges {
     // would split tie groups nondeterministically (the row carrying
     // flag=1 is an arbitrary member of its tie group, and a second sort
     // could order the group differently).
-    df.withColumn("_flag", flag)
-      .withColumn("_gid", sum(col("_flag")).over(w))
-      .drop("_flag")
+    val flagged = withCarry.withColumn("_flag", flag)
+      .withColumn("_lgid", sum(col("_flag")).over(wb))
+    // per-bucket flag-sum prefix -> global id offset (0 for the first
+    // bucket). Both tiny frames hang off the same (contig, _bkt)
+    // grouping, so ReuseExchange shares the upstream scan.
+    val offsets = flagged.groupBy(col(cols.contig), col("_bkt"))
+      .agg(sum(col("_flag")).as("_bflags"))
+      .select(col(cols.contig).as("_oc"), col("_bkt").as("_ob"),
+        coalesce(sum(col("_bflags")).over(wc), lit(0L)).as("_goff"))
+    flagged.join(broadcast(offsets),
+      col(cols.contig) <=> col("_oc") && col("_bkt") <=> col("_ob"))
+      .withColumn("_gid", col("_lgid") + col("_goff"))
+      .drop("_oc", "_ob", "_flag", "_lgid", "_goff", "_carryMax", "_bkt")
   }
 
   /** F5 `merge`: overlapping/near (within `minDist`) intervals per

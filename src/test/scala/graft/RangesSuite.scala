@@ -374,4 +374,53 @@ class RangesSuite extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
     assert(near.contains((11L, 1L, big + 10L - 200L)))
   }
+
+  test("island sweep invariant under position-bucket width (merge/cluster/complement)") {
+    // the island sweep range-partitions by (contig, start DIV width)
+    // with per-bucket carry + id-offset frames; any width and any
+    // shuffle-partition count must produce identical islands.
+    // Deliberate stress rows:
+    //  - (5, 100000): spans MANY width-7 buckets — its end must flip
+    //    flags deep inside later buckets (per-row carry, not just at
+    //    bucket heads)
+    //  - (100010, 100020) + minDist: island decided purely by carry
+    //  - duplicate (200, 300) rows: tie peers must share an island id
+    //  - saturating pin at the Int64 ceiling (merge.rs:291 semantics)
+    //  - far gap to 900000: next non-empty bucket is not bucket+1
+    val in = Seq(
+      ("c1", 5L, 100000L), ("c1", 10L, 20L), ("c1", 50L, 60L),
+      ("c1", 200L, 300L), ("c1", 200L, 300L), ("c1", 99990L, 99995L),
+      ("c1", 100010L, 100020L), ("c1", 900000L, 900100L),
+      ("c2", 1L, 2L), ("c2", 2L, 9L), ("c2", 9L, 9L),
+      ("c3", Long.MaxValue - 5L, Long.MaxValue),
+      ("c3", Long.MaxValue - 100L, Long.MaxValue - 50L),
+    ).toDF("contig", "pos_start", "pos_end")
+    val p0 = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(width: Long, parts: String): Seq[Seq[Seq[Any]]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      spark.conf.set("spark.bio.sweep.posBucketWidth", width.toString)
+      try Seq(
+        sortedRows(Ranges.merge(in)),
+        sortedRows(Ranges.merge(in, minDist = 15L)),
+        sortedRows(Ranges.merge(in, minDist = 60L, op = FilterOp.Strict)),
+        sortedRows(Ranges.cluster(in)),
+        sortedRows(Ranges.cluster(in, minDist = 15L)),
+        sortedRows(Ranges.complement(in)))
+      finally {
+        spark.conf.unset("spark.bio.sweep.posBucketWidth")
+        spark.conf.set("spark.sql.shuffle.partitions", p0)
+      }
+    }
+    val baseline = run(1L << 62, p0) // one bucket: the old per-contig sweep
+    // sanity on the baseline itself: the spanning row swallows
+    // everything through 100020 under minDist=15 (carry-decided)
+    assert(baseline(1).count(r => r.head == "c1") == 2)
+    for (width <- Seq(7L, 64L, 1L << 26); parts <- Seq("1", "7"))
+      assert(run(width, parts) == baseline, s"width=$width parts=$parts")
+    // the scale property the bucketing exists for: at small width the
+    // sweep's window-stage groups exceed the contig count
+    val groups = in.selectExpr("contig", "CAST(pos_start AS BIGINT) DIV 7")
+      .distinct().count()
+    assert(groups > 3)
+  }
 }
