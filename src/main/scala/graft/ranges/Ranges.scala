@@ -314,67 +314,47 @@ object Ranges {
     w
   }
 
-  /** Island flag + id columns shared by merge/cluster: a new island
-    * starts where `start > prevMaxEnd + minDist` (weak) or `>=`
-    * (strict) — merge.rs:290-297. Returns df + `_gid` (1-based island
-    * id per contig).
-    *
-    * The sweep is range-partitioned like the depth prefix sum: the
-    * running prev-max-end is computed per `(contig, start DIV width)`
-    * window — fully parallel — then corrected by a TINY per-bucket
-    * carry frame (one row per non-empty bucket; carry-in = max end
-    * over ALL earlier buckets of the contig, a running max over the
-    * aggregate). The carry joins back PER ROW, not just at bucket
-    * heads: an earlier-bucket interval spanning deep past a bucket's
-    * local prefix max can flip island flags anywhere inside it. The
-    * global island id is the local flag cumsum plus a per-bucket
-    * flag-sum prefix offset (second tiny broadcast frame) — a bucket
-    * that only continues a prior island contributes offset-only ids,
-    * which is exactly the continued island's id. */
-  private def withIslands(
+  /** Saturating `prevMax + minDist` island boundary, matching the
+    * reference's `cur_end.saturating_add(min_dist)` (merge.rs:291,
+    * cluster.rs:457) — its test pins intervals at the Int64 ceiling
+    * clustering TOGETHER under any positive min_dist
+    * (integration_test.rs test_cluster_udtf_large_min_dist_no_
+    * overflow); Spark's non-ANSI Long addition would silently wrap
+    * negative and split them instead. */
+  private def saturatingBoundary(prevMax: Column, minDist: Long): Column =
+    if (minDist == 0L) prevMax
+    else if (minDist > 0L)
+      when(prevMax > lit(Long.MaxValue - minDist), lit(Long.MaxValue))
+        .otherwise(prevMax + lit(minDist))
+    else
+      when(prevMax < lit(Long.MinValue - minDist), lit(Long.MinValue))
+        .otherwise(prevMax + lit(minDist))
+
+  /** Bucket-LOCAL island sweep: df + `_bkt` + `_lgid` (1-based island
+    * id within each `(contig, start DIV width)` slice) in ONE window
+    * pass with no cross-bucket dependency — the full-data half of the
+    * hierarchical sweep. Cross-bucket chaining happens on the
+    * collapsed hull frame ([[globalIslands]]): connected components
+    * are closed under hierarchical grouping, so chaining island HULLS
+    * with the same (minDist, op) rule reproduces the row-level sweep
+    * exactly (two local islands chain iff their closest rows do, and
+    * the closest-row gap IS the hull gap — hulls of consecutive
+    * islands never interleave). */
+  private def localIslands(
       df: DataFrame, cols: IntervalCols, minDist: Long, op: FilterOp): DataFrame = {
     val s = col(cols.start).cast("long")
     val e = col(cols.end).cast("long")
     val width = sweepBucketWidth(df)
     // trunc-toward-zero integer DIV is monotone in start, and start
-    // ties never split across buckets — the two properties the sweep
-    // needs (double-based division would lose precision at the Int64
-    // ceiling the saturating tests pin)
+    // ties never split across buckets — so the global (s, e) sort
+    // order is bucket-major and a per-bucket sweep sees a contiguous
+    // slice of it (double-based division would lose precision at the
+    // Int64 ceiling the saturating tests pin)
     val bucketed = df.withColumn("_bkt",
       expr(s"CAST(`${cols.start}` AS BIGINT) DIV $width"))
     val wb = Window.partitionBy(col(cols.contig), col("_bkt")).orderBy(s, e)
-    val wc = Window.partitionBy(col(cols.contig)).orderBy(col("_bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // carry-in: max end across all rows of earlier buckets (null for
-    // the contig's first non-empty bucket). Null-safe join keys keep
-    // null-contig/null-start rows grouped exactly as the old
-    // per-contig window did instead of silently dropping them.
-    val carry = bucketed.groupBy(col(cols.contig), col("_bkt"))
-      .agg(max(e).as("_bmax"))
-      .select(col(cols.contig).as("_cc"), col("_bkt").as("_cb"),
-        max(col("_bmax")).over(wc).as("_carryMax"))
-    val withCarry = bucketed.join(broadcast(carry),
-      col(cols.contig) <=> col("_cc") && col("_bkt") <=> col("_cb"))
-      .drop("_cc", "_cb")
-    val localPrevMax = max(e).over(wb.rowsBetween(Window.unboundedPreceding, -1))
-    // greatest() skips nulls: null iff BOTH the local prefix and the
-    // carry are null — the first row of the contig's first bucket
-    val prevMax = greatest(localPrevMax, col("_carryMax"))
-    // SATURATING add, matching the reference's
-    // `cur_end.saturating_add(min_dist)` (merge.rs:291,
-    // cluster.rs:457) — its test pins intervals at the Int64 ceiling
-    // clustering TOGETHER under any positive min_dist
-    // (integration_test.rs test_cluster_udtf_large_min_dist_no_
-    // overflow); Spark's non-ANSI Long addition would silently wrap
-    // negative and split them instead
-    val boundary =
-      if (minDist == 0L) prevMax
-      else if (minDist > 0L)
-        when(prevMax > lit(Long.MaxValue - minDist), lit(Long.MaxValue))
-          .otherwise(prevMax + lit(minDist))
-      else
-        when(prevMax < lit(Long.MinValue - minDist), lit(Long.MinValue))
-          .otherwise(prevMax + lit(minDist))
+    val prevMax = max(e).over(wb.rowsBetween(Window.unboundedPreceding, -1))
+    val boundary = saturatingBoundary(prevMax, minDist)
     val isNew = if (op.isStrict) s >= boundary else s > boundary
     val flag = when(prevMax.isNull || isNew, lit(1L)).otherwise(lit(0L))
     // The cumulative island id uses the DEFAULT window frame (RANGE
@@ -383,36 +363,129 @@ object Ranges {
     // would split tie groups nondeterministically (the row carrying
     // flag=1 is an arbitrary member of its tie group, and a second sort
     // could order the group differently).
+    bucketed.withColumn("_flag", flag)
+      .withColumn("_lgid", sum(col("_flag")).over(wb))
+      .drop("_flag")
+  }
+
+  /** Hierarchical island sweep shared by merge/cluster: returns
+    * `(loc, islands)` where `loc` = rows + `(_bkt, _lgid)` from the
+    * single full-data window pass, and `islands` = one row per LOCAL
+    * island `(contig, _obkt, _olgid, _is, _ie, _cnt, _gid)` with
+    * `_gid` the 1-based GLOBAL island id per contig. The collapse
+    * groupBy extends the window's `(contig, _bkt)` clustering, so it
+    * aggregates in place (no second full-data exchange); the explicit
+    * `repartition` then inserts an exchange node ON THE COLLAPSED
+    * FRAME so [[chainHulls]]' multiple consumers reuse one
+    * materialization (without it, every hull consumer would re-run
+    * the full-data window — ReuseExchange shares exchanges, and an
+    * in-place aggregate has none). */
+  private def globalIslands(
+      df: DataFrame, cols: IntervalCols, minDist: Long, op: FilterOp)
+      : (DataFrame, DataFrame) = {
+    val loc = localIslands(df, cols, minDist, op)
+    val hulls = loc.groupBy(col(cols.contig), col("_bkt"), col("_lgid"))
+      .agg(
+        min(col(cols.start).cast("long")).as("_is"),
+        max(col(cols.end).cast("long")).as("_ie"),
+        count(lit(1)).as("_cnt"))
+      .withColumnRenamed("_bkt", "_obkt")
+      .withColumnRenamed("_lgid", "_olgid")
+    // materialization point: chainHulls consumes the hull frame three
+    // times (main, carry, offsets); without a shared exchange every
+    // consumer re-runs the FULL-DATA window (measured 3x task time at
+    // sf0.1). Two traps make a plain repartition insufficient:
+    //  - column pruning would give each consumer a different
+    //    projection under the exchange, so the subplans stop
+    //    canonicalizing identically and ReuseExchange never fires —
+    //    the always-true filter references every column and blocks
+    //    pushdown below the exchange;
+    //  - a repartition on (contig, _obkt) is REMOVED as redundant
+    //    (the window output already carries that hash partitioning),
+    //    so the extra _olgid key keeps the exchange in the plan.
+    // Unlike persist(), nothing is cached across invocations — a
+    // re-run re-reads the sources (registry-staleness-safe).
+    // The barrier must be (a) non-deterministic, or PushDownPredicates
+    // moves it below the repartition and per-consumer projections slip
+    // between them, and (b) reference every column, or pruning slides
+    // a projection under it; always-true by construction (hash%2 in
+    // {-1,0,1}, rand in [0,1) — sum > -10 always).
+    val barrier =
+      (xxhash64(hulls.columns.map(col).toIndexedSeq: _*) % 2 + rand()) > lit(-10d)
+    val shared = hulls
+      .repartition(col(cols.contig), col("_obkt"), col("_olgid"))
+      .where(barrier)
+    (loc, chainHulls(shared, cols.contig, minDist, op))
+  }
+
+  /** Cross-bucket chain over the collapsed hull frame: adds `_gid`
+    * (1-based GLOBAL island id per contig). Hulls within one bucket
+    * are separated by construction (consecutive local islands satisfy
+    * `next._is > boundary(max earlier end)` at the ROW level, which
+    * dominates the hull-level prefix max), so a hull starts a new
+    * global island iff the CARRY — max end over all earlier buckets'
+    * hulls, one value per bucket — does not reach it:
+    * `flag = _is > boundary(carry)` (or `>=` strict), carry-null for
+    * the contig's first non-empty bucket. No prefix-max window is
+    * needed at all; the only windows here run over the per-bucket
+    * aggregate frames (one row per non-empty bucket). The global id is
+    * the within-bucket flag cumsum plus a per-bucket flag-sum prefix
+    * offset — a bucket that only continues a prior island contributes
+    * offset-only ids, which is exactly the continued island's id.
+    * Null-safe join keys keep null-contig/null-start rows grouped
+    * exactly as a per-contig window would instead of silently
+    * dropping them. Tie hulls (identical `(_is, _ie)` in one contig)
+    * cannot exist: row-level `(start, end)` tie peers share a local
+    * island, and distinct consecutive islands provably have distinct
+    * hulls. */
+  private def chainHulls(
+      hulls: DataFrame, contig: String, minDist: Long, op: FilterOp): DataFrame = {
+    val s = col("_is")
+    val wc = Window.partitionBy(col(contig)).orderBy(col("_obkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = hulls.groupBy(col(contig), col("_obkt"))
+      .agg(max(col("_ie")).as("_bmax"))
+      .select(col(contig).as("_cc"), col("_obkt").as("_cb"),
+        max(col("_bmax")).over(wc).as("_carryMax"))
+    val withCarry = hulls.join(broadcast(carry),
+      col(contig) <=> col("_cc") && col("_obkt") <=> col("_cb"))
+      .drop("_cc", "_cb")
+    val boundary = saturatingBoundary(col("_carryMax"), minDist)
+    val isNew = if (op.isStrict) s >= boundary else s > boundary
+    val flag = when(col("_carryMax").isNull || isNew, lit(1L)).otherwise(lit(0L))
+    val wb = Window.partitionBy(col(contig), col("_obkt")).orderBy(s, col("_ie"))
     val flagged = withCarry.withColumn("_flag", flag)
       .withColumn("_lgid", sum(col("_flag")).over(wb))
     // per-bucket flag-sum prefix -> global id offset (0 for the first
-    // bucket). Both tiny frames hang off the same (contig, _bkt)
-    // grouping, so ReuseExchange shares the upstream scan.
-    val offsets = flagged.groupBy(col(cols.contig), col("_bkt"))
+    // bucket); re-evaluation reads the hull repartition exchange, not
+    // the full-data window
+    val offsets = flagged.groupBy(col(contig), col("_obkt"))
       .agg(sum(col("_flag")).as("_bflags"))
-      .select(col(cols.contig).as("_oc"), col("_bkt").as("_ob"),
+      .select(col(contig).as("_oc"), col("_obkt").as("_ob"),
         coalesce(sum(col("_bflags")).over(wc), lit(0L)).as("_goff"))
     flagged.join(broadcast(offsets),
-      col(cols.contig) <=> col("_oc") && col("_bkt") <=> col("_ob"))
+      col(contig) <=> col("_oc") && col("_obkt") <=> col("_ob"))
       .withColumn("_gid", col("_lgid") + col("_goff"))
-      .drop("_oc", "_ob", "_flag", "_lgid", "_goff", "_carryMax", "_bkt")
+      .drop("_oc", "_ob", "_flag", "_lgid", "_goff", "_carryMax")
   }
 
   /** F5 `merge`: overlapping/near (within `minDist`) intervals per
     * contig collapsed to `(contig, start, end, n_intervals)`
-    * (merge.rs:43-48,282-349). */
+    * (merge.rs:43-48,282-349). One full-data exchange + window
+    * ([[localIslands]]); the hull collapse aggregates in place and
+    * everything after runs at island cardinality. */
   def merge(
       df: DataFrame,
       cols: IntervalCols = IntervalCols.default,
       minDist: Long = 0L,
       op: FilterOp = FilterOp.Weak): DataFrame =
     carryCoord(
-      withIslands(df, cols, minDist, op)
+      globalIslands(df, cols, minDist, op)._2
         .groupBy(col(cols.contig), col("_gid"))
         .agg(
-          min(col(cols.start).cast("long")).as(cols.start),
-          max(col(cols.end).cast("long")).as(cols.end),
-          count(lit(1)).as("n_intervals"))
+          min(col("_is")).as(cols.start),
+          max(col("_ie")).as(cols.end),
+          sum(col("_cnt")).as("n_intervals"))
         .select(col(cols.contig), col(cols.start), col(cols.end), col("n_intervals")),
       df, cols.start, cols.start)
 
@@ -422,30 +495,40 @@ object Ranges {
     * tests/integration_test.rs:2431-2441) plus `cluster_start` /
     * `cluster_end` island bounds. The reference's cross-partition
     * `ClusterIdCoordinator` barrier becomes a broadcast join against a
-    * tiny per-contig offset table. */
+    * tiny per-contig offset table; bounds/ids are computed on the
+    * island-cardinality hull frame and joined back to rows on
+    * `(contig, _bkt, _lgid)` — keys the row side is already clustered
+    * on from the sweep window (no extra full-data shuffle; AQE
+    * broadcasts the payload when it is small). */
   def cluster(
       df: DataFrame,
       cols: IntervalCols = IntervalCols.default,
       minDist: Long = 0L,
       op: FilterOp = FilterOp.Weak): DataFrame = {
-    val isl = withIslands(df, cols, minDist, op)
-    val wIsl = Window.partitionBy(col(cols.contig), col("_gid"))
-    val withBounds = isl
-      .withColumn("cluster_start", min(col(cols.start).cast("long")).over(wIsl))
-      .withColumn("cluster_end", max(col(cols.end).cast("long")).over(wIsl))
-    // per-contig island counts -> cumulative offsets in contig order
+    val (loc, isl) = globalIslands(df, cols, minDist, op)
+    // per-island bounds + per-contig island counts -> cumulative
+    // offsets in contig order; all island-cardinality frames
+    val bounds = isl.groupBy(col(cols.contig).as("_bc"), col("_gid").as("_bg"))
+      .agg(min(col("_is")).as("cluster_start"), max(col("_ie")).as("cluster_end"))
     val counts = isl.groupBy(col(cols.contig)).agg(max(col("_gid")).as("_n"))
     val wOff = Window.orderBy(col(cols.contig))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
       .withColumn("_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))
       .select(col(cols.contig).as("_oc"), col("_off"))
-    val joined = withBounds.join(broadcast(offsets),
-      withBounds(cols.contig) === offsets("_oc"), "inner")
+    val payload = isl
+      .join(bounds, col(cols.contig) <=> col("_bc") && col("_gid") <=> col("_bg"))
+      .join(broadcast(offsets), col(cols.contig) <=> col("_oc"))
+      .select(col(cols.contig).as("_pc"), col("_obkt").as("_pb"),
+        col("_olgid").as("_pl"),
+        (col("_off") + col("_gid") - lit(1L)).as("cluster"),
+        col("cluster_start"), col("cluster_end"))
+    val joined = loc.join(payload,
+      col(cols.contig) <=> col("_pc") && col("_bkt") <=> col("_pb") &&
+        col("_lgid") <=> col("_pl"))
     val outCols: Seq[Column] =
       df.columns.toSeq.map(col) :+
-      (col("_off") + col("_gid") - lit(1L)).as("cluster") :+
-      col("cluster_start") :+ col("cluster_end")
+      col("cluster") :+ col("cluster_start") :+ col("cluster_end")
     carryCoord(joined.select(outCols: _*), df, cols.start, cols.start)
   }
 
@@ -487,9 +570,26 @@ object Ranges {
       .select(col("_vc"), col("_vs"), col("_ve"),
         greatest(col("_ms"), col("_vs")).as("_cs"),
         least(col("_me"), col("_ve")).as("_ce"))
-    val wv = Window.partitionBy(col("_vc"), col("_vs"), col("_ve")).orderBy(col("_cs"))
-    val gaps = ov
-      .withColumn("_cursor", coalesce(lag(col("_ce"), 1).over(wv), col("_vs")))
+    // the cursor lag buckets like the island sweep (same per-view
+    // window ceiling otherwise): merged runs within a view are
+    // DISJOINT and _cs-sorted, so the only cross-bucket dependency is
+    // the max clipped end over earlier buckets — one aggregate row per
+    // non-empty bucket, broadcast back onto bucket-head rows
+    val width = sweepBucketWidth(df)
+    val ovB = ov.withColumn("_bkt", expr(s"CAST(_cs AS BIGINT) DIV $width"))
+    val wv = Window.partitionBy(col("_vc"), col("_vs"), col("_ve"), col("_bkt"))
+      .orderBy(col("_cs"))
+    val wcV = Window.partitionBy(col("_vc"), col("_vs"), col("_ve"))
+      .orderBy(col("_bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val vcarry = ovB.groupBy(col("_vc"), col("_vs"), col("_ve"), col("_bkt"))
+      .agg(max(col("_ce")).as("_bce"))
+      .select(col("_vc").as("_kc"), col("_vs").as("_ks"), col("_ve").as("_ke"),
+        col("_bkt").as("_kb"), max(col("_bce")).over(wcV).as("_prevCe"))
+    val gaps = ovB.join(broadcast(vcarry),
+        col("_vc") <=> col("_kc") && col("_vs") <=> col("_ks") &&
+          col("_ve") <=> col("_ke") && col("_bkt") <=> col("_kb"))
+      .withColumn("_cursor",
+        coalesce(lag(col("_ce"), 1).over(wv), col("_prevCe"), col("_vs")))
       .where(col("_cs") > col("_cursor"))
       .select(col("_vc").as(cols.contig), col("_cursor").as(cols.start), col("_cs").as(cols.end))
     val trailing = ov

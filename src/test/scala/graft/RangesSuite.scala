@@ -395,6 +395,10 @@ class RangesSuite extends SparkSpec {
       ("c3", Long.MaxValue - 5L, Long.MaxValue),
       ("c3", Long.MaxValue - 100L, Long.MaxValue - 50L),
     ).toDF("contig", "pos_start", "pos_end")
+    // explicit views: clipped runs, a view starting mid-island, a view
+    // contig absent from the input, plus implicit views for c2/c3
+    val vw = Seq(("c1", 0L, 150000L), ("c1", 899000L, 950000L), ("c9", 5L, 9L))
+      .toDF("contig", "pos_start", "pos_end")
     val p0 = spark.conf.get("spark.sql.shuffle.partitions")
     def run(width: Long, parts: String): Seq[Seq[Seq[Any]]] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
@@ -405,7 +409,8 @@ class RangesSuite extends SparkSpec {
         sortedRows(Ranges.merge(in, minDist = 60L, op = FilterOp.Strict)),
         sortedRows(Ranges.cluster(in)),
         sortedRows(Ranges.cluster(in, minDist = 15L)),
-        sortedRows(Ranges.complement(in)))
+        sortedRows(Ranges.complement(in)),
+        sortedRows(Ranges.complement(in, view = Some(vw))))
       finally {
         spark.conf.unset("spark.bio.sweep.posBucketWidth")
         spark.conf.set("spark.sql.shuffle.partitions", p0)
