@@ -37,6 +37,34 @@ object MlQueries {
       col("doc_id"),
       TextFunctions.repetitionRatio(col("text")).as("rep_ratio"))
       .orderBy("doc_id")),
+    // benchmark decontamination: every 7th doc doubles as the "eval
+    // set"; a doc is contaminated when it shares >= 2 distinct
+    // 5-token n-grams with a benchmark text
+    "t_decontaminate" -> ((s, d) => {
+      val base = docs(s, d)
+      graft.text.Decontaminate.contaminationPairs(
+        base, base.where("doc_id % 7 = 0"), "text", "doc_id", "doc_id",
+        n = 5, minShared = 2L)
+        .orderBy("doc_id", "bench_id")
+    }),
+    // streaming exact-dedup: the same documents source unioned with
+    // itself (every text arrives twice) -> first-occurrence digests;
+    // output is the distinct content-fingerprint set, deterministic
+    // regardless of which arrival wins
+    "s10_stream_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = Tables.load(s, d, "documents").schema
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val doubled = src.unionByName(src)
+      val out = graft.streaming.StreamDedup.firstOccurrences(doubled, "text")
+        .select(col("fp"))
+      val name = "s10dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val sq = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table(name)
+    }),
     "d_exact_dups" -> ((s, d) =>
       Dedup.exactDuplicates(corpus(s, d), "text", "doc_id")),
     "d_lsh_pairs" -> ((s, d) =>
@@ -227,6 +255,16 @@ object MlQueries {
          |, 6) AS quality FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "t_fingerprint" ->
       s"SELECT doc_id, md5($norm) AS fingerprint FROM documents ORDER BY doc_id",
+    "t_decontaminate" ->
+      ("""WITH dt AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+         |dn AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS ng
+         |  FROM dt, UNNEST(range(1, len(toks) - 3)) AS t(i))
+         |SELECT d.doc_id, b.doc_id AS bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM dn d JOIN dn b ON b.ng = d.ng AND b.doc_id % 7 = 0
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2""")
+        .stripMargin.replace("\n", " "),
+    "s10_stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
     "d_exact_dups" ->
       s"""WITH $corpusCte,
          |fp AS (SELECT doc_id AS id, md5($norm) AS fingerprint FROM corp)

@@ -237,4 +237,46 @@ class MlSuite extends SparkSpec {
     assert(!(a2 eq a3), "invalidate must drop the session's prepared plans")
     assert(a3.count() > 0)
   }
+
+  test("decontamination: ngram sets and contamination pairs") {
+    import graft.text.Decontaminate
+    // ngramSet edges: exact-n text -> one gram; shorter -> empty;
+    // duplicates within a doc collapse (array_distinct)
+    val g = Seq(
+      (1L, "a b c d e"), (2L, "a b"), (3L, "x y x y x y")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", Decontaminate.ngramSet($"text", 3).as("ng"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(g(1L) == Set("a b c", "b c d", "c d e"))
+    assert(g(2L) == Set.empty)
+    assert(g(3L) == Set("x y x", "y x y"))
+
+    // contamination vs a naive Scala model over random word salads
+    val vocab = Array("aa", "bb", "cc", "dd", "ee")
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 40L).map { i =>
+      (i, Seq.fill(12)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val docsF = corpus.toDF("doc_id", "text")
+    val benchF = docsF.where("doc_id % 5 = 0")
+    val got = Decontaminate.contaminationPairs(
+        docsF, benchF, "text", "doc_id", "doc_id", n = 3, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def grams(t: String) =
+      t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val naive = (for {
+      (di, dt) <- corpus; (bi, bt) <- corpus if bi % 5 == 0
+      shared = (grams(dt) & grams(bt)).size if shared >= 2
+    } yield (di, bi, shared.toLong)).toSet
+    assert(got == naive, s"got ${got.size} vs naive ${naive.size}")
+    assert(naive.exists { case (d, b, _) => d != b }, "fixture must cross-contaminate")
+
+    // summary rolls pairs up per doc
+    val sum = Decontaminate.contaminationSummary(
+        docsF, benchF, "text", "doc_id", "doc_id", n = 3, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naiveSum = naive.groupBy(_._1).map { case (d, ps) =>
+      (d, ps.size.toLong, ps.toSeq.map(_._3).sum) }.toSet
+    assert(sum == naiveSum)
+  }
 }

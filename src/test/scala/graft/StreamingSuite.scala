@@ -7,6 +7,8 @@ import graft.streaming.EventStreams.Event
 
 case class Iv(contig: String, pos_start: Long, pos_end: Long, id: Long)
 
+case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
 class StreamingSuite extends SparkSpec {
   import spark.implicits._
 
@@ -125,5 +127,43 @@ class StreamingSuite extends SparkSpec {
       assert(sessions.contains((10L, 0L, 10L, 2)))   // first session: closed by gap
       assert(sessions.contains((10L, 100L, 100L, 1))) // second: closed by timeout
     } finally q.stop()
+  }
+
+  test("streaming dedup keeps first occurrences; watermark variant ages state out") {
+    implicit val sqlCtx = spark.sqlContext
+    // unwatermarked: duplicates suppressed forever
+    val in1 = MemoryStream[Doc]
+    val q1 = graft.streaming.StreamDedup.firstOccurrences(in1.toDF(), "text")
+      .select("doc_id", "fp")
+      .writeStream.format("memory").queryName("dd1").outputMode("append").start()
+    try {
+      in1.addData(Doc(1, "aa bb", ts(0)), Doc(2, "cc dd", ts(1)), Doc(3, "aa bb", ts(2)))
+      q1.processAllAvailable()
+      in1.addData(Doc(4, "aa bb", ts(500)))
+      q1.processAllAvailable()
+      val ids = spark.table("dd1").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L), s"late duplicate must stay suppressed, got $ids")
+    } finally q1.stop()
+    // watermarked: a duplicate arriving after the watermark passed the
+    // first occurrence's event time is treated as new (state aged out)
+    val in2 = MemoryStream[Doc]
+    val q2 = graft.streaming.StreamDedup
+      .firstOccurrencesWithinWatermark(in2.toDF(), "text", "ts", "10 minutes")
+      .select("doc_id", "fp")
+      .writeStream.format("memory").queryName("dd2").outputMode("append").start()
+    try {
+      in2.addData(Doc(1, "aa bb", ts(0)), Doc(2, "aa bb", ts(1)))
+      q2.processAllAvailable()
+      // advance the watermark far past ts(0)+10min, then repeat the text
+      in2.addData(Doc(3, "zz", ts(1000)))
+      q2.processAllAvailable()
+      in2.addData(Doc(4, "aa bb", ts(1001)))
+      q2.processAllAvailable()
+      val ids2 = spark.table("dd2").collect().map(_.getLong(0)).toSet
+      assert(ids2.contains(1L) && !ids2.contains(2L),
+        s"in-watermark duplicate must be suppressed, got $ids2")
+      assert(ids2.contains(4L),
+        s"post-watermark repeat must be re-admitted (state aged out), got $ids2")
+    } finally q2.stop()
   }
 }
