@@ -24,6 +24,52 @@ import graft.index.{CoverageIndex, NearestIndex}
   * of each co-group materializes. */
 object PartitionedJoin {
 
+  /** Contig-key skew lever (`spark.bio.partitioned.saltFactor`,
+    * default 1 = off): with factor S the PROBE side of a co-group
+    * splits into S salted sub-keys (deterministic, by start
+    * position) and the BUILD side replicates into every salt — probe
+    * parallelism on a hot contig multiplies by S while the per-task
+    * build memory bound is unchanged (one contig's build rows, same
+    * as the reference's Partitioned mode). Cost: the build shuffle
+    * carries S copies. The reference shares the un-salted skew
+    * (SURVEY §7.4); this is the opt-in mitigation for
+    * whole-genome-on-one-contig inputs. */
+  private def saltFactor(df: DataFrame): Int = {
+    val s = df.sparkSession.conf
+      .getOption("spark.bio.partitioned.saltFactor").map(_.toInt).getOrElse(1)
+    require(s >= 1, s"spark.bio.partitioned.saltFactor must be >= 1, got $s")
+    s
+  }
+
+  /** Co-group two Row sets by contig with optional salting, streaming
+    * each co-partition through `kernel`. Salted mode wraps rows as
+    * (salt, row) so the kernel sees plain Rows either way. */
+  private def cogroupByContig(
+      build: DataFrame, probe: DataFrame, bci: Int, pci: Int,
+      salt: Int, probeSaltOf: Row => Int,
+      outSchema: StructType)(
+      kernel: (Iterator[Row], Iterator[Row]) => Iterator[Row])
+      : org.apache.spark.sql.Dataset[Row] = {
+    if (salt == 1) {
+      val kvB = build.groupByKey(_.getString(bci))(Encoders.STRING)
+      val kvP = probe.groupByKey(_.getString(pci))(Encoders.STRING)
+      kvB.cogroup(kvP) { (_: String, b: Iterator[Row], p: Iterator[Row]) =>
+        kernel(b, p)
+      }(Encoders.row(outSchema))
+    } else {
+      val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaInt)
+      val bEnc = Encoders.tuple(Encoders.scalaInt, Encoders.row(build.schema))
+      val pEnc = Encoders.tuple(Encoders.scalaInt, Encoders.row(probe.schema))
+      val s = salt
+      val kvB = build.flatMap(r => Iterator.range(0, s).map(i => (i, r)))(bEnc)
+        .groupByKey { case (i, r) => (r.getString(bci), i) }(keyEnc)
+      val kvP = probe.map(r => (probeSaltOf(r), r))(pEnc)
+        .groupByKey { case (i, r) => (r.getString(pci), i) }(keyEnc)
+      kvB.cogroup(kvP) { (_, b, p) => kernel(b.map(_._2), p.map(_._2)) }(
+        Encoders.row(outSchema))
+    }
+  }
+
   private def asLong(v: Any, colName: String): Long = v match {
     case l: Long  => l
     case i: Int   => i.toLong
@@ -63,11 +109,13 @@ object PartitionedJoin {
     // SQL null semantics, matching the broadcast path: null-contig
     // build rows are never indexed; null-contig probe rows match
     // nothing and emit the no-candidate (null-left) row
-    val kvB = build.where(col(bcols.contig).isNotNull)
-      .groupByKey(_.getString(bci))(Encoders.STRING)
-    val kvP = probe.where(col(pcols.contig).isNotNull)
-      .groupByKey(_.getString(pci))(Encoders.STRING)
-    val ds = kvB.cogroup(kvP) { (_: String, bIt: Iterator[Row], pIt: Iterator[Row]) =>
+    val salt = saltFactor(probe)
+    val ds = cogroupByContig(
+      build.where(col(bcols.contig).isNotNull),
+      probe.where(col(pcols.contig).isNotNull),
+      bci, pci, salt,
+      pr => (((asLong(pr.get(psi), pcols.start) % salt) + salt) % salt).toInt,
+      outSchema) { (bIt: Iterator[Row], pIt: Iterator[Row]) =>
       val bRows = bIt.toArray
       val idx =
         if (bRows.isEmpty) null
@@ -100,7 +148,7 @@ object PartitionedJoin {
             (if (computeDistance) Seq(null) else Nil))
         out.iterator
       }
-    }(Encoders.row(outSchema))
+    }
     // null-contig probes ride a (usually empty) side branch — no
     // construction-time action to test for them
     val nullLeft2: Seq[Any] = Seq.fill(nb)(null)
@@ -140,11 +188,13 @@ object PartitionedJoin {
     // null-contig subtrahend rows never merge into the index; a
     // null-contig left row overlaps nothing and passes through whole
     // (coords Long-cast like every fragment row)
-    val kvR = right.where(col(rcols.contig).isNotNull)
-      .groupByKey(_.getString(rci))(Encoders.STRING)
-    val kvL = left.where(col(lcols.contig).isNotNull)
-      .groupByKey(_.getString(lci))(Encoders.STRING)
-    val ds = kvR.cogroup(kvL) { (_: String, rIt: Iterator[Row], lIt: Iterator[Row]) =>
+    val salt = saltFactor(left)
+    val ds = cogroupByContig(
+      right.where(col(rcols.contig).isNotNull),
+      left.where(col(lcols.contig).isNotNull),
+      rci, lci, salt,
+      lr => (((asLong(lr.get(lsi), lcols.start) % salt) + salt) % salt).toInt,
+      outSchema) { (rIt: Iterator[Row], lIt: Iterator[Row]) =>
       val ss = mutable.ArrayBuffer.empty[Long]
       val ee = mutable.ArrayBuffer.empty[Long]
       rIt.foreach { rr =>
@@ -166,7 +216,7 @@ object PartitionedJoin {
         }
         out.iterator
       }
-    }(Encoders.row(outSchema))
+    }
     val extra = left.where(col(lcols.contig).isNull).map { lr =>
       Row.fromSeq(lr.toSeq.zipWithIndex.map {
         case (v, i) if i == lsi || i == lei => asLong(v,

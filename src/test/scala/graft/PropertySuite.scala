@@ -75,17 +75,25 @@ class PropertySuite extends SparkSpec {
     def rowsOf(df: DataFrame): Seq[Seq[Any]] =
       df.collect().map(_.toSeq.toList).toSeq.sortBy(_.toString)
     val ic = IntervalCols.default
-    for (k <- Seq(1, 3); ov <- Seq(true, false)) {
-      val bc = rowsOf(IntervalJoin.nearest(a, b, ic, ic, FilterOp.Weak, k,
-        ov, computeDistance = true, tieBreakCol = Some("id")))
-      val pt = rowsOf(PartitionedJoin.nearestPartitioned(a, b, ic, ic,
-        FilterOp.Weak, k, ov, computeDistance = true, tieBreakCol = "id"))
-      assert(pt == bc, s"nearest k=$k includeOverlaps=$ov")
-    }
-    for (op <- Seq(FilterOp.Weak, FilterOp.Strict)) {
-      val bc = rowsOf(IntervalJoin.subtractFragments(a, b, ic, ic, op))
-      val pt = rowsOf(PartitionedJoin.subtractPartitioned(a, b, ic, ic, op))
-      assert(pt == bc, s"subtract $op")
+    // saltFactor > 1 splits each contig's probe side across salted
+    // co-groups with the build side replicated — results must be
+    // byte-identical to the un-salted and broadcast paths
+    for (saltF <- Seq("1", "3")) {
+      spark.conf.set("spark.bio.partitioned.saltFactor", saltF)
+      try {
+        for (k <- Seq(1, 3); ov <- Seq(true, false)) {
+          val bc = rowsOf(IntervalJoin.nearest(a, b, ic, ic, FilterOp.Weak, k,
+            ov, computeDistance = true, tieBreakCol = Some("id")))
+          val pt = rowsOf(PartitionedJoin.nearestPartitioned(a, b, ic, ic,
+            FilterOp.Weak, k, ov, computeDistance = true, tieBreakCol = "id"))
+          assert(pt == bc, s"nearest k=$k includeOverlaps=$ov salt=$saltF")
+        }
+        for (op <- Seq(FilterOp.Weak, FilterOp.Strict)) {
+          val bc = rowsOf(IntervalJoin.subtractFragments(a, b, ic, ic, op))
+          val pt = rowsOf(PartitionedJoin.subtractPartitioned(a, b, ic, ic, op))
+          assert(pt == bc, s"subtract $op salt=$saltF")
+        }
+      } finally spark.conf.unset("spark.bio.partitioned.saltFactor")
     }
   }
 
