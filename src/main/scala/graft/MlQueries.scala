@@ -65,6 +65,17 @@ object MlQueries {
       sq.awaitTermination()
       s.table(name)
     }),
+    // deterministic training-batch assembly: contiguous greedy
+    // packing into 256-token bins, and a stable md5 train/val/test
+    // split (no RNG - rebuildable shards)
+    "t_pack_sequences" -> ((s, d) =>
+      graft.text.Packing.packSequences(docs(s, d), "text", "doc_id", 256L)
+        .select("doc_id", "n_tokens", "stream_offset", "bin")
+        .orderBy("doc_id")),
+    "t_hash_split" -> ((s, d) =>
+      graft.text.Packing.hashSplit(docs(s, d).select("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")),
     "d_exact_dups" -> ((s, d) =>
       Dedup.exactDuplicates(corpus(s, d), "text", "doc_id")),
     "d_lsh_pairs" -> ((s, d) =>
@@ -265,6 +276,23 @@ object MlQueries {
         .stripMargin.replace("\n", " "),
     "s10_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
+    "t_pack_sequences" ->
+      ("""WITH t AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS stream_offset
+         |  FROM t)
+         |SELECT doc_id, n_tokens, stream_offset,
+         |  CAST(stream_offset // 256 AS BIGINT) AS bin FROM c ORDER BY doc_id""")
+        .stripMargin.replace("\n", " "),
+    "t_hash_split" ->
+      ("""WITH u AS (SELECT doc_id,
+         |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+         |    / 1152921504606846976.0 AS h FROM documents)
+         |SELECT doc_id, CASE WHEN h < 0.8 THEN 'train'
+         |  WHEN h < 0.9 THEN 'val' ELSE 'test' END AS split
+         |FROM u ORDER BY doc_id""").stripMargin.replace("\n", " "),
     "d_exact_dups" ->
       s"""WITH $corpusCte,
          |fp AS (SELECT doc_id AS id, md5($norm) AS fingerprint FROM corp)

@@ -279,4 +279,45 @@ class MlSuite extends SparkSpec {
       (d, ps.size.toLong, ps.toSeq.map(_._3).sum) }.toSet
     assert(sum == naiveSum)
   }
+
+  test("packing: bucket-width-invariant contiguous bins; hash split is stable") {
+    import graft.text.Packing
+    val docsF = (0L until 200L).map { i =>
+      (i, Seq.fill(1 + (i % 17).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    // naive model: running token count in doc_id order
+    val naive = {
+      var run = 0L
+      (0L until 200L).map { i =>
+        val n = 1 + (i % 17)
+        val off = run; run += n
+        (i, n, off, off / 64)
+      }.toSet
+    }
+    val p0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (w <- Seq(3L, 64L, 1L << 62); parts <- Seq("1", "7")) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        spark.conf.set("spark.bio.pack.idBucketWidth", w.toString)
+        val got = Packing.packSequences(docsF, "text", "doc_id", 64L)
+          .select("doc_id", "n_tokens", "stream_offset", "bin")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got == naive, s"width=$w parts=$parts")
+      }
+    } finally {
+      spark.conf.unset("spark.bio.pack.idBucketWidth")
+      spark.conf.set("spark.sql.shuffle.partitions", p0)
+    }
+    // hash split: deterministic, complete, roughly proportional
+    val sp = Packing.hashSplit(docsF.select("doc_id"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 200L)
+    assert(counts.getOrElse("train", 0L) > 120L, s"train share off: $counts")
+    val again = Packing.hashSplit(docsF.select("doc_id"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == sp.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
 }
