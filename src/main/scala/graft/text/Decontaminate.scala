@@ -19,18 +19,25 @@ import org.apache.spark.sql.functions._
   * in corpus token count. */
 object Decontaminate {
 
-  /** Distinct space-joined `n`-token windows of `text` (whitespace
-    * tokenization); empty array when the text has fewer than `n`
-    * tokens. */
-  def ngramSet(text: Column, n: Int): Column = {
+  /** Distinct space-joined `n`-token windows of a TOKEN ARRAY column;
+    * empty array when it has fewer than `n` tokens. Callers should
+    * bind the tokenization to its own projection first (see
+    * [[ngramSet]]) — referencing `split(...)` directly here would let
+    * the lambda re-evaluate the regex once per n-gram position. */
+  def ngramSetOfTokens(toks: Column, n: Int): Column = {
     require(n >= 1, s"ngram size must be >= 1, got $n")
-    val toks = split(text, "\\s+")
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
         .otherwise(array().cast("array<string>")))
   }
+
+  /** Distinct space-joined `n`-token windows of `text` (whitespace
+    * tokenization); empty array when the text has fewer than `n`
+    * tokens. */
+  def ngramSet(text: Column, n: Int): Column =
+    ngramSetOfTokens(split(text, "\\s+"), n)
 
   /** Contaminated (doc, benchmark) pairs: documents sharing at least
     * `minShared` distinct `n`-grams with a benchmark text. Output:
@@ -40,7 +47,10 @@ object Decontaminate {
       docIdCol: String, benchIdCol: String,
       n: Int = 5, minShared: Long = 1L): DataFrame = {
     def grams(df: DataFrame, idCol: String, outId: String) = df
-      .select(col(idCol).as(outId), explode(ngramSet(col(textCol), n)).as("_ng"))
+      // tokenization bound to its own projection: the n-gram lambda
+      // must see a materialized array, not re-run the regex per slice
+      .select(col(idCol).as(outId), split(col(textCol), "\\s+").as("_toks"))
+      .select(col(outId), explode(ngramSetOfTokens(col("_toks"), n)).as("_ng"))
       .select(col(outId), col("_ng"), xxhash64(col("_ng")).as("_h"))
     val dg = grams(docs, docIdCol, "doc_id")
     val bg = grams(bench, benchIdCol, "bench_id")
