@@ -31,23 +31,35 @@ object Dedup {
       .select(col("id"), col("fingerprint"), col("group_size"), col("canonical_id"))
   }
 
-  /** Word k-shingles of the normalized text, as an array column.
-    * Documents with fewer than k words yield an empty array. */
-  def shingles(text: Column, k: Int): Column = {
-    val words = split(TextFunctions.normalized(text), " ")
+  /** Word k-shingles of a materialized WORD-ARRAY column. Callers
+    * must bind the normalize+split to its own projection first —
+    * referencing `split(...)` directly from the transform lambda
+    * makes codegen re-run the whole tokenization once per shingle
+    * position (the Decontaminate n-gram fix measured 6x on exactly
+    * this shape). Fewer than k words yield an empty array. */
+  def shinglesOfWords(words: Column, k: Int): Column =
     when(size(words) >= k,
       transform(sequence(lit(1), size(words) - (k - 1)),
         i => concat_ws(" ", slice(words, i, lit(k)))))
       .otherwise(array())
-  }
 
-  /** Exploded (id, shingle) rows — the shingle array is constructed
-    * ONCE per document here; band fan-out happens on the exploded rows
-    * (an inner-transform formulation re-evaluates the whole
-    * normalize+split+slice pipeline per band — 8x the work). */
+  /** Word k-shingles of the normalized text, as an array column.
+    * Documents with fewer than k words yield an empty array.
+    * Convenience form; hot paths go through [[shinglesOfWords]] with
+    * a bound token column. */
+  def shingles(text: Column, k: Int): Column =
+    shinglesOfWords(split(TextFunctions.normalized(text), " "), k)
+
+  /** Exploded (id, shingle) rows — the word array is bound to its own
+    * projection so the shingle lambda slices a materialized array;
+    * band fan-out happens on the exploded rows (an inner-transform
+    * formulation re-evaluates the whole normalize+split+slice
+    * pipeline per band — 8x the work). */
   private def explodedShingles(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
     graft.core.Parallelism.ensure(df)
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("sh"))
+      .select(col(idCol).as("id"),
+        split(TextFunctions.normalized(col(textCol)), " ").as("_w"))
+      .select(col("id"), explode(shinglesOfWords(col("_w"), k)).as("sh"))
 
   /** Per-(doc, band) minhash rows: ONE md5 per shingle occurrence
     * yields a 28-bit base hash; each band applies an affine universal
