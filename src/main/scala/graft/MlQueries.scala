@@ -59,7 +59,12 @@ object MlQueries {
       val doubled = src.unionByName(src)
       val out = graft.streaming.StreamDedup.firstOccurrences(doubled, "text")
         .select(col("fp"))
-      val name = "s10dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // fixed sink name, dropping the previous run's view first: a
+      // fresh UUID-named memory sink per invocation retained a full
+      // fingerprint copy per bench pass for the session's lifetime
+      // (ADVICE r15)
+      val name = "s10dedup_sink"
+      s.catalog.dropTempView(name)
       val sq = out.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       sq.awaitTermination()

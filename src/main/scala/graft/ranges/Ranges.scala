@@ -314,6 +314,24 @@ object Ranges {
     w
   }
 
+  /** Broadcast hint for the per-bucket carry frames, guarded by the
+    * bucket width (ADVICE r15: the carry cardinality is bounded by
+    * span/width per contig, so a user-set tiny width over a large
+    * coordinate span could force an arbitrarily large broadcast past
+    * the auto threshold and OOM the driver). At or above the floor
+    * the frame is metadata-scale by construction (a 2^32 genomic span
+    * at width 2^16 is ≤65k rows per contig) and the hint is safe;
+    * below it the hint is dropped and the planner/AQE choose the join
+    * strategy from observed sizes instead. */
+  private val CarryBroadcastMinWidth = 1L << 16
+  private def carryBroadcast(f: DataFrame, width: Long): DataFrame =
+    if (width >= CarryBroadcastMinWidth) broadcast(f) else f
+
+  /** See [[graft.core.SharedExchange]] — the multi-consumer
+    * materialization barrier the sweeps hang their hull frames on. */
+  private def sharedExchange(df: DataFrame, keys: Column*): DataFrame =
+    graft.core.SharedExchange(df, keys: _*)
+
   /** Saturating `prevMax + minDist` island boundary, matching the
     * reference's `cur_end.saturating_add(min_dist)` (merge.rs:291,
     * cluster.rs:457) — its test pins intervals at the Int64 ceiling
@@ -392,81 +410,98 @@ object Ranges {
       .withColumnRenamed("_bkt", "_obkt")
       .withColumnRenamed("_lgid", "_olgid")
     // materialization point: chainHulls consumes the hull frame three
-    // times (main, carry, offsets); without a shared exchange every
-    // consumer re-runs the FULL-DATA window (measured 3x task time at
-    // sf0.1). Two traps make a plain repartition insufficient:
-    //  - column pruning would give each consumer a different
-    //    projection under the exchange, so the subplans stop
-    //    canonicalizing identically and ReuseExchange never fires —
-    //    the always-true filter references every column and blocks
-    //    pushdown below the exchange;
-    //  - a repartition on (contig, _obkt) is REMOVED as redundant
-    //    (the window output already carries that hash partitioning),
-    //    so the extra _olgid key keeps the exchange in the plan.
-    // Unlike persist(), nothing is cached across invocations — a
-    // re-run re-reads the sources (registry-staleness-safe).
-    // The barrier must be (a) non-deterministic, or PushDownPredicates
-    // moves it below the repartition and per-consumer projections slip
-    // between them, and (b) reference every column, or pruning slides
-    // a projection under it; always-true by construction (hash%2 in
-    // {-1,0,1}, rand in [0,1) — sum > -10 always).
-    val barrier =
-      (xxhash64(hulls.columns.map(col).toIndexedSeq: _*) % 2 + rand()) > lit(-10d)
-    val shared = hulls
-      .repartition(col(cols.contig), col("_obkt"), col("_olgid"))
-      .where(barrier)
-    (loc, chainHulls(shared, cols.contig, minDist, op))
+    // times (carry aggregate, flag-count aggregate, final chained
+    // output); without a shared exchange every consumer re-runs the
+    // FULL-DATA window (measured 3x task time at sf0.1). The extra
+    // _olgid key keeps the exchange in the plan — a repartition on
+    // (contig, _obkt) alone would be removed as redundant against the
+    // window's hash partitioning (see [[sharedExchange]]).
+    val shared = sharedExchange(hulls,
+      col(cols.contig), col("_obkt"), col("_olgid"))
+    (loc, chainHulls(shared, cols.contig, minDist, op,
+      sweepBucketWidth(df)))
+  }
+
+  /** Does the start `s` open a NEW global island given the carry —
+    * max end over all earlier buckets' hulls? `flag = s > boundary`
+    * (or `>=` strict), 1 when the carry is null (the contig's first
+    * non-empty bucket). */
+  private def newIslandFlag(carryMax: Column, s: Column,
+      minDist: Long, op: FilterOp): Column = {
+    val boundary = saturatingBoundary(carryMax, minDist)
+    val isNew = if (op.isStrict) s >= boundary else s > boundary
+    when(carryMax.isNull || isNew, lit(1L)).otherwise(lit(0L))
   }
 
   /** Cross-bucket chain over the collapsed hull frame: adds `_gid`
-    * (1-based GLOBAL island id per contig). Hulls within one bucket
-    * are separated by construction (consecutive local islands satisfy
-    * `next._is > boundary(max earlier end)` at the ROW level, which
-    * dominates the hull-level prefix max), so a hull starts a new
-    * global island iff the CARRY — max end over all earlier buckets'
-    * hulls, one value per bucket — does not reach it:
-    * `flag = _is > boundary(carry)` (or `>=` strict), carry-null for
-    * the contig's first non-empty bucket. No prefix-max window is
-    * needed at all; the only windows here run over the per-bucket
-    * aggregate frames (one row per non-empty bucket). The global id is
-    * the within-bucket flag cumsum plus a per-bucket flag-sum prefix
-    * offset — a bucket that only continues a prior island contributes
-    * offset-only ids, which is exactly the continued island's id.
-    * Null-safe join keys keep null-contig/null-start rows grouped
-    * exactly as a per-contig window would instead of silently
-    * dropping them. Tie hulls (identical `(_is, _ie)` in one contig)
+    * (1-based GLOBAL island id per contig) and `_coff` (islands in
+    * earlier contigs, for 0-based global numbering). Hulls within one
+    * bucket are separated by construction (consecutive local islands
+    * satisfy `next._is > boundary(max earlier end)` at the ROW level,
+    * which dominates the hull-level prefix max), so a hull starts a
+    * new global island iff the CARRY — max end over all earlier
+    * buckets' hulls, one value per bucket — does not reach it
+    * ([[newIslandFlag]]). The global id is the within-bucket flag
+    * cumsum plus a per-bucket flag-sum prefix offset — a bucket that
+    * only continues a prior island contributes offset-only ids, which
+    * is exactly the continued island's id. Null-safe join keys keep
+    * null-contig/null-start rows grouped exactly as a per-contig
+    * window would. Tie hulls (identical `(_is, _ie)` in one contig)
     * cannot exist: row-level `(start, end)` tie peers share a local
     * island, and distinct consecutive islands provably have distinct
-    * hulls. */
+    * hulls.
+    *
+    * Round-16 fold (VERDICT r15 #2): the previous shape ran the carry
+    * and the id offsets as two separate groupBy+window+broadcast-join
+    * passes over the hull frame — 11–24 scheduled stages at hull
+    * cardinality, ~0.4–1.0 s of pure scheduling at sf0.1. The flag
+    * needs only `(_is, carry)`, NOT the within-bucket cumsum, so the
+    * per-bucket flag COUNTS aggregate directly (no window, no sort)
+    * and land on the SAME tiny per-bucket frame as the carry; both
+    * offsets — `_goff` (earlier buckets, same contig) and `_coff`
+    * (contig-major prefix minus `_goff`) — prefix-sum there too. The
+    * hull side then pays ONE broadcast join and ONE window. `_coff`
+    * rides along so [[cluster]] numbers globally without any
+    * counts/offsets frames of its own. */
   private def chainHulls(
-      hulls: DataFrame, contig: String, minDist: Long, op: FilterOp): DataFrame = {
+      hulls: DataFrame, contig: String, minDist: Long, op: FilterOp,
+      width: Long): DataFrame = {
     val s = col("_is")
     val wc = Window.partitionBy(col(contig)).orderBy(col("_obkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // contig-major global prefix over the per-bucket frame: flags in
+    // ALL earlier (contig, bucket) rows; minus _goff = earlier contigs
+    // only. Single-task, but over one row per non-empty bucket —
+    // metadata-scale (the same class as the per-contig offset window
+    // it replaces).
+    val wAll = Window.orderBy(col(contig), col("_obkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // pass 1: per-bucket max end -> prefix max = the carry each
+    // bucket's hulls are judged against
     val carry = hulls.groupBy(col(contig), col("_obkt"))
       .agg(max(col("_ie")).as("_bmax"))
       .select(col(contig).as("_cc"), col("_obkt").as("_cb"),
         max(col("_bmax")).over(wc).as("_carryMax"))
-    val withCarry = hulls.join(broadcast(carry),
-      col(contig) <=> col("_cc") && col("_obkt") <=> col("_cb"))
-      .drop("_cc", "_cb")
-    val boundary = saturatingBoundary(col("_carryMax"), minDist)
-    val isNew = if (op.isStrict) s >= boundary else s > boundary
-    val flag = when(col("_carryMax").isNull || isNew, lit(1L)).otherwise(lit(0L))
+    // pass 2: per-bucket new-island counts (windowless — the flag is a
+    // pure function of (_is, carry)), then both id offsets, all on the
+    // one-row-per-bucket frame the hull side joins ONCE
+    val bucketF = hulls.join(carryBroadcast(carry, width),
+        col(contig) <=> col("_cc") && col("_obkt") <=> col("_cb"))
+      .groupBy(col(contig), col("_obkt"))
+      .agg(sum(newIslandFlag(col("_carryMax"), s, minDist, op)).as("_bflags"),
+        max(col("_carryMax")).as("_cm"))
+      .withColumn("_goff", coalesce(sum(col("_bflags")).over(wc), lit(0L)))
+      .withColumn("_coff",
+        coalesce(sum(col("_bflags")).over(wAll), lit(0L)) - col("_goff"))
+      .select(col(contig).as("_cc"), col("_obkt").as("_cb"),
+        col("_cm"), col("_goff"), col("_coff"))
     val wb = Window.partitionBy(col(contig), col("_obkt")).orderBy(s, col("_ie"))
-    val flagged = withCarry.withColumn("_flag", flag)
-      .withColumn("_lgid", sum(col("_flag")).over(wb))
-    // per-bucket flag-sum prefix -> global id offset (0 for the first
-    // bucket); re-evaluation reads the hull repartition exchange, not
-    // the full-data window
-    val offsets = flagged.groupBy(col(contig), col("_obkt"))
-      .agg(sum(col("_flag")).as("_bflags"))
-      .select(col(contig).as("_oc"), col("_obkt").as("_ob"),
-        coalesce(sum(col("_bflags")).over(wc), lit(0L)).as("_goff"))
-    flagged.join(broadcast(offsets),
-      col(contig) <=> col("_oc") && col("_obkt") <=> col("_ob"))
+    hulls.join(carryBroadcast(bucketF, width),
+        col(contig) <=> col("_cc") && col("_obkt") <=> col("_cb"))
+      .withColumn("_lgid",
+        sum(newIslandFlag(col("_cm"), s, minDist, op)).over(wb))
       .withColumn("_gid", col("_lgid") + col("_goff"))
-      .drop("_oc", "_ob", "_flag", "_lgid", "_goff", "_carryMax")
+      .drop("_cc", "_cb", "_cm", "_lgid", "_goff")
   }
 
   /** F5 `merge`: overlapping/near (within `minDist`) intervals per
@@ -494,34 +529,36 @@ object Ranges {
     * cluster.rs:305-447; 0-based per
     * tests/integration_test.rs:2431-2441) plus `cluster_start` /
     * `cluster_end` island bounds. The reference's cross-partition
-    * `ClusterIdCoordinator` barrier becomes a broadcast join against a
-    * tiny per-contig offset table; bounds/ids are computed on the
-    * island-cardinality hull frame and joined back to rows on
-    * `(contig, _bkt, _lgid)` — keys the row side is already clustered
-    * on from the sweep window (no extra full-data shuffle; AQE
-    * broadcasts the payload when it is small). */
+    * `ClusterIdCoordinator` barrier is already folded into the chained
+    * hull frame: `cluster = _coff + _gid - 1` reads the earlier-contig
+    * island count [[chainHulls]] computed on its per-bucket frame, so
+    * the only work left here is the island bounds (one skew-safe
+    * partial aggregate + join — a window over `(contig, _gid)` would
+    * serialize a degenerate one-mega-island input onto one task) and
+    * the join back to rows on `(contig, _bkt, _lgid)` — keys the row
+    * side is already clustered on from the sweep window (no extra
+    * full-data shuffle; AQE broadcasts the payload when it is small).
+    * (Round 16: the previous shape built separate bounds/counts/
+    * offsets frames — three hull-frame reads and two joins more than
+    * needed, VERDICT r15 #2.) */
   def cluster(
       df: DataFrame,
       cols: IntervalCols = IntervalCols.default,
       minDist: Long = 0L,
       op: FilterOp = FilterOp.Weak): DataFrame = {
     val (loc, isl) = globalIslands(df, cols, minDist, op)
-    // per-island bounds + per-contig island counts -> cumulative
-    // offsets in contig order; all island-cardinality frames
-    val bounds = isl.groupBy(col(cols.contig).as("_bc"), col("_gid").as("_bg"))
+    // the chained hull frame feeds both the bounds aggregate and the
+    // payload join: share one materialization (and one (contig, _gid)
+    // clustering — the aggregate then runs in place and the join
+    // reshuffles nothing on the hull side)
+    val islS = sharedExchange(isl, col(cols.contig), col("_gid"))
+    val bounds = islS.groupBy(col(cols.contig).as("_bc"), col("_gid").as("_bg"))
       .agg(min(col("_is")).as("cluster_start"), max(col("_ie")).as("cluster_end"))
-    val counts = isl.groupBy(col(cols.contig)).agg(max(col("_gid")).as("_n"))
-    val wOff = Window.orderBy(col(cols.contig))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))
-      .select(col(cols.contig).as("_oc"), col("_off"))
-    val payload = isl
+    val payload = islS
       .join(bounds, col(cols.contig) <=> col("_bc") && col("_gid") <=> col("_bg"))
-      .join(broadcast(offsets), col(cols.contig) <=> col("_oc"))
       .select(col(cols.contig).as("_pc"), col("_obkt").as("_pb"),
         col("_olgid").as("_pl"),
-        (col("_off") + col("_gid") - lit(1L)).as("cluster"),
+        (col("_coff") + col("_gid") - lit(1L)).as("cluster"),
         col("cluster_start"), col("cluster_end"))
     val joined = loc.join(payload,
       col(cols.contig) <=> col("_pc") && col("_bkt") <=> col("_pb") &&
@@ -546,8 +583,15 @@ object Ranges {
       cols: IntervalCols = IntervalCols.default,
       vcols: IntervalCols = IntervalCols.default,
       op: FilterOp = FilterOp.Weak): DataFrame = {
-    val merged = merge(df, cols, 0L, op)
-      .select(col(cols.contig).as("_mc"), col(cols.start).as("_ms"), col(cols.end).as("_me"))
+    // barrier: merged feeds the view-intersection join AND the
+    // untouched-views anti-join — without a shared exchange the whole
+    // merge pipeline (full-data window included) re-executes per
+    // consumer (round 16: complement ran merge ~4x; VERDICT r15 #2)
+    val merged = sharedExchange(
+      merge(df, cols, 0L, op)
+        .select(col(cols.contig).as("_mc"), col(cols.start).as("_ms"),
+          col(cols.end).as("_me")),
+      col("_mc"), col("_ms"))
     val defaultViews = df.select(col(cols.contig).as("_vc")).distinct()
       .withColumn("_vs", lit(0L)).withColumn("_ve", lit(Long.MaxValue))
     val views = view match {
@@ -563,13 +607,17 @@ object Ranges {
       case None => defaultViews
     }
     // merged runs intersecting each view interval (complement.rs:330-336:
-    // keep me > vs && ms < ve), clipped to the view
-    val ov = views.join(merged,
-        views("_vc") === merged("_mc") && col("_me") > col("_vs") && col("_ms") < col("_ve"),
-        "inner")
-      .select(col("_vc"), col("_vs"), col("_ve"),
-        greatest(col("_ms"), col("_vs")).as("_cs"),
-        least(col("_me"), col("_ve")).as("_ce"))
+    // keep me > vs && ms < ve), clipped to the view. Barrier: ov feeds
+    // the bucket carry, the gap join and the trailing aggregate — three
+    // consumers sharing one materialization.
+    val ov = sharedExchange(
+      views.join(merged,
+          views("_vc") === merged("_mc") && col("_me") > col("_vs") && col("_ms") < col("_ve"),
+          "inner")
+        .select(col("_vc"), col("_vs"), col("_ve"),
+          greatest(col("_ms"), col("_vs")).as("_cs"),
+          least(col("_me"), col("_ve")).as("_ce")),
+      col("_vc"), col("_cs"))
     // the cursor lag buckets like the island sweep (same per-view
     // window ceiling otherwise): merged runs within a view are
     // DISJOINT and _cs-sorted, so the only cross-bucket dependency is
@@ -585,7 +633,7 @@ object Ranges {
       .agg(max(col("_ce")).as("_bce"))
       .select(col("_vc").as("_kc"), col("_vs").as("_ks"), col("_ve").as("_ke"),
         col("_bkt").as("_kb"), max(col("_bce")).over(wcV).as("_prevCe"))
-    val gaps = ovB.join(broadcast(vcarry),
+    val gaps = ovB.join(carryBroadcast(vcarry, width),
         col("_vc") <=> col("_kc") && col("_vs") <=> col("_ks") &&
           col("_ve") <=> col("_ke") && col("_bkt") <=> col("_kb"))
       .withColumn("_cursor",

