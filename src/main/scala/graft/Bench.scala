@@ -471,29 +471,33 @@ object Bench {
         calSeq += calibrate()
       }
     }
-    // min-anchored consensus filter (round-14 verdict #1): contention
-    // can only ever STRETCH a sample — nothing makes one run FASTER
-    // than quiet — so when >= 2 clean samples agree within 1.3x of the
-    // clean MIN, that fast consensus IS the code, and clean samples
-    // > 1.5x the min are burst residue every instrument missed
-    // (bench_r14_final.5: f11_annotate_probes clean set
-    // [8.43, 4.12, 5.87, 2.67] — steal/extcpu/calibration/canary all
-    // quiet on the slow ones — shipped official 4.99 vs judge quiet
-    // median 2.44).
+    // GLOBAL-min anchor (round-15 verdict #1): contention can only
+    // ever STRETCH a sample — nothing makes one run FASTER than the
+    // code — so the fastest sample of a query, DIRTY OR NOT, is a
+    // valid upper bound on the code's cost. Round 15 shipped 141.66 s
+    // against a true ~108 s because every sample was contended and the
+    // instruments marked the two FASTEST provider_frame samples dirty
+    // while slower ones passed: the clean min itself was inflated, and
+    // the round-14 clean-min consensus filter trusted it.
+    def globalMin(xs: Vector[Sample]): Double = {
+      val ok = xs.map(_.sec).filter(_ > 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
     def hasConsensus(xs: Seq[Double]): Boolean =
       xs.size >= 2 && xs.count(_ <= 1.3 * xs.min) >= 2
-    def minAnchored(xs: Seq[Double]): Seq[Double] =
-      if (hasConsensus(xs)) xs.filter(_ <= 1.5 * xs.min) else xs
-    // consensus re-sample: while a query's clean set has no 2-sample
-    // fast consensus (spread > 1.5x with a lone minimum), the median is
-    // still burst-exposed — take fresh samples until the consensus
-    // exists or the pass budget runs out
+    // re-sample while a query's official would still be burst-exposed:
+    // (a) the clean set has no 2-sample fast consensus (spread > 1.5x
+    // with a lone minimum), or (b) the clean MIN exceeds 1.5x the
+    // global min — the whole clean set is contamination residue and
+    // only fresh quiet samples can corroborate the fast evidence
     val consensusResampled = collection.mutable.LinkedHashSet[String]()
     val consensusPasses = sys.env.getOrElse("SPARK_GRAFT_CONSENSUS", "3").toInt
     for (_ <- 1 to consensusPasses) {
       val needy = acc.filter { case (n, xs) =>
         val clean = cleanWarmSecs(n, xs)
-        clean.size >= 2 && clean.max / clean.min > 1.5 && !hasConsensus(clean)
+        val gmin = globalMin(xs)
+        (clean.size >= 2 && clean.max / clean.min > 1.5 && !hasConsensus(clean)) ||
+          (clean.nonEmpty && gmin > 0 && clean.min > 1.5 * gmin)
       }.keys.toSeq
       if (needy.nonEmpty) {
         val load = osBean.getSystemLoadAverage
@@ -505,15 +509,26 @@ object Bench {
         calSeq += calibrate()
       }
     }
-    // official per-query value: the min-anchored median over CLEAN
-    // samples when at least two exist (the full sample set, with each
-    // sample's attribution, ships in the samples record regardless)
+    // official per-query value: the median over preferred samples
+    // (clean+warm, else clean, else everything) anchored at the GLOBAL
+    // min — samples beyond 1.5x the fastest observed run are burst
+    // residue regardless of what the instruments said about them. When
+    // NO preferred sample corroborates the global min (the re-sample
+    // budget never found a quiet window), ship the global min itself
+    // and flag the query `contended` instead of shipping a fiction.
+    val contendedQ = collection.mutable.LinkedHashSet[String]()
     val samples: Seq[(String, Seq[Double])] = acc.toSeq.map { case (n, xs) =>
+      val gmin = globalMin(xs)
       val warm = cleanWarmSecs(n, xs)
       val clean = xs.filter(s => s.sec > 0 && !dirty(n, s)).map(_.sec)
-      n -> (if (warm.size >= 2) minAnchored(warm)
-            else if (clean.size >= 2) minAnchored(clean)
-            else xs.map(_.sec))
+      val pool =
+        if (warm.size >= 2) warm
+        else if (clean.size >= 2) clean
+        else xs.map(_.sec).filter(_ > 0)
+      val anchored = pool.filter(_ <= 1.5 * gmin)
+      n -> (if (gmin <= 0) xs.map(_.sec)
+            else if (anchored.nonEmpty) anchored
+            else { contendedQ += n; Seq(gmin) })
     }
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
@@ -537,8 +552,9 @@ object Bench {
     val calMin = f"""[${calBaseline._1}%.3f,${calBaseline._2}%.3f]"""
     val samplesLine =
       s"""{"metric":"samples","samples":$rawAll,"sample_loads":${diagMap(_.load, "%.1f")},"sample_gc":${diagMap(_.d.gcSec, "%.2f")},"sample_steal":${diagMap(_.d.stealSec, "%.2f")},"sample_extcpu":${diagMap(_.d.extCpuSec, "%.2f")},"sample_calib":${diagMap(_.calBefore._1, "%.3f")},"sample_calibmem":${diagMap(_.calBefore._2, "%.3f")},"sample_canary":${diagMap(_.canP50, "%.4f")},"sample_canarymem":${diagMap(_.canMemP50, "%.4f")},"sample_tasksec":${diagMap(_.d.taskSec, "%.1f")},"sample_busywall":${diagMap(_.d.busyWall, "%.2f")},"sample_cgn":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(_.d.cgN.toString).mkString(",") + "]" }.mkString("{", ",", "}")},"sample_jit":${diagMap(_.d.jitSec, "%.2f")},"sample_cpusec":${diagMap(_.d.cpuSec, "%.1f")},"sample_tasks":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(_.d.tasks.toString).mkString(",") + "]" }.mkString("{", ",", "}")},"sample_jobs":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(_.d.jobsN.toString).mkString(",") + "]" }.mkString("{", ",", "}")},"sample_rowsin":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(_.d.rowsIn.toString).mkString(",") + "]" }.mkString("{", ",", "}")},"sample_maxtask":${diagMap(_.d.maxTask, "%.2f")},"sample_dirty":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(x => if (dirty(k, x)) "1" else "0").mkString(",") + "]" }.mkString("{", ",", "}")},"sample_cold":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.indices.map(i => if (cold(k, xs, i)) "1" else "0").mkString(",") + "]" }.mkString("{", ",", "}")},"calib_best":$calMin,"load":$loadArr,"repeats":$repeats,"heavy_repeats":$heavyRepeats,"resampled":$resampledArr,"contention_resampled":$loadResampledArr,"consensus_resampled":${consensusResampled.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    val contendedArr = contendedQ.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"repeats":$repeats,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"contended":$contendedArr,"repeats":$repeats,"sf":"$sfDir"}"""
     // 1. the complete record goes to FILES — the canonical per-query
     // history, independent of any stdout capture window. The default
     // target is an IMMUTABLE per-round file (round-12 verdict #3: the
@@ -590,7 +606,7 @@ object Bench {
       val named = sortedResults.filter(_._2 >= 1.0).sortBy(-_._2).take(namedCap)
         .sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.2f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"keys":"name-sorted","full":"$outPath","repeats":$repeats,"sf":"$sfDir","named":$named,"queries":$arr}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"keys":"name-sorted","full":"$outPath","repeats":$repeats,"sf":"$sfDir","contended":$contendedArr,"named":$named,"queries":$arr}"""
     }
     val compact = (32 to 0 by -4).iterator.map(compactLine)
       .find(_.length < 1900)

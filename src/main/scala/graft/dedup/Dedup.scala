@@ -315,8 +315,22 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, maxRounds: Int = 64,
       reliable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
-    val edges = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
+    val sym = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
       .unionByName(pairs.select(col("id2").cast("long").as("a"), col("id1").cast("long").as("b")))
+    // SELF-LOOPS fold the min(own, neighbors) step into the
+    // neighborhood aggregate itself, so a propagation hop is ONE join
+    // + ONE aggregate instead of join + groupBy + join-back (round 16:
+    // the loop ran 84 scheduled stages / 1,564 tasks per sf0.1 call,
+    // pure scheduler latency on ~500-row label frames). The edge list
+    // is partitioned ON THE JOIN KEY once before the persist — every
+    // hop previously re-shuffled all 2|E| edge rows (at cluster scale
+    // the dominant per-round cost; at gate scale seven 64-task
+    // zero-row stages per pass).
+    val w = pairs.sparkSession.sparkContext.defaultParallelism
+    val edges = sym
+      .unionByName(sym.select(col("a")).distinct()
+        .select(col("a"), col("a").as("b")))
+      .repartition(w, col("b"))
       .persist()
     // Materialize.handle both caches the label table AND truncates its
     // LOGICAL plan — a plain persist keeps the full lineage, and since
@@ -331,7 +345,7 @@ object Dedup {
     // cluster a local checkpoint dies WITH a lost executor — and its
     // truncated lineage cannot recompute — killing the whole loop.
     var (labels, labelsRdd) = graft.core.Materialize.handle(
-      edges.select(col("a").as("id")).distinct().withColumn("lbl", col("id")),
+      sym.select(col("a").as("id")).distinct().withColumn("lbl", col("id")),
       reliable)
     var changed = 1L
     var round = 0
@@ -356,14 +370,17 @@ object Dedup {
       // is a map-only count over the materialized output — labels only
       // ever DECREASE (least), so changed == rows where lbl != lbl0;
       // the old check joined the new generation against the previous
-      // one, a full shuffle of both cached RDDs every round
+      // one, a full shuffle of both cached RDDs every round. With the
+      // self-loops, min over the neighborhood INCLUDES the vertex's
+      // own label, and the vertex's own lbl0 rides through as the
+      // self-row's value (only the b == a row matches the when()).
       var next = labels.withColumn("lbl0", col("lbl"))
       for (_ <- 0 until 3) {
-        val prop = edges.join(next.withColumnRenamed("id", "_nid"), col("b") === col("_nid"))
-          .groupBy(col("a")).agg(min(col("lbl")).as("_nlbl"))
-        next = next.join(prop, next("id") === prop("a"), "left")
-          .select(next("id"), next("lbl0"),
-            least(next("lbl"), coalesce(col("_nlbl"), next("lbl"))).as("lbl"))
+        next = edges.join(next.withColumnRenamed("id", "_nid"), col("b") === col("_nid"))
+          .groupBy(col("a"))
+          .agg(min(col("lbl")).as("lbl"),
+            min(when(col("b") === col("a"), col("lbl0"))).as("lbl0"))
+          .withColumnRenamed("a", "id")
       }
       val (mat, matRdd) = graft.core.Materialize.handle(
         next.select(col("id"), col("lbl"), col("lbl0")), reliable)

@@ -25,20 +25,45 @@ import graft.index.{CoverageIndex, NearestIndex}
 object PartitionedJoin {
 
   /** Contig-key skew lever (`spark.bio.partitioned.saltFactor`,
-    * default 1 = off): with factor S the PROBE side of a co-group
+    * default `auto`): with factor S the PROBE side of a co-group
     * splits into S salted sub-keys (deterministic, by start
     * position) and the BUILD side replicates into every salt — probe
     * parallelism on a hot contig multiplies by S while the per-task
     * build memory bound is unchanged (one contig's build rows, same
     * as the reference's Partitioned mode). Cost: the build shuffle
     * carries S copies. The reference shares the un-salted skew
-    * (SURVEY §7.4); this is the opt-in mitigation for
-    * whole-genome-on-one-contig inputs. */
-  private def saltFactor(df: DataFrame): Int = {
-    val s = df.sparkSession.conf
-      .getOption("spark.bio.partitioned.saltFactor").map(_.toInt).getOrElse(1)
-    require(s >= 1, s"spark.bio.partitioned.saltFactor must be >= 1, got $s")
-    s
+    * (SURVEY §7.4).
+    *
+    * `auto` (round 16, VERDICT r15 #5) derives S from the probe
+    * side's OBSERVED per-contig counts — one map-side-combined
+    * aggregate pass returning one row per contig, metadata-scale
+    * against the co-shuffle it tunes. `S = clamp(ceil(maxContigRows ×
+    * parallelism / totalRows), 1, 8)`: the hot contig's probe share is
+    * brought within a constant factor of the ideal per-slot share, a
+    * whole-genome-on-one-contig input salts to min(8, slots), and
+    * S = 1 falls out whenever contigs already outnumber slots or rows
+    * spread evenly — no conf for a 100 TB user to know about. An
+    * explicit integer conf value overrides (the equality spec sweeps
+    * 1 / 3 / auto). */
+  private val AutoSaltCap = 8
+  private def saltFactor(probe: DataFrame, contigCol: String): Int = {
+    val conf = probe.sparkSession.conf
+      .getOption("spark.bio.partitioned.saltFactor").getOrElse("auto")
+    if (conf == "auto") {
+      val counts = probe.where(col(contigCol).isNotNull)
+        .groupBy(col(contigCol)).count()
+        .collect().map(_.getLong(1))
+      if (counts.isEmpty) 1
+      else {
+        val p = probe.sparkSession.sparkContext.defaultParallelism
+        math.max(1, math.min(AutoSaltCap,
+          math.ceil(counts.max.toDouble * p / counts.sum).toInt))
+      }
+    } else {
+      val s = conf.toInt
+      require(s >= 1, s"spark.bio.partitioned.saltFactor must be >= 1, got $s")
+      s
+    }
   }
 
   /** Co-group two Row sets by contig with optional salting, streaming
@@ -109,7 +134,7 @@ object PartitionedJoin {
     // SQL null semantics, matching the broadcast path: null-contig
     // build rows are never indexed; null-contig probe rows match
     // nothing and emit the no-candidate (null-left) row
-    val salt = saltFactor(probe)
+    val salt = saltFactor(probe, pcols.contig)
     val ds = cogroupByContig(
       build.where(col(bcols.contig).isNotNull),
       probe.where(col(pcols.contig).isNotNull),
@@ -188,7 +213,7 @@ object PartitionedJoin {
     // null-contig subtrahend rows never merge into the index; a
     // null-contig left row overlaps nothing and passes through whole
     // (coords Long-cast like every fragment row)
-    val salt = saltFactor(left)
+    val salt = saltFactor(left, lcols.contig)
     val ds = cogroupByContig(
       right.where(col(rcols.contig).isNotNull),
       left.where(col(lcols.contig).isNotNull),

@@ -77,8 +77,9 @@ class PropertySuite extends SparkSpec {
     val ic = IntervalCols.default
     // saltFactor > 1 splits each contig's probe side across salted
     // co-groups with the build side replicated — results must be
-    // byte-identical to the un-salted and broadcast paths
-    for (saltF <- Seq("1", "3")) {
+    // byte-identical to the un-salted and broadcast paths. "auto"
+    // derives S from the probe side's observed per-contig counts.
+    for (saltF <- Seq("1", "3", "auto")) {
       spark.conf.set("spark.bio.partitioned.saltFactor", saltF)
       try {
         for (k <- Seq(1, 3); ov <- Seq(true, false)) {
@@ -95,6 +96,32 @@ class PropertySuite extends SparkSpec {
         }
       } finally spark.conf.unset("spark.bio.partitioned.saltFactor")
     }
+  }
+
+  test("property: auto salt on a hot-contig fixture matches broadcast") {
+    import graft.ranges.{IntervalJoin, PartitionedJoin}
+    import graft.core.IntervalCols
+    // 90% of probe rows on one contig: auto must pick S > 1 (ceil of
+    // maxShare x parallelism) and the salted result must stay
+    // byte-identical to the broadcast path
+    val hotRows = (0 until 500).map { i =>
+      val c = if (i % 10 == 0) "cold" else "hot"
+      val s = rnd.nextInt(5000).toLong
+      (c, s, s + rnd.nextInt(150), i.toLong)
+    }
+    val hot = hotRows.toDF("contig", "pos_start", "pos_end", "id")
+    def rowsOf(df: DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toList).toSeq.sortBy(_.toString)
+    val ic = IntervalCols.default
+    assert(spark.conf.getOption("spark.bio.partitioned.saltFactor").isEmpty)
+    val bc = rowsOf(IntervalJoin.nearest(b, hot, ic, ic, FilterOp.Weak, 2,
+      true, computeDistance = true, tieBreakCol = Some("id")))
+    val pt = rowsOf(PartitionedJoin.nearestPartitioned(b, hot, ic, ic,
+      FilterOp.Weak, 2, true, computeDistance = true, tieBreakCol = "id"))
+    assert(pt == bc)
+    val subBc = rowsOf(IntervalJoin.subtractFragments(hot, b, ic, ic, FilterOp.Weak))
+    val subPt = rowsOf(PartitionedJoin.subtractPartitioned(hot, b, ic, ic, FilterOp.Weak))
+    assert(subPt == subBc)
   }
 
   test("property: merge is idempotent and covers the same basepairs") {
