@@ -83,6 +83,27 @@ object MlQueries {
         .orderBy("doc_id")),
     "d_exact_dups" -> ((s, d) =>
       Dedup.exactDuplicates(corpus(s, d), "text", "doc_id")),
+    // the filter step on the same duplicated corpus: one representative
+    // (min id) per content fingerprint survives
+    "d_dedup_filter" -> ((s, d) =>
+      Dedup.removeExactDuplicates(corpus(s, d), "text", "doc_id")
+        .orderBy("doc_id")),
+    // PII scrub over text with deterministically injected email / IPv4
+    // / phone strings (the base corpus carries none, so the gate would
+    // otherwise pass on a no-op); counts come from the ORIGINAL text
+    "t_pii_redact" -> ((s, d) => {
+      val injected = docs(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-867-530"),
+          col("doc_id") % 10, lit(" ip 10.2."), col("doc_id") % 256, lit(".77"))
+          .as("text"))
+      injected.select(col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("clean"),
+        TextFunctions.piiCount(col("text"), "email").as("n_email"),
+        TextFunctions.piiCount(col("text"), "ip").as("n_ip"),
+        TextFunctions.piiCount(col("text"), "phone").as("n_phone"))
+        .orderBy("doc_id")
+    }),
     "d_lsh_pairs" -> ((s, d) =>
       Dedup.lshCandidatePairs(docs(s, d), "text", "doc_id")),
     "d_jaccard" -> ((s, d) => {
@@ -305,6 +326,25 @@ object MlQueries {
          | CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS group_size,
          | MIN(id) OVER (PARTITION BY fingerprint) AS canonical_id
          |FROM fp QUALIFY group_size > 1 ORDER BY id""".stripMargin.replace("\n", " "),
+    "d_dedup_filter" ->
+      s"""WITH $corpusCte,
+         |f AS (SELECT doc_id, text, md5($norm) AS fp FROM corp)
+         |SELECT doc_id, text FROM f
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "t_pii_redact" ->
+      ("""WITH t AS (SELECT doc_id, concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+         |  '@example.com or 555-867-530', CAST(doc_id % 10 AS VARCHAR),
+         |  ' ip 10.2.', CAST(doc_id % 256 AS VARCHAR), '.77') AS text FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone
+         |FROM t ORDER BY doc_id""").stripMargin.replace("\n", " "),
     "d_lsh_pairs" ->
       s"WITH $shinglesCte SELECT id1, id2 FROM pairs ORDER BY id1, id2",
     "d_jaccard" ->

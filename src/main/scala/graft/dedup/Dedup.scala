@@ -31,6 +31,20 @@ object Dedup {
       .select(col("id"), col("fingerprint"), col("group_size"), col("canonical_id"))
   }
 
+  /** Corpus with exact duplicates REMOVED: one representative (the
+    * minimum id) per normalized-content fingerprint — the filter step
+    * a pipeline runs on [[exactDuplicates]]' findings before
+    * training. Scale shape: the keep-set aggregates (fingerprint, id)
+    * PAIRS with map-side combine — the text never rides that shuffle —
+    * and the corpus then left-semi-joins on the id; AQE broadcasts the
+    * keep-set when it is small, co-shuffles otherwise. */
+  def removeExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val keep = df.select(col(idCol).as("_kid"), fp.as("_kfp"))
+      .groupBy(col("_kfp")).agg(min(col("_kid")).as("_kid"))
+    df.join(keep, df(idCol) === keep("_kid"), "left_semi")
+  }
+
   /** Word k-shingles of a materialized WORD-ARRAY column. Callers
     * must bind the normalize+split to its own projection first —
     * referencing `split(...)` directly from the transform lambda

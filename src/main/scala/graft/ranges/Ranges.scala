@@ -389,17 +389,20 @@ object Ranges {
   /** Hierarchical island sweep shared by merge/cluster: returns
     * `(loc, islands)` where `loc` = rows + `(_bkt, _lgid)` from the
     * single full-data window pass, and `islands` = one row per LOCAL
-    * island `(contig, _obkt, _olgid, _is, _ie, _cnt, _gid)` with
-    * `_gid` the 1-based GLOBAL island id per contig. The collapse
-    * groupBy extends the window's `(contig, _bkt)` clustering, so it
-    * aggregates in place (no second full-data exchange); the explicit
-    * `repartition` then inserts an exchange node ON THE COLLAPSED
-    * FRAME so [[chainHulls]]' multiple consumers reuse one
-    * materialization (without it, every hull consumer would re-run
-    * the full-data window — ReuseExchange shares exchanges, and an
-    * in-place aggregate has none). */
+    * island `(contig, _obkt, _olgid, _is, _ie, _cnt, _gid, _coff)`
+    * with `_gid` the 1-based GLOBAL island id per contig (`_coff`,
+    * the earlier-contig island count for 0-based global numbering, is
+    * computed only under `needCoff` — cluster needs it, merge skips
+    * its window stage). The collapse groupBy extends the window's
+    * `(contig, _bkt)` clustering, so it aggregates in place (no second
+    * full-data exchange); the explicit `repartition` then inserts an
+    * exchange node ON THE COLLAPSED FRAME so [[chainHulls]]' multiple
+    * consumers reuse one materialization (without it, every hull
+    * consumer would re-run the full-data window — ReuseExchange shares
+    * exchanges, and an in-place aggregate has none). */
   private def globalIslands(
-      df: DataFrame, cols: IntervalCols, minDist: Long, op: FilterOp)
+      df: DataFrame, cols: IntervalCols, minDist: Long, op: FilterOp,
+      needCoff: Boolean = false)
       : (DataFrame, DataFrame) = {
     val loc = localIslands(df, cols, minDist, op)
     val hulls = loc.groupBy(col(cols.contig), col("_bkt"), col("_lgid"))
@@ -419,7 +422,7 @@ object Ranges {
     val shared = sharedExchange(hulls,
       col(cols.contig), col("_obkt"), col("_olgid"))
     (loc, chainHulls(shared, cols.contig, minDist, op,
-      sweepBucketWidth(df)))
+      sweepBucketWidth(df), needCoff))
   }
 
   /** Does the start `s` open a NEW global island given the carry —
@@ -465,7 +468,7 @@ object Ranges {
     * counts/offsets frames of its own. */
   private def chainHulls(
       hulls: DataFrame, contig: String, minDist: Long, op: FilterOp,
-      width: Long): DataFrame = {
+      width: Long, needCoff: Boolean): DataFrame = {
     val s = col("_is")
     val wc = Window.partitionBy(col(contig)).orderBy(col("_obkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -491,8 +494,13 @@ object Ranges {
       .agg(sum(newIslandFlag(col("_carryMax"), s, minDist, op)).as("_bflags"),
         max(col("_carryMax")).as("_cm"))
       .withColumn("_goff", coalesce(sum(col("_bflags")).over(wc), lit(0L)))
+      // the cross-contig offset rides only when the caller numbers
+      // globally (cluster); merge/complement skip the extra
+      // single-partition window stage it costs
       .withColumn("_coff",
-        coalesce(sum(col("_bflags")).over(wAll), lit(0L)) - col("_goff"))
+        if (needCoff)
+          coalesce(sum(col("_bflags")).over(wAll), lit(0L)) - col("_goff")
+        else lit(0L))
       .select(col(contig).as("_cc"), col("_obkt").as("_cb"),
         col("_cm"), col("_goff"), col("_coff"))
     val wb = Window.partitionBy(col(contig), col("_obkt")).orderBy(s, col("_ie"))
@@ -546,7 +554,7 @@ object Ranges {
       cols: IntervalCols = IntervalCols.default,
       minDist: Long = 0L,
       op: FilterOp = FilterOp.Weak): DataFrame = {
-    val (loc, isl) = globalIslands(df, cols, minDist, op)
+    val (loc, isl) = globalIslands(df, cols, minDist, op, needCoff = true)
     // the chained hull frame feeds both the bounds aggregate and the
     // payload join: share one materialization (and one (contig, _gid)
     // clustering — the aggregate then runs in place and the join

@@ -81,4 +81,31 @@ object TextFunctions {
     when(n <= 0, lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / n)
   }
+
+  /** PII patterns for the pre-training scrub — deliberately RE2-safe
+    * (character classes, bounded repetition, word boundaries; no
+    * backreferences or lookaround) so Java-regex Spark and RE2-family
+    * engines match the SAME spans and the redaction is
+    * engine-reproducible. */
+  private[text] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** PII-scrubbed text: emails, IPv4 addresses and xxx-xxx-xxxx phone
+    * numbers replaced with typed placeholder tokens — the standard
+    * redaction pass a pipeline runs before training. Replacement
+    * order is fixed (email first: an address contains digit runs a
+    * later pattern must not re-match). Map-only, whole-stage codegen. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (_, pat, token)) =>
+      regexp_replace(acc, pat, token)
+    }
+
+  /** Count of matches for one PII class (`email` | `ip` | `phone`). */
+  def piiCount(text: Column, kind: String): Column = {
+    val pat = PiiPatterns.collectFirst { case (k, p, _) if k == kind => p }
+      .getOrElse(throw new IllegalArgumentException(s"unknown PII kind '$kind'"))
+    size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+  }
 }

@@ -60,6 +60,33 @@ class MlSuite extends SparkSpec {
     assert(got.forall(_.getLong(3) == 1L))
   }
 
+  test("exact-dedup filter keeps one representative per fingerprint") {
+    val kept = Dedup.removeExactDuplicates(docsDf, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 1 and 2 are normalized-identical: min id 1 survives
+    assert(!kept.contains(2L) && kept.contains(1L))
+    assert(kept == docsDf.select("doc_id").collect().map(_.getLong(0)).toSet - 2L)
+  }
+
+  test("PII redaction scrubs emails, IPs, phones; counts match") {
+    import graft.text.TextFunctions
+    val df = Seq(
+      (1L, "mail me at a.b+c@foo-bar.org or 10.0.0.1 then 555-123-4567 twice 555-123-4567"),
+      (2L, "no pii here, just 1.2 and 123-45 fragments")
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.redactPii(col("text")).as("clean"),
+        TextFunctions.piiCount(col("text"), "email").as("ne"),
+        TextFunctions.piiCount(col("text"), "ip").as("ni"),
+        TextFunctions.piiCount(col("text"), "phone").as("np"))
+      .orderBy("id").collect()
+    assert(got(0).getString(1) ==
+      "mail me at <EMAIL> or <IP> then <PHONE> twice <PHONE>")
+    assert((got(0).getLong(2), got(0).getLong(3), got(0).getLong(4)) == ((1L, 1L, 2L)))
+    assert(got(1).getString(1) == "no pii here, just 1.2 and 123-45 fragments")
+    assert((got(1).getLong(2), got(1).getLong(3), got(1).getLong(4)) == ((0L, 0L, 0L)))
+  }
+
   test("shingles + LSH: near-dups collide, unrelated don't") {
     val pairs = Dedup.lshCandidatePairs(docsDf, "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
