@@ -600,7 +600,12 @@ object Ranges {
         .select(col(cols.contig).as("_mc"), col(cols.start).as("_ms"),
           col(cols.end).as("_me")),
       col("_mc"), col("_ms"))
-    val defaultViews = df.select(col(cols.contig).as("_vc")).distinct()
+    // implicit-view contigs come from the MERGED frame (island
+    // cardinality, already barriered), not a second full scan of the
+    // input: every input row belongs to a run, so the contig sets are
+    // identical — the df.select(contig).distinct() formulation cost a
+    // whole extra pass over the data per consumer
+    val defaultViews = merged.select(col("_mc").as("_vc")).distinct()
       .withColumn("_vs", lit(0L)).withColumn("_ve", lit(Long.MaxValue))
     val views = view match {
       case Some(v) =>
@@ -630,15 +635,21 @@ object Ranges {
     // window ceiling otherwise): merged runs within a view are
     // DISJOINT and _cs-sorted, so the only cross-bucket dependency is
     // the max clipped end over earlier buckets — one aggregate row per
-    // non-empty bucket, broadcast back onto bucket-head rows
+    // non-empty bucket, broadcast back onto bucket-head rows. The
+    // per-bucket aggregate is barriered on the VIEW keys so the carry
+    // window, and the trailing-gap aggregate below, both run in place
+    // on one exchange (bucket-cardinality — metadata-scale).
     val width = sweepBucketWidth(df)
     val ovB = ov.withColumn("_bkt", expr(s"CAST(_cs AS BIGINT) DIV $width"))
     val wv = Window.partitionBy(col("_vc"), col("_vs"), col("_ve"), col("_bkt"))
       .orderBy(col("_cs"))
     val wcV = Window.partitionBy(col("_vc"), col("_vs"), col("_ve"))
       .orderBy(col("_bkt")).rowsBetween(Window.unboundedPreceding, -1)
-    val vcarry = ovB.groupBy(col("_vc"), col("_vs"), col("_ve"), col("_bkt"))
-      .agg(max(col("_ce")).as("_bce"))
+    val bktAgg = sharedExchange(
+      ovB.groupBy(col("_vc"), col("_vs"), col("_ve"), col("_bkt"))
+        .agg(max(col("_ce")).as("_bce")),
+      col("_vc"), col("_vs"), col("_ve"))
+    val vcarry = bktAgg
       .select(col("_vc").as("_kc"), col("_vs").as("_ks"), col("_ve").as("_ke"),
         col("_bkt").as("_kb"), max(col("_bce")).over(wcV).as("_prevCe"))
     val gaps = ovB.join(carryBroadcast(vcarry, width),
@@ -648,15 +659,34 @@ object Ranges {
         coalesce(lag(col("_ce"), 1).over(wv), col("_prevCe"), col("_vs")))
       .where(col("_cs") > col("_cursor"))
       .select(col("_vc").as(cols.contig), col("_cursor").as(cols.start), col("_cs").as(cols.end))
-    val trailing = ov
+    // trailing gap per view: the max clipped end over ALL buckets,
+    // read off the same per-bucket frame (no third pass over ov)
+    val trailing = bktAgg
       .groupBy(col("_vc"), col("_vs"), col("_ve"))
-      .agg(max(col("_ce")).as("_maxce"))
+      .agg(max(col("_bce")).as("_maxce"))
       .where(col("_maxce") < col("_ve"))
       .select(col("_vc").as(cols.contig), col("_maxce").as(cols.start), col("_ve").as(cols.end))
-    val untouched = views.join(merged,
-        views("_vc") === merged("_mc") && col("_me") > col("_vs") && col("_ms") < col("_ve"),
-        "left_anti")
-      .select(col("_vc").as(cols.contig), col("_vs").as(cols.start), col("_ve").as(cols.end))
+    // views no run intersects emit their whole view interval
+    // (complement.rs:430-456). With DEFAULT views the anti-join
+    // degenerates: every view is (0, i64::MAX) over a contig merged
+    // knows, so "no run intersects" is a per-contig aggregate off the
+    // merged barrier (in place — it is clustered on the contig), not a
+    // join — non-empty ONLY when a contig's runs all lie outside
+    // (0, MAX), e.g. wholly negative coordinates.
+    val untouched = view match {
+      case Some(_) =>
+        views.join(merged,
+            views("_vc") === merged("_mc") && col("_me") > col("_vs") && col("_ms") < col("_ve"),
+            "left_anti")
+          .select(col("_vc").as(cols.contig), col("_vs").as(cols.start), col("_ve").as(cols.end))
+      case None =>
+        merged.groupBy(col("_mc"))
+          .agg(sum(when(col("_me") > lit(0L) && col("_ms") < lit(Long.MaxValue), 1L)
+            .otherwise(0L)).as("_nInt"))
+          .where(col("_nInt") === 0L)
+          .select(col("_mc").as(cols.contig),
+            lit(0L).as(cols.start), lit(Long.MaxValue).as(cols.end))
+    }
     carryCoord(gaps.unionByName(trailing).unionByName(untouched),
       df, cols.start, cols.start)
   }
