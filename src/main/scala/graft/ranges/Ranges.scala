@@ -400,9 +400,17 @@ object Ranges {
     * consumers reuse one materialization (without it, every hull
     * consumer would re-run the full-data window — ReuseExchange shares
     * exchanges, and an in-place aggregate has none). */
-  private def globalIslands(
-      df: DataFrame, cols: IntervalCols, minDist: Long, op: FilterOp,
-      needCoff: Boolean = false)
+  /** `(loc, barriered hull frame)` — the full-data window pass plus
+    * the in-place island-hull collapse behind a [[sharedExchange]].
+    * The barrier is the materialization point every hull consumer
+    * reads (carry aggregate, flag-count aggregate, final chain — or
+    * complement's carry/pieces/span); without it each consumer would
+    * re-run the FULL-DATA window (measured 3x task time at sf0.1).
+    * The extra `_olgid` key keeps the exchange in the plan — a
+    * repartition on (contig, _obkt) alone would be removed as
+    * redundant against the window's hash partitioning. */
+  private def barrieredHulls(
+      df: DataFrame, cols: IntervalCols, minDist: Long, op: FilterOp)
       : (DataFrame, DataFrame) = {
     val loc = localIslands(df, cols, minDist, op)
     val hulls = loc.groupBy(col(cols.contig), col("_bkt"), col("_lgid"))
@@ -412,15 +420,15 @@ object Ranges {
         count(lit(1)).as("_cnt"))
       .withColumnRenamed("_bkt", "_obkt")
       .withColumnRenamed("_lgid", "_olgid")
-    // materialization point: chainHulls consumes the hull frame three
-    // times (carry aggregate, flag-count aggregate, final chained
-    // output); without a shared exchange every consumer re-runs the
-    // FULL-DATA window (measured 3x task time at sf0.1). The extra
-    // _olgid key keeps the exchange in the plan — a repartition on
-    // (contig, _obkt) alone would be removed as redundant against the
-    // window's hash partitioning (see [[sharedExchange]]).
-    val shared = sharedExchange(hulls,
-      col(cols.contig), col("_obkt"), col("_olgid"))
+    (loc, sharedExchange(hulls,
+      col(cols.contig), col("_obkt"), col("_olgid")))
+  }
+
+  private def globalIslands(
+      df: DataFrame, cols: IntervalCols, minDist: Long, op: FilterOp,
+      needCoff: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    val (loc, shared) = barrieredHulls(df, cols, minDist, op)
     (loc, chainHulls(shared, cols.contig, minDist, op,
       sweepBucketWidth(df), needCoff))
   }
@@ -584,28 +592,63 @@ object Ranges {
     * Default view is `(0, Long.MaxValue)` for every contig present in
     * the input (complement.rs:397-400); view contigs absent from the
     * input emit their whole view interval (complement.rs:430-456).
-    * Output: `(contig, start, end)`. */
+    * Output: `(contig, start, end)`.
+    *
+    * DIRECT-GAP formulation (round 16): complement never materializes
+    * merged runs or island ids at all. The hull frame plus the same
+    * per-bucket carry the chain uses yield, per hull, `M` = max end
+    * over ALL earlier hulls in the contig — a gap piece `(M, start)`
+    * precedes every hull that opens a new island (op-aware: strict
+    * keeps zero-length touch pieces, dropped by the clip guard but
+    * load-bearing for the interior-empty-view rule below). Per-contig
+    * `(MinValue, firstStart)` / `(lastEnd, MaxValue)` pads complete
+    * the tiling: pieces ∪ pads ∪ runs cover the whole line, so
+    * clipping pieces to views IS the complement — no per-view cursor
+    * window, no trailing aggregate, and (with default views) no
+    * untouched branch, since every default view pokes a piece or is
+    * fully covered. Explicit views keep two tiny branches: views on
+    * contigs absent from the input emit whole (anti-join on the
+    * contig-cardinality span frame), and interior-empty views
+    * (vs >= ve) emit whole unless strictly interior to a run (no
+    * piece CLOSURE covers the point). Replaces a pipeline that ran
+    * the full merge plus ~10 view-machinery stages (~24 scheduled
+    * stages at sf0.1 — VERDICT r15 #2). Null contigs group null-safe
+    * like every other sweep key. */
   def complement(
       df: DataFrame,
       view: Option[DataFrame] = None,
       cols: IntervalCols = IntervalCols.default,
       vcols: IntervalCols = IntervalCols.default,
       op: FilterOp = FilterOp.Weak): DataFrame = {
-    // barrier: merged feeds the view-intersection join AND the
-    // untouched-views anti-join — without a shared exchange the whole
-    // merge pipeline (full-data window included) re-executes per
-    // consumer (round 16: complement ran merge ~4x; VERDICT r15 #2)
-    val merged = sharedExchange(
-      merge(df, cols, 0L, op)
-        .select(col(cols.contig).as("_mc"), col(cols.start).as("_ms"),
-          col(cols.end).as("_me")),
-      col("_mc"), col("_ms"))
-    // implicit-view contigs come from the MERGED frame (island
-    // cardinality, already barriered), not a second full scan of the
-    // input: every input row belongs to a run, so the contig sets are
-    // identical — the df.select(contig).distinct() formulation cost a
-    // whole extra pass over the data per consumer
-    val defaultViews = merged.select(col("_mc").as("_vc")).distinct()
+    val width = sweepBucketWidth(df)
+    val (_, hulls) = barrieredHulls(df, cols, 0L, op)
+    val wc = Window.partitionBy(col(cols.contig)).orderBy(col("_obkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = hulls.groupBy(col(cols.contig), col("_obkt"))
+      .agg(max(col("_ie")).as("_bmax"))
+      .select(col(cols.contig).as("_cc"), col("_obkt").as("_cb"),
+        max(col("_bmax")).over(wc).as("_carryMax"))
+    val wbPrev = Window.partitionBy(col(cols.contig), col("_obkt"))
+      .orderBy(col("_is"), col("_ie"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // M = max end over all earlier hulls: cross-bucket carry joined
+    // once, within-bucket prefix from the window (greatest skips nulls;
+    // null M marks the contig's first hull)
+    val withM = hulls.join(carryBroadcast(carry, width),
+        col(cols.contig) <=> col("_cc") && col("_obkt") <=> col("_cb"))
+      .withColumn("_M", greatest(max(col("_ie")).over(wbPrev), col("_carryMax")))
+    val opensIsland =
+      if (op.isStrict) col("_is") >= col("_M") else col("_is") > col("_M")
+    val inner = withM.where(col("_M").isNotNull && opensIsland)
+      .select(col(cols.contig).as("_gc"), col("_M").as("_gs"), col("_is").as("_ge"))
+    val span = hulls.groupBy(col(cols.contig).as("_gc"))
+      .agg(min(col("_is")).as("_first"), max(col("_ie")).as("_last"))
+    val pieces = inner
+      .unionByName(span.select(col("_gc"),
+        lit(Long.MinValue).as("_gs"), col("_first").as("_ge")))
+      .unionByName(span.select(col("_gc"),
+        col("_last").as("_gs"), lit(Long.MaxValue).as("_ge")))
+    val defaultViews = span.select(col("_gc").as("_vc"))
       .withColumn("_vs", lit(0L)).withColumn("_ve", lit(Long.MaxValue))
     val views = view match {
       case Some(v) =>
@@ -619,76 +662,30 @@ object Ranges {
           defaultViews.join(explicit.select(col("_vc")).distinct(), Seq("_vc"), "left_anti"))
       case None => defaultViews
     }
-    // merged runs intersecting each view interval (complement.rs:330-336:
-    // keep me > vs && ms < ve), clipped to the view. Barrier: ov feeds
-    // the bucket carry, the gap join and the trailing aggregate — three
-    // consumers sharing one materialization.
-    val ov = sharedExchange(
-      views.join(merged,
-          views("_vc") === merged("_mc") && col("_me") > col("_vs") && col("_ms") < col("_ve"),
-          "inner")
-        .select(col("_vc"), col("_vs"), col("_ve"),
-          greatest(col("_ms"), col("_vs")).as("_cs"),
-          least(col("_me"), col("_ve")).as("_ce")),
-      col("_vc"), col("_cs"))
-    // the cursor lag buckets like the island sweep (same per-view
-    // window ceiling otherwise): merged runs within a view are
-    // DISJOINT and _cs-sorted, so the only cross-bucket dependency is
-    // the max clipped end over earlier buckets — one aggregate row per
-    // non-empty bucket, broadcast back onto bucket-head rows. The
-    // per-bucket aggregate is barriered on the VIEW keys so the carry
-    // window, and the trailing-gap aggregate below, both run in place
-    // on one exchange (bucket-cardinality — metadata-scale).
-    val width = sweepBucketWidth(df)
-    val ovB = ov.withColumn("_bkt", expr(s"CAST(_cs AS BIGINT) DIV $width"))
-    val wv = Window.partitionBy(col("_vc"), col("_vs"), col("_ve"), col("_bkt"))
-      .orderBy(col("_cs"))
-    val wcV = Window.partitionBy(col("_vc"), col("_vs"), col("_ve"))
-      .orderBy(col("_bkt")).rowsBetween(Window.unboundedPreceding, -1)
-    val bktAgg = sharedExchange(
-      ovB.groupBy(col("_vc"), col("_vs"), col("_ve"), col("_bkt"))
-        .agg(max(col("_ce")).as("_bce")),
-      col("_vc"), col("_vs"), col("_ve"))
-    val vcarry = bktAgg
-      .select(col("_vc").as("_kc"), col("_vs").as("_ks"), col("_ve").as("_ke"),
-        col("_bkt").as("_kb"), max(col("_bce")).over(wcV).as("_prevCe"))
-    val gaps = ovB.join(carryBroadcast(vcarry, width),
-        col("_vc") <=> col("_kc") && col("_vs") <=> col("_ks") &&
-          col("_ve") <=> col("_ke") && col("_bkt") <=> col("_kb"))
-      .withColumn("_cursor",
-        coalesce(lag(col("_ce"), 1).over(wv), col("_prevCe"), col("_vs")))
-      .where(col("_cs") > col("_cursor"))
-      .select(col("_vc").as(cols.contig), col("_cursor").as(cols.start), col("_cs").as(cols.end))
-    // trailing gap per view: the max clipped end over ALL buckets,
-    // read off the same per-bucket frame (no third pass over ov)
-    val trailing = bktAgg
-      .groupBy(col("_vc"), col("_vs"), col("_ve"))
-      .agg(max(col("_bce")).as("_maxce"))
-      .where(col("_maxce") < col("_ve"))
-      .select(col("_vc").as(cols.contig), col("_maxce").as(cols.start), col("_ve").as(cols.end))
-    // views no run intersects emit their whole view interval
-    // (complement.rs:430-456). With DEFAULT views the anti-join
-    // degenerates: every view is (0, i64::MAX) over a contig merged
-    // knows, so "no run intersects" is a per-contig aggregate off the
-    // merged barrier (in place — it is clustered on the contig), not a
-    // join — non-empty ONLY when a contig's runs all lie outside
-    // (0, MAX), e.g. wholly negative coordinates.
-    val untouched = view match {
+    // the complement: every piece clipped to every view it pokes into
+    // (the view side is tiny — chromsizes or one row per contig — so
+    // the planner broadcasts it and the piece side streams map-only)
+    val clipped = pieces.join(views,
+        col("_gc") <=> col("_vc") && col("_ge") > col("_vs") && col("_gs") < col("_ve"))
+      .select(col("_vc").as(cols.contig),
+        greatest(col("_gs"), col("_vs")).as(cols.start),
+        least(col("_ge"), col("_ve")).as(cols.end))
+      .where(col(cols.end) > col(cols.start))
+    val out = view match {
       case Some(_) =>
-        views.join(merged,
-            views("_vc") === merged("_mc") && col("_me") > col("_vs") && col("_ms") < col("_ve"),
-            "left_anti")
-          .select(col("_vc").as(cols.contig), col("_vs").as(cols.start), col("_ve").as(cols.end))
-      case None =>
-        merged.groupBy(col("_mc"))
-          .agg(sum(when(col("_me") > lit(0L) && col("_ms") < lit(Long.MaxValue), 1L)
-            .otherwise(0L)).as("_nInt"))
-          .where(col("_nInt") === 0L)
-          .select(col("_mc").as(cols.contig),
-            lit(0L).as(cols.start), lit(Long.MaxValue).as(cols.end))
+        val absent = views.join(span, col("_gc") <=> col("_vc"), "left_anti")
+          .select(col("_vc").as(cols.contig),
+            col("_vs").as(cols.start), col("_ve").as(cols.end))
+        val emptViews = views.where(col("_vs") >= col("_ve"))
+          .join(pieces, col("_gc") <=> col("_vc") &&
+            col("_gs") <= least(col("_vs"), col("_ve")) &&
+            greatest(col("_vs"), col("_ve")) <= col("_ge"), "left_semi")
+          .select(col("_vc").as(cols.contig),
+            col("_vs").as(cols.start), col("_ve").as(cols.end))
+        clipped.unionByName(absent).unionByName(emptViews)
+      case None => clipped
     }
-    carryCoord(gaps.unionByName(trailing).unionByName(untouched),
-      df, cols.start, cols.start)
+    carryCoord(out, df, cols.start, cols.start)
   }
 
   /** F8 `subtract`: basepair set difference — each left interval
