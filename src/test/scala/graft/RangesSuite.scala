@@ -428,4 +428,40 @@ class RangesSuite extends SparkSpec {
       .distinct().count()
     assert(groups > 3)
   }
+
+  test("complement edges: negative runs, views inside runs/gaps, empty views at touch") {
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // contig cn has only negative-coordinate runs: the default
+    // (0, i64::MAX) view is untouched by them and must emit whole
+    // (via the tail pad in the direct-gap formulation)
+    val in = Seq(
+      ("cn", -100L, -50L), ("cn", -40L, -10L),
+      ("ca", 10L, 20L), ("ca", 30L, 40L)).toDF("contig", "pos_start", "pos_end")
+    assert(rowsOf(Ranges.complement(in)) == Set(
+      ("cn", 0L, Long.MaxValue),
+      ("ca", 0L, 10L), ("ca", 20L, 30L), ("ca", 40L, Long.MaxValue)))
+    // explicit views: inside a run -> nothing; inside a gap -> whole;
+    // absent contig -> whole
+    val vw = Seq(("ca", 12L, 18L), ("ca", 22L, 28L), ("cx", 1L, 5L))
+      .toDF("contig", "pos_start", "pos_end")
+    assert(rowsOf(Ranges.complement(in, view = Some(vw))) == Set(
+      ("ca", 22L, 28L), ("cx", 1L, 5L),
+      // cn keeps its implicit default view
+      ("cn", 0L, Long.MaxValue)))
+    // interior-empty view at the touch point of two runs: under WEAK
+    // the runs merge (point interior to one run -> nothing); under
+    // STRICT they stay separate (point is a run boundary -> emit)
+    val touch = Seq(("ct", 1L, 3L), ("ct", 3L, 5L))
+      .toDF("contig", "pos_start", "pos_end")
+    val pview = Seq(("ct", 3L, 3L)).toDF("contig", "pos_start", "pos_end")
+    assert(rowsOf(Ranges.complement(touch, view = Some(pview))).isEmpty)
+    assert(rowsOf(Ranges.complement(touch, view = Some(pview),
+      op = FilterOp.Strict)) == Set(("ct", 3L, 3L)))
+    // and an empty view strictly inside one run emits nothing either way
+    val iview = Seq(("ct", 2L, 2L)).toDF("contig", "pos_start", "pos_end")
+    assert(rowsOf(Ranges.complement(touch, view = Some(iview))).isEmpty)
+    assert(rowsOf(Ranges.complement(touch, view = Some(iview),
+      op = FilterOp.Strict)).isEmpty)
+  }
 }
