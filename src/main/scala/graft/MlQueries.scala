@@ -70,6 +70,24 @@ object MlQueries {
       sq.awaitTermination()
       s.table(name)
     }),
+    // streaming LSH candidate generation: the same documents arriving
+    // as a stream must yield EXACTLY the batch operator's candidate
+    // pair set (stateful (band, minhash)-bucket emission; the batch
+    // distinct over the sink collapses cross-bucket repeats)
+    "s11_stream_lsh" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = Tables.load(s, d, "documents").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val pairs = graft.streaming.StreamLsh.candidatePairs(
+        src, "text", "doc_id", k = 3, bands = 8)
+      val name = "s11lsh_sink"
+      s.catalog.dropTempView(name)
+      val sq = pairs.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      s.table(name).select(col("id1"), col("id2")).distinct()
+    }),
     // deterministic training-batch assembly: contiguous greedy
     // packing into 256-token bins, and a stable md5 train/val/test
     // split (no RNG - rebuildable shards)
@@ -346,6 +364,9 @@ object MlQueries {
          |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone
          |FROM t ORDER BY doc_id""").stripMargin.replace("\n", " "),
     "d_lsh_pairs" ->
+      s"WITH $shinglesCte SELECT id1, id2 FROM pairs ORDER BY id1, id2",
+    // the stream must reproduce the batch LSH pair set exactly
+    "s11_stream_lsh" ->
       s"WITH $shinglesCte SELECT id1, id2 FROM pairs ORDER BY id1, id2",
     "d_jaccard" ->
       s"""WITH $shinglesCte,

@@ -166,4 +166,39 @@ class StreamingSuite extends SparkSpec {
         s"post-watermark repeat must be re-admitted (state aged out), got $ids2")
     } finally q2.stop()
   }
+
+  test("streaming LSH: cross-batch state reproduces the batch pair set") {
+    implicit val sqlCtx = spark.sqlContext
+    case class D(doc_id: Long, text: String)
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "completely unrelated text about spark catalyst planning",
+      4L -> "the quick brown fox jumps over the lazy dog tonight",
+      5L -> "another unrelated document mentioning parquet row groups")
+    val input = MemoryStream[(Long, String)]
+    val pairs = graft.streaming.StreamLsh.candidatePairs(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    assert(pairs.isStreaming)
+    val q = pairs.writeStream.format("memory").queryName("lshp")
+      .outputMode("append").start()
+    try {
+      // arrival split across THREE micro-batches, shuffled order: the
+      // bucket state must pair late arrivals with everything earlier
+      input.addData(docs(3), docs(2))
+      q.processAllAvailable()
+      input.addData(docs(0))
+      q.processAllAvailable()
+      input.addData(docs(4), docs(1))
+      q.processAllAvailable()
+      val got = spark.table("lshp").select("id1", "id2").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.dedup.Dedup.lshCandidatePairs(
+          docs.toDF("doc_id", "text"), "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.contains((1L, 4L)) && got.contains((1L, 2L)))
+      assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+    } finally q.stop()
+  }
 }
