@@ -17,6 +17,14 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * Salt 1 pins the hot contig on ONE task (spread ≈ task count);
   * auto must cut maxTask and the spread while returning the same rows.
   *
+  * Round 17: the auto trigger is pinned from BOTH sides — besides the
+  * hot-contig win it must choose S=1 on the no-skew shapes that
+  * regressed in round 16 (VERDICT r16 #1/#7): the f4 shape (small
+  * sampled probe against a large build — tier-1 bytes gate, no probe
+  * job) and the f8 shape (large even-contig probe whose per-contig
+  * share is below the per-salt work floor). Decisions print as
+  * `"probe":"salt_decision"` records.
+  *
   * Usage: graft.SaltProbe [factor=10] [passes=2] */
 object SaltProbe {
   def main(args: Array[String]): Unit = {
@@ -86,6 +94,29 @@ object SaltProbe {
     for (p <- 1 to passes; mode <- Seq("1", "auto")) rows += run(mode, p)
     spark.conf.unset("spark.bio.partitioned.saltFactor")
     require(rows.size == 1, s"row counts diverged across modes: $rows")
+
+    // --- decision pinning: both extremes (VERDICT r16 #7) ---
+    def decided(name: String, build: org.apache.spark.sql.DataFrame,
+                p: org.apache.spark.sql.DataFrame, expect: String): Int = {
+      val s = graft.ranges.PartitionedJoin.decideSalt(build, p, "contig")
+      println(s"""{"probe":"salt_decision","fixture":"$name","S":$s,"expect":"$expect"}""")
+      s
+    }
+    val sHot = decided("hot_contig", bd, pr, "S>1")
+    // f4 shape: small sampled probe vs large build — bytes gate, no job
+    val f4dir = "/tmp/graft_salt_probe_f4"
+    pr.where("id % 512 = 0").write.mode("overwrite").parquet(f4dir)
+    val sF4 = decided("noskew_small_probe", pr, spark.read.parquet(f4dir), "S=1")
+    // f8 shape: large even-contig probe, per-contig share under the floor
+    val f8dir = "/tmp/graft_salt_probe_f8"
+    spark.range(600000).select(
+        concat(lit("c"), col("id") % 4).as("contig"),
+        (col("id") * 37 % 1000000L).as("pos_start"),
+        (col("id") * 37 % 1000000L + 150).as("pos_end"), col("id"))
+      .write.mode("overwrite").parquet(f8dir)
+    val sF8 = decided("noskew_even_4contig", bd, spark.read.parquet(f8dir), "S=1")
+    require(sHot > 1 && sF4 == 1 && sF8 == 1,
+      s"auto salt decisions off: hot=$sHot f4=$sF4 f8=$sF8")
     println(s"""{"probe":"salt","summary":true,"factor":$factor,"note":"auto must cut maxTaskMs and taskSpread vs salt 1 on the hot-contig fixture; row counts identical"}""")
     spark.stop()
   }

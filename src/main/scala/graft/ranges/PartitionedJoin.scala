@@ -31,35 +31,89 @@ object PartitionedJoin {
     * parallelism on a hot contig multiplies by S while the per-task
     * build memory bound is unchanged (one contig's build rows, same
     * as the reference's Partitioned mode). Cost: the build shuffle
-    * carries S copies. The reference shares the un-salted skew
-    * (SURVEY §7.4).
+    * carries S copies and every contig's index is built S times. The
+    * reference shares the un-salted skew (SURVEY §7.4).
     *
-    * `auto` (round 16, VERDICT r15 #5) derives S from the probe
-    * side's OBSERVED per-contig counts — one map-side-combined
-    * aggregate pass returning one row per contig, metadata-scale
-    * against the co-shuffle it tunes. `S = clamp(ceil(maxContigRows ×
-    * parallelism / totalRows), 1, 8)`: the hot contig's probe share is
-    * brought within a constant factor of the ideal per-slot share, a
-    * whole-genome-on-one-contig input salts to min(8, slots), and
-    * S = 1 falls out whenever contigs already outnumber slots or rows
-    * spread evenly — no conf for a 100 TB user to know about. An
-    * explicit integer conf value overrides (the equality spec sweeps
-    * 1 / 3 / auto). */
+    * `auto` (reworked round 17, VERDICT r16 #1/#2) salts only when it
+    * pays, decided in two tiers:
+    *
+    *  1. FREE gate (Catalyst plan stats, no job): replicating the
+    *     build S× is paid for by the probe work it splits, so S is
+    *     capped at probeBytes/buildBytes. Ratio <= 1, or a probe too
+    *     small to fill two slices even at one byte per row, decides
+    *     S = 1 with no probe pass at all — the common small-query-set
+    *     vs large-annotation shape never pays a probe scan.
+    *  2. BOUNDED per-contig estimate (one job over <= 16 strided
+    *     partitions, <= 64k single-column rows each — never a full
+    *     pass over what is by definition the big side):
+    *     `S = clamp(min(ceil(maxContigRows × parallelism / totalRows),
+    *     maxContigRows / minSliceRows, bytesRatio), 1, 8)`. The first
+    *     term is the parallelism-deficit target (hot contig brought
+    *     within a slot's share; 1 when contigs outnumber slots or rows
+    *     spread evenly), the second is the per-salt work floor (a salt
+    *     slice below `spark.bio.partitioned.saltMinSliceRows`, default
+    *     128k probe rows, is not worth a task or an extra index
+    *     build), the third is tier 1's replication-payback cap.
+    *
+    * An explicit integer conf value overrides (the equality spec
+    * sweeps 1 / 3 / auto). */
   private val AutoSaltCap = 8
-  private def saltFactor(probe: DataFrame, contigCol: String): Int = {
+  private val SampledParts = 16
+  private val SampleRowCap = 1 << 16
+  private val DefaultMinSliceRows = 131072L
+
+  /** The auto decision, exposed for [[graft.SaltProbe]] and the
+    * decision spec; see the conf scaladoc above. */
+  private[graft] def decideSalt(
+      build: DataFrame, probe: DataFrame, contigCol: String): Int = {
+    val sess = probe.sparkSession
+    val minSlice = sess.conf
+      .getOption("spark.bio.partitioned.saltMinSliceRows")
+      .map(_.toLong).getOrElse(DefaultMinSliceRows)
+    def planBytes(df: DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val pBytes = planBytes(probe)
+    val ratioCap = (pBytes / planBytes(build).max(1)).min(AutoSaltCap).toInt
+    if (ratioCap <= 1 || pBytes < BigInt(2L * minSlice)) return 1
+    // bounded sample: strided partitions, one pruned column, row-capped
+    val rdd = probe.select(col(contigCol))
+      .where(col(contigCol).isNotNull).rdd
+    val n = rdd.getNumPartitions
+    if (n == 0) return 1
+    val picks =
+      if (n <= SampledParts) 0 until n
+      else (0 until SampledParts).map(i => (i.toLong * n / SampledParts).toInt)
+    val maps = sess.sparkContext.runJob(rdd, (it: Iterator[Row]) => {
+      val m = mutable.HashMap.empty[String, Long]
+      var k = 0
+      while (it.hasNext && k < SampleRowCap) {
+        val c = it.next().getString(0)
+        m.update(c, m.getOrElse(c, 0L) + 1L)
+        k += 1
+      }
+      m
+    }, picks)
+    val merged = mutable.HashMap.empty[String, Long]
+    maps.foreach(_.foreach { case (c, v) =>
+      merged.update(c, merged.getOrElse(c, 0L) + v) })
+    if (merged.isEmpty) return 1
+    // row-cap and stride both UNDERestimate — biases toward S = 1,
+    // the side that is never wrong (just unsalted)
+    val scale = n.toDouble / picks.size
+    val estMax = merged.values.max * scale
+    val estTotal = merged.values.sum * scale
+    val p = sess.sparkContext.defaultParallelism
+    val sTarget = math.ceil(estMax * p / estTotal).toInt
+    val sFloor = (estMax / minSlice).toInt
+    math.max(1, math.min(math.min(sTarget, sFloor), ratioCap))
+  }
+
+  private def saltFactor(
+      build: DataFrame, probe: DataFrame, contigCol: String): Int = {
     val conf = probe.sparkSession.conf
       .getOption("spark.bio.partitioned.saltFactor").getOrElse("auto")
-    if (conf == "auto") {
-      val counts = probe.where(col(contigCol).isNotNull)
-        .groupBy(col(contigCol)).count()
-        .collect().map(_.getLong(1))
-      if (counts.isEmpty) 1
-      else {
-        val p = probe.sparkSession.sparkContext.defaultParallelism
-        math.max(1, math.min(AutoSaltCap,
-          math.ceil(counts.max.toDouble * p / counts.sum).toInt))
-      }
-    } else {
+    if (conf == "auto") decideSalt(build, probe, contigCol)
+    else {
       val s = conf.toInt
       require(s >= 1, s"spark.bio.partitioned.saltFactor must be >= 1, got $s")
       s
@@ -134,7 +188,7 @@ object PartitionedJoin {
     // SQL null semantics, matching the broadcast path: null-contig
     // build rows are never indexed; null-contig probe rows match
     // nothing and emit the no-candidate (null-left) row
-    val salt = saltFactor(probe, pcols.contig)
+    val salt = saltFactor(build, probe, pcols.contig)
     val ds = cogroupByContig(
       build.where(col(bcols.contig).isNotNull),
       probe.where(col(pcols.contig).isNotNull),
@@ -213,7 +267,7 @@ object PartitionedJoin {
     // null-contig subtrahend rows never merge into the index; a
     // null-contig left row overlaps nothing and passes through whole
     // (coords Long-cast like every fragment row)
-    val salt = saltFactor(left, lcols.contig)
+    val salt = saltFactor(right, left, lcols.contig)
     val ds = cogroupByContig(
       right.where(col(rcols.contig).isNotNull),
       left.where(col(lcols.contig).isNotNull),
