@@ -30,11 +30,14 @@ import graft.text.TextFunctions
   * keys, never text); a verbatim-boilerplate class concentrating one
   * bucket has the same inherent quadratic-emission cost as batch LSH
   * (cap classes upstream with [[Dedup.removeExactDuplicates]]).
-  * Buckets never expire here — for 24/7 ingestion add an event-time
-  * timeout the same way [[StreamDedup.firstOccurrencesWithinWatermark]]
-  * bounds its digest state. Pairs that recur across buckets are
-  * emitted once per bucket; the consumer dedups downstream (the gate
-  * applies a batch `distinct()` over the sink). */
+  * [[candidatePairs]] keeps buckets forever (exact batch equality
+  * over any stream prefix — the bounded-corpus contract);
+  * [[candidatePairsWithinWatermark]] is the 24/7 variant — bucket
+  * state ages out on an event-time timeout the same way
+  * [[StreamDedup.firstOccurrencesWithinWatermark]] bounds its digest
+  * state. Pairs that recur across buckets are emitted once per
+  * bucket; the consumer dedups downstream (the gate applies a batch
+  * `distinct()` over the sink). */
 object StreamLsh {
 
   /** Map-only per-band minhash signatures: `(id, band, h)` rows, no
@@ -45,24 +48,34 @@ object StreamLsh {
     * hash, per-band affine `(2b+1)h + 7919b + 13 mod 1e9+7`. */
   def bandSignatures(
       docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, bands: Int = 8): DataFrame = {
+      k: Int = 3, bands: Int = 8): DataFrame =
+    bandSignaturesCarrying(docs, textCol, idCol, k, bands, Nil)
+
+  /** [[bandSignatures]] with extra passthrough columns (still
+    * map-only) — the watermarked variant rides the event-time column
+    * through to the stateful operator. */
+  private def bandSignaturesCarrying(
+      docs: DataFrame, textCol: String, idCol: String,
+      k: Int, bands: Int,
+      carry: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val words = split(TextFunctions.normalized(col(textCol)), " ")
     docs
       // HOF rule: lambdas slice materialized columns, never
       // re-evaluate outer expression trees per element
-      .select(col(idCol).cast("long").as("id"), words.as("_w"))
-      .select(col("id"), Dedup.shinglesOfWords(col("_w"), k).as("_sh"))
-      .select(col("id"),
+      .select(Seq(col(idCol).cast("long").as("id"), words.as("_w")) ++ carry: _*)
+      .select(Seq(col("id"), Dedup.shinglesOfWords(col("_w"), k).as("_sh")) ++ carry: _*)
+      .select(Seq(col("id"),
         transform(col("_sh"),
           s => conv(substring(md5(s.cast("binary")), 1, 7), 16, 10).cast("long"))
-          .as("_hv"))
-      .select(col("id"), explode(
+          .as("_hv")) ++ carry: _*)
+      .select(Seq(col("id"), explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.cast("int").as("band"),
             array_min(transform(col("_hv"),
               h => ((b * 2 + 1) * h + b * 7919 + 13) % 1000000007L)).as("h"))))
-        .as("_bh"))
-      .select(col("id"), col("_bh.band").as("band"), col("_bh.h").as("h"))
+        .as("_bh")) ++ carry: _*)
+      .select(Seq(col("id"), col("_bh.band").as("band"),
+        col("_bh.h").as("h")) ++ carry: _*)
       .where(col("h").isNotNull)
   }
 
@@ -83,16 +96,77 @@ object StreamLsh {
         (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
          state: GroupState[Array[Long]]) =>
           val seen = state.getOption.getOrElse(Array.empty[Long])
-          val fresh = rows.map(_._1).toArray.distinct.filterNot(seen.contains).sorted
-          val out = Iterator.tabulate(fresh.length) { i =>
-            val id = fresh(i)
-            // earlier state members + smaller same-batch peers
-            (seen.iterator ++ fresh.iterator.take(i)).map { other =>
-              if (other < id) (other, id) else (id, other)
-            }
-          }.flatten.toVector
+          val (fresh, out) = pairAgainst(seen, rows.map(_._1))
           if (fresh.nonEmpty) state.update(seen ++ fresh)
           out.iterator
+      }
+      .toDF("id1", "id2")
+  }
+
+  /** Pair a batch's ids against the bucket's existing members and
+    * smaller same-batch peers; returns (genuinely-new member ids,
+    * pairs). Membership tests go through a hash set —
+    * O(|batch| + |state|), not the linear-scan product
+    * (ADVICE r16). */
+  private def pairAgainst(seen: Array[Long], ids: Iterator[Long])
+      : (Array[Long], Vector[(Long, Long)]) = {
+    val seenSet = seen.toSet
+    val fresh = ids.toArray.distinct.filterNot(seenSet.contains).sorted
+    val out = Iterator.tabulate(fresh.length) { i =>
+      val id = fresh(i)
+      (seen.iterator ++ fresh.iterator.take(i)).map { other =>
+        if (other < id) (other, id) else (id, other)
+      }
+    }.flatten.toVector
+    (fresh, out)
+  }
+
+  /** Bounded-state 24/7 variant (VERDICT r16 #3): bucket membership
+    * only persists within the event-time watermark delay. Each
+    * arrival refreshes its bucket's timeout to `max event time seen +
+    * delay`; when the watermark passes that, the WHOLE bucket ages
+    * out — a later arrival re-opens it empty and no longer pairs with
+    * the expired members (exactly the
+    * `dropDuplicatesWithinWatermark`-style contract
+    * [[StreamDedup.firstOccurrencesWithinWatermark]] uses for its
+    * digest state). State is bounded by the buckets occupied within
+    * one watermark window instead of the whole stream history. */
+  def candidatePairsWithinWatermark(
+      docs: DataFrame, textCol: String, idCol: String,
+      eventTimeCol: String, delay: String,
+      k: Int = 3, bands: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prepared = docs
+      .withColumn("_ts", col(eventTimeCol).cast("timestamp"))
+      .withWatermark("_ts", delay)
+    bandSignaturesCarrying(prepared, textCol, idCol, k, bands, Seq(col("_ts")))
+      .as[(Long, Int, Long, java.sql.Timestamp)]
+      .groupByKey { case (_, band, h, _) => (band, h) }
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long, java.sql.Timestamp)],
+         state: GroupState[Array[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.getOrElse(Array.empty[Long])
+            var maxTs = Long.MinValue
+            val ids = rows.map { r =>
+              val t = r._4.getTime
+              if (t > maxTs) maxTs = t
+              r._1
+            }
+            val (fresh, out) = pairAgainst(seen, ids)
+            if (fresh.nonEmpty) state.update(seen ++ fresh)
+            // refresh the bucket's lease from this batch's max event
+            // time (never below the current watermark, which Spark
+            // rejects as an already-passed timeout)
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(maxTs, wm + 1), delay)
+            out.iterator
+          }
       }
       .toDF("id1", "id2")
   }

@@ -201,4 +201,40 @@ class StreamingSuite extends SparkSpec {
       assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
     } finally q.stop()
   }
+
+  test("streaming LSH watermarked: bucket state ages out past the delay") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val near = "the quick brown fox jumps over the lazy dog tonight"
+    val near2 = "the quick brown fox jumps over the lazy dog today"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val pairs = graft.streaming.StreamLsh.candidatePairsWithinWatermark(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id",
+      "ts", "10 minutes")
+    assert(pairs.isStreaming)
+    val q = pairs.writeStream.format("memory").queryName("lshw")
+      .outputMode("append").start()
+    try {
+      // within the window: 1 and 2 land in shared buckets and pair
+      input.addData((1L, near, ts(10)), (2L, near2, ts(11)))
+      q.processAllAvailable()
+      // push the watermark far past ts(1) + 10 min (unrelated doc)
+      input.addData((3L, "completely unrelated text about catalyst", ts(1000)))
+      q.processAllAvailable()
+      input.addData((4L, "another unrelated doc mentioning parquet", ts(1001)))
+      q.processAllAvailable()
+      // 5 matches 1/2 but their buckets aged out: no cross-window pair;
+      // 6 arrives in the SAME window as 5 and must still pair with it
+      input.addData((5L, near, ts(1002)))
+      q.processAllAvailable()
+      input.addData((6L, near, ts(1003)))
+      q.processAllAvailable()
+      val got = spark.table("lshw").select("id1", "id2").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 2L)), s"in-window pair missing: $got")
+      assert(got.contains((5L, 6L)), s"post-expiry in-window pair missing: $got")
+      assert(!got.exists(p => p._1 <= 2L && p._2 >= 5L),
+        s"expired bucket must not pair across the watermark: $got")
+    } finally q.stop()
+  }
 }
