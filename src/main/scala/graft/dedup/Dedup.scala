@@ -324,13 +324,20 @@ object Dedup {
     * a handful of shuffles keyed on the vertex id and the only
     * driver-side values are the convergence counts. Deterministic:
     * the fixpoint is the component-minimum id regardless of iteration
-    * order. Output: (id, cluster_id) for every vertex in `pairs`.
+    * order. Output: (id, cluster_id) for every non-null vertex in
+    * `pairs` (null ids cannot ride an equi-join and are dropped).
     */
   def duplicateClusters(pairs: DataFrame, maxRounds: Int = 64,
       reliable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
+    // Null vertex ids are dropped up front (ADVICE r16): the
+    // propagation hop is an equi-join on the vertex id, and SQL's
+    // null === null is null — a null-id vertex would silently vanish
+    // after the first hop rather than cluster, so the documented
+    // contract is "(id, cluster_id) for every NON-NULL vertex".
     val sym = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
       .unionByName(pairs.select(col("id2").cast("long").as("a"), col("id1").cast("long").as("b")))
+      .where(col("a").isNotNull && col("b").isNotNull)
     // SELF-LOOPS fold the min(own, neighbors) step into the
     // neighborhood aggregate itself, so a propagation hop is ONE join
     // + ONE aggregate instead of join + groupBy + join-back (round 16:

@@ -23,11 +23,15 @@ object Packing {
     w
   }
 
-  /** The carry frames are broadcast-hinted only at widths where their
-    * cardinality (≤ idSpan/width) stays metadata-scale (ADVICE r15: a
-    * tiny user width over a large id span could force an arbitrarily
-    * large broadcast). Below the floor the hint is dropped and the
-    * planner/AQE choose from observed sizes. */
+  /** Only the LEVEL-2 carry (one row per super-bucket, ≤ idSpan/width²
+    * — ~230 rows at 10^12 docs and the default width) is safely
+    * metadata-scale, and only at widths where that bound holds
+    * (ADVICE r15: a tiny user width over a large id span could force
+    * an arbitrarily large broadcast). The LEVEL-1 carry's cardinality
+    * is ≤ idSpan/width, which width alone does NOT bound (~15M rows at
+    * 10^12 docs — ADVICE r16), so it carries no hint at all: AQE picks
+    * broadcast from its OBSERVED size at gate scale and falls back to
+    * a shuffle join when it is genuinely large. */
   private val CarryBroadcastMinWidth = 1L << 16
   private def carryBroadcast(f: DataFrame, width: Long): DataFrame =
     if (width >= CarryBroadcastMinWidth) broadcast(f) else f
@@ -88,7 +92,7 @@ object Packing {
         coalesce(sum(col("_stoks")).over(wg2), lit(0L)).as("_c2"))
     val carry = l2.join(carryBroadcast(carry2, width), col("_sbkt") === col("_cs"))
       .select(col("_bkt").as("_cb"), (col("_l2") + col("_c2")).as("_carry"))
-    local.join(carryBroadcast(carry, width), col("_bkt") === col("_cb"))
+    local.join(carry, col("_bkt") === col("_cb"))
       .withColumn("stream_offset", col("_lsum") + col("_carry"))
       .withColumn("bin", expr(s"stream_offset DIV $budget"))
       .drop("_bkt", "_cb", "_lsum", "_carry")

@@ -195,6 +195,20 @@ class MlSuite extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("duplicate clusters: null vertex ids are dropped, not silently lost mid-loop") {
+    import graft.dedup.Dedup
+    // a null id cannot ride the propagation equi-join (null === null
+    // is SQL null): the contract drops it up front and clusters the
+    // remaining vertices normally (ADVICE r16)
+    val pairs = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)),
+      (java.lang.Long.valueOf(3L), java.lang.Long.valueOf(4L)))
+      .toDF("id1", "id2")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("duplicate clusters: deep path component converges exactly") {
     import graft.dedup.Dedup
     // path graph 1-2-...-31: diameter 30 > the 21 hops the round-6
