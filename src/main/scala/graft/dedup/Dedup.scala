@@ -335,9 +335,11 @@ object Dedup {
     // null === null is null — a null-id vertex would silently vanish
     // after the first hop rather than cluster, so the documented
     // contract is "(id, cluster_id) for every NON-NULL vertex".
-    val sym = pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
-      .unionByName(pairs.select(col("id2").cast("long").as("a"), col("id1").cast("long").as("b")))
-      .where(col("a").isNotNull && col("b").isNotNull)
+    val (p0, p0Rdd) = graft.core.Materialize.handle(
+      pairs.select(col("id1").cast("long").as("a"), col("id2").cast("long").as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull),
+      reliable)
+    val sym = p0.unionByName(p0.select(col("b").as("a"), col("a").as("b")))
     // SELF-LOOPS fold the min(own, neighbors) step into the
     // neighborhood aggregate itself, so a propagation hop is ONE join
     // + ONE aggregate instead of join + groupBy + join-back (round 16:
@@ -387,20 +389,24 @@ object Dedup {
           s"(${3 * maxRounds} hops) — component diameter exceeds the guard; " +
           "raise maxRounds")
       }
-      // thread the round-start label through the hops so convergence
-      // is a map-only count over the materialized output — labels only
-      // ever DECREASE (least), so changed == rows where lbl != lbl0;
-      // the old check joined the new generation against the previous
-      // one, a full shuffle of both cached RDDs every round. With the
-      // self-loops, min over the neighborhood INCLUDES the vertex's
-      // own label, and the vertex's own lbl0 rides through as the
-      // self-row's value (only the b == a row matches the when()).
-      var next = labels.withColumn("lbl0", col("lbl"))
-      for (_ <- 0 until 3) {
-        next = edges.join(next.withColumnRenamed("id", "_nid"), col("b") === col("_nid"))
+      // Convergence = the LAST hop was a no-op (round 17; labels only
+      // ever DECREASE, so h(L) == L is the fixpoint test): the final
+      // hop's aggregate also emits the vertex's own ENTERING label via
+      // the self-loop row (only the b == a row matches the when()),
+      // and changed == rows where the hop still lowered it. The old
+      // round-START comparison needed one full extra round of hops
+      // just to observe "nothing changed" whenever the work finished
+      // mid-round — at gate scale that was ~40% of the loop's stages.
+      var next = labels
+      for (h <- 0 until 3) {
+        val joined = edges
+          .join(next.withColumnRenamed("id", "_nid"), col("b") === col("_nid"))
           .groupBy(col("a"))
-          .agg(min(col("lbl")).as("lbl"),
-            min(when(col("b") === col("a"), col("lbl0"))).as("lbl0"))
+        next = (if (h < 2)
+          joined.agg(min(col("lbl")).as("lbl"))
+        else
+          joined.agg(min(col("lbl")).as("lbl"),
+            min(when(col("b") === col("a"), col("lbl"))).as("lbl0")))
           .withColumnRenamed("a", "id")
       }
       val (mat, matRdd) = graft.core.Materialize.handle(
