@@ -303,9 +303,16 @@ object Ranges {
     * per-contig window caps at #contigs concurrent tasks (~25 on a
     * human genome) regardless of cluster size; bucketing by
     * `(contig, start DIV width)` scales the sweep's parallelism with
-    * data span. Default 2^26 (~67 Mbp); overridable via
+    * data span. Default 2^17 (~131 kbp; round 17 — the old 2^26 left
+    * a megabase-scale input on ONE bucket per contig, serializing the
+    * full-data window onto #contigs tasks; 2^17 gives a human contig
+    * ~1.9k slices and a whole genome ~24k, ahead of any executor
+    * count, while the per-bucket hull/carry frames stay metadata-
+    * scale — ≤ span/width rows, ~24k per genome — and the width
+    * stays at the [[carryBroadcast]] floor where the broadcast hint
+    * is provably safe). Overridable via
     * `spark.bio.sweep.posBucketWidth` (the invariance spec sweeps it). */
-  private val DefaultSweepBucketWidth = 1L << 26
+  private val DefaultSweepBucketWidth = 1L << 17
 
   private def sweepBucketWidth(df: DataFrame): Long = {
     val w = df.sparkSession.conf.getOption("spark.bio.sweep.posBucketWidth")
