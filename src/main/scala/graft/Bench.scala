@@ -509,26 +509,27 @@ object Bench {
         calSeq += calibrate()
       }
     }
-    // official per-query value: the median over preferred samples
-    // (clean+warm, else clean, else everything) anchored at the GLOBAL
+    // official per-query value: the median over the FIRST pool (warm >
+    // clean > all samples) holding >= 2 samples anchored at the GLOBAL
     // min — samples beyond 1.5x the fastest observed run are burst
-    // residue regardless of what the instruments said about them. When
-    // NO preferred sample corroborates the global min (the re-sample
-    // budget never found a quiet window), ship the global min itself
-    // and flag the query `contended` instead of shipping a fiction.
+    // residue regardless of what the instruments said about them, and
+    // a CORROBORATED median from a weaker pool beats a lone minimum
+    // (ADVICE r16: the old shape ignored clean non-warm corroborators
+    // whenever two warm samples existed, and shipped a single possibly
+    // dirty sample as the official when the warm pool missed the
+    // anchor). Only when NO pool corroborates the global min (the
+    // re-sample budget never found a quiet window) ship the global min
+    // itself and flag the query `contended` instead of a fiction.
     val contendedQ = collection.mutable.LinkedHashSet[String]()
     val samples: Seq[(String, Seq[Double])] = acc.toSeq.map { case (n, xs) =>
       val gmin = globalMin(xs)
       val warm = cleanWarmSecs(n, xs)
       val clean = xs.filter(s => s.sec > 0 && !dirty(n, s)).map(_.sec)
-      val pool =
-        if (warm.size >= 2) warm
-        else if (clean.size >= 2) clean
-        else xs.map(_.sec).filter(_ > 0)
-      val anchored = pool.filter(_ <= 1.5 * gmin)
+      val all = xs.map(_.sec).filter(_ > 0)
+      val anchored = Seq(warm, clean, all)
+        .map(_.filter(_ <= 1.5 * gmin)).find(_.size >= 2)
       n -> (if (gmin <= 0) xs.map(_.sec)
-            else if (anchored.nonEmpty) anchored
-            else { contendedQ += n; Seq(gmin) })
+            else anchored.getOrElse { contendedQ += n; Seq(gmin) })
     }
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
@@ -537,6 +538,55 @@ object Bench {
       else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
     }
     val results = samples.map { case (name, xs) => name -> median(xs) }
+    // Rolling per-query global-min history (VERDICT r16 #6): driver
+    // and builder bench slots see different contention, and the only
+    // statistic stable across runs is the per-query minimum — so every
+    // run folds its global mins into tools/bench/minima.json and the
+    // official record carries vs_best deltas, making a contended run
+    // self-adjudicating (a query at vs_best >> 1 with `contended`
+    // unset is a REAL regression; one with the flag is a noisy slot).
+    // per-SF history: a dev run at another scale factor must not
+    // pollute the official sf0.1 bests with incomparable values
+    val sfName = new java.io.File(sfDir).getName
+    val minimaPath =
+      if (sfName == "sf0.1") "tools/bench/minima.json"
+      else s"tools/bench/minima_$sfName.json"
+    val priorMinima: Map[String, Double] =
+      try {
+        val src = scala.io.Source.fromFile(minimaPath, "UTF-8")
+        val txt = try src.mkString finally src.close()
+        "\"([^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Exception => Map.empty }
+    // fold OFFICIAL values (not raw sample minima): vs_best then
+    // compares like with like — a quiet run reads ~1.0, a contended
+    // one reads its true inflation
+    val runMinima: Map[String, Double] = results.filter(_._2 > 0).toMap
+    val minima: Map[String, Double] =
+      (priorMinima.keySet ++ runMinima.keySet).map { k =>
+        k -> (priorMinima.get(k).toSeq ++ runMinima.get(k).toSeq).min
+      }.toMap
+    try {
+      val f = new java.io.File(minimaPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.println(minima.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}"))
+      finally w.close()
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write $minimaPath: ${e.getMessage}")
+    }
+    val vsBest = results.map { case (n, v) =>
+      val best = minima.getOrElse(n, v)
+      n -> (if (v > 0 && best > 0) v / best else 1.0)
+    }
+    val vsBestJson = vsBest.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+      .mkString("{", ",", "}")
+    val bestTotal = results.map { case (n, v) =>
+      minima.getOrElse(n, v)
+    }.filter(_ > 0).sum
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val rawAll = acc.toSeq.map { case (k, xs) =>
@@ -554,7 +604,7 @@ object Bench {
       s"""{"metric":"samples","samples":$rawAll,"sample_loads":${diagMap(_.load, "%.1f")},"sample_gc":${diagMap(_.d.gcSec, "%.2f")},"sample_steal":${diagMap(_.d.stealSec, "%.2f")},"sample_extcpu":${diagMap(_.d.extCpuSec, "%.2f")},"sample_calib":${diagMap(_.calBefore._1, "%.3f")},"sample_calibmem":${diagMap(_.calBefore._2, "%.3f")},"sample_canary":${diagMap(_.canP50, "%.4f")},"sample_canarymem":${diagMap(_.canMemP50, "%.4f")},"sample_tasksec":${diagMap(_.d.taskSec, "%.1f")},"sample_busywall":${diagMap(_.d.busyWall, "%.2f")},"sample_cgn":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(_.d.cgN.toString).mkString(",") + "]" }.mkString("{", ",", "}")},"sample_jit":${diagMap(_.d.jitSec, "%.2f")},"sample_cpusec":${diagMap(_.d.cpuSec, "%.1f")},"sample_tasks":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(_.d.tasks.toString).mkString(",") + "]" }.mkString("{", ",", "}")},"sample_jobs":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(_.d.jobsN.toString).mkString(",") + "]" }.mkString("{", ",", "}")},"sample_rowsin":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(_.d.rowsIn.toString).mkString(",") + "]" }.mkString("{", ",", "}")},"sample_maxtask":${diagMap(_.d.maxTask, "%.2f")},"sample_dirty":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.map(x => if (dirty(k, x)) "1" else "0").mkString(",") + "]" }.mkString("{", ",", "}")},"sample_cold":${acc.toSeq.map { case (k, xs) => "\"" + k + "\":[" + xs.indices.map(i => if (cold(k, xs, i)) "1" else "0").mkString(",") + "]" }.mkString("{", ",", "}")},"calib_best":$calMin,"load":$loadArr,"repeats":$repeats,"heavy_repeats":$heavyRepeats,"resampled":$resampledArr,"contention_resampled":$loadResampledArr,"consensus_resampled":${consensusResampled.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val contendedArr = contendedQ.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"contended":$contendedArr,"repeats":$repeats,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"contended":$contendedArr,"vs_best":$vsBestJson,"best_total":$bestTotal%.3f,"repeats":$repeats,"sf":"$sfDir"}"""
     // 1. the complete record goes to FILES — the canonical per-query
     // history, independent of any stdout capture window. The default
     // target is an IMMUTABLE per-round file (round-12 verdict #3: the
@@ -606,7 +656,7 @@ object Bench {
       val named = sortedResults.filter(_._2 >= 1.0).sortBy(-_._2).take(namedCap)
         .sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.2f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"keys":"name-sorted","full":"$outPath","repeats":$repeats,"sf":"$sfDir","contended":$contendedArr,"named":$named,"queries":$arr}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"keys":"name-sorted","full":"$outPath","repeats":$repeats,"sf":"$sfDir","best_total":$bestTotal%.2f,"vs_best":${if (bestTotal > 0) total / bestTotal else 1.0}%.2f,"contended":$contendedArr,"named":$named,"queries":$arr}"""
     }
     val compact = (32 to 0 by -4).iterator.map(compactLine)
       .find(_.length < 1900)
