@@ -179,11 +179,8 @@ object MlQueries {
               Multimodal.JdkCodec.encodePng((id % 64 + 1).toInt, (id % 48 + 1).toInt))
             case 1L => (id, "audio",
               Multimodal.JdkCodec.encodeWav((id % 800 + 8).toInt))
-            case _ =>
-              val b = java.nio.ByteBuffer.allocate(16)
-              b.putInt((id % 3840 + 16).toInt).putInt((id % 2160 + 16).toInt)
-                .putLong(id % 10000 + 40)
-              (id, "video", b.array())
+            case _ => (id, "video", Multimodal.JdkCodec.encodeMp4(
+              (id % 3840 + 16).toInt, (id % 2160 + 16).toInt, id % 10000 + 40))
           }
         }
       }.toDF("asset_id", "media_type", "payload")

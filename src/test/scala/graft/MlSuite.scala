@@ -171,14 +171,27 @@ class MlSuite extends SparkSpec {
     assert(JdkCodec.audioDurationMs(JdkCodec.encodeWav(250)) == Some(250L))
     assert(JdkCodec.imageDims(Array[Byte](1, 2, 3, 4)).isEmpty)
     assert(JdkCodec.audioDurationMs(Array[Byte](1, 2, 3, 4)).isEmpty)
+    // ISO-BMFF: real box structure round-trips through the box walk
+    assert(JdkCodec.mp4Meta(JdkCodec.encodeMp4(1920, 1080, 123456L))
+      == Some((1920, 1080, 123456L)))
+    assert(JdkCodec.mp4Meta(Array[Byte](1, 2, 3, 4)).isEmpty)       // too short
+    assert(JdkCodec.mp4Meta(Array.fill(32)(9.toByte)).isEmpty)      // no box magic
+    // a synthetic 16-byte header is NOT a BMFF container: falls back
+    val syn = java.nio.ByteBuffer.allocate(16)
+      .putInt(640).putInt(480).putLong(5000L).array()
+    assert(JdkCodec.mp4Meta(syn).isEmpty)
     // through the distributed pipeline: real payloads, real headers
     val assets = Seq(
       (1L, "image", JdkCodec.encodePng(123, 45)),
-      (2L, "audio", JdkCodec.encodeWav(777))
+      (2L, "audio", JdkCodec.encodeWav(777)),
+      (3L, "video", JdkCodec.encodeMp4(1280, 720, 9000L)),
+      (4L, "video", syn) // unrecognized container -> FakeCodec fallback
     ).toDF("asset_id", "media_type", "payload")
     val f = Multimodal.extractFeatures(assets).orderBy("asset_id").collect()
     assert(f(0).getInt(3) == 123 && f(0).getInt(4) == 45 && f(0).isNullAt(5))
     assert(f(1).isNullAt(3) && f(1).getLong(5) == 777L)
+    assert(f(2).getInt(3) == 1280 && f(2).getInt(4) == 720 && f(2).getLong(5) == 9000L)
+    assert(f(3).getInt(3) == 640 && f(3).getInt(4) == 480 && f(3).getLong(5) == 5000L)
     // byte_length/checksum are over the actual container bytes
     assert(f(0).getLong(2) > 16L)
   }
