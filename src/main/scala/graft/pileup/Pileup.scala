@@ -103,11 +103,14 @@ object Pileup {
     * (chrom, pos DIV width) slice runs as its own window partition, so
     * parallelism scales with data span instead of capping at #contigs
     * (a human genome has ~25 real ones; a 1000-executor cluster would
-    * idle 97% of its slots on a per-chrom window). Default 2^26
-    * (~67 Mbp ≈ 46 buckets per human chromosome 1); overridable via
-    * `spark.bio.depth.posBucketWidth` (the partition-invariance spec
-    * sweeps it). */
-  private val DefaultPosBucketWidth = 1L << 26
+    * idle 97% of its slots on a per-chrom window). Default 2^17
+    * (~131 kbp; round 17, same fix as the sweep width — the old 2^26
+    * serialized a megabase-scale input's window onto ONE task per
+    * contig; 2^17 gives chr1 ~1.9k slices and a genome ~24k, ahead of
+    * any executor count, with the per-bucket fix-up frame still
+    * metadata-scale). Overridable via `spark.bio.depth.posBucketWidth`
+    * (the partition-invariance spec sweeps it). */
+  private val DefaultPosBucketWidth = 1L << 17
 
   private def posBucketWidth(spark: SparkSession): Long = {
     val w = spark.conf.getOption("spark.bio.depth.posBucketWidth")
@@ -115,6 +118,17 @@ object Pileup {
     require(w > 0, s"spark.bio.depth.posBucketWidth must be positive, got $w")
     w
   }
+
+  /** Broadcast hint for the per-bucket fix-up frames, guarded by the
+    * bucket width exactly like the sweeps' carry (ADVICE r15 class):
+    * at or above the floor the frame is ≤ span/width rows per contig —
+    * metadata-scale by construction — and the hint is safe; below it a
+    * user-set tiny width over a large span could force an arbitrarily
+    * large broadcast, so the hint is dropped and AQE decides from
+    * observed sizes. */
+  private val FixupBroadcastMinWidth = 1L << 16
+  private def fixupBroadcast(f: DataFrame, width: Long): DataFrame =
+    if (width >= FixupBroadcastMinWidth) broadcast(f) else f
 
   def depth(reads: DataFrame, filterFlag: Int = 1796, minMapq: Int = 0,
       zeroBased: Boolean = false): DataFrame = {
@@ -129,8 +143,8 @@ object Pileup {
     // last event takes the NEXT non-empty bucket's first position as
     // its next_pos. Both branches hang off the same (chrom, pos)
     // aggregate exchange, so Catalyst's ReuseExchange runs the CIGAR
-    // walk once; the fix-up frame joins back as a broadcast (≤ one row
-    // per ~67 Mbp of genome — metadata-scale at any input size).
+    // walk once; the fix-up frame joins back broadcast-hinted under
+    // the width floor (≤ span/width rows — metadata-scale).
     val width = posBucketWidth(reads.sparkSession)
     val bucketed = ev.withColumn("_bkt", expr(s"pos DIV $width"))
     val wb = Window.partitionBy(col("chrom"), col("_bkt")).orderBy(col("pos"))
@@ -147,7 +161,7 @@ object Pileup {
           .as("_carry"),
         lead(col("_bfirst"), 1).over(wc).as("_nextfirst"))
     val shift = if (zeroBased) 1L else 0L
-    val out = local.join(broadcast(fixup), Seq("chrom", "_bkt"))
+    val out = local.join(fixupBroadcast(fixup, width), Seq("chrom", "_bkt"))
       .withColumn("coverage", col("_lcov") + col("_carry"))
       .withColumn("next_pos", coalesce(col("_lnext"), col("_nextfirst")))
       .where(col("coverage") =!= 0 && col("next_pos").isNotNull)
@@ -223,7 +237,7 @@ object Pileup {
       .select(col("contig"), col("_bkt"),
         lag(col("_bend"), 1).over(wcB).as("_prevEnd"))
     val gapLo = coalesce(lag(col("pos_end"), 1).over(wB), col("_prevEnd"), lit(0L)) + 1
-    val headGaps = blocksB.join(broadcast(carry), Seq("contig", "_bkt"))
+    val headGaps = blocksB.join(fixupBroadcast(carry, width), Seq("contig", "_bkt"))
       .select(col("contig"), gapLo.as("pos_start"),
         (col("pos_start") - 1).as("pos_end"))
       .where(col("pos_start") <= col("pos_end"))
