@@ -136,18 +136,27 @@ object Dedup {
     * production variant): per distinct token, md5 hex digit j's low bit
     * votes ±count for bit j; bit set iff the vote sum is positive. */
   def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // Votes are occurrence-weighted, so the old distinct-(id, token)
+    // aggregate was unnecessary: summing ±1 per OCCURRENCE equals
+    // summing ±count per distinct token, bit for bit. Dropping it
+    // (round 17) removes a whole shuffle AND keeps the md5 + 16-way
+    // bit fan-out in the wide scan stage — AQE had coalesced the tiny
+    // (id, token) shuffle to one task and serialized that CPU onto it
+    // (an 0.86 s single-task stage at sf0.1). The only shuffles left
+    // carry (id, bit) partial votes: ≤ 16 rows per id after map-side
+    // combine. (md5 stays a per-row projection — Catalyst does not
+    // inline it into the transform lambda across the Generate.)
     val toks = graft.core.Parallelism.ensure(df).select(col(idCol).as("id"),
         explode(split(TextFunctions.normalized(col(textCol)), " ")).as("tok"))
       .where(col("tok") =!= "")
-      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5(col("tok").cast("binary")))
-    val bits = toks.select(col("id"), col("cnt"), posexplode(
+    val bits = toks.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(15)),
         j => conv(substring(col("h"), 1, 16).substr(j + 1, lit(1)), 16, 10).cast("int") % 2))
       .as(Seq("bit", "v")))
     bits
       .groupBy(col("id"), col("bit"))
-      .agg(sum(when(col("v") === 1, col("cnt")).otherwise(-col("cnt"))).as("vote"))
+      .agg(sum(when(col("v") === 1, 1L).otherwise(-1L)).as("vote"))
       .groupBy(col("id"))
       .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
   }
@@ -201,25 +210,25 @@ object Dedup {
     * signed range, so Spark's wrapping Long sum and DuckDB's
     * HUGEINT-then-cast sum agree bit for bit. */
   def simhash64Df(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // Same round-17 simplification as [[simhash16]]: ±1 per token
+    // OCCURRENCE equals ±count per distinct token, so the (id, token)
+    // aggregate — whose tiny-in-bytes output AQE coalesced to one
+    // reader task, serializing the 64-way bit fan-out (one 3.5 s
+    // task profiled in round 15; patched then with an explicit
+    // repartition) — is gone entirely: md5 and the fan-out run in the
+    // wide scan stage, and the shuffles carry only (id, bit) partial
+    // votes.
     val toks = graft.core.Parallelism.ensure(df).select(col(idCol).as("id"),
         explode(split(TextFunctions.normalized(col(textCol)), " ")).as("tok"))
       .where(col("tok") =!= "")
-      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5(col("tok").cast("binary")))
-    // explicit (AQE-respected) width: the (id, token) aggregate is
-    // tiny in BYTES, so AQE coalesces its reader to one task — but
-    // this stage fans every token row out 64x and partial-aggregates
-    // the bit votes, the query's dominant CPU (profiled: one 3.5 s
-    // serial task). Repartitioning on id keeps the expansion wide;
-    // at scale the reader would be wide anyway.
-    val w = df.sparkSession.sparkContext.defaultParallelism
-    val bits = toks.repartition(w, col("id")).select(col("id"), col("cnt"), posexplode(
+    val bits = toks.select(col("id"), posexplode(
         expr("transform(sequence(0, 63), j -> " +
           "(CAST(conv(substr(h, (j div 4) + 1, 1), 16, 10) AS INT) >> (j % 4)) & 1)"))
       .as(Seq("bit", "v")))
     bits
       .groupBy(col("id"), col("bit"))
-      .agg(sum(when(col("v") === 1, col("cnt")).otherwise(-col("cnt"))).as("vote"))
+      .agg(sum(when(col("v") === 1, 1L).otherwise(-1L)).as("vote"))
       .groupBy(col("id"))
       .agg(sum(when(col("vote") > 0,
         when(col("bit") === 63, lit(Long.MinValue))
