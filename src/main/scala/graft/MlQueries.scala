@@ -122,6 +122,19 @@ object MlQueries {
         TextFunctions.piiCount(col("text"), "phone").as("n_phone"))
         .orderBy("doc_id")
     }),
+    // the end-to-end near-dup REMOVAL pipeline: LSH candidates ->
+    // jaccard-verified edges -> connected components -> keep each
+    // cluster's min id + every unclustered doc
+    "d_near_dedup_filter" -> ((s, d) =>
+      Dedup.removeNearDuplicates(docs(s, d), "text", "doc_id", threshold = 0.5)
+        .select(col("doc_id")).orderBy("doc_id")),
+    // deterministic training-mix sampling: per-SOURCE keep rates with
+    // an md5 uniform salted by the stratum (independent of hashSplit)
+    "t_stratified_sample" -> ((s, d) =>
+      graft.text.Packing.stratifiedSample(docs(s, d), "doc_id", "source",
+        Seq("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.25),
+        defaultFraction = 0.1)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")),
     "d_lsh_pairs" -> ((s, d) =>
       Dedup.lshCandidatePairs(docs(s, d), "text", "doc_id")),
     "d_jaccard" -> ((s, d) => {
@@ -379,6 +392,37 @@ object MlQueries {
          |FROM pairs p LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
          |JOIN cnt c1 ON c1.doc_id = p.id1 JOIN cnt c2 ON c2.doc_id = p.id2
          |ORDER BY p.id1, p.id2""".stripMargin.replace("\n", " "),
+    "d_near_dedup_filter" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |shd AS (SELECT DISTINCT doc_id,
+         |  CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS sh FROM sh),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+         |inter AS (SELECT p.id1, p.id2, COUNT(*) AS ix FROM pairs p
+         |  JOIN shd s1 ON s1.doc_id = p.id1 JOIN shd s2 ON s2.doc_id = p.id2 AND s2.sh = s1.sh
+         |  GROUP BY p.id1, p.id2),
+         |jac AS (SELECT p.id1, p.id2 FROM pairs p
+         |  LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+         |  JOIN cnt c1 ON c1.doc_id = p.id1 JOIN cnt c2 ON c2.doc_id = p.id2
+         |  WHERE round(CAST(COALESCE(i.ix, 0) AS DOUBLE)
+         |    / CAST(c1.n + c2.n - COALESCE(i.ix, 0) AS DOUBLE), 6) >= 0.5),
+         |e AS (SELECT id1 AS a, id2 AS b FROM jac UNION ALL SELECT id2, id1 FROM jac),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |cc AS (SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.a, cc.lbl FROM cc JOIN e ON cc.id = e.b),
+         |drp AS (SELECT id FROM (SELECT id, MIN(lbl) AS cl FROM cc GROUP BY id)
+         |  WHERE id <> cl)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM drp) ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
+    "t_stratified_sample" ->
+      ("""WITH u AS (SELECT doc_id, source,
+         |  CAST(CAST(concat('0x', substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+         |    / 1152921504606846976.0 AS h FROM documents)
+         |SELECT doc_id, source FROM u
+         |WHERE h < CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.5
+         |  WHEN 'src2' THEN 0.25 ELSE 0.1 END
+         |ORDER BY doc_id""").stripMargin.replace("\n", " "),
     "d_simhash16" ->
       s"WITH $simhashCte SELECT id, simhash FROM sg ORDER BY id",
     "d_simhash_pairs" ->

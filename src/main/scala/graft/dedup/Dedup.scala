@@ -132,6 +132,32 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** End-to-end near-duplicate REMOVAL — the filter a training
+    * pipeline actually runs, composed from the verified parts:
+    * [[lshCandidatePairs]] (banded minhash candidates, never
+    * all-pairs) → [[ngramJaccard]] ≥ `threshold` (exact shingle-set
+    * verification of candidates only) → [[duplicateClusters]]
+    * (connected components, so transitive near-dup chains collapse to
+    * ONE survivor, not one per pairwise edge) → keep each cluster's
+    * minimum id plus every unclustered document. The drop set is
+    * id-only — document text rides no shuffle beyond the shingle
+    * scans — and the final keep is one left-anti join AQE broadcasts
+    * while the drop set is small. */
+  def removeNearDuplicates(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in [0, 1], got $threshold")
+    val cand = lshCandidatePairs(df, textCol, idCol, k, bands)
+    val dup = ngramJaccard(df, cand, textCol, idCol, k)
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"))
+    val drop = duplicateClusters(dup)
+      .where(col("id") =!= col("cluster_id"))
+      .select(col("id").as("_dropid"))
+    df.join(drop, col(idCol).cast("long") === col("_dropid"), "left_anti")
+  }
+
   /** 16-bit SimHash (oracle-checkable size; [[simhash64]] is the
     * production variant): per distinct token, md5 hex digit j's low bit
     * votes ±count for bit j; bit set iff the vote sum is positive. */

@@ -98,6 +98,34 @@ object Packing {
       .drop("_bkt", "_cb", "_lsum", "_carry")
   }
 
+  /** Deterministic stratified sampling: keep a row iff the md5-derived
+    * uniform of its key lands below its STRATUM's fraction — the
+    * training-mix primitive (sample sources/languages/quality tiers at
+    * set rates) with no RNG, so shards rebuild identically on any
+    * cluster. The uniform hashes `stratum ':' key` (not the key alone)
+    * so sampling decisions are independent of [[hashSplit]]'s
+    * assignments over the same keys — hashing the bare key would
+    * correlate "sampled" with "train/val/test". Map-only, codegen'd;
+    * strata absent from `fractions` keep `defaultFraction` (0 = drop).
+    */
+  def stratifiedSample(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      fractions: Seq[(String, Double)],
+      defaultFraction: Double = 0.0): DataFrame = {
+    require(fractions.nonEmpty &&
+      (fractions.map(_._2) :+ defaultFraction).forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be non-empty and each in [0, 1]: $fractions")
+    val u = conv(substring(md5(
+        concat(col(stratumCol).cast("string"), lit(":"), col(keyCol).cast("string"))),
+        1, 15), 16, 10)
+      .cast("double") / lit((1L << 60).toDouble)
+    val frac = fractions.reverse.foldLeft(lit(defaultFraction)) {
+      case (acc, (name, f)) =>
+        when(col(stratumCol) === name, lit(f)).otherwise(acc)
+    }
+    df.where(u < frac)
+  }
+
   /** Deterministic hash split: assigns each row to a named dataset
     * slice by the md5 of its key — stable across runs, machines and
     * engines (no RNG), the standard leak-free train/val/test split.

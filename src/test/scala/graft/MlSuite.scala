@@ -196,6 +196,45 @@ class MlSuite extends SparkSpec {
     assert(f(0).getLong(2) > 16L)
   }
 
+  test("near-dedup filter: transitive chains collapse to the min-id survivor") {
+    import graft.dedup.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val docs = Seq(
+      (5L, base + " one"),        // near-dup class: 5, 7, 9 chain
+      (7L, base + " two"),
+      (9L, base + " one"),        // exact text of 5 modulo suffix
+      (2L, "completely unrelated prose about catalyst plan optimization rules"),
+      (4L, "short")               // too few words to shingle: always kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.removeNearDuplicates(docs, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 5 is the component minimum; 7 and 9 drop; unpaired docs survive
+    assert(kept == Set(5L, 2L, 4L), s"got $kept")
+    // idempotent: filtering the filtered corpus drops nothing more
+    val again = Dedup.removeNearDuplicates(
+        docs.where(col("doc_id").isin(kept.toSeq: _*)), "text", "doc_id",
+        threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
+
+  test("stratified sample: deterministic, per-stratum rates, 0/1 extremes exact") {
+    import graft.text.Packing
+    val rows = (0 until 400).map(i => (i.toLong, s"s${i % 4}"))
+      .toDF("id", "stratum")
+    val fr = Seq("s0" -> 1.0, "s1" -> 0.0, "s2" -> 0.5)
+    def run() = Packing.stratifiedSample(rows, "id", "stratum", fr,
+      defaultFraction = 0.25).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = run(); val b = run()
+    assert(a == b, "sampling must be deterministic")
+    val byStratum = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byStratum.getOrElse("s0", 0) == 100, "fraction 1.0 keeps every row")
+    assert(!byStratum.contains("s1"), "fraction 0.0 drops the stratum")
+    val s2 = byStratum.getOrElse("s2", 0); val s3 = byStratum.getOrElse("s3", 0)
+    assert(s2 > 25 && s2 < 75, s"s2 rate ~0.5, got $s2/100")
+    assert(s3 > 5 && s3 < 50, s"default rate ~0.25, got $s3/100")
+  }
+
   test("duplicate clusters: min-label propagation finds components") {
     import graft.dedup.Dedup
     // chain 1-2-3-4 (diameter forces >1 iteration), pair 10-11,
