@@ -80,13 +80,35 @@ object Dedup {
     * hash `(2b+1)*H + 7919b + 13 mod 1e9+7` (integer arithmetic both
     * engines reproduce exactly; an md5-per-band variant costs 8x the
     * hashing). */
-  private[dedup] def minhashRows(df: DataFrame, textCol: String, idCol: String,
-      k: Int, bands: Int): DataFrame =
+  /** Both md5-prefix reductions of each shingle occurrence in one
+    * projection — `hv` (28-bit, minhash base) and `sh60` (60-bit,
+    * Jaccard set key) come from ONE md5 per occurrence, so a pipeline
+    * needing both ([[removeNearDuplicates]]) scans, normalizes,
+    * shingles and hashes the corpus once. */
+  private def hashedShingles(
+      df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
     explodedShingles(df, textCol, idCol, k)
-      .withColumn("hv", conv(substring(md5(col("sh").cast("binary")), 1, 7), 16, 10).cast("long"))
-      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("hv"))
+      .withColumn("_h", md5(col("sh").cast("binary")))
+      .select(col("id"),
+        conv(substring(col("_h"), 1, 7), 16, 10).cast("long").as("hv"),
+        conv(substring(col("_h"), 1, 15), 16, 10).cast("long").as("sh60"))
+
+  private def minhashOfHashes(hs: DataFrame, bands: Int): DataFrame =
+    hs.select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("hv"))
       .groupBy(col("id"), col("band"))
       .agg(min(((col("band") * 2 + 1) * col("hv") + col("band") * 7919 + 13) % 1000000007L).as("h"))
+
+  private[dedup] def minhashRows(df: DataFrame, textCol: String, idCol: String,
+      k: Int, bands: Int): DataFrame =
+    minhashOfHashes(hashedShingles(df, textCol, idCol, k), bands)
+
+  private def candidatePairsOf(sig: DataFrame): DataFrame = {
+    val a = sig.as("a"); val b = sig.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+      col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
 
   /** LSH candidate pairs: documents sharing any minhash band value
     * (banding with r=1 rows/band). Output distinct (id1 < id2).
@@ -94,14 +116,8 @@ object Dedup {
     * all-pairs comparison ever materializes. */
   def lshCandidatePairs(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, bands: Int = 8): DataFrame = {
-    val sig = minhashRows(df, textCol, idCol, k, bands)
-    val a = sig.as("a"); val b = sig.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-      col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
-  }
+      k: Int = 3, bands: Int = 8): DataFrame =
+    candidatePairsOf(minhashRows(df, textCol, idCol, k, bands))
 
   /** n-gram Jaccard similarity for candidate pairs:
     * |A∩B| / |A∪B| over distinct k-shingles. Pure joins + aggregates —
@@ -112,11 +128,11 @@ object Dedup {
     * are negligible and the set algebra is unchanged). */
   def ngramJaccard(
       df: DataFrame, pairs: DataFrame, textCol: String, idCol: String,
-      k: Int = 3): DataFrame = {
-    val sh = explodedShingles(df, textCol, idCol, k)
-      .select(col("id"),
-        conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10).cast("long").as("sh"))
-      .distinct()
+      k: Int = 3): DataFrame =
+    jaccardOfHashes(hashedShingles(df, textCol, idCol, k), pairs)
+
+  private def jaccardOfHashes(hs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sh = hs.select(col("id"), col("sh60").as("sh")).distinct()
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.as("s1"), col("id1") === col("s1.id"))
@@ -148,8 +164,16 @@ object Dedup {
       k: Int = 3, bands: Int = 8, threshold: Double = 0.7): DataFrame = {
     require(threshold >= 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in [0, 1], got $threshold")
-    val cand = lshCandidatePairs(df, textCol, idCol, k, bands)
-    val dup = ngramJaccard(df, cand, textCol, idCol, k)
+    // ONE corpus scan: the hashed-shingle frame (both md5 prefixes
+    // from one md5 per occurrence) is RDD-materialized once, so the
+    // minhash and Jaccard branches read cached partitions instead of
+    // re-scanning + re-normalizing + re-hashing the corpus. An
+    // exchange barrier here coalesces to a handful of tasks at gate
+    // scale and makes every consumer pay a shuffle re-read; the RDD
+    // cache keeps the scan's width and block-local reads.
+    val hs = graft.core.Materialize(hashedShingles(df, textCol, idCol, k))
+    val cand = candidatePairsOf(minhashOfHashes(hs, bands))
+    val dup = jaccardOfHashes(hs, cand)
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"))
     val drop = duplicateClusters(dup)
