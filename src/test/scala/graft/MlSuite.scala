@@ -180,6 +180,50 @@ class MlSuite extends SparkSpec {
     val syn = java.nio.ByteBuffer.allocate(16)
       .putInt(640).putInt(480).putLong(5000L).array()
     assert(JdkCodec.mp4Meta(syn).isEmpty)
+    // VERSION-1 boxes (64-bit times) and a 64-bit-largesize sibling:
+    // hand-built per the public layout, since encodeMp4 emits v0
+    locally {
+      val bb = java.nio.ByteBuffer.allocate(4096)
+      def box(t: String)(body: java.nio.ByteBuffer => Unit): Array[Byte] = {
+        val b = java.nio.ByteBuffer.allocate(2048)
+        body(b); b.flip()
+        val payload = new Array[Byte](b.remaining()); b.get(payload)
+        java.nio.ByteBuffer.allocate(8 + payload.length)
+          .putInt(8 + payload.length).put(t.getBytes("US-ASCII")).put(payload)
+          .array()
+      }
+      val mvhd1 = box("mvhd") { b =>
+        b.putInt(0x01000000)            // version 1
+        b.putLong(0L).putLong(0L)       // creation/modification (64-bit)
+        b.putInt(90000)                 // timescale 90 kHz
+        b.putLong(90000L * 7)           // duration = 7 s (64-bit)
+        b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        b.putLong(0L)
+        for (v <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)) b.putInt(v)
+        for (_ <- 0 until 6) b.putInt(0)
+        b.putInt(2)
+      }
+      val tkhd1 = box("tkhd") { b =>
+        b.putInt(0x01000007)            // version 1 + flags
+        b.putLong(0L).putLong(0L)       // creation/modification (64-bit)
+        b.putInt(1).putInt(0)           // track_ID + reserved
+        b.putLong(90000L * 7)           // duration (64-bit)
+        b.putLong(0L).putInt(0).putInt(0)
+        for (v <- Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)) b.putInt(v)
+        b.putInt(320 << 16).putInt(240 << 16)
+      }
+      val trak = box("trak")(_.put(tkhd1))
+      val moov = box("moov") { b => b.put(mvhd1).put(trak) }
+      // ftyp, then an mdat using the size==1 + 64-bit largesize form
+      bb.put(box("ftyp")(b => { b.put("isom".getBytes); b.putInt(0); b.put("isom".getBytes) }))
+      val mdatBody = Array.fill(24)(0x5a.toByte)
+      bb.putInt(1).put("mdat".getBytes("US-ASCII")).putLong(16L + mdatBody.length)
+        .put(mdatBody)
+      bb.put(moov); bb.flip()
+      val mp4v1 = new Array[Byte](bb.remaining()); bb.get(mp4v1)
+      assert(JdkCodec.mp4Meta(mp4v1) == Some((320, 240, 7000L)),
+        s"v1 + largesize walk failed: ${JdkCodec.mp4Meta(mp4v1)}")
+    }
     // through the distributed pipeline: real payloads, real headers
     val assets = Seq(
       (1L, "image", JdkCodec.encodePng(123, 45)),
