@@ -73,6 +73,32 @@ class SaltDecisionSuite extends SparkSpec {
     }
   }
 
+  test("stat-less (RDD-backed) hot probe still salts: sentinel skips the ratio cap") {
+    withFloor(100) {
+      // localCheckpoint replaces the plan with a LogicalRDD whose
+      // leaves report spark.sql.defaultSizeInBytes — the tier-1
+      // bytes ratio would read 1 and silently pin S=1 (VERDICT r17
+      // #3); the sentinel check must fall through to the sample
+      val rddProbe = hotBig.localCheckpoint()
+      val s = PartitionedJoin.decideSalt(evenSmall, rddProbe, "contig")
+      assert(s > 1, s"stat-less hot-contig probe must still salt, got $s")
+      assert(s <= 8)
+      // and a stat-less NO-SKEW probe still decides S=1 from the
+      // sample itself — the sentinel only skips the free gate
+      val rddEven = evenBig.localCheckpoint()
+      assert(PartitionedJoin.decideSalt(evenSmall, rddEven, "contig") == 1)
+    }
+  }
+
+  test("non-string contig keys sample through the cast (no ClassCastException)") {
+    withFloor(100) {
+      val hotInt = hotBig.withColumn("contig",
+        when(col("contig") === "hot", 999).otherwise(substring(col("contig"), 2, 2).cast("int")))
+      val s = PartitionedJoin.decideSalt(evenSmall, hotInt, "contig")
+      assert(s > 1, s"int-keyed hot contig must salt, got $s")
+    }
+  }
+
   test("explicit saltFactor conf still overrides auto") {
     spark.conf.set("spark.bio.partitioned.saltFactor", "3")
     try {
