@@ -88,6 +88,56 @@ object MlQueries {
       sq.awaitTermination()
       s.table(name).select(col("id1"), col("id2")).distinct()
     }),
+    // WATERMARKED streaming LSH (VERDICT r17 #6): the bounded-state
+    // 24/7 variant, driven as three event-timed micro-batches (doc_id
+    // tertiles, event time = doc_id seconds) with a shingle-less
+    // "tick" batch after each — the tick carries the already-reached
+    // max event time through the watermark node but feeds no bucket,
+    // so a batch deterministically EXECUTES with the advanced
+    // watermark while every bucket is dataless and expiry fires
+    // (otherwise expiry rides Spark's auto-inserted empty batch,
+    // which races addData). A bucket whose lease (max event time
+    // seen + delay) the watermark passed drops its members; the
+    // DuckDB oracle replays exactly that per-bucket algebra.
+    "s12_stream_lsh_wm" -> ((s, d) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      // the corpus is driver-fed by construction here (a MemoryStream
+      // is the only deterministic multi-batch source); BuildGuard caps
+      // it like the streaming interval gates' static sides
+      val docsDf = Tables.load(s, d, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+      graft.ranges.BuildGuard.requireFits(docsDf, "s12_stream_lsh_wm",
+        "the watermarked-LSH gate feeds a MemoryStream from the driver")
+      val rows = docsDf.collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val n = rows.map(_._1).max + 1
+      val (s1, s2, dly) = (n / 3, 2 * n / 3, n / 12)
+      val epoch = 1700000000L
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Long)]
+      val src = input.toDF().toDF("doc_id", "text", "_evs")
+        .withColumn("ev", timestamp_seconds(col("_evs")))
+      val pairs = graft.streaming.StreamLsh.candidatePairsWithinWatermark(
+        src, "text", "doc_id", "ev", s"$dly seconds")
+      val name = "s12lshwm_sink"
+      s.catalog.dropTempView(name)
+      val sq = pairs.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        val batches = Seq(
+          rows.filter(_._1 < s1), rows.filter(r => r._1 >= s1 && r._1 < s2),
+          rows.filter(_._1 >= s2))
+        for (b <- batches) {
+          input.addData(b.map { case (id, t) => (id, t, epoch + id) }.toSeq)
+          sq.processAllAvailable()
+          // tick: same max event time, zero shingles (< k words)
+          input.addData((-1L, "", epoch + b.map(_._1).max))
+          sq.processAllAvailable()
+        }
+      } finally sq.stop()
+      s.table(name).select(col("id1"), col("id2")).distinct()
+    }),
     // deterministic training-batch assembly: contiguous greedy
     // packing into 256-token bins, and a stable md5 train/val/test
     // split (no RNG - rebuildable shards)
@@ -378,6 +428,38 @@ object MlQueries {
     // the stream must reproduce the batch LSH pair set exactly
     "s11_stream_lsh" ->
       s"WITH $shinglesCte SELECT id1, id2 FROM pairs ORDER BY id1, id2",
+    // the watermarked stream's per-bucket expiry algebra, replayed:
+    // batches are doc_id tertiles with event time = doc_id seconds
+    // and delay D = n/12; a bucket's lease after a batch is
+    // (max id seen) + D, the watermark entering the next data batch
+    // is (previous tertile max) - D, and a deterministic dataless
+    // batch between tertiles fires expiry — so a bucket's earlier
+    // members pair forward iff lease >= watermark at every boundary
+    // crossed (ids are batch-ordered, so the running max a surviving
+    // bucket carries is just its newest member)
+    "s12_stream_lsh_wm" ->
+      s"""WITH $shinglesCte,
+         |prm AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+         |mem AS (SELECT m.doc_id, m.b, m.h,
+         |  CASE WHEN m.doc_id < p.n // 3 THEN 0
+         |       WHEN m.doc_id < 2 * p.n // 3 THEN 1 ELSE 2 END AS bt
+         |  FROM mh m, prm p),
+         |g AS (SELECT b, h,
+         |  MAX(CASE WHEN bt = 0 THEN doc_id END) AS mx0,
+         |  MAX(CASE WHEN bt = 1 THEN doc_id END) AS mx1
+         |  FROM mem GROUP BY b, h),
+         |pr AS (SELECT m1.doc_id AS id1, m2.doc_id AS id2,
+         |  m1.bt AS bt1, m2.bt AS bt2, g.mx0, g.mx1, p.n
+         |  FROM mem m1
+         |  JOIN mem m2 ON m1.b = m2.b AND m1.h = m2.h AND m1.doc_id < m2.doc_id
+         |  JOIN g ON g.b = m1.b AND g.h = m1.h, prm p)
+         |SELECT DISTINCT id1, id2 FROM pr
+         |WHERE bt2 = bt1
+         |   OR (bt2 = 1 AND bt1 = 0 AND mx0 + 2 * (n // 12) >= n // 3 - 1)
+         |   OR (bt2 = 2 AND bt1 = 1 AND mx1 + 2 * (n // 12) >= 2 * n // 3 - 1)
+         |   OR (bt2 = 2 AND bt1 = 0 AND mx0 + 2 * (n // 12) >= n // 3 - 1
+         |       AND COALESCE(mx1, mx0) + 2 * (n // 12) >= 2 * n // 3 - 1)
+         |ORDER BY id1, id2""".stripMargin.replace("\n", " "),
     "d_jaccard" ->
       s"""WITH $shinglesCte,
          |shd AS (SELECT DISTINCT doc_id,

@@ -143,26 +143,30 @@ object StreamLsh {
     bandSignaturesCarrying(prepared, textCol, idCol, k, bands, Seq(col("_ts")))
       .as[(Long, Int, Long, java.sql.Timestamp)]
       .groupByKey { case (_, band, h, _) => (band, h) }
-      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+      .flatMapGroupsWithState[(Long, Array[Long]), (Long, Long)](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (_: (Int, Long), rows: Iterator[(Long, Int, Long, java.sql.Timestamp)],
-         state: GroupState[Array[Long]]) =>
+         state: GroupState[(Long, Array[Long])]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            val seen = state.getOption.getOrElse(Array.empty[Long])
-            var maxTs = Long.MinValue
+            val (prevMax, seen) =
+              state.getOption.getOrElse((Long.MinValue, Array.empty[Long]))
+            var maxTs = prevMax
             val ids = rows.map { r =>
               val t = r._4.getTime
               if (t > maxTs) maxTs = t
               r._1
             }
             val (fresh, out) = pairAgainst(seen, ids)
-            if (fresh.nonEmpty) state.update(seen ++ fresh)
-            // refresh the bucket's lease from this batch's max event
-            // time (never below the current watermark, which Spark
-            // rejects as an already-passed timeout)
+            // the lease is MONOTONIC (ADVICE r17): state carries the
+            // bucket's running max event time, so a later in-window
+            // batch holding only OLDER timestamps cannot lower a
+            // timeout already promised as "max event time seen +
+            // delay" (and never below the current watermark, which
+            // Spark rejects as an already-passed timeout)
+            state.update((maxTs, seen ++ fresh))
             val wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(math.max(maxTs, wm + 1), delay)
             out.iterator

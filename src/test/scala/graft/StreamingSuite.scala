@@ -237,4 +237,44 @@ class StreamingSuite extends SparkSpec {
         s"expired bucket must not pair across the watermark: $got")
     } finally q.stop()
   }
+
+  test("streaming LSH watermarked: bucket lease refreshes monotonically") {
+    // ADVICE r17: a later in-window batch holding only OLDER event
+    // times must not LOWER the bucket's lease. doc1 (t=100) promises
+    // lease 160 under a 60-minute delay; doc2 (t=50, still in window)
+    // would rewrite it to 110 if the refresh read only the current
+    // batch's max. The watermark then moves to 140 — past the buggy
+    // lease, short of the monotonic one — and doc3 must still pair
+    // with BOTH early members.
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val near = "the quick brown fox jumps over the lazy dog tonight"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val pairs = graft.streaming.StreamLsh.candidatePairsWithinWatermark(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id",
+      "ts", "60 minutes")
+    val q = pairs.writeStream.format("memory").queryName("lshm")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, near, ts(100)))
+      q.processAllAvailable()
+      // older-but-in-window arrival (watermark is 40 here)
+      input.addData((2L, near, ts(50)))
+      q.processAllAvailable()
+      // unrelated docs push the watermark to 140, then give expiry a
+      // dataless batch to fire in (the bucket must NOT expire: its
+      // monotonic lease is 100 + 60 = 160)
+      input.addData((8L, "completely unrelated text about catalyst", ts(200)))
+      q.processAllAvailable()
+      input.addData((9L, "another unrelated doc mentioning parquet", ts(201)))
+      q.processAllAvailable()
+      input.addData((3L, near, ts(150)))
+      q.processAllAvailable()
+      val got = spark.table("lshm").select("id1", "id2").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 2L)), s"in-window pair missing: $got")
+      assert(got.contains((1L, 3L)) && got.contains((2L, 3L)),
+        s"monotonic lease must keep early members alive at t=150: $got")
+    } finally q.stop()
+  }
 }
