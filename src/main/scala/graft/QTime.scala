@@ -43,7 +43,19 @@ object QTime {
     for (pass <- 1 to passes; q <- qs) {
       lock.synchronized { stages = 0; tasks = 0; taskMs = 0 }
       val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      if (sys.env.contains("QTIME_PLAN")) {
+        // driver-phase split: frame construction (library code +
+        // analysis) / physical planning / execution
+        val df = SparkEntry.queries(q)(spark, dir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val t2 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t3 = System.nanoTime()
+        println(f"$q pass$pass build=${(t1 - t0) / 1e9}%.3f plan=${(t2 - t1) / 1e9}%.3f exec=${(t3 - t2) / 1e9}%.3f")
+      } else {
+        SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      }
       val s = (System.nanoTime() - t0) / 1e9
       Thread.sleep(80) // let stage-completed events drain
       val (st, tk, tm) = lock.synchronized((stages, tasks, taskMs))

