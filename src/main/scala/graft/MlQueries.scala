@@ -178,6 +178,15 @@ object MlQueries {
     "d_near_dedup_filter" -> ((s, d) =>
       Dedup.removeNearDuplicates(docs(s, d), "text", "doc_id", threshold = 0.5)
         .select(col("doc_id")).orderBy("doc_id")),
+    // the SimHash sibling of the removal pipeline: 64-bit banded
+    // Hamming edges -> connected components -> min-id survivors
+    "d_near_dedup_simhash" -> ((s, d) =>
+      Dedup.removeNearDuplicatesSimhash(docs(s, d), "text", "doc_id")
+        .select(col("doc_id")).orderBy("doc_id")),
+    // tokenizer-corpus statistics: top-50 word trigrams by count,
+    // lexicographic tie-break (engine-independent cut at rank k)
+    "t_top_ngrams" -> ((s, d) =>
+      graft.text.TextFunctions.topNgrams(docs(s, d), "text", n = 3, k = 50)),
     // deterministic training-mix sampling: per-SOURCE keep rates with
     // an md5 uniform salted by the stratum (independent of hashSplit)
     "t_stratified_sample" -> ((s, d) =>
@@ -525,6 +534,30 @@ object MlQueries {
          |FROM bd a JOIN bd bb ON a.b = bb.b AND a.ck = bb.ck AND a.id < bb.id
          |WHERE bit_count(xor(a.simhash, bb.simhash)) <= 3
          |ORDER BY id1, id2""".stripMargin.replace("\n", " "),
+    "d_near_dedup_simhash" ->
+      s"""WITH RECURSIVE $simhash64Cte,
+         |bd AS (SELECT id, simhash, b, (simhash >> (CAST(b AS INT) * 16)) & 65535 AS ck
+         |  FROM sg64, UNNEST(generate_series(0, 3)) AS t(b)),
+         |sp AS (SELECT DISTINCT a.id AS id1, bb.id AS id2
+         |  FROM bd a JOIN bd bb ON a.b = bb.b AND a.ck = bb.ck AND a.id < bb.id
+         |  WHERE bit_count(xor(a.simhash, bb.simhash)) <= 3),
+         |e AS (SELECT id1 AS a, id2 AS b FROM sp UNION ALL SELECT id2, id1 FROM sp),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |cc AS (SELECT id, id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.a, cc.lbl FROM cc JOIN e ON cc.id = e.b),
+         |drp AS (SELECT id FROM (SELECT id, MIN(lbl) AS cl FROM cc GROUP BY id)
+         |  WHERE id <> cl)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM drp) ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "),
+    "t_top_ngrams" ->
+      s"""WITH w AS (SELECT string_split($norm, ' ') AS words FROM documents),
+         |ng AS (SELECT array_to_string(words[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS ngram
+         |  FROM w, UNNEST(generate_series(1, len(words)-2)) AS t(i) WHERE len(words) >= 3)
+         |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM ng WHERE ngram <> ''
+         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50"""
+        .stripMargin.replace("\n", " "),
     "ann_topk" ->
       s"""WITH $quantCte,
          |dots AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,

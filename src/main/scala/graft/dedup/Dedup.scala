@@ -192,6 +192,28 @@ object Dedup {
     df.join(drop, col(idCol).cast("long") === col("_dropid"), "left_anti")
   }
 
+  /** End-to-end SimHash near-duplicate removal —
+    * [[removeNearDuplicates]]' sibling on the 64-bit signature path:
+    * [[simhash64Pairs]] banded Hamming-neighbor edges →
+    * [[duplicateClusters]] connected components → keep each cluster's
+    * minimum id plus every unclustered document. Star compression
+    * above `identicalCliqueCap` changes only the explicit pair list,
+    * never the components, so the survivor set is cap-invariant. */
+  def removeNearDuplicatesSimhash(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, identicalCliqueCap: Int = 1024): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"removeNearDuplicatesSimhash requires a numeric id column; got " +
+      s"$idCol: ${idType.simpleString} — derive a surrogate long id first")
+    val pairs = simhash64Pairs(df, textCol, idCol, maxHamming, identicalCliqueCap)
+      .select(col("id1"), col("id2"))
+    val drop = duplicateClusters(pairs)
+      .where(col("id") =!= col("cluster_id"))
+      .select(col("id").as("_dropid"))
+    df.join(drop, col(idCol).cast("long") === col("_dropid"), "left_anti")
+  }
+
   /** 16-bit SimHash (oracle-checkable size; [[simhash64]] is the
     * production variant): per distinct token, md5 hex digit j's low bit
     * votes ±count for bit j; bit set iff the vote sum is positive. */

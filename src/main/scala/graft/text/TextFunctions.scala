@@ -70,6 +70,29 @@ object TextFunctions {
     * whitespace/case variation — the rolling-hash fingerprint role). */
   def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
 
+  /** Corpus n-gram vocabulary statistics: the top `k` word n-grams of
+    * the normalized corpus by occurrence count, ties broken
+    * lexicographically (a total order, so the cut at rank k is
+    * engine-independent) — the tokenizer-/BPE-training corpus
+    * statistics pass of a data pipeline. Counting is one map-side-
+    * combined aggregate keyed on the n-gram; the final top-k plans as
+    * TakeOrdered (per-partition heads + a k-row driver merge), so no
+    * global sort materializes at corpus scale. The word array binds
+    * to its own projection per the HOF-lambda rule. */
+  def topNgrams(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      n: Int = 2, k: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.core.Parallelism.ensure(df)
+      .select(split(normalized(col(textCol)), " ").as("_w"))
+      .select(explode(graft.dedup.Dedup.shinglesOfWords(col("_w"), n)).as("ngram"))
+      .where(col("ngram") =!= "")
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** Repetition ratio: fraction of whitespace tokens that are repeats
     * of an earlier token, `1 - distinct/total` (0 for empty text) — a
     * standard training-data quality signal (boilerplate, keyword

@@ -29,6 +29,37 @@ class MlSuite extends SparkSpec {
     assert(b == 5) // ab, 3, c, !, d
   }
 
+  test("topNgrams: normalized counts, lexicographic tie-break, k-cut") {
+    val top = TextFunctions.topNgrams(docsDf, "text", n = 2, k = 3).collect()
+    // "the lazy" and "lazy dog" both occur twice (docs 1+2 normalize
+    // identically); ties order lexicographically
+    assert(top.map(_.getString(0)).take(2).sorted.toSeq ==
+      top.map(_.getString(0)).take(2).toSeq)
+    assert(top.forall(_.getLong(1) >= 1))
+    assert(top.length == 3)
+    val all = TextFunctions.topNgrams(docsDf, "text", n = 2, k = 1000)
+    val counts = all.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("lazy dog") == 2L)
+    assert(counts("quick brown") == 2L)
+    assert(!counts.contains("tiny")) // < n words yields nothing
+    // unigram mode degrades to word counts
+    val uni = TextFunctions.topNgrams(docsDf, "text", n = 1, k = 1).head()
+    assert(uni.getString(0) == "the" && uni.getLong(1) == 4L)
+  }
+
+  test("removeNearDuplicatesSimhash: min id survives, strings rejected") {
+    val kept = Dedup.removeNearDuplicatesSimhash(docsDf, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 1 and 2 share a signature (Hamming 0): min id 1 survives
+    assert(kept.contains(1L) && !kept.contains(2L))
+    assert(kept.contains(3L) && kept.contains(4L) && kept.contains(5L))
+    val strIds = docsDf.select(concat(lit("doc"), $"doc_id").as("doc_id"), $"text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.removeNearDuplicatesSimhash(strIds, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("numeric id column"))
+  }
+
   test("repetition ratio: 1 - distinct/total tokens, 0 for empty") {
     def rr(t: String): Double = Seq((1L, t)).toDF("doc_id", "text")
       .select(TextFunctions.repetitionRatio($"text")).head().getDouble(0)
