@@ -122,18 +122,31 @@ object MlQueries {
         src, "text", "doc_id", "ev", s"$dly seconds")
       val name = "s12lshwm_sink"
       s.catalog.dropTempView(name)
-      val sq = pairs.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+      // narrow the stateful width for this micro-batched gate: the
+      // session's 32 shuffle partitions mean 32 state-store instances
+      // per stateful stage PER BATCH — at six ~40k-row micro-batches
+      // that is pure per-task overhead (10.6 s -> ~4 s at width 8);
+      // the conf is captured at stream start and restored after
+      val prevSP = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val sq =
+        try pairs.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevSP)
       try {
         val batches = Seq(
           rows.filter(_._1 < s1), rows.filter(r => r._1 >= s1 && r._1 < s2),
           rows.filter(_._1 >= s2))
-        for (b <- batches) {
+        for ((b, i) <- batches.zipWithIndex) {
           input.addData(b.map { case (id, t) => (id, t, epoch + id) }.toSeq)
           sq.processAllAvailable()
-          // tick: same max event time, zero shingles (< k words)
-          input.addData((-1L, "", epoch + b.map(_._1).max))
-          sq.processAllAvailable()
+          // tick: same max event time, zero shingles (< k words) — a
+          // deterministic dataless batch for expiry to fire in before
+          // the next tertile arrives (pointless after the last one)
+          if (i < batches.size - 1) {
+            input.addData((-1L, "", epoch + b.map(_._1).max))
+            sq.processAllAvailable()
+          }
         }
       } finally sq.stop()
       s.table(name).select(col("id1"), col("id2")).distinct()
