@@ -83,8 +83,15 @@ object MlQueries {
         src, "text", "doc_id", k = 3, bands = 8)
       val name = "s11lsh_sink"
       s.catalog.dropTempView(name)
-      val sq = pairs.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      // narrow the stateful width (same rationale as the watermarked
+      // gate): 32 state-store instances per stage are pure overhead
+      // for one ~40k-row batch
+      val prevSP = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val sq =
+        try pairs.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevSP)
       sq.awaitTermination()
       s.table(name).select(col("id1"), col("id2")).distinct()
     }),
