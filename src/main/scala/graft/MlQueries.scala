@@ -207,6 +207,12 @@ object MlQueries {
     // lexicographic tie-break (engine-independent cut at rank k)
     "t_top_ngrams" -> ((s, d) =>
       graft.text.TextFunctions.topNgrams(docs(s, d), "text", n = 3, k = 50)),
+    // pre-packing context clamp: first 20 whitespace tokens of the
+    // normalized text, cut at a word boundary
+    "t_truncate" -> ((s, d) => docs(s, d).select(col("doc_id"),
+      TextFunctions.truncateTokens(col("text"), 20).as("clipped"),
+      least(TextFunctions.tokenCount(col("text")), lit(20L)).as("n_kept"))
+      .orderBy("doc_id")),
     // deterministic training-mix sampling: per-SOURCE keep rates with
     // an md5 uniform salted by the stratum (independent of hashSplit)
     "t_stratified_sample" -> ((s, d) =>
@@ -571,6 +577,11 @@ object MlQueries {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM drp) ORDER BY doc_id"""
         .stripMargin.replace("\n", " "),
+    "t_truncate" ->
+      s"""SELECT doc_id,
+         |array_to_string((string_split($norm, ' '))[1:20], ' ') AS clipped,
+         |CAST(LEAST(len(regexp_extract_all(text, '\\S+')), 20) AS BIGINT) AS n_kept
+         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "t_top_ngrams" ->
       s"""WITH w AS (SELECT string_split($norm, ' ') AS words FROM documents),
          |ng AS (SELECT array_to_string(words[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS ngram

@@ -70,6 +70,17 @@ object TextFunctions {
     * whitespace/case variation — the rolling-hash fingerprint role). */
   def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
 
+  /** Token-budget truncation: the normalized text cut to its first
+    * `maxTokens` whitespace tokens (the pre-packing length clamp of a
+    * training pipeline — documents above a context budget truncate
+    * at a word boundary, never mid-token). Pure Column expression,
+    * map-only and codegen'd at any corpus size; the split binds once
+    * per row (no HOF re-evaluation). */
+  def truncateTokens(text: Column, maxTokens: Int): Column = {
+    require(maxTokens >= 0, s"maxTokens must be >= 0, got $maxTokens")
+    array_join(slice(split(normalized(text), " "), 1, maxTokens), " ")
+  }
+
   /** Corpus n-gram vocabulary statistics: the top `k` word n-grams of
     * the normalized corpus by occurrence count, ties broken
     * lexicographically (a total order, so the cut at rank k is

@@ -47,6 +47,15 @@ class MlSuite extends SparkSpec {
     assert(uni.getString(0) == "the" && uni.getLong(1) == 4L)
   }
 
+  test("truncateTokens: word-boundary clamp on the normalized text") {
+    def tr(t: String, n: Int): String = Seq((1L, t)).toDF("doc_id", "text")
+      .select(TextFunctions.truncateTokens($"text", n)).head().getString(0)
+    assert(tr("The  quick   Brown fox", 3) == "the quick brown")
+    assert(tr("one two", 5) == "one two")
+    assert(tr("", 4) == "")
+    assert(tr("a b c", 0) == "")
+  }
+
   test("removeNearDuplicatesSimhash: min id survives, strings rejected") {
     val kept = Dedup.removeNearDuplicatesSimhash(docsDf, "text", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSet
