@@ -173,10 +173,23 @@ object AnalyticsQueries {
           unix_micros(col("window_end").cast("timestamp")).as("window_end_us"),
           col("event_type"), col("n"),
           expr("CAST(round(total * 1000) AS BIGINT)").as("total_milli"))
-      val name = "s7win_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val sq = out.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      sq.awaitTermination()
+      // fixed sink name + narrowed stateful width (round 18), same
+      // rationale as the dedup/LSH stream gates: a UUID-named memory
+      // sink retains one full output copy per bench pass for the
+      // session's lifetime, and 32 state-store instances per stateful
+      // stage are pure overhead for a ~100k-row bounded stream. The
+      // conf is held until termination (batch-0 planning reads it on
+      // the stream thread).
+      val name = "s7win_sink"
+      s.catalog.dropTempView(name)
+      val prevSP = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.bio.stream.statePartitions", "8"))
+      try {
+        val sq = out.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSP)
       s.table(name)
     }),
   )

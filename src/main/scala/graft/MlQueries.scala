@@ -65,9 +65,16 @@ object MlQueries {
       // (ADVICE r15)
       val name = "s10dedup_sink"
       s.catalog.dropTempView(name)
-      val sq = out.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      sq.awaitTermination()
+      // same narrowed stateful width as the LSH gates (round 18), held
+      // until termination so batch-0 planning deterministically sees it
+      val prevSP = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.bio.stream.statePartitions", "8"))
+      try {
+        val sq = out.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSP)
       s.table(name)
     }),
     // streaming LSH candidate generation: the same documents arriving
@@ -85,14 +92,21 @@ object MlQueries {
       s.catalog.dropTempView(name)
       // narrow the stateful width (same rationale as the watermarked
       // gate): 32 state-store instances per stage are pure overhead
-      // for one ~40k-row batch
+      // for one ~40k-row batch. The conf is HELD until the stream
+      // terminates (round 18): restoring right after start() raced
+      // batch-0 planning, which reads spark.sql.shuffle.partitions on
+      // the stream thread — the committed r18 run shows the 32-wide
+      // shape (42 tasks here, 328 on the watermarked gate) whenever
+      // the restore won the race. Streams pin the width at batch 0,
+      // so holding it to termination is the only deterministic point.
       val prevSP = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val sq =
-        try pairs.writeStream.format("memory").queryName(name)
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.bio.stream.statePartitions", "8"))
+      try {
+        val sq = pairs.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevSP)
-      sq.awaitTermination()
+        sq.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSP)
       s.table(name).select(col("id1"), col("id2")).distinct()
     }),
     // WATERMARKED streaming LSH (VERDICT r17 #6): the bounded-state
@@ -132,30 +146,43 @@ object MlQueries {
       // narrow the stateful width for this micro-batched gate: the
       // session's 32 shuffle partitions mean 32 state-store instances
       // per stateful stage PER BATCH — at six ~40k-row micro-batches
-      // that is pure per-task overhead (10.6 s -> ~4 s at width 8);
-      // the conf is captured at stream start and restored after
+      // that is pure per-task overhead (the committed r18 run shows
+      // 328 tasks / taskSec 170+ at width 32 vs 103 / ~13 at width 8).
+      // The conf is HELD until the stream stops (round 18): restoring
+      // right after start() raced batch-0 planning on the stream
+      // thread, which is where the width is actually read and pinned.
+      // Auto no-data batches are OFF: the explicit tick batches are
+      // the deterministic expiry points (same watermark algebra — the
+      // auto batch fired the same expiry one batch earlier, emitted
+      // nothing, and cost a full 16-task stateful pass per trigger).
       val prevSP = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val sq =
-        try pairs.writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevSP)
+      val prevND = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.bio.stream.statePartitions", "8"))
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       try {
-        val batches = Seq(
-          rows.filter(_._1 < s1), rows.filter(r => r._1 >= s1 && r._1 < s2),
-          rows.filter(_._1 >= s2))
-        for ((b, i) <- batches.zipWithIndex) {
-          input.addData(b.map { case (id, t) => (id, t, epoch + id) }.toSeq)
-          sq.processAllAvailable()
-          // tick: same max event time, zero shingles (< k words) — a
-          // deterministic dataless batch for expiry to fire in before
-          // the next tertile arrives (pointless after the last one)
-          if (i < batches.size - 1) {
-            input.addData((-1L, "", epoch + b.map(_._1).max))
+        val sq = pairs.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val batches = Seq(
+            rows.filter(_._1 < s1), rows.filter(r => r._1 >= s1 && r._1 < s2),
+            rows.filter(_._1 >= s2))
+          for ((b, i) <- batches.zipWithIndex) {
+            input.addData(b.map { case (id, t) => (id, t, epoch + id) }.toSeq)
             sq.processAllAvailable()
+            // tick: same max event time, zero shingles (< k words) — a
+            // deterministic dataless batch for expiry to fire in before
+            // the next tertile arrives (pointless after the last one)
+            if (i < batches.size - 1) {
+              input.addData((-1L, "", epoch + b.map(_._1).max))
+              sq.processAllAvailable()
+            }
           }
-        }
-      } finally sq.stop()
+        } finally sq.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevSP)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevND)
+      }
       s.table(name).select(col("id1"), col("id2")).distinct()
     }),
     // deterministic training-batch assembly: contiguous greedy
