@@ -505,25 +505,28 @@ object Ranges {
     // it replaces).
     val wAll = Window.orderBy(col(contig), col("_obkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // pass 1: per-bucket max end (in place on the shared exchange's
-    // clustering) -> prefix max = the carry each bucket's hulls are
-    // judged against
-    val carry = hulls.groupBy(col(contig), col("_obkt"))
-      .agg(max(col("_ie")).as("_bmax"))
-      .select(col(contig).as("_cc"), col("_obkt").as("_cb"),
-        max(col("_bmax")).over(wc).as("_carryMax"))
-    // per-hull flags: ONE broadcast join against the per-bucket carry
-    // (round 18 — the flag expression evaluates once and rides to both
-    // consumers; the hull side keeps the exchange's (contig, _obkt)
-    // clustering, so the flag-count aggregate below and the final
-    // within-bucket window both run WITHOUT a new exchange)
-    val f = hulls.join(carryBroadcast(carry, width),
-        col(contig) <=> col("_cc") && col("_obkt") <=> col("_cb"))
-      .withColumn("_flag", newIslandFlag(col("_carryMax"), s, minDist, op))
-    // pass 2: per-bucket flag counts (in place), then both id offsets
-    // on the one-row-per-bucket frame the hull side joins ONCE
-    val off = f.groupBy(col(contig), col("_obkt"))
-      .agg(sum(col("_flag")).as("_bflags"))
+    // ONE per-bucket pass (round 18; was carry + flag-join + counts +
+    // offsets-join = two broadcast joins and two extra hull-frame
+    // stages): a hull's flag depends ONLY on the bucket's carry —
+    // intra-bucket hulls are separated by construction, so the
+    // row-level prefix max never suppresses a flag the carry allows —
+    // which means the per-bucket flag COUNT follows from the bucket's
+    // (null-free, sorted) hull starts and the carry, with no per-hull
+    // pass: when the carry is null every hull flags (count = _n,
+    // covering null-start hulls exactly like the per-hull rule);
+    // otherwise only starts past the boundary flag, and a null start
+    // never does. The aggregate runs in place on the shared exchange's
+    // clustering, both prefix sums ride the same per-bucket window
+    // partitioning, and the hull side pays ONE broadcast join.
+    val bound = saturatingBoundary(col("_carryMax"), minDist)
+    val flagged = (x: Column) => if (op.isStrict) x >= bound else x > bound
+    val perBucket = hulls.groupBy(col(contig), col("_obkt"))
+      .agg(max(col("_ie")).as("_bmax"),
+        count(lit(1)).as("_n"),
+        sort_array(collect_list(s)).as("_bstarts"))
+      .withColumn("_carryMax", max(col("_bmax")).over(wc))
+      .withColumn("_bflags", when(col("_carryMax").isNull, col("_n"))
+        .otherwise(size(filter(col("_bstarts"), flagged)).cast("long")))
       .withColumn("_goff", coalesce(sum(col("_bflags")).over(wc), lit(0L)))
       // the cross-contig offset rides only when the caller numbers
       // globally (cluster); merge/complement skip the extra
@@ -532,13 +535,14 @@ object Ranges {
         if (needCoff)
           coalesce(sum(col("_bflags")).over(wAll), lit(0L)) - col("_goff")
         else lit(0L))
-      .select(col(contig).as("_oc"), col("_obkt").as("_ob"),
-        col("_goff"), col("_coff"))
+      .select(col(contig).as("_cc"), col("_obkt").as("_cb"),
+        col("_carryMax"), col("_goff"), col("_coff"))
     val wb = Window.partitionBy(col(contig), col("_obkt")).orderBy(s, col("_ie"))
-    f.join(carryBroadcast(off, width),
-        col(contig) <=> col("_oc") && col("_obkt") <=> col("_ob"))
+    hulls.join(carryBroadcast(perBucket, width),
+        col(contig) <=> col("_cc") && col("_obkt") <=> col("_cb"))
+      .withColumn("_flag", newIslandFlag(col("_carryMax"), s, minDist, op))
       .withColumn("_gid", sum(col("_flag")).over(wb) + col("_goff"))
-      .drop("_cc", "_cb", "_carryMax", "_flag", "_oc", "_ob", "_goff")
+      .drop("_cc", "_cb", "_carryMax", "_flag", "_goff")
   }
 
   /** F5 `merge`: overlapping/near (within `minDist`) intervals per
