@@ -186,8 +186,8 @@ case class BroadcastIntervalJoinExec(
     * collect+build segments in the annotate e2e timeline). */
   @transient private lazy val buildFuture
       : java.util.concurrent.CompletableFuture[
-        (org.apache.spark.broadcast.Broadcast[Array[InternalRow]],
-         org.apache.spark.broadcast.Broadcast[Map[UTF8String, graft.index.IntervalStabber]])] =
+        org.apache.spark.broadcast.Broadcast[
+          (graft.core.RowBlock, Map[UTF8String, graft.index.IntervalStabber])]] =
     org.apache.spark.sql.GraftExecBridge.async {
       val (buildPlan, _) = if (buildLeft) (left, right) else (right, left)
       val (bStartE, bEndE) = if (buildLeft) (lStart, lEnd) else (rStart, rEnd)
@@ -226,7 +226,12 @@ case class BroadcastIntervalJoinExec(
         case (k, (s, e, p)) =>
           k -> graft.index.IntervalIndexFactory.build(algorithm, s.toArray, e.toArray, p.toArray)
       }.toMap
-      (sparkContext.broadcast(rows), sparkContext.broadcast(indexes))
+      // ONE broadcast of (packed row block, index map) — the packed
+      // block serializes at memcpy speed instead of per-row
+      // Externalizable writes, and the single torrent round halves the
+      // broadcast bookkeeping per build (round 18)
+      sparkContext.broadcast(
+        (graft.core.RowBlock(rows, buildPlan.output.size), indexes))
     }
 
   override protected def doPrepare(): Unit = { buildFuture; () }
@@ -234,7 +239,7 @@ case class BroadcastIntervalJoinExec(
   protected override def doExecute(): RDD[InternalRow] = {
     val (_, probePlan) = if (buildLeft) (left, right) else (right, left)
     val (pStartE, pEndE) = if (buildLeft) (rStart, rEnd) else (lStart, lEnd)
-    val (bcRows, bcIdx) = org.apache.spark.sql.GraftExecBridge.await(buildFuture)
+    val bcBuild = org.apache.spark.sql.GraftExecBridge.await(buildFuture)
     val pc = contigs.map(c => BindReferences.bindReference(
       if (buildLeft) c._2 else c._1, probePlan.output))
     val ps = BindReferences.bindReference(pStartE, probePlan.output)
@@ -290,8 +295,8 @@ case class BroadcastIntervalJoinExec(
       }
       val nullBuild = new GenericInternalRow(buildArity)
       val proj = UnsafeProjection.create(outAttrs.map(_.dataType).toArray)
-      val buildRows = bcRows.value
-      val idxMap = bcIdx.value
+      val buildRows = bcBuild.value._1.rows
+      val idxMap = bcBuild.value._2
       @inline def pair(buildRow: InternalRow, probeRow: InternalRow): JoinedRow =
         if (bLeft) joined(buildRow, probeRow) else joined(probeRow, buildRow)
       it.flatMap { prow =>
