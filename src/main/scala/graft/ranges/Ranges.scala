@@ -134,8 +134,16 @@ object Ranges {
           floor(col(prefix + cols.start).cast("long") / w).cast("long"),
           floor(col(prefix + cols.end).cast("long") / w).cast("long"))))
     }
-    val a = bucketed(left, lcols, "left_")
-    val b = bucketed(right, rcols, "right_")
+    // SHUFFLE_HASH on both sides (round 18, guide-class join choice):
+    // the grid join is a plain equi-join on (contig, bucket) whose
+    // sort order nothing downstream reuses — sort-merge paid two full
+    // sorts of the exploded bucket rows (~15-20 executor-seconds at
+    // sf0.1). With both sides hinted the planner builds the smaller
+    // side's hash table per partition; bucket fan-out bounds the
+    // per-key group, and AQE skew-split still applies to shuffled
+    // hash joins.
+    val a = bucketed(left, lcols, "left_").hint("shuffle_hash")
+    val b = bucketed(right, rcols, "right_").hint("shuffle_hash")
     val ls = col("left_" + lcols.start); val le = col("left_" + lcols.end)
     val rs = col("right_" + rcols.start); val re = col("right_" + rcols.end)
     val range =
@@ -217,7 +225,9 @@ object Ranges {
       .withColumn("_ps", greatest(col("_xs"), col("_pb") * w))
       .withColumn("_pe", least(col("_xe"), (col("_pb") + 1) * w - 1))
     val piece = least(col("_fe"), col("_pe")) - greatest(col("_fs"), col("_ps")) + 1
-    val pairs = runFrags.join(pr,
+    // same SHUFFLE_HASH choice as overlapPartitioned: equi-keys
+    // (contig, bucket), no downstream sort-order consumer
+    val pairs = runFrags.hint("shuffle_hash").join(pr.hint("shuffle_hash"),
         col("_mc") === col("_pc") && col("_b") === col("_pb") &&
         // the run must overlap the ADJUSTED query (reference predicate);
         // piece bounds intersect within the expanded window
