@@ -31,8 +31,13 @@ object QTime {
           stages += 1
           tasks += e.stageInfo.numTasks
           taskMs += e.stageInfo.taskMetrics.executorRunTime
-          if (sys.env.contains("QTIME_STAGES"))
-            println(f"    stage ${e.stageInfo.stageId} tasks=${e.stageInfo.numTasks} runMs=${e.stageInfo.taskMetrics.executorRunTime} rows=${e.stageInfo.taskMetrics.shuffleReadMetrics.recordsRead} ${e.stageInfo.name.take(80)}")
+          if (sys.env.contains("QTIME_STAGES")) {
+            val rdds =
+              if (sys.env.contains("QTIME_RDDS"))
+                " rdds=" + e.stageInfo.rddInfos.map(_.name).mkString("|").take(120)
+              else ""
+            println(f"    stage ${e.stageInfo.stageId} tasks=${e.stageInfo.numTasks} runMs=${e.stageInfo.taskMetrics.executorRunTime} rows=${e.stageInfo.taskMetrics.shuffleReadMetrics.recordsRead} ${e.stageInfo.name.take(80)}$rdds")
+          }
         }
     })
     if (sys.env.contains("QTIME_EXPLAIN"))

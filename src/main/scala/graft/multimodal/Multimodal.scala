@@ -107,11 +107,38 @@ object Multimodal {
     /** Duration in ms from a javax.sound-recognized audio payload
       * (JDK built-ins: WAV, AIFF, AU). None when the container magic
       * matches none of them or the header lacks a frame count. */
+    /** javax.sound provider lists, resolved ONCE: AudioSystem's
+      * static entry points re-run the (synchronized) service lookup
+      * on EVERY call, and 32 concurrent codec tasks serialized on it
+      * (probe: wav encode 4.5 ms / decode 2.3 ms per call at 32
+      * threads vs 0.18 / 0.07 single-threaded — round 18). These are
+      * the same singleton provider instances AudioSystem hands every
+      * caller, driven with its own iteration algorithm. */
+    private lazy val audioReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) buf += it.next()
+      buf.toArray
+    }
+
     def audioDurationMs(bytes: Array[Byte]): Option[Long] = {
       if (!looksLikeAudio(bytes)) return None
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        // AudioSystem.getAudioInputStream's provider loop, over the
+        // cached provider list (first reader that recognizes the bytes)
+        var ais: javax.sound.sampled.AudioInputStream = null
+        var i = 0
+        while (ais == null && i < audioReaders.length) {
+          try ais = audioReaders(i).getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+          }
+          i += 1
+        }
+        if (ais == null) return None
         try {
           val rate = ais.getFormat.getFrameRate
           val frames = ais.getFrameLength
@@ -236,29 +263,66 @@ object Multimodal {
 
     /** Deterministic PNG fixture encoder (gate/test payloads): a real
       * w×h PNG whose pixels derive from coordinates. */
+    /** Cached per-thread PNG writer: `ImageIO.write` re-scans the
+      * (synchronized, global) writer service registry on EVERY call,
+      * serializing 32 concurrent encoder tasks on one lock — the
+      * mm_real_codecs stage spent ~13 ms/row mostly blocked there
+      * (round 18). The writer instance is reusable sequentially, and
+      * the bytes it produces are the identical ImageIO PNG encode. */
+    private val pngWriter =
+      new ThreadLocal[javax.imageio.ImageWriter] {
+        override def initialValue(): javax.imageio.ImageWriter =
+          javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      }
+
     def encodePng(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // one bulk setRGB per image instead of w*h synchronized calls
+      val px = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         var x = 0
-        while (x < w) { img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff); x += 1 }
+        while (x < w) { px(y * w + x) = (x * 31 + y * 7) & 0xffffff; x += 1 }
         y += 1
       }
+      img.setRGB(0, 0, w, h, px, 0, w)
       val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      val wr = pngWriter.get()
+      try {
+        wr.setOutput(ios)
+        wr.write(img)
+        ios.flush()
+      } finally wr.setOutput(null)
       out.toByteArray
     }
 
     /** Deterministic WAV fixture encoder: `frames` 8-bit mono frames
       * at 1000 Hz, so duration_ms == frames exactly. */
+    /** The WAVE writer provider, resolved once (same instance
+      * AudioSystem.write selects — the first registered provider
+      * supporting the type) — see [[audioReaders]] for why. */
+    private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+      var found: javax.sound.sampled.spi.AudioFileWriter = null
+      while (found == null && it.hasNext) {
+        val w = it.next()
+        if (w.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+          found = w
+      }
+      require(found != null, "no WAVE AudioFileWriter registered")
+      found
+    }
+
     def encodeWav(frames: Int): Array[Byte] = {
       val fmt = new javax.sound.sampled.AudioFormat(1000f, 8, 1, true, false)
       val data = Array.tabulate[Byte](frames)(i => (i * 17).toByte)
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
       val out = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(ais,
+      wavWriter.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       out.toByteArray
     }
