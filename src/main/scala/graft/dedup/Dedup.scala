@@ -103,7 +103,10 @@ object Dedup {
     minhashOfHashes(hashedShingles(df, textCol, idCol, k), bands)
 
   private def candidatePairsOf(sig: DataFrame): DataFrame = {
-    val a = sig.as("a"); val b = sig.as("b")
+    // SHUFFLE_HASH (round 18): the bucket self-join has no downstream
+    // sort-order consumer; sort-merge paid two sorts of the signature
+    // rows per call
+    val a = sig.as("a"); val b = sig.hint("shuffle_hash").as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
       col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
@@ -272,8 +275,13 @@ object Dedup {
     val a = banded.repartition(w, col("band"), col("ck"))
       .select(col("id").as("id1"), col("simhash").as("_s1"),
         col("band"), col("ck"))
-    val b = banded.select(col("id").as("id2"), col("simhash").as("_s2"),
-      col("band").as("_band2"), col("ck").as("_ck2"))
+    // SHUFFLE_HASH (round 18): the banded self-join needs no sort
+    // order downstream — sort-merge paid two sorts of the banded rows
+    // per pair query; per-partition hash tables are bounded by the
+    // band/chunk key space
+    val b = banded.hint("shuffle_hash")
+      .select(col("id").as("id2"), col("simhash").as("_s2"),
+        col("band").as("_band2"), col("ck").as("_ck2"))
     a.join(b, col("band") === col("_band2") && col("ck") === col("_ck2") &&
         col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
@@ -386,8 +394,10 @@ object Dedup {
     val a = banded.repartition(w, col("band"), col("ck"))
       .select(col("id").as("id1"), col("simhash").as("_s1"),
         col("band"), col("ck"))
-    val b = banded.select(col("id").as("id2"), col("simhash").as("_s2"),
-      col("band").as("_band2"), col("ck").as("_ck2"))
+    // SHUFFLE_HASH: same rationale as [[simhashPairs]]
+    val b = banded.hint("shuffle_hash")
+      .select(col("id").as("id2"), col("simhash").as("_s2"),
+        col("band").as("_band2"), col("ck").as("_ck2"))
     a.join(b, col("band") === col("_band2") && col("ck") === col("_ck2") &&
         col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
