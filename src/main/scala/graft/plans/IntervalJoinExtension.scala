@@ -222,10 +222,19 @@ case class BroadcastIntervalJoinExec(
         }
         i += 1
       }
-      val indexes: Map[UTF8String, graft.index.IntervalStabber] = groups.map {
-        case (k, (s, e, p)) =>
-          k -> graft.index.IntervalIndexFactory.build(algorithm, s.toArray, e.toArray, p.toArray)
-      }.toMap
+      // per-contig builds run CONCURRENTLY (round 18, the same move as
+      // IntervalJoin.parBuild): each build is an independent sort, and
+      // the serial loop sat on the single-join critical path
+      val indexes: Map[UTF8String, graft.index.IntervalStabber] = {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.DurationInt
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(
+          Future.sequence(groups.map { case (k, (s, e, p)) =>
+            Future(k -> graft.index.IntervalIndexFactory.build(
+              algorithm, s.toArray, e.toArray, p.toArray))
+          }), 10.minutes).toMap
+      }
       // ONE broadcast of (packed row block, index map) — the packed
       // block serializes at memcpy speed instead of per-row
       // Externalizable writes, and the single torrent round halves the
