@@ -470,7 +470,19 @@ object Dedup {
     // hop previously re-shuffled all 2|E| edge rows (at cluster scale
     // the dominant per-round cost; at gate scale seven 64-task
     // zero-row stages per pass).
-    val w = pairs.sparkSession.sparkContext.defaultParallelism
+    //
+    // Scale-adaptive loop width (round 18): the explicit repartition
+    // pins EVERY hop join of the loop to this width, so a full-width
+    // loop over a few hundred edges schedules 32 near-empty tasks per
+    // hop stage — pure scheduler latency (d_dup_clusters: 561 tasks,
+    // taskSec ~0.2 of a 1.2 s wall). Derive the width from the edge
+    // count instead: ~64k 16-byte edge rows per partition stays far
+    // below spill territory, and any cluster-scale edge list saturates
+    // the session's full parallelism. The count job is free — the
+    // materialization above already computed and cached the blocks.
+    val w = math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism.toLong,
+      p0Rdd.count() / 65536L + 1L).toInt
     val edges = sym
       .unionByName(sym.select(col("a")).distinct()
         .select(col("a"), col("a").as("b")))
