@@ -92,8 +92,6 @@ object MlQueries {
         .option("pathGlobFilter", "documents.parquet").parquet(d)
       val pairs = graft.streaming.StreamLsh.candidatePairs(
         src, "text", "doc_id", k = 3, bands = 8)
-      val name = "s11lsh_sink"
-      s.catalog.dropTempView(name)
       // narrow the stateful width (same rationale as the watermarked
       // gate): 32 state-store instances per stage are pure overhead
       // for one ~40k-row batch. The conf is HELD until the stream
@@ -103,6 +101,8 @@ object MlQueries {
       // shape (42 tasks here, 328 on the watermarked gate) whenever
       // the restore won the race. Streams pin the width at batch 0,
       // so holding it to termination is the only deterministic point.
+      val name = "s11lsh_sink"
+      s.catalog.dropTempView(name)
       val prevSP = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.bio.stream.statePartitions", "8"))
@@ -145,8 +145,6 @@ object MlQueries {
         .withColumn("ev", timestamp_seconds(col("_evs")))
       val pairs = graft.streaming.StreamLsh.candidatePairsWithinWatermark(
         src, "text", "doc_id", "ev", s"$dly seconds")
-      val name = "s12lshwm_sink"
-      s.catalog.dropTempView(name)
       // narrow the stateful width for this micro-batched gate: the
       // session's 32 shuffle partitions mean 32 state-store instances
       // per stateful stage PER BATCH — at six ~40k-row micro-batches
@@ -164,6 +162,8 @@ object MlQueries {
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.bio.stream.statePartitions", "8"))
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val name = "s12lshwm_sink"
+      s.catalog.dropTempView(name)
       try {
         val sq = pairs.writeStream.format("memory").queryName(name)
           .outputMode("append").start()

@@ -340,11 +340,9 @@ object VepSpliceQueries {
           vcfStream, Tables.transcripts(s, d),
           graft.core.IntervalCols("chrom", "start", "end"))
         .select(col("id"), col("transcript_id"), col("relation"), col("distance"))
-      val name = "s9tx_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      out.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
-      s.table(name)
+      // foreachBatch sink (round 18): batch outputs stay distributed
+      // instead of a driver-collected memory-sink copy per pass
+      graft.streaming.StreamSink.runAvailableNow(out)
     }),
   )
 

@@ -32,11 +32,25 @@ object IntervalStreams {
     graft.ranges.BuildGuard.requireFits(intervals, "IntervalStreams",
       "pre-filter the static interval side or raise the limit " +
         "(the streaming probe has no partitioned path)")
+    // executeCollect keeps the build rows as InternalRows: the
+    // Dataset.collect() external-Row decode (one GenericRow + boxed
+    // Long pair + String per interval) was ~half the static-index
+    // phase of the s8 gate (round 18, StreamProbe: idx 0.7 s warm of
+    // a 1.8 s wall). Only the contig key materializes as a String.
     val rows = intervals.select(
-      col(cols.contig), col(cols.start).cast("long"), col(cols.end).cast("long")).collect()
-    rows.groupBy(_.getString(0)).map { case (k, rs) =>
-      k -> (rs.map(_.getLong(1)), rs.map(_.getLong(2)))
+      col(cols.contig).cast("string"), col(cols.start).cast("long"),
+      col(cols.end).cast("long")).queryExecution.executedPlan.executeCollect()
+    val groups = scala.collection.mutable.HashMap
+      .empty[String, (scala.collection.mutable.ArrayBuffer[Long],
+                      scala.collection.mutable.ArrayBuffer[Long])]
+    rows.foreach { r =>
+      val k = if (r.isNullAt(0)) null else r.getUTF8String(0).toString
+      val g = groups.getOrElseUpdate(k, (scala.collection.mutable.ArrayBuffer.empty[Long],
+        scala.collection.mutable.ArrayBuffer.empty[Long]))
+      g._1 += (if (r.isNullAt(1)) 0L else r.getLong(1))
+      g._2 += (if (r.isNullAt(2)) 0L else r.getLong(2))
     }
+    groups.map { case (k, (s, e)) => k -> (s.toArray, e.toArray) }.toMap
   }
 
   /** Annotate each streaming row with the number of static intervals
@@ -87,17 +101,22 @@ object IntervalStreams {
     graft.ranges.BuildGuard.requireFits(transcripts, "IntervalStreams",
       "pre-filter the static transcript side or raise the limit " +
         "(the streaming probe has no partitioned path)")
-    val rows = transcripts.select(col("chrom"),
+    // InternalRow collect — same rationale as [[collectIndex]]
+    val rows = transcripts.select(col("chrom").cast("string"),
       col("start").cast("long"), col("end").cast("long"),
-      col("transcript_id"), col("strand").cast("int")).collect()
-    val idx = rows.groupBy(_.getString(0)).map { case (k, rs) =>
+      col("transcript_id").cast("string"), col("strand").cast("int"))
+      .queryExecution.executedPlan.executeCollect()
+    val grouped = rows.toSeq.groupBy(r =>
+      if (r.isNullAt(0)) null else r.getUTF8String(0).toString)
+    val idx = grouped.map { case (k, rs) =>
       // widen each interval by the reach so one stabbing query finds
       // overlap + up/downstream candidates; payload keeps true bounds
-      val payload = rs.map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getInt(4)))
+      val payload = rs.toArray.map(r => (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getUTF8String(3).toString, r.getInt(4)))
       k -> (ContigIntervalIndex.build(
-        rs.map(_.getLong(1) - upstreamDistance),
-        rs.map(_.getLong(2) + upstreamDistance),
-        Array.range(0, rs.length)), payload)
+        payload.map(_._1 - upstreamDistance),
+        payload.map(_._2 + upstreamDistance),
+        Array.range(0, payload.length)), payload)
     }
     val bc = stream.sparkSession.sparkContext.broadcast(idx)
     val probe = udf { (contig: String, qs: Long, qe: Long) =>
