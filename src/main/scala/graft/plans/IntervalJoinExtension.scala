@@ -308,12 +308,17 @@ case class BroadcastIntervalJoinExec(
       val idxMap = bcBuild.value._2
       @inline def pair(buildRow: InternalRow, probeRow: InternalRow): JoinedRow =
         if (bLeft) joined(buildRow, probeRow) else joined(probeRow, buildRow)
+      // per-PARTITION hit buffer (round 18): flatMap exhausts each
+      // row's sub-iterator before pulling the next row, so the buffer
+      // is never aliased across rows — one allocation per task instead
+      // of one per probe row
+      val hits = mutable.ArrayBuffer.empty[Int]
       it.flatMap { prow =>
         val key = pc match {
           case Some(b) => b.eval(prow).asInstanceOf[UTF8String]
           case None => UTF8String.EMPTY_UTF8
         }
-        val hits = mutable.ArrayBuffer.empty[Int]
+        hits.clear()
         val qsv = ps.eval(prow); val qev = pe.eval(prow)
         // null contig / coordinate probes match nothing (SQL null
         // comparison): outer types null-extend, inner/semi drop, anti keeps

@@ -172,7 +172,11 @@ object Ranges {
     val pairs = overlapPartitioned(left, right, lcols, rcols, op, bucketWidth)
     val counts = pairs.groupBy(col("right_" + idCol))
       .agg(count(lit(1)).as("_n"))
-    right.join(counts, right(idCol) === counts("right_" + idCol), "left")
+    // SHUFFLE_HASH on the aggregated side (round 18): the count-restore
+    // left join has no downstream sort-order consumer, so sort-merge
+    // paid two full sorts; the per-id count table is the bounded side
+    right.join(counts.hint("shuffle_hash"),
+        right(idCol) === counts("right_" + idCol), "left")
       .select(right.columns.toSeq.map(col) :+
         coalesce(col("_n"), lit(0L)).as("count"): _*)
   }
@@ -238,7 +242,8 @@ object Ranges {
     val sums = pairs
       .select(col("_rid"), greatest(lit(1L), col("_plen") - 1).as("_contrib"))
       .groupBy(col("_rid")).agg(sum(col("_contrib")).as("_cov"))
-    right.join(sums, right(idCol) === sums("_rid"), "left")
+    // SHUFFLE_HASH: same rationale as the count-restore join above
+    right.join(sums.hint("shuffle_hash"), right(idCol) === sums("_rid"), "left")
       .select(right.columns.toSeq.map(col) :+
         coalesce(col("_cov"), lit(0L)).as("coverage"): _*)
   }
