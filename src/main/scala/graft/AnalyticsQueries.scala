@@ -186,7 +186,7 @@ object AnalyticsQueries {
       s.catalog.dropTempView(name)
       val prevSP = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
-        s.conf.get("spark.bio.stream.statePartitions", "8"))
+        s.conf.get("spark.bio.stream.statePartitions", "4"))
       try {
         val sq = out.writeStream.format("memory").queryName(name)
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()

@@ -73,7 +73,7 @@ object MlQueries {
       // until termination so batch-0 planning deterministically sees it
       val prevSP = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
-        s.conf.get("spark.bio.stream.statePartitions", "8"))
+        s.conf.get("spark.bio.stream.statePartitions", "4"))
       try {
         val sq = out.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -105,7 +105,7 @@ object MlQueries {
       s.catalog.dropTempView(name)
       val prevSP = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
-        s.conf.get("spark.bio.stream.statePartitions", "8"))
+        s.conf.get("spark.bio.stream.statePartitions", "4"))
       try {
         val sq = pairs.writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -160,7 +160,7 @@ object MlQueries {
       val prevSP = s.conf.get("spark.sql.shuffle.partitions")
       val prevND = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
       s.conf.set("spark.sql.shuffle.partitions",
-        s.conf.get("spark.bio.stream.statePartitions", "8"))
+        s.conf.get("spark.bio.stream.statePartitions", "4"))
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val name = "s12lshwm_sink"
       s.catalog.dropTempView(name)
