@@ -156,10 +156,18 @@ object AnalyticsQueries {
     // cannot flip hash bits.
     "s7_stream_windows" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      val schema = Tables.load(s, d, "events").schema
+      // scale-adaptive stateful width on an isolated child session
+      // (round 19, [[graft.streaming.StreamWidth]]): width derives
+      // from the source volume instead of the round-18 static 4, and
+      // the child session replaces the shared-conf save/restore.
+      // Tables.load runs against ns too so session-level source flags
+      // (nanosAsLong) land on the session the stream plans under.
+      val ns = graft.streaming.StreamWidth.scoped(s,
+        graft.streaming.StreamWidth.estimatedBytes(Tables.load(s, d, "events")))
+      val schema = Tables.load(ns, d, "events").schema
       // the file stream source wants a DIRECTORY; the glob filter
       // scopes it to the events table within the shared testdata dir
-      val stream = s.readStream.schema(schema)
+      val stream = ns.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
       // Branch on the physical type exactly like Tables.tsMicros: when
       // the generator wrote TIMESTAMP(NANOS) the legacy flag surfaces
@@ -175,24 +183,13 @@ object AnalyticsQueries {
           unix_micros(col("window_end").cast("timestamp")).as("window_end_us"),
           col("event_type"), col("n"),
           expr("CAST(round(total * 1000) AS BIGINT)").as("total_milli"))
-      // fixed sink name + narrowed stateful width (round 18), same
-      // rationale as the dedup/LSH stream gates: a UUID-named memory
-      // sink retains one full output copy per bench pass for the
-      // session's lifetime, and 32 state-store instances per stateful
-      // stage are pure overhead for a ~100k-row bounded stream. The
-      // conf is held until termination (batch-0 planning reads it on
-      // the stream thread).
+      // fixed sink name (ADVICE r15), registered on the throwaway
+      // child session, which dies with this invocation
       val name = "s7win_sink"
-      s.catalog.dropTempView(name)
-      val prevSP = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions",
-        s.conf.get("spark.bio.stream.statePartitions", "4"))
-      try {
-        val sq = out.writeStream.format("memory").queryName(name)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-        sq.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevSP)
-      s.table(name)
+      val sq = out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      ns.table(name)
     }),
   )
 

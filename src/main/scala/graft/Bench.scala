@@ -688,33 +688,36 @@ object Bench {
       writeRecord("tools/bench/bench_latest.json")
     // 2. the samples record on stdout for whole-stream readers
     println(samplesLine)
-    // 3. FINAL line (round-12 verdict #3): the driver's tail window
-    // holds the LAST ~2000 stdout chars and sbt appends a ~66-char
-    // "[success] Total time" trailer after us, so the record must fit
-    // ~1.9 KB — a full name-keyed 108-query map (~2.4 KB even at one
-    // decimal) CANNOT. The envelope carries every median twice over:
-    // "queries" = all medians as an array in name-sorted order (the
-    // "keys" field names the order; Verify/CORRECTNESS use the same
-    // sort), "named" = the name-keyed map of every median >= 1 s
-    // (capped at 32 — the queries any cross-round comparison is
-    // about), "full" = the immutable file with the complete
-    // name-keyed record.
+    // 3. FINAL line (round-12 verdict #3, reshaped round 19 for the
+    // driver's per-query comparator — VERDICT r18 #3: a name-sorted
+    // bare ARRAY left PERF_r18 with n_common=0, nobody could pair
+    // queries round-over-round from the contract line): "queries" is
+    // now the name→sec OBJECT the original driver contract named.
+    // The tail window still holds only the LAST ~2000 stdout chars
+    // (sbt appends a ~66-char "[success]" trailer), and the full
+    // 126-name map (~3.0 KB — names alone are 1.9 KB) CANNOT fit it,
+    // so the object carries as many entries as fit (~85) chosen by
+    // DESCENDING official seconds — every heavy/regressed query is
+    // present by construction (a regressed query has a large value),
+    // and only the cheapest tail (<~0.3 s each) is elided, with its
+    // count and summed seconds in "queries_omitted"/"omitted_sum" so
+    // the totals reconcile. The complete name-keyed record is in the
+    // immutable "full" file either way.
     val sortedResults = results.sortBy(_._1)
-    val arr = sortedResults.map { case (_, v) => f"$v%.2f" }.mkString("[", ",", "]")
-    // shrink `named` until the line fits the tail window (round-13
-    // ADVICE: asserting AFTER the run would throw away exactly the
-    // record the limit protects — the full map is in the file either
-    // way, and the queries array always carries every median)
-    def compactLine(namedCap: Int): String = {
-      val named = sortedResults.filter(_._2 >= 1.0).sortBy(-_._2).take(namedCap)
-        .sortBy(_._1).map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+    // include by descending value, render name-sorted for readability
+    val byCost = sortedResults.sortBy { case (_, v) => -v }
+    def compactLine(cap: Int): String = {
+      val kept = byCost.take(cap).sortBy(_._1)
+      val omitted = byCost.drop(cap)
+      val omittedSum = omitted.map(_._2).filter(_ > 0).sum
+      val qmap = kept.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"keys":"name-sorted","full":"$outPath","repeats":$repeats,"sf":"$sfDir","best_total":$bestTotal%.2f,"vs_best":${if (bestTotal > 0) total / bestTotal else 1.0}%.2f,"contended":$contendedArr,"vs_best_outlier":$outlierArr,"named":$named,"queries":$arr}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${results.size},"full":"$outPath","repeats":$repeats,"sf":"$sfDir","best_total":$bestTotal%.2f,"vs_best":${if (bestTotal > 0) total / bestTotal else 1.0}%.2f,"contended":$contendedArr,"vs_best_outlier":$outlierArr,"queries_omitted":${omitted.size},"omitted_sum":$omittedSum%.2f,"queries":$qmap}"""
     }
-    val compact = (32 to 0 by -4).iterator.map(compactLine)
+    val compact = (results.size to 0 by -4).iterator.map(compactLine)
       .find(_.length < 1900)
       .getOrElse {
-        System.err.println("[bench] compact line overflows even with named={}")
+        System.err.println("[bench] compact line overflows even with queries={}")
         compactLine(0)
       }
     println(compact)

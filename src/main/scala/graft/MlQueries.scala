@@ -57,29 +57,30 @@ object MlQueries {
     // regardless of which arrival wins
     "s10_stream_dedup" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      val schema = Tables.load(s, d, "documents").schema
-      def src = s.readStream.schema(schema)
+      val batch = Tables.load(s, d, "documents")
+      val schema = batch.schema
+      // scale-adaptive stateful width on an ISOLATED child session
+      // (round 19, [[graft.streaming.StreamWidth]]): derived from the
+      // batch volume (x2 — the gate doubles the stream), overridable
+      // via spark.bio.stream.statePartitions; the child session means
+      // batch-0 planning deterministically sees the width without the
+      // round-18 save/restore on the shared session conf
+      val ns = graft.streaming.StreamWidth.scoped(s,
+        2L * graft.streaming.StreamWidth.estimatedBytes(batch))
+      Tables.load(ns, d, "documents") // source flags onto the stream's session
+      def src = ns.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
       val doubled = src.unionByName(src)
       val out = graft.streaming.StreamDedup.firstOccurrences(doubled, "text")
         .select(col("fp"))
-      // fixed sink name, dropping the previous run's view first: a
-      // fresh UUID-named memory sink per invocation retained a full
-      // fingerprint copy per bench pass for the session's lifetime
-      // (ADVICE r15)
+      // fixed sink name (ADVICE r15: UUID sinks retained one output
+      // copy per bench pass); registered on the throwaway child
+      // session, which dies with this invocation
       val name = "s10dedup_sink"
-      s.catalog.dropTempView(name)
-      // same narrowed stateful width as the LSH gates (round 18), held
-      // until termination so batch-0 planning deterministically sees it
-      val prevSP = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions",
-        s.conf.get("spark.bio.stream.statePartitions", "4"))
-      try {
-        val sq = out.writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        sq.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevSP)
-      s.table(name)
+      val sq = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      ns.table(name)
     }),
     // streaming LSH candidate generation: the same documents arriving
     // as a stream must yield EXACTLY the batch operator's candidate
@@ -87,31 +88,26 @@ object MlQueries {
     // distinct over the sink collapses cross-bucket repeats)
     "s11_stream_lsh" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      val schema = Tables.load(s, d, "documents").schema
-      val src = s.readStream.schema(schema)
+      val batch = Tables.load(s, d, "documents")
+      val schema = batch.schema
+      // scale-adaptive stateful width on an isolated child session
+      // (round 19, [[graft.streaming.StreamWidth]]): 32 state-store
+      // instances per stage were pure overhead for one ~40k-row batch
+      // (round 18); the width is derived from the batch volume now,
+      // and the child session replaces the save/restore race fix —
+      // batch-0 planning reads the width off a conf nobody mutates
+      val ns = graft.streaming.StreamWidth.scoped(s,
+        graft.streaming.StreamWidth.estimatedBytes(batch))
+      Tables.load(ns, d, "documents") // source flags onto the stream's session
+      val src = ns.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
       val pairs = graft.streaming.StreamLsh.candidatePairs(
         src, "text", "doc_id", k = 3, bands = 8)
-      // narrow the stateful width (same rationale as the watermarked
-      // gate): 32 state-store instances per stage are pure overhead
-      // for one ~40k-row batch. The conf is HELD until the stream
-      // terminates (round 18): restoring right after start() raced
-      // batch-0 planning, which reads spark.sql.shuffle.partitions on
-      // the stream thread — the committed r18 run shows the 32-wide
-      // shape (42 tasks here, 328 on the watermarked gate) whenever
-      // the restore won the race. Streams pin the width at batch 0,
-      // so holding it to termination is the only deterministic point.
       val name = "s11lsh_sink"
-      s.catalog.dropTempView(name)
-      val prevSP = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions",
-        s.conf.get("spark.bio.stream.statePartitions", "4"))
-      try {
-        val sq = pairs.writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        sq.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevSP)
-      s.table(name).select(col("id1"), col("id2")).distinct()
+      val sq = pairs.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      ns.table(name).select(col("id1"), col("id2")).distinct()
     }),
     // WATERMARKED streaming LSH (VERDICT r17 #6): the bounded-state
     // 24/7 variant, driven as three event-timed micro-batches (doc_id
@@ -125,8 +121,6 @@ object MlQueries {
     // seen + delay) the watermark passed drops its members; the
     // DuckDB oracle replays exactly that per-bucket algebra.
     "s12_stream_lsh_wm" -> ((s, d) => {
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
       // the corpus is driver-fed by construction here (a MemoryStream
       // is the only deterministic multi-batch source); BuildGuard caps
       // it like the streaming interval gates' static sides
@@ -139,55 +133,51 @@ object MlQueries {
       val n = rows.map(_._1).max + 1
       val (s1, s2, dly) = (n / 3, 2 * n / 3, n / 12)
       val epoch = 1700000000L
+      // scale-adaptive stateful width on an isolated child session
+      // (round 19, [[graft.streaming.StreamWidth]]): 32 state-store
+      // instances per stateful stage PER BATCH were pure overhead at
+      // six ~40k-row micro-batches (the committed r18 run shows 328
+      // tasks / taskSec 170+ at width 32 vs 103 / ~13 at width 8).
+      // Width derives from the driver-fed tertile volume; the child
+      // session replaces the round-18 save/restore (batch-0 planning
+      // reads the width off a conf nobody mutates). Auto no-data
+      // batches are OFF: the explicit tick batches are the
+      // deterministic expiry points (same watermark algebra — the
+      // auto batch fired the same expiry one batch earlier, emitted
+      // nothing, and cost a full stateful pass per trigger;
+      // StreamingSuite pins that a trailing no-data batch emits zero
+      // rows for this gate shape).
+      val estBytes = rows.map(_._2.length + 24L).sum / 3
+      val ns = graft.streaming.StreamWidth.scoped(s, estBytes,
+        noDataMicroBatches = Some(false))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ns.sqlContext
+      import ns.implicits._
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String, Long)]
       val src = input.toDF().toDF("doc_id", "text", "_evs")
         .withColumn("ev", timestamp_seconds(col("_evs")))
       val pairs = graft.streaming.StreamLsh.candidatePairsWithinWatermark(
         src, "text", "doc_id", "ev", s"$dly seconds")
-      // narrow the stateful width for this micro-batched gate: the
-      // session's 32 shuffle partitions mean 32 state-store instances
-      // per stateful stage PER BATCH — at six ~40k-row micro-batches
-      // that is pure per-task overhead (the committed r18 run shows
-      // 328 tasks / taskSec 170+ at width 32 vs 103 / ~13 at width 8).
-      // The conf is HELD until the stream stops (round 18): restoring
-      // right after start() raced batch-0 planning on the stream
-      // thread, which is where the width is actually read and pinned.
-      // Auto no-data batches are OFF: the explicit tick batches are
-      // the deterministic expiry points (same watermark algebra — the
-      // auto batch fired the same expiry one batch earlier, emitted
-      // nothing, and cost a full 16-task stateful pass per trigger).
-      val prevSP = s.conf.get("spark.sql.shuffle.partitions")
-      val prevND = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-      s.conf.set("spark.sql.shuffle.partitions",
-        s.conf.get("spark.bio.stream.statePartitions", "4"))
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val name = "s12lshwm_sink"
-      s.catalog.dropTempView(name)
+      val sq = pairs.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
       try {
-        val sq = pairs.writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try {
-          val batches = Seq(
-            rows.filter(_._1 < s1), rows.filter(r => r._1 >= s1 && r._1 < s2),
-            rows.filter(_._1 >= s2))
-          for ((b, i) <- batches.zipWithIndex) {
-            input.addData(b.map { case (id, t) => (id, t, epoch + id) }.toSeq)
+        val batches = Seq(
+          rows.filter(_._1 < s1), rows.filter(r => r._1 >= s1 && r._1 < s2),
+          rows.filter(_._1 >= s2))
+        for ((b, i) <- batches.zipWithIndex) {
+          input.addData(b.map { case (id, t) => (id, t, epoch + id) }.toSeq)
+          sq.processAllAvailable()
+          // tick: same max event time, zero shingles (< k words) — a
+          // deterministic dataless batch for expiry to fire in before
+          // the next tertile arrives (pointless after the last one)
+          if (i < batches.size - 1) {
+            input.addData((-1L, "", epoch + b.map(_._1).max))
             sq.processAllAvailable()
-            // tick: same max event time, zero shingles (< k words) — a
-            // deterministic dataless batch for expiry to fire in before
-            // the next tertile arrives (pointless after the last one)
-            if (i < batches.size - 1) {
-              input.addData((-1L, "", epoch + b.map(_._1).max))
-              sq.processAllAvailable()
-            }
           }
-        } finally sq.stop()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevSP)
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevND)
-      }
-      s.table(name).select(col("id1"), col("id2")).distinct()
+        }
+      } finally sq.stop()
+      ns.table(name).select(col("id1"), col("id2")).distinct()
     }),
     // deterministic training-batch assembly: contiguous greedy
     // packing into 256-token bins, and a stable md5 train/val/test

@@ -294,7 +294,13 @@ object Multimodal {
         wr.setOutput(ios)
         wr.write(img)
         ios.flush()
-      } finally wr.setOutput(null)
+      } finally {
+        // release the stream's cache buffers too (ADVICE r18: the
+        // ThreadLocal writer outlives the task; an unclosed
+        // MemoryCacheImageOutputStream pinned its cache per thread)
+        wr.setOutput(null)
+        ios.close()
+      }
       out.toByteArray
     }
 

@@ -44,11 +44,18 @@ object IntervalStreams {
       .empty[String, (scala.collection.mutable.ArrayBuffer[Long],
                       scala.collection.mutable.ArrayBuffer[Long])]
     rows.foreach { r =>
-      val k = if (r.isNullAt(0)) null else r.getUTF8String(0).toString
-      val g = groups.getOrElseUpdate(k, (scala.collection.mutable.ArrayBuffer.empty[Long],
-        scala.collection.mutable.ArrayBuffer.empty[Long]))
-      g._1 += (if (r.isNullAt(1)) 0L else r.getLong(1))
-      g._2 += (if (r.isNullAt(2)) 0L else r.getLong(2))
+      // a null contig or coordinate matches nothing under the join
+      // semantics this index implements — drop the row whole rather
+      // than inventing a bogus [0, ...] interval (ADVICE r18: the old
+      // isNullAt->0L mapping would corrupt overlap counts undetectably
+      // on a bad fixture; equi/overlap joins never match nulls)
+      if (!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)) {
+        val k = r.getUTF8String(0).toString
+        val g = groups.getOrElseUpdate(k, (scala.collection.mutable.ArrayBuffer.empty[Long],
+          scala.collection.mutable.ArrayBuffer.empty[Long]))
+        g._1 += r.getLong(1)
+        g._2 += r.getLong(2)
+      }
     }
     groups.map { case (k, (s, e)) => k -> (s.toArray, e.toArray) }.toMap
   }

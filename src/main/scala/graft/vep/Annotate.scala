@@ -438,18 +438,11 @@ object Annotate {
     }
     val aggCols = Seq(
       first(col("_sv"), ignoreNulls = true).as("_sv"),
-      count(col("_ev")).as("n_transcripts"),
       // entry order: feature-type rank then lexicographic feature id
       // (NOT the entry string) — a Transcript entry precedes a
       // RegulatoryFeature entry regardless of how their rendered
       // strings compare (collect_list skips the other slots' nulls)
-      array_sort(collect_list(col("_ev"))).as("_evs"),
-      // variant-level severity reads the UNION of entry term sets
-      // (collapse_variant_terms), not min-of-entry-bests — the
-      // cross-feature protein_altering strip can promote a LESS
-      // severe term from another feature to most_severe
-      array_distinct(flatten(collect_list(col("_ev").getField("t2"))))
-        .as("_vterms")) ++
+      array_sort(collect_list(col("_ev"))).as("_evsAll")) ++
       (if (opts.checkExistingOn) Seq(
         // _va is a per-variant constant (derived from the variant's
         // own ref/alt), so an unordered first() is deterministic
@@ -458,6 +451,28 @@ object Annotate {
       else Nil)
     val agg0 = unioned.groupBy(col("id"))
       .agg(aggCols.head, aggCols.tail: _*)
+      // intergenic assignment-emptiness gate, folded out of the former
+      // per-entry Window(id) (round 19): the aggregate collects EVERY
+      // candidate entry (the per-variant intergenic row included), and
+      // the reference's !has_transcript_hit rule — a variant with any
+      // surviving Transcript entry (rank 0) drops its intergenic
+      // candidate (rank 3) — applies to the collected array directly.
+      // filter() preserves the sorted order; rank 3 sorts last, so
+      // the kept prefix is unchanged. This removed one full exchange +
+      // sort + window from the critical path of every annotate gate
+      // (plans/r19/*_before/after: 28->26 Exchange nodes).
+      .withColumn("_evs",
+        when(exists(col("_evsAll"), x => x.getField("r") === 0),
+          filter(col("_evsAll"), x => x.getField("r") =!= 3))
+          .otherwise(col("_evsAll")))
+      .drop("_evsAll")
+      .withColumn("n_transcripts", size(col("_evs")).cast("long"))
+      // variant-level severity reads the UNION of entry term sets
+      // (collapse_variant_terms), not min-of-entry-bests — the
+      // cross-feature protein_altering strip can promote a LESS
+      // severe term from another feature to most_severe
+      .withColumn("_vterms",
+        array_distinct(flatten(transform(col("_evs"), x => x.getField("t2")))))
       .withColumn("_vbest",
         expr(collapsedBestSql(CodonLogic.SparkD, "_vterms", prefixed = true)))
     val rankToName = Vep.soRank.foldLeft(lit("intergenic_variant")) { case (acc, (n, r)) =>
@@ -1985,13 +2000,17 @@ object Annotate {
           .when(col("_ftype") === "MotifFeature", lit(2))
           .otherwise(lit(3)).as("_ftrank"))
       // assignment-emptiness gate for the per-variant intergenic
-      // candidate: drop it when any Transcript entry survived the
-      // term filter (see the intergenic arm comment above)
-      .withColumn("_hastx",
-        max(when(col("_ftrank") === 0, lit(1)).otherwise(lit(0)))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
-      .where(!(col("_ftrank") === 3 && col("_hastx") === 1))
-      .drop("_hastx")
+      // candidate: ROUND 19 — the former max-over-Window(id) + filter
+      // here cost a full id exchange + sort + window + an AQE stage
+      // boundary on the critical path of every annotate-family gate,
+      // purely to drop the intergenic candidate when a Transcript
+      // entry survived. The drop is now applied INSIDE the variant
+      // aggregate ([[variantTail]]): entries aggregate anyway on the
+      // same id key, so the collected entry array carries the same
+      // information the window computed, one shuffle earlier. The
+      // render below therefore runs in the (wide) probe-union stage
+      // instead of a post-exchange stage AQE byte-coalesced to 13 of
+      // 32 cores.
       .select(col("*"), concat_ws("|", fields: _*).as("_entry"))
   }
 }

@@ -277,4 +277,60 @@ class StreamingSuite extends SparkSpec {
         s"monotonic lease must keep early members alive at t=150: $got")
     } finally q.stop()
   }
+
+  test("streaming LSH watermarked: a trailing no-data batch emits zero rows") {
+    // Pins the invariant the s12 gate's noDataMicroBatches=false
+    // optimization depends on (ADVICE r18): candidatePairsWithinWatermark
+    // emits only on data arrival — watermark-driven EXPIRY drops state
+    // but never emits rows, so skipping the auto no-data batch cannot
+    // change the output. If a future change makes expiry itself emit,
+    // this test fails before the oracle does.
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val near = "the quick brown fox jumps over the lazy dog tonight"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val pairs = graft.streaming.StreamLsh.candidatePairsWithinWatermark(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id",
+      "ts", "10 minutes")
+    val q = pairs.writeStream.format("memory").queryName("lshnd")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, near, ts(10)), (2L, near, ts(11)))
+      q.processAllAvailable()
+      val afterData = spark.table("lshnd").count()
+      // push the watermark far past the bucket leases, then give the
+      // engine a dataless batch (the s12 tick shape: < k shingles) —
+      // expiry fires in it, and MUST emit nothing
+      input.addData((3L, "completely unrelated text about catalyst", ts(1000)))
+      q.processAllAvailable()
+      val beforeTick = spark.table("lshnd").count()
+      input.addData((-1L, "", ts(1001)))
+      q.processAllAvailable()
+      val afterTick = spark.table("lshnd").count()
+      assert(afterData > 0, "sanity: the in-window pair must have emitted")
+      assert(afterTick == beforeTick,
+        s"dataless expiry batch emitted rows: $beforeTick -> $afterTick")
+    } finally q.stop()
+  }
+
+  test("stream state width derives from batch volume, conf overrides") {
+    val s = spark
+    val dp = s.sparkContext.defaultParallelism
+    // small gate-scale volume floors at 4 (the r18 bench width)
+    assert(graft.streaming.StreamWidth.derive(s, 600L << 10) == 4)
+    // a cluster-scale batch volume derives width >= defaultParallelism
+    // (the checkpoint pins the width forever — a static small default
+    // would trap a production stream at toy width)
+    assert(graft.streaming.StreamWidth.derive(s, 4L << 30) >= dp)
+    // the cap keeps the derivation bounded
+    assert(graft.streaming.StreamWidth.derive(s, Long.MaxValue) <= 8 * dp)
+    // explicit conf wins outright
+    val ns = s.newSession()
+    ns.conf.set("spark.bio.stream.statePartitions", "7")
+    assert(graft.streaming.StreamWidth.derive(ns, 4L << 30) == 7)
+    // scoped() isolates the width from the parent session's conf
+    val scoped = graft.streaming.StreamWidth.scoped(s, 4L << 30)
+    assert(scoped.conf.get("spark.sql.shuffle.partitions").toInt >= dp)
+    assert(s.conf.get("spark.sql.shuffle.partitions") == "4")
+  }
 }
