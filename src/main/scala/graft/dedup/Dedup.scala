@@ -503,12 +503,17 @@ object Dedup {
     var (labels, labelsRdd) = graft.core.Materialize.handle(
       sym.select(col("a").as("id")).distinct().withColumn("lbl", col("id")),
       reliable)
+    // what the round's hops READ: the previous round's labels composed
+    // with themselves (pointer jump) — see the loop comment below
+    var labelsIn = labels
     var changed = 1L
     var round = 0
-    // THREE propagation hops compose lazily between materializations:
-    // the convergence check (the per-round fixed-cost Spark job) runs
-    // once per 3 hops, so shallow components converge in one or two
-    // materialized rounds instead of paying scheduler latency per hop.
+    // THREE propagation hops + one pointer jump compose lazily between
+    // materializations: the convergence check (the per-round fixed-cost
+    // Spark job) runs once per round, shallow components converge in
+    // one or two materialized rounds instead of paying scheduler
+    // latency per hop, and the jump doubles the covered radius per
+    // round so deep chains converge in O(log diameter) rounds.
     // The loop runs to CONVERGENCE (changed == 0) — min-label
     // propagation always reaches the component-minimum fixpoint in
     // O(diameter) hops — and `maxRounds` is only a runaway guard that
@@ -530,7 +535,7 @@ object Dedup {
       // round-START comparison needed one full extra round of hops
       // just to observe "nothing changed" whenever the work finished
       // mid-round — at gate scale that was ~40% of the loop's stages.
-      var next = labels
+      var next = labelsIn
       for (h <- 0 until 3) {
         val joined = edges
           .join(next.withColumnRenamed("id", "_nid"), col("b") === col("_nid"))
@@ -547,6 +552,26 @@ object Dedup {
       changed = mat.where(col("lbl") =!= col("lbl0")).count()
       labelsRdd.unpersist(false)
       labels = mat.select(col("id"), col("lbl"))
+      // POINTER JUMP (round 19, VERDICT r18 #4): the NEXT round's input
+      // composes the materialized labels with themselves —
+      // lbl ← lbl(lbl). Every label value is a vertex id present in
+      // the label table (labels start as ids and propagate only ids),
+      // so the inner self-join is total, and it runs over the
+      // MATERIALIZED table (a leaf), never duplicating the hop
+      // subtree. Covered radius per round roughly doubles
+      // (a_k ≈ 2·a_{k-1} + 3: 3, 9, 21, 45, 93, …), turning
+      // O(diameter) rounds into O(log diameter) on chain-shaped
+      // components for one extra tiny label⋈label join per round —
+      // and the join is LAZY, so the converged (confirm) round never
+      // executes it. The fixpoint test is unchanged and stays sound:
+      // labels only ever decrease and the jump is monotone
+      // (lbl(u) ≤ u), so hop(L) == L still pins the one-hop fixpoint,
+      // the component minimum — and jump(fixpoint) == fixpoint, so the
+      // returned labels ARE the converged table.
+      labelsIn = mat.join(
+          mat.select(col("id").as("_jid"), col("lbl").as("_jlbl")),
+          col("lbl") === col("_jid"))
+        .select(col("id"), col("_jlbl").as("lbl"))
       labelsRdd = matRdd
       round += 1
     }

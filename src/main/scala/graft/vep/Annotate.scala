@@ -402,7 +402,7 @@ object Annotate {
     * LEFT-join-miss/emptyExv shape). */
   private def variantTail(
       vcf: DataFrame, cache: DataFrame, entries: DataFrame,
-      opts: VepOptions): DataFrame = {
+      opts: VepOptions, withXrefs: Boolean = false): DataFrame = {
     // eager cache-contract check (schema_contract.rs:10-56) — covers
     // every annotate-family public entry ([[annotate]],
     // [[annotateTyped]], [[annotateTypedFull]],
@@ -421,7 +421,19 @@ object Annotate {
     val svT = spineB.schema("_sv").dataType
     val evT = entB.schema("_ev").dataType
     val cvB =
-      if (opts.checkExistingOn)
+      if (opts.checkExistingOn && withXrefs)
+        // UNFILTERED matched rows (xref fold, round 19): the
+        // empty-variation_name entries the colocated fold must skip
+        // still carry xref payloads, so the entry struct nulls out
+        // under the filter here (collect_list skips nulls — exactly
+        // [[lookedFiltered]]'s row set) while the xref min(struct)
+        // sees every matched row, like [[existingXrefs]] did
+        Some(lookedDf(vcf, cache, withXrefs = true).select(col("id"),
+          struct(col("_va").as("va"),
+            when(col("variation_name").isNotNull && col("variation_name") =!= "",
+              lookedEntStruct).as("ent"),
+            col("_xr").as("xr")).as("_cv")))
+      else if (opts.checkExistingOn)
         Some(lookedFiltered(lookedDf(vcf, cache)).select(col("id"),
           struct(col("_va").as("va"), lookedEntStruct.as("ent")).as("_cv")))
       else None
@@ -448,6 +460,11 @@ object Annotate {
         // own ref/alt), so an unordered first() is deterministic
         first(col("_cv").getField("va"), ignoreNulls = true).as("_va"),
         array_sort(collect_list(col("_cv").getField("ent"))).as("_ents"))
+      else Nil) ++
+      (if (opts.checkExistingOn && withXrefs) Seq(
+        // lexicographically least xref tuple across matched entries —
+        // the exact MIN(struct) [[existingXrefs]] computed standalone
+        min(col("_cv").getField("xr")).as("_xr"))
       else Nil)
     val agg0 = unioned.groupBy(col("id"))
       .agg(aggCols.head, aggCols.tail: _*)
@@ -496,14 +513,26 @@ object Annotate {
       vcf: DataFrame, cache: DataFrame, transcripts: DataFrame,
       exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
       regulatory: DataFrame, motifs: DataFrame,
-      opts: VepOptions = VepOptions.Everything): DataFrame = {
+      opts: VepOptions = VepOptions.Everything): DataFrame =
+    annotateFrom(vcf, cache, transcripts, exons, sift, polyphen,
+      regulatory, motifs, opts, withXrefs = false)
+
+  /** [[annotate]] plus, when `withXrefs`, the 7 cache-only xref output
+    * columns appended after `csq` — computed INSIDE the variant
+    * union-aggregate (one lookup pass; see [[lookedDf]]) instead of
+    * [[existingXrefs]]' second lookup + attach join. */
+  private def annotateFrom(
+      vcf: DataFrame, cache: DataFrame, transcripts: DataFrame,
+      exons: DataFrame, sift: DataFrame, polyphen: DataFrame,
+      regulatory: DataFrame, motifs: DataFrame,
+      opts: VepOptions, withXrefs: Boolean): DataFrame = {
     // eager cache-contract check (schema_contract.rs:10-56): fail at
     // the API boundary with the reference's error shape, before any
     // plan is built
     SchemaContract.validateVariationCache(cache)
     val entries = entriesDf(vcf, selectTranscripts(transcripts, opts), exons,
       sift, polyphen, regulatory, motifs, opts)
-    variantTail(vcf, cache, entries, opts)
+    variantTail(vcf, cache, entries, opts, withXrefs = withXrefs)
       .withColumn("_csqT",
         expr("array_join(transform(_evs, x -> x.e), ',')"))
       .select((col("id") +: col("variation_name") +:
@@ -511,7 +540,27 @@ object Annotate {
         col("max_af"), col("max_af_pops"),
         col("most_severe_consequence"),
         col("n_transcripts"),
-        coalesce(substPerVariant(col("_csqT")), lit("")).as("csq")): _*)
+        coalesce(substPerVariant(col("_csqT")), lit("")).as("csq")) ++
+        (if (withXrefs) xrefOutputCols else Nil): _*)
+  }
+
+  /** The xref output projection over the folded `_xr` struct — the
+    * exact column family [[existingXrefs]] rendered (same names,
+    * types, and empty-string→NULL semantics). */
+  private def xrefOutputCols: Seq[Column] = {
+    def splitList(c: Column, sep: String): Column =
+      when(c.isNull || c === "", lit(null).cast("array<string>"))
+        .otherwise(transform(split(c, sep), x => trim(x)))
+    def ne(c: Column): Column =
+      when(c === "", lit(null).cast("string")).otherwise(c)
+    Seq(
+      splitList(col("_xr.csa"), "[;]").as("clin_sig_allele"),
+      ne(col("_xr.ci")).as("clinical_impact"),
+      ne(col("_xr.ma")).as("minor_allele"),
+      col("_xr.maf").cast("double").as("minor_allele_freq"),
+      splitList(col("_xr.cv"), "[,]").as("clinvar_ids"),
+      splitList(col("_xr.co"), "[,]").as("cosmic_ids"),
+      splitList(col("_xr.db"), "[,]").as("dbsnp_ids"))
   }
 
   /** [[annotate]] with TYPED per-transcript array columns instead of
@@ -657,8 +706,15 @@ object Annotate {
       regulatory: DataFrame, motifs: DataFrame,
       opts: VepOptions, provider: Boolean): DataFrame = {
     SchemaContract.validateVariationCache(cache)
-    val base = annotate(vcf, cache, transcripts, exons, sift, polyphen,
-      regulatory, motifs, opts)
+    // xref fold (round 19): with check_existing on (the default), the
+    // 7 cache-only xref columns come out of [[annotateFrom]]'s variant
+    // union-aggregate directly — one cache lookup pass for both the
+    // colocated family AND the xrefs, no second scan, no SortAggregate,
+    // no attach join (plans/r19/f11_typed_full_*: the whole
+    // existingXrefs subtree and its sort-merge join are gone)
+    val foldXrefs = opts.checkExistingOn
+    val base = annotateFrom(vcf, cache, transcripts, exons, sift, polyphen,
+      regulatory, motifs, opts, withXrefs = foldXrefs)
     val names = csqFieldNamesForMode(opts.refseq, opts.merged, opts.everything)
     val emptyA = expr("CAST(array() AS ARRAY<STRING>)")
     // ONE parse + transpose pass ([[graft.plans.CsqTranspose]]):
@@ -721,8 +777,12 @@ object Annotate {
           transform(nonEmpty("MOTIF_SCORE_CHANGE"), x => x.cast("double"))
             .as("MOTIF_SCORE_CHANGE"),
           nonEmpty("TRANSCRIPTION_FACTORS").as("TRANSCRIPTION_FACTORS"))
-    val typed = withF.select(cols: _*)
-      .join(existingXrefs(vcf, cache), Seq("id"), "left")
+    val xrefNames = Seq("clin_sig_allele", "clinical_impact", "minor_allele",
+      "minor_allele_freq", "clinvar_ids", "cosmic_ids", "dbsnp_ids")
+    val typed =
+      if (foldXrefs) withF.select(cols ++ xrefNames.map(col): _*)
+      else withF.select(cols: _*)
+        .join(existingXrefs(vcf, cache), Seq("id"), "left")
     if (!provider) typed
     else vcf.join(typed, Seq("id"))
       .select((vcf.columns.toSeq.map(col) ++
@@ -770,15 +830,67 @@ object Annotate {
     * (annotate_provider.rs:795-1000) — no derivation here. Consumed
     * exactly once (by [[existingVar]]), so no eager materialization:
     * the round-6 shared persist is gone with the second consumer. */
-  private def lookedDf(vcf: DataFrame, cache: DataFrame): DataFrame = {
+  private def lookedDf(vcf: DataFrame, cache: DataFrame,
+      withXrefs: Boolean = false): DataFrame = {
     val c =
       if (cache.columns.contains("clin_sig_allele")) cache
       else cache.withColumn("clin_sig_allele", lit(null).cast("string"))
-    Vep.lookupVariants(vcf, c, columns = lookedCols)
-      .select(col("id") +:
-        Vep.vepAltUdf(col("ref"), col("alt")).as("_va") +:
-        lookedCols.map(c2 => col(s"cache_$c2").as(c2)): _*)
+    // xref fold (round 19): the FULL typed frame's 7 cache-only xref
+    // columns used to come from a SECOND lookupVariants pass
+    // ([[existingXrefs]]) — a duplicated cache scan + probe join + its
+    // own SortAggregate + a sort-merge attach join, ~5 extra stages on
+    // the two heaviest annotate gates. The lookup's match set does not
+    // depend on the requested column list, so one pass carries both
+    // column families; the xref tuple rides the variant union-aggregate
+    // as a MIN(struct) — the exact aggregate [[existingXrefs]] ran.
+    val extras =
+      if (withXrefs) xrefExtraCols.filter(c.columns.contains) else Nil
+    // allele_string is non-null on every MATCHED row (the allele
+    // matcher cannot return true on a null) and null on every
+    // left-join miss — the exact matched/miss discriminator, used
+    // below to keep miss rows out of the union-aggregate
+    val matchTag = if (withXrefs) Seq("allele_string") else Nil
+    val lookedAll = Vep.lookupVariants(vcf, c,
+      columns = (lookedCols ++ extras) ++ matchTag)
+    // drop the left-join MISS rows (one per unmatched variant — the
+    // bulk of the vcf at selective caches): an unmatched id's folded
+    // xref MIN aggregates over nothing and yields a NULL struct, whose
+    // field reads are null — byte-identical output to existingXrefs'
+    // min over the single all-null miss row. Matched rows (including
+    // empty-variation_name ones, which the colocated fold skips but
+    // the xref min must see) all survive this filter.
+    val looked0 =
+      if (withXrefs) lookedAll.where(col("cache_allele_string").isNotNull)
+        .drop("cache_allele_string")
+      else lookedAll
+    // every xref column is OPTIONAL on the cache (the reference's
+    // schema.index_of(...).ok() reads) — absent columns read as NULL
+    val looked = (if (withXrefs) xrefExtraCols.filterNot(extras.contains) else Nil)
+      .foldLeft(looked0) { (df, n) =>
+        df.withColumn(s"cache_$n", lit(null).cast(
+          if (n == "minor_allele_freq") "double" else "string"))
+      }
+    val xr =
+      if (withXrefs) Seq(struct(
+        col("cache_variation_name").as("vn"),
+        col("cache_clin_sig_allele").as("csa"),
+        col("cache_clinical_impact").as("ci"),
+        col("cache_minor_allele").as("ma"),
+        col("cache_minor_allele_freq").as("maf"),
+        col("cache_clinvar_id").as("cv"),
+        col("cache_cosmic_id").as("co"),
+        col("cache_dbsnp_id").as("db")).as("_xr"))
+      else Nil
+    looked.select(col("id") +:
+      Vep.vepAltUdf(col("ref"), col("alt")).as("_va") +:
+      (lookedCols.map(c2 => col(s"cache_$c2").as(c2)) ++ xr): _*)
   }
+
+  /** The 6 xref lookup columns beyond [[lookedCols]]' overlap
+    * (variation_name and clin_sig_allele are already looked up). */
+  private val xrefExtraCols: Seq[String] = Seq(
+    "clinical_impact", "minor_allele", "minor_allele_freq",
+    "clinvar_id", "cosmic_id", "dbsnp_id")
 
   /** Per-variant colocated-variant families — the reference's
     * FrequencyFields + clinical-field assembly

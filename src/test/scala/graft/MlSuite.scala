@@ -377,6 +377,19 @@ class MlSuite extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicate clusters: pointer jump converges deep chains in O(log d) rounds") {
+    import graft.dedup.Dedup
+    // path graph 1-2-...-100 (diameter 99): pure 3-hop propagation
+    // needs ~33 materialized rounds; with the per-round pointer jump
+    // the covered radius roughly doubles each round
+    // (3, 9, 21, 45, 93, 189, ...), so 8 rounds (6 to converge + 1 to
+    // confirm + 1 slack) is ample — without the jump this maxRounds
+    // would throw the runaway guard
+    val pairs = (1L until 100L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.duplicateClusters(pairs, maxRounds = 8).collect()
+    assert(got.length == 100 && got.forall(_.getLong(1) == 1L))
+  }
+
   test("duplicate clusters: runaway guard fails loudly") {
     import graft.dedup.Dedup
     val pairs = (1L until 31L).map(i => (i, i + 1)).toDF("id1", "id2")
