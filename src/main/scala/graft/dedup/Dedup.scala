@@ -576,6 +576,10 @@ object Dedup {
       round += 1
     }
     edges.unpersist()
+    if (sys.env.contains("GRAFT_CC_LOG"))
+      // scalastyle:off println
+      println(s"  [cc] converged rounds=$round width=$w")
+      // scalastyle:on println
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 }
